@@ -1,0 +1,400 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Num
+
+/** The relational query repertoire.
+  *
+  * Covers the reference's ad-hoc SQL surface (reference
+  * `api-service/app.py:114-288` — Layer B in SURVEY.md §2: distinct+sort,
+  * dynamic conjunctive filters, top-k latest, time-range lookback, global
+  * stats, group-by counts) re-expressed as Spark plans over the harness
+  * `events` table, plus the relational completion the north star requires
+  * (joins, semi/anti, set ops, rollup, analytic window functions) over the
+  * TPC-H-ish tables.
+  *
+  * Scale notes (100 TB posture):
+  *  - filters/projections sit directly on the scan so Catalyst pushes them
+  *    into parquet (PushedFilters + ReadSchema pruning);
+  *  - small dims (nation/region) are explicitly `broadcast()`; big-big joins
+  *    shuffle on their equi-keys and rely on AQE for skew/coalescing;
+  *  - top-k = `orderBy(...).limit(k)` which Spark executes as
+  *    TakeOrderedAndProject (per-partition heaps, no global sort);
+  *  - aggregates run partial→final; doubles go through exact decimal sums
+  *    (order-independent at any parallelism — see [[graft.functions.Num]]).
+  */
+object RelationalQueries {
+
+  private val revenueExpr: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(18, 2)))
+
+  private val sqlRevenue =
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- Reference Layer A parity: tumbling event-time windowed agg ------
+    // (processor.py:82-95 shape over the harness events table)
+    GraftQuery(
+      "windowed_agg",
+      (s, dir) => WindowAgg.tumbling(Tables.events(s, dir), "ts", Seq("event_type"), "value")
+        .orderBy("window_start", "event_type"),
+      Some("""
+        SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
+               date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
+               event_type,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+               count(*) AS reading_count
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type""")),
+
+    // ---- B1: DISTINCT projection + multi-column sort (app.py:122-126) ----
+    GraftQuery(
+      "distinct_pairs",
+      (s, dir) => Tables.events(s, dir)
+        .select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type"),
+      Some("""
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""")),
+
+    // ---- B2: dynamic conjunctive equality filter (app.py:154-168) --------
+    GraftQuery(
+      "filter_eq",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") === 7)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM events
+        WHERE event_type = 'purchase' AND user_id = 7
+        ORDER BY event_id""")),
+
+    // ---- B3: latest-k top-k (ORDER BY ts DESC LIMIT, app.py:170) ---------
+    GraftQuery(
+      "latest_events",
+      (s, dir) => Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(100),
+      Some("""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM events
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 100""")),
+
+    // ---- B4: time-range lookback filter (app.py:202-208) -----------------
+    // NOW() is replaced by max(ts) so the predicate is reproducible.
+    GraftQuery(
+      "time_range",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val mx = e.agg(max("ts").as("_mx"))
+        e.crossJoin(broadcast(mx))
+          .filter(col("ts") >= col("_mx") - expr("INTERVAL 24 HOURS"))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >=
+              (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 24 HOURS
+        ORDER BY event_id""")),
+
+    // ---- B6+B8: global stats (count, min/max ts, app.py:247,269-274) -----
+    GraftQuery(
+      "global_stats",
+      (s, dir) => Tables.events(s, dir).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        Num.dsumAsDouble(col("value")).as("sum_value")),
+      Some("""
+        SELECT count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               min(CAST(ts AS TIMESTAMP)) AS first_ts,
+               max(CAST(ts AS TIMESTAMP)) AS last_ts,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        FROM events""")),
+
+    // ---- B7: group-by count, sorted by count desc (app.py:251-266) -------
+    GraftQuery(
+      "groupby_count",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type")),
+      Some("""
+        SELECT event_type, count(*) AS cnt FROM events
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type""")),
+
+    // ---- TPC-H Q1-shaped pricing summary over lineitem -------------------
+    GraftQuery(
+      "q1_pricing",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Num.dsumAsDouble(col("l_quantity")).as("sum_qty"),
+          Num.dsumAsDouble(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(revenueExpr).cast(DoubleType), 2).as("sum_disc_price"),
+          Num.davg(col("l_quantity")).as("avg_qty"),
+          Num.davg(col("l_extendedprice")).as("avg_price"),
+          Num.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${Num.sqlDsum("l_quantity")} AS sum_qty,
+               ${Num.sqlDsum("l_extendedprice")} AS sum_base_price,
+               round(CAST($sqlRevenue AS DOUBLE), 2) AS sum_disc_price,
+               ${Num.sqlDavg("l_quantity")} AS avg_qty,
+               ${Num.sqlDavg("l_extendedprice")} AS avg_price,
+               ${Num.sqlDavg("l_discount")} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- 3-way big-big join: revenue per customer, top 20 ----------------
+    // lineitem⋈orders shuffles on orderkey, then ⋈customer on custkey; AQE
+    // handles skew. Top-k via TakeOrderedAndProject (no global sort).
+    GraftQuery(
+      "top_customers",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(round(sum(revenueExpr).cast(DoubleType), 2).as("revenue"),
+               count(lit(1)).as("n_lineitems"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name,
+               round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")),
+
+    // ---- star join with broadcast dims: orders rolled up to region -------
+    GraftQuery(
+      "region_rollup",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_orders"),
+               Num.dsumAsDouble(col("o_totalprice")).as("total_price"))
+          .orderBy("r_name")
+      },
+      Some(s"""
+        SELECT r_name, count(*) AS n_orders,
+               ${Num.sqlDsum("o_totalprice")} AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name""")),
+
+    // ---- left-semi join (EXISTS) -----------------------------------------
+    GraftQuery(
+      "semi_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- left-anti join (NOT EXISTS) -------------------------------------
+    // The probe side is filtered first (filter pushes below the join), so
+    // the anti-join build set is a fraction of orders.
+    GraftQuery(
+      "anti_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey""")),
+
+    // ---- set operations ---------------------------------------------------
+    GraftQuery(
+      "set_union",
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy("nationkey"),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    GraftQuery(
+      "set_intersect",
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    GraftQuery(
+      "set_except",
+      (s, dir) => Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 9000).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, dir)
+          .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        EXCEPT
+        SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        ORDER BY nationkey""")),
+
+    // ---- ROLLUP (hierarchical subtotals) ---------------------------------
+    // NULL grouping keys are coalesced to 'ALL' so both engines sort alike.
+    GraftQuery(
+      "rollup_lineitem",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             Num.dsumAsDouble(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some(s"""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n,
+               ${Num.sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // ---- analytic window: top-3 per group via row_number -----------------
+    GraftQuery(
+      "window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+                  row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("user_id", "rn")
+      },
+      Some("""
+        SELECT user_id, event_id, value, rn FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+        WHERE rn <= 3
+        ORDER BY user_id, rn""")),
+
+    // ---- analytic window: lag / event-time deltas ------------------------
+    GraftQuery(
+      "window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+                  lag("value", 1).over(w).as("prev_value"),
+                  (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+                    .as("delta_us"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, value,
+               lag(value, 1) OVER w AS prev_value,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w) AS delta_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id""")),
+
+    // ---- analytic window: 3-row moving average ---------------------------
+    // Spelled with explicit lags (fixed-order arithmetic) instead of a
+    // sliding-frame avg so both engines sum in the same order — DuckDB's
+    // frame aggregation may subtract/re-add, which breaks FP determinism.
+    GraftQuery(
+      "moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val l1 = lag("value", 1).over(w)
+        val l2 = lag("value", 2).over(w)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            round((col("value") + coalesce(l1, lit(0.0)) + coalesce(l2, lit(0.0))) /
+              (lit(1) + l1.isNotNull.cast(IntegerType) + l2.isNotNull.cast(IntegerType)),
+              4).as("mavg3"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, value,
+               round((value + coalesce(lag(value, 1) OVER w, 0)
+                            + coalesce(lag(value, 2) OVER w, 0))
+                     / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END),
+                     4) AS mavg3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id""")),
+
+    // ---- JSON extraction from string props (events.props) ---------------
+    GraftQuery(
+      "json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        ORDER BY event_id"""))
+  )
+}
