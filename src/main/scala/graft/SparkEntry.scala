@@ -12,7 +12,10 @@ object SparkEntry {
 
   /** All registered capabilities, in registration order. */
   def all: Seq[GraftQuery] =
-    operators.RelationalQueries.queries
+    operators.RelationalQueries.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-shuffle on a 16-byte content digest — O(n), the only
+  *    exact option at 100 TB; never shuffles full document text.
+  *  - ngram_jaccard: exact pairwise Jaccard via an inverted index on
+  *    shingles (explode → equi-join on gram → count). Quadratic in bucket
+  *    size, so it's the ground-truth / small-corpus path; the hot-gram cap
+  *    (`maxDocFreq`) bounds the blowup the way frequency caps do in real
+  *    near-dup indexes.
+  *  - minhash_pairs: MinHash signatures (16 permutations via seeded
+  *    xxhash64) banded 4×4 → candidates join only within LSH buckets →
+  *    exact-Jaccard verification of candidates. This is the 100 TB path:
+  *    shuffle volume is O(n · bands), never O(n²).
+  *  - simhash: 64-bit signature packed as 4×16-bit chunks; chunk equality
+  *    (pigeonhole for hamming ≤ 4·(chunks−1)) is the candidate filter.
+  *
+  * Hash-seeded operators (minhash/simhash) are not reproducible in DuckDB
+  * SQL (different xxhash64), so they carry no oracle; the exact variants
+  * cross-check them in the ScalaTest suites instead.
+  */
+object Dedup {
+
+  /** Distinct word-trigram shingles per doc (empty array below 3 tokens). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_toks", split(col("text"), " "))
+      .withColumn("grams", when(size(col("_toks")) >= 3,
+        array_distinct(expr(
+          """transform(sequence(0, size(_toks) - 3),
+                       i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))""")))
+        .otherwise(array()))
+      .select(col("doc_id"), col("grams"))
+
+  private val numHashes = 16
+  private val bands = 4
+  private val rowsPerBand = numHashes / bands
+
+  /** MinHash signature columns s0..s15: min over shingles of
+    * xxhash64(seed-tag, gram) — one aggregation, no per-permutation scan. */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
+    ex.groupBy("doc_id")
+      .agg(
+        min(xxhash64(lit(0), col("gram"))).as("s0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("gram"))).as(s"s$i")): _*)
+  }
+
+  /** Exact Jaccard over distinct shingles for doc pairs sharing ≥1 gram
+    * with document frequency ≤ maxDocFreq (hot-gram cap). */
+  private def exactJaccardPairs(spark: SparkSession, dir: String,
+      maxDocFreq: Long): DataFrame = {
+    val sh = shingled(Tables.documents(spark, dir))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val hot = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val filtered = ex.join(hot, "gram")
+    val common = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) /
+          (col("na") + col("nb") - col("common")), 4))
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- exact dedup on a content digest ---------------------------------
+    // groupBy(md5) keeps the shuffle key at 32 hex chars regardless of
+    // document size; min(doc_id) is the deterministic survivor rule
+    // (dropDuplicates keeps an arbitrary row — not oracle-comparable).
+    GraftQuery(
+      "dedup_exact",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies", "content_hash")
+        .orderBy("keep_id"),
+      Some("""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+               md5(text) AS content_hash
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY keep_id""")),
+
+    // ---- exact n-gram Jaccard near-dup pairs (ground truth) --------------
+    GraftQuery(
+      "ngram_jaccard",
+      (s, dir) => exactJaccardPairs(s, dir, maxDocFreq = 1000000L)
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END grams
+               FROM t),
+        ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
+        common AS (
+          SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, common,
+               round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+        FROM common
+        JOIN (SELECT doc_id, len(grams) n FROM sh) sa ON doc_a = sa.doc_id
+        JOIN (SELECT doc_id, len(grams) n FROM sh) sb ON doc_b = sb.doc_id
+        WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- MinHash + LSH near-dup pairs (the at-scale path) ----------------
+    // Bands of the signature hash into buckets; only bucket-mates are
+    // compared, then exact Jaccard verifies candidates (no false
+    // positives; recall is probabilistic — cross-checked against
+    // ngram_jaccard in DedupSpec).
+    GraftQuery(
+      "minhash_pairs",
+      (s, dir) => {
+        val sh = shingled(Tables.documents(s, dir))
+        val sig = signatures(sh)
+        val bandCols = (0 until bands).map { b =>
+          val hs = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+          struct(lit(b).as("band"), xxhash64(hs: _*).as("bucket"))
+        }
+        val buckets = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        val cand = buckets.as("x")
+          .join(buckets.as("y"),
+            col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val withGrams = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+        withGrams
+          .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
+          .withColumn("jaccard", round(col("common").cast(DoubleType) /
+            (size(col("ga")) + size(col("gb")) - col("common")), 4))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // ---- SimHash signatures + hamming-close pairs ------------------------
+    // Signature: sign of the per-bit sum of token hashes, packed as 4
+    // 16-bit chunks (ANSI-safe — no 64-bit overflow). Pairs sharing any
+    // chunk are candidates; exact hamming distance ≤ 6 confirms.
+    GraftQuery(
+      "simhash_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_toks", split(col("text"), " "))
+        // 64 bit-sums via one fold over tokens: acc[j] += bit_j(h) ? 1 : -1
+        val withBits = docs.withColumn("_sums", expr(
+          """aggregate(_toks,
+                       transform(sequence(0, 63), j -> CAST(0 AS INT)),
+                       (acc, t) -> zip_with(acc,
+                         transform(sequence(0, 63),
+                           j -> CASE WHEN (xxhash64(t) div shiftleft(CAST(1 AS BIGINT), j)) % 2 != 0
+                                     THEN 1 ELSE -1 END),
+                         (a, b) -> a + b))"""))
+        val chunks = (0 until 4).map { c =>
+          expr(
+            s"""aggregate(slice(_sums, ${c * 16 + 1}, 16), CAST(0 AS INT),
+                          (acc, x) -> acc * 2 + CASE WHEN x > 0 THEN 1 ELSE 0 END)""")
+            .as(s"c$c")
+        }
+        val sig = withBits.select(col("doc_id") +: chunks: _*)
+        val long = sig.select(col("doc_id"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("chunk"), col(s"c$c").as("v"))): _*)).as("p"))
+          .select(col("doc_id"), col("p.chunk").as("chunk"), col("p.v").as("v"))
+        val cand = long.as("x").join(long.as("y"),
+            col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sa = sig.toDF("doc_a", "a0", "a1", "a2", "a3")
+        val sb = sig.toDF("doc_b", "b0", "b1", "b2", "b3")
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("hamming",
+            (0 until 4).map(c => bit_count(expr(s"a$c ^ b$c"))).reduce(_ + _))
+          .filter(col("hamming") <= 6)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      None)
+  )
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+
+/** Text-analysis operators for a training-data pipeline over `documents`.
+  *
+  * All computation is built-in Catalyst expressions (split / transform /
+  * filter / aggregate higher-order functions) — no UDFs, so everything stays
+  * inside WholeStageCodegen and scales linearly with no shuffle except the
+  * final ORDER BY (which the verify harness needs for determinism; a
+  * production pipeline would drop it).
+  *
+  * The reference has no text operators (its values are IoT doubles,
+  * `data-generator/generator.py:37-48`); these extend the engine per the
+  * north star (BASELINE.json).
+  */
+object TextAnalysis {
+
+  /** Tokens counted as stopwords by the quality scorer (subset of the
+    * corpus vocabulary so the ratio is non-degenerate on the testdata). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "data")
+
+  private val sqlStops = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Per-language marker tokens for the n-gram-free language-ID heuristic.
+    * Real corpora would carry per-language stopword profiles; the heuristic
+    * (count marker hits per language, argmax with deterministic tiebreak)
+    * is the standard cheap language-ID shape. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "des", "une"),
+    "zh" -> Seq("的", "了", "是", "在"))
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- token counting (whitespace tokenizer) ---------------------------
+    GraftQuery(
+      "token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          length(col("text")).cast(LongType).as("n_chars_actual"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars_actual
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- quality scoring: length / token-length / stopword ratios --------
+    GraftQuery(
+      "text_quality",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            nTok.cast(LongType).as("n_tokens"),
+            // tokens are single-space separated: chars minus separators / n
+            round((length(col("text")) - (nTok - lit(1))).cast(DoubleType) / nTok, 4)
+              .as("avg_token_len"),
+            round(nStop.cast(DoubleType) / nTok, 4).as("stopword_ratio"),
+            (length(col("text")) === col("n_chars")).as("len_consistent"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS avg_token_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ($sqlStops))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
+               length(text) = n_chars AS len_consistent
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- language ID: marker-token scoring, argmax w/ fixed tie order ----
+    GraftQuery(
+      "lang_id",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        def score(lang: String) =
+          size(filter(toks, t => t.isin(langMarkers(lang): _*)))
+        val langs = Seq("de", "en", "es", "fr", "zh") // tiebreak: alphabetical
+        val scored = langs.map(l => score(l).as(s"s_$l"))
+        val best = greatest(langs.map(l => col(s"s_$l")): _*)
+        val pred = when(best === 0, lit("unknown"))
+          .otherwise(langs.foldRight(lit("unknown")) { (l, acc) =>
+            when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+          })
+        // foldRight so the FIRST alphabetical winner is kept on ties
+        Tables.documents(s, dir)
+          .select(col("doc_id") +: col("lang").as("labeled_lang") +: scored: _*)
+          .withColumn("pred_lang", pred)
+          .select("doc_id", "labeled_lang", "pred_lang", "s_en")
+          .orderBy("doc_id")
+      },
+      Some {
+        def cnt(l: String) =
+          s"len(list_filter(string_split(text,' '), t -> t IN (${langMarkers(l).map(m => s"'$m'").mkString(",")})))"
+        s"""
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) = 0 THEN 'unknown'
+                    WHEN ${cnt("de")} = greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) THEN 'de'
+                    WHEN ${cnt("en")} = greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) THEN 'en'
+                    WHEN ${cnt("es")} = greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) THEN 'es'
+                    WHEN ${cnt("fr")} = greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang,
+               ${cnt("en")} AS s_en
+        FROM documents
+        ORDER BY doc_id"""
+      }),
+
+    // ---- document fingerprinting: polynomial rolling hash over tokens ----
+    // Token code & modular fold are engine-neutral arithmetic, so the
+    // fingerprint is oracle-checkable (unlike xxhash64-based hashing).
+    GraftQuery(
+      "doc_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("_codes", expr(
+          """transform(split(text, ' '),
+                       t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                 + ascii(substring(t, -1, 1))
+                                 + length(t) AS BIGINT))"""))
+        .select(col("doc_id"),
+          expr("aggregate(_codes, CAST(0 AS BIGINT), (acc, x) -> (acc * 1000003 + x) % 1000000007)")
+            .as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                     t -> CAST(ascii(substring(t, 1, 1)) * 131
+                               + ascii(substring(t, -1, 1))
+                               + length(t) AS BIGINT))),
+                 (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fingerprint
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}
