@@ -31,21 +31,27 @@ object Ingest {
     StructField("battery_level", DoubleType),
     StructField("timestamp", StringType)))
 
-  /** Kafka value bytes → typed sensor rows (ts cast to event time). */
+  /** Kafka value bytes → typed sensor rows (ts cast to event time).
+    * `try_cast` (not cast): Spark 4 runs ANSI mode by default, where a bad
+    * timestamp string would fail the batch — the reference's semantics are
+    * silent null (`from_json` permissive + pre-ANSI cast). */
   def decode(raw: DataFrame): DataFrame =
     raw.selectExpr("CAST(value AS STRING) AS json")
       .select(from_json(col("json"), sensorSchema).as("data"))
       .select("data.*")
-      .withColumn("timestamp", col("timestamp").cast(TimestampType))
+      .withColumn("timestamp", expr("try_cast(timestamp AS timestamp)"))
 
   /** Like [[decode]] but keeps a `_corrupt` column holding the raw payload
     * for rows that failed to parse (null otherwise) — data-quality audit at
-    * scale instead of the reference's silent nulls. */
-  def decodeWithCorrupt(raw: DataFrame): DataFrame =
+    * scale instead of the reference's silent nulls. Uses PERMISSIVE mode's
+    * corrupt-record column (a malformed row parses to an all-null struct,
+    * NOT a null struct, so `isNull` can't detect it). */
+  def decodeWithCorrupt(raw: DataFrame): DataFrame = {
+    val withCorrupt = sensorSchema.add(StructField("_corrupt", StringType))
     raw.selectExpr("CAST(value AS STRING) AS json")
-      .select(
-        from_json(col("json"), sensorSchema).as("data"),
-        when(from_json(col("json"), sensorSchema).isNull, col("json")).as("_corrupt"))
-      .select(col("data.*"), col("_corrupt"))
-      .withColumn("timestamp", col("timestamp").cast(TimestampType))
+      .select(from_json(col("json"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("data"))
+      .select(col("data.*"))
+      .withColumn("timestamp", expr("try_cast(timestamp AS timestamp)"))
+  }
 }

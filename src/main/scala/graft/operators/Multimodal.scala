@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * Pattern for image/audio/video at 100 TB: the payload is a `binary`
+  * column that is NEVER shuffled wholesale — metadata extraction and
+  * feature stubs run scan-side, joins/groupBys operate on the extracted
+  * (narrow) columns, and partition counts are sized so one partition's
+  * payloads fit executor memory.
+  *
+  * The decode step is STUBBED: this container has no image/audio codecs, so
+  * [[decodeStub]] derives a deterministic fake feature vector from the
+  * payload bytes. The Spark-side plumbing around it — binary schema, typed
+  * Dataset, per-partition batch processing via `mapPartitions` (the Scala
+  * analog of `mapInPandas` batching), feature schema — is real and tested
+  * (MultimodalSpec). A real decoder replaces ONLY the body of
+  * [[decodeStub]].
+  */
+object Multimodal {
+
+  /** A media payload row: documents.text re-encoded as UTF-8 bytes stands
+    * in for an image/audio blob in the offline harness. */
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features: fixed 8-dim vector + declared dimensions. */
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, byte_len: Int,
+      width: Int, height: Int, features: Array[Float])
+
+  /** documents → media-shaped Dataset (payload = utf-8 bytes). */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lit("text/plain").as("media_type"),
+        to_binary(col("text"), lit("utf-8")).as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder — deterministic fake standing in for e.g. JPEG decode +
+    * resize + embed. Real implementation would decode `payload` with a
+    * codec library; everything around this function is production-shaped.
+    * Runs per-partition so a real decoder can amortize model/codec init
+    * across the partition (the reason mapPartitions, not map). */
+  def decodeStub(rows: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val n = r.payload.length
+      // fake dims/features derived from content so tests can assert
+      // determinism; a real decoder reads them from the container format
+      val width = 64 + (r.payload.headOption.getOrElse(0: Byte) & 0x3f)
+      val height = 64 + (r.payload.lastOption.getOrElse(0: Byte) & 0x3f)
+      val feats = Array.tabulate(8) { i =>
+        val slice = r.payload.slice(i * n / 8, math.max(i * n / 8 + 1, (i + 1) * n / 8))
+        if (slice.isEmpty) 0f
+        else slice.foldLeft(0L)((a, b) => a + (b & 0xff)).toFloat / slice.length / 255f
+      }
+      MediaFeatures(r.doc_id, r.media_type, n, width, height, feats)
+    }
+
+  /** Full decode pipeline as a DataFrame op. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asMedia(spark, dir).mapPartitions(decodeStub).toDF()
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- metadata extraction (oracle-checkable: md5 + byte length) -------
+    GraftQuery(
+      "multimodal_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(to_binary(col("text"), lit("utf-8"))).cast(LongType).as("byte_len"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("content_md5"))
+        .withColumn("fake_width",
+          lit(64) + pmod(ascii(substring(col("content_md5"), 1, 1)), lit(64)))
+        .withColumn("fake_height",
+          lit(64) + pmod(ascii(substring(col("content_md5"), 2, 1)), lit(64)))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               md5(text) AS content_md5,
+               64 + ascii(substring(md5(text), 1, 1)) % 64 AS fake_width,
+               64 + ascii(substring(md5(text), 2, 1)) % 64 AS fake_height
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- stubbed decode + feature extraction (rows-only) -----------------
+    GraftQuery(
+      "media_features",
+      (s, dir) => features(s, dir)
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast(DoubleType), 4).as("f0"))
+        .orderBy("doc_id"),
+      None)
+  )
+}

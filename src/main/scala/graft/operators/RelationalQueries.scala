@@ -49,10 +49,10 @@ object RelationalQueries {
         SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
                date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
                event_type,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
                min(value) AS min_value,
                max(value) AS max_value,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
                count(*) AS reading_count
         FROM events
         GROUP BY 1, 2, 3

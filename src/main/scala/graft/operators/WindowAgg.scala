@@ -53,12 +53,15 @@ object WindowAgg {
       valueCol: String,
       windowDuration: String = "1 minute"): DataFrame = {
     import graft.functions.Num
+    // decimal scale 6: covers inputs with up to 6 decimals exactly — a
+    // 2-decimal corpus is unchanged, arbitrary doubles lose <5e-7 (vs the
+    // order-dependent error a plain double sum has at high parallelism)
     df.groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
       .agg(
-        Num.davg(col(valueCol)).as("avg_value"),
+        Num.davg(col(valueCol), scale = 6).as("avg_value"),
         min(valueCol).as("min_value"),
         max(valueCol).as("max_value"),
-        Num.dsumAsDouble(col(valueCol)).as("sum_value"),
+        Num.dsumAsDouble(col(valueCol), scale = 6).as("sum_value"),
         count(lit(1)).as("reading_count"))
       .select(
         (col("window.start").as("window_start") +:

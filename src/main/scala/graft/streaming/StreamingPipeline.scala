@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ingest, WindowAgg}
+
+/** The reference's streaming topology, Spark-native.
+  *
+  * Reference shape (`spark-processor/processor.py`):
+  * Kafka `raw-data` topic → JSON decode → 1-min watermark → 1-min tumbling
+  * window groupBy(device_type, location) → avg/min/max/count → two
+  * concurrent sinks: update-mode aggregates + append-mode raw rows
+  * (`processor.py:60-117`), awaited with `awaitAnyTermination`
+  * (`processor.py:122`).
+  *
+  * Differences by design (SURVEY.md §4 "quirks"):
+  *  - the reference appends update-mode emissions to an append-only table,
+  *    so every window revision lands as a duplicate row, and sink errors are
+  *    swallowed (`processor.py:133,139-140`). Our default is the clean
+  *    semantics — [[aggregateWriter]] in append mode emits each window once,
+  *    after the watermark closes it; `mimicReference = true` restores
+  *    update-mode duplicates for parity testing.
+  *  - checkpointing is per-query, as in the reference (`processor.py:106,116`).
+  *
+  * Scale: streaming state is bounded by (watermark horizon × group
+  * cardinality), not input rate; the shuffle is on (window, keys) which is
+  * also the state-store key, so adding executors repartitions state cleanly.
+  */
+object StreamingPipeline {
+
+  /** Kafka source → decoded typed rows (A1–A5). Not exercisable in the
+    * offline harness (no broker) but compiled against the bundled
+    * spark-sql-kafka jars; the MemoryStream tests drive [[Ingest.decode]]
+    * and [[aggregates]] through the identical plan. */
+  def fromKafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      failOnDataLoss: Boolean = false): DataFrame =
+    Ingest.decode(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .option("failOnDataLoss", failOnDataLoss.toString)
+        .load())
+
+  /** Watermarked tumbling-window aggregation over decoded readings (A7–A10). */
+  def aggregates(
+      decoded: DataFrame,
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "1 minute"): DataFrame =
+    WindowAgg.sensorAggregates(decoded, windowDuration, Some(watermarkDelay))
+
+  /** Aggregate sink (A11): append-after-watermark-close by default
+    * (exactly-once-per-window with an idempotent sink); update mode when
+    * mimicking the reference's duplicate-emitting behavior. */
+  def aggregateWriter(
+      aggs: DataFrame,
+      checkpoint: String,
+      sink: (DataFrame, Long) => Unit,
+      mimicReference: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+    aggs.writeStream
+      .outputMode(if (mimicReference) OutputMode.Update() else OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // Empty-batch guard as in the reference (processor.py:127-131);
+        // unlike the reference we do NOT swallow sink exceptions — a failed
+        // batch must fail the query so the checkpoint retries it.
+        if (!df.isEmpty) sink(df, batchId)
+      }
+
+  /** Raw-rows sink (A12): append mode, same foreachBatch shape. */
+  def rawWriter(
+      decoded: DataFrame,
+      checkpoint: String,
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    decoded.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        if (!df.isEmpty) sink(df, batchId)
+      }
+
+  /** Run both sinks concurrently off one source and await (A14). */
+  def runBoth(
+      decoded: DataFrame,
+      checkpointRoot: String,
+      aggSink: (DataFrame, Long) => Unit,
+      rawSink: (DataFrame, Long) => Unit,
+      mimicReference: Boolean = false): (StreamingQuery, StreamingQuery) = {
+    val aggQ = aggregateWriter(aggregates(decoded), s"$checkpointRoot/agg", aggSink,
+      mimicReference).start()
+    val rawQ = rawWriter(decoded, s"$checkpointRoot/raw", rawSink).start()
+    (aggQ, rawQ)
+  }
+
+  /** Streaming exact dedup with bounded state — the streaming face of the
+    * dedup operators (drops re-deliveries of the same key within the
+    * watermark horizon; state is GC'd as the watermark passes). */
+  def dedupWithinWatermark(
+      decoded: DataFrame,
+      keys: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    decoded
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch operator specs over sf0.001: agg invariants, dedup cross-checks,
+  * similarity recall, multimodal determinism. */
+class OperatorSpec extends SparkSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("windowed_agg: invariants min<=avg<=max and counts sum to total") {
+    val df = run("windowed_agg").cache()
+    assert(df.filter(col("min_value") > col("avg_value") ||
+      col("avg_value") > col("max_value")).count() == 0)
+    val total = df.agg(sum("reading_count")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("windowed_agg: rows on the minute boundary open the window (inclusive start)") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:00:59.999999", 2.0))
+      .toDF("t", "value").select(to_timestamp($"t").as("ts"), $"value", lit("a").as("event_type"))
+    val out = operators.WindowAgg.tumbling(df, "ts", Seq("event_type"), "value")
+    val r = out.collect()
+    assert(r.length == 1 && r.head.getAs[Long]("reading_count") == 2L)
+    assert(r.head.getAs[java.sql.Timestamp]("window_start").toInstant.toString
+      == "2024-01-01T10:00:00Z")
+  }
+
+  test("minhash candidates: no false positives and >=80% recall vs exact jaccard") {
+    val exact = run("ngram_jaccard").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = run("minhash_pairs").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), "minhash produced a pair below the jaccard threshold")
+    assert(mh.size >= exact.size * 8 / 10,
+      s"recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("simhash pairs include the high-jaccard near-dups") {
+    val exact = run("ngram_jaccard").filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = run("simhash_pairs").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = exact.intersect(sh)
+    assert(found.size >= exact.size * 8 / 10,
+      s"simhash missed near-dups: ${found.size}/${exact.size}")
+  }
+
+  test("ann_lsh_topk: >=50% recall of exact top-10, scores are true cosines") {
+    val exact = run("cosine_topk").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = run("ann_lsh_topk").collect()
+    val annPairs = ann.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    assert(annPairs.intersect(exact).size >= exact.size / 2,
+      s"ANN recall too low: ${annPairs.intersect(exact).size}/${exact.size}")
+  }
+
+  test("cosine_topk: self-similarity excluded, scores within [-1,1], rank dense") {
+    val rows = run("cosine_topk").collect()
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+    val ranks = rows.groupBy(_.getAs[Long]("qid")).values
+    assert(ranks.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10)))
+  }
+
+  test("dedup_exact groups every doc exactly once") {
+    val df = run("dedup_exact")
+    val total = df.agg(sum("n_copies")).collect().head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("media_features: deterministic across runs, 8-dim, byte_len matches text bytes") {
+    val a = operators.Multimodal.features(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[Float](r.fieldIndex("features")).toList)).toMap
+    val b = operators.Multimodal.features(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[Float](r.fieldIndex("features")).toList)).toMap
+    assert(a.keySet == b.keySet && a.forall { case (k, v) => b(k) == v })
+    assert(a.values.forall(_.length == 8))
+    val lens = operators.Multimodal.features(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("byte_len") =!= length(col("text"))).count()
+    assert(lens == 0) // ascii corpus: bytes == chars
+  }
+
+  test("top_customers revenue is positive and strictly rank-ordered") {
+    val rows = run("top_customers").collect()
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.forall(_ > 0))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3) — raw ScalaCheck generators
+  * with fixed seeds (the scalatest/scalacheck bridge artifact is not in the
+  * offline cache, so sampling is driven manually; determinism is a feature
+  * here anyway). */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val tsGen: Gen[Long] =
+    Gen.choose(1704067200000L, 1706745600000L) // Jan 2024, ms
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("every row falls in exactly one tumbling window; counts are partition-complete") {
+    for (s <- 1 to 10) {
+      val rows = sample(Gen.listOfN(50, Gen.zip(tsGen, Gen.choose(0.0, 100.0))), s)
+      val df = rows.toDF("ms", "value")
+        .select(timestamp_millis($"ms").as("ts"), $"value", lit("t").as("event_type"))
+      val agg = operators.WindowAgg.tumbling(df, "ts", Seq("event_type"), "value")
+        .agg(sum("reading_count")).collect().head.getLong(0)
+      assert(agg == rows.length, s"seed $s: window partition lost/duplicated rows")
+    }
+  }
+
+  test("windowed min <= avg <= max for random batches") {
+    for (s <- 1 to 10) {
+      val rows = sample(Gen.listOfN(30, Gen.zip(tsGen, Gen.choose(-1000.0, 1000.0))), s)
+      val df = rows.toDF("ms", "value")
+        .select(timestamp_millis($"ms").as("ts"), $"value", lit("t").as("event_type"))
+      // avg_value is rounded to 4 decimals by design → tolerance 1e-4
+      val bad = operators.WindowAgg.tumbling(df, "ts", Seq("event_type"), "value")
+        .filter($"min_value" > $"avg_value" + 1e-4 || $"avg_value" > $"max_value" + 1e-4)
+        .count()
+      assert(bad == 0, s"seed $s: agg ordering invariant violated")
+    }
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    for (s <- 1 to 10) {
+      val rows = sample(Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 3))), s)
+      val df = rows.toDF("a", "b")
+      val once = df.dropDuplicates("a", "b")
+      assert(once.dropDuplicates("a", "b").count() == once.count(), s"seed $s")
+    }
+  }
+
+  test("rolling-hash fingerprint is order-sensitive (permuted tokens differ)") {
+    val q = SparkEntry.queries("doc_fingerprint")
+    val base = Seq((1L, "alpha beta gamma delta", "en", "s", 22L),
+                   (2L, "delta gamma beta alpha", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.createOrReplaceTempView("___tmp")
+    // same multiset of tokens, different order → different fingerprints
+    val fps = base
+      .withColumn("_codes", expr(
+        """transform(split(text, ' '),
+                     t -> CAST(ascii(substring(t, 1, 1)) * 131
+                               + ascii(substring(t, -1, 1))
+                               + length(t) AS BIGINT))"""))
+      .select(expr("aggregate(_codes, CAST(0 AS BIGINT), (acc, x) -> (acc * 1000003 + x) % 1000000007)"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+}
