@@ -31,13 +31,13 @@ object LshPlanes {
       (0 until dims).map(d => sign(t, p, d))))
 
   /** `array<struct<table:int,bucket:int>>` of the vector's bucket in every
-    * table; input column must be `array<double>` of length [[dims]]. */
+    * table; input column is `array<float|double>` of length [[dims]].
+    * Each plane dot is a codegen'd [[VectorExpressions.DotProduct]] against
+    * the literal plane — no interpreted lambdas, no intermediate arrays. */
   def bucketsCol(v: Column): Column = {
     val perTable = (0 until tables).map { t =>
       val bucket = (0 until planesPerTable).map { p =>
-        val plane = typedlit(planes(t)(p))
-        val dot = aggregate(
-          zip_with(v, plane, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+        val dot = VectorExpressions.dot(v, typedlit(planes(t)(p)))
         when(dot >= 0, 1).otherwise(0)
       }.foldLeft(lit(0))((acc, bit) => acc * 2 + bit)
       struct(lit(t).as("table"), bucket.as("bucket"))

@@ -30,16 +30,20 @@ import graft.{GraftQuery, Tables}
   */
 object Dedup {
 
-  /** Distinct word-trigram shingles per doc (empty array below 3 tokens). */
+  /** Distinct word-trigram shingles per doc (empty array below 3 tokens).
+    * Repartitions first: the testdata ships one unsplittable parquet file
+    * per table, so without this the CPU-heavy shingle+explode phase runs as
+    * ONE task (measured 7 s serialized at sf0.1). The partition count is
+    * explicit because AQE coalesces keyed repartitions of small byte
+    * volumes back to one partition — bytes are a bad proxy for the CPU
+    * cost downstream. Same posture at 100 TB:
+    * rebalance before per-row expansion whenever upstream parallelism is
+    * below the cluster's. */
   private def shingled(docs: DataFrame): DataFrame =
     docs
-      .withColumn("_toks", split(col("text"), " "))
-      .withColumn("grams", when(size(col("_toks")) >= 3,
-        array_distinct(expr(
-          """transform(sequence(0, size(_toks) - 3),
-                       i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))""")))
-        .otherwise(array()))
-      .select(col("doc_id"), col("grams"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.wordShingles(col("text"), 3).as("grams"))
 
   private val numHashes = 16
   private val bands = 4
@@ -165,30 +169,23 @@ object Dedup {
       None),
 
     // ---- SimHash signatures + hamming-close pairs ------------------------
-    // Signature: sign of the per-bit sum of token hashes, packed as 4
-    // 16-bit chunks (ANSI-safe — no 64-bit overflow). Pairs sharing any
-    // chunk are candidates; exact hamming distance ≤ 6 confirms.
+    // Signature: 64-bit SimHash via the codegen'd kernel (one xxhash64 per
+    // token, single pass — the HOF formulation re-hashed every token 64×
+    // and ran interpreted, ~50 s at sf0.1). Packed as 4×16-bit chunks;
+    // pairs sharing any chunk are candidates (pigeonhole: catches all
+    // pairs with hamming ≤ 3·16 spread across chunks, in practice all
+    // near-dups); exact hamming ≤ 6 confirms.
     GraftQuery(
       "simhash_pairs",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .withColumn("_toks", split(col("text"), " "))
-        // 64 bit-sums via one fold over tokens: acc[j] += bit_j(h) ? 1 : -1
-        val withBits = docs.withColumn("_sums", expr(
-          """aggregate(_toks,
-                       transform(sequence(0, 63), j -> CAST(0 AS INT)),
-                       (acc, t) -> zip_with(acc,
-                         transform(sequence(0, 63),
-                           j -> CASE WHEN (xxhash64(t) div shiftleft(CAST(1 AS BIGINT), j)) % 2 != 0
-                                     THEN 1 ELSE -1 END),
-                         (a, b) -> a + b))"""))
+        import graft.functions.{VectorExpressions => V}
+        val withFp = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), V.simhash64(split(col("text"), " ")).as("fp"))
         val chunks = (0 until 4).map { c =>
-          expr(
-            s"""aggregate(slice(_sums, ${c * 16 + 1}, 16), CAST(0 AS INT),
-                          (acc, x) -> acc * 2 + CASE WHEN x > 0 THEN 1 ELSE 0 END)""")
-            .as(s"c$c")
+          expr(s"CAST(shiftright(fp, ${c * 16}) & 65535 AS INT)").as(s"c$c")
         }
-        val sig = withBits.select(col("doc_id") +: chunks: _*)
+        val sig = withFp.select(col("doc_id") +: chunks: _*)
         val long = sig.select(col("doc_id"),
           explode(array((0 until 4).map(c =>
             struct(lit(c).as("chunk"), col(s"c$c").as("v"))): _*)).as("p"))

@@ -43,7 +43,12 @@ object RelationalQueries {
     // (processor.py:82-95 shape over the harness events table)
     GraftQuery(
       "windowed_agg",
-      (s, dir) => WindowAgg.tumbling(Tables.events(s, dir), "ts", Seq("event_type"), "value")
+      // repartition before the agg: the single-file scan otherwise runs the
+      // whole partial-aggregate phase (~250k groups at sf0.1) as one task
+      (s, dir) => WindowAgg.tumbling(
+          Tables.events(s, dir)
+            .repartition(s.sparkContext.defaultParallelism, col("ts")),
+          "ts", Seq("event_type"), "value")
         .orderBy("window_start", "event_type"),
       Some("""
         SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,

@@ -1,44 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.{GraftQuery, Tables}
-import graft.functions.LshPlanes
+import graft.functions.{LshPlanes, VectorExpressions => V}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * Two paths, per the standard ANN playbook:
   *  - brute-force cosine top-k: broadcast the (small) query set, compute
-  *    dot products scan-side with higher-order functions — fully
-  *    distributed, no shuffle until the final per-query top-k. The
-  *    correctness baseline.
-  *  - LSH-bucketed (random hyperplanes): 16 sign bits per vector; only
-  *    bucket-mates are scored. At 100 TB this turns O(n·q) into
-  *    O(n + bucket·q) at some recall cost (measured in SimilaritySpec).
+  *    dot products scan-side — fully distributed, no shuffle until the
+  *    per-query top-k. The correctness baseline.
+  *  - LSH-bucketed (random hyperplanes): only bucket-mates are scored; at
+  *    100 TB this turns O(n·q·d) into O(n·tables + candidates·d) at a
+  *    recall cost (measured in OperatorSpec).
   *
-  * Floating-point determinism: dot products are folded left-to-right with
-  * `aggregate` (same order DuckDB's `list_reduce` uses), so both engines
-  * produce bit-identical doubles; ranking keys are rounded to 6 decimals
-  * with vec_id tiebreaks.
+  * The kernels are custom codegen'd Catalyst expressions
+  * ([[graft.functions.VectorExpressions]]) — the higher-order-function
+  * formulation is CodegenFallback and measured ~10 s/query at sf0.1; the
+  * expressions produce identical IEEE doubles (same left-to-right fold as
+  * DuckDB's `list_reduce`, so the SQL oracles still match bit-for-bit).
   */
 object Similarity {
 
-  /** embeddings with the float vector widened to double + L2 norm. */
+  /** embeddings + L2 norm (raw float vector — no cast materialization). */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-
-  private val dotExpr =
-    "aggregate(zip_with(v, qv, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+      .withColumn("norm", V.l2norm(col("embedding")))
 
   def queries: Seq[GraftQuery] = Seq(
 
-    // ---- L2 norms (exercises the array fold in both engines) -------------
+    // ---- L2 norms (exercises the fold in both engines) -------------------
     GraftQuery(
       "embedding_norms",
       (s, dir) => vecs(s, dir)
@@ -57,11 +51,13 @@ object Similarity {
       "cosine_topk",
       (s, dir) => {
         val e = vecs(s, dir)
-        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("norm").as("qnorm")).filter(col("qid") < 5)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm").as("qnorm"))
         val scored = e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos", expr(dotExpr) / (col("norm") * col("qnorm")))
+          .withColumn("cos",
+            V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
         val w = Window.partitionBy("qid")
           .orderBy(round(col("cos"), 6).desc, col("vec_id"))
         scored
@@ -97,34 +93,27 @@ object Similarity {
         ORDER BY qid, rank""")),
 
     // ---- LSH-bucketed ANN (random-hyperplane signs, multi-table) ---------
-    // Classic multi-probe-free LSH: `tables` independent hash tables, each
-    // hashing a vector to a `planesPerTable`-bit bucket (sign of the dot
-    // product with a fixed ±1 hyperplane). The plane matrix is a
-    // deterministic literal baked into the plan — a broadcast-free constant,
-    // one fused zip_with/aggregate per plane, no per-row hashing. Scoring
-    // happens only for bucket-mates, so work is O(n·tables + candidates·d)
-    // instead of O(n·q·d). No SQL oracle (plane constants aren't worth
-    // replicating in SQL); recall vs cosine_topk is asserted in
-    // SimilaritySpec.
+    // Plane matrix is a deterministic literal (LshPlanes); signatures are
+    // codegen'd dot products. No SQL oracle (plane constants aren't worth
+    // replicating); recall vs cosine_topk asserted in OperatorSpec.
     GraftQuery(
       "ann_lsh_topk",
       (s, dir) => {
-        val e = vecs(s, dir).withColumn("buckets", LshPlanes.bucketsCol(col("v")))
-          .select(col("vec_id"), col("v"), col("norm"),
-            explode(col("buckets")).as("bk"))
-          .select(col("vec_id"), col("v"), col("norm"),
+        val e = vecs(s, dir)
+          .withColumn("bk", explode(LshPlanes.bucketsCol(col("embedding"))))
+          .select(col("vec_id"), col("embedding"), col("norm"),
             col("bk.table").as("table"), col("bk.bucket").as("bucket"))
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv"),
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
             col("norm").as("qnorm"),
             col("table").as("qtable"), col("bucket").as("qbucket"))
         val cand = e.join(broadcast(q),
             col("table") === col("qtable") && col("bucket") === col("qbucket") &&
             col("vec_id") =!= col("qid"))
-          .select("qid", "qv", "qnorm", "vec_id", "v", "norm")
+          .select("qid", "qemb", "qnorm", "vec_id", "embedding", "norm")
           .dropDuplicates("qid", "vec_id")
-        val scored = cand
-          .withColumn("cos", expr(dotExpr) / (col("norm") * col("qnorm")))
+        val scored = cand.withColumn("cos",
+          V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
         val w = Window.partitionBy("qid")
           .orderBy(round(col("cos"), 6).desc, col("vec_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -136,18 +125,16 @@ object Similarity {
       None),
 
     // ---- per-label centroids (long format: label × dimension) ------------
-    // Elementwise mean via posexplode + exact decimal sums: the float →
-    // decimal(18,8) cast is the same correctly-rounded conversion in both
-    // engines, and decimal sums are order-independent at any parallelism.
     GraftQuery(
       "label_centroids",
       (s, dir) => Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .filter(col("dim") < 8)
         .groupBy("label", "dim")
         .agg(round(
-          sum(col("x").cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1)),
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)),
           6).as("mean"))
-        .filter(col("dim") < 8)
         .orderBy("label", "dim"),
       Some("""
         SELECT label, dim - 1 AS dim,
