@@ -13,6 +13,7 @@ object SparkEntry {
   /** All registered capabilities, in registration order. */
   def all: Seq[GraftQuery] =
     operators.RelationalQueries.queries ++
+      operators.TimeSeries.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++

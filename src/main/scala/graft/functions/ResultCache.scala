@@ -1,0 +1,44 @@
+package graft.functions
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+/** TTL result cache — the engine-side analog of the reference's Redis
+  * layer (reference `api-service/app.py:143-148,179-186`: 300 s `setex`
+  * keyed by query shape).
+  *
+  * Instead of serializing result JSON to an external store, the engine
+  * pins the result DataFrame in Spark's block manager (`persist`), which
+  * scales with the cluster and keeps lineage for recomputation on executor
+  * loss. Entries auto-expire after `ttl` — expired entries are unpersisted
+  * lazily on next access. The clock is injectable for tests.
+  */
+final class ResultCache(
+    ttlMillis: Long = 300000L,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private case class Entry(df: DataFrame, deadline: Long)
+  private val entries = TrieMap.empty[String, Entry]
+
+  /** Get the cached DataFrame for `key`, or build + persist + register it. */
+  def getOrBuild(key: String)(build: => DataFrame): DataFrame = {
+    val now = clock()
+    entries.get(key) match {
+      case Some(e) if e.deadline > now => e.df
+      case stale =>
+        stale.foreach(_.df.unpersist(blocking = false))
+        val df = build.persist()
+        entries.put(key, Entry(df, now + ttlMillis))
+        df
+    }
+  }
+
+  def contains(key: String): Boolean =
+    entries.get(key).exists(_.deadline > clock())
+
+  def invalidate(key: String): Unit =
+    entries.remove(key).foreach(_.df.unpersist(blocking = false))
+
+  def clear(): Unit = { entries.keys.foreach(invalidate); entries.clear() }
+}

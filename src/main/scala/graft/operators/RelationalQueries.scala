@@ -400,6 +400,112 @@ object RelationalQueries {
       Some("""
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- CUBE (all grouping-set combinations) ----------------------------
+    GraftQuery(
+      "cube_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             Num.dsumAsDouble(col("o_totalprice")).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_price"))
+        .orderBy("status", "priority"),
+      Some(s"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               ${Num.sqlDsum("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ---- exact interpolated median per group -----------------------------
+    // Spark `percentile` and DuckDB `quantile_cont` both sort-and-
+    // interpolate with the same (a+b)/2 midpoint formula on doubles.
+    GraftQuery(
+      "median_value",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90_value"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS median_value,
+               round(quantile_cont(value, 0.9), 4) AS p90_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- scalar-function battery (string / math / date) ------------------
+    GraftQuery(
+      "scalar_funcs",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 97 === 0) // deterministic sample
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_uc"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_digit"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          length(col("o_orderpriority")).as("prio_len"),
+          regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("prio_name"),
+          round(abs(col("o_totalprice") * -1), 1).as("abs_price"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast(TimestampType))
+            .cast(LongType).as("days_since_epoch_start"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               upper(o_orderstatus) AS status_uc,
+               substring(o_orderpriority, 1, 1) AS prio_digit,
+               concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+               length(o_orderpriority) AS prio_len,
+               regexp_replace(o_orderpriority, '[0-9]-', '') AS prio_name,
+               round(abs(o_totalprice * -1), 1) AS abs_price,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               date_trunc('month', o_orderdate) AS month_start,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
+        FROM orders
+        WHERE o_orderkey % 97 = 0
+        ORDER BY o_orderkey""")),
+
+    // ---- A6 + EP2: the SQL-string surface over registered temp views -----
+    // (reference registers a temp view at processor.py:79 and serves ad-hoc
+    // SQL via Postgres; here the engine itself parses and plans the SQL)
+    GraftQuery(
+      "sql_over_view",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+        Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
+        s.sql("""
+          SELECT n.n_name AS nation,
+                 count(*) AS n_orders,
+                 round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_price
+          FROM graft_orders o
+          JOIN graft_customer c ON o.o_custkey = c.c_custkey
+          JOIN graft_nation n ON c.c_nationkey = n.n_nationkey
+          WHERE o.o_orderstatus <> 'P'
+          GROUP BY n.n_name
+          ORDER BY nation""")
+      },
+      Some("""
+        SELECT n_name AS nation, count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus <> 'P'
+        GROUP BY n_name
+        ORDER BY nation"""))
   )
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Time-series operators Spark lacks as single built-ins, composed from
+  * primitives (preference (a) of the build brief — no custom physical
+  * operator needed because the composition is already shuffle-optimal).
+  *
+  * As-of join: the naive formulation (range join + row_number) explodes to
+  * O(|left|·|right|) per key. The scalable shape used here is the classic
+  * union + carry-forward: tag both sides, sort within key by event time
+  * (one shuffle, same as any windowed op), and carry the last right-side
+  * attributes forward with `last(..., ignoreNulls)` over a running frame.
+  * Cost is one sort-shuffle of |L|+|R| — the same plan a 1000-executor
+  * cluster wants at 100 TB.
+  *
+  * Sessionization: batch uses the same gap semantics as Spark's
+  * `session_window` (a session extends while the next event arrives
+  * strictly within `gap` of the previous one); the streaming face of this
+  * operator is `session_window` + watermark (StreamingSpec).
+  */
+object TimeSeries {
+
+  /** For each left event, the greatest right event-time ≤ the left time
+    * within the same key (inclusive), as a plan fragment. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, tsCol: String): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0))
+    val unioned = l.select(col(key), col(tsCol), col("_side"), col("event_id"))
+      .unionByName(r.select(col(key), col(tsCol), col("_side"), col("event_id")))
+    // right rows sort before left rows at equal ts (ASOF >= is inclusive)
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("_asof_ts",
+        last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- as-of join: each purchase ↔ latest prior view of the same user --
+    GraftQuery(
+      "asof_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+        val views = e.filter(col("event_type") === "view")
+        asofJoin(purchases, views, "user_id", "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("_asof_ts").as("last_view_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+                   FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts
+                   FROM events WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id""")),
+
+    // ---- sessionization: 30-min-gap sessions per user --------------------
+    GraftQuery(
+      "sessionize",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          (col("sw.end") - expr("INTERVAL 30 MINUTES")).as("session_last"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""
+        WITH t AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+                 CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                      WHEN CAST(ts AS TIMESTAMP)
+                           - lag(CAST(ts AS TIMESTAMP)) OVER w
+                           >= INTERVAL 30 MINUTES THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM t)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start"""))
+  )
+}

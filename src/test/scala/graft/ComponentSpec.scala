@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ResultCache
+import graft.sources.SensorGen
+
+/** ResultCache (B9 parity) and SensorGen (C1 parity) behavior. */
+class ComponentSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ResultCache: hit within TTL, rebuild after expiry, invalidate works") {
+    var now = 0L
+    var builds = 0
+    val cache = new ResultCache(ttlMillis = 1000L, clock = () => now)
+    def build = { builds += 1; Seq(1, 2, 3).toDF("x") }
+    val a = cache.getOrBuild("k")(build)
+    val b = cache.getOrBuild("k")(build)
+    assert(builds == 1 && (a eq b))          // served from cache
+    assert(cache.contains("k"))
+    now = 1500L                              // past the deadline
+    assert(!cache.contains("k"))
+    cache.getOrBuild("k")(build)
+    assert(builds == 2)                      // rebuilt after expiry
+    cache.invalidate("k")
+    cache.getOrBuild("k")(build)
+    assert(builds == 3)                      // rebuilt after invalidate
+  }
+
+  test("SensorGen.batch: reference value domains, deterministic by seed") {
+    val df = SensorGen.batch(spark, 500).cache()
+    val types = df.select("device_type").distinct().as[String].collect().toSet
+    assert(types.subsetOf(SensorGen.deviceTypes.toSet))
+    val locs = df.select("location").distinct().as[String].collect().toSet
+    assert(locs.subsetOf(SensorGen.locations.toSet))
+    val mm = df.agg(min("value"), max("value"), min("battery_level"), max("battery_level"))
+      .collect().head
+    assert(mm.getDouble(0) >= 0 && mm.getDouble(1) <= 100)
+    assert(mm.getDouble(2) >= 0 && mm.getDouble(3) <= 100)
+    assert(df.filter(!col("device_id").rlike("^sensor_([1-9][0-9]?|100)$")).count() == 0)
+    // deterministic: same seed → same rows; different seed → different
+    val again = SensorGen.batch(spark, 500)
+    assert(again.exceptAll(df).count() == 0)
+    val other = SensorGen.batch(spark, 500, seed = 7L)
+    assert(other.exceptAll(df).count() > 0)
+    // pipes cleanly through the reference aggregation
+    val aggs = operators.WindowAgg.sensorAggregates(df, watermark = None)
+    assert(aggs.agg(sum("reading_count")).collect().head.getLong(0) == 500)
+  }
+}

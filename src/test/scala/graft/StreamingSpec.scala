@@ -8,14 +8,16 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingPipeline
 
+/** Top-level so typed Dataset encoders resolve (inner classes need outer
+  * scope registration). */
+case class Reading(device_id: String, device_type: String, location: String,
+    value: Double, battery_level: Double, timestamp: Timestamp)
+
 /** Streaming semantics via MemoryStream (SURVEY.md §5.4): watermark
   * late-row drop, append-after-watermark-close emission, update-mode
   * revisions (reference parity), streaming dedup. */
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
-
-  case class Reading(device_id: String, device_type: String, location: String,
-      value: Double, battery_level: Double, timestamp: Timestamp)
 
   private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
   private def reading(t: String, v: Double, dev: String = "temperature") =
@@ -82,6 +84,57 @@ class StreamingSpec extends SparkSuite {
       mem.addData(reading("2024-01-01T10:00:10Z", 10.0)) // re-delivery next batch
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("session_window: streaming sessionization closes sessions via watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val sessions = mem.toDF()
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(session_window(col("timestamp"), "30 minutes"), col("device_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // three events: two within 30 min (one session), one 2 h later
+      mem.addData(reading("2024-01-01T10:00:00Z", 1.0),
+                  reading("2024-01-01T10:20:00Z", 2.0),
+                  reading("2024-01-01T12:00:00Z", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close both sessions
+      mem.addData(reading("2024-01-01T15:00:00Z", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").orderBy("session_window.start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 2L) // merged 10:00+10:20
+      assert(rows(1).getAs[Long]("n") == 1L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: custom running state per device") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val counts = mem.toDS()
+      .groupByKey(_.device_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (id: String, rows: Iterator[Reading], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (id, total)
+      }
+    val q = counts.toDF("device_id", "running_total").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out").start()
+    try {
+      mem.addData(reading("2024-01-01T10:00:00Z", 1.0),
+                  reading("2024-01-01T10:01:00Z", 2.0))
+      q.processAllAvailable()
+      mem.addData(reading("2024-01-01T10:02:00Z", 3.0))
+      q.processAllAvailable()
+      val last = spark.table("state_out").orderBy(col("running_total").desc).collect().head
+      assert(last.getAs[Long]("running_total") == 3L) // state carried across batches
     } finally q.stop()
   }
 
