@@ -506,6 +506,105 @@ object RelationalQueries {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderstatus <> 'P'
         GROUP BY n_name
-        ORDER BY nation"""))
+        ORDER BY nation""")),
+
+    // ---- full outer join (null-extended both sides) ----------------------
+    GraftQuery(
+      "full_outer_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9500)
+          .select("c_custkey", "c_name")
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_f_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"), col("n_f_orders"))
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_f_orders
+        FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9500) c
+        FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_f_orders
+                         FROM orders WHERE o_orderstatus = 'F'
+                         GROUP BY o_custkey) o
+          ON c_custkey = o_custkey
+        ORDER BY custkey""")),
+
+    // ---- LIKE / IN / BETWEEN predicate shapes ----------------------------
+    GraftQuery(
+      "like_in_between",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup") &&
+          col("value").between(10, 20) &&
+          col("props").like("%\"k\": 1%"))
+        .select("event_id", "event_type", "value", "props")
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id, event_type, value, props
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+          AND value BETWEEN 10 AND 20
+          AND props LIKE '%"k": 1%'
+        ORDER BY event_id""")),
+
+    // ---- navigation/ranking window-function battery ----------------------
+    GraftQuery(
+      "window_navigation",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("prank"),
+            first_value(col("value")).over(w).as("top_value"),
+            last_value(col("value")).over(wf).as("bottom_value"))
+          .orderBy("user_id", "rnk")
+      },
+      Some("""
+        SELECT user_id, event_id, value,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS prank,
+               first_value(value) OVER w AS top_value,
+               last_value(value) OVER (PARTITION BY user_id
+                 ORDER BY value DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS bottom_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        ORDER BY user_id, rnk""")),
+
+    // ---- ordered string aggregation --------------------------------------
+    GraftQuery(
+      "string_agg_nations",
+      (s, dir) => Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+             count(lit(1)).as("n_nations"))
+        .orderBy("r_name"),
+      Some("""
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name""")),
+
+    // ---- HLL-sketch distinct (approx — no cross-engine oracle) -----------
+    // approx_count_distinct is Spark's HyperLogLog++; accuracy vs the exact
+    // count is asserted in OperatorSpec (rel. error < 10%).
+    GraftQuery(
+      "approx_distinct",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+             countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type"),
+      None)
   )
 }

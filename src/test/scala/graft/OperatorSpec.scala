@@ -84,6 +84,16 @@ class OperatorSpec extends SparkSuite {
     assert(lens == 0) // ascii corpus: bytes == chars
   }
 
+  test("approx_count_distinct within 10% of exact") {
+    val rows = run("approx_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("approx_users").toDouble
+      val e = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
+    }
+  }
+
   test("top_customers revenue is positive and strictly rank-ordered") {
     val rows = run("top_customers").collect()
     val revs = rows.map(_.getAs[Double]("revenue"))

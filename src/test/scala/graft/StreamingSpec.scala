@@ -138,6 +138,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases match views within the time bound") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Reading]
+    val purchases = MemoryStream[Reading]
+    val v = views.toDF().withWatermark("timestamp", "10 minutes")
+      .select(col("device_id").as("v_dev"), col("timestamp").as("v_ts"))
+    val p = purchases.toDF().withWatermark("timestamp", "10 minutes")
+      .select(col("device_id").as("p_dev"), col("timestamp").as("p_ts"))
+    val joined = p.join(v,
+      col("p_dev") === col("v_dev") &&
+      col("v_ts") <= col("p_ts") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join").start()
+    try {
+      views.addData(reading("2024-01-01T10:00:00Z", 1.0))      // in range
+      views.addData(reading("2024-01-01T08:00:00Z", 2.0))      // too old
+      purchases.addData(reading("2024-01-01T10:15:00Z", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[java.sql.Timestamp]("v_ts").toInstant.toString
+        == "2024-01-01T10:00:00Z")
+    } finally q.stop()
+  }
+
   test("two concurrent sinks off one source (reference A11-A14 shape)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
