@@ -595,6 +595,27 @@ object RelationalQueries {
         GROUP BY r_name
         ORDER BY r_name""")),
 
+    // ---- per-key top-k via the custom physical operator ------------------
+    // graft.plans.TopKPerKey: partial per-partition k-heaps → shuffle of at
+    // most k·keys rows → final merge. Same result set as the row_number
+    // formulation (the oracle), radically less shuffle at scale.
+    GraftQuery(
+      "topk_per_group",
+      (s, dir) => graft.plans.TopK.perKey(
+          Tables.events(s, dir).select("user_id", "event_id", "value"),
+          keys = Seq("user_id"),
+          order = Seq("value" -> "desc", "event_id" -> "asc"),
+          k = 3)
+        .orderBy(col("user_id"), col("value").desc, col("event_id")),
+      Some("""
+        SELECT user_id, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+        WHERE rn <= 3
+        ORDER BY user_id, value DESC, event_id""")),
+
     // ---- HLL-sketch distinct (approx — no cross-engine oracle) -----------
     // approx_count_distinct is Spark's HyperLogLog++; accuracy vs the exact
     // count is asserted in OperatorSpec (rel. error < 10%).

@@ -84,6 +84,24 @@ class OperatorSpec extends SparkSuite {
     assert(lens == 0) // ascii corpus: bytes == chars
   }
 
+  test("TopKPerKey custom operator matches the window-function formulation") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sf).select("user_id", "event_id", "value")
+    val custom = plans.TopK.perKey(events,
+        Seq("user_id"), Seq("value" -> "desc", "event_id" -> "asc"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWindow = run("window_rank") // row_number()<=3, same keys/order
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+    assert(custom == viaWindow)
+    // plan contains the custom exec in both phases with an exchange between
+    // (nodeName strips the Exec suffix; trailing bool is the partial flag)
+    val plan = plans.TopK.perKey(events,
+      Seq("user_id"), Seq("value" -> "desc"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && plan.contains("Exchange hashpartitioning"))
+    assert(plan.contains(", true") && plan.contains(", false")) // partial + final
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val rows = run("approx_distinct").collect()
     assert(rows.nonEmpty)
