@@ -11,10 +11,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup on the smoke-scale data: pays JVM/codegen/broadcast-pool
-    // startup once instead of inside the first timed query.
-    try SparkEntry.queries.values
-      .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
-    catch { case _: Throwable => () }
+    // startup once instead of inside the first timed query. Isolated
+    // per query — one failure must not leave the rest unwarmed.
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -27,6 +27,35 @@ class ComponentSpec extends SparkSuite {
     assert(builds == 3)                      // rebuilt after invalidate
   }
 
+  test("Salting.saltedEquiJoin: identical result to the plain join") {
+    import graft.operators.Salting
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
+    val r = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .toDF("l_orderkey", "o_totalprice")
+    val plain = l.join(r, Seq("l_orderkey"))
+    val salted = Salting.saltedEquiJoin(l, r, "l_orderkey",
+      saltBy = col("l_linenumber"), factor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("Sinks.idempotentParquet: replaying a batch does not duplicate rows") {
+    import graft.operators.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val batch = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+    Sinks.idempotentParquet(batch, dir, "day")
+    val n1 = spark.read.parquet(dir).count()
+    Sinks.idempotentParquet(batch, dir, "day") // replay same batch
+    val n2 = spark.read.parquet(dir).count()
+    assert(n1 == n2, s"replay duplicated rows: $n1 -> $n2")
+    // append sink, by contrast, duplicates (the reference's behavior)
+    Sinks.appendParquet(batch.drop("day"), s"$dir-append")
+    Sinks.appendParquet(batch.drop("day"), s"$dir-append")
+    assert(spark.read.parquet(s"$dir-append").count() == 2 * n1)
+  }
+
   test("SensorGen.batch: reference value domains, deterministic by seed") {
     val df = SensorGen.batch(spark, 500).cache()
     val types = df.select("device_type").distinct().as[String].collect().toSet
