@@ -56,6 +56,34 @@ class ComponentSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir-append").count() == 2 * n1)
   }
 
+  test("bucketed tables: co-located join plans without a shuffle") {
+    // default warehouse dir (spark-warehouse/, gitignored) — the
+    // warehouse location is a static conf, not settable post-session.
+    // DROP TABLE only clears this JVM's in-memory catalog; stale dirs
+    // from previous JVMs must be removed physically.
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    // bucket-aligned scan: join consumes both sides with NO exchange
+    assert(!planStr.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$planStr")
+    assert(joined.count() == Tables.lineitem(spark, sf).count())
+  }
+
   test("SensorGen.batch: reference value domains, deterministic by seed") {
     val df = SensorGen.batch(spark, 500).cache()
     val types = df.select("device_type").distinct().as[String].collect().toSet
