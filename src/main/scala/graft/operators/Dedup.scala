@@ -168,6 +168,82 @@ object Dedup {
       },
       None),
 
+    // ---- duplicate clusters: connected components over near-dup pairs ----
+    // Iterative min-label propagation over the exact-Jaccard edge set:
+    // each round joins current labels across edges and keeps the min
+    // reachable doc_id; converges in O(cluster diameter) rounds, each a
+    // distributed hash join (the standard large-scale CC shape — no graph
+    // library needed). The oracle is a recursive CTE computing the same
+    // min-reachable-id transitive closure.
+    GraftQuery(
+      "dedup_clusters",
+      (s, dir) => {
+        val pairs = exactJaccardPairs(s, dir, maxDocFreq = 1000000L)
+          .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+        val edges = pairs
+          .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .cache()
+        val members = edges.select(col("doc_a").as("doc_id")).distinct()
+        var labels = members.withColumn("label", col("doc_id"))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val viaEdge = edges
+            .join(labels.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("label", "nbr_label"), "doc_b")
+            .groupBy(col("doc_a").as("doc_id"))
+            .agg(min("nbr_label").as("nbr_min"))
+          val next = labels.join(viaEdge, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+            .cache()
+          changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(col("label") < col("old")).count()
+          labels = next
+          rounds += 1
+        }
+        labels.groupBy("label")
+          .agg(count(lit(1)).as("cluster_size"),
+               array_sort(collect_list("doc_id")).as("members"))
+          .select(col("label").as("cluster_id"), col("cluster_size"),
+            // numeric sort BEFORE the string cast ("10" < "2" otherwise)
+            concat_ws(",", expr("transform(members, x -> CAST(x AS STRING))"))
+              .as("member_ids"))
+          .orderBy("cluster_id")
+      },
+      Some("""
+        WITH RECURSIVE pairs AS (
+          WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+          sh AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                     list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   ELSE [] END grams
+                 FROM t),
+          ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
+          common AS (
+            SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+            FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b
+          FROM common
+          JOIN (SELECT doc_id, len(grams) n FROM sh) sa ON doc_a = sa.doc_id
+          JOIN (SELECT doc_id, len(grams) n FROM sh) sb ON doc_b = sb.doc_id
+          WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.5),
+        edges AS (
+          SELECT doc_a, doc_b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, label) AS (
+          SELECT doc_a, doc_a FROM edges
+          UNION
+          SELECT e.doc_a, r.label
+          FROM edges e JOIN reach r ON e.doc_b = r.doc_id)
+        SELECT min(label) AS cluster_id, count(*) AS cluster_size,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS member_ids
+        FROM (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)
+        GROUP BY label
+        ORDER BY cluster_id""")),
+
     // ---- SimHash signatures + hamming-close pairs ------------------------
     // Signature: 64-bit SimHash via the codegen'd kernel (one xxhash64 per
     // token, single pass — the HOF formulation re-hashed every token 64×

@@ -30,6 +30,14 @@ import graft.functions.Num
   */
 object RelationalQueries {
 
+  /** The reference's dynamic conjunctive filter builder
+    * (`api-service/app.py:154-168`: optional equality predicates composed
+    * onto `WHERE 1=1`) as a compositional plan fragment: every supplied
+    * (column → value) pair becomes an equality conjunct. Catalyst pushes
+    * the whole conjunction to the scan. */
+  def dynamicFilter(df: DataFrame, eq: Map[String, Any]): DataFrame =
+    eq.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+
   private val revenueExpr: Column =
     col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(18, 2)))

@@ -56,6 +56,17 @@ class ComponentSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir-append").count() == 2 * n1)
   }
 
+  test("dynamicFilter composes pushed-down equality conjuncts") {
+    import graft.operators.RelationalQueries.dynamicFilter
+    val e = Tables.events(spark, sf)
+    val both = dynamicFilter(e, Map("event_type" -> "purchase", "user_id" -> 7))
+    val manual = e.filter(col("event_type") === "purchase" && col("user_id") === 7)
+    assert(both.count() == manual.count())
+    assert(dynamicFilter(e, Map.empty).count() == e.count())
+    val scan = both.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(event_type,purchase)"))
+  }
+
   test("bucketed tables: co-located join plans without a shuffle") {
     // default warehouse dir (spark-warehouse/, gitignored) — the
     // warehouse location is a static conf, not settable post-session.
