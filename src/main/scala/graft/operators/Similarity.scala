@@ -124,6 +124,54 @@ object Similarity {
       },
       None),
 
+    // ---- IVF-style ANN: coarse quantizer = per-label centroids -----------
+    // The inverted-file pattern: partition vectors by nearest coarse
+    // centroid (here the label's mean vector — the testdata's built-in
+    // clustering), probe only the nProbe closest cells per query. At
+    // 100 TB the cell assignment is a partition key: each query touches
+    // nProbe/nCells of the data. Deterministic (centroids are exact
+    // decimal means); no SQL oracle — recall vs cosine_topk in
+    // OperatorSpec alongside the LSH variant.
+    GraftQuery(
+      "ann_ivf_topk",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        // exact decimal centroid per label, rebuilt as array<double>
+        val cents = Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("label", "dim")
+          .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("label").as("c_label"),
+            expr("transform(dm, p -> p.m)").as("centroid"))
+        // nProbe=4 nearest cells per query vector
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm").as("qnorm"))
+        val qCells = q.crossJoin(broadcast(cents))
+          .withColumn("cdist", V.dot(col("qemb"), col("centroid")) /
+            (col("qnorm") * greatest(V.l2norm(col("centroid")), lit(1e-12))))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("qid").orderBy(round(col("cdist"), 6).desc, col("c_label"))))
+          .filter(col("crank") <= 4)
+          .select(col("qid"), col("qemb"), col("qnorm"), col("c_label"))
+        // probe only vectors in the chosen cells
+        val scored = e.join(broadcast(qCells),
+            col("label") === col("c_label") && col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
+        val w = Window.partitionBy("qid")
+          .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // ---- per-label centroids (long format: label × dimension) ------------
     GraftQuery(
       "label_centroids",

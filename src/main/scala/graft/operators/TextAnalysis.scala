@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -118,6 +119,50 @@ object TextAnalysis {
         FROM documents
         ORDER BY doc_id"""
       }),
+
+    // ---- TF-IDF: top term per document ------------------------------------
+    // Classic shape: explode tokens → tf per (doc, term) → df per term →
+    // idf = ln(N / df) → score. ln() agrees across engines at shared
+    // inputs; scores rounded to 4. Emits each doc's top-scoring term with
+    // deterministic (score desc, term asc) tiebreak.
+    GraftQuery(
+      "tfidf_top_term",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count() // small driver-side scalar; at scale: a broadcast agg
+        val terms = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(df, "term")
+          .withColumn("tfidf",
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term").as("top_term"),
+            col("tfidf").as("top_tfidf"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) df FROM terms GROUP BY 1),
+        n AS (SELECT count(*) n FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term AS top_term, tfidf AS top_tfidf
+        FROM (SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term) rn
+              FROM scored)
+        WHERE rn = 1
+        ORDER BY doc_id""")),
 
     // ---- document fingerprinting: polynomial rolling hash over tokens ----
     // Token code & modular fold are engine-neutral arithmetic, so the

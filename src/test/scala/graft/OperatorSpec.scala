@@ -57,6 +57,15 @@ class OperatorSpec extends SparkSuite {
       s"ANN recall too low: ${annPairs.intersect(exact).size}/${exact.size}")
   }
 
+  test("ann_ivf_topk: recall better than blind nProbe/nCells sampling") {
+    val exact = run("cosine_topk").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("ann_ivf_topk").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("cosine_topk: self-similarity excluded, scores within [-1,1], rank dense") {
     val rows = run("cosine_topk").collect()
     assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
