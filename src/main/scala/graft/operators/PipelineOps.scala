@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+
+/** Training-data pipeline utilities: quantization, deterministic dataset
+  * splits, and profiling — the operational glue around the dedup/
+  * similarity/text operators.
+  */
+object PipelineOps {
+
+  /** hex nibble → value via position in the alphabet (engine-neutral —
+    * unlike conv()/from_hex(), strpos/locate exist in both engines). */
+  private def nib(spark: String): String =
+    s"(locate(substring(_h, $spark, 1), '0123456789abcdef') - 1)"
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- int8 scalar quantization of embeddings --------------------------
+    // Per-vector symmetric scale (127/max|x|): the standard memory-4×
+    // reduction before ANN serving. Emitted as checksums (exact int sums)
+    // plus the scale so the oracle verifies the full quantized vector
+    // without materializing 64 columns.
+    GraftQuery(
+      "quantize_embeddings",
+      (s, dir) => Tables.embeddings(s, dir)
+        .withColumn("_v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("_maxabs", expr("array_max(transform(_v, x -> abs(x)))"))
+        .withColumn("_scale", lit(127.0) / col("_maxabs"))
+        .withColumn("_q", expr("transform(_v, x -> CAST(round(x * _scale) AS INT))"))
+        .select(col("vec_id"),
+          round(col("_scale"), 6).as("scale"),
+          expr("aggregate(_q, 0, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(_q)").as("q_min"),
+          expr("array_max(_q)").as("q_max"))
+        .orderBy("vec_id"),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM e),
+        q AS (
+          SELECT vec_id, scale,
+                 list_transform(v, x -> CAST(round(x * scale) AS INT)) AS qv
+          FROM s)
+        SELECT vec_id, round(scale, 6) AS scale,
+               list_reduce(list_prepend(0, qv), (a, x) -> a + x) AS q_sum,
+               list_min(qv) AS q_min, list_max(qv) AS q_max
+        FROM q
+        ORDER BY vec_id""")),
+
+    // ---- deterministic hash split (train/val/test) -----------------------
+    // Content-hash bucketing (md5 → 3 hex nibbles → 0..4095 % 100): the
+    // reproducible alternative to seeded sampling — stable across engines,
+    // runs, partitionings, and cluster sizes, which seeded rand() is not.
+    GraftQuery(
+      "hash_split",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("_h", md5(to_binary(col("event_id").cast(StringType), lit("utf-8"))))
+        .withColumn("bucket",
+          expr(s"CAST((${nib("1")} * 256 + ${nib("2")} * 16 + ${nib("3")}) % 100 AS INT)"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .select("event_id", "bucket", "split")
+        .orderBy("event_id"),
+      Some("""
+        WITH h AS (
+          SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS _h FROM events),
+        b AS (
+          SELECT event_id,
+                 CAST(((strpos('0123456789abcdef', substring(_h, 1, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substring(_h, 2, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(_h, 3, 1)) - 1)) % 100
+                   AS INT) AS bucket
+          FROM h)
+        SELECT event_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+        ORDER BY event_id""")),
+
+    // ---- single-scan column profiler (long format) -----------------------
+    // One aggregate pass computes null/distinct counts for every profiled
+    // column, then stack() unpivots — a 100 TB profile is one scan, not
+    // one scan per column (the oracle's UNION ALL shape is the per-column
+    // formulation DuckDB optimizes independently).
+    GraftQuery(
+      "profile_lineitem",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate")
+        val aggs = cols.flatMap { c => Seq(
+          sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"))
+        }
+        val stackArgs = cols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+        Tables.lineitem(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+          .orderBy("col_name")
+      },
+      Some("""
+        SELECT 'l_orderkey' AS col_name,
+               count(*) - count(l_orderkey) AS n_nulls,
+               count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        UNION ALL SELECT 'l_quantity', count(*) - count(l_quantity),
+               count(DISTINCT l_quantity) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+               count(DISTINCT l_extendedprice) FROM lineitem
+        UNION ALL SELECT 'l_returnflag', count(*) - count(l_returnflag),
+               count(DISTINCT l_returnflag) FROM lineitem
+        UNION ALL SELECT 'l_shipdate', count(*) - count(l_shipdate),
+               count(DISTINCT l_shipdate) FROM lineitem
+        ORDER BY col_name"""))
+  )
+}

@@ -95,6 +95,18 @@ class ComponentSpec extends SparkSuite {
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("partitioned parquet: lang filter becomes a partition filter (pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, sf).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val en = spark.read.parquet(dir).filter(col("lang") === "en")
+    val planStr = en.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("lang"))
+    val expected = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(en.count() == expected)
+    // pruned scan reads only the en=... directory
+    assert(planStr.contains("isnotnull(lang") || planStr.contains("(lang"))
+  }
+
   test("SensorGen.batch: reference value domains, deterministic by seed") {
     val df = SensorGen.batch(spark, 500).cache()
     val types = df.select("device_type").distinct().as[String].collect().toSet
