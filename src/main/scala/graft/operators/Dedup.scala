@@ -67,9 +67,13 @@ object Dedup {
     val sh = shingled(Tables.documents(spark, dir))
     val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val hot = ex.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-    val filtered = ex.join(hot, "gram")
+    // hot-gram cap only when it can bite — the df aggregation + join are
+    // two extra shuffles, pure overhead when the cap is effectively ∞
+    val filtered = if (maxDocFreq >= Long.MaxValue / 2) ex else {
+      val hot = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq)
+      ex.join(hot.select("gram"), "gram")
+    }
     val common = filtered.as("a")
       .join(filtered.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -106,7 +110,7 @@ object Dedup {
     // ---- exact n-gram Jaccard near-dup pairs (ground truth) --------------
     GraftQuery(
       "ngram_jaccard",
-      (s, dir) => exactJaccardPairs(s, dir, maxDocFreq = 1000000L)
+      (s, dir) => exactJaccardPairs(s, dir, maxDocFreq = Long.MaxValue)
         .filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "common", "jaccard")
         .orderBy("doc_a", "doc_b"),
@@ -178,7 +182,7 @@ object Dedup {
     GraftQuery(
       "dedup_clusters",
       (s, dir) => {
-        val pairs = exactJaccardPairs(s, dir, maxDocFreq = 1000000L)
+        val pairs = exactJaccardPairs(s, dir, maxDocFreq = Long.MaxValue)
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
         val edges = pairs
           .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
