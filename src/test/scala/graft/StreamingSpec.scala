@@ -164,6 +164,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("end-to-end: streaming aggregates land in an idempotent parquet sink") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val aggs = StreamingPipeline.aggregates(mem.toDF())
+    val writer = StreamingPipeline.aggregateWriter(
+      aggs,
+      checkpoint = java.nio.file.Files.createTempDirectory("graft-e2e-ckpt").toString,
+      sink = (df, _) => operators.Sinks.idempotentParquet(
+        df.withColumn("wday", to_date(col("window_start"))), out, "wday"))
+    val q = writer.start()
+    try {
+      mem.addData(reading("2024-01-01T10:00:10Z", 10.0),
+                  reading("2024-01-01T10:00:50Z", 30.0))
+      q.processAllAvailable()
+      mem.addData(reading("2024-01-01T10:03:00Z", 99.0)) // closes 10:00 window
+      q.processAllAvailable()
+      val persisted = spark.read.parquet(out)
+      assert(persisted.count() == 1)
+      val row = persisted.collect().head
+      assert(row.getAs[Double]("avg_value") == 20.0)
+      assert(row.getAs[Long]("reading_count") == 2L)
+    } finally q.stop()
+  }
+
   test("two concurrent sinks off one source (reference A11-A14 shape)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
