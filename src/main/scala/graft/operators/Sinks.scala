@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Batch-sink shapes used from `foreachBatch` (reference
   * `spark-processor/processor.py:124-140`).
