@@ -109,6 +109,23 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** 16-element MinHash signature of an array<string> of shingles. */
+  case class MinHashSig(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<string>, got ${t.simpleString}")
+    }
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.minhashSig(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = graft.functions.VectorKernels.minhashSig($a);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash of an array<string> of tokens. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -134,6 +151,8 @@ object VectorExpressions {
     GraftSqlBridge.toColumn(SimHash64(ex(a)))
   def wordShingles(a: Column, n: Int): Column =
     GraftSqlBridge.toColumn(WordShingles(ex(a), n))
+  def minhashSig(a: Column): Column =
+    GraftSqlBridge.toColumn(MinHashSig(ex(a)))
 
   private def ex(c: Column): Expression = GraftSqlBridge.toExpression(c)
 

@@ -77,6 +77,47 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** MinHash constants: 16 linear permutations (a·h + b) mod P of one base
+    * polynomial hash. Fixed literals, mirrored verbatim into the DuckDB
+    * oracle SQL so signatures are engine-identical. */
+  val MinHashP = 1000000007L
+  val minHashA: Array[Long] = Array.tabulate(16)(k => (2654435761L * (k + 1)) % MinHashP | 1L)
+  val minHashB: Array[Long] = Array.tabulate(16)(k => (40503L * (k + 7) * (k + 7)) % MinHashP)
+
+  /** Byte-polynomial hash of a token (ASCII-safe: byte value == codepoint,
+    * matching the oracle's unicode(substring) per-char fold). */
+  def polyHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 131 + (bytes(i) & 0xff)) % MinHashP; i += 1 }
+    acc
+  }
+
+  /** Full 16-element MinHash signature of a gram array in ONE pass — no
+    * explode, no per-permutation scan, no shuffle: the signature is a
+    * scan-side expression, which is what makes MinHash O(n) at 100 TB. */
+  def minhashSig(grams: ArrayData): ArrayData = {
+    val n = grams.numElements()
+    val sig = Array.fill(16)(Long.MaxValue)
+    var g = 0
+    while (g < n) {
+      val s = grams.getUTF8String(g)
+      if (s != null) {
+        val h = polyHash(s)
+        var k = 0
+        while (k < 16) {
+          val v = (minHashA(k) * h + minHashB(k)) % MinHashP
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sig.map(v => java.lang.Long.valueOf(v)): Array[Any])
+  }
+
   /** 64-bit SimHash over an array of string tokens: one xxhash64 (seed 42,
     * matching Spark SQL's `xxhash64`) per token, ±1 per-bit vote, sign
     * pack. One pass, no intermediate arrays. */

@@ -24,9 +24,10 @@ import graft.{GraftQuery, Tables}
   *  - simhash: 64-bit signature packed as 4×16-bit chunks; chunk equality
   *    (pigeonhole for hamming ≤ 4·(chunks−1)) is the candidate filter.
   *
-  * Hash-seeded operators (minhash/simhash) are not reproducible in DuckDB
-  * SQL (different xxhash64), so they carry no oracle; the exact variants
-  * cross-check them in the ScalaTest suites instead.
+  * minhash uses an engine-neutral polynomial base hash with fixed linear
+  * permutations, so its signatures — and therefore the whole LSH pipeline —
+  * are reproduced exactly by the DuckDB oracle. simhash remains seeded by
+  * Spark's xxhash64 (no oracle; cross-checked in the ScalaTest suites).
   */
 object Dedup {
 
@@ -49,15 +50,54 @@ object Dedup {
   private val bands = 4
   private val rowsPerBand = numHashes / bands
 
-  /** MinHash signature columns s0..s15: min over shingles of
-    * xxhash64(seed-tag, gram) — one aggregation, no per-permutation scan. */
-  private def signatures(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
-    ex.groupBy("doc_id")
-      .agg(
-        min(xxhash64(lit(0), col("gram"))).as("s0"),
-        (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("gram"))).as(s"s$i")): _*)
+  /** DuckDB oracle for [[queries]]' minhash_pairs, generated from the SAME
+    * permutation constants the kernel uses
+    * ([[graft.functions.VectorKernels.minHashA]]/`minHashB`) — signatures
+    * are engine-identical because the base hash is a byte/char polynomial
+    * both engines can compute (ASCII corpus: byte == codepoint). */
+  private def minhashOracleSql: String = {
+    import graft.functions.VectorKernels.{MinHashP => P, minHashA, minHashB}
+    val sigCols = (0 until numHashes).map(k =>
+      s"list_min(list_transform(gh, h -> (${minHashA(k)} * h + ${minHashB(k)}) % $P)) AS s$k")
+      .mkString(",\n               ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"CAST(s${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n          UNION ALL ")
+    s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END grams
+               FROM t),
+        hs AS (SELECT doc_id, grams,
+                 list_transform(grams, g ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(g) + 1),
+                       i -> CAST(unicode(substring(g, i, 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 131 + c) % $P)) AS gh
+               FROM sh),
+        sig AS (SELECT doc_id,
+               $sigCols
+               FROM hs),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        withg AS (SELECT c.doc_a, c.doc_b, sa.grams ga, sb.grams gb
+                  FROM cand c
+                  JOIN sh sa ON c.doc_a = sa.doc_id
+                  JOIN sh sb ON c.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                     (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
+        FROM withg
+        WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                    (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) >= 0.5
+        ORDER BY doc_a, doc_b"""
   }
 
   /** Exact Jaccard over distinct shingles for doc pairs sharing ≥1 gram
@@ -143,11 +183,15 @@ object Dedup {
     GraftQuery(
       "minhash_pairs",
       (s, dir) => {
+        import graft.functions.{VectorExpressions => V}
         val sh = shingled(Tables.documents(s, dir))
-        val sig = signatures(sh)
+        // full signature in one scan-side expression — no explode, no
+        // per-permutation aggregation, no signature shuffle
+        val sig = sh.withColumn("sig", V.minhashSig(col("grams")))
         val bandCols = (0 until bands).map { b =>
-          val hs = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
-          struct(lit(b).as("band"), xxhash64(hs: _*).as("bucket"))
+          val key = concat_ws(":", (0 until rowsPerBand).map(r =>
+            col("sig").getItem(b * rowsPerBand + r).cast("string")): _*)
+          struct(lit(b).as("band"), key.as("bucket"))
         }
         val buckets = sig
           .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -170,7 +214,7 @@ object Dedup {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some(minhashOracleSql)),
 
     // ---- duplicate clusters: connected components over near-dup pairs ----
     // Iterative min-label propagation over the exact-Jaccard edge set:
