@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -118,9 +117,22 @@ object VectorKernels {
       sig.map(v => java.lang.Long.valueOf(v)): Array[Any])
   }
 
-  /** 64-bit SimHash over an array of string tokens: one xxhash64 (seed 42,
-    * matching Spark SQL's `xxhash64`) per token, ±1 per-bit vote, sign
-    * pack. One pass, no intermediate arrays. */
+  /** Second polynomial basis for the upper SimHash half (different
+    * multiplier + modulus, both ~2^30 so bits 0..31 are well-populated). */
+  val SimHashP2 = 998244353L
+
+  def polyHash2(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 7L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 137 + (bytes(i) & 0xff)) % SimHashP2; i += 1 }
+    acc
+  }
+
+  /** 64-bit SimHash over an array of string tokens, ±1 per-bit votes, sign
+    * pack. Bit basis is the engine-neutral polynomial pair ([[polyHash]]
+    * low 32 bits, [[polyHash2]] high 32 bits) so the DuckDB oracle can
+    * reproduce fingerprints exactly. One pass, no intermediate arrays. */
   def simhash64(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
@@ -128,10 +140,12 @@ object VectorKernels {
     while (t < n) {
       val s = tokens.getUTF8String(t)
       if (s != null) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h1 = polyHash(s)
+        val h2 = polyHash2(s)
         var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        while (j < 32) {
+          if (((h1 >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          if (((h2 >>> j) & 1L) == 1L) votes(32 + j) += 1 else votes(32 + j) -= 1
           j += 1
         }
       }

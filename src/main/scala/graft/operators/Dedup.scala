@@ -26,8 +26,9 @@ import graft.{GraftQuery, Tables}
   *
   * minhash uses an engine-neutral polynomial base hash with fixed linear
   * permutations, so its signatures — and therefore the whole LSH pipeline —
-  * are reproduced exactly by the DuckDB oracle. simhash remains seeded by
-  * Spark's xxhash64 (no oracle; cross-checked in the ScalaTest suites).
+  * are reproduced exactly by the DuckDB oracle; simhash shares the same
+  * polynomial basis (two moduli for 64 bits), so both LSH dedup variants
+  * are fully oracle-checked.
   */
 object Dedup {
 
@@ -125,6 +126,58 @@ object Dedup {
       .withColumn("jaccard",
         round(col("common").cast(DoubleType) /
           (col("na") + col("nb") - col("common")), 4))
+  }
+
+  /** DuckDB oracle for simhash_pairs: reproduces the kernel's fingerprint
+    * exactly (same polynomial pair, vote rule, chunk packing), then the
+    * same chunk-equality candidate filter + hamming ≤ 6 confirmation. */
+  private def simhashOracleSql: String = {
+    import graft.functions.VectorKernels.{MinHashP => P1, SimHashP2 => P2}
+    val chunkPivot = (0 until 4).map(c =>
+      s"max(CASE WHEN c = $c THEN cv END) AS c$c").mkString(", ")
+    val bandSelects = (0 until 4).map(c =>
+      s"SELECT doc_id, $c AS chunk, c$c AS v FROM sig").mkString("\n          UNION ALL ")
+    s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(t) + 1),
+                i -> CAST(unicode(substring(t, i, 1)) AS BIGINT))),
+              (a, c) -> (a * 131 + c) % $P1) AS h1,
+            list_reduce(list_prepend(CAST(7 AS BIGINT),
+              list_transform(range(1, length(t) + 1),
+                i -> CAST(unicode(substring(t, i, 1)) AS BIGINT))),
+              (a, c) -> (a * 137 + c) % $P2) AS h2
+          FROM tok),
+        votes AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN j < 32 THEN ((h1 >> j) & 1)
+                          ELSE ((h2 >> (j - 32)) & 1) END * 2 - 1) AS v
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY doc_id, j),
+        chunks AS (
+          SELECT doc_id, CAST(j // 16 AS INT) AS c,
+                 sum(CASE WHEN v > 0 THEN (1 << (j % 16)) ELSE 0 END) AS cv
+          FROM votes GROUP BY doc_id, j // 16),
+        sig AS (SELECT doc_id, $chunkPivot FROM chunks GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+          FROM bands x JOIN bands y
+            ON x.chunk = y.chunk AND x.v = y.v AND x.doc_id < y.doc_id),
+        paired AS (
+          SELECT c.doc_a, c.doc_b,
+                 bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+               + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming
+          FROM cand c
+          JOIN sig sa ON c.doc_a = sa.doc_id
+          JOIN sig sb ON c.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        FROM paired
+        WHERE hamming <= 6
+        ORDER BY doc_a, doc_b"""
   }
 
   def queries: Seq[GraftQuery] = Seq(
@@ -328,6 +381,6 @@ object Dedup {
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
       },
-      None)
+      Some(simhashOracleSql))
   )
 }
