@@ -129,9 +129,10 @@ object Similarity {
     // centroid (here the label's mean vector — the testdata's built-in
     // clustering), probe only the nProbe closest cells per query. At
     // 100 TB the cell assignment is a partition key: each query touches
-    // nProbe/nCells of the data. Deterministic (centroids are exact
-    // decimal means); no SQL oracle — recall vs cosine_topk in
-    // OperatorSpec alongside the LSH variant.
+    // nProbe/nCells of the data. Fully deterministic (centroids are exact
+    // decimal means, dots are left folds), so the ENTIRE approximate
+    // search — cell assignment, probing, ranking — is oracle-checked;
+    // recall vs cosine_topk additionally asserted in OperatorSpec.
     GraftQuery(
       "ann_ivf_topk",
       (s, dir) => {
@@ -170,7 +171,54 @@ object Similarity {
             round(col("cos"), 4).as("cosine"))
           .orderBy("qid", "rank")
       },
-      None),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        cents AS (
+          SELECT label AS c_label, list(m ORDER BY dim) AS centroid
+          FROM (SELECT label, dim,
+                       CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m
+                FROM (SELECT label, unnest(embedding) x,
+                             generate_subscripts(embedding, 1) dim
+                      FROM embeddings)
+                GROUP BY label, dim)
+          GROUP BY label),
+        q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
+        qcells AS (
+          SELECT qid, qv, qnorm, c_label FROM (
+            SELECT q.qid, q.qv, q.qnorm, c.c_label,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     round(
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, len(q.qv) + 1),
+                           i -> q.qv[i] * c.centroid[i])), (acc, x) -> acc + x)
+                       / (q.qnorm * greatest(
+                           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                             list_transform(c.centroid, x -> x * x)),
+                             (acc, x) -> acc + x)), 1e-12)),
+                       6) DESC, c.c_label) AS crank
+            FROM q CROSS JOIN cents c)
+          WHERE crank <= 4),
+        scored AS (
+          SELECT qc.qid, e.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(e.v) + 1),
+                     i -> e.v[i] * qc.qv[i])), (acc, x) -> acc + x)
+                 / (e.norm * qc.qnorm) AS cos
+          FROM e JOIN qcells qc ON e.label = qc.c_label AND e.vec_id != qc.qid),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, round(cos, 4) AS cosine
+        FROM ranked
+        WHERE rank <= 10
+        ORDER BY qid, rank""")),
 
     // ---- per-label centroids (long format: label × dimension) ------------
     GraftQuery(
