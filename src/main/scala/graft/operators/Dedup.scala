@@ -285,7 +285,7 @@ object Dedup {
           .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .cache()
         val members = edges.select(col("doc_a").as("doc_id")).distinct()
-        var labels = members.withColumn("label", col("doc_id"))
+        var labels = members.withColumn("label", col("doc_id")).cache()
         var changed = 1L
         var rounds = 0
         while (changed > 0 && rounds < 20) {
@@ -294,13 +294,17 @@ object Dedup {
               .withColumnRenamed("label", "nbr_label"), "doc_b")
             .groupBy(col("doc_a").as("doc_id"))
             .agg(min("nbr_label").as("nbr_min"))
-          val next = labels.join(viaEdge, Seq("doc_id"), "left")
-            .select(col("doc_id"),
+          // one pass carries both the old and the improved label, so the
+          // convergence check costs a filter on the cached frame instead of
+          // an extra join job per round
+          val step = labels.join(viaEdge, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("label").as("old"),
               least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
             .cache()
-          changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(col("label") < col("old")).count()
-          labels = next
+          changed = step.filter(col("label") < col("old")).count()
+          val prev = labels
+          labels = step.select("doc_id", "label")
+          prev.unpersist(blocking = false)
           rounds += 1
         }
         labels.groupBy("label")

@@ -93,6 +93,25 @@ class OperatorSpec extends SparkSuite {
     assert(lens == 0) // ascii corpus: bytes == chars
   }
 
+  test("asofJoin union+carry-forward matches the naive range-join formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+    val v = e.filter(col("event_type") === "view")
+    val fast = operators.TimeSeries.asofJoin(p, v, "user_id", "ts")
+      .select(col("event_id"), col("_asof_ts"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toMap
+    // naive O(|L|·|R|) per key: range join + row_number
+    val naive = p.as("p").join(v.as("v"),
+        col("p.user_id") === col("v.user_id") && col("v.ts") <= col("p.ts"), "left")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("p.event_id")).orderBy(col("v.ts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("p.event_id"), col("v.ts"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toMap
+    assert(fast == naive)
+  }
+
   test("TopKPerKey custom operator matches the window-function formulation") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sf).select("user_id", "event_id", "value")
