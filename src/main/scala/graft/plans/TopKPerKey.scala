@@ -62,9 +62,14 @@ case class TopKPerKeyExec(
       // max-heap on ord: head is the WORST retained row, evicted first
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](ord.on(r => r: InternalRow)))
+        val key = keyProj(row) // reused buffer — copy only on first insert
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](ord.on(r => r: InternalRow))
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < limit) {
           heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
         } else if (ord.compare(row, heap.head) < 0) {
