@@ -13,10 +13,14 @@ object Bench {
     // Warmup on the smoke-scale data: pays JVM/codegen/broadcast-pool
     // startup once instead of inside the first timed query. Isolated
     // per query — one failure must not leave the rest unwarmed.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    var warmFailures = 0
     SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try fn(spark, warmDir).count()
+      catch { case _: Throwable => warmFailures += 1 }
     }
+    if (warmFailures > 0)
+      System.err.println(s"[bench] $warmFailures warmup queries failed on $warmDir")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

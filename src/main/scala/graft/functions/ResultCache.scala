@@ -21,8 +21,10 @@ final class ResultCache(
   private case class Entry(df: DataFrame, deadline: Long)
   private val entries = TrieMap.empty[String, Entry]
 
-  /** Get the cached DataFrame for `key`, or build + persist + register it. */
-  def getOrBuild(key: String)(build: => DataFrame): DataFrame = {
+  /** Get the cached DataFrame for `key`, or build + persist + register it.
+    * Synchronized: concurrent cold-key callers would otherwise both build,
+    * and the overwritten entry's blocks would stay persisted forever. */
+  def getOrBuild(key: String)(build: => DataFrame): DataFrame = synchronized {
     val now = clock()
     entries.get(key) match {
       case Some(e) if e.deadline > now => e.df

@@ -17,8 +17,9 @@ import graft.{GraftQuery, Tables}
   *    size, so it's the ground-truth / small-corpus path; the hot-gram cap
   *    (`maxDocFreq`) bounds the blowup the way frequency caps do in real
   *    near-dup indexes.
-  *  - minhash_pairs: MinHash signatures (16 permutations via seeded
-  *    xxhash64) banded 4×4 → candidates join only within LSH buckets →
+  *  - minhash_pairs: MinHash signatures (16 linear permutations of an
+  *    engine-neutral polynomial hash) banded 4×4 → candidates join only
+  *    within LSH buckets →
   *    exact-Jaccard verification of candidates. This is the 100 TB path:
   *    shuffle volume is O(n · bands), never O(n²).
   *  - simhash: 64-bit signature packed as 4×16-bit chunks; chunk equality
@@ -83,7 +84,7 @@ object Dedup {
                FROM sh),
         sig AS (SELECT doc_id,
                $sigCols
-               FROM hs),
+               FROM hs WHERE len(grams) > 0),
         bands AS ($bandSelects),
         cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
                  FROM bands x JOIN bands y
@@ -237,7 +238,10 @@ object Dedup {
       "minhash_pairs",
       (s, dir) => {
         import graft.functions.{VectorExpressions => V}
-        val sh = shingled(Tables.documents(s, dir))
+        // shingle-less docs are excluded: they have no real near-dups, and
+        // their degenerate all-MaxValue signatures would otherwise collide
+        // into one giant bucket (skew bomb) and emit NaN-Jaccard pairs
+        val sh = shingled(Tables.documents(s, dir)).filter(size(col("grams")) > 0)
         // full signature in one scan-side expression — no explode, no
         // per-permutation aggregation, no signature shuffle
         val sig = sh.withColumn("sig", V.minhashSig(col("grams")))
@@ -288,7 +292,8 @@ object Dedup {
         var labels = members.withColumn("label", col("doc_id")).cache()
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 20) {
+        val maxRounds = 50
+        while (changed > 0 && rounds < maxRounds) {
           val viaEdge = edges
             .join(labels.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("label", "nbr_label"), "doc_b")
@@ -307,6 +312,9 @@ object Dedup {
           prev.unpersist(blocking = false)
           rounds += 1
         }
+        // fail loudly rather than silently emit split clusters
+        require(changed == 0,
+          s"label propagation did not converge in $maxRounds rounds")
         labels.groupBy("label")
           .agg(count(lit(1)).as("cluster_size"),
                array_sort(collect_list("doc_id")).as("members"))

@@ -28,7 +28,10 @@ object PipelineOps {
       (s, dir) => Tables.embeddings(s, dir)
         .withColumn("_v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("_maxabs", expr("array_max(transform(_v, x -> abs(x)))"))
-        .withColumn("_scale", lit(127.0) / col("_maxabs"))
+        // zero vectors: scale 0 (all-zero quantization) instead of
+        // 127/0 = Inf, whose 0*Inf = NaN would fail the ANSI int cast
+        .withColumn("_scale",
+          when(col("_maxabs") > 0, lit(127.0) / col("_maxabs")).otherwise(lit(0.0)))
         .withColumn("_q", expr("transform(_v, x -> CAST(round(x * _scale) AS INT))"))
         .select(col("vec_id"),
           round(col("_scale"), 6).as("scale"),
@@ -41,7 +44,9 @@ object PipelineOps {
           SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         s AS (
           SELECT vec_id, v,
-                 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+                 CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                      THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                      ELSE 0.0 END AS scale
           FROM e),
         q AS (
           SELECT vec_id, scale,

@@ -25,6 +25,11 @@ object Salting {
       left: DataFrame, right: DataFrame,
       key: String, saltBy: Column, factor: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would null-extend every unmatched right REPLICA
+    // (factor copies instead of one) — those types need a different scheme
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports left-preserving joins only, got $joinType")
     val salted = left.withColumn("_salt", pmod(xxhash64(saltBy), lit(factor)).cast("int"))
     val replicated = right
       .withColumn("_salt", explode(expr(s"sequence(0, ${factor - 1})")))

@@ -26,16 +26,22 @@ import graft.{GraftQuery, Tables}
 object TimeSeries {
 
   /** For each left event, the greatest right event-time ≤ the left time
-    * within the same key (inclusive), as a plan fragment. */
+    * within the same key (inclusive), as a plan fragment.
+    *
+    * Output contract: rows of the LEFT side projected to
+    * (key, tsCol, tieBreak) plus `_asof_ts` — the matched right time or
+    * null. Callers needing further left payload join back on tieBreak
+    * (must be a unique id present on both inputs; it also makes the sort
+    * within equal timestamps deterministic). */
   def asofJoin(
       left: DataFrame, right: DataFrame,
-      key: String, tsCol: String): DataFrame = {
+      key: String, tsCol: String, tieBreak: String = "event_id"): DataFrame = {
     val l = left.withColumn("_side", lit(1))
     val r = right.withColumn("_side", lit(0))
-    val unioned = l.select(col(key), col(tsCol), col("_side"), col("event_id"))
-      .unionByName(r.select(col(key), col(tsCol), col("_side"), col("event_id")))
+    val unioned = l.select(col(key), col(tsCol), col("_side"), col(tieBreak))
+      .unionByName(r.select(col(key), col(tsCol), col("_side"), col(tieBreak)))
     // right rows sort before left rows at equal ts (ASOF >= is inclusive)
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"), col("event_id"))
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"), col(tieBreak))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn("_asof_ts",

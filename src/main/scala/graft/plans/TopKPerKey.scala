@@ -59,22 +59,25 @@ case class TopKPerKeyExec(
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // ordering: negative compare = earlier in the requested sort = better
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
-      // max-heap on ord: head is the WORST retained row, evicted first
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      // max-heap on ord: head is the WORST retained row, evicted first.
+      // Buffered rows are InternalRow, not UnsafeRow — a child outside
+      // whole-stage codegen may emit generic rows and copy() preserves
+      // the concrete class.
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val key = keyProj(row) // reused buffer — copy only on first insert
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](ord.on(r => r: InternalRow))
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
             heaps.put(key.copy(), h)
             h
         }
         if (heap.size < limit) {
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(row.copy())
         } else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(row.copy())
         }
       }
       heaps.valuesIterator.flatMap(_.iterator)

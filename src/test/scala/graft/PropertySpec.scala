@@ -51,20 +51,16 @@ class PropertySpec extends SparkSuite {
   }
 
   test("rolling-hash fingerprint is order-sensitive (permuted tokens differ)") {
-    val q = SparkEntry.queries("doc_fingerprint")
-    val base = Seq((1L, "alpha beta gamma delta", "en", "s", 22L),
-                   (2L, "delta gamma beta alpha", "en", "s", 22L))
+    // drive the REGISTERED query against a temp sf-dir so the assertion
+    // covers the actual operator, not a copy of its expression
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    Seq((1L, "alpha beta gamma delta", "en", "s", 22L),
+        (2L, "delta gamma beta alpha", "en", "s", 22L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    base.createOrReplaceTempView("___tmp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = SparkEntry.queries("doc_fingerprint")(spark, dir)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("fingerprint"))
     // same multiset of tokens, different order → different fingerprints
-    val fps = base
-      .withColumn("_codes", expr(
-        """transform(split(text, ' '),
-                     t -> CAST(ascii(substring(t, 1, 1)) * 131
-                               + ascii(substring(t, -1, 1))
-                               + length(t) AS BIGINT))"""))
-      .select(expr("aggregate(_codes, CAST(0 AS BIGINT), (acc, x) -> (acc * 1000003 + x) % 1000000007)"))
-      .collect().map(_.getLong(0))
-    assert(fps(0) != fps(1))
+    assert(fps.length == 2 && fps(0) != fps(1))
   }
 }
