@@ -13,6 +13,9 @@ import graft.streaming.StreamingPipeline
 case class Reading(device_id: String, device_type: String, location: String,
     value: Double, battery_level: Double, timestamp: Timestamp)
 
+/** Session accumulator for the flatMapGroupsWithState spec. */
+case class Sess(device: String, n: Long, firstTs: Long, lastTs: Long)
+
 /** Streaming semantics via MemoryStream (SURVEY.md §5.4): watermark
   * late-row drop, append-after-watermark-close emission, update-mode
   * revisions (reference parity), streaming dedup. */
@@ -186,6 +189,61 @@ class StreamingSpec extends SparkSuite {
       val row = persisted.collect().head
       assert(row.getAs[Double]("avg_value") == 20.0)
       assert(row.getAs[Long]("reading_count") == 2L)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: custom session assembly with event-time timeout") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val sessions = mem.toDS()
+      .withWatermark("timestamp", "10 minutes")
+      .groupByKey(_.device_id)
+      .flatMapGroupsWithState[Sess, (String, Long, Long)](
+        OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (id: String, rows: Iterator[Reading], state: GroupState[Sess]) =>
+          val gapMs = 30 * 60 * 1000L
+          if (state.hasTimedOut) {
+            // watermark passed the session deadline → emit and clear
+            val s = state.get
+            state.remove()
+            Iterator((s.device, s.n, s.lastTs - s.firstTs))
+          } else {
+            val ts = rows.map(_.timestamp.getTime).toSeq.sorted
+            val (closed, base) = state.getOption match {
+              // arriving events can ALSO close a session: the same key may
+              // get its next event before the timeout fires
+              case Some(p) if ts.min - p.lastTs >= gapMs =>
+                (Iterator((p.device, p.n, p.lastTs - p.firstTs)), None)
+              case other => (Iterator.empty, other)
+            }
+            val s = Sess(id,
+              base.map(_.n).getOrElse(0L) + ts.size,
+              math.min(base.map(_.firstTs).getOrElse(Long.MaxValue), ts.min),
+              math.max(base.map(_.lastTs).getOrElse(Long.MinValue), ts.max))
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs + gapMs)
+            closed
+          }
+      }
+    val q = sessions.toDF("device_id", "n_events", "duration_ms")
+      .writeStream.outputMode(OM.Append())
+      .format("memory").queryName("fmgws_out").start()
+    try {
+      mem.addData(reading("2024-01-01T10:00:00Z", 1.0),
+                  reading("2024-01-01T10:10:00Z", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("fmgws_out").count() == 0) // session still open
+      // event far in the future: watermark passes 10:40 deadline → close
+      mem.addData(reading("2024-01-01T12:00:00Z", 3.0))
+      q.processAllAvailable()
+      mem.addData(reading("2024-01-01T15:00:00Z", 4.0)) // advance again
+      q.processAllAvailable()
+      val rows = spark.table("fmgws_out").collect()
+      assert(rows.nonEmpty)
+      val first = rows.filter(_.getAs[Long]("n_events") == 2L)
+      assert(first.nonEmpty, s"expected the 2-event session, got ${rows.mkString}")
+      assert(first.head.getAs[Long]("duration_ms") == 10 * 60 * 1000L)
     } finally q.stop()
   }
 
