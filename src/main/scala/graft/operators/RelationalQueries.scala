@@ -624,6 +624,28 @@ object RelationalQueries {
         WHERE rn <= 3
         ORDER BY user_id, value DESC, event_id""")),
 
+    // ---- pivot (wide reshape) --------------------------------------------
+    // Explicit value list: pivot without one triggers a blocking distinct
+    // scan to discover columns — never acceptable on a 100 TB table.
+    GraftQuery(
+      "pivot_events",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
     // ---- HLL-sketch distinct (approx — no cross-engine oracle) -----------
     // approx_count_distinct is Spark's HyperLogLog++; accuracy vs the exact
     // count is asserted in OperatorSpec (rel. error < 10%).
