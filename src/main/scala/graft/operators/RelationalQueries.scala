@@ -71,6 +71,33 @@ object RelationalQueries {
         GROUP BY 1, 2, 3
         ORDER BY window_start, event_type""")),
 
+    // ---- sliding event-time windows (reference has tumbling only) --------
+    // Each event lands in win/slide = 2 overlapping windows; the oracle
+    // reproduces Spark's epoch-aligned window origin via time_bucket.
+    GraftQuery(
+      "sliding_window_agg",
+      (s, dir) => Tables.events(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("ts"))
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             Num.dsumAsDouble(col("value"), scale = 6).as("sum_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""
+        SELECT ws AS window_start,
+               ws + INTERVAL 10 MINUTES AS window_end,
+               event_type, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+        FROM (
+          SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP))
+                   - to_microseconds(k * 5 * 60 * 1000000) AS ws,
+                 event_type, value
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        GROUP BY ws, event_type
+        ORDER BY window_start, event_type""")),
+
     // ---- B1: DISTINCT projection + multi-column sort (app.py:122-126) ----
     GraftQuery(
       "distinct_pairs",
