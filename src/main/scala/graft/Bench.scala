@@ -1,12 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Median of an odd number of timed runs — single-shot timings on a
+    * shared host conflate plan cost with GC pauses and neighbor noise
+    * (round-1 bench showed 20× outliers on sub-second plans), and the
+    * median is the standard robust estimator that still reflects a true
+    * regression after one repeat. */
+  private def timeMedian(reps: Int)(body: => Unit): Double = {
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(times.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config(Tables.NanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,9 +39,7 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warmup queries failed on $warmDir")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> timeMedian(reps) { fn(spark, sfDir).count(): Unit }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -109,10 +109,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** SQL conf required to read the ns-typed events file at all (no per-read
+    * parquet option exists for it — verified against ParquetOptions in
+    * Spark 4.1). Our mains/suites set it at session BUILD time so plan
+    * construction never mutates session state; [[ensureNanosAsLong]] is the
+    * idempotent fallback for externally-built sessions (the harness driver
+    * smoke-checks `SparkEntry.entry(spark)` with its own session). */
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Bootstrap-on-first-use guard: reads are cheap, the set runs at most
+    * once per session and only converges the conf to the constant "true"
+    * under a lock — no torn state under concurrent plan building (the
+    * round-1 version set it unconditionally on every call). */
+  private def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (spark.conf.get(NanosAsLongConf, "false") != "true")
+      Tables.synchronized {
+        if (spark.conf.get(NanosAsLongConf, "false") != "true")
+          spark.conf.set(NanosAsLongConf, "true")
+      }
+
   /** Events with `ts` converted nanos → TimestampType (µs, truncating —
     * matches DuckDB's parquet ns → TIMESTAMP coercion). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     spark.read.schema(eventsRawSchema)
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

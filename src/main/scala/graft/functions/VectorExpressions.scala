@@ -164,4 +164,20 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("graft_l2norm", es => L2Norm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "scala_udf")
   }
+
+  /** Build-time registration of the same functions for
+    * `withExtensions`/`spark.sql.extensions` sessions
+    * ([[graft.plans.GraftExtensions]] calls this). */
+  def injectInto(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def info(name: String) =
+      new ExpressionInfo(classOf[DotProduct].getName, name)
+    e.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_l2norm"), info("graft_l2norm"),
+      (es: Seq[Expression]) => L2Norm(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+  }
 }

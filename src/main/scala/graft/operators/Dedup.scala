@@ -102,24 +102,45 @@ object Dedup {
         ORDER BY doc_a, doc_b"""
   }
 
+  /** Default hot-gram document-frequency cap for the exact-Jaccard path.
+    * A shingle shared by d documents contributes d·(d−1)/2 candidate pairs;
+    * boilerplate shingles (headers, licence text) make d approach corpus
+    * size, which is the quadratic scale-killer in any inverted-index
+    * near-dup join. Capping df bounds per-gram work at cap²/2 while leaving
+    * genuine near-dup pairs intact — near-dups share many RARE shingles,
+    * hot shingles carry no pair signal (the same reason search engines drop
+    * stop-grams from posting intersections). The cap is mirrored into the
+    * DuckDB oracles (`HAVING count(*) <= cap` on the gram CTE) so the
+    * queries stay fully hash-checked. On the synthetic corpus max df is 25,
+    * so 1000 changes no output — it's the 100 TB safety rail. */
+  val MaxGramDocFreq = 1000L
+
   /** Exact Jaccard over distinct shingles for doc pairs sharing ≥1 gram
-    * with document frequency ≤ maxDocFreq (hot-gram cap). */
+    * with document frequency ≤ maxDocFreq (hot-gram cap).
+    *
+    * Pair generation is the posting-list pattern, not a self-join: group
+    * occurrences by gram (ONE shuffle), drop posting lists longer than the
+    * cap — the cap costs nothing, it's a filter on a frame we already
+    * built — and emit ordered pairs from inside each list. A gram-gram
+    * self-join would shuffle the exploded occurrences twice and route every
+    * candidate row through the join machinery; here shuffle volume is
+    * exactly the inverted index once, then the pair aggregation. */
   private def exactJaccardPairs(spark: SparkSession, dir: String,
       maxDocFreq: Long): DataFrame = {
     val sh = shingled(Tables.documents(spark, dir))
     val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
-    // hot-gram cap only when it can bite — the df aggregation + join are
-    // two extra shuffles, pure overhead when the cap is effectively ∞
-    val filtered = if (maxDocFreq >= Long.MaxValue / 2) ex else {
-      val hot = ex.groupBy("gram").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq)
-      ex.join(hot.select("gram"), "gram")
-    }
-    val common = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val postings = ex.groupBy("gram")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDocFreq))
+    // ordered pairs (a < b) straight out of the sorted posting list; the
+    // lambdas run on ≤cap-element arrays, far from any hot loop
+    val common = postings
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds) - i - 1),
+                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -202,13 +223,16 @@ object Dedup {
         ORDER BY keep_id""")),
 
     // ---- exact n-gram Jaccard near-dup pairs (ground truth) --------------
+    // Registered WITH the hot-gram cap (MaxGramDocFreq) — the uncapped
+    // variant is quadratic in the hottest gram's document frequency and
+    // must never ship as a default. The oracle applies the identical cap.
     GraftQuery(
       "ngram_jaccard",
-      (s, dir) => exactJaccardPairs(s, dir, maxDocFreq = Long.MaxValue)
+      (s, dir) => exactJaccardPairs(s, dir, maxDocFreq = MaxGramDocFreq)
         .filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "common", "jaccard")
         .orderBy("doc_a", "doc_b"),
-      Some("""
+      Some(s"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
         sh AS (SELECT doc_id,
                  CASE WHEN len(toks) >= 3 THEN
@@ -217,9 +241,12 @@ object Dedup {
                  ELSE [] END grams
                FROM t),
         ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
+        keep AS (SELECT gram FROM ex GROUP BY gram
+                 HAVING count(*) <= $MaxGramDocFreq),
+        exf AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
         common AS (
           SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
-          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          FROM exf a JOIN exf b ON a.gram = b.gram AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, common,
                round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
@@ -233,7 +260,7 @@ object Dedup {
     // Bands of the signature hash into buckets; only bucket-mates are
     // compared, then exact Jaccard verifies candidates (no false
     // positives; recall is probabilistic — cross-checked against
-    // ngram_jaccard in DedupSpec).
+    // ngram_jaccard in OperatorSpec).
     GraftQuery(
       "minhash_pairs",
       (s, dir) => {
@@ -280,19 +307,27 @@ object Dedup {
     // distributed hash join (the standard large-scale CC shape — no graph
     // library needed). The oracle is a recursive CTE computing the same
     // min-reachable-id transitive closure.
+    // NOTE: this is the one registered query whose builder RUNS Spark jobs
+    // (label propagation needs a per-round convergence check) — a documented
+    // deviation from the GraftQuery "pure plan construction" contract.
+    // Every cached intermediate is released before returning, and the label
+    // frame is rebuilt from materialized blocks (localCheckpoint) every few
+    // rounds so lineage stays bounded at real cluster diameters.
     GraftQuery(
       "dedup_clusters",
       (s, dir) => {
-        val pairs = exactJaccardPairs(s, dir, maxDocFreq = Long.MaxValue)
+        val pairs = exactJaccardPairs(s, dir, maxDocFreq = MaxGramDocFreq)
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
         val edges = pairs
           .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .cache()
         val members = edges.select(col("doc_a").as("doc_id")).distinct()
-        var labels = members.withColumn("label", col("doc_id")).cache()
+        var labels = members.withColumn("label", col("doc_id"))
+        var cachedStep: DataFrame = null
         var changed = 1L
         var rounds = 0
         val maxRounds = 50
+        val checkpointEvery = 5
         while (changed > 0 && rounds < maxRounds) {
           val viaEdge = edges
             .join(labels.withColumnRenamed("doc_id", "doc_b")
@@ -307,15 +342,29 @@ object Dedup {
               least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
             .cache()
           changed = step.filter(col("label") < col("old")).count()
-          val prev = labels
-          labels = step.select("doc_id", "label")
-          prev.unpersist(blocking = false)
+          if (cachedStep != null) cachedStep.unpersist(blocking = false)
           rounds += 1
+          if (rounds % checkpointEvery == 0) {
+            // truncate lineage: beyond this point the plan reads the
+            // materialized blocks, not the accumulated join chain
+            labels = step.select("doc_id", "label").localCheckpoint(true)
+            step.unpersist(blocking = false)
+            cachedStep = null
+          } else {
+            labels = step.select("doc_id", "label")
+            cachedStep = step
+          }
         }
         // fail loudly rather than silently emit split clusters
         require(changed == 0,
           s"label propagation did not converge in $maxRounds rounds")
-        labels.groupBy("label")
+        // hand the (tiny) result off a checkpointed frame and release every
+        // cached intermediate — an iterative operator must not leak storage
+        // into the session across invocations
+        val finalLabels = labels.localCheckpoint(true)
+        if (cachedStep != null) cachedStep.unpersist(blocking = false)
+        edges.unpersist(blocking = false)
+        finalLabels.groupBy("label")
           .agg(count(lit(1)).as("cluster_size"),
                array_sort(collect_list("doc_id")).as("members"))
           .select(col("label").as("cluster_id"), col("cluster_size"),
@@ -324,7 +373,7 @@ object Dedup {
               .as("member_ids"))
           .orderBy("cluster_id")
       },
-      Some("""
+      Some(s"""
         WITH RECURSIVE pairs AS (
           WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
           sh AS (SELECT doc_id,
@@ -334,9 +383,12 @@ object Dedup {
                    ELSE [] END grams
                  FROM t),
           ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
+          keep AS (SELECT gram FROM ex GROUP BY gram
+                   HAVING count(*) <= $MaxGramDocFreq),
+          exf AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
           common AS (
             SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
-            FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            FROM exf a JOIN exf b ON a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
           SELECT doc_a, doc_b
           FROM common
@@ -358,9 +410,13 @@ object Dedup {
         ORDER BY cluster_id""")),
 
     // ---- SimHash signatures + hamming-close pairs ------------------------
-    // Signature: 64-bit SimHash via the codegen'd kernel (one xxhash64 per
-    // token, single pass — the HOF formulation re-hashed every token 64×
-    // and ran interpreted, ~50 s at sf0.1). Packed as 4×16-bit chunks;
+    // Signature: 64-bit SimHash via the codegen'd kernel — one pass per
+    // token using the engine-neutral polynomial hash pair (polyHash /
+    // polyHash2, two moduli for 64 bits), which is exactly what makes the
+    // query oracle-checkable in DuckDB. (The HOF formulation re-hashed
+    // every token 64× and ran interpreted, ~50 s at sf0.1; an
+    // xxhash64-based signature would be faster still but engine-private.)
+    // Packed as 4×16-bit chunks;
     // pairs sharing any chunk are candidates (pigeonhole: catches all
     // pairs with hamming ≤ 3·16 spread across chunks, in practice all
     // near-dups); exact hamming ≤ 6 confirms.

@@ -19,7 +19,7 @@ import graft.{GraftQuery, Tables}
   * payload bytes. The Spark-side plumbing around it — binary schema, typed
   * Dataset, per-partition batch processing via `mapPartitions` (the Scala
   * analog of `mapInPandas` batching), feature schema — is real and tested
-  * (MultimodalSpec). A real decoder replaces ONLY the body of
+  * (OperatorSpec). A real decoder replaces ONLY the body of
   * [[decodeStub]].
   */
 object Multimodal {
@@ -58,7 +58,11 @@ object Multimodal {
       val feats = Array.tabulate(8) { i =>
         val slice = r.payload.slice(i * n / 8, math.max(i * n / 8 + 1, (i + 1) * n / 8))
         if (slice.isEmpty) 0f
-        else slice.foldLeft(0L)((a, b) => a + (b & 0xff)).toFloat / slice.length / 255f
+        // double-precision mean-brightness, truncated to float at the end:
+        // bit-reproducible in any engine (float-division chains are not,
+        // which is what keeps this stub oracle-checkable)
+        else (slice.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble
+          / slice.length / 255.0).toFloat
       }
       MediaFeatures(r.doc_id, r.media_type, n, width, height, feats)
     }
@@ -92,13 +96,41 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
-    // ---- stubbed decode + feature extraction (rows-only) -----------------
+    // ---- stubbed decode + feature extraction (oracle-checked) ------------
+    // The stub decode is deterministic byte arithmetic (first/last byte →
+    // fake dims, slice mean-brightness → f0), so DuckDB can reproduce it
+    // exactly: bytes are recovered from hex(encode(text)) pairs, and the
+    // double→float→double truncation chain matches the Scala stub's.
     GraftQuery(
       "media_features",
       (s, dir) => features(s, dir)
-        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        .select(col("doc_id"), col("byte_len").cast(LongType).as("byte_len"),
+          col("width"), col("height"),
           round(element_at(col("features"), 1).cast(DoubleType), 4).as("f0"))
         .orderBy("doc_id"),
-      None)
+      Some("""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(text)) h,
+                 octet_length(encode(text)) n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        f AS (
+          SELECT doc_id, n,
+                 CAST(64 + bytes[1] % 64 AS INT) AS width,
+                 CAST(64 + bytes[n] % 64 AS INT) AS height,
+                 greatest(n // 8, 1) AS cnt,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, greatest(n // 8, 1) + 1),
+                     k -> CAST(bytes[k] AS BIGINT))), (a, x) -> a + x) AS s0
+          FROM b)
+        SELECT doc_id, CAST(n AS BIGINT) AS byte_len, width, height,
+               round(CAST(CAST(CAST(s0 AS DOUBLE) / cnt / 255.0 AS FLOAT) AS DOUBLE), 4) AS f0
+        FROM f
+        ORDER BY doc_id"""))
   )
 }

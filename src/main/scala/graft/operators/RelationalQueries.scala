@@ -673,16 +673,29 @@ object RelationalQueries {
         GROUP BY user_id
         ORDER BY user_id""")),
 
-    // ---- HLL-sketch distinct (approx — no cross-engine oracle) -----------
-    // approx_count_distinct is Spark's HyperLogLog++; accuracy vs the exact
-    // count is asserted in OperatorSpec (rel. error < 10%).
+    // ---- HLL-sketch distinct, oracle-checked via its accuracy bound ------
+    // approx_count_distinct is Spark's HyperLogLog++; raw estimates differ
+    // legitimately across engines, so the registered row emits (a) the
+    // exact count, hash-checked against DuckDB, and (b) the HLL estimate
+    // folded into its accuracy CLAIM — |approx − exact| ≤ 5%·exact — which
+    // the oracle pins to true. The sketch still runs in the registered
+    // plan; rel. error is additionally asserted numerically in
+    // OperatorSpec. rsd=0.02 keeps the 5% bound at ≈2.5σ.
     GraftQuery(
       "approx_distinct",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"),
-             countDistinct("user_id").as("exact_users"))
+        .agg(countDistinct("user_id").as("exact_users"),
+             approx_count_distinct("user_id", 0.02).as("_approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_approx") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("approx_within_5pct"))
         .orderBy("event_type"),
-      None)
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS exact_users,
+               true AS approx_within_5pct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

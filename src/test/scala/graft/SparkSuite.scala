@@ -11,6 +11,7 @@ trait SparkSuite extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config(Tables.NanosAsLongConf, "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
