@@ -30,6 +30,15 @@ object LshPlanes {
     (0 until tables).map(t => (0 until planesPerTable).map(p =>
       (0 until dims).map(d => sign(t, p, d))))
 
+  /** The plane bank as DuckDB `VALUES` rows `(tbl, plane, w)` — one row per
+    * hyperplane, weight vector as a ±1 list literal. Lets SQL oracles
+    * reproduce the exact bucket assignments (same IEEE dot fold). */
+  def sqlValuesRows: String =
+    (for (t <- 0 until tables; p <- 0 until planesPerTable) yield {
+      val w = planes(t)(p).map(x => if (x > 0) "1" else "-1").mkString(",")
+      s"($t, $p, [$w])"
+    }).mkString(",\n          ")
+
   /** `array<struct<table:int,bucket:int>>` of the vector's bucket in every
     * table; input column is `array<float|double>` of length [[dims]].
     * Each plane dot is a codegen'd [[VectorExpressions.DotProduct]] against

@@ -108,4 +108,39 @@ object StreamingPipeline {
     decoded
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream interval join: each left row pairs with the
+    * right-stream rows sharing `key` whose event time falls in
+    * [left.ts, left.ts + maxDelay] — the impression→click attribution
+    * shape. Not in the reference (its topology is single-stream); completes
+    * the streaming surface.
+    *
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance in BOTH directions, which is what lets Spark compute a state
+    * watermark per side and evict buffered rows: state is
+    * O(rate × (watermarkDelay + maxDelay)) per side, never unbounded. The
+    * join key should include the equi-key so state is hash-partitioned by
+    * it (co-located with the shuffle, no broadcast of a stream).
+    *
+    * `leftTs`/`rightTs` must be differently-named event-time columns so the
+    * interval predicate is unambiguous in the joined schema. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      maxDelay: String = "10 minutes",
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(leftTs != rightTs,
+      "left and right event-time columns must have distinct names")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
 }

@@ -106,6 +106,21 @@ class OperatorSpec extends SparkSuite {
     assert(ranks.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10)))
   }
 
+  test("embedding_neardup: no false positives and >=60% recall vs brute-force pairs") {
+    import graft.functions.{VectorExpressions => V}
+    val got = run("embedding_neardup").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val e = Tables.embeddings(spark, sf).withColumn("norm", V.l2norm(col("embedding")))
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("norm").as("nb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("cos", V.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.42)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), "a reported pair is below the cosine threshold")
+    assert(got.size >= brute.size * 6 / 10, s"recall too low: ${got.size}/${brute.size}")
+  }
+
   test("dedup_exact groups every doc exactly once") {
     val df = run("dedup_exact")
     val total = df.agg(sum("n_copies")).collect().head.getLong(0)

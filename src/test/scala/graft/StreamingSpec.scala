@@ -141,18 +141,15 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("stream-stream join: purchases match views within the time bound") {
+  test("stream-stream interval join: purchases match views within the time bound") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[Reading]
     val purchases = MemoryStream[Reading]
-    val v = views.toDF().withWatermark("timestamp", "10 minutes")
-      .select(col("device_id").as("v_dev"), col("timestamp").as("v_ts"))
-    val p = purchases.toDF().withWatermark("timestamp", "10 minutes")
-      .select(col("device_id").as("p_dev"), col("timestamp").as("p_ts"))
-    val joined = p.join(v,
-      col("p_dev") === col("v_dev") &&
-      col("v_ts") <= col("p_ts") &&
-      col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val v = views.toDF().select(col("device_id"), col("timestamp").as("v_ts"))
+    val p = purchases.toDF().select(col("device_id"), col("timestamp").as("p_ts"))
+    val joined = StreamingPipeline.intervalJoin(v, p, "device_id",
+      leftTs = "v_ts", rightTs = "p_ts",
+      maxDelay = "30 minutes", watermarkDelay = "10 minutes")
     val q = joined.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("ss_join").start()
     try {
@@ -164,6 +161,8 @@ class StreamingSpec extends SparkSuite {
       assert(rows.length == 1)
       assert(rows.head.getAs[java.sql.Timestamp]("v_ts").toInstant.toString
         == "2024-01-01T10:00:00Z")
+      // the equi-key is emitted once, not duplicated from both sides
+      assert(spark.table("ss_join").columns.count(_ == "device_id") == 1)
     } finally q.stop()
   }
 
