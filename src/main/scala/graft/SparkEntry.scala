@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      operators.PipelineOps.queries
+      operators.PipelineOps.queries ++
+      operators.Stats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

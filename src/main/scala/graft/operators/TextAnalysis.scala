@@ -38,17 +38,28 @@ object TextAnalysis {
 
   def queries: Seq[GraftQuery] = Seq(
 
-    // ---- token counting (whitespace tokenizer) ---------------------------
+    // ---- token counting (whitespace + BPE-ish pre-tokenizer) -------------
+    // n_subtokens approximates a BPE tokenizer's unit count with the
+    // classic pre-tokenization regex (letter runs | digit runs | single
+    // non-alphanumeric marks): a fast, engine-neutral proxy for "how many
+    // model tokens does this document cost" — the budgeting number a
+    // training pipeline filters on. The character classes are ASCII-literal
+    // so Java regex and DuckDB's RE2 agree (each CJK char counts as one
+    // mark, as real BPE fallback does per byte/char).
     GraftQuery(
       "token_count",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+            .cast(LongType).as("n_subtokens"),
           length(col("text")).cast(LongType).as("n_chars_actual"))
         .orderBy("doc_id"),
       Some("""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_subtokens,
                length(text) AS n_chars_actual
         FROM documents
         ORDER BY doc_id""")),
