@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+
+/** Statistical aggregates and reshape operators beyond the reference's
+  * repertoire (its serving layer stops at count/min/max/avg —
+  * `api-service/app.py:238-288`); these complete the agg surface a
+  * training-data pipeline's profiling stage needs.
+  *
+  * Determinism discipline: corr/covar/stddev are NOT computed with the
+  * built-in floating aggregates (their partial-merge order varies run to
+  * run and engine to engine). Every moment is an exact DECIMAL sum
+  * (order-independent), converted to double once, then combined with the
+  * identical IEEE expression in both engines — the same Σ-decomposition
+  * Spark's own partial aggregation uses, made bit-reproducible. That also
+  * makes them trivially scalable: each is one map-side-combined hash agg.
+  */
+object Stats {
+
+  private val D = DecimalType(18, 8)
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- correlation / covariance / stddev from exact moment sums --------
+    GraftQuery(
+      "corr_stats",
+      (s, dir) => {
+        val x = col("l_discount"); val y = col("l_tax")
+        val sums = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x.cast(D)).cast(DoubleType).as("sx"),
+            sum(y.cast(D)).cast(DoubleType).as("sy"),
+            sum((x * y).cast(D)).cast(DoubleType).as("sxy"),
+            sum((x * x).cast(D)).cast(DoubleType).as("sxx"),
+            sum((y * y).cast(D)).cast(DoubleType).as("syy"))
+        sums.select(col("l_returnflag"), col("n"),
+            round((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n")), 8)
+              .as("covar_pop"),
+            round(sqrt((col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))), 8)
+              .as("stddev_pop_discount"),
+            round(((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+              (sqrt((col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+               sqrt((col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n")))), 6)
+              .as("corr_discount_tax"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH sums AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_tax AS DECIMAL(18,8))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_discount * l_tax AS DECIMAL(18,8))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,8))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_tax * l_tax AS DECIMAL(18,8))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((sxy / n) - (sx / n) * (sy / n), 8) AS covar_pop,
+               round(sqrt((sxx / n) - (sx / n) * (sx / n)), 8) AS stddev_pop_discount,
+               round(((sxy / n) - (sx / n) * (sy / n)) /
+                     (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+                      sqrt((syy / n) - (sy / n) * (sy / n))), 6) AS corr_discount_tax
+        FROM sums
+        ORDER BY l_returnflag""")),
+
+    // ---- GROUPING SETS (finer than rollup/cube: explicit set list) -------
+    // SQL surface on purpose — grouping sets are a SQL-level reshape; the
+    // DataFrame API covers them via rollup/cube (registered separately).
+    // Grouped-out columns are coalesced to a sentinel so ordering is
+    // engine-neutral (no NULLS FIRST/LAST divergence).
+    GraftQuery(
+      "grouping_sets_orders",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 count(*) AS n,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                  (o_orderstatus), ())
+          ORDER BY status, priority""")
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY status, priority""")),
+
+    // ---- argmin/argmax with a deterministic tiebreak ---------------------
+    // min_by/max_by pick an arbitrary row on ties; the ranking expression
+    // folds the unique event_id into the low bits (value has 2 decimals →
+    // value·1e7 is an exact integer ≤ 1e9, + id stays exactly
+    // representable), so both engines agree on every tie.
+    GraftQuery(
+      "minmax_by",
+      (s, dir) => {
+        // round() BEFORE the long cast: Spark's double→long cast truncates
+        // while DuckDB's rounds, and value·1e7 lands ulps away from the
+        // exact integer — round() converges both engines on it
+        val rank = round(col("value") * 10000000).cast(LongType) + col("event_id")
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(max_by(col("event_id"), rank).as("max_value_event"),
+               min_by(col("event_id"), rank).as("min_value_event"),
+               count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               arg_max(event_id, CAST(round(value * 10000000) AS BIGINT) + event_id) AS max_value_event,
+               arg_min(event_id, CAST(round(value * 10000000) AS BIGINT) + event_id) AS min_value_event,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- fixed-width histogram (the profiling-stage binning shape) -------
+    GraftQuery(
+      "value_histogram",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          least(floor(col("value") / 10).cast(IntegerType), lit(9)).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin"),
+      Some("""
+        SELECT event_type,
+               least(CAST(floor(value / 10) AS INT), 9) AS bin,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, bin"""))
+  )
+}
