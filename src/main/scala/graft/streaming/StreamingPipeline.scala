@@ -109,6 +109,20 @@ object StreamingPipeline {
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join: decorate a stream with a dimension
+    * table. The static side is broadcast (dimensions are small by
+    * definition; a shuffled stream-static join would re-shuffle every
+    * micro-batch), so the stream never leaves its partitioning and no
+    * streaming state is created — the join is stateless per batch. Left
+    * join by default: an unmatched dimension key must not DROP stream rows
+    * (data loss on late dimension updates). */
+  def enrichWithDim(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), joinType)
+
   /** Watermarked stream-stream interval join: each left row pairs with the
     * right-stream rows sharing `key` whose event time falls in
     * [left.ts, left.ts + maxDelay] — the impression→click attribution
