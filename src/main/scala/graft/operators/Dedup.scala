@@ -324,39 +324,47 @@ object Dedup {
         val members = edges.select(col("doc_a").as("doc_id")).distinct()
         var labels = members.withColumn("label", col("doc_id"))
         var cachedStep: DataFrame = null
-        var changed = 1L
+        var prevSum = Long.MaxValue
+        var converged = false
         var rounds = 0
         val maxRounds = 50
         val checkpointEvery = 5
-        while (changed > 0 && rounds < maxRounds) {
-          val viaEdge = edges
+        while (!converged && rounds < maxRounds) {
+          // one round = neighbors' labels ∪ own label → min per doc. The
+          // union-then-min shape costs a single grouping shuffle (the label
+          // frame rides a broadcast into the edge join — it's orders
+          // smaller than the corpus); the earlier join+groupBy+left-join
+          // formulation paid three exchanges per round, and on a near-dup
+          // edge set (tiny frames) per-round stage latency IS the runtime.
+          val step = edges
             .join(labels.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("label", "nbr_label"), "doc_b")
-            .groupBy(col("doc_a").as("doc_id"))
-            .agg(min("nbr_label").as("nbr_min"))
-          // one pass carries both the old and the improved label, so the
-          // convergence check costs a filter on the cached frame instead of
-          // an extra join job per round
-          val step = labels.join(viaEdge, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("label").as("old"),
-              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+              .withColumnRenamed("label", "l"), "doc_b")
+            .select(col("doc_a").as("doc_id"), col("l"))
+            .union(labels.select(col("doc_id"), col("label").as("l")))
+            .groupBy("doc_id").agg(min("l").as("label"))
             .cache()
-          changed = step.filter(col("label") < col("old")).count()
+          // convergence via the label-sum invariant: labels only ever
+          // decrease, so the total is strictly monotone until fixpoint —
+          // one scalar agg on the cached frame, no old-vs-new join
+          val s = Option(step.agg(sum("label")).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          converged = s == prevSum
+          prevSum = s
           if (cachedStep != null) cachedStep.unpersist(blocking = false)
           rounds += 1
           if (rounds % checkpointEvery == 0) {
             // truncate lineage: beyond this point the plan reads the
             // materialized blocks, not the accumulated join chain
-            labels = step.select("doc_id", "label").localCheckpoint(true)
+            labels = step.localCheckpoint(true)
             step.unpersist(blocking = false)
             cachedStep = null
           } else {
-            labels = step.select("doc_id", "label")
+            labels = step
             cachedStep = step
           }
         }
         // fail loudly rather than silently emit split clusters
-        require(changed == 0,
+        require(converged,
           s"label propagation did not converge in $maxRounds rounds")
         // hand the (tiny) result off a checkpointed frame and release every
         // cached intermediate — an iterative operator must not leak storage
