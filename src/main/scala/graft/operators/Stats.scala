@@ -123,6 +123,66 @@ object Stats {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // ---- UNPIVOT / melt (inverse of the pivot reshape) -------------------
+    // Wide per-flag aggregate → long (flag, metric, amount) via the typed
+    // Dataset.unpivot API. The oracle uses the equivalent UNION ALL
+    // formulation (engine-neutral, no UNPIVOT dialect dependence).
+    GraftQuery(
+      "unpivot_lineitem",
+      (s, dir) => {
+        val wide = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType), 2)
+              .as("sum_qty"),
+            round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType), 2)
+              .as("sum_price"))
+        wide.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price")),
+            "metric", "amount")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        ORDER BY l_returnflag, metric""")),
+
+    // ---- time-based RANGE window frame (1-hour rolling per user) ---------
+    // The bounded-memory rolling metric every monitoring pipeline needs:
+    // RANGE frames keyed on event time hold only the horizon in memory and
+    // include all timestamp peers, so ties cannot make output
+    // run-dependent. The windowed sum goes through an exact DECIMAL
+    // accumulator — window-function floating sums are
+    // accumulation-order-sensitive across engines.
+    GraftQuery(
+      "rolling_1h",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_roll")
+        s.sql("""
+          SELECT event_id, user_id, ts,
+                 count(*) OVER w AS cnt_1h,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_1h
+          FROM events_roll
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY event_id""")
+      },
+      Some("""
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS cnt_1h,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
     // ---- fixed-width histogram (the profiling-stage binning shape) -------
     GraftQuery(
       "value_histogram",
