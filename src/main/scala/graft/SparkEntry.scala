@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.PipelineOps.queries ++
-      operators.Stats.queries
+      operators.Stats.queries ++
+      operators.Salting.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

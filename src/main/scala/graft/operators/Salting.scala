@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.{GraftQuery, Tables}
 
 /** Skew mitigation for hot join keys: salting.
   *
@@ -35,4 +38,32 @@ object Salting {
       .withColumn("_salt", explode(expr(s"sequence(0, ${factor - 1})")))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Registered proof of the salting invariant: the salted join must be
+    * bit-identical to the plain join — the DuckDB oracle IS the plain
+    * join, so the driver's hash compare certifies the rewrite. (On this
+    * testdata the replicated build side still broadcasts; the technique
+    * pays off when the build side exceeds the broadcast threshold AND one
+    * probe key dominates — semantics are what's being certified here.) */
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "salted_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val sup = Tables.supplier(s, dir)
+          .withColumnRenamed("s_suppkey", "l_suppkey")
+        saltedEquiJoin(li, sup, "l_suppkey", col("l_orderkey"), factor = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType), 2).as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      Some("""
+        SELECT s_nationkey, count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey"""))
+  )
 }
