@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-extension wiring: a `withExtensions`-built session must resolve
+  * the graft SQL functions (injectFunction) and carry the TopK planner
+  * strategy (injectPlannerStrategy) — no imperative register calls. */
+class ExtensionsSpec extends SparkSuite {
+
+  test("withExtensions session: graft functions resolve and TopK strategy is planned") {
+    val orig = spark // force shared-session init before we detach
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // getOrCreate now builds a NEW session on the existing SparkContext with
+    // the extensions applied (the shared suite session would otherwise be
+    // returned as-is and the extension point never exercised)
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne orig)
+      val r = s2.sql(
+        """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                  graft_l2norm(array(3.0D, 4.0D)) AS n,
+                  graft_simhash64(array('a', 'b')) AS h""").head()
+      assert(r.getAs[Double]("d") == 11.0)
+      assert(r.getAs[Double]("n") == 5.0)
+      assert(r.getAs[Long]("h") != 0L)
+      assert(s2.sessionState.planner.strategies.contains(plans.TopKStrategy),
+        "injected TopK strategy missing from the session planner")
+    } finally {
+      // do NOT stop s2 — it shares the suite's SparkContext; just restore
+      // the shared session as default/active
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  test("imperative registration path: VectorExpressions.register on the shared session") {
+    functions.VectorExpressions.register(spark)
+    val d = spark.sql("SELECT graft_dot(array(1.0D, 0.0D), array(1.0D, 5.0D)) AS d")
+      .head().getAs[Double]("d")
+    assert(d == 1.0)
+  }
+}

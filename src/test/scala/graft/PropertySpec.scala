@@ -50,6 +50,20 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("stats invariants: corr in [-1,1], histogram partitions the rows, unpivot doubles them") {
+    val sfDir = sf
+    val corr = SparkEntry.queries("corr_stats")(spark, sfDir).collect()
+    assert(corr.nonEmpty && corr.forall { r =>
+      val c = r.getAs[Double]("corr_discount_tax"); c >= -1.0 && c <= 1.0
+    })
+    val hist = SparkEntry.queries("value_histogram")(spark, sfDir)
+    val total = hist.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    val wideGroups = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag").distinct().count()
+    assert(SparkEntry.queries("unpivot_lineitem")(spark, sfDir).count() == wideGroups * 2)
+  }
+
   test("rolling-hash fingerprint is order-sensitive (permuted tokens differ)") {
     // drive the REGISTERED query against a temp sf-dir so the assertion
     // covers the actual operator, not a copy of its expression
