@@ -138,6 +138,11 @@ object StreamingPipeline {
     *
     * `leftTs`/`rightTs` must be differently-named event-time columns so the
     * interval predicate is unambiguous in the joined schema. */
+  /** `joinType` may be "inner" (default) or "left_outer": outer emits an
+    * unmatched left row null-extended once the watermark proves no match
+    * can still arrive — the attribution pipeline's "impression with no
+    * click" record, produced with bounded state rather than a batch
+    * reconciliation job. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -145,7 +150,8 @@ object StreamingPipeline {
       leftTs: String,
       rightTs: String,
       maxDelay: String = "10 minutes",
-      watermarkDelay: String = "1 minute"): DataFrame = {
+      watermarkDelay: String = "1 minute",
+      joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     require(leftTs != rightTs,
       "left and right event-time columns must have distinct names")
@@ -154,7 +160,8 @@ object StreamingPipeline {
     l.join(r,
       l(key) === r(key) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+      joinType)
       .drop(r(key))
   }
 }

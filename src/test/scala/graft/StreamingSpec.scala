@@ -166,6 +166,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched left emits nulls after watermark") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Reading]
+    val purchases = MemoryStream[Reading]
+    val v = views.toDF().select(col("device_id"), col("timestamp").as("v_ts"))
+    val p = purchases.toDF()
+      .select(col("device_id"), col("timestamp").as("p_ts"), col("value").as("p_value"))
+    val joined = StreamingPipeline.intervalJoin(v, p, "device_id",
+      leftTs = "v_ts", rightTs = "p_ts",
+      maxDelay = "30 minutes", watermarkDelay = "1 minute",
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_outer").start()
+    try {
+      // v1 matches p1; v2 (different device key) never gets a purchase
+      views.addData(reading("2024-01-01T10:00:00Z", 1.0),
+                    Reading("sensor_2", "pressure", "room1", 2.0, 50.0,
+                      ts("2024-01-01T10:05:00Z")))
+      purchases.addData(reading("2024-01-01T10:15:00Z", 3.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past v2.ts + maxDelay, then one more
+      // batch so the engine evicts and emits the unmatched row
+      views.addData(reading("2024-01-01T12:00:00Z", 9.0))
+      purchases.addData(reading("2024-01-01T12:00:00Z", 9.0))
+      q.processAllAvailable()
+      views.addData(reading("2024-01-01T12:30:00Z", 9.9))
+      purchases.addData(reading("2024-01-01T12:30:00Z", 9.9))
+      q.processAllAvailable()
+      val rows = spark.table("ss_outer").collect()
+      val matched = rows.filter(_.getAs[java.sql.Timestamp]("p_ts") != null)
+      val unmatched = rows.filter(_.getAs[java.sql.Timestamp]("p_ts") == null)
+      assert(matched.exists(r =>
+        r.getAs[java.sql.Timestamp]("v_ts").toInstant.toString == "2024-01-01T10:00:00Z"))
+      assert(unmatched.exists(r =>
+        r.getAs[java.sql.Timestamp]("v_ts").toInstant.toString == "2024-01-01T10:05:00Z"),
+        s"expected the never-purchased view to emit null-extended; got ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("end-to-end: streaming aggregates land in an idempotent parquet sink") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
