@@ -109,6 +109,21 @@ object StreamingPipeline {
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Attach always-on data-quality counters to a decoded stream via
+    * `Dataset.observe`: row count, null-timestamp count, and value sum are
+    * accumulated inside the existing plan (no second aggregation, no extra
+    * shuffle, negligible at any scale) and surface per micro-batch in
+    * `StreamingQueryProgress.observedMetrics("graft_quality")` — the
+    * monitoring hook a production pipeline alerts on. */
+  def withQualityMetrics(decoded: DataFrame, tsCol: String = "timestamp",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when, col}
+    decoded.observe("graft_quality",
+      count(lit(1)).as("rows"),
+      sum(when(col(tsCol).isNull, 1).otherwise(0)).as("null_ts"),
+      sum(col(valueCol)).as("value_sum"))
+  }
+
   /** Stream-static enrichment join: decorate a stream with a dimension
     * table. The static side is broadcast (dimensions are small by
     * definition; a shuffled stream-static join would re-shuffle every

@@ -64,6 +64,44 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: bounded backfill consumes all files then stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-backfill")
+    val schema = StructType(Seq(
+      StructField("device_id", StringType), StructField("value", DoubleType)))
+    Files.writeString(dir.resolve("a.jsonl"), """{"device_id":"a","value":1.0}""" + "\n")
+    Files.writeString(dir.resolve("b.jsonl"), """{"device_id":"b","value":2.0}""" + "\n")
+    val q = FileSources.jsonlStream(spark, dir.toString, schema, maxFilesPerTrigger = 1)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("backfill").start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+      assert(spark.table("backfill").count() == 2) // all files, rate-limited batches
+    } finally q.stop()
+  }
+
+  test("observe: data-quality counters surface in streaming progress") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = StreamingPipeline.withQualityMetrics(mem.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("observed").start()
+    try {
+      mem.addData(
+        Reading("s1", "t", "room1", 2.5, 50.0,
+          java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T10:00:00Z"))),
+        Reading("s2", "t", "room1", 1.5, 50.0, null))
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_quality"))).lastOption
+      assert(m.isDefined, "graft_quality metrics missing from progress")
+      assert(m.get.getAs[Long]("rows") == 2L)
+      assert(m.get.getAs[Long]("null_ts") == 1L)
+      assert(m.get.getAs[Double]("value_sum") == 4.0)
+    } finally q.stop()
+  }
+
   test("stream-static enrich: dimension broadcast, no streaming state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
