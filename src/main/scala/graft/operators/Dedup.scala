@@ -13,10 +13,11 @@ import graft.{GraftQuery, Tables}
   *  - exact: one hash-shuffle on a 16-byte content digest — O(n), the only
   *    exact option at 100 TB; never shuffles full document text.
   *  - ngram_jaccard: exact pairwise Jaccard via an inverted index on
-  *    shingles (explode → equi-join on gram → count). Quadratic in bucket
-  *    size, so it's the ground-truth / small-corpus path; the hot-gram cap
-  *    (`maxDocFreq`) bounds the blowup the way frequency caps do in real
-  *    near-dup indexes.
+  *    shingles (posting list per gram → in-place ordered pairs → count).
+  *    Quadratic in posting-list length, so the hot-gram cap
+  *    (`MaxGramDocFreq`) is always on — it bounds the blowup the way
+  *    frequency caps do in real near-dup indexes, and it's mirrored into
+  *    the oracle so the query stays hash-checked.
   *  - minhash_pairs: MinHash signatures (16 linear permutations of an
   *    engine-neutral polynomial hash) banded 4×4 → candidates join only
   *    within LSH buckets →

@@ -140,6 +140,7 @@ object TopK {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => TopKRewrite)
     graft.functions.VectorExpressions.injectInto(e)
   }
 }

@@ -37,6 +37,37 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("TopKRewrite: window top-k idiom is auto-rewritten and result-identical") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      def topk(s: SparkSession) = {
+        import s.implicits._
+        val df = (1 to 200).map(i => (i % 7, i, (i * 37) % 101)).toDF("k", "id", "v")
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy(col("v").desc, col("id"))))
+          .filter(col("rn") <= 3)
+          .orderBy("k", "rn")
+      }
+      val rewritten = topk(s2)
+      assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "optimizer rule did not insert TopKPerKey under the window")
+      val expected = topk(orig).collect().map(_.toSeq).toSeq
+      assert(!topk(orig).queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(rewritten.collect().map(_.toSeq).toSeq == expected)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("imperative registration path: VectorExpressions.register on the shared session") {
     functions.VectorExpressions.register(spark)
     val d = spark.sql("SELECT graft_dot(array(1.0D, 0.0D), array(1.0D, 5.0D)) AS d")
