@@ -183,6 +183,43 @@ object Stats {
                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         ORDER BY event_id""")),
 
+    // ---- quantile sketch, oracle-checked via its accuracy bound ----------
+    // Same discipline as approx_distinct: the sketch estimate itself is
+    // engine-private (Greenwald-Khanna variant, returns actual data points
+    // while percentile() interpolates), so the registered row emits the
+    // exact interpolated percentiles (hash-checked) plus the sketch's
+    // RANK-window claim — the estimate must land between surrounding exact
+    // percentiles (p45..p55 for p50, p90..p99 for p95). That is the bound
+    // the sketch guarantees (0.1% rank error at accuracy=1000) and it is
+    // distribution-independent — a fixed VALUE tolerance breaks on sparse
+    // tails where adjacent order statistics sit far apart.
+    GraftQuery(
+      "approx_quantiles",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("_ex50"),
+             expr("approx_percentile(value, 0.5, 1000)").as("_ap50"),
+             expr("percentile(value, 0.95)").as("_ex95"),
+             expr("approx_percentile(value, 0.95, 1000)").as("_ap95"),
+             expr("percentile(value, 0.45)").as("_lo50"),
+             expr("percentile(value, 0.55)").as("_hi50"),
+             expr("percentile(value, 0.90)").as("_lo95"),
+             expr("percentile(value, 0.99)").as("_hi95"))
+        .select(col("event_type"),
+          round(col("_ex50"), 4).as("p50"),
+          round(col("_ex95"), 4).as("p95"),
+          (col("_ap50").between(col("_lo50"), col("_hi50")) &&
+           col("_ap95").between(col("_lo95"), col("_hi95"))).as("sketch_in_rank_window"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               true AS sketch_in_rank_window
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ---- fixed-width histogram (the profiling-stage binning shape) -------
     GraftQuery(
       "value_histogram",
