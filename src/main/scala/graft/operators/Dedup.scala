@@ -203,6 +203,67 @@ object Dedup {
         ORDER BY doc_a, doc_b"""
   }
 
+  /** Distributed connected components by iterative min-label propagation.
+    *
+    * Input: undirected edges as (doc_a, doc_b) pairs (one direction is
+    * enough — both are derived here). Output: (doc_id, label) where label
+    * is the minimum doc_id reachable from doc_id. Converges in O(cluster
+    * diameter) rounds; each round is one grouping shuffle (neighbors'
+    * labels ∪ own label → min per doc; the label frame rides a broadcast
+    * into the edge join — it's orders smaller than the corpus).
+    * Convergence is detected via the label-sum invariant: labels only ever
+    * decrease, so the total is strictly monotone until fixpoint — one
+    * scalar agg per round, no old-vs-new join. The label frame is rebuilt
+    * from materialized blocks (`localCheckpoint`) every `checkpointEvery`
+    * rounds so lineage stays bounded at real cluster diameters, and every
+    * cached intermediate is released before returning — an iterative
+    * operator must not leak storage into the session across invocations.
+    *
+    * This method RUNS Spark jobs (per-round convergence checks) — the one
+    * documented deviation from the GraftQuery pure-plan contract. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+      checkpointEvery: Int = 5): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    val members = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = members.withColumn("label", col("doc_id"))
+    var cachedStep: DataFrame = null
+    var prevSum = Long.MaxValue
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val step = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("label", "l"), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("l"))
+        .union(labels.select(col("doc_id"), col("label").as("l")))
+        .groupBy("doc_id").agg(min("l").as("label"))
+        .cache()
+      val s = Option(step.agg(sum("label")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      converged = s == prevSum
+      prevSum = s
+      if (cachedStep != null) cachedStep.unpersist(blocking = false)
+      rounds += 1
+      if (rounds % checkpointEvery == 0) {
+        labels = step.localCheckpoint(true)
+        step.unpersist(blocking = false)
+        cachedStep = null
+      } else {
+        labels = step
+        cachedStep = step
+      }
+    }
+    // fail loudly rather than silently emit split clusters
+    require(converged,
+      s"label propagation did not converge in $maxRounds rounds")
+    val finalLabels = labels.localCheckpoint(true)
+    if (cachedStep != null) cachedStep.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    finalLabels
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- exact dedup on a content digest ---------------------------------
@@ -319,60 +380,7 @@ object Dedup {
       (s, dir) => {
         val pairs = exactJaccardPairs(s, dir, maxDocFreq = MaxGramDocFreq)
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-        val edges = pairs
-          .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .cache()
-        val members = edges.select(col("doc_a").as("doc_id")).distinct()
-        var labels = members.withColumn("label", col("doc_id"))
-        var cachedStep: DataFrame = null
-        var prevSum = Long.MaxValue
-        var converged = false
-        var rounds = 0
-        val maxRounds = 50
-        val checkpointEvery = 5
-        while (!converged && rounds < maxRounds) {
-          // one round = neighbors' labels ∪ own label → min per doc. The
-          // union-then-min shape costs a single grouping shuffle (the label
-          // frame rides a broadcast into the edge join — it's orders
-          // smaller than the corpus); the earlier join+groupBy+left-join
-          // formulation paid three exchanges per round, and on a near-dup
-          // edge set (tiny frames) per-round stage latency IS the runtime.
-          val step = edges
-            .join(labels.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("label", "l"), "doc_b")
-            .select(col("doc_a").as("doc_id"), col("l"))
-            .union(labels.select(col("doc_id"), col("label").as("l")))
-            .groupBy("doc_id").agg(min("l").as("label"))
-            .cache()
-          // convergence via the label-sum invariant: labels only ever
-          // decrease, so the total is strictly monotone until fixpoint —
-          // one scalar agg on the cached frame, no old-vs-new join
-          val s = Option(step.agg(sum("label")).head().get(0))
-            .map(_.asInstanceOf[Long]).getOrElse(0L)
-          converged = s == prevSum
-          prevSum = s
-          if (cachedStep != null) cachedStep.unpersist(blocking = false)
-          rounds += 1
-          if (rounds % checkpointEvery == 0) {
-            // truncate lineage: beyond this point the plan reads the
-            // materialized blocks, not the accumulated join chain
-            labels = step.localCheckpoint(true)
-            step.unpersist(blocking = false)
-            cachedStep = null
-          } else {
-            labels = step
-            cachedStep = step
-          }
-        }
-        // fail loudly rather than silently emit split clusters
-        require(converged,
-          s"label propagation did not converge in $maxRounds rounds")
-        // hand the (tiny) result off a checkpointed frame and release every
-        // cached intermediate — an iterative operator must not leak storage
-        // into the session across invocations
-        val finalLabels = labels.localCheckpoint(true)
-        if (cachedStep != null) cachedStep.unpersist(blocking = false)
-        edges.unpersist(blocking = false)
+        val finalLabels = connectedComponents(pairs)
         finalLabels.groupBy("label")
           .agg(count(lit(1)).as("cluster_size"),
                array_sort(collect_list("doc_id")).as("members"))

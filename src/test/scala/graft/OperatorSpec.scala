@@ -121,6 +121,23 @@ class OperatorSpec extends SparkSuite {
     assert(got.size >= brute.size * 6 / 10, s"recall too low: ${got.size}/${brute.size}")
   }
 
+  test("connectedComponents survives a long-diameter run with bounded lineage") {
+    import spark.implicits._
+    // chain 0—1—…—24 (diameter 24 → ~25 propagation rounds, crossing the
+    // 5-round localCheckpoint boundary repeatedly) plus an isolated pair
+    val chain = (0L until 24L).map(i => (i, i + 1))
+    val pairs = (chain :+ (100L, 101L)).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.connectedComponents(pairs, maxRounds = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 24L).forall(labels(_) == 0L), s"chain split: $labels")
+    assert(labels(100L) == 100L && labels(101L) == 100L)
+    // diverging run must fail loudly, not emit split clusters
+    val err = intercept[IllegalArgumentException] {
+      operators.Dedup.connectedComponents(pairs, maxRounds = 3)
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   test("dedup_exact groups every doc exactly once") {
     val df = run("dedup_exact")
     val total = df.agg(sum("n_copies")).collect().head.getLong(0)
