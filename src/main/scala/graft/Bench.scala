@@ -7,10 +7,13 @@ object Bench {
     * (round-1 bench showed 20× outliers on sub-second plans), and the
     * median is the standard robust estimator that still reflects a true
     * regression after one repeat. */
-  private def timeMedian(reps: Int)(body: => Unit): Double = {
+  private def timeMedian(name: String, reps: Int)(body: => Unit): Double = {
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
+      // a failure must be VISIBLE, not a misleadingly fast timing
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }.sorted
     times(times.length / 2)
@@ -39,7 +42,7 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warmup queries failed on $warmDir")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeMedian(reps) { fn(spark, sfDir).count(): Unit }
+      name -> timeMedian(name, reps) { fn(spark, sfDir).count(): Unit }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -94,7 +94,11 @@ object PipelineOps {
     // One aggregate pass computes null/distinct counts for every profiled
     // column, then stack() unpivots — a 100 TB profile is one scan, not
     // one scan per column (the oracle's UNION ALL shape is the per-column
-    // formulation DuckDB optimizes independently).
+    // formulation DuckDB optimizes independently). Note the multi-distinct
+    // agg plans as an Expand (row ×(n_cols+1) before the shuffle): exact
+    // counts are kept here because the oracle hash-checks them; a 100 TB
+    // profile would swap countDistinct → approx_count_distinct, which
+    // removes the Expand and shuffles one sketch per column instead.
     GraftQuery(
       "profile_lineitem",
       (s, dir) => {
