@@ -178,6 +178,34 @@ object TextAnalysis {
         WHERE rn = 1
         ORDER BY doc_id""")),
 
+    // ---- array/collection function battery over token arrays -------------
+    // Rounds out the scalar surface with the collection functions a text
+    // pipeline leans on (distinct/sort/slice/reverse/contains) — each with
+    // an exact DuckDB list-function mirror.
+    GraftQuery(
+      "collection_funcs",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(array_distinct(toks)).cast(LongType).as("n_distinct_tokens"),
+            concat_ws(" ", array_sort(slice(toks, 1, 3))).as("first3_sorted"),
+            concat_ws(" ", reverse(slice(toks, 1, 3))).as("first3_reversed"),
+            array_contains(toks, "the").as("has_the"),
+            element_at(toks, -1).as("last_token"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+        SELECT doc_id,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               array_to_string(list_sort(toks[1:3]), ' ') AS first3_sorted,
+               array_to_string(list_reverse(toks[1:3]), ' ') AS first3_reversed,
+               list_contains(toks, 'the') AS has_the,
+               toks[-1] AS last_token
+        FROM t
+        ORDER BY doc_id""")),
+
     // ---- document fingerprinting: polynomial rolling hash over tokens ----
     // Token code & modular fold are engine-neutral arithmetic, so the
     // fingerprint is oracle-checkable (unlike xxhash64-based hashing).

@@ -285,6 +285,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window: gap-based sessions close after the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val sessions = mem.toDF()
+      .withWatermark("timestamp", "1 minute")
+      .groupBy(session_window(col("timestamp"), "5 minutes"), col("device_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("device_id"), col("n"))
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_stream").start()
+    try {
+      // two readings 2 min apart merge into one session (gap 5 min)
+      mem.addData(reading("2024-01-01T10:00:00Z", 1.0),
+                  reading("2024-01-01T10:02:00Z", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() == 0) // session still open
+      // a reading far ahead closes it via the watermark
+      mem.addData(reading("2024-01-01T10:30:00Z", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream").collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("n") == 2L)
+      assert(rows.head.getAs[java.sql.Timestamp]("sess_end").toInstant.toString
+        == "2024-01-01T10:07:00Z") // last event + 5-minute gap
+    } finally q.stop()
+  }
+
   test("two concurrent sinks off one source (reference A11-A14 shape)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
