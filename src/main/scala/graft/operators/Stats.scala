@@ -220,6 +220,28 @@ object Stats {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // ---- custom typed Aggregator: bounded top-k ids as an agg function ---
+    // The UDAF surface: graft.functions.TopKIdsAgg is an
+    // Aggregator[IN, BUF, OUT] whose ≤k-element sorted buffer gets partial
+    // aggregation + map-side combine from Catalyst automatically. The
+    // oracle is DuckDB's ordered list aggregate, sliced to k.
+    GraftQuery(
+      "topk_agg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.functions.TopKAgg.topkIds(5)(col("value"), col("event_id"))
+          .as("top5_ids"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               array_to_string(list(event_id ORDER BY value DESC, event_id)[1:5], ',')
+                 AS top5_ids,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ---- fixed-width histogram (the profiling-stage binning shape) -------
     GraftQuery(
       "value_histogram",

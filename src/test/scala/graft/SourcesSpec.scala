@@ -102,6 +102,32 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("reference topology end-to-end over a file landing zone (broker-free A1-A13)") {
+    // raw JSON payload lines (the Kafka value column, via text source) →
+    // decode chain → watermarked 1-min window agg → idempotent parquet sink
+    val dir = Files.createTempDirectory("graft-landing")
+    def line(ts: String, v: Double) =
+      s"""{"device_id":"s1","device_type":"temperature","location":"room1","value":$v,"battery_level":50.0,"timestamp":"$ts"}"""
+    Files.writeString(dir.resolve("b1.jsonl"),
+      line("2024-01-01 10:00:10", 10.0) + "\n" + line("2024-01-01 10:00:50", 30.0) + "\n")
+    val raw = spark.readStream.text(dir.toString) // `value` column, Kafka-shaped
+    val aggs = StreamingPipeline.aggregates(graft.operators.Ingest.decode(raw))
+    val out = Files.createTempDirectory("graft-landing-out").toString
+    val q = StreamingPipeline.aggregateWriter(aggs, s"$out/ckpt",
+      (df, _) => graft.operators.Sinks.idempotentParquet(df, s"$out/data", "window_start"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // a later file advances the watermark and closes the 10:00 window
+      Files.writeString(dir.resolve("b2.jsonl"), line("2024-01-01 10:03:00", 99.0) + "\n")
+      q.processAllAvailable()
+      val res = spark.read.parquet(s"$out/data").collect()
+      assert(res.length == 1)
+      assert(res.head.getAs[Double]("avg_value") == 20.0)
+      assert(res.head.getAs[Long]("reading_count") == 2L)
+    } finally q.stop()
+  }
+
   test("stream-static enrich: dimension broadcast, no streaming state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
