@@ -206,6 +206,52 @@ object TextAnalysis {
         FROM t
         ORDER BY doc_id""")),
 
+    // ---- corpus quality filter: the composed training-data gate ---------
+    // The end-use all the text metrics exist for: keep documents whose
+    // token count, stopword ratio, and average token length pass
+    // thresholds, then report the surviving corpus per language. One scan,
+    // filter fused into it, then a small aggregate — the shape of a
+    // trillion-token cleaning pass.
+    GraftQuery(
+      "corpus_filter",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val stopRatio = size(filter(toks, t => t.isin(stopwords: _*)))
+          .cast(DoubleType) / nTok
+        val avgTokLen = (length(col("text")) - (nTok - lit(1)))
+          .cast(DoubleType) / nTok
+        Tables.documents(s, dir)
+          .filter(nTok.between(5, 5000) &&
+            stopRatio <= 0.5 && avgTokLen.between(2.0, 20.0))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("total_tokens"),
+            // exact integer sum / count, divided once — not a floating avg
+            round(sum(length(col("text")).cast(LongType)).cast(DoubleType)
+              / count(lit(1)), 2).as("avg_chars"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT lang, text,
+                 len(string_split(text, ' ')) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ($sqlStops))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio,
+                 CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_tok_len
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               sum(n_tok) AS total_tokens,
+               round(CAST(sum(length(text)) AS DOUBLE) / count(*), 2) AS avg_chars
+        FROM m
+        WHERE n_tok BETWEEN 5 AND 5000
+          AND stop_ratio <= 0.5
+          AND avg_tok_len BETWEEN 2.0 AND 20.0
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // ---- document fingerprinting: polynomial rolling hash over tokens ----
     // Token code & modular fold are engine-neutral arithmetic, so the
     // fingerprint is oracle-checkable (unlike xxhash64-based hashing).
