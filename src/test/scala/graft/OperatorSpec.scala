@@ -19,7 +19,10 @@ class OperatorSpec extends SparkSuite {
     spark.sparkContext.addSparkListener(l)
     try {
       SparkEntry.all.filterNot(_.name == "dedup_clusters")
-        .foreach(q => q.plan(spark, sf))
+        // force full physical planning, not just logical construction —
+        // catches planning-time failures for every registered query, and
+        // proves planning itself schedules nothing (AQE stays lazy)
+        .foreach(q => q.plan(spark, sf).queryExecution.executedPlan)
       // sentinel job: once its JobStart is delivered, any job started by the
       // plan builders above would have been delivered too (bus is ordered).
       // Raw RDD action — an SQL count() under AQE submits one job per query

@@ -312,6 +312,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed agg runs on the RocksDB state store backend") {
+    // the production state backend at scale: state spills to local disk
+    // instead of living on the JVM heap, so streaming state is bounded by
+    // disk, not memory. Same plan, same results — only the backend differs.
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Reading]
+    val q = StreamingPipeline.aggregates(mem.toDF(), "1 minute", "1 minute")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rocksdb_agg").start()
+    try {
+      mem.addData(reading("2024-01-01T10:00:10Z", 10.0),
+                  reading("2024-01-01T10:00:50Z", 30.0))
+      q.processAllAvailable()
+      mem.addData(reading("2024-01-01T10:03:00Z", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("rocksdb_agg").collect()
+      assert(rows.length == 1 && rows.head.getAs[Double]("avg_value") == 20.0)
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("two concurrent sinks off one source (reference A11-A14 shape)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
