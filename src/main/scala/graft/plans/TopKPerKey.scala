@@ -133,8 +133,9 @@ object TopK {
   }
 }
 
-/** SparkSessionExtensions entry point: registers the TopK planner strategy
-  * and the graft SQL functions at session build time —
+/** SparkSessionExtensions entry point: registers the TopK planner strategy,
+  * the [[TopKRewrite]] optimizer rule (window-top-k auto-rewrite), and the
+  * graft SQL functions at session build time —
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

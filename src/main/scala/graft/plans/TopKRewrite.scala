@@ -22,22 +22,28 @@ import org.apache.spark.sql.types.IntegerType
   * both formulations — row_number over a non-total order was never
   * deterministic).
   *
-  * Applies only when the Window computes a single row_number expression and
-  * the filter is a sole conjunct on it (`rn <= k`, `rn < k`, `rn = 1`, or
-  * the mirrored `k >= rn`) — the shapes where the rewrite is provably
-  * semantics-preserving. Registered via [[GraftExtensions]]
-  * (injectOptimizerRule), so any session built `withExtensions` optimizes
-  * user-written window top-ks automatically.
+  * Applies when the Window computes a single row_number expression and ANY
+  * conjunct of the filter bounds it from above (`rn <= k`, `rn < k`,
+  * `rn = k`, or the mirrored forms). The other conjuncts stay valid
+  * because row_number recomputed over the retained top-k rows EQUALS the
+  * original row_number for exactly those rows (they are the first k in the
+  * window order), so every predicate on `rn` sees unchanged values.
+  * Registered via [[GraftExtensions]] (injectOptimizerRule), so any
+  * session built `withExtensions` optimizes user-written window top-ks
+  * automatically.
   */
-object TopKRewrite extends Rule[LogicalPlan] {
+object TopKRewrite extends Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private def limitOf(cond: Expression, rnId: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
       if a.exprId == rnId => Some(k)
     case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
       if a.exprId == rnId => Some(k - 1)
-    case EqualTo(a: AttributeReference, Literal(1, IntegerType))
-      if a.exprId == rnId => Some(1)
+    case EqualTo(a: AttributeReference, Literal(k: Int, IntegerType))
+      if a.exprId == rnId => Some(k)
+    case EqualTo(Literal(k: Int, IntegerType), a: AttributeReference)
+      if a.exprId == rnId => Some(k)
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
       if a.exprId == rnId => Some(k)
     case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)
@@ -50,7 +56,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
         w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
           partSpec, orderSpec, child, _))
         if !child.isInstanceOf[TopKPerKey] => // idempotent under fixed point
-      limitOf(cond, alias.exprId) match {
+      // the tightest upper bound on rn across all conjuncts wins; the full
+      // filter is left in place untouched
+      val bounds = splitConjunctivePredicates(cond)
+        .flatMap(limitOf(_, alias.exprId))
+      bounds.reduceOption(_ min _) match {
         case Some(k) if k > 0 =>
           f.copy(child = w.copy(child = TopKPerKey(partSpec, orderSpec, k, child)))
         case _ => f

@@ -62,6 +62,24 @@ class ExtensionsSpec extends SparkSuite {
       val expected = topk(orig).collect().map(_.toSeq).toSeq
       assert(!topk(orig).queryExecution.executedPlan.toString.contains("TopKPerKey"))
       assert(rewritten.collect().map(_.toSeq).toSeq == expected)
+
+      // conjunctive filter: the rn bound is one conjunct among others, and
+      // an equality selects an exact rank — recomputed ranks must agree
+      def shaped(s: SparkSession, pred: org.apache.spark.sql.Column) = {
+        import s.implicits._
+        val df = (1 to 200).map(i => (i % 7, i, (i * 37) % 101)).toDF("k", "id", "v")
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy(col("v").desc, col("id"))))
+          .filter(pred).orderBy("k", "rn", "id")
+      }
+      val conj = shaped(s2, col("rn") <= 4 && col("v") % 2 === 1)
+      assert(conj.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(conj.collect().map(_.toSeq).toSeq ==
+        shaped(orig, col("rn") <= 4 && col("v") % 2 === 1).collect().map(_.toSeq).toSeq)
+      val eq = shaped(s2, col("rn") === 3)
+      assert(eq.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(eq.collect().map(_.toSeq).toSeq ==
+        shaped(orig, col("rn") === 3).collect().map(_.toSeq).toSeq)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
