@@ -34,4 +34,26 @@ object Sinks {
   def jdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties): Unit =
     df.write.mode("append").jdbc(url, table, props)
+
+  /** Size-bounded parquet write: the small-files guard. At 100 TB an
+    * uncontrolled write emits one file per shuffle partition — either
+    * thousands of KB-scale files (metadata storms for every downstream
+    * scan) or multi-GB monsters (no scan parallelism). `maxRecordsPerFile`
+    * caps file size from above; `coalesceTo` bounds the file COUNT from
+    * above without a shuffle (coalesce, not repartition — narrowing is
+    * free). Rows stay sorted within partitions by `sortCols` so min/max
+    * row-group statistics stay tight and downstream range filters can skip
+    * row groups. */
+  def sizedParquet(df: DataFrame, path: String, maxRecordsPerFile: Long,
+      coalesceTo: Int = 0, sortCols: Seq[String] = Nil): Unit = {
+    val narrowed = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    val sorted =
+      if (sortCols.nonEmpty)
+        narrowed.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else narrowed
+    sorted.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

@@ -128,6 +128,25 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sizedParquet bounds file size and count and keeps row groups sorted") {
+    val dir = Files.createTempDirectory("graft-sized").toString + "/out"
+    val docs = Tables.documents(spark, sf) // 500 rows
+    graft.operators.Sinks.sizedParquet(docs, dir,
+      maxRecordsPerFile = 100, coalesceTo = 2, sortCols = Seq("doc_id"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // 500 rows / ≤100 per file → ≥5 files; coalesce(2) alone would give 2
+    assert(files.length >= 5, s"expected ≥5 capped files, got ${files.length}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    // every individual file holds a sorted, ≤100-row doc_id run
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.length <= 100 && (ids sameElements ids.sorted))
+    }
+  }
+
   test("stream-static enrich: dimension broadcast, no streaming state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
