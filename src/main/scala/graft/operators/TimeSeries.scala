@@ -52,6 +52,42 @@ object TimeSeries {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // ---- binned range join: time-proximity join as an equi-join ----------
+    // Naive `ON user AND v_ts BETWEEN p_ts - 1h AND p_ts` plans as a
+    // nested-loop/cartesian per key — quadratic per user at scale. The
+    // at-scale formulation bins event time into interval-width buckets
+    // (exact µs arithmetic, no truncation drift), gives each probe row its
+    // two candidate bins, and equi-joins on (user, bin) — a plain hash
+    // shuffle — before the exact range filter. A (probe, build) pair can
+    // match in at most one bin (the build row has exactly one), so no
+    // dedup pass is needed. The oracle is the plain theta join: same
+    // result, the plan is the point.
+    GraftQuery(
+      "range_join_binned",
+      (s, dir) => {
+        val binUs = 3600000000L // 1 hour in microseconds
+        val e = Tables.events(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+          .withColumn("bin", floor(unix_micros(col("v_ts")) / binUs))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+          .withColumn("b", floor(unix_micros(col("p_ts")) / binUs))
+          .withColumn("bin", explode(array(col("b") - 1, col("b"))))
+        p.join(v, Seq("user_id", "bin"))
+          .filter(col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"))
+          .select("p_id", "v_id", "user_id")
+          .orderBy("p_id", "v_id")
+      },
+      Some("""
+        SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        ORDER BY p_id, v_id""")),
+
     // ---- as-of join: each purchase ↔ latest prior view of the same user --
     GraftQuery(
       "asof_join",
