@@ -137,6 +137,22 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events restricted to `ts >= sinceMicros`, with the bound translated
+    * onto the RAW nanos column BEFORE the timestamp conversion. A filter
+    * on the converted column cannot push past the `timestamp_micros(ns
+    * div 1000)` projection, so it scans everything; filtering the raw
+    * INT64 reaches the parquet scan as a pushed filter and skips row
+    * groups by min/max — at 100 TB the difference between reading a time
+    * slice and reading the table. Exact: floor(ns/1000) ≥ T ⟺
+    * ns ≥ 1000·T for integer microsecond bounds. */
+  def eventsSince(spark: SparkSession, dir: String, sinceMicros: Long): DataFrame = {
+    ensureNanosAsLong(spark)
+    spark.read.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet")
+      .filter(col("ts") >= sinceMicros * 1000L)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")

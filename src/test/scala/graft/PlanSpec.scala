@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan quality gates over the registered queries — the scale
+  * disciplines the engine promises, asserted so a regression (a lost
+  * pushdown, an accidental cartesian, a de-broadcast dimension) fails CI
+  * instead of surfacing as a 100 TB incident. */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registered plan contains an unbroadcast cartesian product") {
+    SparkEntry.all.filterNot(_.name == "dedup_clusters").foreach { q =>
+      val plan = q.plan(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct — a cross join lost its broadcast")
+    }
+  }
+
+  test("selective filters reach the parquet scan as pushed filters") {
+    for (name <- Seq("filter_eq", "like_in_between")) {
+      val plan = planOf(name)
+      assert(plan.contains("PushedFilters: [") &&
+        !plan.matches("(?s).*PushedFilters: \\[\\].*"),
+        s"$name scan has no pushed filters")
+    }
+  }
+
+  test("star-schema dimension joins broadcast the dimension side") {
+    assert(planOf("region_rollup").contains("BroadcastHashJoin"))
+    assert(planOf("top_customers").contains("Join")) // big-big: shuffled join is correct
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not sort-all") {
+    assert(planOf("latest_events").contains("TakeOrderedAndProject"))
+  }
+
+  test("literal time bounds push onto the raw events nanos column") {
+    import org.apache.spark.sql.functions._
+    val since = 1700000000000000L // any µs literal
+    val df = Tables.eventsSince(spark, sf, since)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,"),
+      s"raw-ns time bound not pushed to the scan:\n$plan")
+    // semantics identical to filtering the converted column
+    val expected = Tables.events(spark, sf)
+      .filter(col("ts") >= timestamp_micros(lit(since))).count()
+    assert(df.count() == expected)
+  }
+
+  test("aggregations keep map-side partial aggregation") {
+    // partial+final pair → two HashAggregates around the exchange
+    val plan = planOf("groupby_count")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "groupby_count lost its partial aggregation")
+  }
+}
