@@ -153,6 +153,34 @@ object RelationalQueries {
               (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 24 HOURS
         ORDER BY event_id""")),
 
+    // ---- B4 production form: LITERAL time slice with raw-column pushdown -
+    // In production the lookback bound is a plan-time literal (the
+    // reference computes NOW() - INTERVAL h HOURS in SQL text), which lets
+    // the bound push to the parquet scan. Tables.eventsSince translates it
+    // onto the RAW nanos column — a predicate on the converted timestamp
+    // cannot push past the projection (PlanSpec asserts the pushed
+    // filter). time_range above keeps the data-relative (reproducible)
+    // variant; this one is the plan you'd run at 100 TB.
+    GraftQuery(
+      "time_slice",
+      (s, dir) => {
+        val since = java.time.Instant.parse("2024-01-24T00:00:00Z")
+          .toEpochMilli * 1000L
+        Tables.eventsSince(s, dir, since)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("ts").as("first_ts"), max("ts").as("last_ts"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               min(CAST(ts AS TIMESTAMP)) AS first_ts,
+               max(CAST(ts AS TIMESTAMP)) AS last_ts
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00'
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ---- B6+B8: global stats (count, min/max ts, app.py:247,269-274) -----
     GraftQuery(
       "global_stats",
