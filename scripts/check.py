@@ -39,6 +39,15 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             n_fail += 1
             continue
+        # driver hash stringifies values, so an int64 vs float64 dtype skew
+        # (e.g. DuckDB HUGEINT sum -> pandas float) is a REAL mismatch even
+        # when values compare numerically equal (burned by corpus_filter r2)
+        dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                  for c in exp.columns if exp[c].dtype.kind != got[c].dtype.kind]
+        if dt_bad:
+            print(f"FAIL {name}: dtype skew {dt_bad}")
+            n_fail += 1
+            continue
         exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
         got = got.sort_values(by=list(got.columns), ignore_index=True)
         bad = []

@@ -26,11 +26,20 @@ case class TopKIdsAgg(k: Int)
 
   override def zero: Buf = Buf(Vector.empty)
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // total order via Double.compare: a plain `>` is false both ways for NaN,
+  // which let a NaN entry bypass the reject branch and grow the buffer past
+  // k (and broke the sorted invariant). Under compare, NaN ranks above every
+  // real value — defined, deterministic, and the buffer stays bounded.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
+  // full-buffer reject unless e is STRICTLY better than the current last:
+  // `better(last, e)` missed the equal-entry case (false both ways), which
+  // also appended past k on duplicate (value, id) inputs
   private def insert(buf: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] = {
-    if (buf.size >= k && better(buf.last, e)) buf
+    if (buf.size >= k && !better(e, buf.last)) buf
     else {
       val i = buf.indexWhere(x => better(e, x))
       val at = if (i < 0) buf.size else i

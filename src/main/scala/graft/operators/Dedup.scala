@@ -239,34 +239,39 @@ object Dedup {
       .select(col("doc_a").as("doc_id"), col("l"))
       .union(lbl.select(col("doc_id"), col("label").as("l")))
       .groupBy("doc_id").agg(min("l").as("label"))
-    while (!converged && rounds < maxRounds) {
-      // exactly ONE hop per materialization: a double-hop halves driver
-      // round-trips but leaves the inner hop unmaterialized, so AQE can't
-      // see its size and falls back from runtime broadcast to sort-merge —
-      // measured 2× SLOWER than materializing every hop. Keep hops atomic.
-      val step = hop(labels).cache()
-      val s = Option(step.agg(sum("label")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      converged = s == prevSum
-      prevSum = s
-      if (cachedStep != null) cachedStep.unpersist(blocking = false)
-      rounds += 1
-      if (rounds % checkpointEvery == 0) {
-        labels = step.localCheckpoint(true)
-        step.unpersist(blocking = false)
-        cachedStep = null
-      } else {
-        labels = step
-        cachedStep = step
+    // try/finally so the non-converged failure path releases storage too —
+    // before, the require() throw left `edges` and the last step pinned in
+    // the session, exactly the leak this method promises to avoid
+    try {
+      while (!converged && rounds < maxRounds) {
+        // exactly ONE hop per materialization: a double-hop halves driver
+        // round-trips but leaves the inner hop unmaterialized, so AQE can't
+        // see its size and falls back from runtime broadcast to sort-merge —
+        // measured 2× SLOWER than materializing every hop. Keep hops atomic.
+        val step = hop(labels).cache()
+        val s = Option(step.agg(sum("label")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        converged = s == prevSum
+        prevSum = s
+        if (cachedStep != null) cachedStep.unpersist(blocking = false)
+        rounds += 1
+        if (rounds % checkpointEvery == 0) {
+          labels = step.localCheckpoint(true)
+          step.unpersist(blocking = false)
+          cachedStep = null
+        } else {
+          labels = step
+          cachedStep = step
+        }
       }
+      // fail loudly rather than silently emit split clusters
+      require(converged,
+        s"label propagation did not converge in $maxRounds rounds")
+      labels.localCheckpoint(true)
+    } finally {
+      if (cachedStep != null) cachedStep.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
     }
-    // fail loudly rather than silently emit split clusters
-    require(converged,
-      s"label propagation did not converge in $maxRounds rounds")
-    val finalLabels = labels.localCheckpoint(true)
-    if (cachedStep != null) cachedStep.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    finalLabels
   }
 
   def queries: Seq[GraftQuery] = Seq(

@@ -22,6 +22,9 @@ object Stats {
 
   private val D = DecimalType(18, 8)
 
+  /** Monotonic suffix for per-call temp view names (SQL-only features). */
+  private[operators] val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- correlation / covariance / stddev from exact moment sums --------
@@ -67,23 +70,27 @@ object Stats {
         ORDER BY l_returnflag""")),
 
     // ---- GROUPING SETS (finer than rollup/cube: explicit set list) -------
-    // SQL surface on purpose — grouping sets are a SQL-level reshape; the
-    // DataFrame API covers them via rollup/cube (registered separately).
+    // Built with the Dataset.groupingSets API (Spark 4) — pure plan
+    // construction, no temp-view catalog mutation (two concurrent builds
+    // against different data dirs used to race on a shared view name).
     // Grouped-out columns are coalesced to a sentinel so ordering is
     // engine-neutral (no NULLS FIRST/LAST divergence).
     GraftQuery(
       "grouping_sets_orders",
       (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
-        s.sql("""
-          SELECT coalesce(o_orderstatus, 'ALL') AS status,
-                 coalesce(o_orderpriority, 'ALL') AS priority,
-                 count(*) AS n,
-                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
-          FROM orders_gs
-          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                  (o_orderstatus), ())
-          ORDER BY status, priority""")
+        val o = Tables.orders(s, dir)
+        o.groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+                Seq(col("o_orderstatus")), Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy("status", "priority")
       },
       Some("""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -96,17 +103,17 @@ object Stats {
         ORDER BY status, priority""")),
 
     // ---- argmin/argmax with a deterministic tiebreak ---------------------
-    // min_by/max_by pick an arbitrary row on ties; the ranking expression
-    // folds the unique event_id into the low bits (value has 2 decimals →
-    // value·1e7 is an exact integer ≤ 1e9, + id stays exactly
-    // representable), so both engines agree on every tie.
+    // min_by/max_by pick an arbitrary row on ties; ranking by a STRUCT
+    // (value, event_id) makes the tiebreak part of the ordering itself —
+    // lexicographic struct comparison is exact in both engines at any
+    // scale, unlike the previous arithmetic fold (value·1e7 + id), whose
+    // id term could outweigh a 0.01 value gap once ids pass 1e5.
+    // max side ties resolve to the LARGEST id, min side to the smallest,
+    // so both picks are total orders.
     GraftQuery(
       "minmax_by",
       (s, dir) => {
-        // round() BEFORE the long cast: Spark's double→long cast truncates
-        // while DuckDB's rounds, and value·1e7 lands ulps away from the
-        // exact integer — round() converges both engines on it
-        val rank = round(col("value") * 10000000).cast(LongType) + col("event_id")
+        val rank = struct(col("value"), col("event_id"))
         Tables.events(s, dir)
           .groupBy("event_type")
           .agg(max_by(col("event_id"), rank).as("max_value_event"),
@@ -116,8 +123,8 @@ object Stats {
       },
       Some("""
         SELECT event_type,
-               arg_max(event_id, CAST(round(value * 10000000) AS BIGINT) + event_id) AS max_value_event,
-               arg_min(event_id, CAST(round(value * 10000000) AS BIGINT) + event_id) AS min_value_event,
+               max(struct_pack(v := value, id := event_id)).id AS max_value_event,
+               min(struct_pack(v := value, id := event_id)).id AS min_value_event,
                count(*) AS n
         FROM events
         GROUP BY event_type
@@ -164,15 +171,22 @@ object Stats {
     GraftQuery(
       "rolling_1h",
       (s, dir) => {
-        Tables.events(s, dir).createOrReplaceTempView("events_roll")
-        s.sql("""
+        // The INTERVAL RANGE frame is SQL-only, so a view is unavoidable —
+        // but the name is unique per call and dropped as soon as the plan
+        // is analyzed (sql() analyzes eagerly, inlining the view), so plan
+        // construction leaves no catalog residue and concurrent builds
+        // against different dirs can't read each other's data.
+        val v = s"events_roll_${Stats.viewSeq.incrementAndGet()}"
+        Tables.events(s, dir).createOrReplaceTempView(v)
+        try s.sql(s"""
           SELECT event_id, user_id, ts,
                  count(*) OVER w AS cnt_1h,
                  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_1h
-          FROM events_roll
+          FROM $v
           WINDOW w AS (PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
           ORDER BY event_id""")
+        finally s.catalog.dropTempView(v)
       },
       Some("""
         SELECT event_id, user_id, ts,

@@ -243,7 +243,7 @@ object TextAnalysis {
                    / len(string_split(text, ' ')) AS avg_tok_len
           FROM documents)
         SELECT lang, count(*) AS n_docs,
-               sum(n_tok) AS total_tokens,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                round(CAST(sum(length(text)) AS DOUBLE) / count(*), 2) AS avg_chars
         FROM m
         WHERE n_tok BETWEEN 5 AND 5000

@@ -60,8 +60,12 @@ object TopKRewrite extends Rule[LogicalPlan]
       // filter is left in place untouched
       val bounds = splitConjunctivePredicates(cond)
         .flatMap(limitOf(_, alias.exprId))
+      // partSpec.nonEmpty: a global top-k (empty partitionBy) would build
+      // TopKPerKey(keys=Nil), whose ClusteredDistribution(Nil) is rejected
+      // at planning — and Spark already plans that case optimally via
+      // InferWindowGroupLimit/TakeOrderedAndProject, so leave it alone
       bounds.reduceOption(_ min _) match {
-        case Some(k) if k > 0 =>
+        case Some(k) if k > 0 && partSpec.nonEmpty =>
           f.copy(child = w.copy(child = TopKPerKey(partSpec, orderSpec, k, child)))
         case _ => f
       }

@@ -127,4 +127,25 @@ class ComponentSpec extends SparkSuite {
     val aggs = operators.WindowAgg.sensorAggregates(df, watermark = None)
     assert(aggs.agg(sum("reading_count")).collect().head.getLong(0) == 500)
   }
+
+  test("TopKIdsAgg: buffer stays bounded and sorted under NaN inputs") {
+    // regression: `>` is false both ways for NaN, which let a NaN entry
+    // bypass the full-buffer reject branch and append past k. Under the
+    // Double.compare total order NaN ranks above every real value, the
+    // buffer never exceeds k, and output is deterministic.
+    val agg = functions.TopKIdsAgg(3)
+    val nan = Double.NaN
+    var buf = agg.zero
+    Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (nan, 4L), (nan, 5L), (2.5, 6L))
+      .foreach { case (v, id) => buf = agg.reduce(buf, functions.TopKAgg.In(v, id)) }
+    assert(buf.entries.size <= 3, s"buffer grew past k: ${buf.entries}")
+    // NaN sorts first (total order), then 3.0 — and merge keeps the bound
+    assert(agg.finish(buf) == "4,5,3")
+    // merging a buffer with itself models duplicate rows across partitions:
+    // duplicates legitimately occupy slots (list-with-duplicates semantics,
+    // same as the DuckDB oracle's list(...)[1:k]) but the bound must hold
+    val merged = agg.merge(buf, buf)
+    assert(merged.entries.size <= 3)
+    assert(agg.finish(merged) == "4,4,5")
+  }
 }

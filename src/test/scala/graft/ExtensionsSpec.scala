@@ -80,6 +80,23 @@ class ExtensionsSpec extends SparkSuite {
       assert(eq.queryExecution.executedPlan.toString.contains("TopKPerKey"))
       assert(eq.collect().map(_.toSeq).toSeq ==
         shaped(orig, col("rn") === 3).collect().map(_.toSeq).toSeq)
+
+      // GLOBAL top-k (empty partitionBy): the rule must NOT fire —
+      // TopKPerKey(keys=Nil) fails ClusteredDistribution's non-empty
+      // require at planning, and Spark already plans this idiom optimally.
+      // Regression: this previously crashed any extensions-built session.
+      def globalTopk(s: SparkSession) = {
+        import s.implicits._
+        val df = (1 to 200).map(i => (i, (i * 37) % 101)).toDF("id", "v")
+        df.withColumn("rn", row_number().over(
+            Window.orderBy(col("v").desc, col("id"))))
+          .filter(col("rn") <= 5).orderBy("rn")
+      }
+      val g = globalTopk(s2)
+      assert(!g.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "rewrite must leave global (unpartitioned) top-k to Spark")
+      assert(g.collect().map(_.toSeq).toSeq ==
+        globalTopk(orig).collect().map(_.toSeq).toSeq)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
