@@ -23,6 +23,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // iteration aid: comma-separated query names to bench (default: all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,20 +36,28 @@ object Bench {
     // startup once instead of inside the first timed query. Isolated
     // per query — one failure must not leave the rest unwarmed.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    val picked = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     var warmFailures = 0
-    SparkEntry.queries.values.foreach { fn =>
+    picked.values.foreach { fn =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => warmFailures += 1 }
     }
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warmup queries failed on $warmDir")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       name -> timeMedian(name, reps) { fn(spark, sfDir).count(): Unit }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: full-precision doubles pushed the line past the
+    // harness's tail buffer (round 2 recorded parsed:null), and sub-ms
+    // digits are pure noise at these scales anyway. math.rint keeps the
+    // printed form locale-independent and shortest ("0.384", not
+    // "0.38400000000000001").
+    def ms3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

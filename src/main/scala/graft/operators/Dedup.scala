@@ -219,13 +219,31 @@ object Dedup {
     * cached intermediate is released before returning — an iterative
     * operator must not leak storage into the session across invocations.
     *
-    * This method RUNS Spark jobs (per-round convergence checks) — the one
-    * documented deviation from the GraftQuery pure-plan contract. */
+    * Hybrid execution: near-dup edge sets are orders of magnitude smaller
+    * than the corpus (they survive LSH banding / the hot-gram cap / a
+    * similarity threshold), so when the edge count is at most
+    * `smallGraphEdgeLimit` the components are computed by a SINGLE-task
+    * union-find over the edge list (`mapPartitions` on `coalesce(1)` —
+    * executor-side, never a driver collect): one job instead of one
+    * shuffle + one convergence action per diameter hop. 10M undirected
+    * edges is ~160 MB of longs in an unboxed LongMap — comfortable for
+    * one executor task. Past the threshold the iterative min-label loop
+    * below takes over; both paths emit the identical (doc_id, label =
+    * min reachable doc_id) labeling, asserted equal in OperatorSpec.
+    *
+    * This method RUNS Spark jobs (edge count + per-round convergence
+    * checks) — the one documented deviation from the GraftQuery
+    * pure-plan contract. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      smallGraphEdgeLimit: Long = 10L * 1000 * 1000): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
+    if (edges.count() <= smallGraphEdgeLimit) {
+      try return smallGraphComponents(edges)
+      finally edges.unpersist(blocking = false)
+    }
     val members = edges.select(col("doc_a").as("doc_id")).distinct()
     var labels = members.withColumn("label", col("doc_id"))
     var cachedStep: DataFrame = null
@@ -272,6 +290,43 @@ object Dedup {
       if (cachedStep != null) cachedStep.unpersist(blocking = false)
       edges.unpersist(blocking = false)
     }
+  }
+
+  /** Union-find over a one-task edge list: union-by-min keeps each tree's
+    * root at the component's minimum doc_id, so `find` IS the label. Path
+    * compression keeps it near-linear. localCheckpoint(eager) materializes
+    * the labels so the caller can release the edge cache immediately. */
+  private def smallGraphComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("doc_a").cast("long").as("_1"),
+        col("doc_b").cast("long").as("_2"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        // snapshot keys before the final find pass: compression rewrites
+        // values, and mutating a LongMap mid-iteration is undefined
+        val nodes = parent.keys.toArray
+        nodes.iterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "label")
+      .localCheckpoint(true)
   }
 
   def queries: Seq[GraftQuery] = Seq(

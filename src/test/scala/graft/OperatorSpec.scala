@@ -130,15 +130,23 @@ class OperatorSpec extends SparkSuite {
     // 5-round localCheckpoint boundary repeatedly) plus an isolated pair
     val chain = (0L until 24L).map(i => (i, i + 1))
     val pairs = (chain :+ (100L, 101L)).toDF("doc_a", "doc_b")
-    val labels = operators.Dedup.connectedComponents(pairs, maxRounds = 60)
+    // smallGraphEdgeLimit = 0 forces the distributed loop — the default
+    // would route a 25-edge graph to the single-task union-find path
+    val labels = operators.Dedup.connectedComponents(pairs, maxRounds = 60,
+        smallGraphEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 24L).forall(labels(_) == 0L), s"chain split: $labels")
     assert(labels(100L) == 100L && labels(101L) == 100L)
     // diverging run must fail loudly, not emit split clusters
     val err = intercept[IllegalArgumentException] {
-      operators.Dedup.connectedComponents(pairs, maxRounds = 3)
+      operators.Dedup.connectedComponents(pairs, maxRounds = 3,
+        smallGraphEdgeLimit = 0)
     }
     assert(err.getMessage.contains("did not converge"))
+    // the small-graph union-find path must emit the identical labeling
+    val fast = operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == labels, s"fast path diverged: $fast vs $labels")
   }
 
   test("dedup_exact groups every doc exactly once") {
