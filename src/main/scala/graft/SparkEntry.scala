@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.PipelineOps.queries ++
       operators.Stats.queries ++
-      operators.Salting.queries
+      operators.Salting.queries ++
+      operators.Curation.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

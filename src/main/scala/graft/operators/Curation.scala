@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+
+/** Corpus-curation operators: the selection / packing / hygiene passes a
+  * training-data pipeline runs between raw ingestion and tokenization.
+  * The reference has none of these (its values are IoT doubles); they
+  * extend the engine per the north star, alongside the dedup / similarity
+  * / text-analysis families.
+  *
+  * Scale discipline shared by all four:
+  *  - benchmark (eval-set) data is the SMALL side and rides a broadcast;
+  *    the corpus is touched in one scan with partial aggregation;
+  *  - sampling decisions are pure per-row arithmetic on an engine-neutral
+  *    content hash — no RNG state, no driver coordination, reproducible
+  *    across engines (which is also what makes them oracle-checkable);
+  *  - running totals are windowed PER STRATUM (language) so the cumsum
+  *    parallelizes across keys; a single global cumsum would serialize
+  *    into one partition at 100 TB (that variant needs the two-phase
+  *    per-partition-offset trick, noted below, and is deliberately not
+  *    the registered shape).
+  */
+object Curation {
+
+  /** Docs below this id act as the held-out eval benchmark (stand-in for
+    * a real benchmark suite); present at every scale factor. */
+  private val EvalMaxDocId = 25
+
+  /** A train doc is flagged when ≥10% of its trigrams appear in the eval
+    * set — the standard n-gram-overlap decontamination rule. */
+  private val ContaminationThreshold = 0.1
+
+  /** Token budget per training shard. */
+  private val ShardTokenBudget = 2000
+
+  /** Engine-neutral content hash (same polynomial fold as
+    * doc_fingerprint): per-token code from first/last char + length,
+    * folded mod 1e9+7. Deterministic, positive, uniform enough for
+    * percent-bucket sampling. */
+  private def contentHash = expr(
+    """aggregate(
+         transform(split(text, ' '),
+                   t -> CAST(ascii(substring(t, 1, 1)) * 131
+                             + ascii(substring(t, -1, 1))
+                             + length(t) AS BIGINT)),
+         CAST(0 AS BIGINT), (acc, x) -> (acc * 1000003 + x) % 1000000007)""")
+
+  private val sqlContentHash = """
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+            t -> CAST(ascii(substring(t, 1, 1)) * 131
+                      + ascii(substring(t, -1, 1))
+                      + length(t) AS BIGINT))),
+        (acc, x) -> (acc * 1000003 + x) % 1000000007)"""
+
+  /** Shared DuckDB trigram CTE (same shape as the Dedup oracles). */
+  private val sqlShingles = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END grams
+               FROM t)"""
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- benchmark decontamination: eval-set n-gram overlap --------------
+    // The eval set's distinct trigrams are tiny next to the corpus, so
+    // they broadcast; the corpus side is one shingle scan + a partial
+    // count agg keyed by doc. No shuffle ever carries document text —
+    // only (doc_id, gram) pairs that actually hit the eval set.
+    GraftQuery(
+      "decontaminate",
+      (s, dir) => {
+        val sh = Dedup.shingled(Tables.documents(s, dir))
+        val evalGrams = sh.filter(col("doc_id") < EvalMaxDocId)
+          .select(explode(col("grams")).as("gram")).distinct()
+        val train = sh.filter(col("doc_id") >= EvalMaxDocId)
+        val hits = train.select(col("doc_id"), explode(col("grams")).as("gram"))
+          .join(broadcast(evalGrams), "gram")
+          // grams arrays are distinct per doc, so count(*) == distinct hits
+          .groupBy("doc_id").agg(count(lit(1)).as("contaminated_grams"))
+        val contamination = when(col("n_grams") > 0,
+          round(col("contaminated_grams").cast(DoubleType) / col("n_grams"), 4))
+          .otherwise(0.0)
+        train.select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("contaminated_grams",
+            coalesce(col("contaminated_grams"), lit(0L)))
+          .withColumn("contamination", contamination)
+          .withColumn("flagged", col("contamination") >= ContaminationThreshold)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $sqlShingles,
+        ev AS (SELECT DISTINCT unnest(grams) gram FROM sh WHERE doc_id < $EvalMaxDocId),
+        tg AS (SELECT doc_id, unnest(grams) gram FROM sh WHERE doc_id >= $EvalMaxDocId),
+        hits AS (SELECT tg.doc_id, count(*) c FROM tg JOIN ev USING (gram) GROUP BY 1)
+        SELECT s.doc_id,
+               CAST(len(s.grams) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_grams,
+               CASE WHEN len(s.grams) > 0
+                    THEN round(CAST(coalesce(h.c, 0) AS DOUBLE) / len(s.grams), 4)
+                    ELSE 0.0 END AS contamination,
+               CASE WHEN len(s.grams) > 0
+                    THEN round(CAST(coalesce(h.c, 0) AS DOUBLE) / len(s.grams), 4)
+                         >= $ContaminationThreshold
+                    ELSE false END AS flagged
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+        WHERE s.doc_id >= $EvalMaxDocId
+        ORDER BY doc_id""")),
+
+    // ---- stratified sampling by content hash -----------------------------
+    // Per-language keep rates applied via a percent bucket of the content
+    // hash: scan-side arithmetic, embarrassingly parallel, reproducible
+    // run to run and engine to engine (unlike rand()-based sampleBy,
+    // which cannot be oracle-checked and resamples per run). Downsamples
+    // the over-represented language (en) against the rest — the standard
+    // corpus-rebalancing shape.
+    GraftQuery(
+      "stratified_sample",
+      (s, dir) => {
+        val bucket = pmod(contentHash, lit(100L))
+        val rate = when(col("lang") === "en", 20).otherwise(60)
+        Tables.documents(s, dir)
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < rate)
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (SELECT doc_id, lang, $sqlContentHash % 100 AS bucket
+                   FROM documents)
+        SELECT doc_id, lang, bucket
+        FROM b
+        WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+        ORDER BY doc_id""")),
+
+    // ---- shard packing: token-budget assignment via running totals -------
+    // Assigns each doc to a training shard so shards hold ~budget tokens,
+    // via a cumulative token sum windowed per language: each stratum's
+    // cumsum runs independently (parallel across the partition-by keys).
+    // A single GLOBAL pack would order the whole corpus in one window
+    // partition — at scale that variant is a two-phase job (per-partition
+    // partial sums, then a broadcast prefix-offset join), kept out of the
+    // registered query on purpose.
+    GraftQuery(
+      "shard_packing",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          // shard = how many full budgets precede this doc's first token
+          .withColumn("shard_id",
+            expr(s"(cum_tokens - n_tokens) DIV $ShardTokenBudget"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, lang, n_tokens,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               (CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens)
+                 // $ShardTokenBudget AS shard_id
+        FROM (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+        WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY doc_id""")),
+
+    // ---- exact mode per key with deterministic tiebreak ------------------
+    // Most-frequent event_type per user through the TopKPerKey two-phase
+    // heap (partial per-partition heaps → k·keys-row shuffle), not a
+    // window sort — mode is the degenerate k=1 case of the repo's own
+    // top-k operator. Ties break on the lexicographically first type in
+    // both engines.
+    GraftQuery(
+      "mode_per_group",
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        graft.plans.TopK.perKey(counts, Seq("user_id"),
+            Seq(("n", "desc"), ("event_type", "asc")), 1)
+          .select(col("user_id"), col("event_type").as("mode_event_type"),
+            col("n").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (SELECT user_id, event_type, count(*) n
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type AS mode_event_type, n AS n_events
+        FROM (SELECT user_id, event_type, n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type) rn
+              FROM c)
+        WHERE rn = 1
+        ORDER BY user_id"""))
+  )
+}

@@ -43,7 +43,7 @@ object Dedup {
     * cost downstream. Same posture at 100 TB:
     * rebalance before per-row expansion whenever upstream parallelism is
     * below the cluster's. */
-  private def shingled(docs: DataFrame): DataFrame =
+  private[operators] def shingled(docs: DataFrame): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),

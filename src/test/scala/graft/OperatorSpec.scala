@@ -229,4 +229,63 @@ class OperatorSpec extends SparkSuite {
     assert(revs.forall(_ > 0))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("decontaminate: eval docs excluded, ratios bounded, flag honors threshold") {
+    val rows = run("decontaminate").collect()
+    assert(rows.forall(_.getAs[Long]("doc_id") >= 25), "eval docs leaked into output")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("contamination")
+      assert(c >= 0.0 && c <= 1.0, s"contamination out of range: $c")
+      assert(r.getAs[Boolean]("flagged") == (c >= 0.1))
+      assert(r.getAs[Long]("contaminated_grams") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
+  test("stratified_sample: deterministic across runs and strata rates differ") {
+    val a = run("stratified_sample").collect().map(_.getLong(0)).toSeq
+    val b = run("stratified_sample").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash sampling must be run-deterministic")
+    // en is downsampled at 20% vs 60% for the rest: its keep ratio over
+    // the full corpus must come out materially lower
+    val docs = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("stratified_sample")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept("en").toDouble / docs("en")
+    val restRate = (kept - "en").values.sum.toDouble / (docs - "en").values.sum
+    assert(enRate < restRate, s"en $enRate should be sampled below rest $restRate")
+  }
+
+  test("shard_packing: shards within a stratum are contiguous and hold the budget") {
+    val rows = run("shard_packing").collect()
+      .groupBy(_.getAs[String]("lang"))
+    rows.foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      val shards = sorted.map(_.getAs[Long]("shard_id"))
+      assert(shards.zip(shards.tail).forall { case (a, b) => a <= b },
+        s"$lang: shard ids must be monotone in doc order")
+      // a shard's token total can overshoot only by its LAST doc (packing
+      // is first-fit in doc order): preceding docs stay under budget
+      sorted.groupBy(_.getAs[Long]("shard_id")).foreach { case (sid, docs) =>
+        val toks = docs.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("n_tokens"))
+        assert(toks.dropRight(1).sum < 2000,
+          s"$lang shard $sid exceeds budget before its final doc")
+      }
+    }
+  }
+
+  test("mode_per_group matches a groupBy-count argmax recomputation") {
+    val got = run("mode_per_group").collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[String]("mode_event_type"), r.getAs[Long]("n_events")))
+      .toMap
+    val counts = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("count")))
+    val expect = counts.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(t => (t._2, t._3)).minBy { case (t, n) => (-n, t) }
+    }
+    assert(got == expect)
+  }
 }
