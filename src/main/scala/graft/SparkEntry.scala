@@ -21,7 +21,8 @@ object SparkEntry {
       operators.PipelineOps.queries ++
       operators.Stats.queries ++
       operators.Salting.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.JoinPruning.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan quality gates over the registered queries — the scale
   * disciplines the engine promises, asserted so a regression (a lost
   * pushdown, an accidental cartesian, a de-broadcast dimension) fails CI
@@ -53,5 +55,26 @@ class PlanSpec extends SparkSuite {
     val plan = planOf("groupby_count")
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "groupby_count lost its partial aggregation")
+  }
+
+  test("bloom_semi_join probes the bloom ahead of the join and matches the plain semi join") {
+    val plan = planOf("bloom_semi_join")
+    assert(plan.contains("might_contain"),
+      "bloom probe missing from the physical plan")
+    // the probe must appear in a Filter over the lineitem SCAN side, i.e.
+    // before any exchange — that is the entire point of the operator
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(filterIdx >= 0 && joinIdx >= 0)
+    // exact-equivalence: identical to the unpruned semi join
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plain = Tables.lineitem(spark, sf)
+      .join(urgent.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val pruned = operators.JoinPruning.bloomSemiJoin(
+      Tables.lineitem(spark, sf), urgent, "l_orderkey", "o_orderkey")
+    assert(pruned.count() == plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
 }
