@@ -234,6 +234,29 @@ object Stats {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // ---- discrete percentiles (actual data points, no interpolation) -----
+    // percentile_disc picks the first value whose cumulative distribution
+    // reaches p (SQL standard); DuckDB's quantile_disc lands on the same
+    // order statistic for p in (0,1), so the values hash-match exactly —
+    // no rounding needed, unlike the interpolated family.
+    GraftQuery(
+      "percentile_disc",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("p75"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.75) AS p75
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ---- custom typed Aggregator: bounded top-k ids as an agg function ---
     // The UDAF surface: graft.functions.TopKIdsAgg is an
     // Aggregator[IN, BUF, OUT] whose ≤k-element sorted buffer gets partial

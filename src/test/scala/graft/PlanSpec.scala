@@ -57,6 +57,12 @@ class PlanSpec extends SparkSuite {
       "groupby_count lost its partial aggregation")
   }
 
+  test("decontaminate broadcasts the eval-gram side") {
+    val plan = planOf("decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval grams must ride a broadcast, not a shuffle")
+  }
+
   test("bloom_semi_join probes the bloom ahead of the join and matches the plain semi join") {
     val plan = planOf("bloom_semi_join")
     assert(plan.contains("might_contain"),
