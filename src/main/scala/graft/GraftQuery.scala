@@ -6,11 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * @param plan   builds the DataFrame lazily against a scale-factor dir
   *               (`/root/testdata/sfX`); pure logical-plan construction,
-  *               no actions — Catalyst owns physical planning. One
-  *               documented exception: dedup_clusters runs per-round
-  *               convergence actions (iterative connected components) and
-  *               releases every cached intermediate before returning;
-  *               OperatorSpec asserts every other builder is action-free.
+  *               no actions — Catalyst owns physical planning. Documented
+  *               exceptions: dedup_clusters and dedup_keep_list run
+  *               connected-components actions (edge count + convergence
+  *               checks) and release every cached intermediate before
+  *               returning; OperatorSpec asserts every other builder is
+  *               action-free.
   * @param oracle equivalent ANSI SQL runnable by DuckDB over the same
   *               parquet tables (registered under their bare names). None for
   *               operators whose output is not SQL-reproducible across

@@ -329,6 +329,42 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Shared DuckDB CTE chain: capped exact-Jaccard pairs → undirected
+    * edges → recursive min-reachable-id closure → per-doc `labels`.
+    * Prefix for both cluster-shaped oracles (dedup_clusters,
+    * dedup_keep_list) so the two stay definitionally identical. */
+  private def ccLabelsSql: String = s"""
+        WITH RECURSIVE pairs AS (
+          WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+          sh AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                     list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   ELSE [] END grams
+                 FROM t),
+          ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
+          keep AS (SELECT gram FROM ex GROUP BY gram
+                   HAVING count(*) <= $MaxGramDocFreq),
+          exf AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
+          common AS (
+            SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+            FROM exf a JOIN exf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b
+          FROM common
+          JOIN (SELECT doc_id, len(grams) n FROM sh) sa ON doc_a = sa.doc_id
+          JOIN (SELECT doc_id, len(grams) n FROM sh) sb ON doc_b = sb.doc_id
+          WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.5),
+        edges AS (
+          SELECT doc_a, doc_b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, label) AS (
+          SELECT doc_a, doc_a FROM edges
+          UNION
+          SELECT e.doc_a, r.label
+          FROM edges e JOIN reach r ON e.doc_b = r.doc_id),
+        labels AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)"""
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- exact dedup on a content digest ---------------------------------
@@ -456,40 +492,39 @@ object Dedup {
           .orderBy("cluster_id")
       },
       Some(s"""
-        WITH RECURSIVE pairs AS (
-          WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
-          sh AS (SELECT doc_id,
-                   CASE WHEN len(toks) >= 3 THEN
-                     list_distinct(list_transform(range(1, len(toks) - 1),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                   ELSE [] END grams
-                 FROM t),
-          ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
-          keep AS (SELECT gram FROM ex GROUP BY gram
-                   HAVING count(*) <= $MaxGramDocFreq),
-          exf AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
-          common AS (
-            SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
-            FROM exf a JOIN exf b ON a.gram = b.gram AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-          SELECT doc_a, doc_b
-          FROM common
-          JOIN (SELECT doc_id, len(grams) n FROM sh) sa ON doc_a = sa.doc_id
-          JOIN (SELECT doc_id, len(grams) n FROM sh) sb ON doc_b = sb.doc_id
-          WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.5),
-        edges AS (
-          SELECT doc_a, doc_b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-        reach(doc_id, label) AS (
-          SELECT doc_a, doc_a FROM edges
-          UNION
-          SELECT e.doc_a, r.label
-          FROM edges e JOIN reach r ON e.doc_b = r.doc_id)
+        $ccLabelsSql
         SELECT min(label) AS cluster_id, count(*) AS cluster_size,
                string_agg(doc_id, ',' ORDER BY doc_id) AS member_ids
-        FROM (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)
+        FROM labels
         GROUP BY label
         ORDER BY cluster_id""")),
+
+    // ---- dedup keep-list: the decision the pipeline actually ships -------
+    // Every document with its cluster id and whether it survives dedup
+    // (the cluster's min doc_id is the canonical survivor; docs in no
+    // near-dup cluster keep themselves). This is the materialized output
+    // a trillion-token cleaning pass feeds downstream — one left join of
+    // the corpus against the (far smaller) component labels.
+    GraftQuery(
+      "dedup_keep_list",
+      (s, dir) => {
+        val pairs = exactJaccardPairs(s, dir, maxDocFreq = MaxGramDocFreq)
+          .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+        val labels = connectedComponents(pairs)
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+          .withColumn("is_kept", col("cluster_id") === col("doc_id"))
+          .select("doc_id", "cluster_id", "is_kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $ccLabelsSql
+        SELECT d.doc_id,
+               coalesce(l.label, d.doc_id) AS cluster_id,
+               (coalesce(l.label, d.doc_id) = d.doc_id) AS is_kept
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+        ORDER BY doc_id""")),
 
     // ---- SimHash signatures + hamming-close pairs ------------------------
     // Signature: 64-bit SimHash via the codegen'd kernel — one pass per

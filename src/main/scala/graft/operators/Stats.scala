@@ -130,6 +130,34 @@ object Stats {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // ---- CDC-style compaction: latest full row per key -------------------
+    // The upsert-snapshot shape: collapse an event log to the most recent
+    // row per (user, event_type), latest decided by (ts, event_id) struct
+    // order — one map-side-combined hash agg carrying a single struct per
+    // key, not a per-key window sort. At scale this is the compaction pass
+    // a foreachBatch merge sink runs per microbatch.
+    GraftQuery(
+      "latest_by_key",
+      (s, dir) => {
+        val rank = struct(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(max_by(struct(col("event_id"), col("value"), col("ts")), rank)
+            .as("last"))
+          .select(col("user_id"), col("event_type"),
+            col("last.event_id").as("event_id"),
+            col("last.value").as("value"), col("last.ts").as("ts"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+        SELECT user_id, event_type,
+               max(struct_pack(ts := ts, id := event_id, v := value)).id AS event_id,
+               max(struct_pack(ts := ts, id := event_id, v := value)).v AS value,
+               max(struct_pack(ts := ts, id := event_id, v := value)).ts AS ts
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")),
+
     // ---- UNPIVOT / melt (inverse of the pivot reshape) -------------------
     // Wide per-flag aggregate → long (flag, metric, amount) via the typed
     // Dataset.unpivot API. The oracle uses the equivalent UNION ALL

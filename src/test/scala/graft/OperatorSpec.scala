@@ -18,7 +18,8 @@ class OperatorSpec extends SparkSuite {
     }
     spark.sparkContext.addSparkListener(l)
     try {
-      SparkEntry.all.filterNot(_.name == "dedup_clusters")
+      SparkEntry.all
+        .filterNot(q => q.name == "dedup_clusters" || q.name == "dedup_keep_list")
         // force full physical planning, not just logical construction —
         // catches planning-time failures for every registered query, and
         // proves planning itself schedules nothing (AQE stays lazy)

@@ -360,4 +360,30 @@ class StreamingSpec extends SparkSuite {
       assert(aggBatches == 1)   // agg sink sees the closed 10:00 window only
     } finally { aggQ.stop(); rawQ.stop() }
   }
+
+  test("TopKIdsAgg works as a streaming update-mode aggregate (partial merges across batches)") {
+    // the typed Aggregator's buffer must merge correctly when rows arrive
+    // over multiple microbatches — same partial/merge machinery a shuffle
+    // uses, exercised through the streaming state store instead
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val agg = mem.toDF().toDF("k", "v", "id")
+      .groupBy("k")
+      .agg(functions.TopKAgg.topkIds(3)(col("v"), col("id")).as("top3"))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("topk_stream").start()
+    try {
+      mem.addData(("a", 1.0, 1L), ("a", 5.0, 2L), ("b", 9.0, 10L))
+      q.processAllAvailable()
+      mem.addData(("a", 3.0, 3L), ("a", 4.0, 4L), ("a", 2.0, 5L))
+      q.processAllAvailable()
+      // the update sink appends one revision per batch (collect order is
+      // not defined) — check the revision SET: "2,4,3" can only exist if
+      // batch-2 rows merged into batch-1 state (id 2 is a batch-1 row)
+      val byKey = spark.table("topk_stream").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+      assert(byKey("a") == Set("2,1", "2,4,3"), s"got ${byKey("a")}")
+      assert(byKey("b") == Set("10"))
+    } finally q.stop()
+  }
 }
