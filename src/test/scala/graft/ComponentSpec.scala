@@ -128,6 +128,22 @@ class ComponentSpec extends SparkSuite {
     assert(aggs.agg(sum("reading_count")).collect().head.getLong(0) == 500)
   }
 
+  test("Sinks.compactedParquet: upsert keeps the newest row per key, replay-safe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val b1 = Seq(("k1", 1L, "v1"), ("k2", 1L, "v2")).toDF("k", "ver", "payload")
+    val b2 = Seq(("k1", 2L, "v1b"), ("k3", 1L, "v3")).toDF("k", "ver", "payload")
+    operators.Sinks.compactedParquet(b1, dir, Seq("k"), "ver")
+    operators.Sinks.compactedParquet(b2, dir, Seq("k"), "ver")
+    def snapshot() = spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val expect = Set(("k1", 2L, "v1b"), ("k2", 1L, "v2"), ("k3", 1L, "v3"))
+    assert(snapshot() == expect)
+    // replaying the last batch must not change the table (at-least-once safe)
+    operators.Sinks.compactedParquet(b2, dir, Seq("k"), "ver")
+    assert(snapshot() == expect)
+  }
+
   test("TopKIdsAgg: buffer stays bounded and sorted under NaN inputs") {
     // regression: `>` is false both ways for NaN, which let a NaN entry
     // bypass the full-buffer reject branch and append past k. Under the
