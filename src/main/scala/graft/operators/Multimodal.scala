@@ -73,6 +73,36 @@ object Multimodal {
     asMedia(spark, dir).mapPartitions(decodeStub).toDF()
   }
 
+  /** Bytes per pseudo-frame and the keep-1-in-k sampling stride. */
+  val FrameStride = 64
+  val SampleEvery = 4
+
+  /** One sampled frame of a media payload. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, byte_off: Int,
+      frame_len: Int, checksum: Long)
+
+  /** Frame sampling — the video shape: treat the payload as fixed-stride
+    * frames, keep every `SampleEvery`-th, emit per-frame provenance
+    * (offset/length) plus a byte-sum checksum standing in for the decoded
+    * frame. Like [[decodeStub]], the "decode" is deterministic byte
+    * arithmetic (a real build swaps the checksum for a codec call); the
+    * batch shape — per-partition iterator over whole payloads, flatMap to
+    * frame rows — is exactly how a real frame sampler runs, and the
+    * payload never leaves the scan-side task. */
+  def frameSample(rows: Iterator[MediaRecord]): Iterator[FrameSample] =
+    rows.flatMap { r =>
+      val n = r.payload.length
+      val nFrames = (n + FrameStride - 1) / FrameStride
+      Iterator.range(0, nFrames, SampleEvery).map { i =>
+        val off = i * FrameStride
+        val len = math.min(FrameStride, n - off)
+        var s = 0L
+        var j = off
+        while (j < off + len) { s += (r.payload(j) & 0xff); j += 1 }
+        FrameSample(r.doc_id, i, off, len, s)
+      }
+    }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- metadata extraction (oracle-checkable: md5 + byte length) -------
@@ -131,6 +161,39 @@ object Multimodal {
         SELECT doc_id, CAST(n AS BIGINT) AS byte_len, width, height,
                round(CAST(CAST(CAST(s0 AS DOUBLE) / cnt / 255.0 AS FLOAT) AS DOUBLE), 4) AS f0
         FROM f
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- frame sampling over binary payloads (oracle-checked) ------------
+    // The oracle recovers payload bytes from hex pairs (as media_features
+    // does) and recomputes each sampled frame's offset/length/byte-sum.
+    GraftQuery(
+      "frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        asMedia(s, dir).mapPartitions(frameSample).toDF()
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(s"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(text)) h, octet_length(encode(text)) n
+          FROM documents),
+        fr AS (
+          SELECT doc_id, h, n,
+                 unnest(range(0, (n + ${FrameStride - 1}) // $FrameStride,
+                              $SampleEvery)) AS fi
+          FROM hx)
+        SELECT doc_id,
+               CAST(fi AS INT) AS frame_idx,
+               CAST(fi * $FrameStride AS INT) AS byte_off,
+               CAST(least($FrameStride, n - fi * $FrameStride) AS INT) AS frame_len,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   range(fi * $FrameStride + 1,
+                         fi * $FrameStride + least($FrameStride, n - fi * $FrameStride) + 1),
+                   k -> CAST((strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                             + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1 AS BIGINT))),
+                 (a, x) -> a + x) AS checksum
+        FROM fr
+        ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -277,6 +277,26 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("frameSample: stride boundaries, short tails, empty payloads") {
+    import operators.Multimodal.{frameSample, FrameStride, MediaRecord, SampleEvery}
+    def rec(n: Int) = MediaRecord(1L, "x", Array.tabulate(n)(i => (i % 251).toByte))
+    // empty payload → no frames
+    assert(frameSample(Iterator(rec(0))).isEmpty)
+    // payload shorter than one stride → a single short frame
+    val short = frameSample(Iterator(rec(10))).toList
+    assert(short.map(f => (f.frame_idx, f.byte_off, f.frame_len)) == List((0, 0, 10)))
+    assert(short.head.checksum == (0 until 10).map(_ % 251).sum)
+    // exactly k·stride bytes → frames 0 and k sampled, full stride lengths
+    val exact = frameSample(Iterator(rec(FrameStride * (SampleEvery + 1)))).toList
+    assert(exact.map(_.frame_idx) == List(0, SampleEvery))
+    assert(exact.forall(_.frame_len == FrameStride))
+    // one byte past a sampled frame boundary → trailing 1-byte frame kept
+    // only if its index lands on the stride
+    val tail = frameSample(Iterator(rec(FrameStride * SampleEvery * 2 + 1))).toList
+    assert(tail.map(_.frame_idx) == List(0, SampleEvery, SampleEvery * 2))
+    assert(tail.last.frame_len == 1)
+  }
+
   test("mode_per_group matches a groupBy-count argmax recomputation") {
     val got = run("mode_per_group").collect()
       .map(r => r.getAs[Long]("user_id") -> (r.getAs[String]("mode_event_type"), r.getAs[Long]("n_events")))
