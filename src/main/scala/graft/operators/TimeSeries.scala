@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.{GraftQuery, Tables}
 
@@ -138,6 +139,77 @@ object TimeSeries {
                count(*) AS n_events
         FROM s
         GROUP BY user_id, session_id
-        ORDER BY user_id, session_start"""))
+        ORDER BY user_id, session_start""")),
+
+    // ---- funnel analysis: ordered view → click → purchase ----------------
+    // Stage timestamps collapse to one min() per (user, stage) via
+    // conditional aggregation — a single scan + one hash agg per user,
+    // then a second tiny agg over users. The ORDER constraint (each stage
+    // strictly after the previous one's first occurrence) is plain column
+    // arithmetic on the collapsed row — no self-joins, no window sorts,
+    // which is what keeps the funnel one shuffle at any scale.
+    GraftQuery(
+      "funnel_counts",
+      (s, dir) => {
+        def firstTs(t: String) =
+          min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+        val stages = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+        val reachedClick = col("t_view").isNotNull &&
+          col("t_click") > col("t_view")
+        val reachedPurchase = reachedClick && col("t_purchase") > col("t_click")
+        stages.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1).otherwise(0))
+            .cast(LongType).as("stage_view"),
+          sum(when(reachedClick, 1).otherwise(0))
+            .cast(LongType).as("stage_click"),
+          sum(when(reachedPurchase, 1).otherwise(0))
+            .cast(LongType).as("stage_purchase"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id)
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS stage_view,
+               CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                        THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+               CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             AND t_purchase > t_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+        FROM s""")),
+
+    // ---- cohort retention: first-seen day × activity-day offset ----------
+    // cohort = each user's first active day (one agg), joined back against
+    // the user's active days (distinct user-day pairs — the broadcastable
+    // side is the per-user cohort frame), counting distinct users per
+    // (cohort day, day offset). The standard retention triangle, all
+    // equi-shuffles on user_id.
+    GraftQuery(
+      "cohort_retention",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val cohorts = e.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+        e.distinct()
+          .join(cohorts, "user_id")
+          .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_d", "day_offset")
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+        c AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY user_id)
+        SELECT c.cohort_d, date_diff('day', c.cohort_d, e.d) AS day_offset,
+               count(*) AS n_users
+        FROM e JOIN c USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_d, day_offset"""))
   )
 }
