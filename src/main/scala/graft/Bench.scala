@@ -48,16 +48,16 @@ object Bench {
     val results = picked.map { case (name, fn) =>
       name -> timeMedian(name, reps) { fn(spark, sfDir).count(): Unit }
     }
-    // ms precision: full-precision doubles pushed the line past the
-    // harness's tail buffer (round 2 recorded parsed:null), and sub-ms
-    // digits are pure noise at these scales anyway. math.rint keeps the
-    // printed form locale-independent and shortest ("0.384", not
-    // "0.38400000000000001").
-    def ms3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
+    // Compact timings: full-precision doubles pushed the line past the
+    // harness's 2000-char tail buffer (round 2 recorded parsed:null).
+    // Per-query 10ms granularity keeps ~80 queries near 1.7kB; the total
+    // keeps ms precision. math.rint keeps the printed form
+    // locale-independent and shortest ("0.38", not "0.3800000...").
+    def r(v: Double, s: Double): Double = math.rint(v * s) / s
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v, 100) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
