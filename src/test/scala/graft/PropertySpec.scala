@@ -77,4 +77,38 @@ class PropertySpec extends SparkSuite {
     // same multiset of tokens, different order → different fingerprints
     assert(fps.length == 2 && fps(0) != fps(1))
   }
+
+  test("TopKIdsAgg equals naive sorted top-k under random NaN/duplicate inputs and any merge split") {
+    // the buffer had two real bugs (NaN comparisons, duplicate entries at
+    // a full buffer) — fuzz it against the obvious specification: sort by
+    // (value desc under Double.compare total order, id asc), take k
+    val valGen = Gen.frequency(
+      (8, Gen.choose(-100.0, 100.0).map(v => math.rint(v * 10) / 10)), // coarse → collisions
+      (1, Gen.const(Double.NaN)),
+      (1, Gen.oneOf(0.0, -0.0, 1.0)))
+    for (s <- 1 to 30) {
+      val k = 1 + (s % 5)
+      val rows = sample(Gen.listOfN(40, Gen.zip(valGen, Gen.choose(0L, 19L))), 1000 + s)
+      val agg = functions.TopKIdsAgg(k)
+      val expected = rows
+        .sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._1, b._1)
+          c > 0 || (c == 0 && a._2 < b._2)
+        }
+        .take(k).map(_._2).mkString(",")
+      // single-buffer reduce
+      val reduced = rows.foldLeft(agg.zero)((b, r) =>
+        agg.reduce(b, functions.TopKAgg.In(r._1, r._2)))
+      assert(reduced.entries.size <= k)
+      assert(agg.finish(reduced) == expected, s"seed $s reduce-only")
+      // arbitrary split + merge must agree (partial-aggregation contract)
+      val cut = sample(Gen.choose(0, rows.length), 2000 + s)
+      val (l, r) = rows.splitAt(cut)
+      def buf(xs: List[(Double, Long)]) =
+        xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, functions.TopKAgg.In(x._1, x._2)))
+      val merged = agg.merge(buf(l), buf(r))
+      assert(merged.entries.size <= k)
+      assert(agg.finish(merged) == expected, s"seed $s split=$cut merge")
+    }
+  }
 }
