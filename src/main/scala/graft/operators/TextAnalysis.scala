@@ -252,6 +252,53 @@ object TextAnalysis {
         GROUP BY lang
         ORDER BY lang""")),
 
+    // ---- bigram LM quality score (statistical, not heuristic) ------------
+    // A unigram/ratio heuristic misses fluency; the standard cheap upgrade
+    // is an in-corpus bigram language model: corpus bigram counts in one
+    // hash agg, then each doc scored by the mean log-probability of its
+    // bigrams. Two shuffles total (count by bigram, score by doc) — the
+    // join carries (doc_id, bigram) pairs, never text. Each ln() is
+    // rounded to 6 decimals and summed as an exact DECIMAL so the mean is
+    // accumulation-order-independent (float sums of 50+ logs would differ
+    // between engines); docs under 2 tokens have no bigrams and drop out.
+    GraftQuery(
+      "bigram_logprob",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val biArr = expr(
+          """CASE WHEN size(split(text, ' ')) >= 2 THEN
+               transform(sequence(1, size(split(text, ' ')) - 1),
+                 i -> concat(element_at(split(text, ' '), i), ' ',
+                             element_at(split(text, ' '), i + 1)))
+             ELSE array() END""")
+        val bi = docs.select(col("doc_id"), explode(biArr).as("bigram"))
+        val counts = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        val total = bi.agg(count(lit(1)).cast(DoubleType).as("n_total"))
+        bi.join(counts, "bigram")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(round(log(col("cnt") / col("n_total")), 6)
+                .cast(DecimalType(28, 6))).cast(DoubleType) / count(lit(1)), 4)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        bi AS (SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END) AS bigram
+               FROM t),
+        c AS (SELECT bigram, count(*) cnt FROM bi GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) n_total FROM bi)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(round(ln(cnt / n.n_total), 6) AS DECIMAL(28,6)))
+                          AS DOUBLE) / count(*), 4) AS avg_logprob
+        FROM bi JOIN c USING (bigram) CROSS JOIN n
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ---- document fingerprinting: polynomial rolling hash over tokens ----
     // Token code & modular fold are engine-neutral arithmetic, so the
     // fingerprint is oracle-checkable (unlike xxhash64-based hashing).
