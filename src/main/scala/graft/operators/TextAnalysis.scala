@@ -265,13 +265,18 @@ object TextAnalysis {
       "bigram_logprob",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val biArr = expr(
-          """CASE WHEN size(split(text, ' ')) >= 2 THEN
-               transform(sequence(1, size(split(text, ' ')) - 1),
-                 i -> concat(element_at(split(text, ' '), i), ' ',
-                             element_at(split(text, ' '), i + 1)))
-             ELSE array() END""")
-        val bi = docs.select(col("doc_id"), explode(biArr).as("bigram"))
+        // bind the token array ONCE per row: element_at(split(...), i)
+        // inside the transform would re-split the text per element
+        // (O(tokens²) per doc — measured 5× slower); a separate projection
+        // survives CollapseProject because the non-cheap split is
+        // referenced many times downstream
+        val bi = docs
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 2 THEN
+                 transform(sequence(1, size(toks) - 1),
+                   i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+               ELSE array() END""")).as("bigram"))
         val counts = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
         val total = bi.agg(count(lit(1)).cast(DoubleType).as("n_total"))
         bi.join(counts, "bigram")
