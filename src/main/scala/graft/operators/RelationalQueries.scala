@@ -545,20 +545,27 @@ object RelationalQueries {
     GraftQuery(
       "sql_over_view",
       (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
-        Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
-        Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
-        s.sql("""
+        // unique per-call view names, dropped once sql() has analyzed the
+        // plan (views inline at analysis): same catalog-hygiene fix as
+        // Stats.rolling_1h — two concurrent builds against different dirs
+        // must not read each other's tables
+        val id = Stats.viewSeq.incrementAndGet()
+        val (vo, vc, vn) = (s"graft_orders_$id", s"graft_customer_$id", s"graft_nation_$id")
+        Tables.orders(s, dir).createOrReplaceTempView(vo)
+        Tables.customer(s, dir).createOrReplaceTempView(vc)
+        Tables.nation(s, dir).createOrReplaceTempView(vn)
+        try s.sql(s"""
           SELECT n.n_name AS nation,
                  count(*) AS n_orders,
                  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                    AS total_price
-          FROM graft_orders o
-          JOIN graft_customer c ON o.o_custkey = c.c_custkey
-          JOIN graft_nation n ON c.c_nationkey = n.n_nationkey
+          FROM $vo o
+          JOIN $vc c ON o.o_custkey = c.c_custkey
+          JOIN $vn n ON c.c_nationkey = n.n_nationkey
           WHERE o.o_orderstatus <> 'P'
           GROUP BY n.n_name
           ORDER BY nation""")
+        finally Seq(vo, vc, vn).foreach(s.catalog.dropTempView(_))
       },
       Some("""
         SELECT n_name AS nation, count(*) AS n_orders,
