@@ -128,6 +128,27 @@ class ComponentSpec extends SparkSuite {
     assert(aggs.agg(sum("reading_count")).collect().head.getLong(0) == 500)
   }
 
+  test("SQL-surface builders are race-free under concurrent construction across dirs") {
+    // regression for the fixed-temp-view-name hazard: rolling_1h and
+    // sql_over_view used global view names, so two concurrent builds
+    // against different data dirs could silently read each other's data.
+    // Unique per-call names (dropped post-analysis) must make concurrent
+    // construction agree with sequential results.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val names = Seq("rolling_1h", "sql_over_view", "grouping_sets_orders")
+    val expected = (for { d <- dirs; n <- names }
+      yield (n, d) -> SparkEntry.queries(n)(spark, d).count()).toMap
+    val futs = for { _ <- 1 to 5; d <- dirs; n <- names } yield Future {
+      (n, d, SparkEntry.queries(n)(spark, d).count())
+    }
+    Await.result(Future.sequence(futs), 180.seconds).foreach { case (n, d, c) =>
+      assert(c == expected((n, d)), s"$n against $d diverged under concurrency")
+    }
+  }
+
   test("Sinks.compactedParquet: upsert keeps the newest row per key, replay-safe") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
