@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to LoggedOutput, which prefixes every stdout
+// line with "[info] " — that prefix is why the driver's per-line
+// json.loads never parsed the Bench JSON line (BENCH_r01..r03 all record
+// parsed:null with the line visibly intact in the tail). StdoutOutput
+// pipes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
