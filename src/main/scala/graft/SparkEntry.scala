@@ -24,6 +24,13 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.JoinPruning.queries
 
+  /** Queries whose builder RUNS Spark jobs (connected-components needs
+    * per-round convergence checks) — the documented deviations from the
+    * GraftQuery pure-plan contract. Tests asserting action-free plan
+    * construction exclude exactly this set. */
+  val actionfulQueries: Set[String] =
+    Set("dedup_clusters", "dedup_keep_list", "minhash_clusters")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg
     * (SURVEY.md §2 A7-A10) as a batch plan over the events table. */

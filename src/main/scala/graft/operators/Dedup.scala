@@ -53,12 +53,15 @@ object Dedup {
   private val bands = 4
   private val rowsPerBand = numHashes / bands
 
-  /** DuckDB oracle for [[queries]]' minhash_pairs, generated from the SAME
-    * permutation constants the kernel uses
+  /** Shared DuckDB CTE chain for the MinHash-LSH pipeline (shingles →
+    * signatures → bands → candidate pairs → grams for verification),
+    * generated from the SAME permutation constants the kernel uses
     * ([[graft.functions.VectorKernels.minHashA]]/`minHashB`) — signatures
     * are engine-identical because the base hash is a byte/char polynomial
-    * both engines can compute (ASCII corpus: byte == codepoint). */
-  private def minhashOracleSql: String = {
+    * both engines can compute (ASCII corpus: byte == codepoint). Prefix for
+    * both minhash_pairs and minhash_clusters so the two stay
+    * definitionally identical. */
+  private def minhashCtes: String = {
     import graft.functions.VectorKernels.{MinHashP => P, minHashA, minHashB}
     val sigCols = (0 until numHashes).map(k =>
       s"list_min(list_transform(gh, h -> (${minHashA(k)} * h + ${minHashB(k)}) % $P)) AS s$k")
@@ -68,8 +71,7 @@ object Dedup {
         .mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\n          UNION ALL ")
-    s"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
         sh AS (SELECT doc_id,
                  CASE WHEN len(toks) >= 3 THEN
                    list_distinct(list_transform(range(1, len(toks) - 1),
@@ -93,15 +95,42 @@ object Dedup {
         withg AS (SELECT c.doc_a, c.doc_b, sa.grams ga, sb.grams gb
                   FROM cand c
                   JOIN sh sa ON c.doc_a = sa.doc_id
-                  JOIN sh sb ON c.doc_b = sb.doc_id)
-        SELECT doc_a, doc_b,
-               round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
-                     (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
-        FROM withg
-        WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
-                    (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) >= 0.5
-        ORDER BY doc_a, doc_b"""
+                  JOIN sh sb ON c.doc_b = sb.doc_id),
+        mh_pairs AS (
+          SELECT doc_a, doc_b,
+                 round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                       (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
+          FROM withg
+          WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                      (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) >= 0.5)"""
   }
+
+  private def minhashOracleSql: String = s"""
+        WITH $minhashCtes
+        SELECT doc_a, doc_b, jaccard
+        FROM mh_pairs
+        ORDER BY doc_a, doc_b"""
+
+  /** DuckDB oracle for minhash_clusters: the same MinHash CTE chain, then
+    * the same recursive min-reachable-id closure ccLabelsSql uses — the
+    * at-scale dedup clustering (LSH edges, never the full pair space)
+    * verified end-to-end. */
+  private def minhashClustersOracleSql: String = s"""
+        WITH RECURSIVE $minhashCtes,
+        edges AS (
+          SELECT doc_a, doc_b FROM mh_pairs
+          UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach(doc_id, label) AS (
+          SELECT doc_a, doc_a FROM edges
+          UNION
+          SELECT e.doc_a, r.label
+          FROM edges e JOIN reach r ON e.doc_b = r.doc_id),
+        labels AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)
+        SELECT min(label) AS cluster_id, count(*) AS cluster_size,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS member_ids
+        FROM labels
+        GROUP BY label
+        ORDER BY cluster_id"""
 
   /** Default hot-gram document-frequency cap for the exact-Jaccard path.
     * A shingle shared by d documents contributes d·(d−1)/2 candidate pairs;
@@ -365,6 +394,43 @@ object Dedup {
           FROM edges e JOIN reach r ON e.doc_b = r.doc_id),
         labels AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)"""
 
+  /** MinHash-LSH near-dup pairs ≥ 0.5 verified Jaccard — the shared plan
+    * fragment behind minhash_pairs and minhash_clusters.
+    *
+    * Shingle-less docs are excluded: they have no real near-dups, and
+    * their degenerate all-MaxValue signatures would otherwise collide
+    * into one giant bucket (skew bomb) and emit NaN-Jaccard pairs. The
+    * full signature is computed in one scan-side expression — no explode,
+    * no per-permutation aggregation, no signature shuffle; candidates are
+    * a narrow (id, cell) self-join, then exact Jaccard verifies. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    val sh = shingled(Tables.documents(s, dir)).filter(size(col("grams")) > 0)
+    val sig = sh.withColumn("sig", V.minhashSig(col("grams")))
+    val bandCols = (0 until bands).map { b =>
+      val key = concat_ws(":", (0 until rowsPerBand).map(r =>
+        col("sig").getItem(b * rowsPerBand + r).cast("string")): _*)
+      struct(lit(b).as("band"), key.as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", round(col("common").cast(DoubleType) /
+        (size(col("ga")) + size(col("gb")) - col("common")), 4))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- exact dedup on a content digest ---------------------------------
@@ -426,42 +492,31 @@ object Dedup {
     // ngram_jaccard in OperatorSpec).
     GraftQuery(
       "minhash_pairs",
-      (s, dir) => {
-        import graft.functions.{VectorExpressions => V}
-        // shingle-less docs are excluded: they have no real near-dups, and
-        // their degenerate all-MaxValue signatures would otherwise collide
-        // into one giant bucket (skew bomb) and emit NaN-Jaccard pairs
-        val sh = shingled(Tables.documents(s, dir)).filter(size(col("grams")) > 0)
-        // full signature in one scan-side expression — no explode, no
-        // per-permutation aggregation, no signature shuffle
-        val sig = sh.withColumn("sig", V.minhashSig(col("grams")))
-        val bandCols = (0 until bands).map { b =>
-          val key = concat_ws(":", (0 until rowsPerBand).map(r =>
-            col("sig").getItem(b * rowsPerBand + r).cast("string")): _*)
-          struct(lit(b).as("band"), key.as("bucket"))
-        }
-        val buckets = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-        val cand = buckets.as("x")
-          .join(buckets.as("y"),
-            col("x.band") === col("y.band") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val withGrams = cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
-        withGrams
-          .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
-          .withColumn("jaccard", round(col("common").cast(DoubleType) /
-            (size(col("ga")) + size(col("gb")) - col("common")), 4))
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => minhashPairs(s, dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b"),
       Some(minhashOracleSql)),
+
+    // ---- MinHash-LSH duplicate clusters: the at-scale clustering path ----
+    // dedup_clusters builds its edges from the exact inverted-index
+    // Jaccard — the ground truth, but it still touches every posting list.
+    // This variant is what a 100 TB pass actually ships: edges come ONLY
+    // from LSH band collisions (O(n·bands) shuffle), then the same
+    // connected-components labeling. Builder RUNS jobs (CC convergence),
+    // like the other cluster queries — see SparkEntry.actionfulQueries.
+    GraftQuery(
+      "minhash_clusters",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+        connectedComponents(pairs).groupBy("label")
+          .agg(count(lit(1)).as("cluster_size"),
+               array_sort(collect_list("doc_id")).as("members"))
+          .select(col("label").as("cluster_id"), col("cluster_size"),
+            concat_ws(",", expr("transform(members, x -> CAST(x AS STRING))"))
+              .as("member_ids"))
+          .orderBy("cluster_id")
+      },
+      Some(minhashClustersOracleSql)),
 
     // ---- duplicate clusters: connected components over near-dup pairs ----
     // Iterative min-label propagation over the exact-Jaccard edge set:

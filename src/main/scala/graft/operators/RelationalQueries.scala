@@ -731,6 +731,73 @@ object RelationalQueries {
                true AS approx_within_5pct
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ---- correlated EXISTS / NOT EXISTS subqueries -----------------------
+    // The subquery surface of the SQL front door: Catalyst decorrelates
+    // EXISTS into a left-semi and NOT EXISTS into a left-anti join (both
+    // plain hash shuffles on the correlation key — same plans the
+    // DataFrame semi_join/anti_join queries register), so the declarative
+    // form costs nothing over the hand-built one. Same catalog hygiene as
+    // sql_over_view: unique per-call view names, dropped after analysis.
+    GraftQuery(
+      "exists_subquery",
+      (s, dir) => {
+        val id = Stats.viewSeq.incrementAndGet()
+        val (vc, vo) = (s"graft_customer_ex_$id", s"graft_orders_ex_$id")
+        Tables.customer(s, dir).createOrReplaceTempView(vc)
+        Tables.orders(s, dir).createOrReplaceTempView(vo)
+        try s.sql(s"""
+          SELECT c_custkey, c_name
+          FROM $vc c
+          WHERE EXISTS (SELECT 1 FROM $vo o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 200000)
+            AND NOT EXISTS (SELECT 1 FROM $vo o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+        finally Seq(vc, vo).foreach(s.catalog.dropTempView(_))
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey""")),
+
+    // ---- distribution window functions: cume_dist / nth_value ------------
+    // Rounds out the analytic-window surface (rank/lag/ntile families are
+    // covered elsewhere). cume_dist is computed over the value ordering
+    // alone — peers share a value, so tie order can't leak into the
+    // result; nth_value uses a full-partition frame with a unique
+    // (value, event_id) ordering so "second lowest" is deterministic.
+    GraftQuery(
+      "window_distribution",
+      (s, dir) => {
+        val byValue = Window.partitionBy("event_type").orderBy("value")
+        val full = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            round(cume_dist().over(byValue), 6).as("value_cume_dist"),
+            round(nth_value(col("value"), 2).over(full), 2).as("second_lowest"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, event_type,
+               round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6)
+                 AS value_cume_dist,
+               round(nth_value(value, 2) OVER (
+                 PARTITION BY event_type ORDER BY value, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+                 AS second_lowest
+        FROM events
+        ORDER BY event_id"""))
   )
 }

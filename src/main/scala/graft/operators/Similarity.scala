@@ -272,6 +272,70 @@ object Similarity {
         WHERE rank <= 10
         ORDER BY qid, rank""")),
 
+    // ---- kNN classification: majority label of the cosine top-k ----------
+    // The end-use the similarity stack exists for: label a query vector by
+    // the majority label among its k nearest neighbors. Composes the
+    // brute-force scorer (broadcast query side, scan-side codegen'd dot)
+    // with TopKPerKey — the per-query vote table is ≤ k rows per query, so
+    // the vote/argmax stages cost nothing at any corpus scale. Tiebreak on
+    // (votes desc, label asc) in both engines.
+    GraftQuery(
+      "knn_classify",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm").as("qnorm"), col("label").as("true_label"))
+        val scored = e.crossJoin(broadcast(q.drop("true_label")))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
+          .withColumn("cosr", round(col("cos"), 6))
+        val top = graft.plans.TopK.perKey(
+          scored.select("qid", "vec_id", "label", "cosr"),
+          Seq("qid"), Seq(("cosr", "desc"), ("vec_id", "asc")), 10)
+        val votes = top.groupBy("qid", "label")
+          .agg(count(lit(1)).as("votes"))
+        graft.plans.TopK.perKey(votes, Seq("qid"),
+            Seq(("votes", "desc"), ("label", "asc")), 1)
+          .join(broadcast(q.select("qid", "true_label")), "qid")
+          .select(col("qid"), col("label").as("pred_label"), col("votes"),
+            col("true_label"))
+          .orderBy("qid")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        q AS (SELECT vec_id qid, v qv, norm qnorm, label qlabel
+              FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT qid, vec_id, label,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])),
+                   (acc, x) -> acc + x) / (norm * qnorm) AS cos
+          FROM e CROSS JOIN q
+          WHERE vec_id != qid),
+        ranked AS (
+          SELECT qid, label,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+          FROM scored),
+        votes AS (SELECT qid, label, count(*) votes
+                  FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+        best AS (SELECT qid, label, votes,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY votes DESC, label) rn
+                 FROM votes)
+        SELECT b.qid AS qid, b.label AS pred_label,
+               CAST(b.votes AS BIGINT) AS votes, q.qlabel AS true_label
+        FROM best b JOIN q ON b.qid = q.qid
+        WHERE rn = 1
+        ORDER BY qid""")),
+
     // ---- embedding-cosine near-dup pairs (LSH-bucketed, not all-pairs) ---
     // The dedup-by-embedding shape for a training-data pipeline: candidate
     // pairs come ONLY from shared (table, bucket) LSH cells — never an n²

@@ -304,6 +304,82 @@ object TextAnalysis {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ---- repetition metrics: the Gopher-style degenerate-text signals ----
+    // Quality ratios miss machine-generated loops; the standard signals
+    // are (a) the duplicate-token fraction (1 − distinct/total) and (b) the
+    // fraction of tokens covered by the single most frequent bigram. Both
+    // are per-document: the token stats are scan-side expressions, the top
+    // bigram is a (doc, bigram) hash agg + per-doc max — shuffle keys are
+    // (doc_id, bigram), never text. Token array bound ONCE per row (an
+    // element_at(split(...)) inside the transform re-splits per element).
+    GraftQuery(
+      "repetition_metrics",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val bi = t.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+               transform(sequence(1, size(toks) - 1),
+                 i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+             ELSE array() END""")).as("bg"))
+        val topBigram = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("mc"))
+        t.join(topBigram, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens"),
+            round(lit(1) - size(array_distinct(col("toks"))).cast(DoubleType)
+              / size(col("toks")), 6).as("dup_token_frac"),
+            round((coalesce(col("mc"), lit(0L)) * 2).cast(DoubleType)
+              / size(col("toks")), 6).as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        big AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) bg FROM t),
+        bc AS (SELECT doc_id, bg, count(*) c FROM big GROUP BY 1, 2),
+        mx AS (SELECT doc_id, max(c) mc FROM bc GROUP BY 1)
+        SELECT t.doc_id AS doc_id, len(toks) AS n_tokens,
+               round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                 AS dup_token_frac,
+               round(CAST(coalesce(mx.mc, 0) * 2 AS DOUBLE) / len(toks), 6)
+                 AS top_bigram_frac
+        FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id
+        ORDER BY doc_id""")),
+
+    // ---- PII scrubbing: regex redaction + match accounting ---------------
+    // The compliance pass every training pipeline runs before anything
+    // else: replace numeric identifiers / emails with placeholder tokens
+    // and count what was hit (the counts feed the audit table; documents
+    // with excessive PII density get dropped upstream). Pure scan-side
+    // regexp_replace / regexp_extract_all — codegen'd, no shuffle except
+    // the determinism sort. Patterns are ASCII-literal so Java regex and
+    // DuckDB's RE2 agree. Runs over the raw event props (the untrusted
+    // payload column); the synthetic corpus carries numbers but no emails —
+    // the email count still exercises the pattern in both engines.
+    GraftQuery(
+      "pii_redact",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_replace(col("props"),
+            lit("[0-9]+(\\.[0-9]+)?"), lit("<NUM>")).as("redacted"),
+          size(regexp_extract_all(col("props"),
+            lit("[0-9]+(\\.[0-9]+)?"), lit(0)))
+            .cast(LongType).as("n_numbers"),
+          size(regexp_extract_all(col("props"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+            .cast(LongType).as("n_emails"))
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+               regexp_replace(props, '[0-9]+(\.[0-9]+)?', '<NUM>', 'g') AS redacted,
+               len(regexp_extract_all(props, '[0-9]+(\.[0-9]+)?')) AS n_numbers,
+               len(regexp_extract_all(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+        FROM events
+        ORDER BY event_id""")),
+
     // ---- document fingerprinting: polynomial rolling hash over tokens ----
     // Token code & modular fold are engine-neutral arithmetic, so the
     // fingerprint is oracle-checkable (unlike xxhash64-based hashing).

@@ -185,6 +185,68 @@ object TimeSeries {
                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
         FROM s""")),
 
+    // ---- gap filling: dense hourly grid + forward fill -------------------
+    // The missing-bucket problem every time-series pipeline hits: a
+    // groupBy(hour) silently drops empty hours, so downstream
+    // rolling/join logic sees a ragged axis. The scalable shape: aggregate
+    // per (type, hour) first — ONE shuffle over the data; the dense axis
+    // is generated from a 1-row min/max aggregate (sequence + explode)
+    // cross-joined with the distinct types — both broadcast-sized at any
+    // corpus scale, so densification never touches the big table again.
+    // Missing hours get count 0 and a forward-filled average
+    // (last-observation-carried-forward via last(ignoreNulls) over a
+    // running frame — the window runs over the GRID (types × hours), not
+    // the events). Averages are rounded BEFORE the fill so both engines
+    // carry identical doubles forward.
+    GraftQuery(
+      "gap_fill",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("value"))
+        val buckets = e.groupBy("event_type", "h")
+          .agg(count(lit(1)).as("n"),
+            round(graft.functions.Num.dsum(col("value"), 2)
+              .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)), 4)
+              .as("avg_v"))
+        val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val grid = e.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(buckets, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h").as("hour"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            last(col("avg_v"), ignoreNulls = true).over(w).as("filled_avg"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) h,
+                 count(*) n,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*), 4) avg_v
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) h0,
+                     max(date_trunc('hour', CAST(ts AS TIMESTAMP))) h1
+              FROM events),
+        grid AS (
+          SELECT t.event_type, g.h
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h
+                      FROM r) g),
+        j AS (SELECT grid.event_type, grid.h, coalesce(b.n, 0) AS n_events,
+                     b.avg_v
+              FROM grid LEFT JOIN b
+                ON grid.event_type = b.event_type AND grid.h = b.h)
+        SELECT event_type, h AS hour, n_events,
+               last_value(avg_v IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY h
+                 ROWS UNBOUNDED PRECEDING) AS filled_avg
+        FROM j ORDER BY event_type, hour""")),
+
     // ---- cohort retention: first-seen day × activity-day offset ----------
     // cohort = each user's first active day (one agg), joined back against
     // the user's active days (distinct user-day pairs — the broadcastable

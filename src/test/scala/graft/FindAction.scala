@@ -16,7 +16,7 @@ object FindAction {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
     })
-    SparkEntry.all.filterNot(_.name == "dedup_clusters").foreach { q =>
+    SparkEntry.all.filterNot(q => SparkEntry.actionfulQueries(q.name)).foreach { q =>
       val before = jobs.get()
       q.plan(spark, "/root/testdata/sf0.001")
       Thread.sleep(300)

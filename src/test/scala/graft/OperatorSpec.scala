@@ -19,7 +19,7 @@ class OperatorSpec extends SparkSuite {
     spark.sparkContext.addSparkListener(l)
     try {
       SparkEntry.all
-        .filterNot(q => q.name == "dedup_clusters" || q.name == "dedup_keep_list")
+        .filterNot(q => SparkEntry.actionfulQueries(q.name))
         // force full physical planning, not just logical construction —
         // catches planning-time failures for every registered query, and
         // proves planning itself schedules nothing (AQE stays lazy)
