@@ -63,7 +63,8 @@ object Bench {
     // the line must survive the harness tail buffer (~2000 chars) alongside
     // sbt's trailing [success] line — degrade per-query precision before
     // the query map itself gets truncated
-    val line = Seq(100.0, 10.0).map(render).find(_.length <= 1850)
+    // budget: 2000-char tail − ~80 chars for sbt's trailing [success] line
+    val line = Seq(100.0, 10.0).map(render).find(_.length <= 1900)
       .getOrElse(s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec","sf":"$sfDir"}""")
     println(line)
     spark.stop()

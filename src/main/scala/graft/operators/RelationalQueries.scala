@@ -733,6 +733,49 @@ object RelationalQueries {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // ---- deep join tree: the TPC-H Q5 shape ------------------------------
+    // Six-table join with a non-key equi-condition (customer and supplier
+    // must share a nation). The fact-side chain customer⋈orders⋈lineitem
+    // shuffles on its keys; supplier/nation/region are dimensions and ride
+    // broadcasts, so the region filter prunes the whole tree at the scan.
+    // Catalyst reorders the dimension joins; the plan to check at scale is
+    // "three shuffles, three broadcasts, no cartesian".
+    GraftQuery(
+      "revenue_by_nation",
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 2))
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name").isin("AMERICA", "ASIA") &&
+            col("o_orderstatus") =!= "P")
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(rev).cast(DoubleType), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("nation"))
+      },
+      Some("""
+        SELECT n_name AS nation, count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('AMERICA', 'ASIA') AND o_orderstatus <> 'P'
+        GROUP BY n_name
+        ORDER BY revenue DESC, nation""")),
+
     // ---- correlated EXISTS / NOT EXISTS subqueries -----------------------
     // The subquery surface of the SQL front door: Catalyst decorrelates
     // EXISTS into a left-semi and NOT EXISTS into a left-anti join (both

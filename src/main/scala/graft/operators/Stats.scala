@@ -27,6 +27,50 @@ object Stats {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // ---- z-score anomaly detection from exact moments --------------------
+    // The profiling stage's outlier gate: per-group mean/std from exact
+    // DECIMAL moment sums (order-independent — see the object note), then
+    // each row scored scan-side against its group's broadcast statistics.
+    // Two passes over the data (moments, then scoring) but only ONE
+    // shuffle — the 5-row stats frame rides a broadcast back onto the
+    // scan. DECIMAL(28,8) on the squared term: value² sums grow with
+    // corpus size, and 18 digits would saturate around SF 1.
+    GraftQuery(
+      "zscore_outliers",
+      (s, dir) => {
+        val D28 = DecimalType(28, 8)
+        val v = col("value")
+        val stats = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(v.cast(D28)).cast(DoubleType).as("sx"),
+            sum((v * v).cast(D28)).cast(DoubleType).as("sxx"))
+          .select(col("event_type"), (col("sx") / col("n")).as("mean"),
+            sqrt(col("sxx") / col("n")
+              - (col("sx") / col("n")) * (col("sx") / col("n"))).as("std"))
+        Tables.events(s, dir)
+          .join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mean")) / col("std"))
+          .filter(abs(col("z")) > 3)
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(col("z"), 4).as("zscore"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH s AS (
+          SELECT event_type, count(*) n,
+                 CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) sx,
+                 CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) sxx
+          FROM events GROUP BY 1),
+        st AS (SELECT event_type, sx / n AS mean,
+                      sqrt(sxx / n - (sx / n) * (sx / n)) AS std
+               FROM s)
+        SELECT event_id, e.event_type AS event_type, value,
+               round((value - mean) / std, 4) AS zscore
+        FROM events e JOIN st ON e.event_type = st.event_type
+        WHERE abs((value - mean) / std) > 3
+        ORDER BY event_id""")),
+
     // ---- correlation / covariance / stddev from exact moment sums --------
     GraftQuery(
       "corr_stats",
