@@ -18,6 +18,46 @@ object PipelineOps {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // ---- Z-order (Morton) layout keys + cell locality summary ------------
+    // The multi-dimensional file-layout key ([[graft.functions.ZOrder]]):
+    // interleaving the bits of two filter dimensions gives ONE sort key
+    // whose ordering keeps both dimensions locally clustered, so parquet
+    // min/max row-group stats prune for filters on either. The query
+    // computes the key scan-side (codegen'd integer arithmetic) and
+    // summarizes each coarse Z-cell's bounding box — narrow per-cell
+    // min/max spans on BOTH dimensions are exactly what makes the pruning
+    // work; a production writer would repartitionByRange(zkey) and write.
+    GraftQuery(
+      "zorder_cells",
+      (s, dir) => {
+        val x = col("user_id") % 65536
+        val y = floor(col("value") * 100).cast(LongType) % 65536
+        Tables.events(s, dir)
+          .withColumn("zkey", graft.functions.ZOrder.mortonKey(x, y))
+          .withColumn("xb", x).withColumn("yb", y)
+          .groupBy((col("zkey") / 1048576).cast(LongType).as("zcell"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+            min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+          .orderBy("zcell")
+      },
+      Some {
+        val z = graft.functions.ZOrder.sqlMortonKey(
+          "(user_id % 65536)", "(CAST(floor(value * 100) AS BIGINT) % 65536)")
+        s"""
+        WITH k AS (
+          SELECT $z AS zkey,
+                 user_id % 65536 AS xb,
+                 CAST(floor(value * 100) AS BIGINT) % 65536 AS yb
+          FROM events)
+        SELECT zkey // 1048576 AS zcell, count(*) AS n_rows,
+               min(xb) AS x_min, max(xb) AS x_max,
+               min(yb) AS y_min, max(yb) AS y_max
+        FROM k
+        GROUP BY 1
+        ORDER BY zcell"""
+      }),
+
     // ---- int8 scalar quantization of embeddings --------------------------
     // Per-vector symmetric scale (127/max|x|): the standard memory-4×
     // reduction before ANN serving. Emitted as checksums (exact int sums)

@@ -125,6 +125,83 @@ class OperatorSpec extends SparkSuite {
     assert(got.size >= brute.size * 6 / 10, s"recall too low: ${got.size}/${brute.size}")
   }
 
+  test("minhash_clusters: every clustered doc appears exactly once, labels are member minima") {
+    val rows = run("minhash_clusters").collect()
+    val members = rows.flatMap(_.getAs[String]("member_ids").split(",").map(_.toLong))
+    assert(members.length == members.distinct.length, "a doc appears in two clusters")
+    rows.foreach { r =>
+      val ids = r.getAs[String]("member_ids").split(",").map(_.toLong)
+      assert(r.getAs[Long]("cluster_id") == ids.min, "cluster_id is not the member minimum")
+      assert(r.getAs[Long]("cluster_size") == ids.length)
+    }
+  }
+
+  test("knn_classify: one prediction per query, votes within [1, k]") {
+    val rows = run("knn_classify").collect()
+    assert(rows.map(_.getAs[Long]("qid")).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      val v = r.getAs[Long]("votes"); v >= 1 && v <= 10
+    })
+  }
+
+  test("gap_fill: dense grid (types × hours), event counts preserved") {
+    val rows = run("gap_fill").cache()
+    val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()
+    val hours = rows.agg(countDistinct(col("hour"))).collect().head.getLong(0)
+    assert(rows.count() == nTypes * hours, "grid is ragged")
+    val total = rows.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf).count(), "gap filling changed event counts")
+  }
+
+  test("zscore_outliers: all reported rows exceed the threshold on recomputed stats") {
+    val rows = run("zscore_outliers").collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("zscore")) > 3))
+    // spot-recompute one group's stats naively and agree within rounding
+    val vals = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select("value").collect().map(_.getDouble(0))
+    val mean = vals.sum / vals.length
+    val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+    rows.filter(_.getAs[String]("event_type") == "click").foreach { r =>
+      val z = (r.getAs[Double]("value") - mean) / std
+      assert(math.abs(z - r.getAs[Double]("zscore")) < 1e-2)
+    }
+  }
+
+  test("pii_redact: no digits survive redaction, counts match original density") {
+    val rows = run("pii_redact").collect()
+    assert(rows.forall(r => !r.getAs[String]("redacted").exists(_.isDigit)))
+    assert(rows.forall(_.getAs[Long]("n_numbers") >= 1)) // every props has {"k": N}
+  }
+
+  test("repetition_metrics: fractions within [0,1], degenerate text scores high") {
+    import spark.implicits._
+    val rows = run("repetition_metrics").collect()
+    assert(rows.forall { r =>
+      val d = r.getAs[Double]("dup_token_frac"); val t = r.getAs[Double]("top_bigram_frac")
+      d >= 0 && d <= 1 && t >= 0 && t <= 1
+    })
+    // a pure loop must be flagged: "x y x y ..." has top_bigram_frac ≈ 1
+    val loop = Seq((1L, ("x y " * 50).trim)).toDF("doc_id", "text")
+    val bi = loop.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        (org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+          .array_distinct(col("toks"))).cast("double") /
+          org.apache.spark.sql.functions.size(col("toks"))).as("distinct_frac"))
+      .collect().head
+    assert(bi.getAs[Double]("distinct_frac") < 0.05)
+  }
+
+  test("zorder_cells: per-cell bounding boxes are narrow on both dimensions") {
+    val rows = run("zorder_cells").collect()
+    assert(rows.nonEmpty)
+    // a coarse Z-cell spans ≤ 2^10 in each interleaved dimension by
+    // construction (dropping 20 interleaved bits = 10 per dimension)
+    assert(rows.forall { r =>
+      r.getAs[Long]("x_max") - r.getAs[Long]("x_min") <= 1024 &&
+        r.getAs[Long]("y_max") - r.getAs[Long]("y_min") <= 1024
+    })
+  }
+
   test("connectedComponents survives a long-diameter run with bounded lineage") {
     import spark.implicits._
     // chain 0—1—…—24 (diameter 24 → ~25 propagation rounds, crossing the
