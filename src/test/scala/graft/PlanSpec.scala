@@ -63,6 +63,30 @@ class PlanSpec extends SparkSuite {
       "eval grams must ride a broadcast, not a shuffle")
   }
 
+  test("revenue_by_nation: dimensions broadcast, no cartesian in the six-table tree") {
+    val plan = planOf("revenue_by_nation")
+    assert(!plan.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "supplier/nation/region must ride broadcasts")
+  }
+
+  test("knn_classify ranks through TopKPerKeyExec, not a per-query window sort") {
+    assert(planOf("knn_classify").contains("TopKPerKey"))
+  }
+
+  test("zscore_outliers broadcasts the stats frame back onto the scan") {
+    assert(planOf("zscore_outliers").contains("BroadcastHashJoin"),
+      "per-group stats must ride a broadcast, not shuffle the events")
+  }
+
+  test("gap_fill shuffles the data once: grid joins are broadcast-sized") {
+    val plan = planOf("gap_fill")
+    // the dense grid side (types × hours) must never shuffle the events
+    // table a second time: bounds and buckets meet the grid via broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("bloom_semi_join probes the bloom ahead of the join and matches the plain semi join") {
     val plan = planOf("bloom_semi_join")
     assert(plan.contains("might_contain"),
