@@ -55,17 +55,18 @@ object Bench {
     // locale-independent and shortest ("0.38", not "0.3800000...").
     def r(v: Double, s: Double): Double = math.rint(v * s) / s
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // no "sf" field: the harness wrapper records it already, and every
+    // byte counts against the tail budget below
     def render(scale: Double): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v, scale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec","queries":$qs}"""
     }
-    // the line must survive the harness tail buffer (~2000 chars) alongside
-    // sbt's trailing [success] line — degrade per-query precision before
-    // the query map itself gets truncated
-    // budget: 2000-char tail − ~80 chars for sbt's trailing [success] line
-    val line = Seq(100.0, 10.0).map(render).find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec","sf":"$sfDir"}""")
+    // the line must survive the harness tail buffer (2000 chars) alongside
+    // sbt's trailing "[success] Total time: ..." line (~75 chars) — degrade
+    // per-query precision before the query map itself gets truncated
+    val line = Seq(100.0, 10.0).map(render).find(_.length <= 1920)
+      .getOrElse(s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec"}""")
     println(line)
     spark.stop()
   }

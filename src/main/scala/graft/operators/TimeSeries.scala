@@ -185,6 +185,48 @@ object TimeSeries {
                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
         FROM s""")),
 
+    // ---- time-weighted average over irregular samples --------------------
+    // The aggregate a plain avg() gets WRONG on irregularly-sampled series:
+    // each reading must be weighted by how long it was current
+    // (Σ value·Δt / span — the standard IoT/financial TWA). One window
+    // pass for the next-sample gap (same per-key sort-shuffle every
+    // windowed op pays), then one hash agg. Terms are rounded and summed
+    // as exact DECIMAL so partial-merge order can't leak into the result;
+    // single-sample users have zero span and drop out in both engines.
+    GraftQuery(
+      "time_weighted_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("nxt", lead("us", 1).over(w))
+          .withColumn("term", round(col("value") * (col("nxt") - col("us")), 6))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("term").cast(
+                org.apache.spark.sql.types.DecimalType(38, 6)))
+              .cast(org.apache.spark.sql.types.DoubleType)
+              / (max("us") - min("us")), 6).as("twa"),
+            (max("us") > min("us")).as("_keep"))
+          .filter(col("_keep"))
+          .select("user_id", "n_events", "twa")
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH x AS (SELECT user_id, event_id, value,
+                          epoch_us(CAST(ts AS TIMESTAMP)) us FROM events),
+        g AS (SELECT user_id, value, us,
+                     lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) nxt
+              FROM x),
+        t AS (SELECT user_id, us, round(value * (nxt - us), 6) term FROM g)
+        SELECT user_id, count(*) AS n_events,
+               round(CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
+                     / (max(us) - min(us)), 6) AS twa
+        FROM t GROUP BY user_id
+        HAVING max(us) > min(us)
+        ORDER BY user_id""")),
+
     // ---- gap filling: dense hourly grid + forward fill -------------------
     // The missing-bucket problem every time-series pipeline hits: a
     // groupBy(hour) silently drops empty hours, so downstream
