@@ -158,23 +158,30 @@ object Dedup {
   private def exactJaccardPairs(spark: SparkSession, dir: String,
       maxDocFreq: Long): DataFrame = {
     val sh = shingled(Tables.documents(spark, dir))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // each doc's gram count rides INSIDE the posting entries: joining a
+    // separate sizes frame back onto the pairs (the obvious formulation)
+    // re-derives the whole shingle subtree two more times — a pure plan
+    // has no cache, and the two renamed broadcast subtrees don't
+    // canonicalize to one reusable exchange. Cost: 8 bytes per posting
+    // entry on the one inverted-index shuffle; payoff: zero joins and a
+    // single pass over the corpus.
+    val ex = sh.select(col("doc_id"), size(col("grams")).as("n"),
+      explode(col("grams")).as("gram"))
+    // struct ordering sorts by doc_id first, so pair emission stays a < b
     val postings = ex.groupBy("gram")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")).between(2, maxDocFreq))
     // ordered pairs (a < b) straight out of the sorted posting list; the
     // lambdas run on ≤cap-element arrays, far from any hot loop
-    val common = postings
+    postings
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
              transform(slice(ds, i + 2, size(ds) - i - 1),
-                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+                       y -> struct(x.doc_id AS doc_a, x.n AS na,
+                                   y.doc_id AS doc_b, y.n AS nb))))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
         round(col("common").cast(DoubleType) /
           (col("na") + col("nb") - col("common")), 4))
@@ -603,18 +610,27 @@ object Dedup {
           expr(s"CAST(shiftright(fp, ${c * 16}) & 65535 AS INT)").as(s"c$c")
         }
         val sig = withFp.select(col("doc_id") +: chunks: _*)
+        // the full 4-chunk signature (8 bytes) rides each exploded band
+        // row: joining the signature frame back onto the candidate pairs
+        // would re-derive the whole SimHash subtree twice more (pure plan,
+        // no cache, renamed subtrees don't share an exchange) — the same
+        // zero-join posture as exactJaccardPairs
         val long = sig.select(col("doc_id"),
           explode(array((0 until 4).map(c =>
-            struct(lit(c).as("chunk"), col(s"c$c").as("v"))): _*)).as("p"))
-          .select(col("doc_id"), col("p.chunk").as("chunk"), col("p.v").as("v"))
+            struct(lit(c).as("chunk"), col(s"c$c").as("v"))): _*)).as("p"),
+          col("c0"), col("c1"), col("c2"), col("c3"))
+          .select(col("doc_id"), col("p.chunk").as("chunk"), col("p.v").as("v"),
+            col("c0"), col("c1"), col("c2"), col("c3"))
         val cand = long.as("x").join(long.as("y"),
             col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
             col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.c0").as("a0"), col("x.c1").as("a1"),
+            col("x.c2").as("a2"), col("x.c3").as("a3"),
+            col("y.c0").as("b0"), col("y.c1").as("b1"),
+            col("y.c2").as("b2"), col("y.c3").as("b3"))
           .distinct()
-        val sa = sig.toDF("doc_a", "a0", "a1", "a2", "a3")
-        val sb = sig.toDF("doc_b", "b0", "b1", "b2", "b3")
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+        cand
           .withColumn("hamming",
             (0 until 4).map(c => bit_count(expr(s"a$c ^ b$c"))).reduce(_ + _))
           .filter(col("hamming") <= 6)
