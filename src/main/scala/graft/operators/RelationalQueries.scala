@@ -243,19 +243,33 @@ object RelationalQueries {
         ORDER BY l_returnflag, l_linestatus""")),
 
     // ---- 3-way big-big join: revenue per customer, top 20 ----------------
-    // lineitem⋈orders shuffles on orderkey, then ⋈customer on custkey; AQE
-    // handles skew. Top-k via TakeOrderedAndProject (no global sort).
+    // Eager aggregation (push the agg below the join): lineitem collapses
+    // to one row per orderkey BEFORE joining — the per-order partial agg
+    // shares its orderkey shuffle with the orders join (co-partitioned),
+    // and the custkey shuffle then carries |orders| rows instead of
+    // |lineitem| (4× less here, ~10× on real TPC-H). Exact-decimal sums
+    // reassociate exactly, so the two-level sum is bit-identical to the
+    // flat one. AQE handles skew; top-k via TakeOrderedAndProject (no
+    // global sort).
     GraftQuery(
       "top_customers",
       (s, dir) => {
-        val l = Tables.lineitem(s, dir)
-        val o = Tables.orders(s, dir)
-        val c = Tables.customer(s, dir)
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
+        // key-aligned rebalance before the heavy decimal aggregation: the
+        // testdata ships single-row-group parquet (scan parallelism 1 —
+        // same constraint shingled() documents), and the groupBy reuses
+        // this exact hash partitioning, so it costs no extra exchange. On
+        // a many-split production layout the scan parallelizes naturally
+        // and this line would be dropped in favor of partial-agg-first.
+        val perOrder = Tables.lineitem(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(revenueExpr).as("rev"), count(lit(1)).as("n"))
+        perOrder
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .groupBy("c_custkey", "c_name")
-          .agg(round(sum(revenueExpr).cast(DoubleType), 2).as("revenue"),
-               count(lit(1)).as("n_lineitems"))
+          .agg(round(sum(col("rev")).cast(DoubleType), 2).as("revenue"),
+               sum(col("n")).as("n_lineitems"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
       },

@@ -143,7 +143,10 @@ object TextAnalysis {
         // count(): plan construction stays action-free, and at scale the
         // scalar rides the broadcast exchange instead of a collect
         val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+        // rebalance before the explode — same single-task-scan constraint
+        // as bigram_logprob
         val terms = docs
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = terms.select("doc_id", "term").distinct()
@@ -270,7 +273,11 @@ object TextAnalysis {
         // (O(tokens²) per doc — measured 5× slower); a separate projection
         // survives CollapseProject because the non-cheap split is
         // referenced many times downstream
+        // rebalance before the per-row expansion: single-row-group testdata
+        // scans have parallelism 1 (see Dedup.shingled), and the bigram
+        // explode is the CPU-heavy phase
         val bi = docs
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"), explode(expr(
             """CASE WHEN size(toks) >= 2 THEN
