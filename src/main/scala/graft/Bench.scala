@@ -57,16 +57,24 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // no "sf" field: the harness wrapper records it already, and every
     // byte counts against the tail budget below
-    def render(scale: Double): String = {
+    def render(scale: Double, unit: Boolean): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v, scale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec","queries":$qs}"""
+      val u = if (unit) "\"unit\":\"sec\"," else ""
+      s"""{"metric":"total","value":${r(total, 1000)},$u"queries":$qs}"""
     }
     // the line must survive the harness tail buffer (2000 chars) alongside
     // sbt's trailing "[success] Total time: ..." line (~75 chars) — degrade
-    // per-query precision before the query map itself gets truncated
-    val line = Seq(100.0, 10.0).map(render).find(_.length <= 1920)
-      .getOrElse(s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec"}""")
+    // per-query precision (then the unit field) before the query map itself
+    // gets truncated, and say so: a silent total-only fallback is the
+    // parsed-but-empty regression this ladder exists to prevent
+    val renders = Seq(render(100, unit = true), render(10, unit = true),
+      render(10, unit = false))
+    val line = renders.find(_.length <= 1920).getOrElse {
+      System.err.println(s"[bench] per-query map dropped: shortest render " +
+        s"${renders.last.length} chars exceeds the 1920-char tail budget")
+      s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec"}"""
+    }
     println(line)
     spark.stop()
   }

@@ -30,8 +30,12 @@ object PipelineOps {
     GraftQuery(
       "zorder_cells",
       (s, dir) => {
-        val x = col("user_id") % 65536
-        val y = floor(col("value") * 100).cast(LongType) % 65536
+        // pmod, not %: a negative dimension value (value*100 < 0) under %
+        // keeps its sign in xb/yb while the key's 16-bit mask wraps it to
+        // 65535-ish — far-apart coordinates would silently share a cell
+        // and the bounding boxes (the pruning story) would be meaningless
+        val x = pmod(col("user_id"), lit(65536L))
+        val y = pmod(floor(col("value") * 100).cast(LongType), lit(65536L))
         Tables.events(s, dir)
           .withColumn("zkey", graft.functions.ZOrder.mortonKey(x, y))
           .withColumn("xb", x).withColumn("yb", y)
@@ -42,13 +46,14 @@ object PipelineOps {
           .orderBy("zcell")
       },
       Some {
-        val z = graft.functions.ZOrder.sqlMortonKey(
-          "(user_id % 65536)", "(CAST(floor(value * 100) AS BIGINT) % 65536)")
+        val xs = "(((user_id % 65536) + 65536) % 65536)"
+        val ys = "(((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536)"
+        val z = graft.functions.ZOrder.sqlMortonKey(xs, ys)
         s"""
         WITH k AS (
           SELECT $z AS zkey,
-                 user_id % 65536 AS xb,
-                 CAST(floor(value * 100) AS BIGINT) % 65536 AS yb
+                 $xs AS xb,
+                 $ys AS yb
           FROM events)
         SELECT zkey // 1048576 AS zcell, count(*) AS n_rows,
                min(xb) AS x_min, max(xb) AS x_max,

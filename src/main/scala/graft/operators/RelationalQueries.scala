@@ -757,8 +757,6 @@ object RelationalQueries {
     GraftQuery(
       "revenue_by_nation",
       (s, dir) => {
-        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 2))
         Tables.customer(s, dir)
           .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
           .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
@@ -772,14 +770,14 @@ object RelationalQueries {
           .filter(col("r_name").isin("AMERICA", "ASIA") &&
             col("o_orderstatus") =!= "P")
           .groupBy(col("n_name").as("nation"))
+          // the ONE revenue definition every revenue query shares
           .agg(count(lit(1)).as("n_items"),
-            round(sum(rev).cast(DoubleType), 2).as("revenue"))
+            round(sum(revenueExpr).cast(DoubleType), 2).as("revenue"))
           .orderBy(col("revenue").desc, col("nation"))
       },
-      Some("""
+      Some(s"""
         SELECT n_name AS nation, count(*) AS n_items,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                 AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+               round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey

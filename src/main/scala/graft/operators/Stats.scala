@@ -46,8 +46,15 @@ object Stats {
             sum(v.cast(D28)).cast(DoubleType).as("sx"),
             sum((v * v).cast(D28)).cast(DoubleType).as("sxx"))
           .select(col("event_type"), (col("sx") / col("n")).as("mean"),
-            sqrt(col("sxx") / col("n")
-              - (col("sx") / col("n")) * (col("sx") / col("n"))).as("std"))
+            // clamp: a (near-)constant group's variance can round to a
+            // tiny NEGATIVE double (the per-row DECIMAL cast rounds the
+            // squared term), where Spark's sqrt yields NaN rows but
+            // DuckDB's sqrt ERRORS — and NaN compares > 3 in Spark's
+            // ordering, emitting the whole group. Zero-variance groups
+            // are then dropped: no value is an outlier of a constant.
+            sqrt(greatest(col("sxx") / col("n")
+              - (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0))).as("std"))
+          .filter(col("std") > 0)
         Tables.events(s, dir)
           .join(broadcast(stats), "event_type")
           .withColumn("z", (col("value") - col("mean")) / col("std"))
@@ -63,8 +70,9 @@ object Stats {
                  CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) sxx
           FROM events GROUP BY 1),
         st AS (SELECT event_type, sx / n AS mean,
-                      sqrt(sxx / n - (sx / n) * (sx / n)) AS std
-               FROM s)
+                      sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0)) AS std
+               FROM s
+               WHERE greatest(sxx / n - (sx / n) * (sx / n), 0) > 0)
         SELECT event_id, e.event_type AS event_type, value,
                round((value - mean) / std, 4) AS zscore
         FROM events e JOIN st ON e.event_type = st.event_type

@@ -36,6 +36,32 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "une"),
     "zh" -> Seq("的", "了", "是", "在"))
 
+  /** Per-document repetition signals over any (doc_id, text) frame —
+    * factored out so tests can drive it with degenerate looping text the
+    * corpus doesn't contain. top_bigram_frac is the fraction of tokens
+    * covered by the most frequent bigram, capped at 1: overlapping
+    * occurrences of a single-token run ("x x x x": bigram "x x" × 3)
+    * would otherwise claim 2·count > n tokens. */
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bi = t.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(toks) >= 2 THEN
+           transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+         ELSE array() END""")).as("bg"))
+    val topBigram = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mc"))
+    t.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        round(lit(1) - size(array_distinct(col("toks"))).cast(DoubleType)
+          / size(col("toks")), 6).as("dup_token_frac"),
+        round(least(coalesce(col("mc"), lit(0L)) * 2,
+            size(col("toks")).cast(LongType)).cast(DoubleType)
+          / size(col("toks")), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- token counting (whitespace + BPE-ish pre-tokenizer) -------------
@@ -321,25 +347,7 @@ object TextAnalysis {
     // element_at(split(...)) inside the transform re-splits per element).
     GraftQuery(
       "repetition_metrics",
-      (s, dir) => {
-        val t = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val bi = t.select(col("doc_id"), explode(expr(
-          """CASE WHEN size(toks) >= 2 THEN
-               transform(sequence(1, size(toks) - 1),
-                 i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-             ELSE array() END""")).as("bg"))
-        val topBigram = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max(col("c")).as("mc"))
-        t.join(topBigram, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            size(col("toks")).cast(LongType).as("n_tokens"),
-            round(lit(1) - size(array_distinct(col("toks"))).cast(DoubleType)
-              / size(col("toks")), 6).as("dup_token_frac"),
-            round((coalesce(col("mc"), lit(0L)) * 2).cast(DoubleType)
-              / size(col("toks")), 6).as("top_bigram_frac"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => repetitionMetrics(Tables.documents(s, dir)),
       Some("""
         WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
         big AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
@@ -350,8 +358,8 @@ object TextAnalysis {
         SELECT t.doc_id AS doc_id, len(toks) AS n_tokens,
                round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
                  AS dup_token_frac,
-               round(CAST(coalesce(mx.mc, 0) * 2 AS DOUBLE) / len(toks), 6)
-                 AS top_bigram_frac
+               round(CAST(least(coalesce(mx.mc, 0) * 2, len(toks)) AS DOUBLE)
+                     / len(toks), 6) AS top_bigram_frac
         FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id
         ORDER BY doc_id""")),
 

@@ -248,11 +248,13 @@ object TimeSeries {
             col("value"))
         val buckets = e.groupBy("event_type", "h")
           .agg(count(lit(1)).as("n"),
-            round(graft.functions.Num.dsum(col("value"), 2)
-              .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)), 4)
-              .as("avg_v"))
-        val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-        val grid = e.select("event_type").distinct()
+            graft.functions.Num.davg(col("value")).as("avg_v"))
+        // bounds and the type list derive from the (types × hours)-sized
+        // buckets aggregate, NOT from fresh scans of the events table —
+        // the three identical bucket subtrees collapse to one scan via
+        // exchange reuse, so densification really never rereads the corpus
+        val bounds = buckets.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val grid = buckets.select("event_type").distinct()
           .crossJoin(broadcast(bounds))
           .select(col("event_type"),
             explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
@@ -264,19 +266,16 @@ object TimeSeries {
             last(col("avg_v"), ignoreNulls = true).over(w).as("filled_avg"))
           .orderBy("event_type", "hour")
       },
-      Some("""
+      Some(s"""
         WITH b AS (
           SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) h,
                  count(*) n,
-                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                       / count(*), 4) avg_v
+                 ${graft.functions.Num.sqlDavg("value")} avg_v
           FROM events GROUP BY 1, 2),
-        r AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) h0,
-                     max(date_trunc('hour', CAST(ts AS TIMESTAMP))) h1
-              FROM events),
+        r AS (SELECT min(h) h0, max(h) h1 FROM b),
         grid AS (
           SELECT t.event_type, g.h
-          FROM (SELECT DISTINCT event_type FROM events) t
+          FROM (SELECT DISTINCT event_type FROM b) t
           CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h
                       FROM r) g),
         j AS (SELECT grid.event_type, grid.h, coalesce(b.n, 0) AS n_events,

@@ -173,22 +173,28 @@ class OperatorSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Long]("n_numbers") >= 1)) // every props has {"k": N}
   }
 
-  test("repetition_metrics: fractions within [0,1], degenerate text scores high") {
+  test("repetition_metrics: fractions within [0,1], degenerate loops flagged by the real pipeline") {
     import spark.implicits._
     val rows = run("repetition_metrics").collect()
     assert(rows.forall { r =>
       val d = r.getAs[Double]("dup_token_frac"); val t = r.getAs[Double]("top_bigram_frac")
       d >= 0 && d <= 1 && t >= 0 && t <= 1
     })
-    // a pure loop must be flagged: "x y x y ..." has top_bigram_frac ≈ 1
-    val loop = Seq((1L, ("x y " * 50).trim)).toDF("doc_id", "text")
-    val bi = loop.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        (org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
-          .array_distinct(col("toks"))).cast("double") /
-          org.apache.spark.sql.functions.size(col("toks"))).as("distinct_frac"))
-      .collect().head
-    assert(bi.getAs[Double]("distinct_frac") < 0.05)
+    // drive the REGISTERED pipeline (not a reimplementation) with the
+    // degenerate inputs the corpus lacks: a two-token loop, a single
+    // repeated token (overlapping bigrams — the cap case), normal text
+    val docs = Seq(
+      (1L, ("x y " * 50).trim),      // "x y x y ..." — top bigram covers all
+      (2L, ("x " * 20).trim),        // "x x x ..." — overlapping repeats
+      (3L, "all tokens here differ entirely")
+    ).toDF("doc_id", "text")
+    val m = operators.TextAnalysis.repetitionMetrics(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_token_frac"), r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(m(1L)._2 >= 0.98, s"two-token loop not flagged: ${m(1L)}")
+    assert(m(2L)._2 == 1.0, s"overlapping repeats must cap at exactly 1: ${m(2L)}")
+    assert(m(2L)._1 > 0.9, "single-token run has near-total duplication")
+    assert(m(3L)._1 == 0.0 && m(3L)._2 <= 0.5, s"distinct text over-flagged: ${m(3L)}")
   }
 
   test("zorder_cells: per-cell bounding boxes are narrow on both dimensions") {
