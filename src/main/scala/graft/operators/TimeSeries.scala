@@ -51,6 +51,28 @@ object TimeSeries {
       .drop("_side")
   }
 
+  /** Time-weighted average per user over (user_id, event_id, value, us
+    * [event-time µs]) rows: Σ value·Δt / span, each reading weighted by
+    * how long it was current. Factored out so tests can pin the semantics
+    * on hand-computable series (a constant series averages to exactly its
+    * constant; single-sample users have zero span and drop out). */
+  def timeWeightedAvg(samples: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    samples
+      .withColumn("nxt", lead("us", 1).over(w))
+      .withColumn("term", round(col("value") * (col("nxt") - col("us")), 6))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("term").cast(
+            org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType)
+          / (max("us") - min("us")), 6).as("twa"),
+        (max("us") > min("us")).as("_keep"))
+      .filter(col("_keep"))
+      .select("user_id", "n_events", "twa")
+      .orderBy("user_id")
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- binned range join: time-proximity join as an equi-join ----------
@@ -195,24 +217,10 @@ object TimeSeries {
     // single-sample users have zero span and drop out in both engines.
     GraftQuery(
       "time_weighted_avg",
-      (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      (s, dir) => timeWeightedAvg(
         Tables.events(s, dir)
           .select(col("user_id"), col("event_id"), col("value"),
-            unix_micros(col("ts")).as("us"))
-          .withColumn("nxt", lead("us", 1).over(w))
-          .withColumn("term", round(col("value") * (col("nxt") - col("us")), 6))
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("n_events"),
-            round(sum(col("term").cast(
-                org.apache.spark.sql.types.DecimalType(38, 6)))
-              .cast(org.apache.spark.sql.types.DoubleType)
-              / (max("us") - min("us")), 6).as("twa"),
-            (max("us") > min("us")).as("_keep"))
-          .filter(col("_keep"))
-          .select("user_id", "n_events", "twa")
-          .orderBy("user_id")
-      },
+            unix_micros(col("ts")).as("us"))),
       Some("""
         WITH x AS (SELECT user_id, event_id, value,
                           epoch_us(CAST(ts AS TIMESTAMP)) us FROM events),

@@ -208,6 +208,24 @@ class OperatorSpec extends SparkSuite {
     })
   }
 
+  test("timeWeightedAvg: constant series → its constant, uneven gaps weight correctly") {
+    import spark.implicits._
+    // user 1: constant 5.0 — TWA must be exactly 5.0 whatever the gaps.
+    // user 2: 10.0 held for 3s then 20.0 held for 1s then a final sample —
+    //         TWA = (10*3 + 20*1)/4 = 12.5.
+    // user 3: a single sample — zero span, must drop out.
+    val rows = Seq(
+      (1L, 1L, 5.0, 0L), (1L, 2L, 5.0, 7_000_000L), (1L, 3L, 5.0, 9_000_000L),
+      (2L, 4L, 10.0, 0L), (2L, 5L, 20.0, 3_000_000L), (2L, 6L, 99.0, 4_000_000L),
+      (3L, 7L, 42.0, 0L)
+    ).toDF("user_id", "event_id", "value", "us")
+    val twa = operators.TimeSeries.timeWeightedAvg(rows).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("twa")).toMap
+    assert(twa(1L) == 5.0, s"constant series drifted: ${twa(1L)}")
+    assert(twa(2L) == 12.5, s"gap weighting wrong: ${twa(2L)}")
+    assert(!twa.contains(3L), "single-sample user must have no TWA")
+  }
+
   test("connectedComponents survives a long-diameter run with bounded lineage") {
     import spark.implicits._
     // chain 0—1—…—24 (diameter 24 → ~25 propagation rounds, crossing the
