@@ -10,11 +10,15 @@ object Bench {
   private def timeMedian(name: String, reps: Int)(body: => Unit): Double = {
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      // a failure must be VISIBLE, not a misleadingly fast timing
-      try body catch { case e: Throwable =>
+      // a failure must be VISIBLE in the JSON itself: a crashing query
+      // returns in milliseconds, and a near-zero median would report the
+      // breakage as a speedup. The sentinel keeps the line valid JSON,
+      // dominates the median, and inflates the total — unmissable.
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        9999.99
       }
-      (System.nanoTime() - t0) / 1e9
     }.sorted
     times(times.length / 2)
   }

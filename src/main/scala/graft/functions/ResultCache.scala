@@ -39,8 +39,16 @@ final class ResultCache(
   def contains(key: String): Boolean =
     entries.get(key).exists(_.deadline > clock())
 
-  def invalidate(key: String): Unit =
+  /** Synchronized with getOrBuild: an unsynchronized remove could race a
+    * concurrent build's put and drop the entry without unpersisting it —
+    * the exact block leak getOrBuild's lock exists to prevent. */
+  def invalidate(key: String): Unit = synchronized {
     entries.remove(key).foreach(_.df.unpersist(blocking = false))
+  }
 
-  def clear(): Unit = { entries.keys.foreach(invalidate); entries.clear() }
+  def clear(): Unit = synchronized {
+    entries.keys.foreach(k =>
+      entries.remove(k).foreach(_.df.unpersist(blocking = false)))
+    entries.clear()
+  }
 }

@@ -52,7 +52,13 @@ object VectorKernels {
     * at sf0.1). First-occurrence order — stable, though nothing downstream
     * depends on element order (set semantics). */
   def wordShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val toks = text.toString.split(' ')
+    // limit -1 keeps trailing empty tokens — the semantics of BOTH Spark
+    // SQL split() and DuckDB string_split(), which every dedup oracle uses.
+    // Scala's split(Char) drops them, so "x y z " would shingle differently
+    // here than in the oracles (and than simhash_pairs, which tokenizes via
+    // SQL split) — a cross-engine hash mismatch lying in wait for the first
+    // trailing-space document.
+    val toks = text.toString.split(" ", -1)
     if (toks.length < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)

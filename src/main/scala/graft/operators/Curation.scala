@@ -79,22 +79,31 @@ object Curation {
       "decontaminate",
       (s, dir) => {
         val sh = Dedup.shingled(Tables.documents(s, dir))
+        // the eval filter pushes below the shingle projection to the scan,
+        // so this branch shingles only the (tiny) eval slice
         val evalGrams = sh.filter(col("doc_id") < EvalMaxDocId)
           .select(explode(col("grams")).as("gram")).distinct()
-        val train = sh.filter(col("doc_id") >= EvalMaxDocId)
-        val hits = train.select(col("doc_id"), explode(col("grams")).as("gram"))
-          .join(broadcast(evalGrams), "gram")
-          // grams arrays are distinct per doc, so count(*) == distinct hits
-          .groupBy("doc_id").agg(count(lit(1)).as("contaminated_grams"))
-        val contamination = when(col("n_grams") > 0,
-          round(col("contaminated_grams").cast(DoubleType) / col("n_grams"), 4))
-          .otherwise(0.0)
-        train.select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
-          .join(hits, Seq("doc_id"), "left")
-          .withColumn("contaminated_grams",
-            coalesce(col("contaminated_grams"), lit(0L)))
-          .withColumn("contamination", contamination)
+        // the train side shingles ONCE: gram count rides each exploded row
+        // (explode_outer keeps gram-less docs), the broadcast left join
+        // marks eval hits, and a single agg yields both n_grams and the
+        // hit count — the separate sizes-frame formulation re-shingled the
+        // whole train corpus a second time (same pitfall exactJaccardPairs
+        // documents)
+        val trainEx = sh.filter(col("doc_id") >= EvalMaxDocId)
+          .select(col("doc_id"), size(col("grams")).cast(LongType).as("n"),
+            explode_outer(col("grams")).as("gram"))
+        val agg = trainEx
+          .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("gram"), "left")
+          // grams arrays are distinct per doc, so count(_hit) == distinct hits
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("n_grams"),
+            count(col("_hit")).as("contaminated_grams"))
+        agg
+          .withColumn("contamination", when(col("n_grams") > 0,
+            round(col("contaminated_grams").cast(DoubleType) / col("n_grams"), 4))
+            .otherwise(0.0))
           .withColumn("flagged", col("contamination") >= ContaminationThreshold)
+          .select("doc_id", "n_grams", "contaminated_grams", "contamination", "flagged")
           .orderBy("doc_id")
       },
       Some(s"""

@@ -257,15 +257,17 @@ object Dedup {
     *
     * Hybrid execution: near-dup edge sets are orders of magnitude smaller
     * than the corpus (they survive LSH banding / the hot-gram cap / a
-    * similarity threshold), so when the edge count is at most
-    * `smallGraphEdgeLimit` the components are computed by a SINGLE-task
-    * union-find over the edge list (`mapPartitions` on `coalesce(1)` —
-    * executor-side, never a driver collect): one job instead of one
-    * shuffle + one convergence action per diameter hop. 10M undirected
-    * edges is ~160 MB of longs in an unboxed LongMap — comfortable for
-    * one executor task. Past the threshold the iterative min-label loop
-    * below takes over; both paths emit the identical (doc_id, label =
-    * min reachable doc_id) labeling, asserted equal in OperatorSpec.
+    * similarity threshold), so when the DIRECTED edge-list size (the
+    * symmetrized frame this method builds — 2× the undirected pair count)
+    * is at most `smallGraphEdgeLimit`, the components are computed by a
+    * SINGLE-task union-find over the edge list (`mapPartitions` on
+    * `coalesce(1)` — executor-side, never a driver collect): one job
+    * instead of one shuffle + one convergence action per diameter hop.
+    * At the 10M-entry default the task holds ~80 MB of unboxed keys plus
+    * ~300 MB of boxed values (LongMap unboxes keys only) — sized for one
+    * healthy executor task. Past the threshold the iterative min-label
+    * loop below takes over; both paths emit the identical (doc_id, label
+    * = min reachable doc_id) labeling, asserted equal in OperatorSpec.
     *
     * This method RUNS Spark jobs (edge count + per-round convergence
     * checks) — the one documented deviation from the GraftQuery

@@ -71,8 +71,7 @@ object JoinPruning {
           Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey")
         pruned.groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_items"),
-            round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-              .cast(DoubleType), 2).as("revenue"))
+            graft.functions.Num.dsumAsDouble(col("l_extendedprice")).as("revenue"))
           .orderBy("l_returnflag")
       },
       Some("""

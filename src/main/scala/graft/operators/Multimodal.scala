@@ -150,13 +150,18 @@ object Multimodal {
                    + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
           FROM hx),
         f AS (
+          -- n = 0 guards mirror the stub's headOption/lastOption/empty-slice
+          -- fallbacks (64/64/0.0); unguarded, DuckDB's out-of-range list
+          -- index yields NULL here while Spark emits the defaults
           SELECT doc_id, n,
-                 CAST(64 + bytes[1] % 64 AS INT) AS width,
-                 CAST(64 + bytes[n] % 64 AS INT) AS height,
+                 CAST(64 + CASE WHEN n = 0 THEN 0 ELSE bytes[1] % 64 END AS INT) AS width,
+                 CAST(64 + CASE WHEN n = 0 THEN 0 ELSE bytes[n] % 64 END AS INT) AS height,
                  greatest(n // 8, 1) AS cnt,
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, greatest(n // 8, 1) + 1),
-                     k -> CAST(bytes[k] AS BIGINT))), (a, x) -> a + x) AS s0
+                 CASE WHEN n = 0 THEN 0 ELSE
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, greatest(n // 8, 1) + 1),
+                       k -> CAST(bytes[k] AS BIGINT))), (a, x) -> a + x)
+                 END AS s0
           FROM b)
         SELECT doc_id, CAST(n AS BIGINT) AS byte_len, width, height,
                round(CAST(CAST(CAST(s0 AS DOUBLE) / cnt / 255.0 AS FLOAT) AS DOUBLE), 4) AS f0

@@ -55,8 +55,7 @@ object Salting {
         saltedEquiJoin(li, sup, "l_suppkey", col("l_orderkey"), factor = 8)
           .groupBy("s_nationkey")
           .agg(count(lit(1)).as("n_items"),
-            round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-              .cast(DoubleType), 2).as("revenue"))
+            graft.functions.Num.dsumAsDouble(col("l_extendedprice")).as("revenue"))
           .orderBy("s_nationkey")
       },
       Some("""

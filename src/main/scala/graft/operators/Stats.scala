@@ -136,8 +136,7 @@ object Stats {
                 Seq(col("o_orderstatus")), Seq.empty),
             col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
-              .cast(DoubleType), 2).as("total"))
+            graft.functions.Num.dsumAsDouble(col("o_totalprice")).as("total"))
           .select(
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),

@@ -63,6 +63,26 @@ class OperatorSpec extends SparkSuite {
       == "2024-01-01T10:00:00Z")
   }
 
+  test("wordShingles tokenizes exactly like SQL split — trailing empties kept") {
+    import spark.implicits._
+    import graft.functions.{VectorExpressions => V}
+    // "x y z " splits to [x, y, z, ''] in Spark SQL and DuckDB (limit -1
+    // semantics) — the kernel must agree or every dedup oracle diverges
+    // on the first trailing-space document
+    val texts = Seq("x y z ", " x y z", "a b", "", "lone").toDF("text")
+    val got = texts.select(V.wordShingles(col("text"), 3).as("k"),
+      expr("""CASE WHEN size(split(text, ' ')) >= 3 THEN
+                array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+                  i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                      element_at(split(text, ' '), i + 1),
+                                      element_at(split(text, ' '), i + 2))))
+              ELSE array() END""").as("sqlway")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0).toSet == r.getSeq[String](1).toSet,
+        s"kernel ${r.getSeq[String](0)} != sql ${r.getSeq[String](1)}")
+    }
+  }
+
   test("minhash candidates: no false positives and >=80% recall vs exact jaccard") {
     val exact = run("ngram_jaccard").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
