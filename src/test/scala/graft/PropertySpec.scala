@@ -78,6 +78,61 @@ class PropertySpec extends SparkSuite {
     assert(fps.length == 2 && fps(0) != fps(1))
   }
 
+  test("timeWeightedAvg equals the naive per-user integration on random series") {
+    for (s <- 1 to 10) {
+      val rows = sample(Gen.listOfN(60, Gen.zip(
+        Gen.choose(1L, 4L),                      // user
+        Gen.choose(0L, 1000L),                   // seconds offset
+        Gen.choose(0.0, 100.0))), 3000 + s)
+        .zipWithIndex
+        .map { case ((u, sec, v), i) =>
+          (u, i.toLong, math.rint(v * 100) / 100, sec * 1000000L) }
+      val df = rows.toDF("user_id", "event_id", "value", "us")
+      val got = operators.TimeSeries.timeWeightedAvg(df).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("twa")).toMap
+      // naive reference: sort by (us, event_id), integrate value·Δt / span
+      val expected = rows.groupBy(_._1).collect {
+        case (u, xs) if xs.map(_._4).distinct.size > 1 =>
+          val sorted = xs.sortBy(x => (x._4, x._2))
+          val span = (sorted.last._4 - sorted.head._4).toDouble
+          val area = sorted.sliding(2).collect {
+            case Seq(a, b) => a._3 * (b._4 - a._4)
+          }.sum
+          u -> area / span
+      }
+      assert(got.keySet == expected.keySet, s"seed $s: user sets differ")
+      expected.foreach { case (u, e) =>
+        assert(math.abs(got(u) - e) < 1e-4, s"seed $s user $u: ${got(u)} vs $e")
+      }
+    }
+  }
+
+  test("repetitionMetrics matches naive token accounting on random texts") {
+    val tokGen = Gen.oneOf("a", "b", "c", "dd", "e")
+    for (s <- 1 to 10) {
+      val docs = sample(Gen.listOfN(8, Gen.choose(1, 30).flatMap(n =>
+        Gen.listOfN(n, tokGen))), 4000 + s)
+        .zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val got = operators.TextAnalysis.repetitionMetrics(df).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Double]("dup_token_frac"),
+            r.getAs[Double]("top_bigram_frac"))).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val n = toks.length
+        val dup = 1.0 - toks.distinct.length.toDouble / n
+        // .toList per window: Array windows compare by reference in groupBy
+        val mc = if (n < 2) 0
+          else toks.sliding(2).map(_.toList).toSeq.groupBy(identity).values.map(_.size).max
+        val top = math.min(2L * mc, n).toDouble / n
+        val (gn, gd, gt) = got(id)
+        assert(gn == n && math.abs(gd - dup) < 1e-5 && math.abs(gt - top) < 1e-5,
+          s"seed $s doc $id: got ${got(id)}, expected ($n, $dup, $top)")
+      }
+    }
+  }
+
   test("TopKIdsAgg equals naive sorted top-k under random NaN/duplicate inputs and any merge split") {
     // the buffer had two real bugs (NaN comparisons, duplicate entries at
     // a full buffer) — fuzz it against the obvious specification: sort by
