@@ -25,7 +25,15 @@ object Num {
   def dsumAsDouble(c: Column, scale: Int = 2, outScale: Int = 2): Column =
     round(dsum(c, scale).cast(DoubleType), outScale)
 
-  /** Order-independent average: exact decimal sum / count, in IEEE double. */
+  /** Order-independent average: exact decimal sum / count, in IEEE double.
+    *
+    * KNOWN TIE HAZARD: when sum/count lands exactly on a .xxx5 boundary at
+    * `outScale` (possible whenever count's only prime factors are 2 and 5),
+    * Spark's round (BigDecimal HALF_UP on the binary double) and DuckDB's
+    * round can disagree by one ulp of the output scale. If a dataset
+    * surfaces such a tie, switch the affected query to the exact-integer
+    * half-up formulation gap_fill uses ((2t + n) div (2n) over sums in
+    * 10^-outScale units) — bit-identical by construction. */
   def davg(c: Column, scale: Int = 2, outScale: Int = 4): Column =
     round(dsum(c, scale).cast(DoubleType) / count(lit(1)), outScale)
 
