@@ -25,23 +25,44 @@ object Num {
   def dsumAsDouble(c: Column, scale: Int = 2, outScale: Int = 2): Column =
     round(dsum(c, scale).cast(DoubleType), outScale)
 
-  /** Order-independent average: exact decimal sum / count, in IEEE double.
+  /** Order-independent average rounded to `outScale` decimals, computed
+    * entirely in exact integer arithmetic.
     *
-    * KNOWN TIE HAZARD: when sum/count lands exactly on a .xxx5 boundary at
-    * `outScale` (possible whenever count's only prime factors are 2 and 5),
-    * Spark's round (BigDecimal HALF_UP on the binary double) and DuckDB's
-    * round can disagree by one ulp of the output scale. If a dataset
-    * surfaces such a tie, switch the affected query to the exact-integer
-    * half-up formulation gap_fill uses ((2t + n) div (2n) over sums in
-    * 10^-outScale units) — bit-identical by construction. */
-  def davg(c: Column, scale: Int = 2, outScale: Int = 4): Column =
-    round(dsum(c, scale).cast(DoubleType) / count(lit(1)), outScale)
+    * round() on the double quotient is NOT engine-portable at ties: when
+    * sum/count lands exactly on a .xxx5 boundary at `outScale` (any count
+    * whose prime factors are only 2 and 5 can produce one), Spark's
+    * BigDecimal HALF_UP on the binary double and DuckDB's rounding
+    * disagree by one output ulp — gap_fill hit four such cells at sf0.1.
+    * Instead: T = sum scaled to an integer, d = count·10^(M−outScale),
+    * half-up quotient = (2T + d) div (2d), then one exact double division
+    * by 10^outScale. Every step is integral in both engines, so the
+    * rounding is bit-identical by construction.
+    *
+    * Takes the column NAME (the expression is assembled via `expr` for
+    * the integral `div`). */
+  def davg(colName: String, scale: Int = 2, outScale: Int = 4): Column = {
+    val m = math.max(scale, outScale)
+    val tEx = s"CAST(sum(CAST($colName AS DECIMAL(18,$scale))) * ${p10(m)} AS DECIMAL(38,0))"
+    val dEx = s"count(1) * ${p10(m - outScale)}"
+    // `div` (and DuckDB's //) truncate toward zero, so the half offset
+    // must carry the sum's sign: rounds half AWAY from zero either way,
+    // matching BigDecimal HALF_UP for negative averages (log-probs) too
+    val num = s"(2 * $tEx + (CASE WHEN $tEx < 0 THEN -($dEx) ELSE $dEx END))"
+    expr(s"CAST($num div (2 * ($dEx)) AS DOUBLE)") / p10(outScale).toDouble
+  }
+
+  private def p10(k: Int): Long = math.pow(10, k).toLong
 
   /** DuckDB SQL fragment mirroring [[dsumAsDouble]]. */
   def sqlDsum(col: String, scale: Int = 2, outScale: Int = 2): String =
     s"round(CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE), $outScale)"
 
-  /** DuckDB SQL fragment mirroring [[davg]]. */
-  def sqlDavg(col: String, scale: Int = 2, outScale: Int = 4): String =
-    s"round(CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE) / count(*), $outScale)"
+  /** DuckDB SQL fragment mirroring [[davg]] — same exact-integer half-up. */
+  def sqlDavg(col: String, scale: Int = 2, outScale: Int = 4): String = {
+    val m = math.max(scale, outScale)
+    val t = s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) * ${p10(m)} AS HUGEINT)"
+    val d = s"(count(*) * ${p10(m - outScale)})"
+    val num = s"(2 * $t + (CASE WHEN $t < 0 THEN -$d ELSE $d END))"
+    s"(CAST($num // (2 * $d) AS DOUBLE) / ${p10(outScale)}.0)"
+  }
 }

@@ -223,9 +223,9 @@ object RelationalQueries {
           Num.dsumAsDouble(col("l_quantity")).as("sum_qty"),
           Num.dsumAsDouble(col("l_extendedprice")).as("sum_base_price"),
           round(sum(revenueExpr).cast(DoubleType), 2).as("sum_disc_price"),
-          Num.davg(col("l_quantity")).as("avg_qty"),
-          Num.davg(col("l_extendedprice")).as("avg_price"),
-          Num.davg(col("l_discount")).as("avg_disc"),
+          Num.davg("l_quantity").as("avg_qty"),
+          Num.davg("l_extendedprice").as("avg_price"),
+          Num.davg("l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""

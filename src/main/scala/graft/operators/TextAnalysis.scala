@@ -314,14 +314,16 @@ object TextAnalysis {
         val total = bi.agg(count(lit(1)).cast(DoubleType).as("n_total"))
         bi.join(counts, "bigram")
           .crossJoin(broadcast(total))
+          .withColumn("lp", round(log(col("cnt") / col("n_total")), 6))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(round(log(col("cnt") / col("n_total")), 6)
-                .cast(DecimalType(28, 6))).cast(DoubleType) / count(lit(1)), 4)
+            // exact-integer rounded mean (Num.davg) — the double-quotient
+            // round() diverges between engines on .xxxx5 ties
+            graft.functions.Num.davg("lp", scale = 6, outScale = 4)
               .as("avg_logprob"))
           .orderBy("doc_id")
       },
-      Some("""
+      Some(s"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
         bi AS (SELECT doc_id,
                  unnest(CASE WHEN len(toks) >= 2 THEN
@@ -331,8 +333,8 @@ object TextAnalysis {
         c AS (SELECT bigram, count(*) cnt FROM bi GROUP BY 1),
         n AS (SELECT CAST(count(*) AS DOUBLE) n_total FROM bi)
         SELECT doc_id, count(*) AS n_bigrams,
-               round(CAST(sum(CAST(round(ln(cnt / n.n_total), 6) AS DECIMAL(28,6)))
-                          AS DOUBLE) / count(*), 4) AS avg_logprob
+               ${graft.functions.Num.sqlDavg("round(ln(cnt / n.n_total), 6)",
+                 scale = 6, outScale = 4)} AS avg_logprob
         FROM bi JOIN c USING (bigram) CROSS JOIN n
         GROUP BY doc_id
         ORDER BY doc_id""")),

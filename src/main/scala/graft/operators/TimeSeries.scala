@@ -254,19 +254,12 @@ object TimeSeries {
         val e = Tables.events(s, dir)
           .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
             col("value"))
-        // the 4-decimal average is rounded in EXACT INTEGER arithmetic
-        // (t = sum in 10^-4 units; half-up = (2t+n) div (2n)), not with
-        // round() on the double quotient: when sum/n lands exactly on a
-        // .xxxx5 boundary (any power-of-two count does it), Spark's
-        // BigDecimal HALF_UP and DuckDB's double rounding disagree by
-        // 1e-4 — caught at sf0.1, where hourly cells hit such counts
+        // Num.davg rounds in exact integer arithmetic — round() on the
+        // double quotient diverges between engines on .xxxx5 ties, which
+        // hourly cells hit at sf0.1 (power-of-two counts)
         val buckets = e.groupBy("event_type", "h")
           .agg(count(lit(1)).as("n"),
-            (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-              * 100).cast(org.apache.spark.sql.types.LongType).as("t"))
-          .select(col("event_type"), col("h"), col("n"),
-            (expr("(2*t + n) div (2*n)").cast(
-              org.apache.spark.sql.types.DoubleType) / 10000.0).as("avg_v"))
+            graft.functions.Num.davg("value").as("avg_v"))
         // bounds and the type list derive from the (types × hours)-sized
         // buckets aggregate, NOT from fresh scans of the events table —
         // the three identical bucket subtrees collapse to one scan via
@@ -285,15 +278,11 @@ object TimeSeries {
           .orderBy("event_type", "hour")
       },
       Some(s"""
-        WITH b0 AS (
+        WITH b AS (
           SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) h,
                  count(*) n,
-                 CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) t
+                 ${graft.functions.Num.sqlDavg("value")} avg_v
           FROM events GROUP BY 1, 2),
-        b AS (
-          SELECT event_type, h, n,
-                 CAST((2*t + n) // (2*n) AS DOUBLE) / 10000.0 AS avg_v
-          FROM b0),
         r AS (SELECT min(h) h0, max(h) h1 FROM b),
         grid AS (
           SELECT t.event_type, g.h

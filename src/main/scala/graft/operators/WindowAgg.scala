@@ -58,7 +58,7 @@ object WindowAgg {
     // order-dependent error a plain double sum has at high parallelism)
     df.groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
       .agg(
-        Num.davg(col(valueCol), scale = 6).as("avg_value"),
+        Num.davg(valueCol, scale = 6).as("avg_value"),
         min(valueCol).as("min_value"),
         max(valueCol).as("max_value"),
         Num.dsumAsDouble(col(valueCol), scale = 6).as("sum_value"),
