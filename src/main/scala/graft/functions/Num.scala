@@ -53,6 +53,19 @@ object Num {
 
   private def p10(k: Int): Long = math.pow(10, k).toLong
 
+  /** RESIDUAL TIE SURFACE (documented, not migrated): queries that round
+    * an integer/integer quotient computed in double (text_quality ratios,
+    * repetition fractions, decontaminate contamination, corpus_filter
+    * avg_chars) can in principle hit the same cross-engine .xxx5
+    * divergence when the denominator's only prime factors are 2 and 5 AND
+    * the quotient's decimal expansion terminates exactly one digit past
+    * the output scale with a trailing 5 (e.g. 7/160 rounded to 4). Dyadic
+    * denominators are safe (the double is exact, both engines agree on
+    * the true tie); factor-5 denominators are the exposure. Four rounds ×
+    * three scale factors have produced no instance; if one surfaces,
+    * rewrite that site over an exact-integer half-up like [[davg]] rather
+    * than adjusting the oracle. */
+
   /** DuckDB SQL fragment mirroring [[dsumAsDouble]]. */
   def sqlDsum(col: String, scale: Int = 2, outScale: Int = 2): String =
     s"round(CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE), $outScale)"
