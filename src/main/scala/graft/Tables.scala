@@ -144,8 +144,14 @@ object Tables {
     * INT64 reaches the parquet scan as a pushed filter and skips row
     * groups by min/max — at 100 TB the difference between reading a time
     * slice and reading the table. Exact: floor(ns/1000) ≥ T ⟺
-    * ns ≥ 1000·T for integer microsecond bounds. */
+    * ns ≥ 1000·T — for NONNEGATIVE epochs. `ts div 1000` truncates toward
+    * zero, so for pre-1970 nanos truncation ≠ floor and the raw-column
+    * bound would drop rows the converted-column filter keeps; guarded
+    * rather than silently diverging. */
   def eventsSince(spark: SparkSession, dir: String, sinceMicros: Long): DataFrame = {
+    require(sinceMicros >= 0,
+      "eventsSince requires a nonnegative epoch bound: the raw-nanos " +
+        "pushdown is equivalence-proven only for ts >= 0 (div truncates)")
     ensureNanosAsLong(spark)
     spark.read.schema(eventsRawSchema)
       .parquet(s"$dir/events.parquet")

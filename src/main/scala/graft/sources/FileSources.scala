@@ -19,12 +19,23 @@ import org.apache.spark.sql.types.StructType
 object FileSources {
 
   /** Batch JSON-lines with a declared schema; corrupt records are captured
-    * in `_corrupt_record` (PERMISSIVE), never silently dropped. */
-  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    * in `_corrupt_record` (PERMISSIVE), never silently dropped.
+    *
+    * PERMISSIVE only populates the corrupt column when it EXISTS in the
+    * read schema — without the add + option below, a malformed line
+    * silently becomes an all-null row and selecting `_corrupt_record`
+    * throws (same pattern as Ingest.decodeWithCorrupt). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add(org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
     spark.read
-      .schema(schema)
+      .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+  }
 
   /** Batch CSV with a declared schema and an explicit header flag —
     * header inference is another silent-drift channel. */

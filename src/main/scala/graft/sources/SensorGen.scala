@@ -38,11 +38,14 @@ object SensorGen {
       .as("battery_level"),
     expr(tsExpr).as("timestamp"))
 
-  /** n deterministic readings, event times spaced evenly from `start`. */
+  /** n deterministic readings, event times spaced evenly from `start`.
+    * The timestamp is built as a typed column (to_timestamp of a literal),
+    * not by splicing `start` into SQL text — a quote or ISO-'T' form in
+    * the string would otherwise surface as an opaque parse error. */
   def batch(spark: SparkSession, n: Long, seed: Long = 42L,
       start: String = "2024-01-01 00:00:00", stepSeconds: Int = 1): DataFrame =
     spark.range(n).select(
-      cols("id", s"timestamp '$start' + make_interval(0,0,0,0,0,0, id * $stepSeconds)", seed): _*)
+      cols("id", s"to_timestamp('${start.replace("'", "''")}') + make_interval(0,0,0,0,0,0, id * $stepSeconds)", seed): _*)
 
   /** Streaming variant over the rate source (rowsPerSecond ≈ the
     * reference's MESSAGES_PER_SECOND). */

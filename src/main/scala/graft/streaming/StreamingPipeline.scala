@@ -70,7 +70,7 @@ object StreamingPipeline {
         // Empty-batch guard as in the reference (processor.py:127-131);
         // unlike the reference we do NOT swallow sink exceptions — a failed
         // batch must fail the query so the checkpoint retries it.
-        if (!df.isEmpty) sink(df, batchId)
+        guardedSink(df, batchId, sink)
       }
 
   /** Raw-rows sink (A12): append mode, same foreachBatch shape. */
@@ -82,8 +82,19 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        if (!df.isEmpty) sink(df, batchId)
+        guardedSink(df, batchId, sink)
       }
+
+  /** Empty-batch guard without recomputation: `isEmpty` is an ACTION, so
+    * an uncached guard would re-execute the full batch plan (including
+    * stateful aggregation) a second time when the sink runs. Persist for
+    * the guard + sink, release after. */
+  private def guardedSink(df: DataFrame, batchId: Long,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    df.persist()
+    try { if (!df.isEmpty) sink(df, batchId) }
+    finally df.unpersist(blocking = false)
+  }
 
   /** Run both sinks concurrently off one source and await (A14). */
   def runBoth(
@@ -172,10 +183,13 @@ object StreamingPipeline {
       "left and right event-time columns must have distinct names")
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
+    // side-qualified refs (like the equi-key): bare col(...) would be
+    // ambiguous the moment either input also carries a column named like
+    // the other side's event time (e.g. after an enrichment copy)
     l.join(r,
       l(key) === r(key) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"),
       joinType)
       .drop(r(key))
   }

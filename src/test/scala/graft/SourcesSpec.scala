@@ -15,10 +15,13 @@ import graft.streaming.StreamingPipeline
 class SourcesSpec extends SparkSuite {
   import spark.implicits._
 
+  // deliberately WITHOUT _corrupt_record: jsonl() must add the capture
+  // column itself — PERMISSIVE only populates it when it exists in the
+  // read schema, so a caller with a plain schema would otherwise lose
+  // malformed lines as silent all-null rows
   private val readingSchema = StructType(Seq(
     StructField("device_id", StringType),
-    StructField("value", DoubleType),
-    StructField("_corrupt_record", StringType)))
+    StructField("value", DoubleType)))
 
   test("jsonl batch source: declared schema, corrupt line captured not dropped") {
     val dir = Files.createTempDirectory("graft-jsonl")
