@@ -68,6 +68,56 @@ object Curation {
                  ELSE [] END grams
                FROM t)"""
 
+  /** Per-train-doc contamination against the eval trigram set —
+    * (doc_id, n_grams, contaminated_grams, contamination, flagged).
+    * The eval filter pushes below the shingle projection to the scan, so
+    * that branch shingles only the (tiny) eval slice; the train side
+    * shingles ONCE — gram count rides each exploded row (explode_outer
+    * keeps gram-less docs), the broadcast left join marks eval hits, and
+    * a single agg yields both n_grams and the hit count (the separate
+    * sizes-frame formulation re-shingled the whole train corpus a second
+    * time — the pitfall exactJaccardPairs documents). Shared by the
+    * decontaminate query and the end-to-end cleaning pass. */
+  private def contaminationFlags(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.shingled(Tables.documents(s, dir))
+    val evalGrams = sh.filter(col("doc_id") < EvalMaxDocId)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val trainEx = sh.filter(col("doc_id") >= EvalMaxDocId)
+      .select(col("doc_id"), size(col("grams")).cast(LongType).as("n"),
+        explode_outer(col("grams")).as("gram"))
+    trainEx
+      .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("gram"), "left")
+      // grams arrays are distinct per doc, so count(_hit) == distinct hits
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_grams"),
+        count(col("_hit")).as("contaminated_grams"))
+      .withColumn("contamination", when(col("n_grams") > 0,
+        round(col("contaminated_grams").cast(DoubleType) / col("n_grams"), 4))
+        .otherwise(0.0))
+      .withColumn("flagged", col("contamination") >= ContaminationThreshold)
+  }
+
+  /** DuckDB CTE chain mirroring [[contaminationFlags]] (appended after
+    * [[sqlShingles]]): ev/tg/hits plus a final `fl` relation with the
+    * per-train-doc flag. */
+  private def sqlContaminationCtes: String = s"""
+        ev AS (SELECT DISTINCT unnest(grams) gram FROM sh WHERE doc_id < $EvalMaxDocId),
+        tg AS (SELECT doc_id, unnest(grams) gram FROM sh WHERE doc_id >= $EvalMaxDocId),
+        hits AS (SELECT tg.doc_id, count(*) c FROM tg JOIN ev USING (gram) GROUP BY 1),
+        fl AS (SELECT s.doc_id,
+                      CAST(len(s.grams) AS BIGINT) AS n_grams,
+                      CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_grams,
+                      CASE WHEN len(s.grams) > 0
+                           THEN round(CAST(coalesce(h.c, 0) AS DOUBLE) / len(s.grams), 4)
+                           ELSE 0.0 END AS contamination,
+                      CASE WHEN len(s.grams) > 0
+                           THEN round(CAST(coalesce(h.c, 0) AS DOUBLE) / len(s.grams), 4)
+                                >= $ContaminationThreshold
+                           ELSE false END AS flagged
+               FROM sh s LEFT JOIN hits h USING (doc_id)
+               WHERE s.doc_id >= $EvalMaxDocId)"""
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- benchmark decontamination: eval-set n-gram overlap --------------
@@ -77,53 +127,76 @@ object Curation {
     // only (doc_id, gram) pairs that actually hit the eval set.
     GraftQuery(
       "decontaminate",
-      (s, dir) => {
-        val sh = Dedup.shingled(Tables.documents(s, dir))
-        // the eval filter pushes below the shingle projection to the scan,
-        // so this branch shingles only the (tiny) eval slice
-        val evalGrams = sh.filter(col("doc_id") < EvalMaxDocId)
-          .select(explode(col("grams")).as("gram")).distinct()
-        // the train side shingles ONCE: gram count rides each exploded row
-        // (explode_outer keeps gram-less docs), the broadcast left join
-        // marks eval hits, and a single agg yields both n_grams and the
-        // hit count — the separate sizes-frame formulation re-shingled the
-        // whole train corpus a second time (same pitfall exactJaccardPairs
-        // documents)
-        val trainEx = sh.filter(col("doc_id") >= EvalMaxDocId)
-          .select(col("doc_id"), size(col("grams")).cast(LongType).as("n"),
-            explode_outer(col("grams")).as("gram"))
-        val agg = trainEx
-          .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("gram"), "left")
-          // grams arrays are distinct per doc, so count(_hit) == distinct hits
-          .groupBy("doc_id")
-          .agg(max(col("n")).as("n_grams"),
-            count(col("_hit")).as("contaminated_grams"))
-        agg
-          .withColumn("contamination", when(col("n_grams") > 0,
-            round(col("contaminated_grams").cast(DoubleType) / col("n_grams"), 4))
-            .otherwise(0.0))
-          .withColumn("flagged", col("contamination") >= ContaminationThreshold)
-          .select("doc_id", "n_grams", "contaminated_grams", "contamination", "flagged")
-          .orderBy("doc_id")
-      },
+      (s, dir) => contaminationFlags(s, dir)
+        .select("doc_id", "n_grams", "contaminated_grams", "contamination", "flagged")
+        .orderBy("doc_id"),
       Some(s"""
         $sqlShingles,
-        ev AS (SELECT DISTINCT unnest(grams) gram FROM sh WHERE doc_id < $EvalMaxDocId),
-        tg AS (SELECT doc_id, unnest(grams) gram FROM sh WHERE doc_id >= $EvalMaxDocId),
-        hits AS (SELECT tg.doc_id, count(*) c FROM tg JOIN ev USING (gram) GROUP BY 1)
-        SELECT s.doc_id,
-               CAST(len(s.grams) AS BIGINT) AS n_grams,
-               CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_grams,
-               CASE WHEN len(s.grams) > 0
-                    THEN round(CAST(coalesce(h.c, 0) AS DOUBLE) / len(s.grams), 4)
-                    ELSE 0.0 END AS contamination,
-               CASE WHEN len(s.grams) > 0
-                    THEN round(CAST(coalesce(h.c, 0) AS DOUBLE) / len(s.grams), 4)
-                         >= $ContaminationThreshold
-                    ELSE false END AS flagged
-        FROM sh s LEFT JOIN hits h USING (doc_id)
-        WHERE s.doc_id >= $EvalMaxDocId
+        $sqlContaminationCtes
+        SELECT doc_id, n_grams, contaminated_grams, contamination, flagged
+        FROM fl
         ORDER BY doc_id""")),
+
+    // ---- end-to-end cleaning pass: the pipeline the operators exist for --
+    // Quality gate (corpus_filter's thresholds) → exact-dedup survivors
+    // (min doc_id per content digest) → decontamination flag → per-language
+    // surviving corpus stats. One registered query proving the operator
+    // families COMPOSE into the actual trillion-token cleaning flow: the
+    // gate fuses into the scan, the survivor set and contamination flags
+    // are narrow (doc_id-keyed) frames that join back without ever
+    // shuffling text, and the final agg is map-side partial.
+    GraftQuery(
+      "pipeline_e2e",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val stopRatio = size(filter(toks,
+          t => t.isin(TextAnalysis.stopwords: _*))).cast(DoubleType) / nTok
+        val avgTokLen = (length(col("text")) - (nTok - lit(1)))
+          .cast(DoubleType) / nTok
+        val quality = Tables.documents(s, dir)
+          .filter(nTok.between(5, 5000) &&
+            stopRatio <= 0.5 && avgTokLen.between(2.0, 20.0))
+        val survivors = Tables.documents(s, dir)
+          .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("_h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val flags = contaminationFlags(s, dir).select("doc_id", "flagged")
+        quality
+          .filter(col("doc_id") >= EvalMaxDocId)
+          .join(survivors, Seq("doc_id"), "left_semi")
+          .join(flags, Seq("doc_id"), "left")
+          .filter(!coalesce(col("flagged"), lit(false)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some {
+        val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+        s"""
+        $sqlShingles,
+        $sqlContaminationCtes,
+        q AS (
+          SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+          FROM documents
+          WHERE len(string_split(text, ' ')) BETWEEN 5 AND 5000
+            AND CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ($stops))) AS DOUBLE)
+                  / len(string_split(text, ' ')) <= 0.5
+            AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                  / len(string_split(text, ' ')) BETWEEN 2.0 AND 20.0),
+        k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        SELECT q.lang AS lang, count(*) AS n_docs,
+               CAST(sum(q.n_tok) AS BIGINT) AS total_tokens
+        FROM q
+        JOIN k USING (doc_id)
+        LEFT JOIN fl USING (doc_id)
+        WHERE q.doc_id >= $EvalMaxDocId
+          AND NOT coalesce(fl.flagged, false)
+        GROUP BY q.lang
+        ORDER BY lang"""
+      }),
 
     // ---- stratified sampling by content hash -----------------------------
     // Per-language keep rates applied via a percent bucket of the content
