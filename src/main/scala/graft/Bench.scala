@@ -59,13 +59,21 @@ object Bench {
     // locale-independent and shortest ("0.38", not "0.3800000...").
     def r(v: Double, s: Double): Double = math.rint(v * s) / s
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // no "sf" field: the harness wrapper records it already, and every
-    // byte counts against the tail budget below
+    // integral values render without the redundant ".0", and the sf field
+    // carries the directory BASENAME — the full path costs 28 bytes the
+    // tail budget can't spare (the harness records the directory itself)
+    def num(v: Double): String =
+      if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // sfX.YY basenames emit as the bare scale-factor number (the form the
+    // harness wrapper itself records); anything else as a quoted string
+    val sfJson = "^sf([0-9.]+)$".r.findFirstMatchIn(sfBase)
+      .map(_.group(1)).getOrElse("\"" + sfBase + "\"")
     def render(scale: Double, unit: Boolean): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v, scale) }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(r(v, scale)) }
         .mkString("{", ",", "}")
       val u = if (unit) "\"unit\":\"sec\"," else ""
-      s"""{"metric":"total","value":${r(total, 1000)},$u"queries":$qs}"""
+      s"""{"metric":"total","value":${num(r(total, 1000))},$u"queries":$qs,"sf":$sfJson}"""
     }
     // the line must survive the harness tail buffer (2000 chars) alongside
     // sbt's trailing "[success] Total time: ..." line (~75 chars) — degrade
@@ -77,7 +85,7 @@ object Bench {
     val line = renders.find(_.length <= 1920).getOrElse {
       System.err.println(s"[bench] per-query map dropped: shortest render " +
         s"${renders.last.length} chars exceeds the 1920-char tail budget")
-      s"""{"metric":"total","value":${r(total, 1000)},"unit":"sec"}"""
+      s"""{"metric":"total","value":${num(r(total, 1000))},"unit":"sec","sf":$sfJson}"""
     }
     println(line)
     spark.stop()
