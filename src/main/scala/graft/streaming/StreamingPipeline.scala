@@ -120,6 +120,47 @@ object StreamingPipeline {
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Silent-device detector — the liveness monitor the reference's IoT
+    * domain implies: emits (device_id, last_seen) once a device has sent
+    * nothing for `silenceMs` of EVENT time (watermark-driven, so a stalled
+    * source can't false-alarm wall-clock style). Custom keyed state via
+    * flatMapGroupsWithState: one Long (last-seen millis) per live device,
+    * removed on report — rebounded devices start a fresh liveness cycle.
+    * State is O(live devices), timeout scans are the state store's own
+    * index; at cluster scale the keys hash-partition like any agg. */
+  def silentDevices(
+      readings: DataFrame,
+      idCol: String = "device_id",
+      tsCol: String = "timestamp",
+      silenceMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings
+      .select(col(idCol).cast("string").as("_id"), col(tsCol).as("_ts"))
+      .withWatermark("_ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (id: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator((id, new java.sql.Timestamp(last)))
+          } else {
+            val last = (rows.map(_._2.getTime) ++ state.getOption.iterator).max
+            state.update(last)
+            state.setTimeoutTimestamp(last + silenceMs)
+            Iterator.empty
+          }
+      }
+      .toDF("device_id", "last_seen")
+  }
+
   /** Attach always-on data-quality counters to a decoded stream via
     * `Dataset.observe`: row count, null-timestamp count, and value sum are
     * accumulated inside the existing plan (no second aggregation, no extra

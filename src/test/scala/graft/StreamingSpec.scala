@@ -285,6 +285,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("silentDevices reports a quiet device once the watermark passes its deadline") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    def at(dev: String, t: String) =
+      Reading(dev, "temperature", "room1", 1.0, 50.0, ts(t))
+    val quiet = StreamingPipeline.silentDevices(mem.toDF(),
+      silenceMs = 30 * 60 * 1000L, watermarkDelay = "10 minutes")
+    val q = quiet.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("silent_out").start()
+    try {
+      mem.addData(at("dev_a", "2024-01-01T10:00:00Z"),
+                  at("dev_b", "2024-01-01T10:00:00Z"))
+      q.processAllAvailable()
+      assert(spark.table("silent_out").count() == 0) // both still live
+      // dev_b keeps reporting; the watermark (12:00 − 10 min) passes
+      // dev_a's 10:30 deadline → dev_a reported, dev_b not
+      mem.addData(at("dev_b", "2024-01-01T12:00:00Z"))
+      q.processAllAvailable()
+      mem.addData(at("dev_b", "2024-01-01T15:00:00Z")) // advance again
+      q.processAllAvailable()
+      val rows = spark.table("silent_out").collect()
+      assert(rows.map(_.getAs[String]("device_id")).toSet == Set("dev_a"),
+        s"expected only dev_a, got ${rows.mkString}")
+      assert(rows.head.getAs[Timestamp]("last_seen") == ts("2024-01-01T10:00:00Z"))
+      // dev_a comes back: a fresh liveness cycle begins, no immediate report
+      mem.addData(at("dev_a", "2024-01-01T15:00:30Z"))
+      q.processAllAvailable()
+      assert(spark.table("silent_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming session_window: gap-based sessions close after the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
