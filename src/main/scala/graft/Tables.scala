@@ -20,6 +20,14 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Monotonic suffix for per-call unique temp-view names — catalog
+    * hygiene for the SQL-only query surfaces (views are registered inside
+    * try, inlined by sql()'s eager analysis, and dropped in finally, so
+    * concurrent builds against different dirs can't read each other's
+    * data). Lives here, not in a query module: it's shared infrastructure
+    * for every module that needs a view. */
+  val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   val regionSchema = StructType(Seq(
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))

@@ -58,11 +58,14 @@ object RelationalQueries {
             .repartition(s.sparkContext.defaultParallelism, col("ts")),
           "ts", Seq("event_type"), "value")
         .orderBy("window_start", "event_type"),
-      Some("""
+      // avg via Num.sqlDavg: the Spark side uses davg's exact-integer
+      // half-up, and a hand-rolled round(double/count) here would diverge
+      // on the same .xxxx5 ties gap_fill hit
+      Some(s"""
         SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
                date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
                event_type,
-               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+               ${Num.sqlDavg("value", scale = 6)} AS avg_value,
                min(value) AS min_value,
                max(value) AS max_value,
                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
@@ -436,7 +439,7 @@ object RelationalQueries {
                epoch_us(CAST(ts AS TIMESTAMP))
                  - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w) AS delta_us
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         ORDER BY user_id, event_id""")),
 
     // ---- analytic window: 3-row moving average ---------------------------
@@ -464,7 +467,7 @@ object RelationalQueries {
                           + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END),
                      4) AS mavg3
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         ORDER BY user_id, event_id""")),
 
     // ---- JSON extraction from string props (events.props) ---------------
@@ -474,8 +477,10 @@ object RelationalQueries {
         .select(col("event_id"),
                 get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .orderBy("event_id"),
+      // TRY_CAST: Spark's non-ANSI cast yields NULL on a non-integer k,
+      // DuckDB's CAST would abort the whole oracle query
       Some("""
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
         ORDER BY event_id""")),
 
@@ -563,12 +568,16 @@ object RelationalQueries {
         // plan (views inline at analysis): same catalog-hygiene fix as
         // Stats.rolling_1h — two concurrent builds against different dirs
         // must not read each other's tables
-        val id = Stats.viewSeq.incrementAndGet()
+        val id = Tables.viewSeq.incrementAndGet()
         val (vo, vc, vn) = (s"graft_orders_$id", s"graft_customer_$id", s"graft_nation_$id")
-        Tables.orders(s, dir).createOrReplaceTempView(vo)
-        Tables.customer(s, dir).createOrReplaceTempView(vc)
-        Tables.nation(s, dir).createOrReplaceTempView(vn)
-        try s.sql(s"""
+        // registration INSIDE the try: a loader failure after the first
+        // view would otherwise leak it in the session catalog (the drop
+        // in finally tolerates not-yet-registered names)
+        try {
+          Tables.orders(s, dir).createOrReplaceTempView(vo)
+          Tables.customer(s, dir).createOrReplaceTempView(vc)
+          Tables.nation(s, dir).createOrReplaceTempView(vn)
+          s.sql(s"""
           SELECT n.n_name AS nation,
                  count(*) AS n_orders,
                  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -579,7 +588,7 @@ object RelationalQueries {
           WHERE o.o_orderstatus <> 'P'
           GROUP BY n.n_name
           ORDER BY nation""")
-        finally Seq(vo, vc, vn).foreach(s.catalog.dropTempView(_))
+        } finally Seq(vo, vc, vn).foreach(s.catalog.dropTempView(_))
       },
       Some("""
         SELECT n_name AS nation, count(*) AS n_orders,
@@ -798,11 +807,14 @@ object RelationalQueries {
     GraftQuery(
       "exists_subquery",
       (s, dir) => {
-        val id = Stats.viewSeq.incrementAndGet()
+        val id = Tables.viewSeq.incrementAndGet()
         val (vc, vo) = (s"graft_customer_ex_$id", s"graft_orders_ex_$id")
-        Tables.customer(s, dir).createOrReplaceTempView(vc)
-        Tables.orders(s, dir).createOrReplaceTempView(vo)
-        try s.sql(s"""
+        // registration inside the try — same leak-on-loader-failure
+        // hygiene as sql_over_view
+        try {
+          Tables.customer(s, dir).createOrReplaceTempView(vc)
+          Tables.orders(s, dir).createOrReplaceTempView(vo)
+          s.sql(s"""
           SELECT c_custkey, c_name
           FROM $vc c
           WHERE EXISTS (SELECT 1 FROM $vo o
@@ -812,7 +824,7 @@ object RelationalQueries {
                             WHERE o.o_custkey = c.c_custkey
                               AND o.o_orderstatus = 'F')
           ORDER BY c_custkey""")
-        finally Seq(vc, vo).foreach(s.catalog.dropTempView(_))
+        } finally Seq(vc, vo).foreach(s.catalog.dropTempView(_))
       },
       Some("""
         SELECT c_custkey, c_name

@@ -22,8 +22,6 @@ object Stats {
 
   private val D = DecimalType(18, 8)
 
-  /** Monotonic suffix for per-call temp view names (SQL-only features). */
-  private[operators] val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -200,11 +198,15 @@ object Stats {
             col("last.value").as("value"), col("last.ts").as("ts"))
           .orderBy("user_id", "event_type")
       },
+      // CAST to µs inside the ranking struct AND the projection: the raw
+      // column is TIMESTAMP_NS, and ranking by nanos while Spark ranks by
+      // truncated µs could pick a different winner for two events inside
+      // the same microsecond (GraftQuery's µs-precision rule)
       Some("""
         SELECT user_id, event_type,
-               max(struct_pack(ts := ts, id := event_id, v := value)).id AS event_id,
-               max(struct_pack(ts := ts, id := event_id, v := value)).v AS value,
-               max(struct_pack(ts := ts, id := event_id, v := value)).ts AS ts
+               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value)).id AS event_id,
+               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value)).v AS value,
+               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value)).ts AS ts
         FROM events
         GROUP BY user_id, event_type
         ORDER BY user_id, event_type""")),
@@ -219,21 +221,19 @@ object Stats {
         val wide = Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
           .agg(
-            round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType), 2)
-              .as("sum_qty"),
-            round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType), 2)
-              .as("sum_price"))
+            graft.functions.Num.dsumAsDouble(col("l_quantity")).as("sum_qty"),
+            graft.functions.Num.dsumAsDouble(col("l_extendedprice")).as("sum_price"))
         wide.unpivot(
             Array(col("l_returnflag")),
             Array(col("sum_qty"), col("sum_price")),
             "metric", "amount")
           .orderBy("l_returnflag", "metric")
       },
-      Some("""
+      Some(s"""
         WITH wide AS (
           SELECT l_returnflag,
-                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+                 ${graft.functions.Num.sqlDsum("l_quantity")} AS sum_qty,
+                 ${graft.functions.Num.sqlDsum("l_extendedprice")} AS sum_price
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM wide
         UNION ALL
@@ -255,7 +255,7 @@ object Stats {
         // is analyzed (sql() analyzes eagerly, inlining the view), so plan
         // construction leaves no catalog residue and concurrent builds
         // against different dirs can't read each other's data.
-        val v = s"events_roll_${Stats.viewSeq.incrementAndGet()}"
+        val v = s"events_roll_${Tables.viewSeq.incrementAndGet()}"
         Tables.events(s, dir).createOrReplaceTempView(v)
         try s.sql(s"""
           SELECT event_id, user_id, ts,
@@ -267,12 +267,15 @@ object Stats {
           ORDER BY event_id""")
         finally s.catalog.dropTempView(v)
       },
+      // CAST in the frame's ORDER BY and the projection: the raw column is
+      // TIMESTAMP_NS — ns-precision peer groups / horizon membership could
+      // differ from the Spark side's µs event time
       Some("""
-        SELECT event_id, user_id, ts,
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                count(*) OVER w AS cnt_1h,
                round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_1h
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         ORDER BY event_id""")),
 
