@@ -47,6 +47,21 @@ object FileSources {
       .option("delimiter", delimiter)
       .csv(path)
 
+  /** Batch ORC with a declared schema — the columnar alternative where
+    * the lake standardized on ORC instead of parquet; same no-inference
+    * contract (ORC self-describes, but declaring the schema pins the
+    * expected shape and fails loudly on drift instead of widening). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Streaming ORC directory source. */
+  def orcStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .orc(dir)
+
   /** Streaming JSON-lines directory source. */
   def jsonlStream(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 100): DataFrame =

@@ -37,6 +37,25 @@ class SourcesSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("orc source: write-read roundtrip with declared schema, batch and streaming") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val schema = StructType(Seq(
+      StructField("device_id", StringType), StructField("value", DoubleType)))
+    Seq(("a", 1.5), ("b", 2.5)).toDF("device_id", "value")
+      .coalesce(1).write.mode("overwrite").orc(dir)
+    val batch = FileSources.orc(spark, dir, schema)
+    assert(batch.count() == 2)
+    assert(batch.agg(sum("value")).head().getDouble(0) == 4.0)
+    // streaming face: the same directory as an unbounded source
+    val q = FileSources.orcStream(spark, dir, schema)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("orc_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("orc_stream").count() == 2)
+    } finally q.stop()
+  }
+
   test("csv batch source: declared schema with header") {
     val dir = Files.createTempDirectory("graft-csv")
     Files.writeString(dir.resolve("part-0.csv"),
