@@ -142,7 +142,27 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** All sign-LSH table buckets of an embedding — one expression node
+    * backed by the static plane bank ([[VectorKernels.lshBucketsF]]);
+    * see that kernel's note on why the bank must not live in the plan. */
+  case class LshBuckets(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = checkVec(child, "lsh_buckets")
+    private def kernel = if (elemType(child) == FloatType) "lshBucketsF" else "lshBucketsD"
+    override def nullSafeEval(a: Any): Any = {
+      val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (elemType(child) == FloatType) VectorKernels.lshBucketsF(ad)
+      else VectorKernels.lshBucketsD(ad)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = graft.functions.VectorKernels.$kernel($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   // ---- Column-API surface ----------------------------------------------
+  def lshBuckets(a: Column): Column =
+    GraftSqlBridge.toColumn(LshBuckets(ex(a)))
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(DotProduct(ex(a), ex(b)))
   def l2norm(a: Column): Column =

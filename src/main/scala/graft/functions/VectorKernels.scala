@@ -123,6 +123,47 @@ object VectorKernels {
       sig.map(v => java.lang.Long.valueOf(v)): Array[Any])
   }
 
+  /** The sign-LSH plane bank as a flat (tables·planesPerTable) × dims
+    * matrix, materialized once at class-init from [[LshPlanes.planes]].
+    * Fusing all 256 plane dots into one kernel keeps the bank OUT of the
+    * plan tree: as per-plane array literals the analyzed plan was ~190 KB
+    * and Catalyst spent more time transforming it than the executors spent
+    * running it. Arithmetic per plane is the identical left-to-right
+    * float→double widening fold as [[dotFD]], so the SQL oracles (which
+    * re-derive the bank from [[LshPlanes.sqlValuesRows]]) still agree
+    * bit-for-bit. */
+  private lazy val lshPlanesFlat: Array[Array[Double]] =
+    LshPlanes.planes.flatten.map(_.toArray).toArray
+
+  private def lshBuckets(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val tables = LshPlanes.tables
+    val planes = LshPlanes.planesPerTable
+    val n = math.min(v.numElements(), LshPlanes.dims)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        val w = lshPlanesFlat(t * planes + p)
+        var acc = 0.0
+        var i = 0
+        if (isFloat) while (i < n) { acc += v.getFloat(i).toDouble * w(i); i += 1 }
+        else while (i < n) { acc += v.getDouble(i) * w(i); i += 1 }
+        bucket = bucket * 2 + (if (acc >= 0.0) 1 else 0)
+        p += 1
+      }
+      out(t) = java.lang.Integer.valueOf(bucket)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** All [[LshPlanes.tables]] bucket signatures of a vector in one pass —
+    * element t is table t's bucket, plane 0 the most significant bit. */
+  def lshBucketsF(v: ArrayData): ArrayData = lshBuckets(v, isFloat = true)
+  def lshBucketsD(v: ArrayData): ArrayData = lshBuckets(v, isFloat = false)
+
   /** Second polynomial basis for the upper SimHash half (different
     * multiplier + modulus, both ~2^30 so bits 0..31 are well-populated). */
   val SimHashP2 = 998244353L

@@ -30,6 +30,37 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .withColumn("norm", V.l2norm(col("embedding")))
 
+  /** Candidate near-dup pairs from capped LSH probe cells — the frame
+    * embedding_neardup confirms with exact cosine, exposed so the
+    * scale-gate spec (CandidateBoundSpec) can count it at every sf.
+    *
+    * Symmetric multiprobe: every vector emits, per table, its base cell
+    * plus all hamming≤1 flips (17 cells); two vectors share a cell iff
+    * their table signatures are within hamming 2. The per-(table, cell)
+    * cap is a windowed count over exactly the self-join key, so the window
+    * shuffle IS the join shuffle (one exchange, reused by both sides), the
+    * frame is narrow (id + cell, embeddings never ride it), and candidate
+    * volume is bounded by tables·probes·maxBucket·n/2 — linear in n
+    * regardless of corpus degeneracy. */
+  def neardupCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(LshPlanes.bucketsCol(col("embedding"))).as(Seq("tbl", "bucket")))
+      .withColumn("m", explode(typedlit(LshPlanes.probeMasks(1))))
+      .select(col("vec_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("m")).as("cell"))
+    val capped = cells
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("tbl", "cell")))
+      .filter(col("csz") <= LshPlanes.maxBucket)
+      .select("vec_id", "tbl", "cell")
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   /** Per-query top-k of a scored frame (`qid`, `vec_id`, `cos`) via the
     * two-phase heap operator ([[graft.plans.TopK]]): map-side k-heaps, a
     * shuffle of at most k rows per (partition, qid), reduce-side merge.
@@ -50,11 +81,12 @@ object Similarity {
   }
 
   /** DuckDB oracle for ann_lsh_topk, generated from the SAME deterministic
-    * plane bank the Spark plan embeds ([[LshPlanes.planes]]) — 80 rows of
-    * (table, plane, ±1-weight vector) as a VALUES relation. Both engines
-    * compute each plane dot as the identical left-to-right IEEE double
-    * fold, so bucket signs, candidate sets, and cosines agree exactly,
-    * making the whole approximate search hash-checkable. */
+    * plane bank the Spark plan embeds ([[LshPlanes.planes]]) — 256 rows of
+    * (table, plane, ±1-weight vector) as a VALUES relation, plus the same
+    * hamming≤2 probe-mask list. Both engines compute each plane dot as the
+    * identical left-to-right IEEE double fold, so bucket signs, probed
+    * cells, candidate sets, and cosines agree exactly, making the whole
+    * approximate search hash-checkable. */
   private def lshOracleSql: String = {
     val rows = LshPlanes.sqlValuesRows
     val msb = LshPlanes.planesPerTable - 1
@@ -77,11 +109,15 @@ object Similarity {
           SELECT vec_id, tbl,
                  sum(CASE WHEN dot >= 0 THEN 1 << ($msb - plane) ELSE 0 END) AS bucket
           FROM dots GROUP BY vec_id, tbl),
+        qprobe AS (
+          SELECT vec_id, tbl, xor(bucket, m.m) AS cell
+          FROM sigs CROSS JOIN (SELECT unnest(${LshPlanes.sqlProbeMasks(2)}) AS m) m
+          WHERE vec_id < 5),
         cand AS (
           SELECT DISTINCT bq.vec_id AS qid, be.vec_id AS vec_id
-          FROM sigs be JOIN sigs bq
-            ON be.tbl = bq.tbl AND be.bucket = bq.bucket
-           AND bq.vec_id < 5 AND be.vec_id != bq.vec_id),
+          FROM sigs be JOIN qprobe bq
+            ON be.tbl = bq.tbl AND be.bucket = bq.cell
+           AND be.vec_id != bq.vec_id),
         scored AS (
           SELECT c.qid, c.vec_id,
                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -157,22 +193,31 @@ object Similarity {
         ORDER BY qid, rank""")),
 
     // ---- LSH-bucketed ANN (random-hyperplane signs, multi-table) ---------
-    // Plane matrix is a deterministic literal (LshPlanes); signatures are
-    // codegen'd dot products. Fully oracle-checked (lshOracleSql mirrors
-    // the plane bank); recall vs cosine_topk asserted in OperatorSpec.
+    // Plane matrix is a deterministic literal (LshPlanes, 16 planes/table ⇒
+    // 2^16 cells); signatures are codegen'd dot products. The corpus side
+    // emits its base cell per table and NEVER shuffles — it joins in place
+    // against the broadcast query probes, which expand each query signature
+    // to every cell within hamming≤2 (137 masks × 16 tables). Each query
+    // therefore touches ~Σ|probed cells| ≈ 3-5% of the corpus instead of
+    // the 1/32 per table the 5-plane bank probed, and a hot cell's blast
+    // radius is bounded by the map-side top-k heaps that consume the
+    // candidates — no cap needed on this read-only path. Fully
+    // oracle-checked (lshOracleSql mirrors the plane bank and mask list);
+    // recall asserted in OperatorSpec at the design point (planted
+    // near-dups) and as a floor on the uniform testdata.
     GraftQuery(
       "ann_lsh_topk",
       (s, dir) => {
         val e = vecs(s, dir)
-          .withColumn("bk", explode(LshPlanes.bucketsCol(col("embedding"))))
           .select(col("vec_id"), col("embedding"), col("norm"),
-            col("bk.table").as("table"), col("bk.bucket").as("bucket"))
+            posexplode(LshPlanes.bucketsCol(col("embedding"))).as(Seq("table", "bucket")))
         val q = e.filter(col("vec_id") < 5)
+          .withColumn("m", explode(typedlit(LshPlanes.probeMasks(2))))
           .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-            col("norm").as("qnorm"),
-            col("table").as("qtable"), col("bucket").as("qbucket"))
+            col("norm").as("qnorm"), col("table").as("qtable"),
+            col("bucket").bitwiseXOR(col("m")).as("qcell"))
         val cand = e.join(broadcast(q),
-            col("table") === col("qtable") && col("bucket") === col("qbucket") &&
+            col("table") === col("qtable") && col("bucket") === col("qcell") &&
             col("vec_id") =!= col("qid"))
           .select("qid", "qemb", "qnorm", "vec_id", "embedding", "norm")
           .dropDuplicates("qid", "vec_id")
@@ -338,31 +383,22 @@ object Similarity {
 
     // ---- embedding-cosine near-dup pairs (LSH-bucketed, not all-pairs) ---
     // The dedup-by-embedding shape for a training-data pipeline: candidate
-    // pairs come ONLY from shared (table, bucket) LSH cells — never an n²
-    // cross join — then exact cosine confirms. With real near-dup corpora
-    // (τ ≥ 0.9, tightly clustered duplicates) the bucket join prunes almost
-    // everything; on this uniform synthetic data (max pairwise cos ≈ 0.6,
-    // threshold lowered to 0.42 so the result is non-degenerate) it still
-    // prunes ~2× — the SHAPE is what scales, recall is the tunable
-    // (16 tables ⇒ ~84% at τ=0.42, higher as τ rises; measured vs the
-    // brute-force pair set in OperatorSpec). Fully oracle-checked: same
-    // plane bank, same candidate cells, same IEEE cosine fold in DuckDB.
+    // pairs come ONLY from shared capped LSH probe cells (see
+    // neardupCandidates — 2^16 cells/table, hamming≤1 symmetric multiprobe,
+    // maxBucket hot-cell cap), then exact cosine confirms. At the near-dup
+    // design point (τ ≥ 0.9) the probe recall is ~100% across 16 tables
+    // (planted-duplicate test in OperatorSpec); on this uniform synthetic
+    // data (max pairwise cos ≈ 0.6, threshold lowered to 0.42 so the
+    // result is non-degenerate) recall is ~45% — uniform data at low τ is
+    // the no-free-lunch regime for any sublinear ANN, and the wide-bucket
+    // operating point is the one that survives 10^9 rows. Fully
+    // oracle-checked: same plane bank, same probe masks, same cap, same
+    // IEEE cosine fold in DuckDB.
     GraftQuery(
       "embedding_neardup",
       (s, dir) => {
         val e = vecs(s, dir)
-        val buckets = e
-          .select(col("vec_id"), explode(LshPlanes.bucketsCol(col("embedding"))).as("bk"))
-          .select(col("vec_id"), col("bk.table").as("tbl"), col("bk.bucket").as("bucket"))
-        // narrow self-join (id + cell only), THEN fetch vectors for the
-        // deduped candidates — embeddings never ride the bucket shuffle
-        val cand = buckets.as("x")
-          .join(buckets.as("y"),
-            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-          .distinct()
-        cand
+        neardupCandidates(s, dir)
           .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
             col("norm").as("na")), "vec_a")
           .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -391,10 +427,19 @@ object Similarity {
           SELECT vec_id, tbl,
                  sum(CASE WHEN dot >= 0 THEN 1 << (${LshPlanes.planesPerTable - 1} - plane) ELSE 0 END) AS bucket
           FROM dots GROUP BY vec_id, tbl),
+        cells AS (
+          SELECT vec_id, tbl, xor(bucket, m.m) AS cell
+          FROM sigs CROSS JOIN (SELECT unnest(${LshPlanes.sqlProbeMasks(1)}) AS m) m),
+        capped AS (
+          SELECT vec_id, tbl, cell FROM (
+            SELECT vec_id, tbl, cell,
+                   count(*) OVER (PARTITION BY tbl, cell) AS csz
+            FROM cells)
+          WHERE csz <= ${LshPlanes.maxBucket}),
         cand AS (
           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM sigs a JOIN sigs b
-            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          FROM capped a JOIN capped b
+            ON a.tbl = b.tbl AND a.cell = b.cell AND a.vec_id < b.vec_id),
         scored AS (
           SELECT c.vec_a, c.vec_b,
                  list_reduce(list_prepend(CAST(0 AS DOUBLE),

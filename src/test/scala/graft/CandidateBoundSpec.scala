@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-growth gate for the capped candidate generators.
+  *
+  * Quadratic candidate volume is invisible behind a green oracle at any
+  * single scale — the round-4 verdict's n²/32 LSH self-join stayed hidden
+  * for three rounds exactly this way. This spec counts the candidate
+  * frames at ALL THREE testdata scales and asserts the linear bound the
+  * hot-bucket caps make provable:
+  *
+  *  - simhash: each doc emits 10 band rows (4 single-chunk + 6 chunk-pair),
+  *    a row pairs with ≤ MaxChunkBucket−1 bucket-mates
+  *    ⇒ candidates ≤ 10·(cap−1)/2·n.
+  *  - embedding LSH: each vector emits 16 tables × 17 probe cells, a cell
+  *    row pairs with ≤ maxBucket−1 mates ⇒ candidates ≤ 272·(cap−1)/2·n.
+  *
+  * The bounds hold at ANY n by construction; asserting them at three
+  * scales (plus a much tighter empirical ceiling, and that the cap
+  * actually engages at sf0.1 so the capped path is oracle-exercised, not
+  * dormant) is the regression gate: removing a cap, widening it, or
+  * re-keying a band to something hotter trips this suite before it trips
+  * a 100 TB cluster.
+  *
+  * On the real-structure growth: the documents corpus plants near-dup
+  * pairs at a density that itself grows ~n² (true hamming≤6 pairs:
+  * 328 at 500 docs → 29 922 at 5 000), so a growth-EXPONENT assertion on
+  * raw candidates would reject even a perfect detector. The bound, not
+  * the exponent, is the scale invariant; the empirical ceilings below are
+  * set ~3× above today's measurements so genuine regressions (not corpus
+  * density) trip them.
+  */
+class CandidateBoundSpec extends SparkSuite {
+
+  private val dirs = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("simhash candidates stay under the linear cap bound at all three scales") {
+    val capBoundPerDoc = 10.0 * (operators.Dedup.MaxChunkBucket - 1) / 2
+    for (dir <- dirs) {
+      val n = Tables.documents(spark, dir).count()
+      val cands = operators.Dedup.simhashCandidates(spark, dir).count()
+      assert(cands <= capBoundPerDoc * n,
+        s"$dir: $cands candidates exceed the provable bound ${capBoundPerDoc * n}")
+      // empirical ceiling ~3× today's measured volume (≤ 9 cand/doc at
+      // 500 docs, ≤ 50 at 5000 — the corpus' planted-dup density rises
+      // with n, so the per-doc ceiling does too)
+      val perDoc = cands.toDouble / n
+      val ceiling = if (n <= 1000) 30.0 else 150.0
+      assert(perDoc <= ceiling,
+        s"$dir: $perDoc candidates/doc — candidate generation got hotter")
+    }
+  }
+
+  test("simhash bucket cap engages at sf0.1 (capped path is live, not dormant)") {
+    import graft.functions.{VectorExpressions => V}
+    val dir = dirs.last
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), V.simhash64(split(col("text"), " ")).as("fp"))
+    val hot = (0 until 4).map { c =>
+      fp.select(expr(s"CAST(shiftright(fp, ${c * 16}) & 65535 AS BIGINT)").as("v"))
+        .groupBy("v").count()
+        .filter(col("count") > operators.Dedup.MaxChunkBucket)
+        .count()
+    }.sum
+    assert(hot > 0,
+      "no single-chunk bucket exceeds MaxChunkBucket at sf0.1 — the capped " +
+        "branch of the oracle-mirrored join is never exercised; lower the cap " +
+        "or plant a hotter corpus")
+  }
+
+  test("embedding LSH candidates stay under the linear cap bound at all three scales") {
+    import graft.functions.LshPlanes
+    val capBoundPerVec =
+      LshPlanes.tables.toDouble * LshPlanes.probeMasks(1).size *
+        (LshPlanes.maxBucket - 1) / 2
+    for (dir <- dirs) {
+      val n = Tables.embeddings(spark, dir).count()
+      val cands = operators.Similarity.neardupCandidates(spark, dir).count()
+      assert(cands <= capBoundPerVec * n,
+        s"$dir: $cands candidates exceed the provable bound ${capBoundPerVec * n}")
+      // empirical ceiling: measured ~12 cand/vec at 500 and ~47 at 2000
+      // (uniform data ⇒ the n²·probes/2^16 noise term still dominates at
+      // these n; the cap turns it linear beyond cap·2^16 rows) — 3× slack
+      val perVec = cands.toDouble / n
+      val ceiling = if (n <= 1000) 40.0 else 150.0
+      assert(perVec <= ceiling,
+        s"$dir: $perVec candidates/vec — candidate generation got hotter")
+    }
+  }
+}
