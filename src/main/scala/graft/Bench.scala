@@ -2,25 +2,40 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** A failure must be VISIBLE in the JSON itself: a crashing query returns
+    * in milliseconds, and a near-zero timing would report the breakage as a
+    * speedup. The sentinel keeps the line valid JSON, dwarfs every real
+    * timing, and inflates the total — unmissable. */
+  private val Sentinel = 9999.99
+
+  private def timeOnce(name: String)(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    try { body; (System.nanoTime() - t0) / 1e9 }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      -1.0
+    }
+  }
+
   /** Median of an odd number of timed runs — single-shot timings on a
     * shared host conflate plan cost with GC pauses and neighbor noise
     * (round-1 bench showed 20× outliers on sub-second plans), and the
     * median is the standard robust estimator that still reflects a true
-    * regression after one repeat. */
+    * regression after one repeat. Sub-second medians get two extra reps:
+    * that is exactly the range where a single GC pause is a 2-10× swing
+    * (four such phantom "regressions" were flagged between rounds 3 and 4
+    * on unchanged plans), and two more reps of a sub-second query cost
+    * almost nothing. ANY failed rep poisons the whole measurement — with a
+    * majority of clean reps a median would hide an intermittent crash
+    * behind a normal-looking number, stderr being the only trace. */
   private def timeMedian(name: String, reps: Int)(body: => Unit): Double = {
-    val times = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      // a failure must be VISIBLE in the JSON itself: a crashing query
-      // returns in milliseconds, and a near-zero median would report the
-      // breakage as a speedup. The sentinel keeps the line valid JSON,
-      // dominates the median, and inflates the total — unmissable.
-      try { body; (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        9999.99
-      }
-    }.sorted
-    times(times.length / 2)
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    val first = (1 to reps).map(_ => timeOnce(name)(body))
+    if (first.exists(_ < 0)) return Sentinel
+    val times =
+      if (median(first) < 1.0) first ++ (1 to 2).map(_ => timeOnce(name)(body))
+      else first
+    if (times.exists(_ < 0)) Sentinel else median(times)
   }
 
   def main(args: Array[String]): Unit = {

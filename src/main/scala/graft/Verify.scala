@@ -35,8 +35,13 @@ object Verify {
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
+          // close the walk stream: the cleanup path is exactly the one that
+          // runs repeatedly when many queries fail, and each unclosed walk
+          // leaks its directory handles for the life of the JVM
+          val walk = Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
         }
       }
     }

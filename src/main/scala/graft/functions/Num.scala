@@ -38,8 +38,13 @@ object Num {
     * by 10^outScale. Every step is integral in both engines, so the
     * rounding is bit-identical by construction.
     *
-    * Takes the column NAME (the expression is assembled via `expr` for
-    * the integral `div`). */
+    * `colName` is a SQL EXPRESSION string, not just an identifier — the
+    * text is spliced verbatim into `expr`/oracle SQL (TextAnalysis passes
+    * `round(ln(...),6)`), which both engines must parse identically. Plain
+    * identifiers needing quoting (spaces, reserved words, embedded quotes)
+    * would produce an opaque parse error: backtick-quote them on the Spark
+    * side / double-quote in the oracle BEFORE passing them here. Same
+    * contract for [[sqlDsum]]/[[sqlDavg]]. */
   def davg(colName: String, scale: Int = 2, outScale: Int = 4): Column = {
     val m = math.max(scale, outScale)
     val tEx = s"CAST(sum(CAST($colName AS DECIMAL(18,$scale))) * ${p10(m)} AS DECIMAL(38,0))"

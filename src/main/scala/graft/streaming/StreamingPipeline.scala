@@ -29,10 +29,26 @@ import graft.operators.{Ingest, WindowAgg}
   */
 object StreamingPipeline {
 
+  /** The exact Kafka reader options the reference passes
+    * (`spark-processor/processor.py:60-67`), exposed as data: the offline
+    * harness has no broker (and no connector jar to even build the
+    * relation), so the option plumbing — the one piece of [[fromKafka]]
+    * MemoryStream cannot stand in for — is pinned by asserting this map
+    * in StreamingSpec. [[fromKafka]] consumes it verbatim. */
+  def kafkaReaderOptions(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      failOnDataLoss: Boolean = false): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    "failOnDataLoss" -> failOnDataLoss.toString)
+
   /** Kafka source → decoded typed rows (A1–A5). Not exercisable in the
-    * offline harness (no broker) but compiled against the bundled
-    * spark-sql-kafka jars; the MemoryStream tests drive [[Ingest.decode]]
-    * and [[aggregates]] through the identical plan. */
+    * offline harness (no broker); the MemoryStream tests drive
+    * [[Ingest.decode]] and [[aggregates]] through the identical plan, and
+    * the options test pins [[kafkaReaderOptions]]. */
   def fromKafka(
       spark: SparkSession,
       bootstrapServers: String,
@@ -42,10 +58,7 @@ object StreamingPipeline {
     Ingest.decode(
       spark.readStream
         .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topic)
-        .option("startingOffsets", startingOffsets)
-        .option("failOnDataLoss", failOnDataLoss.toString)
+        .options(kafkaReaderOptions(bootstrapServers, topic, startingOffsets, failOnDataLoss))
         .load())
 
   /** Watermarked tumbling-window aggregation over decoded readings (A7–A10). */
@@ -120,6 +133,36 @@ object StreamingPipeline {
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Near-dup dedup AT INGEST — where a 100 TB training-data pipeline
+    * actually runs it (deduping after landing re-reads the corpus; deduping
+    * the stream costs one scan-side signature per row plus bounded state).
+    * Key = the full 16-hash MinHash signature of the document's trigram
+    * shingles (the batch dedup stack's exact kernel,
+    * [[graft.functions.VectorKernels.minhashSig]]): documents whose shingle
+    * sets collide on all 16 permutations — in practice Jaccard ≈ 1
+    * boilerplate re-posts — are dropped within the watermark horizon, state
+    * GC'd as event time advances. Sub-shingle-length documents have no
+    * signature (empty gram set) and fall back to exact-text keying rather
+    * than all colliding on the degenerate all-MaxValue signature. Banded
+    * (any-band) matching would need stream-stream self-join state, not a
+    * dedup key — that is the batch pipeline's job downstream. */
+  def dedupByMinHashWithinWatermark(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "timestamp",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit, size, when}
+    import graft.functions.{VectorExpressions => V}
+    val grams = V.wordShingles(col(textCol), 3)
+    docs
+      .withColumn("_dedup_key",
+        when(size(grams) > 0, V.minhashSig(grams).cast("string"))
+          .otherwise(concat(lit("short:"), col(textCol))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("_dedup_key"))
+      .drop("_dedup_key")
+  }
+
   /** Silent-device detector — the liveness monitor the reference's IoT
     * domain implies: emits (device_id, last_seen) once a device has sent
     * nothing for `silenceMs` of EVENT time (watermark-driven, so a stalled
@@ -139,6 +182,10 @@ object StreamingPipeline {
     val spark = readings.sparkSession
     import spark.implicits._
     readings
+      // a null event time must not reach the state function: the watermark
+      // only drops rows OLDER than the horizon, not null ones, and a null
+      // would NPE the whole streaming query on one malformed reading
+      .filter(col(tsCol).isNotNull)
       .select(col(idCol).cast("string").as("_id"), col(tsCol).as("_ts"))
       .withWatermark("_ts", watermarkDelay)
       .as[(String, java.sql.Timestamp)]
@@ -150,15 +197,28 @@ object StreamingPipeline {
           if (state.hasTimedOut) {
             val last = state.get
             state.remove()
-            Iterator((id, new java.sql.Timestamp(last)))
+            Iterator((id, microsToTs(last)))
           } else {
-            val last = (rows.map(_._2.getTime) ++ state.getOption.iterator).max
+            // state carries MICROsecond precision: getTime would silently
+            // truncate to millis and report a last_seen that differs from
+            // the event time downstream equality-joins against
+            val last = (rows.map(r => tsToMicros(r._2)) ++ state.getOption.iterator).max
             state.update(last)
-            state.setTimeoutTimestamp(last + silenceMs)
+            state.setTimeoutTimestamp(last / 1000L + silenceMs)
             Iterator.empty
           }
       }
       .toDF("device_id", "last_seen")
+  }
+
+  /** µs ↔ java.sql.Timestamp (getTime truncates to ms; nanos carry the
+    * sub-second part, Spark timestamps are µs precision). */
+  private def tsToMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
   }
 
   /** Attach always-on data-quality counters to a decoded stream via

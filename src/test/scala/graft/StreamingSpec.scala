@@ -16,6 +16,9 @@ case class Reading(device_id: String, device_type: String, location: String,
 /** Session accumulator for the flatMapGroupsWithState spec. */
 case class Sess(device: String, n: Long, firstTs: Long, lastTs: Long)
 
+/** Document row for the streaming MinHash dedup spec. */
+case class Doc(doc_id: Long, text: String, timestamp: Timestamp)
+
 /** Streaming semantics via MemoryStream (SURVEY.md §5.4): watermark
   * late-row drop, append-after-watermark-close emission, update-mode
   * revisions (reference parity), streaming dedup. */
@@ -313,6 +316,75 @@ class StreamingSpec extends SparkSuite {
       mem.addData(at("dev_a", "2024-01-01T15:00:30Z"))
       q.processAllAvailable()
       assert(spark.table("silent_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("silentDevices ignores null event times and keeps microsecond precision") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    def at(dev: String, t: String) =
+      Reading(dev, "temperature", "room1", 1.0, 50.0, ts(t))
+    val quiet = StreamingPipeline.silentDevices(mem.toDF(),
+      silenceMs = 30 * 60 * 1000L, watermarkDelay = "10 minutes")
+    val q = quiet.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("silent_null_out").start()
+    try {
+      // a malformed null-timestamp reading must not kill the query — the
+      // watermark only drops rows older than the horizon, not null ones
+      val tsMicro = ts("2024-01-01T10:00:00.123456Z")
+      mem.addData(Reading("dev_a", "temperature", "room1", 1.0, 50.0, tsMicro),
+                  Reading("dev_n", "temperature", "room1", 1.0, 50.0, null))
+      q.processAllAvailable()
+      mem.addData(at("dev_b", "2024-01-01T12:00:00Z"),
+                  at("dev_b", "2024-01-01T15:00:00Z"))
+      q.processAllAvailable()
+      mem.addData(at("dev_b", "2024-01-01T18:00:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("silent_null_out").collect()
+      assert(rows.map(_.getAs[String]("device_id")).toSet == Set("dev_a"),
+        s"expected only dev_a, got ${rows.mkString}")
+      // last_seen must round-trip the µs part, not truncate to millis
+      assert(rows.head.getAs[Timestamp]("last_seen") == tsMicro,
+        s"µs precision lost: ${rows.head.getAs[Timestamp]("last_seen")}")
+    } finally q.stop()
+  }
+
+  test("kafka reader options carry the reference's consumer contract") {
+    // processor.py:60-67 — subscribe (not assign), earliest start, and
+    // failOnDataLoss=false; the offline harness has no broker, so pinning
+    // the options map fromKafka consumes is the reachable surface
+    val opts = StreamingPipeline.kafkaReaderOptions("broker:9092", "raw-data")
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "raw-data")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("failOnDataLoss") == "false")
+    assert(!opts.contains("assign") && !opts.contains("subscribePattern"))
+  }
+
+  test("dedupByMinHash drops signature-identical re-posts at ingest, short docs key on text") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = StreamingPipeline.dedupByMinHashWithinWatermark(mem.toDF())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mh_dedup_out").start()
+    try {
+      val boiler = "the quick brown fox jumps over the lazy dog again and again"
+      mem.addData(
+        Doc(1L, boiler, ts("2024-01-01T10:00:00Z")),
+        Doc(2L, boiler, ts("2024-01-01T10:00:05Z")), // same sig, same batch
+        Doc(3L, "entirely different text about spark streaming pipelines today",
+          ts("2024-01-01T10:00:10Z")),
+        Doc(4L, "tiny", ts("2024-01-01T10:00:15Z")), // < 3 tokens: text-key fallback
+        Doc(5L, "tiny", ts("2024-01-01T10:00:20Z")))
+      q.processAllAvailable()
+      mem.addData(Doc(6L, boiler, ts("2024-01-01T10:01:00Z"))) // re-post next batch
+      q.processAllAvailable()
+      val ids = spark.table("mh_dedup_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.size == 3, s"expected 3 survivors, got $ids")
+      assert(ids.contains(3L), "the distinct document was dropped")
+      assert(ids.count(Set(1L, 2L, 6L)) == 1, s"boilerplate re-posts survived: $ids")
+      assert(ids.count(Set(4L, 5L)) == 1, s"short-doc duplicate survived: $ids")
     } finally q.stop()
   }
 
