@@ -284,6 +284,48 @@ object Curation {
                                         ORDER BY n DESC, event_type) rn
               FROM c)
         WHERE rn = 1
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ---- overlapping token-window chunking (context-window packing) ------
+    // The pass between curation and tokenization: cut each document into
+    // fixed-width token windows with overlap (stride < width) so no
+    // boundary context is lost — the same shape RAG indexers and
+    // sequence-packing tokenizers consume. Chunk count is
+    // ceil(max(n - w, 0) / stride) + 1, so every token position is covered
+    // and a short doc yields exactly one chunk.
+    //
+    // Scale: pure per-row arithmetic (sequence → transform → posexplode);
+    // no shuffle at all until the presentation sort — the whole operator
+    // pipelines inside one scan stage and parallelizes with the input.
+    // Amplification is bounded by width/stride (≈1.33×) by construction.
+    GraftQuery(
+      "chunk_documents",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), expr(
+          s"""transform(
+                sequence(0, CAST(ceil(greatest(size(split(text, ' ')) - $ChunkTokens, 0) / $ChunkStride.0) AS INT)),
+                i -> array_join(slice(split(text, ' '), i * $ChunkStride + 1, $ChunkTokens), ' '))""")
+          .as("chunks"))
+        .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "chunk_text")))
+        .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast(LongType))
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        ch AS (SELECT doc_id,
+                 list_transform(
+                   range(0, CAST(ceil(greatest(len(toks) - $ChunkTokens, 0) / $ChunkStride.0) AS INT) + 1),
+                   i -> array_to_string(list_slice(toks, i * $ChunkStride + 1, i * $ChunkStride + $ChunkTokens), ' ')) chunks
+               FROM t)
+        SELECT doc_id,
+               generate_subscripts(chunks, 1) - 1 AS chunk_id,
+               CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS n_tokens,
+               unnest(chunks) AS chunk_text
+        FROM ch
+        ORDER BY doc_id, chunk_id"""))
   )
+
+  /** chunk_documents window: 32-token chunks at stride 24 (25% overlap). */
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
 }

@@ -637,8 +637,74 @@ object Dedup {
         .filter(col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b"),
-      Some(simhashOracleSql))
+      Some(simhashOracleSql)),
+
+    // ---- exact token-block dedup (substring-dedup at block granularity) --
+    // The sequence-level pass a training pipeline runs AFTER document
+    // dedup: boilerplate and quoted passages repeat across otherwise
+    // distinct documents, so whole-doc digests miss them. Docs are cut
+    // into fixed non-overlapping token blocks; a block INSTANCE is a
+    // duplicate iff the same block text occurs at an earlier (doc_id,
+    // block_idx) position anywhere in the corpus. Per-doc output is the
+    // duplicated-block profile a filter stage thresholds on.
+    //
+    // Scale: one explode to block instances, one hash-shuffle keyed on the
+    // block digest (the min-position groupBy — text never rides the
+    // shuffle wider than one block), one join back, one per-doc agg —
+    // O(n tokens) end to end, no pairwise anything. The canonical-instance
+    // rule (global min position) is what makes the result deterministic
+    // and oracle-checkable, unlike first-seen-in-scan-order. Block size is
+    // 3 tokens here because the synthetic corpus draws from a ~31-word
+    // vocabulary (real pipelines use ~50-token blocks; the arithmetic is
+    // size-independent). Position encodes as doc_id*1e6+idx so "earlier"
+    // is one BIGINT min in both engines.
+    GraftQuery(
+      "block_dedup",
+      (s, dir) => {
+        val inst = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), expr(
+            s"""transform(
+                  sequence(0, CAST(ceil(size(split(text, ' ')) / $BlockTokens.0) AS INT) - 1),
+                  i -> array_join(slice(split(text, ' '), i * $BlockTokens + 1, $BlockTokens), ' '))""")
+            .as("blocks"))
+          .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
+          .withColumn("pos", col("doc_id") * 1000000L + col("idx"))
+        val canon = inst.groupBy("block").agg(min(col("pos")).as("first_pos"))
+        inst.join(canon, "block")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("pos") =!= col("first_pos"), 1L).otherwise(0L)).as("dup_blocks"))
+          .withColumn("dup_ratio",
+            round(col("dup_blocks").cast(DoubleType) / col("n_blocks"), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        b AS (SELECT doc_id,
+                list_transform(range(0, CAST(ceil(len(toks) / $BlockTokens.0) AS INT)),
+                  i -> array_to_string(list_slice(toks, i * $BlockTokens + 1, i * $BlockTokens + $BlockTokens), ' ')) blocks
+              FROM t),
+        inst AS (SELECT doc_id,
+                   generate_subscripts(blocks, 1) - 1 AS idx,
+                   unnest(blocks) AS block
+                 FROM b),
+        pos AS (SELECT doc_id, block, doc_id * 1000000 + idx AS pos FROM inst),
+        canon AS (SELECT block, min(pos) first_pos FROM pos GROUP BY block)
+        SELECT p.doc_id,
+               count(*) AS n_blocks,
+               CAST(sum(CASE WHEN p.pos != c.first_pos THEN 1 ELSE 0 END) AS BIGINT) AS dup_blocks,
+               round(CAST(sum(CASE WHEN p.pos != c.first_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 4) AS dup_ratio
+        FROM pos p JOIN canon c USING (block)
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id"""))
   )
+
+  /** Token-block width for block_dedup — 3 because the synthetic corpus'
+    * ~31-word vocabulary needs short blocks to exhibit any repetition;
+    * production corpora use ~50. */
+  private val BlockTokens = 3
 
   /** Candidate SimHash pairs (with both fingerprints carried for the
     * hamming confirmation) — exposed so the scale-gate spec can count the

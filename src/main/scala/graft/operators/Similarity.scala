@@ -473,6 +473,68 @@ object Similarity {
               FROM embeddings)
         WHERE dim - 1 < 8
         GROUP BY label, dim
-        ORDER BY label, dim"""))
+        ORDER BY label, dim""")),
+
+    // ---- semantic dedup (SemDeDup): within-cell cosine, keep min-id ------
+    // The embedding-space analog of dedup_keep_list: vectors land in a
+    // coarse-quantizer cell, pairwise cosine runs ONLY within a cell, and
+    // a vector is dropped in favor of its lowest-id cell-mate above the
+    // threshold. Cells here are the testdata's label clustering (same
+    // stand-in ann_ivf_topk uses); at 100 TB the cell key is a k-means
+    // assignment with k ∝ n, which is exactly what bounds within-cell
+    // pair volume — SemDeDup's quadratic term is quadratic only in CELL
+    // size, which the clustering granularity pins. The explicit CellCap
+    // backstops that promise structurally (an over-full cell is skipped,
+    // signalling "re-cluster finer", never silently going quadratic), and
+    // is mirrored into the oracle like every other cap in the engine.
+    // τ = 0.30 sits at the synthetic corpus' within-cell 99th percentile
+    // so the verdict is non-degenerate at every sf (production τ ≈ 0.95+).
+    GraftQuery(
+      "semantic_dedup",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val capped = e
+          .withColumn("csz", count(lit(1)).over(Window.partitionBy("label")))
+          .filter(col("csz") <= SemCellCap)
+          .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
+        val reps = capped.as("a")
+          .join(capped.as("b"),
+            col("a.label") === col("b.label") && col("b.vec_id") < col("a.vec_id"))
+          .withColumn("cos", V.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.norm") * col("b.norm")))
+          .filter(col("cos") >= SemDedupTau)
+          .groupBy(col("a.vec_id").as("vec_id"))
+          .agg(min(col("b.vec_id")).as("rep_id"))
+        Tables.embeddings(s, dir).select("vec_id")
+          .join(reps, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("rep_id").isNull.as("kept"), col("rep_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        c AS (
+          SELECT vec_id, label, v, norm FROM (
+            SELECT e.*, count(*) OVER (PARTITION BY label) csz FROM e)
+          WHERE csz <= $SemCellCap),
+        reps AS (
+          SELECT a.vec_id AS vec_id, min(b.vec_id) AS rep_id
+          FROM c a JOIN c b ON a.label = b.label AND b.vec_id < a.vec_id
+          WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+                  (acc, x) -> acc + x) / (a.norm * b.norm) >= $SemDedupTau
+          GROUP BY a.vec_id)
+        SELECT e.vec_id, r.rep_id IS NULL AS kept, r.rep_id
+        FROM e LEFT JOIN reps r ON e.vec_id = r.vec_id
+        ORDER BY e.vec_id"""))
   )
+
+  /** semantic_dedup operating point: cosine threshold (synthetic-corpus
+    * p99; production uses ~0.95) and the structural cell-size cap. */
+  private val SemDedupTau = 0.30
+  private val SemCellCap = 512
 }

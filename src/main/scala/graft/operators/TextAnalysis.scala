@@ -422,6 +422,40 @@ object TextAnalysis {
                                + length(t) AS BIGINT))),
                  (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fingerprint
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- corpus-wide top bigrams by document frequency -------------------
+    // The boilerplate detector: phrases that appear across a large share
+    // of documents are template/markup noise, and their document frequency
+    // is the first thing a curation pass inspects (it also feeds the
+    // hot-gram caps the dedup family relies on). Distinct-per-doc shingles
+    // (the codegen'd kernel dedup uses) make count(*) a document
+    // frequency, the partial agg absorbs the explode before any shuffle,
+    // and the global top-25 is a TakeOrderedAndProject — k rows per
+    // partition cross the wire, never the gram table.
+    GraftQuery(
+      "top_ngrams",
+      (s, dir) => Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.wordShingles(col("text"), 2)).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("gram"))
+        .limit(25),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2 THEN
+                   list_distinct(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1]))
+                 ELSE [] END grams
+               FROM t),
+        ex AS (SELECT doc_id, unnest(grams) gram FROM sh)
+        SELECT gram, count(*) AS df
+        FROM ex
+        GROUP BY gram
+        ORDER BY df DESC, gram
+        LIMIT 25"""))
   )
 }

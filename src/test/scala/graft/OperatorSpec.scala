@@ -491,4 +491,90 @@ class OperatorSpec extends SparkSuite {
     }
     assert(got == expect)
   }
+
+  test("block_dedup matches a naive first-occurrence recomputation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val inst = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      toks.grouped(3).zipWithIndex.map { case (b, i) => (id, i, b.mkString(" ")) }
+    }
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    inst.foreach { case (d, i, b) => // inst is (doc_id, idx)-sorted already
+      if (!first.contains(b)) first(b) = (d, i)
+    }
+    val expect = inst.groupBy(_._1).map { case (d, rs) =>
+      d -> (rs.length.toLong, rs.count { case (dd, i, b) => first(b) != ((dd, i)) }.toLong)
+    }
+    val got = run("block_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("dup_blocks"))).toMap
+    assert(got == expect)
+    // non-degenerate on the synthetic corpus: some duplication must exist
+    assert(got.values.map(_._2).sum > 0, "no duplicate blocks found — test corpus degenerate")
+  }
+
+  test("semantic_dedup matches brute-force within-cell cosine at the threshold") {
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = e.groupBy(_._2)
+    val expect = e.map { case (id, lab, v) =>
+      val reps = byLabel(lab).filter(o => o._1 < id && cos(o._3, v) >= 0.30).map(_._1)
+      id -> (if (reps.isEmpty) None else Some(reps.min))
+    }.toMap
+    val got = run("semantic_dedup").collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        (if (r.isNullAt(r.fieldIndex("rep_id"))) None else Some(r.getAs[Long]("rep_id")))
+    }.toMap
+    assert(got == expect)
+    val dropped = got.values.count(_.isDefined)
+    assert(dropped > 0 && dropped < got.size,
+      s"degenerate verdict: $dropped/${got.size} dropped")
+  }
+
+  test("chunk_documents: full token coverage, width/stride respected, text reconstructs") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val chunks = run("chunk_documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))
+    chunks.groupBy(_._1).foreach { case (id, rs) =>
+      val toks = texts(id)
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0 until rs.length),
+        s"doc $id chunk ids not dense")
+      sorted.foreach { case (_, cid, n, text) =>
+        val start = cid * 24
+        val expect = toks.slice(start, start + 32)
+        assert(text.split(" ", -1).toSeq == expect.toSeq, s"doc $id chunk $cid text mismatch")
+        assert(n == expect.length)
+        // every chunk except the last is full-width
+        if (cid < rs.length - 1) assert(n == 32L, s"doc $id chunk $cid short mid-chunk")
+      }
+      // coverage: last chunk reaches the final token
+      val (_, lastCid, lastN, _) = sorted.last
+      assert(lastCid * 24 + lastN >= toks.length, s"doc $id tail tokens uncovered")
+    }
+  }
+
+  test("top_ngrams matches a naive document-frequency count") {
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach { t =>
+      val toks = t.split(" ", -1)
+      toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+        .foreach((g: String) => df(g) = df.getOrElse(g, 0) + 1)
+    }
+    val expect = df.toSeq.sortBy { case (g, n) => (-n, g) }.take(25)
+      .map { case (g, n) => (g, n.toLong) }
+    val got = run("top_ngrams").collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("df"))).toSeq
+    assert(got == expect)
+  }
 }
