@@ -84,19 +84,31 @@ object Bench {
     // harness wrapper itself records); anything else as a quoted string
     val sfJson = "^sf([0-9.]+)$".r.findFirstMatchIn(sfBase)
       .map(_.group(1)).getOrElse("\"" + sfBase + "\"")
-    def render(scale: Double, unit: Boolean): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(r(v, scale)) }
+    def render(scale: Double, unit: Boolean, dropZeros: Boolean = false): String = {
+      // at 0.1 s precision an entry rounding to 0 carries no information
+      // beyond "fast" — omitting those (with a count, so absence is
+      // explicit) preserves everything the precision retains and buys the
+      // slow-query map room the 96-entry registry no longer leaves
+      val kept = if (dropZeros) results.filter { case (_, v) => r(v, scale) != 0.0 }
+                 else results
+      val omitted =
+        if (results.size == kept.size) ""
+        else "\"omitted_fast\":" + (results.size - kept.size) + ","
+      val qs = kept.map { case (k, v) => s"\"" + k + "\":" + num(r(v, scale)) }
         .mkString("{", ",", "}")
       val u = if (unit) "\"unit\":\"sec\"," else ""
-      s"""{"metric":"total","value":${num(r(total, 1000))},$u"queries":$qs,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${num(r(total, 1000))},$u$omitted"queries":$qs,"sf":$sfJson}"""
     }
     // the line must survive the harness tail buffer (2000 chars) alongside
     // sbt's trailing "[success] Total time: ..." line (~75 chars) — degrade
-    // per-query precision (then the unit field) before the query map itself
-    // gets truncated, and say so: a silent total-only fallback is the
-    // parsed-but-empty regression this ladder exists to prevent
+    // per-query precision, then the unit field, then drop the
+    // sub-precision entries (counted in omitted_fast) before the query map
+    // itself gets truncated, and say so: a silent total-only fallback is
+    // the parsed-but-empty regression this ladder exists to prevent
     val renders = Seq(render(100, unit = true), render(10, unit = true),
-      render(10, unit = false))
+      render(10, unit = false), render(100, unit = true, dropZeros = true),
+      render(10, unit = true, dropZeros = true),
+      render(10, unit = false, dropZeros = true))
     val line = renders.find(_.length <= 1920).getOrElse {
       System.err.println(s"[bench] per-query map dropped: shortest render " +
         s"${renders.last.length} chars exceeds the 1920-char tail budget")
