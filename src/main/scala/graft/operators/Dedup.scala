@@ -648,12 +648,16 @@ object Dedup {
     // block_idx) position anywhere in the corpus. Per-doc output is the
     // duplicated-block profile a filter stage thresholds on.
     //
-    // Scale: one explode to block instances, one hash-shuffle keyed on the
-    // block digest (the min-position groupBy — text never rides the
-    // shuffle wider than one block), one join back, one per-doc agg —
-    // O(n tokens) end to end, no pairwise anything. The canonical-instance
-    // rule (global min position) is what makes the result deterministic
-    // and oracle-checkable, unlike first-seen-in-scan-order. Block size is
+    // Scale: one explode to block instances — which immediately collapse
+    // to (doc_id, pos, 16-byte digest) following dedup_exact's discipline
+    // (block TEXT never rides a shuffle) — then ONE digest-keyed exchange
+    // where a windowed min marks the canonical instance, then the per-doc
+    // agg. O(n tokens), no pairwise anything, no second corpus scan: the
+    // groupBy-then-join-back formulation scans and re-shingles the whole
+    // corpus twice and plans a join whose distinct-blocks side is NOT
+    // broadcastable at 100 TB. The canonical-instance rule (global min
+    // position) is what makes the result deterministic and
+    // oracle-checkable, unlike first-seen-in-scan-order. Block size is
     // 3 tokens here because the synthetic corpus draws from a ~31-word
     // vocabulary (real pipelines use ~50-token blocks; the arithmetic is
     // size-independent). Position encodes as doc_id*1e6+idx so "earlier"
@@ -661,7 +665,8 @@ object Dedup {
     GraftQuery(
       "block_dedup",
       (s, dir) => {
-        val inst = Tables.documents(s, dir)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("bh")
+        Tables.documents(s, dir)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), expr(
             s"""transform(
@@ -669,9 +674,10 @@ object Dedup {
                   i -> array_join(slice(split(text, ' '), i * $BlockTokens + 1, $BlockTokens), ' '))""")
             .as("blocks"))
           .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
-          .withColumn("pos", col("doc_id") * 1000000L + col("idx"))
-        val canon = inst.groupBy("block").agg(min(col("pos")).as("first_pos"))
-        inst.join(canon, "block")
+          .select(col("doc_id"),
+            (col("doc_id") * 1000000L + col("idx")).as("pos"),
+            md5(to_binary(col("block"), lit("utf-8"))).as("bh"))
+          .withColumn("first_pos", min(col("pos")).over(w))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_blocks"),
             sum(when(col("pos") =!= col("first_pos"), 1L).otherwise(0L)).as("dup_blocks"))
