@@ -175,8 +175,11 @@ object TextAnalysis {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = terms.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
+        // df derived FROM tf (one row per (doc, term) already) instead of a
+        // second explode+distinct over the corpus: the two consumers now
+        // share the tf subtree up to its exchange, which ReuseExchange
+        // dedupes — one corpus scan instead of two
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val scored = tf.join(df, "term")
           .crossJoin(broadcast(nDocs))
           .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
