@@ -78,4 +78,47 @@ object FileSources {
       .option("header", header.toString)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(dir)
+
+  /** Raw binary files (images/audio/video blobs) as a DataFrame — Spark's
+    * `binaryFile` source: (path, modificationTime, length, content). The
+    * ingestion face of the multimodal stack: one row per file, content as
+    * an opaque binary column, schema fixed by the source itself.
+    *
+    * `pathGlobFilter` prunes at LISTING time (e.g. "*.jpg") — at millions
+    * of landing-zone files, filtering paths after the scan would still
+    * pay the full read. `recursiveFileLookup` walks nested date/shard
+    * directories. Payload size is bounded per-row by the driver config
+    * `spark.sql.sources.binaryFile.maxLength` (2 GB hard cap per file —
+    * larger media must land pre-chunked). */
+  def binaryFiles(spark: SparkSession, dir: String,
+      pathGlobFilter: Option[String] = None,
+      recursive: Boolean = true): DataFrame = {
+    val base = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", recursive.toString)
+    pathGlobFilter.fold(base)(g => base.option("pathGlobFilter", g)).load(dir)
+  }
+
+  /** binaryFile rows bridged into the multimodal pipeline's
+    * [[graft.operators.Multimodal.MediaRecord]] shape: a stable 64-bit id
+    * from the path digest (content-independent, so re-landing the same
+    * path updates in place), media type from the file extension. From
+    * here `Multimodal.decodeStub`/`features` apply unchanged — this is
+    * the missing hop between files on disk and the feature extractor. */
+  def binaryAsMedia(spark: SparkSession, dir: String,
+      pathGlobFilter: Option[String] = None):
+      org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    binaryFiles(spark, dir, pathGlobFilter)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        // extension → media type; unknown extensions stay opaque binary
+        when(col("path").rlike("(?i)\\.(jpg|jpeg)$"), "image/jpeg")
+          .when(col("path").rlike("(?i)\\.png$"), "image/png")
+          .when(col("path").rlike("(?i)\\.(wav|wave)$"), "audio/wav")
+          .when(col("path").rlike("(?i)\\.mp4$"), "video/mp4")
+          .otherwise("application/octet-stream").as("media_type"),
+        col("content").as("payload"))
+      .as[graft.operators.Multimodal.MediaRecord]
+  }
 }

@@ -190,4 +190,32 @@ class SourcesSpec extends SparkSuite {
       assert(plan.contains("BroadcastHashJoin"))
     } finally q.stop()
   }
+
+  test("binaryFile source: glob pruning, nested dirs, bytes intact through decodeStub") {
+    val root = Files.createTempDirectory("graft-bin")
+    val nested = Files.createDirectory(root.resolve("2024-01-01"))
+    val jpgBytes = Array[Byte](-1, -40, -1, -32, 0, 16, 74, 70) // JFIF-ish header
+    Files.write(nested.resolve("a.jpg"), jpgBytes)
+    Files.write(nested.resolve("b.png"), Array[Byte](-119, 80, 78, 71))
+    Files.write(root.resolve("notes.txt"), "not media".getBytes("UTF-8"))
+    // glob prunes to jpgs only, recursing into the date directory
+    val jpgs = FileSources.binaryFiles(spark, root.toString, Some("*.jpg"))
+    val row = jpgs.collect() match {
+      case Array(r) => r
+      case rs => fail(s"expected exactly the jpg, got ${rs.length} rows")
+    }
+    assert(row.getAs[String]("path").endsWith("a.jpg"))
+    assert(row.getAs[Array[Byte]]("content") sameElements jpgBytes)
+    // the media bridge: typed records, extension-derived type, id from path
+    val media = FileSources.binaryAsMedia(spark, root.toString).collect()
+    assert(media.length == 3)
+    assert(media.map(_.media_type).sorted.toSeq ==
+      Seq("application/octet-stream", "image/jpeg", "image/png"))
+    assert(media.map(_.doc_id).distinct.length == 3, "path-digest ids collided")
+    // and decodeStub consumes the records unchanged — the full hop from
+    // files on disk to the feature extractor
+    val feats = operators.Multimodal
+      .decodeStub(media.filter(_.media_type == "image/jpeg").iterator).toSeq
+    assert(feats.length == 1 && feats.head.byte_len == jpgBytes.length)
+  }
 }
