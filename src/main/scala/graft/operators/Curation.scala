@@ -322,10 +322,50 @@ object Curation {
                CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS n_tokens,
                unnest(chunks) AS chunk_text
         FROM ch
-        ORDER BY doc_id, chunk_id"""))
+        ORDER BY doc_id, chunk_id""")),
+
+    // ---- per-source document cap (domain cap) ----------------------------
+    // The anti-monoculture rule of web-scale curation: no single
+    // source/domain may contribute more than N documents, survivors chosen
+    // by deterministic hash order (not scan order — reproducible across
+    // runs and engines, and unbiased w.r.t. position in the crawl). The
+    // same content hash that drives stratified_sample orders candidates;
+    // doc_id breaks hash ties totally.
+    //
+    // Scale: TopKPerKey bounds the shuffle at k rows per (partition,
+    // source) — a row_number window would shuffle and SORT every document
+    // of every hot domain just to throw away all but N. The rank window
+    // after it runs over ≤ N rows per source, where it is free.
+    GraftQuery(
+      "source_cap",
+      (s, dir) => {
+        val ordered = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), contentHash.as("h"))
+        val kept = graft.plans.TopK.perKey(ordered, Seq("source"),
+          Seq(("h", "asc"), ("doc_id", "asc")), SourceCap)
+        val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+        kept.withColumn("keep_rank", row_number().over(w))
+          .select("source", "keep_rank", "doc_id", "h")
+          .orderBy("source", "keep_rank")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id, source, $sqlContentHash AS h FROM documents),
+        ranked AS (
+          SELECT source, doc_id, h,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY h, doc_id) AS keep_rank
+          FROM h)
+        SELECT source, keep_rank, doc_id, h
+        FROM ranked
+        WHERE keep_rank <= $SourceCap
+        ORDER BY source, keep_rank"""))
   )
 
   /** chunk_documents window: 32-token chunks at stride 24 (25% overlap). */
   private val ChunkTokens = 32
   private val ChunkStride = 24
+
+  /** source_cap: max docs kept per source. */
+  private val SourceCap = 20
 }
