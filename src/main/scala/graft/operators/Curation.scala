@@ -359,7 +359,81 @@ object Curation {
         SELECT source, keep_rank, doc_id, h
         FROM ranked
         WHERE keep_rank <= $SourceCap
-        ORDER BY source, keep_rank"""))
+        ORDER BY source, keep_rank""")),
+
+    // ---- content-defined chunking (rolling-hash boundaries) --------------
+    // The storage-dedup classic (rsync/LBFS): a chunk boundary falls after
+    // token i whenever the hash of the last CdcWindow tokens ≡ 0 mod
+    // CdcDivisor, so boundaries are CONTENT-anchored — insert a sentence
+    // into a document and only the chunks around the edit change, where
+    // fixed-width chunking (chunk_documents) shifts every downstream
+    // chunk. That stability is what makes chunk-level dedup across
+    // document revisions work. Expected chunk length = CdcDivisor tokens;
+    // a final boundary is forced at the end so every token lands in
+    // exactly one chunk.
+    //
+    // Scale: per-row arithmetic only (token codes → windowed hash →
+    // boundary filter → chunk spans), zero shuffle before the
+    // presentation sort; the same engine-neutral polynomial hash as
+    // doc_fingerprint keeps the whole operator oracle-checkable.
+    GraftQuery(
+      "cdc_chunks",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("codes", expr(
+          """transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                       + ascii(substring(t, -1, 1))
+                                       + length(t) AS BIGINT))"""))
+        .withColumn("bounds", expr(
+          s"""concat(
+                CASE WHEN size(toks) > $CdcWindow THEN
+                  filter(sequence($CdcWindow, size(toks) - 1),
+                    i -> aggregate(slice(codes, i - $CdcWindow + 1, $CdcWindow),
+                           CAST(0 AS BIGINT),
+                           (acc, x) -> (acc * 1000003 + x) % 1000000007)
+                         % $CdcDivisor = 0)
+                ELSE CAST(array() AS ARRAY<INT>) END,
+                array(size(toks)))"""))
+        .withColumn("starts", expr("concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
+        .select(col("doc_id"), col("toks"), col("starts"),
+          posexplode(col("bounds")).as(Seq("chunk_id", "bend")))
+        .select(col("doc_id"), col("chunk_id"),
+          expr("element_at(starts, chunk_id + 1)").cast(LongType).as("start_tok"),
+          (col("bend") - expr("element_at(starts, chunk_id + 1)")).cast(LongType).as("n_tokens"),
+          expr("""array_join(slice(toks, element_at(starts, chunk_id + 1) + 1,
+                                   bend - element_at(starts, chunk_id + 1)), ' ')""")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        c AS (SELECT doc_id, toks, len(toks) n,
+                list_transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                               + ascii(substring(t, -1, 1))
+                                               + length(t) AS BIGINT)) codes
+              FROM t),
+        b AS (SELECT doc_id, toks,
+                list_append(
+                  CASE WHEN n > $CdcWindow THEN
+                    list_filter(range($CdcWindow, n),
+                      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list_slice(codes, i - $CdcWindow + 1, i)),
+                             (acc, x) -> (acc * 1000003 + x) % 1000000007)
+                           % $CdcDivisor = 0)
+                  ELSE [] END,
+                  n) bounds
+              FROM c),
+        s AS (SELECT doc_id, toks, bounds,
+                list_prepend(0, list_slice(bounds, 1, len(bounds) - 1)) starts
+              FROM b),
+        x AS (SELECT doc_id, toks, starts,
+                generate_subscripts(bounds, 1) AS j, unnest(bounds) AS bend
+              FROM s)
+        SELECT doc_id, j - 1 AS chunk_id,
+               CAST(starts[j] AS BIGINT) AS start_tok,
+               CAST(bend - starts[j] AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, starts[j] + 1, bend), ' ') AS chunk_text
+        FROM x
+        ORDER BY doc_id, chunk_id"""))
   )
 
   /** chunk_documents window: 32-token chunks at stride 24 (25% overlap). */
@@ -368,4 +442,10 @@ object Curation {
 
   /** source_cap: max docs kept per source. */
   private val SourceCap = 20
+
+  /** cdc_chunks: rolling-hash window (tokens) and boundary divisor —
+    * expected chunk length = CdcDivisor tokens (8 here against the short
+    * synthetic docs; storage CDC uses ~2 KB with byte windows). */
+  private val CdcWindow = 4
+  private val CdcDivisor = 8
 }

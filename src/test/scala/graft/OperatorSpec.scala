@@ -591,6 +591,49 @@ class OperatorSpec extends SparkSuite {
     assert(plan.contains("TopKPerKey"), "source_cap lost its heap operator")
   }
 
+  test("cdc_chunks: naive recomputation, full coverage, edit-stable boundaries") {
+    val M = 1000000007L
+    def code(t: String): Long =
+      (if (t.isEmpty) 0L else t.head.toLong * 131 + t.last.toLong) + t.length
+    def bounds(toks: Array[String]): Seq[Int] = {
+      val codes = toks.map(code)
+      val interior = (4 until toks.length).filter { i =>
+        codes.slice(i - 4, i).foldLeft(0L)((a, x) => (a * 1000003 + x) % M) % 8 == 0
+      }
+      interior :+ toks.length
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val got = run("cdc_chunks").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("chunk_text")))
+    got.groupBy(_._1).foreach { case (id, rs) =>
+      val toks = texts(id)
+      val bs = bounds(toks)
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length == bs.length, s"doc $id chunk count")
+      // chunks tile the document exactly: starts/ends chain, text matches
+      var prev = 0L
+      sorted.zip(bs).foreach { case ((_, _, start, n, text), b) =>
+        assert(start == prev && start + n == b, s"doc $id span mismatch")
+        assert(text == toks.slice(start.toInt, b).mkString(" "))
+        prev = b
+      }
+      assert(prev == toks.length, s"doc $id tail uncovered")
+    }
+    // the CDC property fixed-width chunking lacks: an edit only disturbs
+    // boundaries within a window of itself — all boundaries at least
+    // CdcWindow past the edit point survive (positions shift by the
+    // inserted token count)
+    val orig = texts.head._2
+    val edited = (orig.take(5) :+ "INSERTED") ++ orig.drop(5)
+    val before = bounds(orig).filter(_ > 5 + 4).map(_ + 1)
+    val after = bounds(edited).filter(_ > 5 + 4 + 1)
+    assert(before.toSet.subsetOf(after.toSet),
+      "downstream boundaries did not survive an upstream edit")
+  }
+
   test("top_ngrams matches a naive document-frequency count") {
     val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
     val df = scala.collection.mutable.Map.empty[String, Int]

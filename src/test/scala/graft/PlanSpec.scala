@@ -110,4 +110,14 @@ class PlanSpec extends SparkSuite {
     assert(pruned.count() == plain.count())
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
+
+  test("block_dedup scans the corpus exactly once") {
+    // the canonical-instance mark is a windowed min, not a groupBy joined
+    // back — the join formulation re-scans and re-shingles everything and
+    // plans an unbroadcastable join; this gate keeps the one-scan shape
+    val plan = planOf("block_dedup")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"block_dedup plans $scans corpus scans, expected 1")
+    assert(plan.contains("Window"), "canonical-instance window missing")
+  }
 }
