@@ -93,6 +93,24 @@ object VectorExpressions {
   }
 
   /** Distinct word n-gram shingles of a whitespace-tokenized string. */
+  /** Content-defined chunk boundary positions of a tokenized string —
+    * see [[VectorKernels.cdcBounds]]. */
+  case class CdcBounds(child: Expression, w: Int, d: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"cdc_bounds expects string, got ${t.simpleString}")
+    }
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.cdcBounds(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, d)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = graft.functions.VectorKernels.cdcBounds($a, $w, $d);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -171,6 +189,8 @@ object VectorExpressions {
     GraftSqlBridge.toColumn(SimHash64(ex(a)))
   def wordShingles(a: Column, n: Int): Column =
     GraftSqlBridge.toColumn(WordShingles(ex(a), n))
+  def cdcBounds(a: Column, w: Int, d: Int): Column =
+    GraftSqlBridge.toColumn(CdcBounds(ex(a), w, d))
   def minhashSig(a: Column): Column =
     GraftSqlBridge.toColumn(MinHashSig(ex(a)))
 

@@ -89,6 +89,42 @@ object VectorKernels {
   val minHashA: Array[Long] = Array.tabulate(16)(k => (2654435761L * (k + 1)) % MinHashP | 1L)
   val minHashB: Array[Long] = Array.tabulate(16)(k => (40503L * (k + 7) * (k + 7)) % MinHashP)
 
+  /** Content-defined chunk boundaries over a whitespace-tokenized text:
+    * position i (1-based token count) is a boundary when the polynomial
+    * fold of the last `w` token codes ≡ 0 mod `d`; the final position n
+    * is always appended so chunks tile the document. One pass, O(n·w) —
+    * replaces the filter/aggregate higher-order formulation, which is
+    * interpreted AND re-evaluates the token-codes child per lambda
+    * iteration (measured 12 s for the whole corpus at sf0.1 vs sub-second
+    * here). Token code = first-char codepoint · 131 + last-char codepoint
+    * + length, the same arithmetic the DuckDB oracle and doc_fingerprint
+    * compute (charAt suffices: the corpus contract is BMP text, matching
+    * ascii(substring(t,-1,1)) semantics). */
+  def cdcBounds(text: UTF8String, w: Int, d: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val codes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      codes(i) =
+        if (t.isEmpty) 0L
+        else t.charAt(0).toLong * 131 + t.charAt(t.length - 1).toLong + t.length
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = w
+    while (i < n) {
+      var acc = 0L
+      var j = i - w
+      while (j < i) { acc = (acc * 1000003 + codes(j)) % 1000000007L; j += 1 }
+      if (acc % d == 0) out += i
+      i += 1
+    }
+    out += n
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Byte-polynomial hash of a token (ASCII-safe: byte value == codepoint,
     * matching the oracle's unicode(substring) per-char fold). */
   def polyHash(s: UTF8String): Long = {

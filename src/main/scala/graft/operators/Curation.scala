@@ -375,25 +375,17 @@ object Curation {
     // Scale: per-row arithmetic only (token codes → windowed hash →
     // boundary filter → chunk spans), zero shuffle before the
     // presentation sort; the same engine-neutral polynomial hash as
-    // doc_fingerprint keeps the whole operator oracle-checkable.
+    // doc_fingerprint keeps the whole operator oracle-checkable. The
+    // boundary scan is a codegen'd kernel ([[VectorKernels.cdcBounds]]) —
+    // the filter/aggregate higher-order formulation is CodegenFallback
+    // and re-evaluates the codes child per lambda iteration (measured
+    // 12 s vs 0.3 s for the corpus at sf0.1).
     GraftQuery(
       "cdc_chunks",
       (s, dir) => Tables.documents(s, dir)
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("codes", expr(
-          """transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 131
-                                       + ascii(substring(t, -1, 1))
-                                       + length(t) AS BIGINT))"""))
-        .withColumn("bounds", expr(
-          s"""concat(
-                CASE WHEN size(toks) > $CdcWindow THEN
-                  filter(sequence($CdcWindow, size(toks) - 1),
-                    i -> aggregate(slice(codes, i - $CdcWindow + 1, $CdcWindow),
-                           CAST(0 AS BIGINT),
-                           (acc, x) -> (acc * 1000003 + x) % 1000000007)
-                         % $CdcDivisor = 0)
-                ELSE CAST(array() AS ARRAY<INT>) END,
-                array(size(toks)))"""))
+        .withColumn("bounds",
+          graft.functions.VectorExpressions.cdcBounds(col("text"), CdcWindow, CdcDivisor))
         .withColumn("starts", expr("concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
         .select(col("doc_id"), col("toks"), col("starts"),
           posexplode(col("bounds")).as(Seq("chunk_id", "bend")))

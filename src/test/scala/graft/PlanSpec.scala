@@ -120,4 +120,15 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"block_dedup plans $scans corpus scans, expected 1")
     assert(plan.contains("Window"), "canonical-instance window missing")
   }
+
+  test("chunkers are shuffle-free up to the presentation sort") {
+    // both chunkers promise pure per-row arithmetic: the only exchange in
+    // the plan is the final rangepartitioning for the output ordering
+    for (name <- Seq("chunk_documents", "cdc_chunks")) {
+      val plan = planOf(name)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"$name plans $exchanges exchanges, expected only the sort")
+      assert(plan.contains("rangepartitioning"), s"$name lost its presentation sort")
+    }
+  }
 }
