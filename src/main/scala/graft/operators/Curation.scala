@@ -425,7 +425,78 @@ object Curation {
                CAST(bend - starts[j] AS BIGINT) AS n_tokens,
                array_to_string(list_slice(toks, starts[j] + 1, bend), ' ') AS chunk_text
         FROM x
-        ORDER BY doc_id, chunk_id"""))
+        ORDER BY doc_id, chunk_id""")),
+
+    // ---- chunk-level dedup over content-defined chunks -------------------
+    // WHY cdc exists: because boundaries are content-anchored, a passage
+    // shared between two documents (or two revisions of one) produces the
+    // SAME chunks regardless of where it sits, so exact chunk dedup finds
+    // shared passages that fixed-width blocks straddle differently per
+    // document. Same duplicated-instance profile as block_dedup — and the
+    // same scale shape: chunk text collapses to a 16-byte digest before
+    // the ONE windowed-min exchange marks canonical instances.
+    GraftQuery(
+      "cdc_dedup",
+      (s, dir) => {
+        val w = Window.partitionBy("ch")
+        Tables.documents(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("bounds",
+            graft.functions.VectorExpressions.cdcBounds(col("text"), CdcWindow, CdcDivisor))
+          .withColumn("starts", expr("concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
+          .select(col("doc_id"), col("toks"), col("starts"),
+            posexplode(col("bounds")).as(Seq("chunk_id", "bend")))
+          .select(col("doc_id"),
+            (col("doc_id") * 1000000L + col("chunk_id")).as("pos"),
+            md5(to_binary(expr(
+              """array_join(slice(toks, element_at(starts, chunk_id + 1) + 1,
+                                  bend - element_at(starts, chunk_id + 1)), ' ')"""),
+              lit("utf-8"))).as("ch"))
+          .withColumn("first_pos", min(col("pos")).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("pos") =!= col("first_pos"), 1L).otherwise(0L)).as("dup_chunks"))
+          .withColumn("dup_ratio",
+            round(col("dup_chunks").cast(DoubleType) / col("n_chunks"), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        c AS (SELECT doc_id, toks, len(toks) n,
+                list_transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                               + ascii(substring(t, -1, 1))
+                                               + length(t) AS BIGINT)) codes
+              FROM t),
+        b AS (SELECT doc_id, toks,
+                list_append(
+                  CASE WHEN n > $CdcWindow THEN
+                    list_filter(range($CdcWindow, n),
+                      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list_slice(codes, i - $CdcWindow + 1, i)),
+                             (acc, x) -> (acc * 1000003 + x) % 1000000007)
+                           % $CdcDivisor = 0)
+                  ELSE [] END,
+                  n) bounds
+              FROM c),
+        s AS (SELECT doc_id, toks, bounds,
+                list_prepend(0, list_slice(bounds, 1, len(bounds) - 1)) starts
+              FROM b),
+        x AS (SELECT doc_id, toks, starts,
+                generate_subscripts(bounds, 1) AS j, unnest(bounds) AS bend
+              FROM s),
+        inst AS (SELECT doc_id,
+                   doc_id * 1000000 + (j - 1) AS pos,
+                   array_to_string(list_slice(toks, starts[j] + 1, bend), ' ') AS ch
+                 FROM x),
+        canon AS (SELECT ch, min(pos) first_pos FROM inst GROUP BY ch)
+        SELECT i.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN i.pos != c2.first_pos THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+               round(CAST(sum(CASE WHEN i.pos != c2.first_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 4) AS dup_ratio
+        FROM inst i JOIN canon c2 USING (ch)
+        GROUP BY i.doc_id
+        ORDER BY i.doc_id"""))
   )
 
   /** chunk_documents window: 32-token chunks at stride 24 (25% overlap). */

@@ -634,6 +634,44 @@ class OperatorSpec extends SparkSuite {
       "downstream boundaries did not survive an upstream edit")
   }
 
+  test("cdc_dedup matches naive chunk accounting; shared passages found at any offset") {
+    val M = 1000000007L
+    def code(t: String): Long =
+      (if (t.isEmpty) 0L else t.head.toLong * 131 + t.last.toLong) + t.length
+    def chunks(toks: Array[String]): Seq[String] = {
+      val codes = toks.map(code)
+      val interior = (4 until toks.length).filter { i =>
+        codes.slice(i - 4, i).foldLeft(0L)((a, x) => (a * 1000003 + x) % M) % 8 == 0
+      }
+      val bounds = interior :+ toks.length
+      val starts = 0 +: bounds.dropRight(1)
+      starts.zip(bounds).map { case (s0, b) => toks.slice(s0, b).mkString(" ") }
+    }
+    // naive recomputation of the registered per-doc profile
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).sortBy(_._1)
+    val inst = texts.flatMap { case (id, toks) =>
+      chunks(toks).zipWithIndex.map { case (c, i) => (id, i, c) }
+    }
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    inst.foreach { case (d, i, c) => if (!first.contains(c)) first(c) = (d, i) }
+    val expect = inst.groupBy(_._1).map { case (d, rs) =>
+      d -> (rs.length.toLong, rs.count { case (dd, i, c) => first(c) != ((dd, i)) }.toLong)
+    }
+    val got = run("cdc_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._2).sum > 0, "no duplicate chunks — corpus degenerate")
+    // the position-independence property block_dedup lacks: the same
+    // passage embedded at DIFFERENT offsets yields common chunks
+    val passage = texts.head._2
+    val a = Array("alpha", "beta") ++ passage
+    val b = Array("gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota") ++ passage
+    val shared = chunks(a).toSet.intersect(chunks(b).toSet)
+    assert(shared.nonEmpty, "shared passage produced no common CDC chunks")
+  }
+
   test("top_ngrams matches a naive document-frequency count") {
     val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
     val df = scala.collection.mutable.Map.empty[String, Int]

@@ -166,4 +166,41 @@ class PropertySpec extends SparkSuite {
       assert(agg.finish(merged) == expected, s"seed $s split=$cut merge")
     }
   }
+
+  test("cdcBounds kernel equals the SQL filter/aggregate formulation on adversarial texts") {
+    // the kernel replaced the HOF formulation for speed — this pins the
+    // semantics to the SQL (and therefore oracle) arithmetic, including
+    // the cases a clean corpus never exercises: empty tokens from double
+    // or trailing spaces (ascii('') = 0), single-char tokens, docs at or
+    // below the window size
+    val tokGen = Gen.frequency(
+      (8, Gen.oneOf("key", "agg", "row", "x", "table", "part")), (1, Gen.const("")))
+    for (s <- 1 to 10) {
+      val texts = sample(Gen.listOfN(12, Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, tokGen))), 7000 + s)
+        .zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      val df = texts.toDF("id", "text")
+      val kernel = df.select(col("id"),
+        graft.functions.VectorExpressions.cdcBounds(col("text"), 4, 8).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val sqlWay = df.select(col("id"), expr(
+        """concat(
+             CASE WHEN size(split(text, ' ')) > 4 THEN
+               filter(sequence(4, size(split(text, ' ')) - 1),
+                 i -> aggregate(
+                        transform(slice(split(text, ' '), i - 3, 4),
+                          t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                    + ascii(substring(t, -1, 1))
+                                    + length(t) AS BIGINT)),
+                        CAST(0 AS BIGINT),
+                        (acc, x) -> (acc * 1000003 + x) % 1000000007) % 8 = 0)
+             ELSE CAST(array() AS ARRAY<INT>) END,
+             array(size(split(text, ' '))))""").as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      texts.foreach { case (id, text) =>
+        assert(kernel(id) == sqlWay(id),
+          s"seed $s text '$text': kernel ${kernel(id)} != sql ${sqlWay(id)}")
+      }
+    }
+  }
 }
