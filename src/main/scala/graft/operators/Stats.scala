@@ -119,6 +119,61 @@ object Stats {
         FROM sums
         ORDER BY l_returnflag""")),
 
+    // ---- per-group least-squares regression (slope/intercept/R²) ---------
+    // price-on-quantity OLS per return flag — the profiling step that
+    // turns "are these correlated" (corr_stats) into "by how much per
+    // unit". Same exact-decimal moment discipline: one partial-agg pass
+    // collects {n, Σx, Σy, Σxy, Σx², Σy²}, the closed forms are pure
+    // arithmetic on the six scalars, and every division happens in the
+    // SAME order in both engines so the doubles agree bit-for-bit before
+    // the presentation rounding.
+    GraftQuery(
+      "regr_stats",
+      (s, dir) => {
+        // price² is ~1e10 with 8 decimals — the squared/cross moments
+        // need the wide decimal (18,8 overflows under ANSI)
+        val W = DecimalType(30, 8)
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val sums = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x.cast(D)).cast(DoubleType).as("sx"),
+            sum(y.cast(D)).cast(DoubleType).as("sy"),
+            sum((x * y).cast(W)).cast(DoubleType).as("sxy"),
+            sum((x * x).cast(W)).cast(DoubleType).as("sxx"),
+            sum((y * y).cast(W)).cast(DoubleType).as("syy"))
+        val slope = (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))
+        val corr = ((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+          (sqrt((col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+           sqrt((col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n"))))
+        sums.select(col("l_returnflag"), col("n"),
+            round(slope, 6).as("slope"),
+            round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"),
+            round(corr * corr, 6).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH sums AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+               round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 4) AS intercept,
+               round((((sxy / n) - (sx / n) * (sy / n)) /
+                      (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+                       sqrt((syy / n) - (sy / n) * (sy / n)))) *
+                     (((sxy / n) - (sx / n) * (sy / n)) /
+                      (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+                       sqrt((syy / n) - (sy / n) * (sy / n)))), 6) AS r2
+        FROM sums
+        ORDER BY l_returnflag""")),
+
     // ---- GROUPING SETS (finer than rollup/cube: explicit set list) -------
     // Built with the Dataset.groupingSets API (Spark 4) — pure plan
     // construction, no temp-view catalog mutation (two concurrent builds

@@ -672,6 +672,31 @@ class OperatorSpec extends SparkSuite {
     assert(shared.nonEmpty, "shared passage produced no common CDC chunks")
   }
 
+  test("regr_stats matches a naive OLS fit") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = run("regr_stats").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("r2"))).toMap
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val n = rs.length.toDouble
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxy = rs.map(t => t._2 * t._3).sum
+      val sxx = rs.map(t => t._2 * t._2).sum
+      val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      val intercept = (sy - slope * sx) / n
+      val (gs, gi, gr) = got(flag)
+      // naive double sums differ from the exact-decimal path only in
+      // accumulated rounding — compare loosely
+      assert(math.abs(gs - slope) < math.abs(slope) * 1e-3, s"$flag slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < math.abs(intercept) * 1e-2 + 1.0)
+      // quantity and price are independent in the synthetic testdata, so
+      // the fit is weak — only the range invariant holds for r²
+      assert(gr >= 0 && gr <= 1, s"$flag r2 out of range: $gr")
+    }
+  }
+
   test("top_ngrams matches a naive document-frequency count") {
     val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
     val df = scala.collection.mutable.Map.empty[String, Int]
