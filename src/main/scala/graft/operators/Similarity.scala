@@ -492,19 +492,10 @@ object Similarity {
     GraftQuery(
       "semantic_dedup",
       (s, dir) => {
-        val e = vecs(s, dir)
-        val capped = e
-          .withColumn("csz", count(lit(1)).over(Window.partitionBy("label")))
-          .filter(col("csz") <= SemCellCap)
-          .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
-        val reps = capped.as("a")
-          .join(capped.as("b"),
-            col("a.label") === col("b.label") && col("b.vec_id") < col("a.vec_id"))
-          .withColumn("cos", V.dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.norm") * col("b.norm")))
+        val reps = semanticPairs(s, dir)
           .filter(col("cos") >= SemDedupTau)
-          .groupBy(col("a.vec_id").as("vec_id"))
-          .agg(min(col("b.vec_id")).as("rep_id"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("mate_id")).as("rep_id"))
         Tables.embeddings(s, dir).select("vec_id")
           .join(reps, Seq("vec_id"), "left")
           .select(col("vec_id"), col("rep_id").isNull.as("kept"), col("rep_id"))
@@ -533,8 +524,27 @@ object Similarity {
         ORDER BY e.vec_id"""))
   )
 
+  /** semantic_dedup's within-cell candidate pairs with their exact cosine,
+    * BEFORE the threshold — exposed so the scale-gate spec
+    * (CandidateBoundSpec) can count the frame at every sf. Each row is
+    * (vec_id, mate_id, cos) with mate_id < vec_id and both in the same
+    * ≤-CellCap cell: pair volume is ≤ (CellCap−1)/2 per vector by
+    * construction. */
+  private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame = {
+    val capped = vecs(s, dir)
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("label")))
+      .filter(col("csz") <= SemCellCap)
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.label") === col("b.label") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("mate_id"),
+        (V.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm"))).as("cos"))
+  }
+
   /** semantic_dedup operating point: cosine threshold (synthetic-corpus
     * p99; production uses ~0.95) and the structural cell-size cap. */
   private val SemDedupTau = 0.30
-  private val SemCellCap = 512
+  private[graft] val SemCellCap = 512
 }

@@ -89,4 +89,25 @@ class CandidateBoundSpec extends SparkSuite {
         s"$dir: $perVec candidates/vec — candidate generation got hotter")
     }
   }
+
+  test("semantic_dedup within-cell pairs stay under the cell-cap bound at all three scales") {
+    // pairs ≤ (CellCap−1)/2 per vector by construction (over-cap cells are
+    // skipped entirely); the testdata's label cells are far smaller, so
+    // also pin the tighter empirical per-vector ceiling — a cell-key
+    // regression (e.g. collapsing labels) trips this before the cap bound
+    val capBoundPerVec = (operators.Similarity.SemCellCap - 1) / 2.0
+    for (dir <- dirs) {
+      val n = Tables.embeddings(spark, dir).count()
+      val pairs = operators.Similarity.semanticPairs(spark, dir).count()
+      assert(pairs <= capBoundPerVec * n,
+        s"$dir: $pairs pairs exceed the cap bound ${capBoundPerVec * n}")
+      // measured: ~25 pairs/vec at 500 vectors (10 labels), ~100 at 2000
+      // (cells grow with sf while label count stays fixed — the testdata
+      // stand-in for "re-cluster finer as the corpus grows")
+      val perVec = pairs.toDouble / n
+      val ceiling = if (n <= 1000) 80.0 else 300.0
+      assert(perVec <= ceiling,
+        s"$dir: $perVec pairs/vec — cell granularity regressed")
+    }
+  }
 }
