@@ -93,6 +93,25 @@ object VectorExpressions {
   }
 
   /** Distinct word n-gram shingles of a whitespace-tokenized string. */
+  /** Winnowing (MOSS) fingerprint of a tokenized string — see
+    * [[VectorKernels.winnowFingerprint]]. */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprint expects string, got ${t.simpleString}")
+    }
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.winnowFingerprint(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = graft.functions.VectorKernels.winnowFingerprint($a, $k, $w);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Content-defined chunk boundary positions of a tokenized string —
     * see [[VectorKernels.cdcBounds]]. */
   case class CdcBounds(child: Expression, w: Int, d: Int) extends UnaryExpression {
@@ -191,6 +210,8 @@ object VectorExpressions {
     GraftSqlBridge.toColumn(WordShingles(ex(a), n))
   def cdcBounds(a: Column, w: Int, d: Int): Column =
     GraftSqlBridge.toColumn(CdcBounds(ex(a), w, d))
+  def winnowFingerprint(a: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.toColumn(WinnowFingerprint(ex(a), k, w))
   def minhashSig(a: Column): Column =
     GraftSqlBridge.toColumn(MinHashSig(ex(a)))
 

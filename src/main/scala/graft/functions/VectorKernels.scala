@@ -125,6 +125,54 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Winnowing fingerprint (the MOSS scheme): hash every ORDERED word
+    * k-gram with [[polyHash]], slide a w-window over the hash sequence,
+    * select each window's minimum, return the sorted distinct selections.
+    * The guarantee that makes it the copy-detection fingerprint: any two
+    * documents sharing ≥ w+k-1 consecutive tokens share at least one
+    * selected hash. Below k tokens the fingerprint is empty; below w
+    * grams the single window is the whole sequence. One pass, O(n·w). */
+  def winnowFingerprint(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val m = toks.length - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val gh = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      gh(i) = polyHash(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m < w) {
+      var mn = gh(0); i = 1
+      while (i < m) { if (gh(i) < mn) mn = gh(i); i += 1 }
+      sel.add(mn)
+    } else {
+      i = 0
+      while (i <= m - w) {
+        var mn = gh(i)
+        var j = i + 1
+        while (j < i + w) { if (gh(j) < mn) mn = gh(j); j += 1 }
+        sel.add(mn)
+        i += 1
+      }
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Byte-polynomial hash of a token (ASCII-safe: byte value == codepoint,
     * matching the oracle's unicode(substring) per-char fold). */
   def polyHash(s: UTF8String): Long = {

@@ -459,6 +459,48 @@ object TextAnalysis {
         FROM ex
         GROUP BY gram
         ORDER BY df DESC, gram
-        LIMIT 25"""))
+        LIMIT 25""")),
+
+    // ---- winnowing fingerprints (the MOSS copy-detection scheme) ---------
+    // Richer than doc_fingerprint's single rolling hash: hash every
+    // ORDERED word trigram, slide a 4-window over the hash sequence, keep
+    // each window's minimum. The winnowing guarantee — two documents
+    // sharing ≥ w+k−1 consecutive tokens share at least one selected
+    // hash — is what plagiarism/attribution pipelines join on (pinned by
+    // test). One codegen'd kernel pass per row, zero shuffle before the
+    // presentation sort; the trigram hash is the SAME byte polynomial the
+    // MinHash oracle mirrors, so the whole fingerprint is hash-checked.
+    GraftQuery(
+      "winnow_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.functions.VectorExpressions
+            .winnowFingerprint(col("text"), 3, 4)).as("fp"))
+        .orderBy("doc_id", "fp"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END grams
+              FROM t),
+        h AS (SELECT doc_id,
+                list_transform(grams, g ->
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(g) + 1),
+                      i -> CAST(unicode(substring(g, i, 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 131 + c) % ${graft.functions.VectorKernels.MinHashP})) gh
+              FROM g),
+        w AS (SELECT doc_id,
+                CASE WHEN len(gh) = 0 THEN []
+                     WHEN len(gh) < 4 THEN [list_min(gh)]
+                     ELSE list_transform(range(1, len(gh) - 2),
+                            j -> list_min(list_slice(gh, j, j + 3))) END sel
+              FROM h)
+        SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp
+        FROM w
+        ORDER BY doc_id, fp"""))
   )
 }

@@ -697,6 +697,34 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("winnow_fingerprint matches naive winnowing; shared passages share a fingerprint") {
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % P)
+    def winnow(toks: Array[String]): Set[Long] = {
+      val m = toks.length - 2
+      if (m <= 0) return Set.empty
+      val gh = (0 until m).map(i => polyHash(toks.slice(i, i + 3).mkString(" ")))
+      if (m < 4) Set(gh.min)
+      else (0 to m - 4).map(j => gh.slice(j, j + 4).min).toSet
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val got = run("winnow_fingerprint").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    texts.foreach { case (id, toks) =>
+      assert(got.getOrElse(id, Set.empty[Long]) == winnow(toks), s"doc $id fingerprint mismatch")
+    }
+    // the winnowing guarantee: ≥ w+k-1 = 6 shared consecutive tokens ⇒ at
+    // least one shared selected hash, wherever the passage sits
+    val passage = texts.head._2.take(10)
+    val a = Array("one", "two", "three") ++ passage
+    val b = passage ++ Array("four", "five", "six", "seven")
+    assert(winnow(a).intersect(winnow(b)).nonEmpty,
+      "shared passage produced disjoint fingerprints")
+  }
+
   test("top_ngrams matches a naive document-frequency count") {
     val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
     val df = scala.collection.mutable.Map.empty[String, Int]
