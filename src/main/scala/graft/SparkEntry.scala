@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Stats.queries ++
       operators.Salting.queries ++
       operators.Curation.queries ++
-      operators.JoinPruning.queries
+      operators.JoinPruning.queries ++
+      operators.Linkage.queries
 
   /** Queries whose builder RUNS Spark jobs (connected-components needs
     * per-round convergence checks) — the documented deviations from the

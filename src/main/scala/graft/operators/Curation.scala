@@ -496,7 +496,45 @@ object Curation {
                      / count(*), 4) AS dup_ratio
         FROM inst i JOIN canon c2 USING (ch)
         GROUP BY i.doc_id
-        ORDER BY i.doc_id"""))
+        ORDER BY i.doc_id""")),
+
+    // ---- data-mixing weights: per-source sampling proportional to size^α --
+    // The mixture-allocation step of corpus assembly: each source's
+    // sampling weight ∝ n_tokens^α (α=½ here — the square-root temper
+    // that keeps big crawls from drowning small high-quality sources).
+    // One scan + per-source partial agg; the normalizer is a one-row
+    // broadcast, so nothing reshuffles. Determinism: sqrt is IEEE
+    // exactly-rounded in both engines, the rounded numerator becomes an
+    // exact integer, and the normalization is the same integer half-up
+    // division davg uses — bit-identical weights by construction (a raw
+    // double sum over sources would be combine-order-dependent).
+    GraftQuery(
+      "domain_mix_weights",
+      (s, dir) => {
+        val stats = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+          // integral-valued double → decimal cast is exact in both engines
+          .withColumn("num",
+            expr("CAST(round(sqrt(n_tokens) * 1000000) AS DECIMAL(38,0))"))
+        val tot = stats.agg(sum(col("num")).as("tot"))
+        stats.crossJoin(broadcast(tot))
+          .withColumn("weight",
+            expr("CAST((2 * num * 1000000 + tot) div (2 * tot) AS DOUBLE) / 1000000.0"))
+          .select("source", "n_docs", "n_tokens", "weight")
+          .orderBy("source")
+      },
+      Some("""
+        WITH s AS (SELECT source, count(*) AS n_docs,
+                          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+        w AS (SELECT *, CAST(round(sqrt(n_tokens) * 1000000) AS HUGEINT) AS num FROM s),
+        t AS (SELECT sum(num) AS tot FROM w)
+        SELECT source, n_docs, n_tokens,
+               CAST((2 * num * 1000000 + tot) // (2 * tot) AS DOUBLE) / 1000000.0 AS weight
+        FROM w, t
+        ORDER BY source"""))
   )
 
   /** chunk_documents window: 32-token chunks at stride 24 (25% overlap). */

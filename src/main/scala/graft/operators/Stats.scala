@@ -430,6 +430,55 @@ object Stats {
                count(*) AS n
         FROM events
         GROUP BY 1, 2
-        ORDER BY event_type, bin"""))
+        ORDER BY event_type, bin""")),
+
+    // ---- robust outliers via median absolute deviation -------------------
+    // zscore_outliers' mean/stddev gate is itself dragged by the outliers
+    // it hunts; the MAD version is the robust standard (50% breakdown
+    // point): med = median(value), MAD = median(|value − med|), flag when
+    // |value − med| / (1.4826·MAD) > 3.5. Both medians are exact
+    // interpolated percentiles (the median_value parity surface), rounded
+    // to 4 decimals BEFORE any arithmetic so every downstream double op
+    // (subtract / multiply / divide, each exactly rounded over identical
+    // inputs) is bit-identical across engines. Zero-MAD groups (majority-
+    // constant values) are dropped: the statistic is undefined there.
+    //
+    // Scale: two passes over events with per-group partial aggregation;
+    // both stats frames are ≤|groups| rows and ride broadcasts — no
+    // shuffle ever carries the fact table. At 100 TB the exact median
+    // would swap for approx_percentile(…, 0.5, ε) — same plan shape, the
+    // sketch mergeable map-side; the exact form is kept registered
+    // because it is what the oracle can hash-check.
+    GraftQuery(
+      "mad_outliers",
+      (s, dir) => {
+        val med = Tables.events(s, dir).groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"))
+        val dev = Tables.events(s, dir)
+          .join(broadcast(med), "event_type")
+          .withColumn("d", abs(col("value") - col("median_value")))
+        val mad = dev.groupBy("event_type")
+          .agg(round(expr("percentile(d, 0.5)"), 4).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .filter(col("mad") > 0 &&
+            col("d") / (col("mad") * 1.4826) > 3.5)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("median_value"), col("mad"),
+            round(col("d") / (col("mad") * 1.4826), 4).as("robust_z"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value
+                     FROM events GROUP BY 1),
+        dev AS (SELECT event_id, e.event_type AS event_type, value, median_value,
+                       abs(value - median_value) AS d
+                FROM events e JOIN med USING (event_type)),
+        mad AS (SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad
+                FROM dev GROUP BY 1)
+        SELECT event_id, dev.event_type AS event_type, value, median_value, mad,
+               round(d / (mad * 1.4826), 4) AS robust_z
+        FROM dev JOIN mad USING (event_type)
+        WHERE mad > 0 AND d / (mad * 1.4826) > 3.5
+        ORDER BY event_id"""))
   )
 }

@@ -501,6 +501,60 @@ object TextAnalysis {
               FROM h)
         SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp
         FROM w
-        ORDER BY doc_id, fp"""))
+        ORDER BY doc_id, fp""")),
+
+    // ---- per-language distribution drift: KL(lang ‖ corpus) --------------
+    // The corpus-monitoring statistic: how far each language slice's token
+    // distribution sits from the corpus-wide distribution, in nats.
+    // KL(p‖q) = Σ_tok p·ln(p/q) = (1/L)·Σ_tok c·ln(c·G/(L·cg)) — the
+    // second form keeps every summand an INTEGER times a 6-decimal log
+    // term, so the sum is an exact decimal (combine-order-independent, the
+    // bigram_logprob discipline) and the final /L is the same integer
+    // half-up division davg uses. q covers p by construction (every lang
+    // token is a corpus token), so no term needs smoothing.
+    //
+    // Scale: tf is one explode + partial-agg shuffle keyed (lang, tok);
+    // the global tf re-aggregates the SAME frame (no second corpus scan)
+    // and joins back on tok; per-lang totals are a few rows broadcast. At
+    // 100 TB the (lang, tok) key space is vocabulary-bounded — partial
+    // aggregation absorbs the explode before anything shuffles.
+    GraftQuery(
+      "lang_divergence",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val lt = tf.groupBy("lang")
+          .agg(sum("c").as("L"), count(lit(1)).as("n_types"))
+        val g = tf.groupBy("tok").agg(sum("c").as("cg"))
+        val gt = g.agg(sum("cg").as("G"))
+        tf.join(broadcast(lt), "lang").join(g, "tok").crossJoin(broadcast(gt))
+          .withColumn("t6", expr(
+            "CAST(round(ln((CAST(c AS DOUBLE) * G) / (CAST(L AS DOUBLE) * cg)) * 1000000) AS BIGINT)"))
+          .groupBy("lang")
+          .agg(max("L").as("n_tokens"), max("n_types").as("n_types"),
+            sum(expr("CAST(c * t6 AS DECIMAL(38,0))")).as("N"))
+          .withColumn("kl_nats", expr(
+            """CAST((2 * N + (CASE WHEN N < 0 THEN -n_tokens ELSE n_tokens END))
+                    div (2 * CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"""))
+          .select("lang", "n_tokens", "n_types", "kl_nats")
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tf AS (SELECT lang, tok, count(*) c FROM tok GROUP BY 1, 2),
+        lt AS (SELECT lang, CAST(sum(c) AS BIGINT) L, count(*) n_types FROM tf GROUP BY 1),
+        g AS (SELECT tok, CAST(sum(c) AS BIGINT) cg FROM tf GROUP BY 1),
+        gt AS (SELECT CAST(sum(cg) AS BIGINT) G FROM g),
+        terms AS (SELECT tf.lang, tf.c,
+                    CAST(round(ln((CAST(tf.c AS DOUBLE) * G) / (CAST(lt.L AS DOUBLE) * g.cg))
+                               * 1000000) AS BIGINT) t6
+                  FROM tf JOIN lt USING (lang) JOIN g USING (tok), gt),
+        s AS (SELECT lang, CAST(sum(c * t6) AS HUGEINT) N FROM terms GROUP BY 1)
+        SELECT lang, lt.L AS n_tokens, lt.n_types,
+               CAST((2 * N + (CASE WHEN N < 0 THEN -L ELSE L END))
+                    // (2 * CAST(L AS HUGEINT)) AS DOUBLE) / 1000000.0 AS kl_nats
+        FROM s JOIN lt USING (lang)
+        ORDER BY lang"""))
   )
 }

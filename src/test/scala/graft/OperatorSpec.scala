@@ -739,4 +739,84 @@ class OperatorSpec extends SparkSuite {
       .map(r => (r.getAs[String]("gram"), r.getAs[Long]("df"))).toSeq
     assert(got == expect)
   }
+
+  test("fuzzy_join matches a naive blocked edit-distance join") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf).select("p_name", "p_partkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2).min }
+    val expect = (for {
+      (na, pa) <- names; (nb, pb) <- names
+      if na < nb && na.split(" ").last == nb.split(" ").last && lev(na, nb) <= 2
+    } yield (na, nb, lev(na, nb), pa, pb)).toSet
+    val got = run("fuzzy_join").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "no fuzzy pairs — corpus degenerate for this test")
+  }
+
+  test("domain_mix_weights: weights normalize and track sqrt(token share)") {
+    val rows = run("domain_mix_weights").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Double]("weight")))
+    // each weight half-up-rounds to 6 decimals, so the sum sits within
+    // n·5e-7 of exactly 1
+    val sum = rows.map(_._3).sum
+    assert(math.abs(sum - 1.0) <= rows.length * 5e-7, s"weights sum to $sum")
+    val tot = rows.map(t => math.sqrt(t._2.toDouble)).sum
+    rows.foreach { case (src, n, w) =>
+      assert(math.abs(w - math.sqrt(n.toDouble) / tot) < 1e-5, s"$src weight $w off")
+    }
+  }
+
+  test("lang_divergence matches a naive KL computation and is non-negative") {
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val tf = docs.groupBy(_._1).map { case (l, ds) =>
+      l -> ds.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    }
+    val g = tf.values.flatten.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val bigG = g.values.sum.toDouble
+    val got = run("lang_divergence").collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"), r.getAs[Double]("kl_nats"))).toMap
+    tf.foreach { case (lang, counts) =>
+      val l = counts.values.sum.toDouble
+      val kl = counts.map { case (t, c) => (c / l) * math.log((c / l) / (g(t) / bigG)) }.sum
+      val (nTok, nTypes, gotKl) = got(lang)
+      assert(nTok == counts.values.sum, s"$lang token total")
+      assert(nTypes == counts.size, s"$lang type count")
+      // per-term logs round to 6 decimals before the exact sum — the
+      // naive double KL agrees to well inside 1e-4
+      assert(math.abs(gotKl - kl) < 1e-4, s"$lang kl $gotKl vs naive $kl")
+      assert(gotKl >= -1e-6, s"$lang negative KL $gotKl")
+    }
+  }
+
+  test("mad_outliers matches a naive median/MAD computation") {
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val idx = (s.length - 1) * 0.5
+      val lo = idx.toInt
+      if (lo == idx) s(lo) else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val events = Tables.events(spark, sf).select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expect = events.groupBy(_._2).flatMap { case (et, rs) =>
+      val med = r4(median(rs.map(_._3)))
+      val mad = r4(median(rs.map(t => math.abs(t._3 - med))))
+      if (mad <= 0) Seq.empty[Long]
+      else rs.filter(t => math.abs(t._3 - med) / (mad * 1.4826) > 3.5).map(_._1).toSeq
+    }.toSet
+    val got = run("mad_outliers").collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "no MAD outliers at this scale — test degenerate")
+  }
 }
