@@ -92,6 +92,39 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Squared L2 distance over one aligned vector slice — the PQ subspace
+    * kernel ([[VectorKernels.subSqFF]]). `off` is an expression (the
+    * subspace index scales it), `len` a literal param. */
+  case class SubSqDist(first: Expression, second: Expression, third: Expression,
+      len: Int) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(first, "subSqDist") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          if (elemType(first) != elemType(second))
+            TypeCheckResult.TypeCheckFailure("subSqDist: mixed element types")
+          else if (third.dataType != IntegerType)
+            TypeCheckResult.TypeCheckFailure("subSqDist: offset must be int")
+          else TypeCheckResult.TypeCheckSuccess
+        case f => f
+      }
+    private def kernel = if (elemType(first) == FloatType) "subSqFF" else "subSqDD"
+
+    override def nullSafeEval(a: Any, b: Any, o: Any): Any = {
+      val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val off = o.asInstanceOf[Int]
+      if (elemType(first) == FloatType) VectorKernels.subSqFF(ad, bd, off, len)
+      else VectorKernels.subSqDD(ad, bd, off, len)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, o) =>
+        s"${ev.value} = graft.functions.VectorKernels.$kernel($a, $b, $o, $len);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Distinct word n-gram shingles of a whitespace-tokenized string. */
   /** Winnowing (MOSS) fingerprint of a tokenized string — see
     * [[VectorKernels.winnowFingerprint]]. */
@@ -214,6 +247,8 @@ object VectorExpressions {
     GraftSqlBridge.toColumn(WinnowFingerprint(ex(a), k, w))
   def minhashSig(a: Column): Column =
     GraftSqlBridge.toColumn(MinHashSig(ex(a)))
+  def subSqDist(a: Column, b: Column, off: Column, len: Int): Column =
+    GraftSqlBridge.toColumn(SubSqDist(ex(a), ex(b), ex(off), len))
 
   private def ex(c: Column): Expression = GraftSqlBridge.toExpression(c)
 

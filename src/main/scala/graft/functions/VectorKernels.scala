@@ -45,6 +45,35 @@ object VectorKernels {
   def l2F(a: ArrayData): Double = math.sqrt(dotFF(a, a))
   def l2D(a: ArrayData): Double = math.sqrt(dotDD(a, a))
 
+  /** Squared L2 distance over one aligned slice of two vectors (the PQ
+    * subspace kernel): Σ_{i<len} (a[off+i] − b[off+i])², each operand
+    * widened to double BEFORE the subtract — identical to DuckDB folding
+    * over `CAST(embedding AS DOUBLE[])` slices, so ADC tables match
+    * bit-for-bit. Out-of-range slices contribute 0 (min guard). */
+  def subSqFF(a: ArrayData, b: ArrayData, off: Int, len: Int): Double = {
+    val n = math.min(math.min(a.numElements(), b.numElements()), off + len)
+    var acc = 0.0
+    var i = math.max(off, 0)
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def subSqDD(a: ArrayData, b: ArrayData, off: Int, len: Int): Double = {
+    val n = math.min(math.min(a.numElements(), b.numElements()), off + len)
+    var acc = 0.0
+    var i = math.max(off, 0)
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Distinct word n-gram shingles of a whitespace-tokenized text, one
     * pass. Replaces the `transform(sequence(...))` higher-order-function
     * formulation, which is interpreted AND re-evaluates the `split` child

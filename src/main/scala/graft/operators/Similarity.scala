@@ -521,7 +521,88 @@ object Similarity {
           GROUP BY a.vec_id)
         SELECT e.vec_id, r.rep_id IS NULL AS kept, r.rep_id
         FROM e LEFT JOIN reps r ON e.vec_id = r.vec_id
-        ORDER BY e.vec_id"""))
+        ORDER BY e.vec_id""")),
+
+    // ---- product-quantization ANN (ADC scan over PQ codes) ---------------
+    // The memory-bound ANN regime: each vector is stored as M=8 one-byte
+    // codes (its nearest codeword per 8-dim subspace), and queries rank by
+    // Asymmetric Distance Computation — Σ_m dtable[m][code_m], where the
+    // per-query dtable holds exact query↔codeword subspace distances. At
+    // 100 TB the corpus never touches its floats after encoding: the scan
+    // reads 8 bytes/vector instead of 256, the dtable (M·K doubles per
+    // query) broadcasts, and the ADC sum is a partial-aggregated join on
+    // (m, code). Codebook = the subspace slices of the first K=16 vectors
+    // (deterministic sample in lieu of k-means — structure over training
+    // quality, same stance as the LSH plane bank). Determinism: subspace
+    // distances are the identical fixed-order IEEE fold in both engines
+    // (SubSqDist kernel vs DOUBLE[] slices), argmin ties break on codeword
+    // id, and the ADC sum rounds each term to 6 decimals into an exact
+    // DECIMAL sum — combine-order-independent, so the whole approximate
+    // search is hash-checked end to end.
+    GraftQuery(
+      "pq_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = e.filter(col("vec_id") < PqCodebook)
+          .select(col("vec_id").cast(org.apache.spark.sql.types.IntegerType).as("cw"),
+            col("embedding").as("cv"))
+        val dist = e.select(col("vec_id"), col("embedding"))
+          .withColumn("m", explode(typedlit((0 until PqSubspaces).toList)))
+          .crossJoin(broadcast(cb))
+          .withColumn("d", V.subSqDist(col("embedding"), col("cv"),
+            col("m") * PqSubDim, PqSubDim))
+        val codes = dist.groupBy("vec_id", "m")
+          .agg(min(struct(col("d"), col("cw"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best.cw").as("code"))
+        val dt = dist.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("m").as("qm"),
+            col("cw").as("qcw"), col("d").as("dq"))
+        val scored = codes
+          .join(broadcast(dt), col("m") === col("qm") && col("code") === col("qcw"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("CAST(round(dq, 6) AS DECIMAL(18,6))")).as("adist"))
+        val top = graft.plans.TopK.perKey(scored, Seq("qid"),
+          Seq(("adist", "asc"), ("vec_id", "asc")), 10)
+        val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+        top.withColumn("rank", row_number().over(w))
+          .select(col("qid"), col("rank"), col("vec_id"),
+            col("adist").cast(org.apache.spark.sql.types.DoubleType).as("adist"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        cb AS (SELECT CAST(vec_id AS INT) cw, v cv FROM e WHERE vec_id < $PqCodebook),
+        ms AS (SELECT unnest(range(0, $PqSubspaces)) m),
+        dist AS (
+          SELECT e.vec_id, ms.m, cb.cw,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (e.v[ms.m * $PqSubDim + i] - cb.cv[ms.m * $PqSubDim + i])
+                        * (e.v[ms.m * $PqSubDim + i] - cb.cv[ms.m * $PqSubDim + i]))),
+                   (acc, x) -> acc + x) AS d
+          FROM e CROSS JOIN ms CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, m, cw AS code FROM (
+            SELECT vec_id, m, cw,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cw) rn
+            FROM dist)
+          WHERE rn = 1),
+        dt AS (SELECT vec_id qid, m, cw, d dq FROM dist WHERE vec_id < 5),
+        scored AS (
+          SELECT dt.qid, c.vec_id,
+                 sum(CAST(round(dt.dq, 6) AS DECIMAL(18,6))) AS adist
+          FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.cw
+          WHERE c.vec_id != dt.qid
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT qid, vec_id, adist,
+                 row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, CAST(adist AS DOUBLE) AS adist
+        FROM ranked
+        WHERE rank <= 10
+        ORDER BY qid, rank"""))
   )
 
   /** semantic_dedup's within-cell candidate pairs with their exact cosine,
@@ -547,4 +628,10 @@ object Similarity {
     * p99; production uses ~0.95) and the structural cell-size cap. */
   private val SemDedupTau = 0.30
   private[graft] val SemCellCap = 512
+
+  /** pq_topk geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
+    * subspace drawn from the first 16 vectors. */
+  private val PqSubspaces = 8
+  private val PqSubDim = 8
+  private val PqCodebook = 16
 }

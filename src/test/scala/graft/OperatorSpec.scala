@@ -798,6 +798,57 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("pq_topk: ADC ranking is well-formed and recalls exact L2 neighbors") {
+    val rows = run("pq_topk").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("adist")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"query $q ranks not 1..10")
+      assert(rs.forall(_._4 >= 0), s"query $q negative ADC distance")
+      assert(rs.sortBy(_._2).map(_._4).toSeq.sliding(2)
+        .forall { case Seq(a, b) => a <= b; case _ => true }, s"query $q not sorted")
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+    }
+    // exact L2 top-10 per query, naive — PQ with an untrained 16-codeword
+    // codebook on uniform vectors measures recall ~0.34 here; 0.15 is the
+    // regression floor, not the aspiration
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val recalls = (0L to 4L).map { q =>
+      val exact = (vecs - q).toSeq
+        .map { case (id, v) => (l2(vecs(q), v), id) }.sorted.take(10).map(_._2).toSet
+      byQ(q).map(_._3).count(exact) / 10.0
+    }
+    assert(recalls.sum / recalls.size >= 0.15,
+      s"mean PQ recall ${recalls.sum / recalls.size} below floor (per-query: $recalls)")
+  }
+
+  test("subSqDist kernel equals the naive slice fold on random vectors") {
+    import graft.functions.{VectorExpressions => V}
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      rnd.nextInt(8) * 8))
+    val df = spark.createDataFrame(data.map { case (a, b, o) => (a.toSeq, b.toSeq, o) })
+      .toDF("a", "b", "off")
+    val got = df.select(V.subSqDist(col("a"), col("b"), col("off"), 8)).collect()
+      .map(_.getDouble(0))
+    data.zip(got).foreach { case ((a, b, o), g) =>
+      var acc = 0.0
+      for (i <- o until o + 8) { val d = a(i).toDouble - b(i).toDouble; acc += d * d }
+      assert(acc == g, s"off=$o kernel $g != naive $acc") // identical fold, bit-exact
+    }
+    // identical slices → exactly zero (the exact-duplicate design point:
+    // a dup shares the query's argmin codes, so ADC ranks it first)
+    val z = df.select(V.subSqDist(col("a"), col("a"), col("off"), 8)).collect()
+    assert(z.forall(_.getDouble(0) == 0.0))
+  }
+
   test("mad_outliers matches a naive median/MAD computation") {
     def median(xs: Array[Double]): Double = {
       val s = xs.sorted
