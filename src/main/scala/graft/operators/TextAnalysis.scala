@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -513,22 +514,29 @@ object TextAnalysis {
     // half-up division davg uses. q covers p by construction (every lang
     // token is a corpus token), so no term needs smoothing.
     //
-    // Scale: tf is one explode + partial-agg shuffle keyed (lang, tok);
-    // the global tf re-aggregates the SAME frame (no second corpus scan)
-    // and joins back on tok; per-lang totals are a few rows broadcast. At
-    // 100 TB the (lang, tok) key space is vocabulary-bounded — partial
-    // aggregation absorbs the explode before anything shuffles.
+    // Scale: the corpus is scanned exactly twice — once through the
+    // explode into the (lang, tok) partial-agg tf frame, once as a cheap
+    // no-explode projection summing per-doc token counts into the scalar
+    // G (deriving every marginal from tf as separate agg branches instead
+    // re-plans the whole explode subtree per branch: 8 static corpus
+    // scans, measured). The per-lang and per-token marginals are WINDOW
+    // sums over the vocabulary-bounded tf frame itself, so they reshuffle
+    // thousands of rows, not the corpus. Asserted by PlanSpec's scan
+    // count gate.
     GraftQuery(
       "lang_divergence",
       (s, dir) => {
         val tf = Tables.documents(s, dir)
           .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-        val lt = tf.groupBy("lang")
-          .agg(sum("c").as("L"), count(lit(1)).as("n_types"))
-        val g = tf.groupBy("tok").agg(sum("c").as("cg"))
-        val gt = g.agg(sum("cg").as("G"))
-        tf.join(broadcast(lt), "lang").join(g, "tok").crossJoin(broadcast(gt))
+        val byLang = Window.partitionBy("lang")
+        val byTok = Window.partitionBy("tok")
+        val gt = Tables.documents(s, dir)
+          .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("G"))
+        tf.withColumn("L", sum("c").over(byLang))
+          .withColumn("n_types", count(lit(1)).over(byLang))
+          .withColumn("cg", sum("c").over(byTok))
+          .crossJoin(broadcast(gt))
           .withColumn("t6", expr(
             "CAST(round(ln((CAST(c AS DOUBLE) * G) / (CAST(L AS DOUBLE) * cg)) * 1000000) AS BIGINT)"))
           .groupBy("lang")

@@ -121,6 +121,25 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Window"), "canonical-instance window missing")
   }
 
+  test("lang_divergence scans the corpus exactly twice (tf + scalar G)") {
+    // the marginals are window sums over the vocabulary-bounded tf frame;
+    // deriving them as separate aggregation branches re-plans the whole
+    // explode subtree per branch (8 static corpus scans, measured)
+    val plan = planOf("lang_divergence")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"lang_divergence plans $scans corpus scans, expected 2")
+  }
+
+  test("pq_topk and mad_outliers broadcast their small frames") {
+    for (name <- Seq("pq_topk", "mad_outliers", "fuzzy_join", "domain_mix_weights")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
+        || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its broadcast")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   test("chunkers are shuffle-free up to the presentation sort") {
     // both chunkers promise pure per-row arithmetic: the only exchange in
     // the plan is the final rangepartitioning for the output ordering
