@@ -525,6 +525,54 @@ object Dedup {
         WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    // ---- n-gram containment pairs (doc-inside-doc detection) -------------
+    // Broder's CONTAINMENT |A∩B|/min(|A|,|B|), not resemblance: a short
+    // document quoted whole inside a long one scores ~1.0 here while its
+    // Jaccard stays low (the intersection is diluted by the long doc's
+    // grams) — the case a Jaccard-thresholded dedup pass structurally
+    // misses. Same inverted-index pair generation as ngram_jaccard (ONE
+    // posting-list shuffle, hot-gram cap always on), so the scale shape
+    // is already proven; the pair is classified near_dup vs subset by
+    // whether resemblance ALSO clears the Jaccard gate.
+    GraftQuery(
+      "containment_pairs",
+      (s, dir) => exactJaccardPairs(s, dir, maxDocFreq = MaxGramDocFreq)
+        .withColumn("containment",
+          round(col("common").cast(DoubleType) / least(col("na"), col("nb")), 4))
+        .filter(col("containment") >= 0.8)
+        .withColumn("relation",
+          when(col("jaccard") >= 0.5, "near_dup").otherwise("subset"))
+        .select("doc_a", "doc_b", "common", "containment", "jaccard", "relation")
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END grams
+               FROM t),
+        ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
+        keep AS (SELECT gram FROM ex GROUP BY gram
+                 HAVING count(*) <= $MaxGramDocFreq),
+        exf AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
+        common AS (
+          SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+          FROM exf a JOIN exf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT doc_a, doc_b, common,
+                 round(CAST(common AS DOUBLE) / least(sa.n, sb.n), 4) AS containment,
+                 round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+          FROM common
+          JOIN (SELECT doc_id, len(grams) n FROM sh) sa ON doc_a = sa.doc_id
+          JOIN (SELECT doc_id, len(grams) n FROM sh) sb ON doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, common, containment, jaccard,
+               CASE WHEN jaccard >= 0.5 THEN 'near_dup' ELSE 'subset' END AS relation
+        FROM scored
+        WHERE containment >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
     // ---- MinHash + LSH near-dup pairs (the at-scale path) ----------------
     // Bands of the signature hash into buckets; only bucket-mates are
     // compared, then exact Jaccard verifies candidates (no false

@@ -798,6 +798,40 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("containment_pairs matches a naive shingle-containment computation") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val grams = docs.map { case (id, toks) =>
+      id -> (if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }
+    val df = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.size <= 1000) // hot-gram cap (inactive here)
+    val expect = (for {
+      (a, ga) <- grams; (b, gb) <- grams
+      if a < b && ga.nonEmpty && gb.nonEmpty
+      common = ga.intersect(gb).size
+      if common > 0
+      cont = r4(common.toDouble / math.min(ga.size, gb.size))
+      if cont >= 0.8
+    } yield (a, b, common.toLong, cont,
+      r4(common.toDouble / (ga.size + gb.size - common)))).toSet
+    assert(df.nonEmpty) // cap bookkeeping exercised
+    val got = run("containment_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("common"), r.getAs[Double]("containment"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "no containment pairs — corpus degenerate")
+    // relation classifier is consistent with the jaccard gate
+    run("containment_pairs").collect().foreach { r =>
+      val isDup = r.getAs[Double]("jaccard") >= 0.5
+      assert(r.getAs[String]("relation") == (if (isDup) "near_dup" else "subset"))
+    }
+  }
+
   test("pq_topk: ADC ranking is well-formed and recalls exact L2 neighbors") {
     val rows = run("pq_topk").collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
