@@ -324,6 +324,69 @@ object TimeSeries {
                count(*) AS n_users
         FROM e JOIN c USING (user_id)
         GROUP BY 1, 2
-        ORDER BY cohort_d, day_offset"""))
+        ORDER BY cohort_d, day_offset""")),
+
+    // ---- mean-shift changepoints: per-series hourly peak shift -----------
+    // The time-series segmentation pass: at each sample, compare the mean
+    // of the 30 rows before against the 30 from here on (full frames
+    // only), then keep each (series, hour)'s strongest shift — the crude
+    // non-max suppression that turns a dense score curve into one
+    // changepoint candidate per bucket. Frame sums are exact DECIMAL:
+    // sliding-frame implementations ADD AND REMOVE rows from the
+    // accumulator (Spark) or segment-tree partials (DuckDB), so double
+    // sums would drift engine-to-engine; decimal add/remove is exact
+    // either way, and the one double division per side is identical on
+    // identical inputs. Scale: two frames over one per-series sort (one
+    // exchange), peak extraction is a window over the same partitioning —
+    // nothing shuffles twice.
+    GraftQuery(
+      "changepoints",
+      (s, dir) => {
+        val D = org.apache.spark.sql.types.DecimalType(18, 2)
+        val ord = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        val pre = ord.rowsBetween(-ChangepointWin, -1)
+        val post = ord.rowsBetween(0, ChangepointWin - 1)
+        val scored = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+          .withColumn("sL", sum(col("value").cast(D)).over(pre).cast(org.apache.spark.sql.types.DoubleType))
+          .withColumn("nL", count(lit(1)).over(pre))
+          .withColumn("sR", sum(col("value").cast(D)).over(post).cast(org.apache.spark.sql.types.DoubleType))
+          .withColumn("nR", count(lit(1)).over(post))
+          .filter(col("nL") === ChangepointWin && col("nR") === ChangepointWin)
+          .withColumn("score", abs(col("sR") / col("nR") - col("sL") / col("nL")))
+        val peak = Window.partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+          .orderBy(round(col("score"), 6).desc, col("event_id"))
+        scored
+          .withColumn("rn", row_number().over(peak))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+            col("event_id"), round(col("score"), 4).as("shift"))
+          .orderBy("event_type", "hour")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT event_id, event_type, ts, value,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) OVER pre AS DOUBLE) sL,
+                 count(*) OVER pre nL,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) OVER post AS DOUBLE) sR,
+                 count(*) OVER post nR
+          FROM events
+          WINDOW pre AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN $ChangepointWin PRECEDING AND 1 PRECEDING),
+                 post AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN CURRENT ROW AND ${ChangepointWin - 1} FOLLOWING)),
+        s AS (SELECT event_id, event_type, ts, abs(sR / nR - sL / nL) score
+              FROM w WHERE nL = $ChangepointWin AND nR = $ChangepointWin),
+        p AS (SELECT event_type, date_trunc('hour', ts) AS hour, event_id, score,
+                     row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                        ORDER BY round(score, 6) DESC, event_id) rn
+              FROM s)
+        SELECT event_type, hour, event_id, round(score, 4) AS shift
+        FROM p
+        WHERE rn = 1
+        ORDER BY event_type, hour"""))
   )
+
+  /** changepoints: samples per side of the two-sided mean window. */
+  private val ChangepointWin = 30
 }

@@ -798,6 +798,34 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("changepoints matches a naive two-sided window computation") {
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val events = Tables.events(spark, sf)
+      .select("event_id", "event_type", "ts", "value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2), x.getDouble(3)))
+    val expect = events.groupBy(_._2).flatMap { case (et, rs) =>
+      val sorted = rs.sortBy(t => (t._3.getTime, t._1))
+      // exact decimal frame sums, like the plan
+      val cents = sorted.map(t => BigDecimal(t._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      (30 until sorted.length - 29).map { i =>
+        val sL = cents.slice(i - 30, i).sum.toDouble
+        val sR = cents.slice(i, i + 30).sum.toDouble
+        val hour = sorted(i)._3.toInstant.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        (et, hour, sorted(i)._1, math.abs(sR / 30 - sL / 30))
+      }.groupBy(t => (t._1, t._2)).map { case (_, cand) =>
+        val best = cand.minBy(t => (-r(t._4, 6), t._3))
+        (best._1, best._2, best._3, r(best._4, 4))
+      }
+    }.toSet
+    val got = run("changepoints").collect()
+      .map(x => (x.getAs[String]("event_type"),
+        x.getAs[java.sql.Timestamp]("hour").toInstant,
+        x.getAs[Long]("event_id"), x.getAs[Double]("shift"))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("containment_pairs matches a naive shingle-containment computation") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
