@@ -22,6 +22,23 @@ object Stats {
 
   private val D = DecimalType(18, 8)
 
+  /** Per-key robust location/scale: (key, median_value, mad) — the static
+    * side of the streaming anomaly monitor
+    * ([[graft.streaming.StreamingPipeline.robustAnomalies]]) and the same
+    * statistics mad_outliers thresholds on. Two passes with per-group
+    * partial aggregation; the intermediate median frame is ≤|keys| rows
+    * and broadcasts back onto the second scan. */
+  def robustStats(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    val med = df.groupBy(keyCol)
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("median_value"))
+    df.join(broadcast(med), keyCol)
+      .withColumn("_d", abs(col(valueCol) - col("median_value")))
+      .groupBy(keyCol, "median_value")
+      .agg(round(expr("percentile(_d, 0.5)"), 4).as("mad"))
+      .select(keyCol, "median_value", "mad")
+  }
+
 
   def queries: Seq[GraftQuery] = Seq(
 

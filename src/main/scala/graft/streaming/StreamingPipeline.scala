@@ -250,6 +250,31 @@ object StreamingPipeline {
       joinType: String = "left"): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), joinType)
 
+  /** Stream-static robust anomaly monitor: flag in-flight readings whose
+    * value sits > `z` robust deviations from the key's precomputed
+    * median/MAD ([[graft.operators.Stats.robustStats]] — trained on a
+    * batch reference window, the standard deploy shape: stats refresh on
+    * a cadence, the stream never blocks on them). The stats frame is
+    * ≤|keys| rows and broadcasts, so the monitor adds zero shuffles and
+    * zero state to the stream; keys with MAD 0 (constant reference) or
+    * missing stats pass through unflagged rather than dividing by zero.
+    * Mirrors the batch mad_outliers gate exactly — a reading flags here
+    * iff the same row would flag there against the same reference. */
+  def robustAnomalies(
+      readings: DataFrame,
+      stats: DataFrame,
+      keyCol: String = "device_type",
+      valueCol: String = "value",
+      z: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, broadcast, col, round}
+    readings
+      .join(broadcast(stats), Seq(keyCol), "left")
+      .withColumn("robust_z",
+        round(abs(col(valueCol) - col("median_value")) / (col("mad") * 1.4826), 4))
+      .filter(col("mad").isNotNull && col("mad") > 0 &&
+        abs(col(valueCol) - col("median_value")) / (col("mad") * 1.4826) > z)
+  }
+
   /** Watermarked stream-stream interval join: each left row pairs with the
     * right-stream rows sharing `key` whose event time falls in
     * [left.ts, left.ts + maxDelay] — the impression→click attribution

@@ -349,6 +349,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("robustAnomalies flags only stream rows beyond the static MAD gate") {
+    implicit val sc = spark.sqlContext
+    // reference window: values 10..19 per type → median 14.5, MAD 2.5
+    val ref = (0 until 10).flatMap(i => Seq(
+      ("temperature", 10.0 + i), ("humidity", 10.0 + i)))
+      .toDF("device_type", "value")
+    val stats = operators.Stats.robustStats(ref, "device_type", "value")
+    val mem = MemoryStream[Reading]
+    val out = StreamingPipeline.robustAnomalies(mem.toDF(), stats)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("anomalies").start()
+    try {
+      mem.addData(
+        reading("2024-01-01T10:00:00Z", 14.0),               // in-band
+        reading("2024-01-01T10:00:01Z", 27.5),               // z≈3.507 → flag
+        reading("2024-01-01T10:00:02Z", 20.0),               // z≈1.48
+        reading("2024-01-01T10:00:03Z", 99.0, dev = "motion")) // no stats → pass
+      q.processAllAvailable()
+      val rows = spark.table("anomalies").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Double]("value") == 27.5)
+      val z = rows.head.getAs[Double]("robust_z")
+      assert(z > 3.5 && z < 3.6, s"robust_z $z")
+      // the batch gate agrees: same reference, same row, same verdict
+      val batch = StreamingPipeline.robustAnomalies(
+        Seq(reading("2024-01-01T10:00:01Z", 27.5)).toDF(), stats)
+      assert(batch.count() == 1)
+    } finally q.stop()
+  }
+
   test("kafka reader options carry the reference's consumer contract") {
     // processor.py:60-67 — subscribe (not assign), earliest start, and
     // failOnDataLoss=false; the offline harness has no broker, so pinning
