@@ -534,7 +534,52 @@ object Curation {
         SELECT source, n_docs, n_tokens,
                CAST((2 * num * 1000000 + tot) // (2 * tot) AS DOUBLE) / 1000000.0 AS weight
         FROM w, t
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ---- quality-weighted sampling (the soft filter) ---------------------
+    // Hard quality gates (corpus_filter) throw borderline documents away;
+    // modern pipelines instead DOWNSAMPLE by quality tier so marginal
+    // text survives at reduced rate. Tier = stopword-ratio band (the
+    // corpus's discriminative signal); keep-rate 90/50/10 per tier applied
+    // through the same content-hash percent bucket stratified_sample uses
+    // — scan-side arithmetic, no RNG state, reproducible across engines
+    // and runs. The tier comparison divides two identical integers in
+    // both engines, so banding is bit-identical.
+    GraftQuery(
+      "quality_sample",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val sr = size(filter(toks, t => t.isin(TextAnalysis.stopwords: _*)))
+          .cast(DoubleType) / size(toks)
+        val tier = when(sr <= 0.12, "high").when(sr <= 0.2, "med").otherwise("low")
+        val rate = when(col("tier") === "high", 90)
+          .when(col("tier") === "med", 50).otherwise(10)
+        Tables.documents(s, dir)
+          .withColumn("tier", tier)
+          .withColumn("bucket", pmod(contentHash, lit(100L)))
+          .filter(col("bucket") < rate)
+          .select(col("doc_id"), col("tier"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+        s"""
+        WITH q AS (
+          SELECT doc_id,
+                 CASE WHEN len(list_filter(string_split(text, ' '),
+                                t -> t IN ($stops))) * 1.0
+                        / len(string_split(text, ' ')) <= 0.12 THEN 'high'
+                      WHEN len(list_filter(string_split(text, ' '),
+                                t -> t IN ($stops))) * 1.0
+                        / len(string_split(text, ' ')) <= 0.2 THEN 'med'
+                      ELSE 'low' END AS tier,
+                 $sqlContentHash % 100 AS bucket
+          FROM documents)
+        SELECT doc_id, tier, bucket
+        FROM q
+        WHERE bucket < CASE tier WHEN 'high' THEN 90 WHEN 'med' THEN 50 ELSE 10 END
+        ORDER BY doc_id"""
+      })
   )
 
   /** chunk_documents window: 32-token chunks at stride 24 (25% overlap). */

@@ -496,6 +496,38 @@ object Stats {
                round(d / (mad * 1.4826), 4) AS robust_z
         FROM dev JOIN mad USING (event_type)
         WHERE mad > 0 AND d / (mad * 1.4826) > 3.5
+        ORDER BY event_id""")),
+
+    // ---- winsorization: percentile clipping per group --------------------
+    // The feature-hygiene pass before training on heavy-tailed values:
+    // clip each group's values into [p01, p99]. Bounds are exact
+    // interpolated percentiles rounded BEFORE the comparison (the
+    // median_value/mad_outliers discipline), so clip decisions are
+    // bit-identical cross-engine; the bounds frame is ≤|groups| rows and
+    // broadcasts back onto the only scan of the fact table. At 100 TB
+    // the same plan runs on approx_percentile bounds.
+    GraftQuery(
+      "winsorize",
+      (s, dir) => {
+        val bounds = Tables.events(s, dir).groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.01)"), 4).as("lo"),
+            round(expr("percentile(value, 0.99)"), 4).as("hi"))
+        Tables.events(s, dir)
+          .join(broadcast(bounds), "event_type")
+          .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("clipped"), (col("value") =!= col("clipped")).as("was_clipped"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH b AS (SELECT event_type,
+                          round(quantile_cont(value, 0.01), 4) AS lo,
+                          round(quantile_cont(value, 0.99), 4) AS hi
+                   FROM events GROUP BY 1)
+        SELECT event_id, e.event_type AS event_type, value,
+               least(greatest(value, lo), hi) AS clipped,
+               value != least(greatest(value, lo), hi) AS was_clipped
+        FROM events e JOIN b USING (event_type)
         ORDER BY event_id"""))
   )
 }

@@ -798,6 +798,51 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("winsorize clips exactly the out-of-band values and preserves the rest") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pct(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val idx = (s.length - 1) * p
+      val lo = idx.toInt
+      if (lo == idx) s(lo) else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+    }
+    val events = Tables.events(spark, sf).select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val bounds = events.groupBy(_._2).map { case (et, rs) =>
+      et -> (r4(pct(rs.map(_._3), 0.01)), r4(pct(rs.map(_._3), 0.99)))
+    }
+    val got = run("winsorize").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"),
+          r.getAs[Double]("clipped"), r.getAs[Boolean]("was_clipped"))).toMap
+    assert(got.size == events.length)
+    events.foreach { case (id, et, v) =>
+      val (lo, hi) = bounds(et)
+      val expect = math.min(math.max(v, lo), hi)
+      val (_, _, clipped, flagged) = got(id)
+      assert(clipped == expect, s"event $id clipped $clipped != $expect")
+      assert(flagged == (v != expect))
+    }
+    assert(got.values.count(_._4) > 0, "no values clipped — test degenerate")
+  }
+
+  test("quality_sample keeps high-tier docs at a higher rate than low-tier") {
+    val rows = run("quality_sample").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tier"), r.getAs[Long]("bucket")))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.nonEmpty && rows.length < total)
+    // bucket honors the per-tier rate gate
+    rows.foreach { case (id, tier, b) =>
+      val rate = tier match { case "high" => 90; case "med" => 50; case _ => 10 }
+      assert(b < rate, s"doc $id tier $tier bucket $b out of gate")
+    }
+    // sampling is deterministic: a second run returns the identical set
+    val again = run("quality_sample").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tier"), r.getAs[Long]("bucket")))
+    assert(rows.toSet == again.toSet)
+  }
+
   test("changepoints matches a naive two-sided window computation") {
     def r(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
