@@ -523,6 +523,60 @@ object Similarity {
         FROM e LEFT JOIN reps r ON e.vec_id = r.vec_id
         ORDER BY e.vec_id""")),
 
+    // ---- truncated-dimension retrieval (Matryoshka-style) ----------------
+    // The cheap-first-pass regime for nested (MRL-trained) embeddings:
+    // rank by cosine over only the FIRST MrlDims dimensions — at 100 TB
+    // this reads a quarter of the vector bytes and does a quarter of the
+    // multiply-adds per candidate, and the standard deployment re-ranks
+    // its top candidates with the full vector afterwards (cosine_topk is
+    // exactly that second stage, so the two queries compose). Slices are
+    // array_slice/list_slice in both engines over the same float→double
+    // values; ranking reuses the TopKPerKey heap path. Recall vs the
+    // full-dimension ranking is measured in OperatorSpec — on these
+    // synthetic uniform vectors the first 16 dims carry no privileged
+    // information (the untrained-MRL floor), which is exactly why the
+    // re-rank stage exists.
+    GraftQuery(
+      "mrl_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("tv", expr(s"slice(embedding, 1, $MrlDims)"))
+          .select(col("vec_id"), col("tv"), V.l2norm(col("tv")).as("tnorm"))
+          .filter(col("tnorm") > 0)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("tv").as("qv"), col("tnorm").as("qnorm"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", V.dot(col("tv"), col("qv")) / (col("tnorm") * col("qnorm")))
+        rankTopK(scored, 10)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_slice(CAST(embedding AS DOUBLE[]), 1, $MrlDims) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, $MrlDims),
+                     x -> x * x)), (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        f AS (SELECT * FROM e WHERE norm > 0),
+        q AS (SELECT vec_id qid, v qv, norm qnorm FROM f WHERE vec_id < 5),
+        scored AS (
+          SELECT qid, vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])),
+                   (acc, x) -> acc + x) / (norm * qnorm) AS cos
+          FROM f CROSS JOIN q
+          WHERE vec_id != qid),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, round(cos, 4) AS cosine
+        FROM ranked
+        WHERE rank <= 10
+        ORDER BY qid, rank""")),
+
     // ---- product-quantization ANN (ADC scan over PQ codes) ---------------
     // The memory-bound ANN regime: each vector is stored as M=8 one-byte
     // codes (its nearest codeword per 8-dim subspace), and queries rank by
@@ -634,4 +688,7 @@ object Similarity {
   private val PqSubspaces = 8
   private val PqSubDim = 8
   private val PqCodebook = 16
+
+  /** mrl_topk: leading dimensions used by the truncated first pass. */
+  private val MrlDims = 16
 }

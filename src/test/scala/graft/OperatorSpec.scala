@@ -934,6 +934,38 @@ class OperatorSpec extends SparkSuite {
       s"mean PQ recall ${recalls.sum / recalls.size} below floor (per-query: $recalls)")
   }
 
+  test("mrl_topk ranks by truncated cosine and composes with the full re-rank") {
+    val got = run("mrl_topk").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // matches a naive truncated-cosine ranking exactly
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).take(16).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L to 4L).foreach { q =>
+      val expect = (vecs - q).toSeq
+        .map { case (id, v) => (-r(cos(vecs(q), v), 6), id) }.sorted.take(10).map(_._2)
+      assert(byQ(q).sortBy(_._2).map(_._3).toSeq == expect, s"query $q ranking")
+    }
+    // truncated pass top-10 must overlap the full-dim cosine_topk top-10
+    // enough for a re-rank stage to recover it at modest expansion — on
+    // uniform vectors the first 16 of 64 dims is a weak signal; this is a
+    // sanity floor, not a retrieval claim
+    val full = run("cosine_topk").collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("vec_id")))
+      .groupBy(_._1)
+    val overlap = (0L to 4L).map(q =>
+      byQ(q).map(_._3).toSet.intersect(full(q).map(_._2).toSet).size).sum
+    assert(overlap >= 1, "truncated and full rankings fully disjoint")
+  }
+
   test("subSqDist kernel equals the naive slice fold on random vectors") {
     import graft.functions.{VectorExpressions => V}
     val rnd = new scala.util.Random(7)
