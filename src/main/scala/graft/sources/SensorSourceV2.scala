@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo, IsNotNull}
@@ -90,7 +91,8 @@ private[sources] final class SensorScanBuilder(options: CaseInsensitiveStringMap
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val rows = options.getLong("rows", 1000L)
   private val seed = options.getLong("seed", 42L)
@@ -174,28 +176,72 @@ private[sources] final class SensorScanBuilder(options: CaseInsensitiveStringMap
     true
   }
 
+  // ---- aggregate pushdown: answered in O(1) from the id range ----------
+  // count(*) is the range size and timestamps are MONOTONIC in id, so
+  // min/max(timestamp) are the range endpoints — a global
+  // count/min/max over a year of data returns one row without generating
+  // any. Complete pushdown (Spark plans no agg on top); composes with the
+  // pushed timestamp filters because the range is already narrowed.
+  private var pushedAgg: Option[Array[AggregateFunc]] = None
+
+  private def isTs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("timestamp"))
+      case _ => false
+    }
+
+  private def aggField(f: AggregateFunc): Option[StructField] = f match {
+    case _: CountStar => Some(StructField("count(*)", LongType, nullable = false))
+    case m: Min if isTs(m.column) => Some(StructField("min(timestamp)", TimestampType))
+    case m: Max if isTs(m.column) => Some(StructField("max(timestamp)", TimestampType))
+    case _ => None
+  }
+
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(aggField(_).isDefined)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canPush(agg) && {
+      pushedAgg = Some(agg.aggregateExpressions)
+      required = StructType(agg.aggregateExpressions.map(aggField(_).get))
+      true
+    }
+
   override def build(): Scan =
     new SensorScan(math.max(lo, 0L), math.max(math.min(hi, rows), math.max(lo, 0L)),
-      seed, startMicros, stepMicros, numPartitions, required, pushed)
+      seed, startMicros, stepMicros, numPartitions, required, pushed, pushedAgg)
 }
 
 final case class SensorInputPartition(lo: Long, hi: Long)
     extends InputPartition
 
+/** Marker partition for a completely-pushed aggregate: the reader answers
+  * from the range arithmetic alone. */
+final case class SensorAggPartition(lo: Long, hi: Long)
+    extends InputPartition
+
 private[sources] final class SensorScan(
     lo: Long, hi: Long, seed: Long, startMicros: Long, stepMicros: Long,
-    numPartitions: Int, required: StructType, pushed: Array[Filter])
+    numPartitions: Int, required: StructType, pushed: Array[Filter],
+    pushedAgg: Option[Array[AggregateFunc]] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-sensors ids=[$lo,$hi) PushedFilters: [${pushed.mkString(", ")}], " +
+      pushedAgg.map(a => s"PushedAggregates: [${a.mkString(", ")}], ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // pushed aggregates: one partition, one row, zero generated readings
+    // — even an empty range answers (count 0, null min/max)
+    if (pushedAgg.isDefined) return Array(SensorAggPartition(lo, hi))
     val n = math.max(hi - lo, 0L)
     if (n == 0) return Array.empty
     val parts = math.min(numPartitions.toLong, n).toInt
@@ -209,16 +255,44 @@ private[sources] final class SensorScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SensorReaderFactory(seed, startMicros, stepMicros, required)
+    new SensorReaderFactory(seed, startMicros, stepMicros, required, pushedAgg)
 }
 
 private[sources] final class SensorReaderFactory(
-    seed: Long, startMicros: Long, stepMicros: Long, required: StructType)
+    seed: Long, startMicros: Long, stepMicros: Long, required: StructType,
+    pushedAgg: Option[Array[AggregateFunc]] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SensorInputPartition]
-    new SensorPartitionReader(p.lo, p.hi, seed, startMicros, stepMicros, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case SensorAggPartition(lo, hi) =>
+        new SensorAggReader(lo, hi, startMicros, stepMicros, pushedAgg.get)
+      case p: SensorInputPartition =>
+        new SensorPartitionReader(p.lo, p.hi, seed, startMicros, stepMicros, required)
+      case other =>
+        throw new IllegalArgumentException(s"unknown partition: $other")
+    }
+}
+
+/** One row answering the pushed aggregates from the id-range arithmetic:
+  * count = range size; min/max(timestamp) = the endpoints (timestamps are
+  * strictly increasing in id). Empty range → count 0, null min/max —
+  * matching what the full aggregation over zero rows returns. */
+private[sources] final class SensorAggReader(
+    lo: Long, hi: Long, startMicros: Long, stepMicros: Long,
+    aggs: Array[AggregateFunc])
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = { val r = !emitted; emitted = true; r }
+  override def get(): InternalRow = {
+    val n = math.max(hi - lo, 0L)
+    InternalRow.fromSeq(aggs.toIndexedSeq.map {
+      case _: CountStar => n
+      case _: Min => if (n == 0) null else startMicros + lo * stepMicros
+      case _: Max => if (n == 0) null else startMicros + (hi - 1) * stepMicros
+      case other => throw new IllegalArgumentException(s"unpushable agg: $other")
+    })
   }
+  override def close(): Unit = ()
 }
 
 /** Generates one id per `next()` call, computing ONLY the pruned columns

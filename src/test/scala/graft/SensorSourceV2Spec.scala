@@ -15,10 +15,16 @@ class SensorSourceV2Spec extends SparkSuite {
     spark.read.format("graft-sensors")
       .option("rows", n).option("numPartitions", parts).load()
 
-  private def scanOf(df: DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectLeaves()
-      .collectFirst { case b: BatchScanExec => b }
-      .getOrElse(fail("no BatchScanExec in plan"))
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    // an exchange anywhere wraps the plan in AdaptiveSparkPlanExec, which
+    // collects as a leaf — look through to its initial plan
+    val plan = df.queryExecution.executedPlan
+    val roots = plan +: plan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+    }
+    roots.flatMap(_.collect { case b: BatchScanExec => b })
+      .headOption.getOrElse(fail("no BatchScanExec in plan"))
+  }
 
   private def partitionsOf(df: DataFrame): Seq[SensorInputPartition] =
     scanOf(df).batch.planInputPartitions().toSeq
@@ -89,6 +95,42 @@ class SensorSourceV2Spec extends SparkSuite {
     val df = read().limit(10)
     assert(partitionsOf(df).map(p => p.hi - p.lo).sum == 10)
     assert(df.count() == 10)
+  }
+
+  test("count/min/max(timestamp) push to the source and answer from one agg partition") {
+    val df = read(1000).agg(
+      count(lit(1)).as("n"), min("timestamp").as("lo"), max("timestamp").as("hi"))
+    val parts = scanOf(df).batch.planInputPartitions()
+    assert(parts.length == 1 && parts.head.isInstanceOf[graft.sources.SensorAggPartition],
+      s"expected one agg partition, got ${parts.toSeq}")
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 1000)
+    assert(r.getAs[java.sql.Timestamp]("lo").toInstant.toString == "2024-01-01T00:00:00Z")
+    assert(r.getAs[java.sql.Timestamp]("hi").toInstant.toString == "2024-01-01T00:16:39Z")
+    // parity with the ordinary aggregation over the generator plan
+    val e = SensorGen.batch(spark, 1000)
+      .agg(count(lit(1)), min("timestamp"), max("timestamp")).collect().head
+    assert(r.toSeq == e.toSeq)
+  }
+
+  test("pushed aggregates compose with pushed timestamp filters") {
+    val df = read().filter(
+        col("timestamp") >= "2024-01-01 00:01:00" &&
+          col("timestamp") < "2024-01-01 00:02:00")
+      .agg(count(lit(1)).as("n"), max("timestamp").as("hi"))
+    assert(scanOf(df).batch.planInputPartitions().length == 1)
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 60)
+    assert(r.getAs[java.sql.Timestamp]("hi").toInstant.toString == "2024-01-01T00:01:59Z")
+  }
+
+  test("unsupported aggregates fall back to row generation and stay correct") {
+    val df = read(200).agg(min("value").as("mv"), count(lit(1)).as("n"))
+    // min(value) is not range-derivable → no agg partition, normal scan
+    val parts = scanOf(df).batch.planInputPartitions()
+    assert(parts.forall(_.isInstanceOf[graft.sources.SensorInputPartition]))
+    val e = SensorGen.batch(spark, 200).agg(min("value"), count(lit(1))).collect().head
+    assert(df.collect().head.toSeq == e.toSeq)
   }
 
   test("partition planning splits evenly and never exceeds the range") {
