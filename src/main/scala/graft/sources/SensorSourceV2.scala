@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo, IsNotNull}
 import org.apache.spark.sql.types._
@@ -82,7 +83,7 @@ private[sources] final class SensorTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-sensors(rows=${options.getLong("rows", 1000L)})"
   override def schema(): StructType = SensorSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new SensorScanBuilder(options)
 }
@@ -212,7 +213,8 @@ private[sources] final class SensorScanBuilder(options: CaseInsensitiveStringMap
 
   override def build(): Scan =
     new SensorScan(math.max(lo, 0L), math.max(math.min(hi, rows), math.max(lo, 0L)),
-      seed, startMicros, stepMicros, numPartitions, required, pushed, pushedAgg)
+      seed, startMicros, stepMicros, numPartitions, required, pushed, pushedAgg,
+      math.max(options.getLong("rowsPerBatch", 100L), 1L))
 }
 
 final case class SensorInputPartition(lo: Long, hi: Long)
@@ -223,10 +225,66 @@ final case class SensorInputPartition(lo: Long, hi: Long)
 final case class SensorAggPartition(lo: Long, hi: Long)
     extends InputPartition
 
+/** Stream offset = the next generator id to admit. */
+final case class SensorOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+/** Micro-batch generator stream over the id space [lo, hi): each trigger
+  * admits up to `rowsPerBatch` further ids; a batch [start, end) plans the
+  * same sliced partitions and row recipe as the batch path, so streamed
+  * rows are bit-identical to the batch read of the same range. Once the
+  * cap is reached latestOffset stops advancing and the query idles —
+  * deterministic, wall-clock-free, which is what makes watermark/window
+  * semantics assertable in tests. */
+private[sources] final class SensorMicroBatchStream(
+    lo: Long, hi: Long, rowsPerBatch: Long, seed: Long,
+    startMicros: Long, stepMicros: Long, numPartitions: Int,
+    required: StructType)
+    extends MicroBatchStream {
+
+  // highest id offered so far; recovery starts a fresh instance, so admit
+  // from the committed start offset upward (planInputPartitions clamps)
+  private var offered: Long = lo
+
+  override def initialOffset(): Offset = SensorOffset(lo)
+
+  override def latestOffset(): Offset = {
+    offered = math.min(offered + rowsPerBatch, hi)
+    SensorOffset(offered)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    // a restart may recover a committed offset ahead of this instance's
+    // counter — never re-admit below it
+    val o = json.trim.toLong
+    offered = math.max(offered, o)
+    SensorOffset(o)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[SensorOffset].id
+    val b = end.asInstanceOf[SensorOffset].id
+    val n = math.max(b - a, 0L)
+    if (n == 0) return Array.empty
+    val parts = math.min(numPartitions.toLong, n).toInt
+    Array.tabulate(parts) { i =>
+      SensorInputPartition(a + i * n / parts, a + (i + 1) * n / parts)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SensorReaderFactory(seed, startMicros, stepMicros, required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 private[sources] final class SensorScan(
     lo: Long, hi: Long, seed: Long, startMicros: Long, stepMicros: Long,
     numPartitions: Int, required: StructType, pushed: Array[Filter],
-    pushedAgg: Option[Array[AggregateFunc]] = None)
+    pushedAgg: Option[Array[AggregateFunc]] = None,
+    rowsPerBatch: Long = 100L)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -256,6 +314,18 @@ private[sources] final class SensorScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SensorReaderFactory(seed, startMicros, stepMicros, required, pushedAgg)
+
+  /** Streaming surface: the same generator behind the MicroBatchStream
+    * contract — offsets ARE generator ids, each trigger admits the next
+    * `rowsPerBatch` ids (up to `rows`), and a micro-batch plans the same
+    * id-sliced partitions the batch path uses. Deterministic (no
+    * wall-clock coupling), so streaming semantics — watermarks, windowed
+    * aggs, sinks — are testable end to end without a broker; the
+    * reference's generator→Kafka→decode front half collapses into one
+    * `readStream.format("graft-sensors")`. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SensorMicroBatchStream(lo, hi, rowsPerBatch, seed, startMicros,
+      stepMicros, numPartitions, required)
 }
 
 private[sources] final class SensorReaderFactory(
