@@ -504,6 +504,71 @@ object TextAnalysis {
         FROM w
         ORDER BY doc_id, fp""")),
 
+    // ---- decontamination via winnowing fingerprints -----------------------
+    // The copy-detection approach to eval contamination: instead of
+    // carrying EVERY trigram per train doc (decontaminate), overlap the
+    // winnowed fingerprint sets — ~|doc|/w selected hashes per document,
+    // a 4× lighter broadcast and explode at identical guarantees for
+    // passages ≥ w+k−1 tokens (winnowing's coverage theorem; shorter
+    // snippets are below the detection floor by design). Same shape:
+    // eval fingerprints broadcast, ONE corpus kernel pass, per-doc
+    // overlap ratio. flagged = overlap ≥ 0.4.
+    GraftQuery(
+      "winnow_decontaminate",
+      (s, dir) => {
+        val fp = Tables.documents(s, dir).select(col("doc_id"),
+          explode_outer(graft.functions.VectorExpressions
+            .winnowFingerprint(col("text"), 3, 4)).as("fp"))
+        val ev = fp.filter(col("doc_id") < 25 && col("fp").isNotNull)
+          .select(col("fp")).distinct().withColumn("_hit", lit(1))
+        fp.filter(col("doc_id") >= 25)
+          .join(broadcast(ev), Seq("fp"), "left")
+          .groupBy("doc_id")
+          .agg(count(col("fp")).as("n_fp"), count(col("_hit")).as("hits"))
+          .withColumn("contamination", when(col("n_fp") > 0,
+            round(col("hits").cast(DoubleType) / col("n_fp"), 4)).otherwise(0.0))
+          .withColumn("flagged", col("contamination") >= 0.4)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END grams
+              FROM t),
+        h AS (SELECT doc_id,
+                list_transform(grams, g ->
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(g) + 1),
+                      i -> CAST(unicode(substring(g, i, 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 131 + c) % ${graft.functions.VectorKernels.MinHashP})) gh
+              FROM g),
+        w AS (SELECT doc_id,
+                CASE WHEN len(gh) = 0 THEN []
+                     WHEN len(gh) < 4 THEN [list_min(gh)]
+                     ELSE list_transform(range(1, len(gh) - 2),
+                            j -> list_min(list_slice(gh, j, j + 3))) END sel
+              FROM h),
+        fp AS (SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM w),
+        ev AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 25),
+        tr AS (SELECT d.doc_id, fp.fp
+               FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+               WHERE d.doc_id >= 25),
+        st AS (SELECT tr.doc_id, count(tr.fp) AS n_fp, count(ev.fp) AS hits
+               FROM tr LEFT JOIN ev ON tr.fp = ev.fp
+               GROUP BY 1)
+        SELECT doc_id, n_fp, hits,
+               CASE WHEN n_fp > 0
+                    THEN round(CAST(hits AS DOUBLE) / n_fp, 4) ELSE 0.0 END
+                 AS contamination,
+               CASE WHEN n_fp > 0
+                    THEN round(CAST(hits AS DOUBLE) / n_fp, 4) >= 0.4
+                    ELSE false END AS flagged
+        FROM st
+        ORDER BY doc_id""")),
+
     // ---- per-language distribution drift: KL(lang ‖ corpus) --------------
     // The corpus-monitoring statistic: how far each language slice's token
     // distribution sits from the corpus-wide distribution, in nats.

@@ -798,6 +798,36 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("winnow_decontaminate matches a naive fingerprint-overlap computation") {
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % P)
+    def winnow(toks: Array[String]): Set[Long] = {
+      val m = toks.length - 2
+      if (m <= 0) return Set.empty
+      val gh = (0 until m).map(i => polyHash(toks.slice(i, i + 3).mkString(" ")))
+      if (m < 4) Set(gh.min)
+      else (0 to m - 4).map(j => gh.slice(j, j + 4).min).toSet
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val evalFp = texts.filter(_._1 < 25).values.flatMap(winnow).toSet
+    val expect = texts.filter(_._1 >= 25).map { case (id, toks) =>
+      val fps = winnow(toks)
+      val hits = fps.count(evalFp)
+      val cont = if (fps.nonEmpty) r4(hits.toDouble / fps.size) else 0.0
+      id -> (fps.size.toLong, hits.toLong, cont, fps.nonEmpty && cont >= 0.4)
+    }
+    val got = run("winnow_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_fp"), r.getAs[Long]("hits"),
+          r.getAs[Double]("contamination"), r.getAs[Boolean]("flagged"))).toMap
+    assert(got == expect)
+    assert(got.values.exists(_._4), "nothing flagged — corpus degenerate")
+  }
+
   test("winsorize clips exactly the out-of-band values and preserves the rest") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
