@@ -285,9 +285,23 @@ private[sources] final class SensorScan(
     numPartitions: Int, required: StructType, pushed: Array[Filter],
     pushedAgg: Option[Array[AggregateFunc]] = None,
     rowsPerBatch: Long = 100L)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Exact statistics from the (already filter-narrowed) id range.
+    * Without these a V2 relation defaults to
+    * `spark.sql.defaultSizeInBytes` (max) and can NEVER be auto-chosen as
+    * a broadcast side — reporting real size is what plugs the source into
+    * Catalyst's join-strategy costing. Row width = pruned-schema estimate
+    * (strings dominated by the ≤10-char device_id). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    private val rowBytes = math.max(8L * required.size, 8L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * rowBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+  }
 
   override def description(): String =
     s"graft-sensors ids=[$lo,$hi) PushedFilters: [${pushed.mkString(", ")}], " +

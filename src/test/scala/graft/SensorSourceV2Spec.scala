@@ -133,6 +133,20 @@ class SensorSourceV2Spec extends SparkSuite {
     assert(df.collect().head.toSeq == e.toSeq)
   }
 
+  test("reported statistics let Catalyst auto-broadcast the source in joins") {
+    // no explicit broadcast() hint anywhere: the scan's estimateStatistics
+    // must be what makes the small generator side the broadcast side
+    val dim = read(50).select(col("device_id"), col("device_type")).distinct()
+    val fact = Tables.events(spark, sf)
+      .select(concat(lit("sensor_"), (col("user_id") % 100) + 1).as("device_id"),
+        col("value"))
+    val joined = fact.join(dim, "device_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"source not auto-broadcast:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("micro-batch stream delivers the full id space bit-identical to batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-stream")
     val q = spark.readStream.format("graft-sensors")
