@@ -504,6 +504,36 @@ object TextAnalysis {
         FROM w
         ORDER BY doc_id, fp""")),
 
+    // ---- heavy hitters: Misra–Gries candidates + exact recount -----------
+    // The two-pass heavy-hitters pattern: pass 1 summarizes the token
+    // stream into ≤k mergeable counters per task (FreqSketchAgg — partial
+    // aggregation ships k counters, not the vocabulary), pass 2
+    // exact-counts ONLY the broadcast candidate set and takes the top 10.
+    // The output is EXACT whenever the true top-10 clear the n/(k+1)
+    // retention bound — the regime heavy hitters are defined by — so the
+    // oracle is the plain exact top-10, and the sketch's guarantees are
+    // separately fuzzed in PropertySpec on Zipf data with vocab ≫ k.
+    GraftQuery(
+      "heavy_hitters",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val cands = toks
+          .agg(graft.functions.FreqSketch.candidates(64)(col("tok")).as("cs"))
+          .select(explode(split(col("cs"), ",")).as("tok"))
+        toks.join(broadcast(cands), "tok")
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(10)
+      },
+      Some("""
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        SELECT tok, count(*) AS n
+        FROM t
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 10""")),
+
     // ---- decontamination via winnowing fingerprints -----------------------
     // The copy-detection approach to eval contamination: instead of
     // carrying EVERY trigram per train doc (decontaminate), overlap the

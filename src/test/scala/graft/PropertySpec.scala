@@ -133,6 +133,45 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("FreqSketchAgg retains every item above n/(k+1) with bounded undercount, under any merge split") {
+    // Misra–Gries guarantees: (1) every item with true count > n/(k+1)
+    // survives; (2) surviving counters undercount by ≤ n/(k+1). Fuzz on
+    // Zipf-ish data with vocabulary ≫ k so eviction actually happens,
+    // split into random partitions and merged (the Catalyst partial-agg
+    // path), which per the mergeable-summaries result keeps both bounds.
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 15) {
+      val k = 8 + trial % 16
+      val vocab = 200 + trial * 17
+      // zipf-ish: token i drawn with weight ~ 1/(i+1)
+      val weights = (0 until vocab).map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      def draw(): String = {
+        val x = rnd.nextDouble() * total
+        s"t${cum.indexWhere(x <= _)}"
+      }
+      val n = 3000 + trial * 100
+      val items = Vector.fill(n)(draw())
+      val truth = items.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val agg = functions.FreqSketchAgg(k)
+      // random number of partitions, random assignment → fold each, merge all
+      val parts = items.groupBy(_ => rnd.nextInt(1 + trial % 7)).values.toSeq
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)
+      assert(merged.entries.size <= k, s"trial $trial buffer overflow")
+      val bound = n.toDouble / (k + 1)
+      val kept = merged.entries.map(_._1).toSet
+      truth.foreach { case (t, c) =>
+        if (c > bound) assert(kept(t), s"trial $trial lost $t (count $c > bound $bound)")
+      }
+      merged.entries.foreach { case (t, est) =>
+        val c = truth(t)
+        assert(est <= c, s"trial $trial overcount for $t: $est > $c")
+        assert(c - est <= bound, s"trial $trial undercount ${c - est} > $bound for $t")
+      }
+    }
+  }
+
   test("TopKIdsAgg equals naive sorted top-k under random NaN/duplicate inputs and any merge split") {
     // the buffer had two real bugs (NaN comparisons, duplicate entries at
     // a full buffer) — fuzz it against the obvious specification: sort by
