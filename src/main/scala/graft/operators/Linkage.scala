@@ -29,6 +29,14 @@ object Linkage {
   /** Max edit distance for a candidate pair to count as a fuzzy match. */
   private val MaxEditDistance = 2
 
+  /** Hot-block cap: a blocking key shared by d names contributes
+    * d·(d−1)/2 DP comparisons, so one degenerate key (empty noun, a
+    * tokenizer artifact) re-opens the quadratic door the blocking closed.
+    * Blocks above the cap are dropped — same stance and same oracle
+    * mirroring as Dedup.MaxGramDocFreq; on the testdata the largest block
+    * is 8, so the cap is the 100 TB safety rail, not an output change. */
+  private val MaxBlockSize = 1000L
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- blocked edit-distance self-join over part names -----------------
@@ -44,6 +52,11 @@ object Linkage {
           .groupBy(col("p_name").as("name"))
           .agg(min("p_partkey").as("pk"))
           .withColumn("blk", substring_index(col("name"), " ", -1))
+          // the block-size window shares the self-join's shuffle key, so
+          // the cap costs no extra exchange
+          .withColumn("bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+          .filter(col("bsz") <= MaxBlockSize)
         val a = names.select(col("blk"), col("name").as("name_a"), col("pk").as("pk_a"))
         val b = names.select(col("blk"), col("name").as("name_b"), col("pk").as("pk_b"))
         a.join(b, "blk")
@@ -56,7 +69,10 @@ object Linkage {
       Some(s"""
         WITH names AS (SELECT p_name AS name, min(p_partkey) AS pk
                        FROM part GROUP BY 1),
-        b AS (SELECT name, pk, string_split(name, ' ')[-1] AS blk FROM names)
+        b0 AS (SELECT name, pk, string_split(name, ' ')[-1] AS blk FROM names),
+        b AS (SELECT name, pk, blk FROM (
+                SELECT b0.*, count(*) OVER (PARTITION BY blk) bsz FROM b0)
+              WHERE bsz <= $MaxBlockSize)
         SELECT a.name AS name_a, c.name AS name_b,
                levenshtein(a.name, c.name) AS dist,
                a.pk AS pk_a, c.pk AS pk_b

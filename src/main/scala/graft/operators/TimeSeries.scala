@@ -338,7 +338,12 @@ object TimeSeries {
     // either way, and the one double division per side is identical on
     // identical inputs. Scale: two frames over one per-series sort (one
     // exchange), peak extraction is a window over the same partitioning —
-    // nothing shuffles twice.
+    // nothing shuffles twice. Parallelism is per SERIES: with few massive
+    // series the sort serializes per key, and the at-scale variant
+    // range-chunks each series with a ±window overlap so chunks sort
+    // independently (the same trade shard_packing documents for its
+    // global-cumsum variant); the registered shape is the per-key one
+    // the oracle can mirror.
     GraftQuery(
       "changepoints",
       (s, dir) => {
