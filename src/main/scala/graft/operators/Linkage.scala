@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -37,6 +38,45 @@ object Linkage {
     * is 8, so the cap is the 100 TB safety rail, not an output change. */
   private val MaxBlockSize = 1000L
 
+  /** DISTINCT names with their canonical key and blocking key, hot blocks
+    * dropped — the shared front half of both linkage queries. */
+  private def blockedNames(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(min("p_partkey").as("pk"))
+      .withColumn("blk", substring_index(col("name"), " ", -1))
+      // the block-size window shares the self-join's shuffle key, so
+      // the cap costs no extra exchange
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+      .filter(col("bsz") <= MaxBlockSize)
+
+  /** Within-block pairs at edit distance ≤ [[MaxEditDistance]]. */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val names = blockedNames(s, dir)
+    val a = names.select(col("blk"), col("name").as("name_a"), col("pk").as("pk_a"))
+    val b = names.select(col("blk"), col("name").as("name_b"), col("pk").as("pk_b"))
+    a.join(b, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= MaxEditDistance)
+  }
+
+  /** Shared DuckDB CTE text for the blocked capped name set + pairs. */
+  private def sqlFuzzyCtes: String = s"""
+        names AS (SELECT p_name AS name, min(p_partkey) AS pk
+                  FROM part GROUP BY 1),
+        b0 AS (SELECT name, pk, string_split(name, ' ')[-1] AS blk FROM names),
+        b AS (SELECT name, pk, blk FROM (
+                SELECT b0.*, count(*) OVER (PARTITION BY blk) bsz FROM b0)
+              WHERE bsz <= $MaxBlockSize),
+        fp AS (SELECT a.name AS name_a, c.name AS name_b,
+                      levenshtein(a.name, c.name) AS dist,
+                      a.pk AS pk_a, c.pk AS pk_b
+               FROM b a JOIN b c USING (blk)
+               WHERE a.name < c.name
+                 AND levenshtein(a.name, c.name) <= $MaxEditDistance)"""
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- blocked edit-distance self-join over part names -----------------
@@ -47,37 +87,52 @@ object Linkage {
     // engine-portable and the whole operator oracle-checkable.
     GraftQuery(
       "fuzzy_join",
+      (s, dir) => fuzzyPairs(s, dir)
+        .select("name_a", "name_b", "dist", "pk_a", "pk_b")
+        .orderBy("name_a", "name_b"),
+      Some(s"""
+        WITH $sqlFuzzyCtes
+        SELECT name_a, name_b, dist, pk_a, pk_b
+        FROM fp
+        ORDER BY name_a, name_b""")),
+
+    // ---- entity resolution: connected components over fuzzy matches ------
+    // The second half of record linkage: fuzzy pairs are EDGES, entities
+    // are the connected components (A≈B, B≈C ⇒ one entity even when A-C
+    // exceeds the distance bound). Reuses the dedup stack's hybrid CC
+    // engine over the capped blocked pair set — edges only, never the
+    // name space — and the same recursive-CTE oracle discipline, so the
+    // whole resolution is hash-checked. Builder RUNS jobs (CC
+    // convergence), hence its entry in SparkEntry.actionfulQueries.
+    GraftQuery(
+      "entity_clusters",
       (s, dir) => {
-        val names = Tables.part(s, dir)
-          .groupBy(col("p_name").as("name"))
-          .agg(min("p_partkey").as("pk"))
-          .withColumn("blk", substring_index(col("name"), " ", -1))
-          // the block-size window shares the self-join's shuffle key, so
-          // the cap costs no extra exchange
-          .withColumn("bsz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("blk")))
-          .filter(col("bsz") <= MaxBlockSize)
-        val a = names.select(col("blk"), col("name").as("name_a"), col("pk").as("pk_a"))
-        val b = names.select(col("blk"), col("name").as("name_b"), col("pk").as("pk_b"))
-        a.join(b, "blk")
-          .filter(col("name_a") < col("name_b"))
-          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-          .filter(col("dist") <= MaxEditDistance)
-          .select("name_a", "name_b", "dist", "pk_a", "pk_b")
-          .orderBy("name_a", "name_b")
+        val pairs = fuzzyPairs(s, dir)
+          .select(col("pk_a").as("doc_a"), col("pk_b").as("doc_b"))
+        val labels = Dedup.connectedComponents(pairs)
+          .select(col("doc_id").as("pk"), col("label"))
+        blockedNames(s, dir)
+          .join(labels, Seq("pk"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("cluster_size"),
+            concat_ws(",", array_sort(collect_list(col("name")))).as("member_names"))
+          .select(col("label").as("cluster_id"), col("cluster_size"),
+            col("member_names"))
+          .orderBy("cluster_id")
       },
       Some(s"""
-        WITH names AS (SELECT p_name AS name, min(p_partkey) AS pk
-                       FROM part GROUP BY 1),
-        b0 AS (SELECT name, pk, string_split(name, ' ')[-1] AS blk FROM names),
-        b AS (SELECT name, pk, blk FROM (
-                SELECT b0.*, count(*) OVER (PARTITION BY blk) bsz FROM b0)
-              WHERE bsz <= $MaxBlockSize)
-        SELECT a.name AS name_a, c.name AS name_b,
-               levenshtein(a.name, c.name) AS dist,
-               a.pk AS pk_a, c.pk AS pk_b
-        FROM b a JOIN b c USING (blk)
-        WHERE a.name < c.name AND levenshtein(a.name, c.name) <= $MaxEditDistance
-        ORDER BY name_a, name_b"""))
+        WITH RECURSIVE $sqlFuzzyCtes,
+        edges AS (SELECT pk_a AS a, pk_b AS b FROM fp
+                  UNION SELECT pk_b, pk_a FROM fp),
+        reach(id, label) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id),
+        labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+        SELECT min(l.label) AS cluster_id, count(*) AS cluster_size,
+               string_agg(n.name, ',' ORDER BY n.name) AS member_names
+        FROM labels l JOIN b n ON l.id = n.pk
+        GROUP BY l.label
+        ORDER BY cluster_id"""))
   )
 }

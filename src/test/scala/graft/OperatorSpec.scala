@@ -761,6 +761,32 @@ class OperatorSpec extends SparkSuite {
     assert(got.nonEmpty, "no fuzzy pairs — corpus degenerate for this test")
   }
 
+  test("entity_clusters matches a naive union-find over the fuzzy pairs") {
+    val pairs = run("fuzzy_join").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val nameOf = scala.collection.mutable.Map.empty[Long, String]
+    pairs.foreach { case (na, nb, pa, pb) =>
+      nameOf(pa) = na; nameOf(pb) = nb
+      val (ra, rb) = (find(pa), find(pb))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = nameOf.keys.groupBy(find).map { case (root, ids) =>
+      // cluster label = min member id (the CC engine's min-label rule)
+      ids.min -> ids.map(nameOf).toSeq.sorted.mkString(",")
+    }
+    val got = run("entity_clusters").collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[String]("member_names")).toMap
+    assert(got == expect)
+    // transitivity did real work: fewer clusters than pairs, all size ≥ 2
+    assert(got.size < pairs.length)
+    assert(run("entity_clusters").collect().forall(_.getAs[Long]("cluster_size") >= 2))
+  }
+
   test("domain_mix_weights: weights normalize and track sqrt(token share)") {
     val rows = run("domain_mix_weights").collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Double]("weight")))
