@@ -536,6 +536,60 @@ object Curation {
         FROM w, t
         ORDER BY source""")),
 
+    // ---- sequence packing: the materialized shard manifest ---------------
+    // shard_packing assigns shard ids; this emits what the tokenizer
+    // actually consumes — per shard, the member docs IN ORDER with each
+    // doc's token offset inside the packed sequence (offset = its cumsum
+    // start minus the shard's start). Same per-language windowed cumsum
+    // (parallel across strata), one extra window over the (lang, shard)
+    // key that the final groupBy reuses as its shuffle key, and the
+    // per-shard collect is bounded by the token budget — a shard holds at
+    // most budget/1 docs, so the collected array can't blow up.
+    GraftQuery(
+      "pack_sequences",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("shard_id", expr(s"(cum - n_tokens) DIV $ShardTokenBudget"))
+          .withColumn("shard_start",
+            min(col("cum") - col("n_tokens"))
+              .over(Window.partitionBy("lang", "shard_id")))
+        d.groupBy("lang", "shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            array_sort(collect_list(struct(col("doc_id"),
+              (col("cum") - col("n_tokens") - col("shard_start")).as("off"))))
+              .as("ps"))
+          .select(col("lang"), col("shard_id"), col("n_docs"), col("total_tokens"),
+            concat_ws(",", expr("transform(ps, x -> CAST(x.doc_id AS STRING))"))
+              .as("doc_ids"),
+            concat_ws(",", expr("transform(ps, x -> CAST(x.off AS STRING))"))
+              .as("offsets"))
+          .orderBy("lang", "shard_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens,
+                     CAST(sum(len(string_split(text, ' '))) OVER w AS BIGINT) cum
+                   FROM documents
+                   WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        s AS (SELECT *, (cum - n_tokens) // $ShardTokenBudget AS shard_id FROM d),
+        m AS (SELECT *, min(cum - n_tokens)
+                          OVER (PARTITION BY lang, shard_id) AS shard_start
+              FROM s)
+        SELECT lang, shard_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids,
+               string_agg(cum - n_tokens - shard_start, ',' ORDER BY doc_id) AS offsets
+        FROM m
+        GROUP BY 1, 2
+        ORDER BY lang, shard_id""")),
+
     // ---- quality-weighted sampling (the soft filter) ---------------------
     // Hard quality gates (corpus_filter) throw borderline documents away;
     // modern pipelines instead DOWNSAMPLE by quality tier so marginal

@@ -824,6 +824,35 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("pack_sequences agrees with shard_packing and its offsets tile each shard") {
+    val shards = run("shard_packing").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("shard_id"), r.getAs[Long]("n_tokens"))).toMap
+    val packs = run("pack_sequences").collect()
+    // every doc appears in exactly the shard shard_packing assigned
+    val fromPacks = packs.flatMap { r =>
+      r.getAs[String]("doc_ids").split(",").map(_.toLong)
+        .map(_ -> (r.getAs[String]("lang"), r.getAs[Long]("shard_id")))
+    }.toMap
+    assert(fromPacks.size == shards.size)
+    shards.foreach { case (id, (lang, sid, _)) =>
+      assert(fromPacks(id) == (lang, sid), s"doc $id shard mismatch")
+    }
+    packs.foreach { r =>
+      val ids = r.getAs[String]("doc_ids").split(",").map(_.toLong)
+      val offs = r.getAs[String]("offsets").split(",").map(_.toLong)
+      assert(ids.length == offs.length && offs.head == 0)
+      // offset deltas are exactly the member docs' token counts, so the
+      // packed sequence tiles with no gaps or overlaps
+      val toks = ids.map(shards(_)._3)
+      offs.zip(toks).sliding(2).foreach {
+        case Array((o1, t1), (o2, _)) => assert(o2 == o1 + t1, s"gap at $o2")
+        case _ =>
+      }
+      assert(offs.last + toks.last == r.getAs[Long]("total_tokens"))
+    }
+  }
+
   test("winnow_decontaminate matches a naive fingerprint-overlap computation") {
     val P = 1000000007L
     def polyHash(s: String): Long =
