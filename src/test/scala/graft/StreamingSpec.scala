@@ -519,4 +519,28 @@ class StreamingSpec extends SparkSuite {
       assert(byKey("b") == Set("10"))
     } finally q.stop()
   }
+
+  test("FreqSketchAgg works as a streaming update-mode aggregate (heavy hitters at ingest)") {
+    // the sketch's merge must hold through the streaming state store:
+    // batch-2 occurrences add onto batch-1 counters, and the candidate
+    // set stays the frequent items across ALL batches
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = mem.toDF().toDF("tok")
+      .groupBy(lit(1).as("g"))
+      .agg(functions.FreqSketch.candidates(3)(col("tok")).as("cands"))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hh_stream").start()
+    try {
+      mem.addData(Seq.fill(5)("x") ++ Seq.fill(4)("y") ++ Seq("r1"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(6)("x") ++ Seq.fill(3)("z") ++ Seq("r2", "r3"): _*)
+      q.processAllAvailable()
+      val revs = spark.table("hh_stream").collect().map(_.getString(1)).toSet
+      // after batch 1 x,y dominate; after both, x (11 of 21) is guaranteed
+      // (count > n/(k+1) = 5.25) and must still be a candidate
+      assert(revs.size == 2)
+      assert(revs.forall(_.split(",").contains("x")), s"x lost across batches: $revs")
+    } finally q.stop()
+  }
 }
