@@ -51,6 +51,28 @@ object TimeSeries {
       .drop("_side")
   }
 
+  /** Forward as-of: for each left row, the EARLIEST right time at or
+    * after it — the "next event" direction [[asofJoin]]'s carry-forward
+    * can't answer. Same union + single-sort shape; right rows (_side 2)
+    * sort after left rows (_side 1) at equal ts so the following-frame
+    * first() still sees an exactly-simultaneous right row (inclusive ≥,
+    * matching the backward join's inclusive ≤). */
+  def asofForwardJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, tsCol: String, tieBreak: String = "event_id"): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(2))
+    val unioned = l.select(col(key), col(tsCol), col("_side"), col(tieBreak))
+      .unionByName(r.select(col(key), col(tsCol), col("_side"), col(tieBreak)))
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"), col(tieBreak))
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn("_asof_ts",
+        first(when(col("_side") === 2, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
   /** Time-weighted average per user over (user_id, event_id, value, us
     * [event-time µs]) rows: Σ value·Δt / span, each reading weighted by
     * how long it was current. Factored out so tests can pin the semantics
@@ -130,6 +152,35 @@ object TimeSeries {
                    FROM events WHERE event_type = 'view')
         SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id""")),
+
+    // ---- forward as-of join: the next event at or after ------------------
+    // asof_join answers "the last view BEFORE this purchase"; this answers
+    // "the NEXT view after it" (attribution's post-purchase window). Same
+    // union + one per-key sort, carry-FIRST over the following frame. The
+    // oracle is an INDEPENDENT formulation (correlated min() subquery,
+    // which DuckDB decorrelates), not a mirror of the window trick — so
+    // the two engines cross-check the semantics, not the implementation.
+    GraftQuery(
+      "asof_forward",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+        val views = e.filter(col("event_type") === "view")
+        asofForwardJoin(purchases, views, "user_id", "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("_asof_ts").as("next_view_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+                   FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts
+                   FROM events WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT min(v.ts) FROM v
+                WHERE v.user_id = p.user_id AND v.ts >= p.ts) AS next_view_ts
+        FROM p
         ORDER BY p.event_id""")),
 
     // ---- sessionization: 30-min-gap sessions per user --------------------

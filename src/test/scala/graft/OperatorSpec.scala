@@ -824,6 +824,21 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("asofForwardJoin: earliest at-or-after, inclusive ties, null when exhausted") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(("u1", t(10), 1L), ("u1", t(13), 2L), ("u2", t(10), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(("u1", t(9), 10L), ("u1", t(10), 11L), ("u1", t(12), 12L))
+      .toDF("user_id", "ts", "event_id")
+    val got = operators.TimeSeries.asofForwardJoin(left, right, "user_id", "ts")
+      .select("event_id", "_asof_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1)).map(_.getTime / 1000)).toMap
+    assert(got(1L) == Some(10L)) // equal ts matches (inclusive >=)
+    assert(got(2L) == None)      // no right row at-or-after 13
+    assert(got(3L) == None)      // other key never matches
+  }
+
   test("pack_sequences agrees with shard_packing and its offsets tile each shard") {
     val shards = run("shard_packing").collect()
       .map(r => r.getAs[Long]("doc_id") ->
