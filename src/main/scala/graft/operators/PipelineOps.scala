@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -172,6 +173,45 @@ object PipelineOps {
                count(DISTINCT l_returnflag) FROM lineitem
         UNION ALL SELECT 'l_shipdate', count(*) - count(l_shipdate),
                count(DISTINCT l_shipdate) FROM lineitem
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    // ---- global row numbering without a global sort bottleneck -----------
+    // row_number() OVER (ORDER BY …) with no PARTITION BY drags the whole
+    // table through ONE reducer — the classic accidental serialization.
+    // The at-scale pattern: range-repartition on the order key (parallel
+    // range sort), number rows WITHIN each partition (parallel windows
+    // keyed by spark_partition_id, which range partitioning keeps aligned
+    // with key order), then add each partition's prefix offset — a
+    // #partitions-row frame whose own cumsum window is trivially cheap
+    // and which broadcasts back onto the data. The final number equals
+    // the global rank over the unique (ts, event_id) order regardless of
+    // where the sampled range bounds fell, which is what makes the
+    // partitioning-independent oracle possible: it checks against the
+    // single-window formulation the pattern replaces.
+    GraftQuery(
+      "global_row_number",
+      (s, dir) => {
+        val byPid = Window.partitionBy("pid").orderBy("ts", "event_id")
+        val ranged = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"))
+          .repartitionByRange(col("ts"), col("event_id"))
+          .withColumn("pid", spark_partition_id())
+        val numbered = ranged
+          .withColumn("local_idx", row_number().over(byPid))
+        val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(
+            sum("n").over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        numbered.join(broadcast(offsets), "pid")
+          .select(col("event_id"), col("ts"),
+            (col("off") + col("local_idx")).as("global_idx"))
+          .orderBy("global_idx")
+      },
+      Some("""
+        SELECT event_id, ts,
+               CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS global_idx
+        FROM events
+        ORDER BY global_idx"""))
   )
 }

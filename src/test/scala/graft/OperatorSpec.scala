@@ -824,6 +824,20 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("global_row_number is dense 1..n in key order without a global data window") {
+    val rows = run("global_row_number").collect()
+      .map(r => (r.getAs[Long]("global_idx"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id")))
+    assert(rows.map(_._1).toSeq == (1L to rows.length))
+    val keys = rows.map(t => (t._2.getTime, t._3))
+    assert(keys.toSeq == keys.sortBy(identity).toSeq, "numbering disagrees with key order")
+    // the numbering path runs per-partition windows + a broadcast offset
+    // join, never one global window over the data
+    val plan = run("global_row_number").queryExecution.executedPlan.toString
+    assert(plan.contains("SPARK_PARTITION_ID") || plan.contains("spark_partition_id"))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"))
+  }
+
   test("asofForwardJoin: earliest at-or-after, inclusive ties, null when exhausted") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
