@@ -30,6 +30,38 @@ object Curation {
     * a real benchmark suite); present at every scale factor. */
   private val EvalMaxDocId = 25
 
+  /** Per-source (n_docs, n_tokens, weight ∝ sqrt(tokens), normalized via
+    * exact integer half-up) — shared by domain_mix_weights and the
+    * mixture_sample apply step. */
+  private def mixWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val stats = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      // integral-valued double → decimal cast is exact in both engines
+      .withColumn("num",
+        expr("CAST(round(sqrt(n_tokens) * 1000000) AS DECIMAL(38,0))"))
+    val tot = stats.agg(sum(col("num")).as("tot"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        expr("CAST((2 * num * 1000000 + tot) div (2 * tot) AS DOUBLE) / 1000000.0"))
+      .select("source", "n_docs", "n_tokens", "weight")
+  }
+
+  /** SQL CTE chain ending in relation `w2(source, n_docs, n_tokens,
+    * weight)` mirroring [[mixWeights]]. */
+  private val sqlMixWeights = """
+        s AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1),
+        w AS (SELECT *, CAST(round(sqrt(n_tokens) * 1000000) AS HUGEINT) AS num FROM s),
+        t AS (SELECT sum(num) AS tot FROM w),
+        w2 AS (SELECT source, n_docs, n_tokens,
+                      CAST((2 * num * 1000000 + tot) // (2 * tot) AS DOUBLE) / 1000000.0
+                        AS weight
+               FROM w, t)"""
+
   /** A train doc is flagged when ≥10% of its trigrams appear in the eval
     * set — the standard n-gram-overlap decontamination rule. */
   private val ContaminationThreshold = 0.1
@@ -510,31 +542,45 @@ object Curation {
     // double sum over sources would be combine-order-dependent).
     GraftQuery(
       "domain_mix_weights",
-      (s, dir) => {
-        val stats = Tables.documents(s, dir)
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
-          // integral-valued double → decimal cast is exact in both engines
-          .withColumn("num",
-            expr("CAST(round(sqrt(n_tokens) * 1000000) AS DECIMAL(38,0))"))
-        val tot = stats.agg(sum(col("num")).as("tot"))
-        stats.crossJoin(broadcast(tot))
-          .withColumn("weight",
-            expr("CAST((2 * num * 1000000 + tot) div (2 * tot) AS DOUBLE) / 1000000.0"))
-          .select("source", "n_docs", "n_tokens", "weight")
-          .orderBy("source")
-      },
-      Some("""
-        WITH s AS (SELECT source, count(*) AS n_docs,
-                          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-                   FROM documents GROUP BY 1),
-        w AS (SELECT *, CAST(round(sqrt(n_tokens) * 1000000) AS HUGEINT) AS num FROM s),
-        t AS (SELECT sum(num) AS tot FROM w)
-        SELECT source, n_docs, n_tokens,
-               CAST((2 * num * 1000000 + tot) // (2 * tot) AS DOUBLE) / 1000000.0 AS weight
-        FROM w, t
+      (s, dir) => mixWeights(s, dir).orderBy("source"),
+      Some(s"""
+        WITH $sqlMixWeights
+        SELECT source, n_docs, n_tokens, weight
+        FROM w2
         ORDER BY source""")),
+
+    // ---- mixture materialization: apply the weights as keep rates --------
+    // The step after allocation: turn each source's weight into a keep
+    // rate toward a target corpus size (rate = weight·target/n_docs,
+    // capped at keep-all) and apply it through the deterministic
+    // content-hash percent bucket. The weights frame is ≤|sources| rows
+    // and broadcasts onto the one corpus scan; every arithmetic input is
+    // engine-identical (exact weights, integer counts), so the keep
+    // decision — bucket < 100·rate — is bit-identical cross-engine.
+    GraftQuery(
+      "mixture_sample",
+      (s, dir) => {
+        val rates = mixWeights(s, dir)
+          .withColumn("rate",
+            least(lit(1.0), col("weight") * MixTargetDocs / col("n_docs")))
+          .select("source", "rate")
+        Tables.documents(s, dir)
+          .withColumn("bucket", pmod(contentHash, lit(100L)))
+          .join(broadcast(rates), "source")
+          .filter(col("bucket") < col("rate") * 100)
+          .select(col("doc_id"), col("source"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $sqlMixWeights,
+        r AS (SELECT source, least(1.0, weight * $MixTargetDocs / n_docs) AS rate
+              FROM w2),
+        d AS (SELECT doc_id, source, $sqlContentHash % 100 AS bucket
+              FROM documents)
+        SELECT d.doc_id, d.source, d.bucket
+        FROM d JOIN r USING (source)
+        WHERE d.bucket < r.rate * 100
+        ORDER BY d.doc_id""")),
 
     // ---- sequence packing: the materialized shard manifest ---------------
     // shard_packing assigns shard ids; this emits what the tokenizer
@@ -642,6 +688,9 @@ object Curation {
 
   /** source_cap: max docs kept per source. */
   private val SourceCap = 20
+
+  /** mixture_sample: target corpus size the weights are scaled toward. */
+  private val MixTargetDocs = 200
 
   /** cdc_chunks: rolling-hash window (tokens) and boundary divisor —
     * expected chunk length = CdcDivisor tokens (8 here against the short

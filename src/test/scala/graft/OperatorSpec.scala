@@ -941,6 +941,29 @@ class OperatorSpec extends SparkSuite {
     assert(got.values.count(_._4) > 0, "no values clipped — test degenerate")
   }
 
+  test("mixture_sample applies the mix weights as per-source keep rates") {
+    val weights = run("domain_mix_weights").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("weight"))).toMap
+    val kept = run("mixture_sample").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("bucket")))
+    val bySource = kept.groupBy(_._2).map { case (s, rs) => s -> rs.length }
+    weights.foreach { case (src, (n, w)) =>
+      val rate = math.min(1.0, w * 200 / n)
+      // every kept bucket honors the gate; count is within the percent-
+      // bucket granularity of the expected rate
+      kept.filter(_._2 == src).foreach { case (id, _, b) =>
+        assert(b < rate * 100, s"doc $id bucket $b over gate for $src")
+      }
+      val expect = n * rate
+      assert(math.abs(bySource.getOrElse(src, 0) - expect) <= n * 0.05 + 3,
+        s"$src kept ${bySource.getOrElse(src, 0)} vs expected ~$expect")
+    }
+    // a second build returns the identical sample (no RNG state)
+    assert(run("mixture_sample").collect().map(_.toSeq).toSet ==
+      kept.map(t => Seq(t._1, t._2, t._3)).toSet)
+  }
+
   test("quality_sample keeps high-tier docs at a higher rate than low-tier") {
     val rows = run("quality_sample").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tier"), r.getAs[Long]("bucket")))
