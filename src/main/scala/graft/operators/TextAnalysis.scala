@@ -26,6 +26,12 @@ object TextAnalysis {
 
   private val sqlStops = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** bm25_topk: fixed query terms (mid-frequency corpus vocabulary) and
+    * the standard Okapi parameters. */
+  private val Bm25Terms = Seq("spark", "window", "table")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   /** Per-language marker tokens for the n-gram-free language-ID heuristic.
     * Real corpora would carry per-language stopword profiles; the heuristic
     * (count marker hits per language, argmax with deterministic tiebreak)
@@ -503,6 +509,78 @@ object TextAnalysis {
         SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp
         FROM w
         ORDER BY doc_id, fp""")),
+
+    // ---- BM25 ranked retrieval over the corpus ---------------------------
+    // The lexical-retrieval scorer (Robertson/Okapi BM25) for a fixed
+    // query term set: idf(df)·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)),
+    // summed over query terms, top 20 docs. One corpus scan computes
+    // per-doc tf for all terms scan-side; df and avgdl are a 3-row and a
+    // 1-row broadcast off the same statistics pass. Determinism: avgdl
+    // and every per-term factor are identical doubles from identical
+    // integer inputs, idf is log-rounded to 6 decimals (the
+    // bigram_logprob discipline), per-term scores round before an exact
+    // decimal sum, and the top-20 is a TakeOrderedAndProject with doc_id
+    // tiebreak.
+    GraftQuery(
+      "bm25_topk",
+      (s, dir) => {
+        val terms = Bm25Terms
+        val toks = split(col("text"), " ")
+        val perDoc = Tables.documents(s, dir)
+          .select(col("doc_id"), size(toks).cast(LongType).as("len"),
+            array(terms.map(t =>
+              size(filter(toks, x => x === t)).cast(LongType)): _*).as("tfs"))
+        val stats = perDoc.agg(
+          count(lit(1)).as("nd"), sum("len").as("toktot"),
+          array(terms.indices.map(i =>
+            sum(when(col("tfs")(i) > 0, 1L).otherwise(0L))): _*).as("dfs"))
+        val k1 = Bm25K1
+        val b = Bm25B
+        perDoc.crossJoin(broadcast(stats))
+          .withColumn("score", expr(s"""
+            CAST(aggregate(
+              transform(tfs, (tf, i) ->
+                CAST(round(
+                  round(ln((nd - element_at(dfs, i + 1) + 0.5)
+                            / (element_at(dfs, i + 1) + 0.5) + 1.0) * 1000000) / 1000000.0
+                  * (tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * len / (CAST(toktot AS DOUBLE) / nd))),
+                  6) AS DECIMAL(18,6))),
+              CAST(0 AS DECIMAL(28,6)),
+              (acc, x) -> CAST(acc + x AS DECIMAL(28,6))) AS DOUBLE)"""))
+          .filter(col("score") > 0)
+          .select(col("doc_id"), col("len"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) len,
+                      list_transform([$termList],
+                        t -> CAST(len(list_filter(toks, x -> x = t)) AS BIGINT)) tfs
+               FROM d),
+        st AS (SELECT count(*) nd, CAST(sum(len) AS BIGINT) toktot,
+                      [${Bm25Terms.indices.map(i =>
+                        s"CAST(sum(CASE WHEN tfs[${i + 1}] > 0 THEN 1 ELSE 0 END) AS BIGINT)")
+                        .mkString(", ")}] dfs
+               FROM pd),
+        scored AS (
+          SELECT doc_id, len,
+                 CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(28,6)),
+                   list_transform(range(1, ${Bm25Terms.length + 1}), i ->
+                     CAST(round(
+                       round(ln((nd - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0) * 1000000) / 1000000.0
+                       * (tfs[i] * ${Bm25K1 + 1}) / (tfs[i] + $Bm25K1 * (${1 - Bm25B} + $Bm25B * len / (CAST(toktot AS DOUBLE) / nd))),
+                       6) AS DECIMAL(18,6)))),
+                   (acc, x) -> acc + x) AS DOUBLE) AS score
+          FROM pd, st)
+        SELECT doc_id, len, score
+        FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20"""
+      }),
 
     // ---- heavy hitters: Misra–Gries candidates + exact recount -----------
     // The two-pass heavy-hitters pattern: pass 1 summarizes the token

@@ -882,6 +882,31 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("bm25_topk matches a naive BM25 scorer on the same query terms") {
+    val terms = Seq("spark", "window", "table")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val nd = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / nd
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toDouble)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = docs.map { case (id, toks) =>
+      val len = toks.length
+      val score = terms.zip(dfs).map { case (t, df) =>
+        val idf = math.rint(math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6) / 1e6
+        val tf = toks.count(_ == t).toDouble
+        r6(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len / avgdl)))
+      }.map(BigDecimal(_)).sum.toDouble
+      (id, score)
+    }.filter(_._2 > 0).sortBy(t => (-t._2, t._1)).take(20)
+    val got = run("bm25_topk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.toSeq == expect.toSeq)
+    assert(got.nonEmpty && got.head._2 >= got.last._2)
+  }
+
   test("winnow_decontaminate matches a naive fingerprint-overlap computation") {
     val P = 1000000007L
     def polyHash(s: String): Long =
