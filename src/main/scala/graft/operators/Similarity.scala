@@ -596,15 +596,7 @@ object Similarity {
     GraftQuery(
       "pq_topk",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-        val cb = e.filter(col("vec_id") < PqCodebook)
-          .select(col("vec_id").cast(org.apache.spark.sql.types.IntegerType).as("cw"),
-            col("embedding").as("cv"))
-        val dist = e.select(col("vec_id"), col("embedding"))
-          .withColumn("m", explode(typedlit((0 until PqSubspaces).toList)))
-          .crossJoin(broadcast(cb))
-          .withColumn("d", V.subSqDist(col("embedding"), col("cv"),
-            col("m") * PqSubDim, PqSubDim))
+        val dist = pqDistances(s, dir)
         val codes = dist.groupBy("vec_id", "m")
           .agg(min(struct(col("d"), col("cw"))).as("best"))
           .select(col("vec_id"), col("m"), col("best.cw").as("code"))
@@ -656,6 +648,127 @@ object Similarity {
         SELECT qid, rank, vec_id, CAST(adist AS DOUBLE) AS adist
         FROM ranked
         WHERE rank <= 10
+        ORDER BY qid, rank""")),
+
+    // ---- IVF-PQ: coarse cells + ADC codes, the production ANN shape ------
+    // The composition every large-scale vector index ships: the coarse
+    // quantizer (ann_ivf's per-label centroids) restricts each query to
+    // nProbe cells, and within the probed cells ranking is pq_topk's
+    // asymmetric distance over 8-byte codes — so a query touches
+    // nProbe/nCells of the corpus AND never reads a float from it. Join
+    // order matters at scale: codes filter against the broadcast probed
+    // (qid, cell) pairs FIRST, then the broadcast distance tables — the
+    // ADC expansion only ever happens on probed-cell rows. Same exact-
+    // decimal ADC sums, so the full composition is hash-checked.
+    GraftQuery(
+      "ivfpq_topk",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val cents = Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("label", "dim")
+          .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("label").as("c_label"),
+            expr("transform(dm, p -> p.m)").as("centroid"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm").as("qnorm"))
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("cdist", V.dot(col("qemb"), col("centroid")) /
+            (col("qnorm") * greatest(V.l2norm(col("centroid")), lit(1e-12))))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("qid").orderBy(round(col("cdist"), 6).desc, col("c_label"))))
+          .filter(col("crank") <= 4)
+          .select(col("qid"), col("c_label"))
+        val dist = pqDistances(s, dir)
+        val codes = dist.groupBy("vec_id", "label", "m")
+          .agg(min(struct(col("d"), col("cw"))).as("best"))
+          .select(col("vec_id"), col("label"), col("m"), col("best.cw").as("code"))
+        val dt = dist.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("dt_qid"), col("m").as("qm"),
+            col("cw").as("qcw"), col("d").as("dq"))
+        val scored = codes
+          .join(broadcast(probes), col("label") === col("c_label"))
+          .filter(col("vec_id") =!= col("qid"))
+          .join(broadcast(dt),
+            col("qid") === col("dt_qid") &&
+              col("m") === col("qm") && col("code") === col("qcw"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("CAST(round(dq, 6) AS DECIMAL(18,6))")).as("adist"))
+        val top = graft.plans.TopK.perKey(scored, Seq("qid"),
+          Seq(("adist", "asc"), ("vec_id", "asc")), 10)
+        val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+        top.withColumn("rank", row_number().over(w))
+          .select(col("qid"), col("rank"), col("vec_id"),
+            col("adist").cast(org.apache.spark.sql.types.DoubleType).as("adist"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        cents AS (
+          SELECT label AS c_label, list(m ORDER BY dim) AS centroid
+          FROM (SELECT label, dim,
+                       CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m
+                FROM (SELECT label, unnest(embedding) x,
+                             generate_subscripts(embedding, 1) dim
+                      FROM embeddings)
+                GROUP BY label, dim)
+          GROUP BY label),
+        q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT qid, c_label FROM (
+            SELECT q.qid, c.c_label,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, len(q.qv) + 1),
+                         i -> q.qv[i] * c.centroid[i])), (a, x) -> a + x)
+                       / (q.qnorm * greatest(
+                           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                             list_transform(c.centroid, x -> x * x)),
+                             (a, x) -> a + x)), 1e-12)), 6) DESC,
+                     c.c_label) crank
+            FROM q CROSS JOIN cents c)
+          WHERE crank <= 4),
+        cb AS (SELECT CAST(vec_id AS INT) cw, v cv FROM e WHERE vec_id < $PqCodebook),
+        ms AS (SELECT unnest(range(0, $PqSubspaces)) m),
+        dist AS (
+          SELECT e.vec_id, e.label, ms.m, cb.cw,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (e.v[ms.m * $PqSubDim + i] - cb.cv[ms.m * $PqSubDim + i])
+                        * (e.v[ms.m * $PqSubDim + i] - cb.cv[ms.m * $PqSubDim + i]))),
+                   (acc, x) -> acc + x) AS d
+          FROM e CROSS JOIN ms CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, label, m, cw AS code FROM (
+            SELECT vec_id, label, m, cw,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cw) rn
+            FROM dist)
+          WHERE rn = 1),
+        dt AS (SELECT vec_id qid, m, cw, d dq FROM dist WHERE vec_id < 5),
+        scored AS (
+          SELECT dt.qid, c.vec_id,
+                 sum(CAST(round(dt.dq, 6) AS DECIMAL(18,6))) AS adist
+          FROM codes c
+          JOIN probes p ON c.label = p.c_label
+          JOIN dt ON dt.qid = p.qid AND c.m = dt.m AND c.code = dt.cw
+          WHERE c.vec_id != dt.qid
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT qid, vec_id, adist,
+                 row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, CAST(adist AS DOUBLE) AS adist
+        FROM ranked
+        WHERE rank <= 10
         ORDER BY qid, rank"""))
   )
 
@@ -688,6 +801,21 @@ object Similarity {
   private val PqSubspaces = 8
   private val PqSubDim = 8
   private val PqCodebook = 16
+
+  /** All (vector, subspace, codeword) squared distances — the shared
+    * front half of pq_topk and ivfpq_topk: codes are its per-(vec, m)
+    * argmins, per-query distance tables are its vec_id < 5 slice. */
+  private def pqDistances(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cb = e.filter(col("vec_id") < PqCodebook)
+      .select(col("vec_id").cast(org.apache.spark.sql.types.IntegerType).as("cw"),
+        col("embedding").as("cv"))
+    e.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("m", explode(typedlit((0 until PqSubspaces).toList)))
+      .crossJoin(broadcast(cb))
+      .withColumn("d", V.subSqDist(col("embedding"), col("cv"),
+        col("m") * PqSubDim, PqSubDim))
+  }
 
   /** mrl_topk: leading dimensions used by the truncated first pass. */
   private val MrlDims = 16

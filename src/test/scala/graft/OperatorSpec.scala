@@ -1128,6 +1128,31 @@ class OperatorSpec extends SparkSuite {
     assert(overlap >= 1, "truncated and full rankings fully disjoint")
   }
 
+  test("ivfpq_topk is pq's ADC ranking restricted to probed cells") {
+    val ivfpq = run("ivfpq_topk").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("adist")))
+    val byQ = ivfpq.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"query $q ranks")
+      assert(!rs.exists(_._3 == q))
+    }
+    // where a (qid, vec) pair survives in BOTH top-10s, the ADC distance
+    // is identical — the coarse quantizer changes the candidate set, not
+    // the code distances
+    val pq = run("pq_topk").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("adist"))
+      .toMap
+    val shared = ivfpq.filter(t => pq.contains((t._1, t._3)))
+    assert(shared.nonEmpty, "ivfpq and pq top-10s fully disjoint")
+    shared.foreach { case (q, _, v, a) =>
+      assert(pq((q, v)) == a, s"ADC mismatch for ($q, $v)")
+    }
+    val plan = run("ivfpq_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), "ivfpq lost its heap operator")
+  }
+
   test("subSqDist kernel equals the naive slice fold on random vectors") {
     import graft.functions.{VectorExpressions => V}
     val rnd = new scala.util.Random(7)
