@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions.udaf
   * vocabulary ≫ k under random partition splits.
   */
 case class FreqSketchAgg(k: Int)
-  extends Aggregator[String, FreqSketch.Buf, String] {
+  extends Aggregator[String, FreqSketch.Buf, Seq[String]] {
   import FreqSketch.Buf
 
   override def zero: Buf = Buf(Vector.empty)
@@ -51,22 +51,25 @@ case class FreqSketchAgg(k: Int)
     }
   }
 
-  /** Candidate keys, sorted for a deterministic plan shape downstream
-    * (the exact recount makes the candidate ORDER irrelevant to results,
-    * but a stable string keeps plans reproducible run to run). */
-  override def finish(b: Buf): String =
-    b.entries.map(_._1).sorted.mkString(",")
+  /** Candidate keys, sorted for a deterministic value (the exact recount
+    * makes candidate ORDER irrelevant to results, but a stable array
+    * keeps runs reproducible). An array, NOT a joined string: a
+    * delimiter-joined transport would shred any token containing the
+    * delimiter and silently drop it from the recount. */
+  override def finish(b: Buf): Seq[String] =
+    b.entries.map(_._1).sorted
 
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-  override def outputEncoder: Encoder[String] = Encoders.STRING
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
 
 object FreqSketch {
   /** ≤k (item, lower-bound count) counters. */
   final case class Buf(entries: Seq[(String, Long)])
 
-  /** Column function: `candidates(k)(tokenCol)` → comma-joined candidate
-    * keys. */
+  /** Column function: `candidates(k)(tokenCol)` → sorted candidate-key
+    * array. */
   def candidates(k: Int): Column => Column = {
     val fn = udaf(FreqSketchAgg(k), Encoders.STRING)
     tok => fn(tok)

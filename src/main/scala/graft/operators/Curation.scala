@@ -27,8 +27,10 @@ import graft.{GraftQuery, Tables}
 object Curation {
 
   /** Docs below this id act as the held-out eval benchmark (stand-in for
-    * a real benchmark suite); present at every scale factor. */
-  private val EvalMaxDocId = 25
+    * a real benchmark suite); present at every scale factor. Shared with
+    * TextAnalysis.winnow_decontaminate so BOTH decontamination operators
+    * always agree on which documents are eval vs train. */
+  private[operators] val EvalMaxDocId = 25
 
   /** Per-source (n_docs, n_tokens, weight ∝ sqrt(tokens), normalized via
     * exact integer half-up) — shared by domain_mix_weights and the

@@ -178,27 +178,32 @@ object PipelineOps {
     // ---- global row numbering without a global sort bottleneck -----------
     // row_number() OVER (ORDER BY …) with no PARTITION BY drags the whole
     // table through ONE reducer — the classic accidental serialization.
-    // The at-scale pattern: range-repartition on the order key (parallel
-    // range sort), number rows WITHIN each partition (parallel windows
-    // keyed by spark_partition_id, which range partitioning keeps aligned
-    // with key order), then add each partition's prefix offset — a
-    // #partitions-row frame whose own cumsum window is trivially cheap
-    // and which broadcasts back onto the data. The final number equals
-    // the global rank over the unique (ts, event_id) order regardless of
-    // where the sampled range bounds fell, which is what makes the
-    // partitioning-independent oracle possible: it checks against the
-    // single-window formulation the pattern replaces.
+    // The at-scale pattern: bucket rows by a DATA-DERIVED range key
+    // (event-time micros binned against broadcast min/max bounds — pure
+    // integer arithmetic, so every branch of the plan computes the same
+    // bucket for a row; spark_partition_id after repartitionByRange would
+    // instead depend on sampled bounds agreeing across plan branches,
+    // which only exchange reuse guarantees), number rows WITHIN each
+    // bucket (parallel windows), then add each bucket's prefix offset —
+    // a #buckets-row frame whose own cumsum window is trivially cheap
+    // and which broadcasts back onto the data. Buckets partition the key
+    // space monotonically, so bucket-local ranks + offsets equal the
+    // global rank, which the oracle checks against the single-window
+    // formulation this pattern replaces.
     GraftQuery(
       "global_row_number",
       (s, dir) => {
+        val nBuckets = 32
+        val base = Tables.events(s, dir).select(col("event_id"), col("ts"))
+        val bounds = base.agg(min(unix_micros(col("ts"))).as("tmin"),
+          max(unix_micros(col("ts"))).as("tmax"))
+        val bucketed = base.crossJoin(broadcast(bounds))
+          .withColumn("pid", least(lit(nBuckets - 1), expr(
+            s"((unix_micros(ts) - tmin) * $nBuckets) div (tmax - tmin + 1)")))
         val byPid = Window.partitionBy("pid").orderBy("ts", "event_id")
-        val ranged = Tables.events(s, dir)
-          .select(col("event_id"), col("ts"))
-          .repartitionByRange(col("ts"), col("event_id"))
-          .withColumn("pid", spark_partition_id())
-        val numbered = ranged
+        val numbered = bucketed
           .withColumn("local_idx", row_number().over(byPid))
-        val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
+        val offsets = bucketed.groupBy("pid").agg(count(lit(1)).as("n"))
           .withColumn("off", coalesce(
             sum("n").over(Window.orderBy("pid")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

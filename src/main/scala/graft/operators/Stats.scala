@@ -22,6 +22,14 @@ object Stats {
 
   private val D = DecimalType(18, 8)
 
+  /** The robust-z gate shared by batch mad_outliers and the streaming
+    * robustAnomalies monitor: |v − median| / (MAD·consistency) > z. One
+    * definition, so the batch and stream verdicts cannot drift. 1.4826
+    * is the Gaussian consistency constant (MAD → σ); 3.5 the standard
+    * robust outlier threshold. */
+  val MadConsistency = 1.4826
+  val RobustZThreshold = 3.5
+
   /** Per-key robust location/scale: (key, median_value, mad) — the static
     * side of the streaming anomaly monitor
     * ([[graft.streaming.StreamingPipeline.robustAnomalies]]) and the same
@@ -478,10 +486,10 @@ object Stats {
           .agg(round(expr("percentile(d, 0.5)"), 4).as("mad"))
         dev.join(broadcast(mad), "event_type")
           .filter(col("mad") > 0 &&
-            col("d") / (col("mad") * 1.4826) > 3.5)
+            col("d") / (col("mad") * MadConsistency) > RobustZThreshold)
           .select(col("event_id"), col("event_type"), col("value"),
             col("median_value"), col("mad"),
-            round(col("d") / (col("mad") * 1.4826), 4).as("robust_z"))
+            round(col("d") / (col("mad") * MadConsistency), 4).as("robust_z"))
           .orderBy("event_id")
       },
       Some("""

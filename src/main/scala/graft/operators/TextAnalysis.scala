@@ -598,7 +598,7 @@ object TextAnalysis {
           .select(explode(split(col("text"), " ")).as("tok"))
         val cands = toks
           .agg(graft.functions.FreqSketch.candidates(64)(col("tok")).as("cs"))
-          .select(explode(split(col("cs"), ",")).as("tok"))
+          .select(explode(col("cs")).as("tok"))
         toks.join(broadcast(cands), "tok")
           .groupBy("tok").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("tok"))
@@ -627,9 +627,9 @@ object TextAnalysis {
         val fp = Tables.documents(s, dir).select(col("doc_id"),
           explode_outer(graft.functions.VectorExpressions
             .winnowFingerprint(col("text"), 3, 4)).as("fp"))
-        val ev = fp.filter(col("doc_id") < 25 && col("fp").isNotNull)
+        val ev = fp.filter(col("doc_id") < Curation.EvalMaxDocId && col("fp").isNotNull)
           .select(col("fp")).distinct().withColumn("_hit", lit(1))
-        fp.filter(col("doc_id") >= 25)
+        fp.filter(col("doc_id") >= Curation.EvalMaxDocId)
           .join(broadcast(ev), Seq("fp"), "left")
           .groupBy("doc_id")
           .agg(count(col("fp")).as("n_fp"), count(col("_hit")).as("hits"))
@@ -660,10 +660,10 @@ object TextAnalysis {
                             j -> list_min(list_slice(gh, j, j + 3))) END sel
               FROM h),
         fp AS (SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM w),
-        ev AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 25),
+        ev AS (SELECT DISTINCT fp FROM fp WHERE doc_id < ${Curation.EvalMaxDocId}),
         tr AS (SELECT d.doc_id, fp.fp
                FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
-               WHERE d.doc_id >= 25),
+               WHERE d.doc_id >= ${Curation.EvalMaxDocId}),
         st AS (SELECT tr.doc_id, count(tr.fp) AS n_fp, count(ev.fp) AS hits
                FROM tr LEFT JOIN ev ON tr.fp = ev.fp
                GROUP BY 1)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo, IsNotNull}
 import org.apache.spark.sql.types._
@@ -98,6 +98,10 @@ private[sources] final class SensorScanBuilder(options: CaseInsensitiveStringMap
   private val rows = options.getLong("rows", 1000L)
   private val seed = options.getLong("seed", 42L)
   private val stepSeconds = options.getLong("stepSeconds", 1L)
+  // every pushdown relies on timestamps being STRICTLY INCREASING in id:
+  // step 0 divides by zero in filter inversion, negative steps silently
+  // prune the wrong window and swap pushed min/max — fail loudly instead
+  require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
   private val numPartitions = options.getInt("numPartitions", 8)
   // parsed in the SESSION time zone, matching to_timestamp of a literal
   // in SensorGen.batch (the builder runs on the driver, so SQLConf.get
@@ -257,8 +261,26 @@ private[sources] final class SensorMicroBatchStream(
       "admission-controlled source: latestOffset(start, limit) is the entry point")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[SensorOffset].id
-    SensorOffset(math.min(math.max(s, lo) + rowsPerBatch, hi))
+    val s = math.max(start.asInstanceOf[SensorOffset].id, lo)
+    SensorOffset(math.min(admit(s, limit), hi))
+  }
+
+  /** Honor the trigger's ReadLimit contract — Trigger.Once/AvailableNow
+    * pass allAvailable() and require EVERYTHING to be admitted (ignoring
+    * it would commit one rowsPerBatch batch and terminate with data
+    * silently undelivered); rate-style maxRows caps the step; a
+    * composite takes its most specific member; anything else (minRows,
+    * maxBytes — meaningless for fixed-width generated rows) falls back
+    * to the configured batch size. */
+  private def admit(s: Long, limit: ReadLimit): Long = limit match {
+    case _: ReadAllAvailable => hi
+    case m: ReadMaxRows => s + math.min(m.maxRows(), rowsPerBatch)
+    case c: CompositeReadLimit =>
+      val ls = c.getReadLimits
+      if (ls.exists(_.isInstanceOf[ReadAllAvailable])) hi
+      else ls.collectFirst { case m: ReadMaxRows => s + math.min(m.maxRows(), rowsPerBatch) }
+        .getOrElse(s + rowsPerBatch)
+    case _ => s + rowsPerBatch
   }
 
   override def getDefaultReadLimit: ReadLimit =

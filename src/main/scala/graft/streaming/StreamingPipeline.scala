@@ -265,14 +265,15 @@ object StreamingPipeline {
       stats: DataFrame,
       keyCol: String = "device_type",
       valueCol: String = "value",
-      z: Double = 3.5): DataFrame = {
+      z: Double = graft.operators.Stats.RobustZThreshold): DataFrame = {
     import org.apache.spark.sql.functions.{abs, broadcast, col, round}
+    val c = graft.operators.Stats.MadConsistency
     readings
       .join(broadcast(stats), Seq(keyCol), "left")
       .withColumn("robust_z",
-        round(abs(col(valueCol) - col("median_value")) / (col("mad") * 1.4826), 4))
+        round(abs(col(valueCol) - col("median_value")) / (col("mad") * c), 4))
       .filter(col("mad").isNotNull && col("mad") > 0 &&
-        abs(col(valueCol) - col("median_value")) / (col("mad") * 1.4826) > z)
+        abs(col(valueCol) - col("median_value")) / (col("mad") * c) > z)
   }
 
   /** Watermarked stream-stream interval join: each left row pairs with the

@@ -831,11 +831,11 @@ class OperatorSpec extends SparkSuite {
     assert(rows.map(_._1).toSeq == (1L to rows.length))
     val keys = rows.map(t => (t._2.getTime, t._3))
     assert(keys.toSeq == keys.sortBy(identity).toSeq, "numbering disagrees with key order")
-    // the numbering path runs per-partition windows + a broadcast offset
-    // join, never one global window over the data
+    // the numbering path runs per-bucket windows + broadcast offset/bounds
+    // joins, never one global window over the data
     val plan = run("global_row_number").queryExecution.executedPlan.toString
-    assert(plan.contains("SPARK_PARTITION_ID") || plan.contains("spark_partition_id"))
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("unix_micros"), "data-derived bucket key missing")
   }
 
   test("asofForwardJoin: earliest at-or-after, inclusive ties, null when exhausted") {

@@ -181,6 +181,23 @@ class SensorSourceV2Spec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.Once drains all available rows (ReadLimit.allAvailable honored)") {
+    // Trigger.Once passes ReadLimit.allAvailable(), whose contract is
+    // "admit everything" — a source that steps by rowsPerBatch anyway
+    // would commit one 64-row batch and terminate with data silently
+    // undelivered
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-once")
+    val q = spark.readStream.format("graft-sensors")
+      .option("rows", 300).option("rowsPerBatch", 64).load()
+      .writeStream.format("memory").queryName("v2once")
+      .option("checkpointLocation", dir.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("v2once").count() == 300)
+    } finally q.stop()
+  }
+
   test("micro-batch stream restart resumes from the committed offset without re-delivery") {
     // memory sinks refuse checkpoint recovery — a parquet sink is the
     // recovering pair, and also proves end-to-end append idempotence

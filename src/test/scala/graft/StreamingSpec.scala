@@ -536,11 +536,12 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       mem.addData(Seq.fill(6)("x") ++ Seq.fill(3)("z") ++ Seq("r2", "r3"): _*)
       q.processAllAvailable()
-      val revs = spark.table("hh_stream").collect().map(_.getString(1)).toSet
+      val revs = spark.table("hh_stream").collect()
+        .map(_.getSeq[String](1).toSet).toSet
       // after batch 1 x,y dominate; after both, x (11 of 21) is guaranteed
       // (count > n/(k+1) = 5.25) and must still be a candidate
       assert(revs.size == 2)
-      assert(revs.forall(_.split(",").contains("x")), s"x lost across batches: $revs")
+      assert(revs.forall(_.contains("x")), s"x lost across batches: $revs")
     } finally q.stop()
   }
 }
