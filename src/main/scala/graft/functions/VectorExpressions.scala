@@ -125,7 +125,6 @@ object VectorExpressions {
       copy(first = f, second = s, third = t)
   }
 
-  /** Distinct word n-gram shingles of a whitespace-tokenized string. */
   /** Winnowing (MOSS) fingerprint of a tokenized string — see
     * [[VectorKernels.winnowFingerprint]]. */
   case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
@@ -163,6 +162,8 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Distinct word n-gram shingles of a whitespace-tokenized string —
+    * see [[VectorKernels.wordShingles]]. */
   case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

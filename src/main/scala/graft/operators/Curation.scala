@@ -92,6 +92,47 @@ object Curation {
                       + length(t) AS BIGINT))),
         (acc, x) -> (acc * 1000003 + x) % 1000000007)"""
 
+  /** Per-chunk CDC spans — (doc_id, chunk_id, toks, starts, bend) from
+    * one kernel pass; the shared front half of cdc_chunks and cdc_dedup,
+    * so the two queries cannot disagree on boundaries. */
+  private def cdcChunkSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bounds",
+        graft.functions.VectorExpressions.cdcBounds(col("text"), CdcWindow, CdcDivisor))
+      .withColumn("starts", expr("concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
+      .select(col("doc_id"), col("toks"), col("starts"),
+        posexplode(col("bounds")).as(Seq("chunk_id", "bend")))
+
+  /** Shared DuckDB CTE chain ending in relation `x(doc_id, toks, starts,
+    * j, bend)` — ONE copy of the token-code/rolling-hash formula for both
+    * CDC oracles. */
+  private def sqlCdcCtes: String = s"""
+        t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        c AS (SELECT doc_id, toks, len(toks) n,
+                list_transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                               + ascii(substring(t, -1, 1))
+                                               + length(t) AS BIGINT)) codes
+              FROM t),
+        b AS (SELECT doc_id, toks,
+                list_append(
+                  CASE WHEN n > $CdcWindow THEN
+                    list_filter(range($CdcWindow, n),
+                      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list_slice(codes, i - $CdcWindow + 1, i)),
+                             (acc, x) -> (acc * 1000003 + x) % 1000000007)
+                           % $CdcDivisor = 0)
+                  ELSE [] END,
+                  n) bounds
+              FROM c),
+        s AS (SELECT doc_id, toks, bounds,
+                list_prepend(0, list_slice(bounds, 1, len(bounds) - 1)) starts
+              FROM b),
+        x AS (SELECT doc_id, toks, starts,
+                generate_subscripts(bounds, 1) AS j, unnest(bounds) AS bend
+              FROM s)"""
+
   /** Shared DuckDB trigram CTE (same shape as the Dedup oracles). */
   private val sqlShingles = """
         WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
@@ -335,10 +376,15 @@ object Curation {
     GraftQuery(
       "chunk_documents",
       (s, dir) => Tables.documents(s, dir)
+        // tokenize into a COLUMN first: split() inside the transform
+        // lambda would re-tokenize the whole document per chunk index
+        // (interpreted HOF, no subexpression elimination) — quadratic in
+        // document length
+        .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), expr(
           s"""transform(
-                sequence(0, CAST(ceil(greatest(size(split(text, ' ')) - $ChunkTokens, 0) / $ChunkStride.0) AS INT)),
-                i -> array_join(slice(split(text, ' '), i * $ChunkStride + 1, $ChunkTokens), ' '))""")
+                sequence(0, CAST(ceil(greatest(size(toks) - $ChunkTokens, 0) / $ChunkStride.0) AS INT)),
+                i -> array_join(slice(toks, i * $ChunkStride + 1, $ChunkTokens), ' '))""")
           .as("chunks"))
         .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "chunk_text")))
         .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast(LongType))
@@ -416,13 +462,7 @@ object Curation {
     // 12 s vs 0.3 s for the corpus at sf0.1).
     GraftQuery(
       "cdc_chunks",
-      (s, dir) => Tables.documents(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("bounds",
-          graft.functions.VectorExpressions.cdcBounds(col("text"), CdcWindow, CdcDivisor))
-        .withColumn("starts", expr("concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
-        .select(col("doc_id"), col("toks"), col("starts"),
-          posexplode(col("bounds")).as(Seq("chunk_id", "bend")))
+      (s, dir) => cdcChunkSpans(s, dir)
         .select(col("doc_id"), col("chunk_id"),
           expr("element_at(starts, chunk_id + 1)").cast(LongType).as("start_tok"),
           (col("bend") - expr("element_at(starts, chunk_id + 1)")).cast(LongType).as("n_tokens"),
@@ -431,29 +471,7 @@ object Curation {
             .as("chunk_text"))
         .orderBy("doc_id", "chunk_id"),
       Some(s"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
-        c AS (SELECT doc_id, toks, len(toks) n,
-                list_transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 131
-                                               + ascii(substring(t, -1, 1))
-                                               + length(t) AS BIGINT)) codes
-              FROM t),
-        b AS (SELECT doc_id, toks,
-                list_append(
-                  CASE WHEN n > $CdcWindow THEN
-                    list_filter(range($CdcWindow, n),
-                      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                             list_slice(codes, i - $CdcWindow + 1, i)),
-                             (acc, x) -> (acc * 1000003 + x) % 1000000007)
-                           % $CdcDivisor = 0)
-                  ELSE [] END,
-                  n) bounds
-              FROM c),
-        s AS (SELECT doc_id, toks, bounds,
-                list_prepend(0, list_slice(bounds, 1, len(bounds) - 1)) starts
-              FROM b),
-        x AS (SELECT doc_id, toks, starts,
-                generate_subscripts(bounds, 1) AS j, unnest(bounds) AS bend
-              FROM s)
+        WITH $sqlCdcCtes
         SELECT doc_id, j - 1 AS chunk_id,
                CAST(starts[j] AS BIGINT) AS start_tok,
                CAST(bend - starts[j] AS BIGINT) AS n_tokens,
@@ -473,13 +491,7 @@ object Curation {
       "cdc_dedup",
       (s, dir) => {
         val w = Window.partitionBy("ch")
-        Tables.documents(s, dir)
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("bounds",
-            graft.functions.VectorExpressions.cdcBounds(col("text"), CdcWindow, CdcDivisor))
-          .withColumn("starts", expr("concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
-          .select(col("doc_id"), col("toks"), col("starts"),
-            posexplode(col("bounds")).as(Seq("chunk_id", "bend")))
+        cdcChunkSpans(s, dir)
           .select(col("doc_id"),
             (col("doc_id") * 1000000L + col("chunk_id")).as("pos"),
             md5(to_binary(expr(
@@ -495,29 +507,7 @@ object Curation {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
-        c AS (SELECT doc_id, toks, len(toks) n,
-                list_transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 131
-                                               + ascii(substring(t, -1, 1))
-                                               + length(t) AS BIGINT)) codes
-              FROM t),
-        b AS (SELECT doc_id, toks,
-                list_append(
-                  CASE WHEN n > $CdcWindow THEN
-                    list_filter(range($CdcWindow, n),
-                      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                             list_slice(codes, i - $CdcWindow + 1, i)),
-                             (acc, x) -> (acc * 1000003 + x) % 1000000007)
-                           % $CdcDivisor = 0)
-                  ELSE [] END,
-                  n) bounds
-              FROM c),
-        s AS (SELECT doc_id, toks, bounds,
-                list_prepend(0, list_slice(bounds, 1, len(bounds) - 1)) starts
-              FROM b),
-        x AS (SELECT doc_id, toks, starts,
-                generate_subscripts(bounds, 1) AS j, unnest(bounds) AS bend
-              FROM s),
+        WITH $sqlCdcCtes,
         inst AS (SELECT doc_id,
                    doc_id * 1000000 + (j - 1) AS pos,
                    array_to_string(list_slice(toks, starts[j] + 1, bend), ' ') AS ch

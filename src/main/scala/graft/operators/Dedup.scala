@@ -716,10 +716,14 @@ object Dedup {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("bh")
         Tables.documents(s, dir)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          // tokenize into a COLUMN first: a split() inside the transform
+          // lambda is re-evaluated per chunk index (interpreted HOF, no
+          // subexpression elimination) — O(blocks·tokens) per document
+          .withColumn("toks", split(col("text"), " "))
           .select(col("doc_id"), expr(
             s"""transform(
-                  sequence(0, CAST(ceil(size(split(text, ' ')) / $BlockTokens.0) AS INT) - 1),
-                  i -> array_join(slice(split(text, ' '), i * $BlockTokens + 1, $BlockTokens), ' '))""")
+                  sequence(0, CAST(ceil(size(toks) / $BlockTokens.0) AS INT) - 1),
+                  i -> array_join(slice(toks, i * $BlockTokens + 1, $BlockTokens), ' '))""")
             .as("blocks"))
           .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
           .select(col("doc_id"),

@@ -496,9 +496,17 @@ object Similarity {
           .filter(col("cos") >= SemDedupTau)
           .groupBy(col("vec_id"))
           .agg(min(col("mate_id")).as("rep_id"))
-        Tables.embeddings(s, dir).select("vec_id")
+        // an over-cap cell is SKIPPED, not deduped — surface that as a
+        // column so "kept because unique" and "kept because the cell was
+        // too hot to compare" are distinguishable (the skipped set is
+        // what a finer re-clustering pass consumes)
+        Tables.embeddings(s, dir)
+          .withColumn("cell_capped",
+            count(lit(1)).over(Window.partitionBy("label")) > SemCellCap)
+          .select("vec_id", "cell_capped")
           .join(reps, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("rep_id").isNull.as("kept"), col("rep_id"))
+          .select(col("vec_id"), col("rep_id").isNull.as("kept"), col("rep_id"),
+            col("cell_capped"))
           .orderBy("vec_id")
       },
       Some(s"""
@@ -519,9 +527,11 @@ object Similarity {
                   list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
                   (acc, x) -> acc + x) / (a.norm * b.norm) >= $SemDedupTau
           GROUP BY a.vec_id)
-        SELECT e.vec_id, r.rep_id IS NULL AS kept, r.rep_id
-        FROM e LEFT JOIN reps r ON e.vec_id = r.vec_id
-        ORDER BY e.vec_id""")),
+        SELECT s.vec_id, r.rep_id IS NULL AS kept, r.rep_id,
+               s.csz > $SemCellCap AS cell_capped
+        FROM (SELECT e.vec_id, count(*) OVER (PARTITION BY label) csz FROM e) s
+        LEFT JOIN reps r ON s.vec_id = r.vec_id
+        ORDER BY s.vec_id""")),
 
     // ---- truncated-dimension retrieval (Matryoshka-style) ----------------
     // The cheap-first-pass regime for nested (MRL-trained) embeddings:

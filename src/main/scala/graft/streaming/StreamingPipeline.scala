@@ -151,16 +151,25 @@ object StreamingPipeline {
       textCol: String = "text",
       tsCol: String = "timestamp",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat, lit, size, when}
+    import org.apache.spark.sql.functions.{col, concat, lit, size, uuid, when}
     import graft.functions.{VectorExpressions => V}
-    val grams = V.wordShingles(col(textCol), 3)
     docs
+      // a null event time must not reach the stateful operator (the
+      // silentDevices lesson: the watermark drops OLD rows, not null
+      // ones); null-text rows get a unique key — two distinct malformed
+      // records must not silently collapse into one on a null dedup key
+      .filter(col(tsCol).isNotNull)
+      // shingle ONCE into a column: referencing the kernel subtree from
+      // both the condition and the branch would evaluate it twice per
+      // row (conditional subtrees are outside subexpression elimination)
+      .withColumn("_grams", V.wordShingles(col(textCol), 3))
       .withColumn("_dedup_key",
-        when(size(grams) > 0, V.minhashSig(grams).cast("string"))
+        when(col(textCol).isNull, concat(lit("null:"), uuid()))
+          .when(size(col("_grams")) > 0, V.minhashSig(col("_grams")).cast("string"))
           .otherwise(concat(lit("short:"), col(textCol))))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("_dedup_key"))
-      .drop("_dedup_key")
+      .drop("_dedup_key", "_grams")
   }
 
   /** Silent-device detector — the liveness monitor the reference's IoT

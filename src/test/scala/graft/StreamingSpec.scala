@@ -405,16 +405,24 @@ class StreamingSpec extends SparkSuite {
         Doc(3L, "entirely different text about spark streaming pipelines today",
           ts("2024-01-01T10:00:10Z")),
         Doc(4L, "tiny", ts("2024-01-01T10:00:15Z")), // < 3 tokens: text-key fallback
-        Doc(5L, "tiny", ts("2024-01-01T10:00:20Z")))
+        Doc(5L, "tiny", ts("2024-01-01T10:00:20Z")),
+        // two DISTINCT malformed rows: null text must not become one
+        // shared null key, and a null event time must not reach state
+        Doc(7L, null, ts("2024-01-01T10:00:25Z")),
+        Doc(8L, null, ts("2024-01-01T10:00:30Z")),
+        Doc(9L, "dropped for null event time", null))
       q.processAllAvailable()
       mem.addData(Doc(6L, boiler, ts("2024-01-01T10:01:00Z"))) // re-post next batch
       q.processAllAvailable()
       val ids = spark.table("mh_dedup_out").collect()
         .map(_.getAs[Long]("doc_id")).toSet
-      assert(ids.size == 3, s"expected 3 survivors, got $ids")
+      assert(ids.size == 5, s"expected 5 survivors, got $ids")
       assert(ids.contains(3L), "the distinct document was dropped")
       assert(ids.count(Set(1L, 2L, 6L)) == 1, s"boilerplate re-posts survived: $ids")
       assert(ids.count(Set(4L, 5L)) == 1, s"short-doc duplicate survived: $ids")
+      assert(ids.contains(7L) && ids.contains(8L),
+        "distinct null-text documents collapsed onto one dedup key")
+      assert(!ids.contains(9L), "null event time reached the stateful operator")
     } finally q.stop()
   }
 
