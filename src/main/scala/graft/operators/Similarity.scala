@@ -779,7 +779,118 @@ object Similarity {
         SELECT qid, rank, vec_id, CAST(adist AS DOUBLE) AS adist
         FROM ranked
         WHERE rank <= 10
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // ---- k-means Lloyd refinement: the IVF centroid-training step --------
+    // ann_ivf/ivfpq use the label means as their coarse quantizer; this is
+    // the operator that TRAINS such a quantizer: one Lloyd iteration from
+    // deterministic seeds (vec_id < KmSeeds). Assignment is a broadcast
+    // nested-loop against k seed vectors — map-side, no shuffle, the
+    // canonical distributed k-means shape — and the mean update is ONE
+    // groupBy(cluster, dim) exchange whose map-side partial aggregation
+    // reduces n·d rows to partitions·k·d before the wire. The full
+    // algorithm loops this plan with re-broadcast centroids per round
+    // (exactly the dedup_clusters convergence-loop pattern); one step is
+    // the oracle-checkable unit. Every seed keeps ≥1 member (itself, at
+    // d²=0), so the output is always k·d rows. Exact-decimal means and a
+    // round-6 argmin keep the whole step bit-identical to DuckDB.
+    GraftQuery(
+      "kmeans_refine",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val seeds = e.filter(col("vec_id") < KmSeeds)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val assigned = e.crossJoin(broadcast(seeds))
+          .withColumn("d2",
+            V.subSqDist(col("embedding"), col("c_vec"), lit(0), KmDims))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(round(col("d2"), 6), col("c_id"))))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("embedding"))
+        assigned
+          .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("c_id", "dim")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+              .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1))).as("mr"))
+          .select(col("c_id").as("cluster"), col("dim"), col("n"),
+            round(col("mr"), 6).as("m"))
+          .orderBy("cluster", "dim")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        s AS (SELECT vec_id AS c_id, v AS sv FROM e WHERE vec_id < $KmSeeds),
+        d AS (
+          SELECT e.vec_id, s.c_id, e.v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, ${KmDims + 1}),
+                     i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i]))),
+                   (acc, x) -> acc + x) AS d2
+          FROM e CROSS JOIN s),
+        a AS (
+          SELECT c_id, v FROM (
+            SELECT c_id, v, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY round(d2, 6), c_id) AS rn
+            FROM d)
+          WHERE rn = 1),
+        x AS (SELECT c_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+              FROM a)
+        SELECT c_id AS cluster, dim, count(*) AS n,
+               round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*),
+                     6) AS m
+        FROM x GROUP BY 1, 2 ORDER BY cluster, dim""")),
+
+    // ---- PCA power iteration: top principal direction in one pass --------
+    // The distributed building block of spectral embedding analysis:
+    // v₁ ∝ Σᵢ xᵢ·(xᵢ·v₀) = (XᵀX)v₀, one power-iteration step from the
+    // deterministic uniform start v₀ = 1/√d. One corpus scan computes
+    // per-row projections scan-side; the d-dimensional accumulation is a
+    // single groupBy(dim) exchange with map-side partials (n·d rows
+    // reduced to partitions·d). Normalization is a GLOBAL window over the
+    // aggregated frame — safe precisely because that frame is always d=64
+    // rows whatever n is, and it keeps the whole step to ONE corpus scan
+    // (a broadcast-scalar crossJoin duplicated the scan: Catalyst built
+    // the u subtree once per branch with no exchange reuse). Iterating
+    // re-broadcasts v₁ as the next v₀ (uncentered variant; centering
+    // subtracts the davg-style exact mean first). Cross-row double sums
+    // are routed through round-8 DECIMAL(28,8) so the fold is
+    // order-independent and bit-identical to DuckDB.
+    GraftQuery(
+      "pca_power_iter",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+        val dbl = org.apache.spark.sql.types.DoubleType
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("sv",
+            expr("aggregate(embedding, 0D, (acc, x) -> acc + x)") * lit(0.125))
+        val u = e
+          .select(col("sv"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("dim")
+          .agg(sum(round(col("x") * col("sv"), 8).cast(dec)).cast(dbl).as("u"))
+        u.withColumn("nrm", sqrt(
+            sum(round(col("u") * col("u"), 8).cast(dec))
+              .over(Window.partitionBy()).cast(dbl)))
+          .select(col("dim"), round(col("u") / col("nrm"), 6).as("pc1"))
+          .orderBy("dim")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        ws AS (
+          SELECT v, list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
+                   (acc, x) -> acc + x) * 0.125 AS sv
+          FROM e),
+        ux AS (SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x, sv
+               FROM ws),
+        u AS (
+          SELECT dim,
+                 CAST(sum(CAST(round(x * sv, 8) AS DECIMAL(28,8))) AS DOUBLE) AS u
+          FROM ux GROUP BY dim)
+        SELECT dim,
+               round(u / sqrt(CAST(sum(CAST(round(u * u, 8) AS DECIMAL(28,8)))
+                                   OVER () AS DOUBLE)), 6) AS pc1
+        FROM u ORDER BY dim"""))
   )
 
   /** semantic_dedup's within-cell candidate pairs with their exact cosine,
@@ -829,4 +940,10 @@ object Similarity {
 
   /** mrl_topk: leading dimensions used by the truncated first pass. */
   private val MrlDims = 16
+
+  /** kmeans_refine geometry: k deterministic seeds (vec_id < KmSeeds) over
+    * the full vector width. k scales with the target cell count of the IVF
+    * index being trained, not with n. */
+  private val KmSeeds = 8
+  private val KmDims = 64
 }

@@ -1196,4 +1196,48 @@ class OperatorSpec extends SparkSuite {
     assert(got == expect)
     assert(got.nonEmpty, "no MAD outliers at this scale — test degenerate")
   }
+
+  test("kmeans_refine matches a naive Lloyd step and keeps every seed alive") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val seeds = vecs.filter(_._1 < 8).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val assign = vecs.map { case (_, v) =>
+      seeds.minBy { case (cid, sv) => (math.round(d2(v, sv) * 1e6), cid) }._1 -> v
+    }
+    val expect = assign.groupBy(_._1).map { case (cid, rs) =>
+      val n = rs.length
+      cid -> (n, Array.tabulate(64)(d => rs.map(_._2(d)).sum / n))
+    }
+    val got = run("kmeans_refine").collect()
+    assert(got.length == 8 * 64, "every seed must keep >=1 member (itself)")
+    assert(got.map(_.getAs[Long]("cluster")).toSet == (0L until 8L).toSet)
+    // per-cluster membership count is constant across dims and sums to n
+    val byCluster = got.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.values.forall(rs => rs.map(_.getAs[Long]("n")).toSet.size == 1))
+    assert(byCluster.map(_._2.head.getAs[Long]("n")).sum == vecs.length)
+    got.foreach { r =>
+      val (en, em) = expect(r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("n") == en)
+      assert(math.abs(r.getAs[Double]("m") - em(r.getAs[Int]("dim"))) < 1e-5)
+    }
+  }
+
+  test("pca_power_iter matches a naive (X'X)v0 step and is unit-norm") {
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val u = Array.tabulate(64) { d =>
+      vecs.map(v => v(d) * (v.sum * 0.125)).sum
+    }
+    val nrm = math.sqrt(u.map(x => x * x).sum)
+    val got = run("pca_power_iter").collect()
+    assert(got.length == 64)
+    assert(got.map(_.getAs[Int]("dim")).toSet == (0 until 64).toSet)
+    val gotPc = got.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("pc1"))
+    assert(math.abs(gotPc.map(x => x * x).sum - 1.0) < 1e-3, "pc1 must be unit-norm")
+    gotPc.zipWithIndex.foreach { case (p, d) =>
+      assert(math.abs(p - u(d) / nrm) < 1e-4, s"dim $d: $p vs ${u(d) / nrm}")
+    }
+  }
 }
