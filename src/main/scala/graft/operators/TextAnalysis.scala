@@ -736,6 +736,49 @@ object TextAnalysis {
                CAST((2 * N + (CASE WHEN N < 0 THEN -L ELSE L END))
                     // (2 * CAST(L AS HUGEINT)) AS DOUBLE) / 1000000.0 AS kl_nats
         FROM s JOIN lt USING (lang)
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // ---- feature hashing: the hashing-trick bag-of-words vectorizer ------
+    // The classic fixed-width text featurizer (Weinberger et al. 2009):
+    // token → bucket via a hash mod B, a second hash bit signs the update
+    // so collisions cancel in expectation, and the vocabulary never
+    // materializes — the property that makes it THE vectorizer for 100 TB
+    // corpora (no dictionary broadcast, no OOV, fixed memory per row).
+    // One scan, one groupBy(doc, bucket) whose map-side partials absorb
+    // the token explosion; output is the sparse long-format matrix
+    // downstream linear models consume. The token code is the same
+    // engine-neutral arithmetic doc_fingerprint uses (full codegen, no
+    // interpreted char fold) — collisions from the cheap code are not a
+    // defect here: tolerating them is precisely the operator's contract.
+    GraftQuery(
+      "feature_hash",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("code", expr(
+          """CAST(ascii(substring(t, 1, 1)) * 131
+                  + ascii(substring(t, -1, 1)) + length(t) AS BIGINT)"""))
+        .groupBy(col("doc_id"), expr(s"code % $FhBuckets").as("bucket"))
+        .agg(sum(expr(s"CASE WHEN (code div $FhBuckets) % 2 = 0 THEN 1 ELSE -1 END")
+          .cast(LongType)).as("w"))
+        .filter(col("w") =!= 0)
+        .orderBy("doc_id", "bucket"),
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        c AS (SELECT doc_id,
+                CAST(ascii(substring(t, 1, 1)) * 131
+                     + ascii(substring(t, -1, 1)) + length(t) AS BIGINT) AS code
+              FROM tok)
+        SELECT doc_id, code % $FhBuckets AS bucket,
+               CAST(sum(CASE WHEN (code // $FhBuckets) % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS w
+        FROM c GROUP BY 1, 2
+        HAVING CAST(sum(CASE WHEN (code // $FhBuckets) % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) != 0
+        ORDER BY doc_id, bucket"""))
   )
+
+  /** feature_hash width: fixed feature-space size B; memory per doc is
+    * O(min(tokens, B)) whatever the corpus vocabulary grows to. */
+  private val FhBuckets = 64
 }

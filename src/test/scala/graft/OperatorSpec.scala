@@ -1224,6 +1224,29 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("feature_hash matches a naive signed-bucket vectorizer") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def code(t: String): Long = {
+      val first = if (t.isEmpty) 0 else t.head.toInt
+      val last = if (t.isEmpty) 0 else t.last.toInt
+      first.toLong * 131 + last + t.length
+    }
+    val expect = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map { t =>
+        val c = code(t)
+        ((id, c % 64), if ((c / 64) % 2 == 0) 1L else -1L)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 != 0).toMap
+    val got = run("feature_hash").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket")) -> r.getAs[Long]("w"))
+    assert(got.toMap == expect)
+    assert(got.map(_._1._2).forall(b => b >= 0 && b < 64))
+    // the hashing trick compresses: far more distinct tokens than buckets
+    assert(got.map(_._1._2).distinct.length <= 64 && got.length > 64)
+  }
+
   test("pca_power_iter matches a naive (X'X)v0 step and is unit-norm") {
     val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
