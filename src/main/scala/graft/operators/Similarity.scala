@@ -784,14 +784,23 @@ object Similarity {
     // ---- k-means Lloyd refinement: the IVF centroid-training step --------
     // ann_ivf/ivfpq use the label means as their coarse quantizer; this is
     // the operator that TRAINS such a quantizer: one Lloyd iteration from
-    // deterministic seeds (vec_id < KmSeeds). Assignment is a broadcast
-    // nested-loop against k seed vectors — map-side, no shuffle, the
-    // canonical distributed k-means shape — and the mean update is ONE
-    // groupBy(cluster, dim) exchange whose map-side partial aggregation
-    // reduces n·d rows to partitions·k·d before the wire. The full
-    // algorithm loops this plan with re-broadcast centroids per round
-    // (exactly the dedup_clusters convergence-loop pattern); one step is
-    // the oracle-checkable unit. Every seed keeps ≥1 member (itself, at
+    // deterministic seeds (vec_id < KmSeeds). Assignment scores against k
+    // broadcast seed vectors (map-side nested loop) and takes the argmin
+    // as a PACKED-SCALAR min: round6(d²)·10⁶·k + c_id in one BIGINT, so
+    // the aggregate buffer is a mutable long and the whole argmin stays
+    // in HashAggregate — min(struct(...)) or a row_number window would
+    // each force sorts (struct agg buffers aren't hash-mutable;
+    // lexicographic (d², c_id) order equals numeric order of the packed
+    // key since c_id < k). The vector rides as a grouping key (unique
+    // per vec_id anyway; complex group keys hash fine). All k candidate
+    // rows of a vector are co-located by the broadcast join, so the
+    // partial min finishes each group map-side and the argmin exchange
+    // carries ONE row per vector;
+    // the mean update is a second groupBy(cluster, dim) exchange whose
+    // partials absorb the d-way explode. The full algorithm loops this
+    // plan with re-broadcast centroids per round (exactly the
+    // dedup_clusters convergence-loop pattern); one step is the
+    // oracle-checkable unit. Every seed keeps ≥1 member (itself, at
     // d²=0), so the output is always k·d rows. Exact-decimal means and a
     // round-6 argmin keep the whole step bit-identical to DuckDB.
     GraftQuery(
@@ -803,11 +812,11 @@ object Similarity {
         val assigned = e.crossJoin(broadcast(seeds))
           .withColumn("d2",
             V.subSqDist(col("embedding"), col("c_vec"), lit(0), KmDims))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id")
-              .orderBy(round(col("d2"), 6), col("c_id"))))
-          .filter(col("rn") === 1)
-          .select(col("c_id"), col("embedding"))
+          .withColumn("pk", expr(
+            s"CAST(round(round(d2, 6) * 1e6) AS BIGINT) * $KmSeeds + c_id"))
+          .groupBy("vec_id", "embedding")
+          .agg(min(col("pk")).as("mn"))
+          .select(expr(s"mn % $KmSeeds").as("c_id"), col("embedding"))
         assigned
           .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .groupBy("c_id", "dim")

@@ -1227,9 +1227,12 @@ class OperatorSpec extends SparkSuite {
   test("feature_hash matches a naive signed-bucket vectorizer") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
+    // code POINTS, not UTF-16 units: both engines' ascii() returns the
+    // first/last code point, so surrogate-pair leading/trailing chars
+    // must not collapse to their high/low surrogate values here
     def code(t: String): Long = {
-      val first = if (t.isEmpty) 0 else t.head.toInt
-      val last = if (t.isEmpty) 0 else t.last.toInt
+      val first = if (t.isEmpty) 0 else t.codePointAt(0)
+      val last = if (t.isEmpty) 0 else t.codePointBefore(t.length)
       first.toLong * 131 + last + t.length
     }
     val expect = docs.flatMap { case (id, text) =>
