@@ -151,4 +151,27 @@ class PlanSpec extends SparkSuite {
       assert(plan.contains("rangepartitioning"), s"$name lost its presentation sort")
     }
   }
+
+  test("kmeans_refine stays hash-aggregated: no sorts before the output sort") {
+    // the packed-scalar argmin exists precisely so the assignment never
+    // leaves HashAggregate — min(struct) / row_number formulations each
+    // plan SortAggregate or Window with sorts around the argmin exchange
+    val plan = planOf("kmeans_refine")
+    assert(!plan.contains("SortAggregate"),
+      "kmeans_refine argmin fell back to SortAggregate")
+    assert(!plan.contains("Window"), "kmeans_refine regained a window sort")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "seed assignment lost its broadcast")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts == 1, s"kmeans_refine plans $sorts sorts, expected only the output sort")
+  }
+
+  test("feature_hash and pca_power_iter scan once with map-side partials") {
+    for (name <- Seq("feature_hash", "pca_power_iter")) {
+      val plan = planOf(name)
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"$name plans $scans corpus scans, expected 1")
+      assert(plan.contains("HashAggregate"), s"$name lost hash aggregation")
+    }
+  }
 }
