@@ -18,11 +18,11 @@ import graft.{GraftQuery, Tables}
   *  - sampling decisions are pure per-row arithmetic on an engine-neutral
   *    content hash — no RNG state, no driver coordination, reproducible
   *    across engines (which is also what makes them oracle-checkable);
-  *  - running totals are windowed PER STRATUM (language) so the cumsum
-  *    parallelizes across keys; a single global cumsum would serialize
-  *    into one partition at 100 TB (that variant needs the two-phase
-  *    per-partition-offset trick, noted below, and is deliberately not
-  *    the registered shape).
+  *  - running totals never sort a data-sized frame in one task: the
+  *    per-language cumsums ride [[tokenCumsum]]'s two-phase bucket +
+  *    broadcast-offset build, because language is a low-cardinality
+  *    stratum and a plain per-language window would serialize each
+  *    language through a single partition at 100 TB.
   */
 object Curation {
 
@@ -70,6 +70,49 @@ object Curation {
 
   /** Token budget per training shard. */
   private val ShardTokenBudget = 2000
+
+  /** Doc-id range buckets for the two-phase cumsum below. */
+  private val CumsumBuckets = 32
+
+  /** `(doc_id, lang, n_tokens, cum)` — the per-language running token
+    * total ordered by doc_id, built WITHOUT a per-language window sort.
+    * `lang` has a handful of values, so `Window.partitionBy("lang")`
+    * would funnel each language's entire corpus through one task at
+    * 100 TB. Instead, the two-phase bucket + broadcast-offset pattern
+    * proven in global_row_number (PipelineOps.scala): bin rows by a
+    * data-derived doc_id range bucket (pure integer arithmetic against
+    * broadcast global bounds, so every plan branch agrees), cumsum
+    * WITHIN each (lang, bucket) — #langs × [[CumsumBuckets]] parallel
+    * window partitions — then add each bucket's per-language prefix
+    * offset from a #langs×#buckets-row frame whose own cumsum is
+    * trivially cheap and which broadcasts back onto the data. Buckets
+    * bin doc_id monotonically, so bucket-local cumsum + offset equals
+    * the per-language global cumsum the (unchanged) oracles compute
+    * with a single window. */
+  private def tokenCumsum(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val bounds = base.agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .withColumn("bkt", least(lit(CumsumBuckets - 1),
+        expr(s"((doc_id - dmin) * $CumsumBuckets) div (dmax - dmin + 1)")))
+      .drop("dmin", "dmax")
+    val wLocal = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy("lang", "bkt")
+      .agg(sum("n_tokens").as("btok"))
+      .withColumn("off", coalesce(
+        sum("btok").over(Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bkt", "off")
+    bucketed
+      .withColumn("lcum", sum("n_tokens").over(wLocal))
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("off") + col("lcum")).as("cum"))
+  }
 
   /** Engine-neutral content hash (same polynomial fold as
     * doc_fingerprint): per-token code from first/last char + length,
@@ -301,26 +344,21 @@ object Curation {
 
     // ---- shard packing: token-budget assignment via running totals -------
     // Assigns each doc to a training shard so shards hold ~budget tokens,
-    // via a cumulative token sum windowed per language: each stratum's
-    // cumsum runs independently (parallel across the partition-by keys).
-    // A single GLOBAL pack would order the whole corpus in one window
-    // partition — at scale that variant is a two-phase job (per-partition
-    // partial sums, then a broadcast prefix-offset join), kept out of the
-    // registered query on purpose.
+    // via a cumulative token sum per language ordered by doc_id. `lang`
+    // is a HANDFUL of values, so a plain per-language window would sort
+    // each language's entire document set in ONE task at 100 TB — the
+    // running total therefore comes from [[tokenCumsum]]'s two-phase
+    // bucket + broadcast-offset build (cumsum within (lang, doc_id-range
+    // bucket), tiny per-bucket offsets broadcast back), while the oracle
+    // keeps the single-window formulation the two phases must equal.
     GraftQuery(
       "shard_packing",
-      (s, dir) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-          .withColumn("cum_tokens", sum("n_tokens").over(w))
-          // shard = how many full budgets precede this doc's first token
-          .withColumn("shard_id",
-            expr(s"(cum_tokens - n_tokens) DIV $ShardTokenBudget"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => tokenCumsum(s, dir)
+        .withColumnRenamed("cum", "cum_tokens")
+        // shard = how many full budgets precede this doc's first token
+        .withColumn("shard_id",
+          expr(s"(cum_tokens - n_tokens) DIV $ShardTokenBudget"))
+        .orderBy("doc_id"),
       Some(s"""
         SELECT doc_id, lang, n_tokens,
                CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
@@ -578,20 +616,16 @@ object Curation {
     // shard_packing assigns shard ids; this emits what the tokenizer
     // actually consumes — per shard, the member docs IN ORDER with each
     // doc's token offset inside the packed sequence (offset = its cumsum
-    // start minus the shard's start). Same per-language windowed cumsum
-    // (parallel across strata), one extra window over the (lang, shard)
-    // key that the final groupBy reuses as its shuffle key, and the
-    // per-shard collect is bounded by the token budget — a shard holds at
-    // most budget/1 docs, so the collected array can't blow up.
+    // start minus the shard's start). The running total is the same
+    // two-phase [[tokenCumsum]] build shard_packing uses (no per-language
+    // single-task sort), one extra window over the (lang, shard) key that
+    // the final groupBy reuses as its shuffle key — a shard holds at most
+    // budget tokens, so that partition and the per-shard collect are both
+    // bounded by the token budget regardless of corpus size.
     GraftQuery(
       "pack_sequences",
       (s, dir) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-          .withColumn("cum", sum("n_tokens").over(w))
+        val d = tokenCumsum(s, dir)
           .withColumn("shard_id", expr(s"(cum - n_tokens) DIV $ShardTokenBudget"))
           .withColumn("shard_start",
             min(col("cum") - col("n_tokens"))

@@ -387,28 +387,74 @@ object TimeSeries {
     // accumulator (Spark) or segment-tree partials (DuckDB), so double
     // sums would drift engine-to-engine; decimal add/remove is exact
     // either way, and the one double division per side is identical on
-    // identical inputs. Scale: two frames over one per-series sort (one
-    // exchange), peak extraction is a window over the same partitioning —
-    // nothing shuffles twice. Parallelism is per SERIES: with few massive
-    // series the sort serializes per key, and the at-scale variant
-    // range-chunks each series with a ±window overlap so chunks sort
-    // independently (the same trade shard_packing documents for its
-    // global-cumsum variant); the registered shape is the per-key one
-    // the oracle can mirror.
+    // identical inputs. Scale: `event_type` is a HANDFUL of series, so a
+    // plain per-series window would sort each series' billions of rows in
+    // ONE task. The registered shape is therefore the CHUNKED variant:
+    //  1. a scale-safe global per-series row index g (the two-phase
+    //     bucket + broadcast-offset pattern from global_row_number —
+    //     256-way ts-range buckets, local row_number, tiny offsets frame
+    //     broadcast back);
+    //  2. chunk each series BY ROW INDEX into [[ChangepointChunk]]-row
+    //     chunks and copy the ±[[ChangepointWin]] boundary rows into the
+    //     neighboring chunk — row-index chunking (unlike time-range
+    //     chunking) guarantees every frame's context rows are present by
+    //     construction, under any timestamp skew;
+    //  3. score frames within (series, chunk) — ≤ chunk+2·win rows per
+    //     partition, parallelism GROWS with data — keep only home rows.
+    // Overlap rows score garbage in their copy and are dropped by the
+    // home filter; full-frame home rows see exactly the rows the
+    // single-window formulation sees, so the oracle (plain per-series
+    // windows) is unchanged.
     GraftQuery(
       "changepoints",
       (s, dir) => {
         val D = org.apache.spark.sql.types.DecimalType(18, 2)
-        val ord = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        val nBkts = 256
+        val base = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        // phase 1: global per-series row index, no single-task sort
+        val bounds = base.agg(min(unix_micros(col("ts"))).as("tmin"),
+          max(unix_micros(col("ts"))).as("tmax"))
+        val bucketed = base.crossJoin(broadcast(bounds))
+          .withColumn("bkt", least(lit(nBkts - 1), expr(
+            s"((unix_micros(ts) - tmin) * $nBkts) div (tmax - tmin + 1)")))
+          .drop("tmin", "tmax")
+        val byBkt = Window.partitionBy("event_type", "bkt")
+          .orderBy(col("ts"), col("event_id"))
+        val offsets = bucketed.groupBy("event_type", "bkt")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(
+            sum("n").over(Window.partitionBy("event_type").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("event_type", "bkt", "off")
+        val indexed = bucketed
+          .withColumn("rn", row_number().over(byBkt))
+          .join(broadcast(offsets), Seq("event_type", "bkt"))
+          .withColumn("g", col("off") + col("rn") - 1) // 0-based series index
+          .drop("bkt", "rn", "off")
+        // phase 2: row-index chunks + guaranteed boundary overlap
+        val chunked = indexed.withColumn("chk",
+          expr(s"g div $ChangepointChunk"))
+        val home = chunked.withColumn("grp", col("chk"))
+          .withColumn("is_home", lit(true))
+        val fromNext = chunked
+          .filter(col("chk") > 0 &&
+            expr(s"g % $ChangepointChunk") < ChangepointWin)
+          .withColumn("grp", col("chk") - 1).withColumn("is_home", lit(false))
+        val fromPrev = chunked
+          .filter(expr(s"g % $ChangepointChunk") >=
+            ChangepointChunk - ChangepointWin)
+          .withColumn("grp", col("chk") + 1).withColumn("is_home", lit(false))
+        val ord = Window.partitionBy("event_type", "grp").orderBy("g")
         val pre = ord.rowsBetween(-ChangepointWin, -1)
         val post = ord.rowsBetween(0, ChangepointWin - 1)
-        val scored = Tables.events(s, dir)
-          .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        val scored = home.unionByName(fromNext).unionByName(fromPrev)
           .withColumn("sL", sum(col("value").cast(D)).over(pre).cast(org.apache.spark.sql.types.DoubleType))
           .withColumn("nL", count(lit(1)).over(pre))
           .withColumn("sR", sum(col("value").cast(D)).over(post).cast(org.apache.spark.sql.types.DoubleType))
           .withColumn("nR", count(lit(1)).over(post))
-          .filter(col("nL") === ChangepointWin && col("nR") === ChangepointWin)
+          .filter(col("is_home") &&
+            col("nL") === ChangepointWin && col("nR") === ChangepointWin)
           .withColumn("score", abs(col("sR") / col("nR") - col("sL") / col("nL")))
         val peak = Window.partitionBy(col("event_type"), date_trunc("hour", col("ts")))
           .orderBy(round(col("score"), 6).desc, col("event_id"))
@@ -445,4 +491,8 @@ object TimeSeries {
 
   /** changepoints: samples per side of the two-sided mean window. */
   private val ChangepointWin = 30
+
+  /** changepoints: rows per per-series scoring chunk. Must exceed
+    * 2·[[ChangepointWin]]; larger ⇒ fewer, bigger partitions. */
+  private val ChangepointChunk = 1024
 }

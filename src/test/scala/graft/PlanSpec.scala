@@ -141,6 +141,38 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("packing cumsums window over (lang, bucket), never lang alone") {
+    // lang is a handful of values: a doc_id-ordered window partitioned by
+    // lang alone funnels each language's whole corpus through one task.
+    // The two-phase build's only data-sized windows partition by
+    // (lang, bkt); the lang-alone window that remains orders by bkt over
+    // the #langs×#buckets offsets frame, which is fine and allowed here.
+    val badShape = """\], \[lang#\d+\], \[doc_id#\d+L? ASC""".r
+    val goodShape = """\[lang#\d+, bkt#\d+L?\], \[doc_id#\d+L? ASC""".r
+    for (name <- Seq("shard_packing", "pack_sequences")) {
+      val plan = planOf(name)
+      assert(badShape.findFirstIn(plan).isEmpty,
+        s"$name regressed to a per-language single-task cumsum window")
+      assert(goodShape.findFirstIn(plan).isDefined,
+        s"$name lost its (lang, bucket) two-phase cumsum window")
+    }
+  }
+
+  test("changepoints windows over (series, chunk), never the series alone") {
+    // same discipline for the frame scoring: event_type has a handful of
+    // values, so the scoring window must partition by (event_type, grp)
+    // (row-index chunks), and no window may sort a whole series in one
+    // task. The tiny offsets frame (partition event_type, order bkt) and
+    // the (event_type, hour) peak window are the allowed 1-key shapes.
+    val plan = planOf("changepoints")
+    val badShape = """\], \[event_type#\d+\], \[ts#\d+""".r
+    assert(badShape.findFirstIn(plan).isEmpty,
+      "changepoints regressed to a per-series single-task window sort")
+    assert("""\[event_type#\d+, grp#\d+L?\], \[g#\d+L? ASC""".r
+      .findFirstIn(plan).isDefined,
+      "changepoints lost its (event_type, grp) chunked scoring window")
+  }
+
   test("chunkers are shuffle-free up to the presentation sort") {
     // both chunkers promise pure per-row arithmetic: the only exchange in
     // the plan is the final rangepartitioning for the output ordering
