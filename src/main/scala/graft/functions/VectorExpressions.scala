@@ -180,6 +180,30 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** `[tf(terms(0)), …, tf(terms(k-1)), n_tokens]` of a whitespace-
+    * tokenized string — see [[VectorKernels.termTfs]]. */
+  case class TermTfs(child: Expression, terms: Seq[String]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"term_tfs expects string, got ${t.simpleString}")
+    }
+    private lazy val termsArr: Array[String] = terms.toArray
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.termTfs(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termsArr)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // the term list rides the codegen references array — generated code
+      // can't splice an array literal, but a reference object is free
+      val ref = ctx.addReferenceObj("termTfsTerms", termsArr, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = graft.functions.VectorKernels.termTfs($a, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 16-element MinHash signature of an array<string> of shingles. */
   case class MinHashSig(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -248,6 +272,8 @@ object VectorExpressions {
     GraftSqlBridge.toColumn(WinnowFingerprint(ex(a), k, w))
   def minhashSig(a: Column): Column =
     GraftSqlBridge.toColumn(MinHashSig(ex(a)))
+  def termTfs(a: Column, terms: Seq[String]): Column =
+    GraftSqlBridge.toColumn(TermTfs(ex(a), terms))
   def subSqDist(a: Column, b: Column, off: Column, len: Int): Column =
     GraftSqlBridge.toColumn(SubSqDist(ex(a), ex(b), ex(off), len))
 

@@ -316,4 +316,33 @@ object VectorKernels {
     while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
     fp
   }
+
+  /** Per-term frequencies of a whitespace-tokenized text, one tokenize
+    * pass: returns `[tf(terms(0)), …, tf(terms(k-1)), n_tokens]` (token
+    * count rides along so BM25's length normalization needs no second
+    * split). Replaces the `size(filter(toks, x = t))` per-term
+    * formulation — a CodegenFallback higher-order lambda that re-walks
+    * the token array once PER TERM (the cdcBounds story again: measured
+    * 4.2 s for bm25_topk at sf0.1 vs sub-second kernelized). Same `split`
+    * limit -1 trailing-empty-token semantics as the oracles'
+    * string_split. */
+  def termTfs(text: UTF8String, terms: Array[String]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val k = terms.length
+    val counts = new Array[Long](k)
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < k) {
+        if (terms(j).equals(toks(i))) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k + 1)
+    i = 0
+    while (i < k) { out(i) = counts(i); i += 1 }
+    out(k) = toks.length.toLong
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -525,11 +525,17 @@ object TextAnalysis {
       "bm25_topk",
       (s, dir) => {
         val terms = Bm25Terms
-        val toks = split(col("text"), " ")
+        // one codegen'd tokenize pass per doc ([[VectorKernels.termTfs]]):
+        // tf for every term + token count from a single split, replacing
+        // the per-term size(filter(...)) lambdas that re-walked the token
+        // array once per term under CodegenFallback (4.2 s → sub-second
+        // at sf0.1, the cdcBounds story again)
+        val tl = graft.functions.VectorExpressions.termTfs(col("text"), terms)
         val perDoc = Tables.documents(s, dir)
-          .select(col("doc_id"), size(toks).cast(LongType).as("len"),
-            array(terms.map(t =>
-              size(filter(toks, x => x === t)).cast(LongType)): _*).as("tfs"))
+          .select(col("doc_id"), tl.as("tl"))
+          .select(col("doc_id"),
+            element_at(col("tl"), terms.length + 1).as("len"),
+            slice(col("tl"), 1, terms.length).as("tfs"))
         val stats = perDoc.agg(
           count(lit(1)).as("nd"), sum("len").as("toktot"),
           array(terms.indices.map(i =>
@@ -715,9 +721,18 @@ object TextAnalysis {
           .groupBy("lang")
           .agg(max("L").as("n_tokens"), max("n_types").as("n_types"),
             sum(expr("CAST(c * t6 AS DECIMAL(38,0))")).as("N"))
+          // half-away-from-zero via sign-extract + abs: the integer
+          // division only ever sees NONNEGATIVE operands, where Spark's
+          // truncating `div` and DuckDB's flooring `//` provably agree —
+          // a negative numerator would differ by 1 ulp between engines
+          // (unreachable here since KL ≥ 0 beyond the rounding bound,
+          // but the branch exists precisely for that case, so it must
+          // not depend on engine-specific negative-division semantics)
           .withColumn("kl_nats", expr(
-            """CAST((2 * N + (CASE WHEN N < 0 THEN -n_tokens ELSE n_tokens END))
-                    div (2 * CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"""))
+            """CAST(CASE WHEN N < 0
+                    THEN -((-2 * N + n_tokens) div (2 * CAST(n_tokens AS DECIMAL(38,0))))
+                    ELSE (2 * N + n_tokens) div (2 * CAST(n_tokens AS DECIMAL(38,0)))
+                    END AS DOUBLE) / 1000000.0"""))
           .select("lang", "n_tokens", "n_types", "kl_nats")
           .orderBy("lang")
       },
@@ -733,8 +748,10 @@ object TextAnalysis {
                   FROM tf JOIN lt USING (lang) JOIN g USING (tok), gt),
         s AS (SELECT lang, CAST(sum(c * t6) AS HUGEINT) N FROM terms GROUP BY 1)
         SELECT lang, lt.L AS n_tokens, lt.n_types,
-               CAST((2 * N + (CASE WHEN N < 0 THEN -L ELSE L END))
-                    // (2 * CAST(L AS HUGEINT)) AS DOUBLE) / 1000000.0 AS kl_nats
+               CAST(CASE WHEN N < 0
+                    THEN -((-2 * N + L) // (2 * CAST(L AS HUGEINT)))
+                    ELSE (2 * N + L) // (2 * CAST(L AS HUGEINT))
+                    END AS DOUBLE) / 1000000.0 AS kl_nats
         FROM s JOIN lt USING (lang)
         ORDER BY lang""")),
 

@@ -151,8 +151,17 @@ object StreamingPipeline {
       textCol: String = "text",
       tsCol: String = "timestamp",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat, lit, size, uuid, when}
+    import org.apache.spark.sql.functions.{col, concat, lit, size, struct, when, xxhash64}
     import graft.functions.{VectorExpressions => V}
+    // null-text fallback key: DETERMINISTIC from the row's full content
+    // (event time + a hash of every source column), never uuid() — a
+    // nondeterministic key re-keys the same malformed row on micro-batch
+    // replay after a failure, so dropDuplicatesWithinWatermark could not
+    // suppress its re-delivery and the pipeline's exactly-once replay
+    // guarantee would silently leak duplicates. Distinct malformed rows
+    // still get distinct keys (they differ in some hashed column);
+    // fully-identical malformed rows collapse, which IS dedup semantics.
+    val rowHash = xxhash64(struct(docs.columns.map(col): _*))
     docs
       // a null event time must not reach the stateful operator (the
       // silentDevices lesson: the watermark drops OLD rows, not null
@@ -164,7 +173,7 @@ object StreamingPipeline {
       // row (conditional subtrees are outside subexpression elimination)
       .withColumn("_grams", V.wordShingles(col(textCol), 3))
       .withColumn("_dedup_key",
-        when(col(textCol).isNull, concat(lit("null:"), uuid()))
+        when(col(textCol).isNull, concat(lit("null:"), rowHash.cast("string")))
           .when(size(col("_grams")) > 0, V.minhashSig(col("_grams")).cast("string"))
           .otherwise(concat(lit("short:"), col(textCol))))
       .withWatermark(tsCol, watermarkDelay)

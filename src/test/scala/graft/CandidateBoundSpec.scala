@@ -110,4 +110,25 @@ class CandidateBoundSpec extends SparkSuite {
         s"$dir: $perVec pairs/vec — cell granularity regressed")
     }
   }
+
+  test("heavy_hitters regime holds: exact top-10 clears the Misra-Gries retention bound") {
+    // heavy_hitters is exact against its plain top-10 oracle ONLY when
+    // every true top-10 token clears the n/(k+1) retention bound (k=64):
+    // below it, a sketch pass may drop a true hitter and the registered
+    // query would silently diverge from its oracle on a future, flatter
+    // corpus. Assert the regime at every scale so a testdata change fails
+    // HERE, loudly, instead of as an inscrutable oracle hash mismatch.
+    for (dir <- dirs) {
+      val toks = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val n = toks.count()
+      val top10 = toks.groupBy("tok").count()
+        .orderBy(col("count").desc, col("tok")).limit(10).collect()
+      val weakest = top10.map(_.getLong(1)).min
+      val bound = n / 65.0 // n/(k+1), k = 64 sketch counters
+      assert(weakest > bound,
+        s"$dir: weakest top-10 count $weakest ≤ retention bound $bound — " +
+          "heavy_hitters' exactness regime no longer holds on this corpus")
+    }
+  }
 }

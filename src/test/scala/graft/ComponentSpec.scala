@@ -9,6 +9,22 @@ import graft.sources.SensorGen
 class ComponentSpec extends SparkSuite {
   import spark.implicits._
 
+  test("integer division truncates toward zero on negative operands (davg contract)") {
+    // Num.davg's half-away-from-zero rounding feeds a NEGATIVE numerator
+    // to `div` for negative averages (log-probs), so its cross-engine
+    // exactness rests on Spark `div` and DuckDB `//` agreeing there.
+    // Pin Spark's side; DuckDB's was measured directly (-7 // 2 = -3,
+    // truncation, not floor — same for HUGEINT) and every davg oracle
+    // re-verifies it empirically at each sweep. If either engine ever
+    // flipped to floor division this would drift by one output ulp.
+    val r = spark.sql(
+      "SELECT -7 div 2 AS a, 7 div 2 AS b, CAST(-7 AS DECIMAL(38,0)) div 2 AS c")
+      .collect().head
+    assert(r.getLong(0) == -3L, "Spark div no longer truncates toward zero")
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == -3L, "DECIMAL div no longer truncates toward zero")
+  }
+
   test("ResultCache: hit within TTL, rebuild after expiry, invalidate works") {
     var now = 0L
     var builds = 0

@@ -83,6 +83,26 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("termTfs kernel equals the per-term size(filter(...)) formulation") {
+    import spark.implicits._
+    import graft.functions.{VectorExpressions => V}
+    val terms = Seq("spark", "table", "x")
+    // trailing space: split(-1) keeps the empty token, so len counts it;
+    // empty string splits to [''] (len 1, all tfs 0) in both formulations
+    val texts = Seq("spark x spark table", "x y z ", "", "no hits here",
+      "spark spark spark").toDF("text")
+    val got = texts.select(
+      V.termTfs(col("text"), terms).as("k"),
+      expr(s"""array(${terms.map(t =>
+          s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS BIGINT)")
+        .mkString(", ")}, CAST(size(split(text, ' ')) AS BIGINT))""").as("sqlway"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel ${r.getSeq[Long](0)} != sql ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("minhash candidates: no false positives and >=80% recall vs exact jaccard") {
     val exact = run("ngram_jaccard").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

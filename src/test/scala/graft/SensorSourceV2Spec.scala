@@ -221,6 +221,58 @@ class SensorSourceV2Spec extends SparkSuite {
     assert(all.toSet == SensorGen.batch(spark, 400).collect().map(_.toSeq).toSet)
   }
 
+  test("e2e reference parity: update-mode revisions converge to the append-after-close rows") {
+    // The whole reference pipeline (A1→A11) off the broker-free V2
+    // source, BOTH sink semantics: mimicReference=true re-emits a window
+    // per revision (the duplicate-row behavior the reference's update-
+    // mode writer exhibits into its append-only sensor_aggregates table,
+    // processor.py:105,133), default append emits each window exactly
+    // once after the watermark closes it. The parity contract tying them
+    // together: for every window append closed, the LAST update-mode
+    // revision must equal the append row exactly — revisions are
+    // monotone refinements, not a different answer.
+    import graft.streaming.StreamingPipeline
+    val root = java.nio.file.Files.createTempDirectory("graft-v2-parity")
+    def runMode(mimic: Boolean, name: String): Seq[(Long, org.apache.spark.sql.Row)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, org.apache.spark.sql.Row)]
+      val stream = spark.readStream.format("graft-sensors")
+        .option("rows", 200).option("rowsPerBatch", 50).load()
+      val q = StreamingPipeline.aggregateWriter(
+        StreamingPipeline.aggregates(stream, "1 minute", "1 minute"),
+        s"$root/$name",
+        (df, bid) => {
+          val rows = df.collect()
+          buf.synchronized { buf ++= rows.map(r => (bid, r)) }
+        },
+        mimicReference = mimic).start()
+      try q.processAllAvailable() finally q.stop()
+      buf.toSeq
+    }
+    val updates = runMode(mimic = true, "upd")
+    val appends = runMode(mimic = false, "app")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("device_type"), r.getAs[String]("location"))
+    // 200 ids at 1/s across 50-row batches: windows straddle batch
+    // boundaries, so at least one key must have been revised (emitted
+    // more than once) — otherwise update mode degenerated to append
+    val updCounts = updates.groupBy { case (_, r) => key(r) }
+    assert(updCounts.values.exists(_.size > 1),
+      "no window was ever revised — update-mode parity test is vacuous")
+    // append emits once per closed window, never twice
+    val appByKey = appends.groupBy { case (_, r) => key(r) }
+    assert(appByKey.values.forall(_.size == 1),
+      "append mode emitted a window twice")
+    assert(appByKey.nonEmpty, "watermark closed no windows — test is vacuous")
+    // last revision per key == the append row, for every closed window
+    val lastRev = updCounts.map { case (k, rs) => k -> rs.maxBy(_._1)._2.toSeq }
+    appByKey.foreach { case (k, rs) =>
+      assert(lastRev.contains(k), s"append emitted $k but update never did")
+      assert(lastRev(k) == rs.head._2.toSeq,
+        s"final update revision for $k diverges from the append-after-close row")
+    }
+  }
+
   test("partition planning splits evenly and never exceeds the range") {
     val parts = partitionsOf(read(1000, parts = 8))
     assert(parts.size == 8)
