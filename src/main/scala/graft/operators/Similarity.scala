@@ -899,7 +899,160 @@ object Similarity {
         SELECT dim,
                round(u / sqrt(CAST(sum(CAST(round(u * u, 8) AS DECIMAL(28,8)))
                                    OVER () AS DOUBLE)), 6) AS pc1
-        FROM u ORDER BY dim"""))
+        FROM u ORDER BY dim""")),
+
+    // ---- trained IVF: the train → index → query composition --------------
+    // kmeans_refine is one Lloyd step; ann_ivf_topk quantizes off label
+    // means. This is the production pipeline that JOINS them: train the
+    // coarse quantizer by looping Lloyd steps with DRIVER-HELD centroids
+    // (k·d doubles collected and re-broadcast per round — the
+    // dedup_clusters convergence-loop pattern, and exactly how real IVF
+    // trainers hold their k·d-sized state; the corpus-sized frames never
+    // leave the cluster), then build the inverted file by assigning every
+    // vector to its trained cell, then probe the [[AnnTrainedProbe]]
+    // closest cells per query. Deterministic end to end: seeds are
+    // vec_id < k, assignment argmin is the packed-scalar round-6 key,
+    // means are exact-decimal rounded to 6 — so the oracle replays the
+    // SAME iterations as unrolled CTEs and the whole trained index is
+    // hash-checked, not just spot-recalled. Early exit on an exact
+    // centroid fixpoint is oracle-safe: further Lloyd steps at a
+    // fixpoint are identities, so the unrolled SQL converges to the
+    // same bank. Recall vs the exact scan is pinned in OperatorSpec.
+    GraftQuery(
+      "ann_trained_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = vecs(s, dir)
+          .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val dbl = org.apache.spark.sql.types.DoubleType
+        def argminCell(frame: DataFrame, cents: DataFrame): DataFrame = frame
+          .crossJoin(broadcast(cents))
+          .withColumn("d2", V.subSqDist(col("vd"), col("cv"), lit(0), KmDims))
+          .withColumn("pk", expr(
+            s"CAST(round(round(d2, 6) * 1e6) AS BIGINT) * $KmSeeds + c_id"))
+        // train: Lloyd iterations, centroids live on the driver
+        var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KmSeeds)
+          .select(col("vec_id").cast("int"), col("vd")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+        var it = 0
+        var converged = false
+        while (it < KmIters && !converged) {
+          val next = argminCell(e.select(col("vec_id"), col("vd")),
+              broadcast(cents.toDF("c_id", "cv")))
+            .groupBy("vec_id", "vd").agg(min("pk").as("mn"))
+            .select(expr(s"CAST(mn % $KmSeeds AS INT)").as("c_id"), col("vd"))
+            .select(col("c_id"), posexplode(col("vd")).as(Seq("dim", "x")))
+            .groupBy("c_id", "dim")
+            .agg(round(sum(col("x").cast(dec)).cast(dbl) / count(lit(1)), 6).as("m"))
+            .groupBy("c_id")
+            .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+            .select(col("c_id"), expr("transform(dm, p -> p.m)").as("cv"))
+            .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+          converged = next == cents
+          cents = next
+          it += 1
+        }
+        val bank = cents.toDF("c_id", "cv")
+        // index: assign every corpus vector to its trained cell
+        val asg = argminCell(
+            e.select(col("vec_id"), col("embedding"), col("norm"), col("vd")), bank)
+          .groupBy(col("vec_id"), col("embedding"), col("norm"))
+          .agg(min("pk").as("mn"))
+          .withColumn("c_id", expr(s"CAST(mn % $KmSeeds AS INT)"))
+        // query: probe the nProbe closest trained cells
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm").as("qnorm"))
+        val qCells = q.crossJoin(broadcast(bank))
+          .withColumn("cdist", V.dot(col("qemb"), col("cv")) /
+            (col("qnorm") * greatest(V.l2norm(col("cv")), lit(1e-12))))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("qid").orderBy(round(col("cdist"), 6).desc, col("c_id"))))
+          .filter(col("crank") <= AnnTrainedProbe)
+          .select(col("qid"), col("qemb"), col("qnorm"), col("c_id").as("qc_id"))
+        val scored = asg.join(broadcast(qCells),
+            col("c_id") === col("qc_id") && col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
+        rankTopK(scored, 10)
+      },
+      Some {
+        val d2 = (v: String, cv: String) =>
+          s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, ${KmDims + 1}),
+                   i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i]))),
+                 (acc, x) -> acc + x), 6)"""
+        val lloyd = (prev: String, a: String, c: String) => s"""
+        $a AS (
+          SELECT vec_id, v, c_id FROM (
+            SELECT e.vec_id, e.v, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${d2("e.v", "c.cv")}, c.c_id) rn
+            FROM e CROSS JOIN $prev c)
+          WHERE rn = 1),
+        $c AS (
+          SELECT c_id, list(m ORDER BY dim) cv FROM (
+            SELECT c_id, dim,
+                   round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+                         / count(*), 6) m
+            FROM (SELECT c_id, generate_subscripts(v, 1) dim, unnest(v) x
+                  FROM $a)
+            GROUP BY 1, 2)
+          GROUP BY c_id)"""
+        s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmSeeds),
+        ${lloyd("c0", "a1", "c1")},
+        ${lloyd("c1", "a2", "c2")},
+        asg AS (
+          SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${d2("e.v", "c.cv")}, c.c_id) rn
+            FROM e CROSS JOIN c2 c)
+          WHERE rn = 1),
+        q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
+        qcells AS (
+          SELECT qid, qv, qnorm, c_id FROM (
+            SELECT q.qid, q.qv, q.qnorm, c.c_id,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     round(
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, ${KmDims + 1}),
+                           i -> q.qv[i] * c.cv[i])), (acc, x) -> acc + x)
+                       / (q.qnorm * greatest(
+                           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                             list_transform(c.cv, x -> x * x)),
+                             (acc, x) -> acc + x)), 1e-12)),
+                       6) DESC, c.c_id) AS crank
+            FROM q CROSS JOIN c2 c)
+          WHERE crank <= $AnnTrainedProbe),
+        scored AS (
+          SELECT qc.qid, e.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(e.v) + 1),
+                     i -> e.v[i] * qc.qv[i])), (acc, x) -> acc + x)
+                 / (e.norm * qc.qnorm) AS cos
+          FROM asg
+          JOIN qcells qc USING (c_id)
+          JOIN e ON e.vec_id = asg.vec_id
+          WHERE e.vec_id != qc.qid),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, round(cos, 4) AS cosine
+        FROM ranked
+        WHERE rank <= 10
+        ORDER BY qid, rank"""
+      })
   )
 
   /** semantic_dedup's within-cell candidate pairs with their exact cosine,
@@ -955,4 +1108,10 @@ object Similarity {
     * index being trained, not with n. */
   private val KmSeeds = 8
   private val KmDims = 64
+
+  /** ann_trained_topk: Lloyd refinement rounds (mirrored as unrolled
+    * oracle CTEs — raising this means adding a CTE pair) and probed
+    * trained cells per query. */
+  private val KmIters = 2
+  private val AnnTrainedProbe = 3
 }

@@ -149,6 +149,23 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("ann_trained_topk: trained-quantizer recall floor, well-formed ranking") {
+    // the train → index → query composition must not be WORSE than the
+    // label-mean quantizer's bar: probing 3 of 8 trained cells has to
+    // beat blind sampling (3/8 of the corpus ⇒ expected recall 0.375
+    // for a useless quantizer)
+    val exact = run("cosine_topk").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = run("ann_trained_topk").collect()
+    val trained = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = trained.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"trained-IVF recall too low: $recall")
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")),
+      "a query returned itself")
+    val ranks = rows.groupBy(_.getAs[Long]("qid")).values
+    assert(ranks.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10)))
+  }
+
   test("cosine_topk: self-similarity excluded, scores within [-1,1], rank dense") {
     val rows = run("cosine_topk").collect()
     assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
