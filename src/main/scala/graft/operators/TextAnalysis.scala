@@ -792,10 +792,113 @@ object TextAnalysis {
         FROM c GROUP BY 1, 2
         HAVING CAST(sum(CASE WHEN (code // $FhBuckets) % 2 = 0
                              THEN 1 ELSE -1 END) AS BIGINT) != 0
-        ORDER BY doc_id, bucket"""))
+        ORDER BY doc_id, bucket""")),
+
+    // ---- DSIR importance weights: target-vs-raw hashed-bigram ratio ------
+    // Data Selection via Importance Resampling (Xie et al. 2023, public):
+    // score every raw document by how target-like its hashed n-gram
+    // distribution is — logw(d) = Σ_f c_d(f)·ln(p̂_t(f)/p̂_r(f)) with
+    // Laplace-smoothed bucket probabilities — then resample proportional
+    // to exp(logw). This registers the scoring pass (the resample itself
+    // is a deterministic-bucket sample like quality_sample downstream).
+    // Target = the eval docs (doc_id < EvalMaxDocId), raw = the train
+    // corpus; features are hashed BIGRAMS of the engine-neutral token
+    // code over [[DsirBuckets]] buckets, so the feature space — and the
+    // ratio table — is fixed-width no matter the vocabulary, the same
+    // property that makes feature_hash the 100 TB vectorizer. Scale: two
+    // corpus scans (bucket stats; per-doc bucket counts), the totals ride
+    // a window over the B-row stats frame (bounded, the pca discipline),
+    // and the B-row log-ratio table broadcasts onto the per-doc counts.
+    // Determinism: ln is rounded to 6 decimals into integer micro-nats
+    // (the bigram_logprob discipline), the per-doc sum is an exact
+    // integer, and the final half-away-from-zero rounding to 4 decimals
+    // divides only nonnegative operands (the lang_divergence discipline).
+    GraftQuery(
+      "dsir_weights",
+      (s, dir) => {
+        val B = DsirBuckets
+        val withF = Tables.documents(s, dir)
+          .withColumn("codes", expr(
+            """transform(split(text, ' '),
+                 t -> CAST(ascii(substring(t, 1, 1)) * 131
+                           + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))"""))
+          .select(col("doc_id"), explode(expr(s"""
+            IF(size(codes) >= 2,
+               transform(sequence(1, size(codes) - 1),
+                 i -> (element_at(codes, i) * 1000003
+                       + element_at(codes, i + 1)) % $B),
+               array(CAST(NULL AS BIGINT)))""")).as("f"))
+          .filter(col("f").isNotNull)
+        val ev = Curation.EvalMaxDocId
+        val stats = withF.groupBy("f")
+          .agg(sum(when(col("doc_id") < ev, 1L).otherwise(0L)).as("nt"),
+            sum(when(col("doc_id") >= ev, 1L).otherwise(0L)).as("nr"))
+        val ratios = stats
+          .withColumn("tN", sum("nt").over(Window.partitionBy()))
+          .withColumn("rN", sum("nr").over(Window.partitionBy()))
+          .withColumn("r6", expr(s"""
+            CAST(round(ln(((nt + 1) * (rN + $B)) / ((nr + 1) * (tN + $B)))
+                       * 1000000) AS BIGINT)"""))
+          .select("f", "r6")
+        withF.filter(col("doc_id") >= ev)
+          .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+          .join(broadcast(ratios), Seq("f"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_feats"),
+            sum(expr("CAST(c * r6 AS DECIMAL(38,0))")).as("S"))
+          .withColumn("logw", expr(
+            """CAST(CASE WHEN S < 0 THEN -((-2 * S + 100) div 200)
+                    ELSE (2 * S + 100) div 200 END AS DOUBLE) / 10000.0"""))
+          .select("doc_id", "n_feats", "logw")
+          .orderBy("doc_id")
+      },
+      Some {
+        val ev = Curation.EvalMaxDocId
+        s"""
+        WITH c AS (
+          SELECT doc_id, list_transform(string_split(text, ' '),
+                   t -> CAST(ascii(substring(t, 1, 1)) * 131
+                             + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))
+                   AS codes
+          FROM documents),
+        fx AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(codes) >= 2 THEN
+                   list_transform(range(1, len(codes)),
+                     i -> (codes[i] * 1000003 + codes[i + 1]) % $DsirBuckets)
+                   ELSE [] END) AS f
+          FROM c),
+        st AS (
+          SELECT f,
+                 CAST(sum(CASE WHEN doc_id < $ev THEN 1 ELSE 0 END) AS BIGINT) nt,
+                 CAST(sum(CASE WHEN doc_id >= $ev THEN 1 ELSE 0 END) AS BIGINT) nr
+          FROM fx GROUP BY 1),
+        r AS (
+          SELECT f,
+                 CAST(round(ln(((nt + 1) * (sum(nr) OVER () + $DsirBuckets))
+                               / ((nr + 1) * (sum(nt) OVER () + $DsirBuckets)))
+                            * 1000000) AS BIGINT) r6
+          FROM st),
+        dc AS (SELECT doc_id, f, count(*) c FROM fx WHERE doc_id >= $ev
+               GROUP BY 1, 2),
+        sc AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) n_feats,
+                 CAST(sum(c * r6) AS HUGEINT) S
+          FROM dc JOIN r USING (f) GROUP BY 1)
+        SELECT doc_id, n_feats,
+               CAST(CASE WHEN S < 0 THEN -((-2 * S + 100) // 200)
+                    ELSE (2 * S + 100) // 200 END AS DOUBLE) / 10000.0 AS logw
+        FROM sc
+        ORDER BY doc_id"""
+      })
   )
 
   /** feature_hash width: fixed feature-space size B; memory per doc is
     * O(min(tokens, B)) whatever the corpus vocabulary grows to. */
   private val FhBuckets = 64
+
+  /** dsir_weights hashed-bigram feature-space width: the log-ratio table
+    * is exactly this many rows however large the corpus, which is what
+    * lets it broadcast. */
+  private val DsirBuckets = 4096
 }

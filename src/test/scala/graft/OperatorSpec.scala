@@ -103,6 +103,24 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("dsir_weights: contaminated docs score more target-like than clean ones") {
+    // docs flagged by decontaminate CONTAIN eval trigrams, so their
+    // hashed-bigram distribution is closer to the target's — DSIR must
+    // rank them above the clean remainder on average, or the importance
+    // weight isn't measuring target-likeness at all
+    val w = run("dsir_weights").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite), "non-finite logw")
+    val flagged = run("decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("flagged"))
+    val (cont, clean) = flagged.partition(_._2)
+    assert(cont.nonEmpty && clean.nonEmpty, "contamination split is vacuous")
+    def meanW(xs: Seq[(Long, Boolean)]) =
+      xs.flatMap(x => w.get(x._1)).sum / xs.size
+    assert(meanW(cont) > meanW(clean),
+      s"contaminated mean ${meanW(cont)} <= clean mean ${meanW(clean)}")
+  }
+
   test("minhash candidates: no false positives and >=80% recall vs exact jaccard") {
     val exact = run("ngram_jaccard").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

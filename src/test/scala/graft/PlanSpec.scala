@@ -141,6 +141,17 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dsir_weights scans the corpus exactly twice and broadcasts the ratio table") {
+    // bucket stats + per-doc counts are the two passes; the B-row
+    // log-ratio table must ride a broadcast onto the per-doc side —
+    // a shuffled join there would re-partition the whole exploded corpus
+    val plan = planOf("dsir_weights")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"dsir_weights plans $scans corpus scans, expected 2")
+    assert(plan.contains("BroadcastHashJoin"),
+      "dsir_weights ratio table lost its broadcast")
+  }
+
   test("packing cumsums window over (lang, bucket), never lang alone") {
     // lang is a handful of values: a doc_id-ordered window partitioned by
     // lang alone funnels each language's whole corpus through one task.
