@@ -96,8 +96,8 @@ object Curation {
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
     val bounds = base.agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
     val bucketed = base.crossJoin(broadcast(bounds))
-      .withColumn("bkt", least(lit(CumsumBuckets - 1),
-        expr(s"((doc_id - dmin) * $CumsumBuckets) div (dmax - dmin + 1)")))
+      .withColumn("bkt",
+        PipelineOps.rangeBucket("doc_id", "dmin", "dmax", CumsumBuckets))
       .drop("dmin", "dmax")
     val wLocal = Window.partitionBy("lang", "bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -12,6 +12,26 @@ import graft.{GraftQuery, Tables}
   */
 object PipelineOps {
 
+  /** Monotone range-bucket of a long `value` against broadcast `[lo, hi]`
+    * bounds columns: `least(n-1, (value - lo) div ((hi - lo) div n + 1))`.
+    * The shared arithmetic behind every two-phase bucket +
+    * broadcast-offset build (global_row_number here, Curation.tokenCumsum,
+    * the changepoints row index). DIVIDE-FIRST on purpose: the
+    * multiply-first form `((value - lo) * n) div (hi - lo + 1)` overflows
+    * Long whenever the key span exceeds Long.MaxValue/n (snowflake-style
+    * sparse 63-bit ids at n=32), silently producing negative buckets and
+    * a non-monotone binning — i.e. wrong cumsums with no error. Here the
+    * width `(hi-lo) div n + 1` keeps every intermediate ≤ the span.
+    * Assumes hi − lo itself doesn't overflow (keys within one signed-64
+    * span of each other — true for any non-adversarial id scheme).
+    * Produces ≤ n buckets, possibly fewer (harmless: offsets are built
+    * from the buckets that exist). Args are SQL expression fragments
+    * (column names or expressions over them), spliced verbatim — the
+    * davg contract. */
+  private[operators] def rangeBucket(value: String, lo: String, hi: String,
+      n: Int): org.apache.spark.sql.Column =
+    expr(s"least(${n - 1}, ($value - $lo) div (($hi - $lo) div $n + 1))")
+
   /** hex nibble → value via position in the alphabet (engine-neutral —
     * unlike conv()/from_hex(), strpos/locate exist in both engines). */
   private def nib(spark: String): String =
@@ -198,8 +218,8 @@ object PipelineOps {
         val bounds = base.agg(min(unix_micros(col("ts"))).as("tmin"),
           max(unix_micros(col("ts"))).as("tmax"))
         val bucketed = base.crossJoin(broadcast(bounds))
-          .withColumn("pid", least(lit(nBuckets - 1), expr(
-            s"((unix_micros(ts) - tmin) * $nBuckets) div (tmax - tmin + 1)")))
+          .withColumn("pid",
+            rangeBucket("unix_micros(ts)", "tmin", "tmax", nBuckets))
         val byPid = Window.partitionBy("pid").orderBy("ts", "event_id")
         val numbered = bucketed
           .withColumn("local_idx", row_number().over(byPid))

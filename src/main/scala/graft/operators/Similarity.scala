@@ -922,8 +922,14 @@ object Similarity {
       "ann_trained_topk",
       (s, dir) => {
         import s.implicits._
+        // cached for the TRAINING actions only (seed collect + one
+        // collect per Lloyd round would otherwise each re-scan the
+        // parquet + recompute the double cast — the dedup_clusters
+        // cache-then-unpersist discipline); released in the finally so
+        // the returned plan owns no cache entries
         val e = vecs(s, dir)
           .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .cache()
         val dec = org.apache.spark.sql.types.DecimalType(18, 8)
         val dbl = org.apache.spark.sql.types.DoubleType
         def argminCell(frame: DataFrame, cents: DataFrame): DataFrame = frame
@@ -937,7 +943,7 @@ object Similarity {
           .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
         var it = 0
         var converged = false
-        while (it < KmIters && !converged) {
+        try while (it < KmIters && !converged) {
           val next = argminCell(e.select(col("vec_id"), col("vd")),
               broadcast(cents.toDF("c_id", "cv")))
             .groupBy("vec_id", "vd").agg(min("pk").as("mn"))
@@ -952,7 +958,7 @@ object Similarity {
           converged = next == cents
           cents = next
           it += 1
-        }
+        } finally e.unpersist(blocking = false)
         val bank = cents.toDF("c_id", "cv")
         // index: assign every corpus vector to its trained cell
         val asg = argminCell(

@@ -722,12 +722,13 @@ object TextAnalysis {
           .agg(max("L").as("n_tokens"), max("n_types").as("n_types"),
             sum(expr("CAST(c * t6 AS DECIMAL(38,0))")).as("N"))
           // half-away-from-zero via sign-extract + abs: the integer
-          // division only ever sees NONNEGATIVE operands, where Spark's
-          // truncating `div` and DuckDB's flooring `//` provably agree —
-          // a negative numerator would differ by 1 ulp between engines
-          // (unreachable here since KL ≥ 0 beyond the rounding bound,
-          // but the branch exists precisely for that case, so it must
-          // not depend on engine-specific negative-division semantics)
+          // division only ever sees NONNEGATIVE operands, where integer
+          // division semantics are unambiguous. (Both engines in fact
+          // truncate toward zero on negative operands too — measured, and
+          // pinned by ComponentSpec's davg-contract test — but this shape
+          // does not depend on that: the N<0 branch is unreachable since
+          // KL ≥ 0 beyond the rounding bound, and even if reached it
+          // divides only nonnegative numbers.)
           .withColumn("kl_nats", expr(
             """CAST(CASE WHEN N < 0
                     THEN -((-2 * N + n_tokens) div (2 * CAST(n_tokens AS DECIMAL(38,0))))
@@ -836,8 +837,15 @@ object TextAnalysis {
         val ratios = stats
           .withColumn("tN", sum("nt").over(Window.partitionBy()))
           .withColumn("rN", sum("nr").over(Window.partitionBy()))
+          // the corpus-total factors convert to DOUBLE before the multiply:
+          // a BIGINT*BIGINT product wraps in Spark at 100 TB totals
+          // (count ~2.5e13 × per-bucket nt) while DuckDB's HUGEINT doesn't
+          // — a divergence invisible at test scale. Every factor is < 2^53
+          // so the int→double conversions are exact and both engines
+          // compute identical IEEE products.
           .withColumn("r6", expr(s"""
-            CAST(round(ln(((nt + 1) * (rN + $B)) / ((nr + 1) * (tN + $B)))
+            CAST(round(ln(((nt + 1) * CAST(rN + $B AS DOUBLE))
+                          / ((nr + 1) * CAST(tN + $B AS DOUBLE)))
                        * 1000000) AS BIGINT)"""))
           .select("f", "r6")
         withF.filter(col("doc_id") >= ev)
@@ -875,8 +883,8 @@ object TextAnalysis {
           FROM fx GROUP BY 1),
         r AS (
           SELECT f,
-                 CAST(round(ln(((nt + 1) * (sum(nr) OVER () + $DsirBuckets))
-                               / ((nr + 1) * (sum(nt) OVER () + $DsirBuckets)))
+                 CAST(round(ln(((nt + 1) * CAST(sum(nr) OVER () + $DsirBuckets AS DOUBLE))
+                               / ((nr + 1) * CAST(sum(nt) OVER () + $DsirBuckets AS DOUBLE)))
                             * 1000000) AS BIGINT) r6
           FROM st),
         dc AS (SELECT doc_id, f, count(*) c FROM fx WHERE doc_id >= $ev

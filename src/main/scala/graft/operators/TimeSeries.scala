@@ -416,8 +416,8 @@ object TimeSeries {
         val bounds = base.agg(min(unix_micros(col("ts"))).as("tmin"),
           max(unix_micros(col("ts"))).as("tmax"))
         val bucketed = base.crossJoin(broadcast(bounds))
-          .withColumn("bkt", least(lit(nBkts - 1), expr(
-            s"((unix_micros(ts) - tmin) * $nBkts) div (tmax - tmin + 1)")))
+          .withColumn("bkt",
+            PipelineOps.rangeBucket("unix_micros(ts)", "tmin", "tmax", nBkts))
           .drop("tmin", "tmax")
         val byBkt = Window.partitionBy("event_type", "bkt")
           .orderBy(col("ts"), col("event_id"))

@@ -151,17 +151,22 @@ object StreamingPipeline {
       textCol: String = "text",
       tsCol: String = "timestamp",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat, lit, size, struct, when, xxhash64}
+    import org.apache.spark.sql.functions.{col, concat, lit, size, struct, to_json, when, xxhash64}
     import graft.functions.{VectorExpressions => V}
-    // null-text fallback key: DETERMINISTIC from the row's full content
-    // (event time + a hash of every source column), never uuid() — a
-    // nondeterministic key re-keys the same malformed row on micro-batch
-    // replay after a failure, so dropDuplicatesWithinWatermark could not
-    // suppress its re-delivery and the pipeline's exactly-once replay
-    // guarantee would silently leak duplicates. Distinct malformed rows
-    // still get distinct keys (they differ in some hashed column);
-    // fully-identical malformed rows collapse, which IS dedup semantics.
-    val rowHash = xxhash64(struct(docs.columns.map(col): _*))
+    // null-text fallback key: DETERMINISTIC from the row's full content,
+    // never uuid() — a nondeterministic key re-keys the same malformed row
+    // on micro-batch replay after a failure, so
+    // dropDuplicatesWithinWatermark could not suppress its re-delivery and
+    // the pipeline's exactly-once replay guarantee would silently leak
+    // duplicates. The hash goes over the row's JSON with nulls kept
+    // EXPLICIT: hashing the columns directly would use Spark's
+    // null-skipping hash fold, under which two distinct rows whose
+    // non-null values "shift" across columns (a NULL,"x" vs "x",NULL)
+    // collide and one real malformed record would be dropped. Distinct
+    // malformed rows thus get distinct keys; fully-identical malformed
+    // rows collapse, which IS dedup semantics.
+    val rowHash = xxhash64(to_json(struct(docs.columns.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
     docs
       // a null event time must not reach the stateful operator (the
       // silentDevices lesson: the watermark drops OLD rows, not null

@@ -115,8 +115,13 @@ class OperatorSpec extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("flagged"))
     val (cont, clean) = flagged.partition(_._2)
     assert(cont.nonEmpty && clean.nonEmpty, "contamination split is vacuous")
-    def meanW(xs: Seq[(Long, Boolean)]) =
-      xs.flatMap(x => w.get(x._1)).sum / xs.size
+    // mean over the docs that HAVE a weight (sub-2-token docs emit none) —
+    // dividing by the full group size would bias each group's mean by its
+    // weightless-doc fraction
+    def meanW(xs: Seq[(Long, Boolean)]) = {
+      val ws = xs.flatMap(x => w.get(x._1))
+      ws.sum / ws.size
+    }
     assert(meanW(cont) > meanW(clean),
       s"contaminated mean ${meanW(cont)} <= clean mean ${meanW(clean)}")
   }
