@@ -19,8 +19,10 @@ object PipelineOps {
     * the changepoints row index). DIVIDE-FIRST on purpose: the
     * multiply-first form `((value - lo) * n) div (hi - lo + 1)` overflows
     * Long whenever the key span exceeds Long.MaxValue/n (snowflake-style
-    * sparse 63-bit ids at n=32), silently producing negative buckets and
-    * a non-monotone binning — i.e. wrong cumsums with no error. Here the
+    * sparse 63-bit ids at n=32) — under ANSI mode (our default) that
+    * ABORTS the job at runtime; with ANSI off it silently wraps into
+    * negative, non-monotone buckets, i.e. wrong cumsums with no error.
+    * Either way the binning is unusable on sparse id schemes. Here the
     * width `(hi-lo) div n + 1` keeps every intermediate ≤ the span.
     * Assumes hi − lo itself doesn't overflow (keys within one signed-64
     * span of each other — true for any non-adversarial id scheme).
@@ -28,7 +30,7 @@ object PipelineOps {
     * from the buckets that exist). Args are SQL expression fragments
     * (column names or expressions over them), spliced verbatim — the
     * davg contract. */
-  private[operators] def rangeBucket(value: String, lo: String, hi: String,
+  private[graft] def rangeBucket(value: String, lo: String, hi: String,
       n: Int): org.apache.spark.sql.Column =
     expr(s"least(${n - 1}, ($value - $lo) div (($hi - $lo) div $n + 1))")
 

@@ -25,6 +25,40 @@ class ComponentSpec extends SparkSuite {
     assert(r.getLong(2) == -3L, "DECIMAL div no longer truncates toward zero")
   }
 
+  test("rangeBucket: monotone, in-range on sparse 63-bit id spans (overflow contract)") {
+    // The divide-first form exists because the multiply-first binning
+    // `((v - lo) * n) div (hi - lo + 1)` overflows Long once the key span
+    // exceeds Long.MaxValue/n — snowflake-style sparse ids. Under ANSI
+    // mode (Spark 4 default, ours) that ABORTS the whole job at runtime;
+    // with ANSI off it silently wraps into negative, non-monotone
+    // buckets. Pin both halves of the claim at the worst span.
+    import graft.operators.PipelineOps
+    val hi = Long.MaxValue - 1
+    val ids = Seq(0L, hi / 7, hi / 3, hi / 2, hi - 5, hi)
+    val df = ids.toDF("id")
+      .withColumn("lo", lit(0L)).withColumn("hi", lit(hi))
+    val bkts = df.withColumn("bkt", PipelineOps.rangeBucket("id", "lo", "hi", 32))
+      .orderBy("id").select("bkt").as[Long].collect()
+    assert(bkts.forall(b => b >= 0 && b < 32),
+      s"bucket out of [0,32): ${bkts.mkString(",")}")
+    assert(bkts.sameElements(bkts.sorted), "binning is not monotone in the key")
+    // degenerate single-key span: everything lands in bucket 0, no div-by-0
+    val one = Seq(42L).toDF("id")
+      .withColumn("lo", lit(42L)).withColumn("hi", lit(42L))
+      .select(PipelineOps.rangeBucket("id", "lo", "hi", 32)).as[Long].head()
+    assert(one == 0L)
+    // and the multiply-first form really does overflow here — under ANSI
+    // that kills the query (if this stops throwing, Spark changed
+    // overflow semantics: re-evaluate rangeBucket's comment)
+    val ex = intercept[Exception] {
+      df.withColumn("b", expr("((id - lo) * 32) div (hi - lo + 1)"))
+        .select("b").as[Long].collect()
+    }
+    def overflowy(t: Throwable): Boolean = t != null &&
+      (t.isInstanceOf[ArithmeticException] || overflowy(t.getCause))
+    assert(overflowy(ex), s"expected an arithmetic overflow, got $ex")
+  }
+
   test("ResultCache: hit within TTL, rebuild after expiry, invalidate works") {
     var now = 0L
     var builds = 0
