@@ -898,12 +898,181 @@ object TextAnalysis {
                     ELSE (2 * S + 100) // 200 END AS DOUBLE) / 10000.0 AS logw
         FROM sc
         ORDER BY doc_id"""
+      }),
+
+    // ---- quality_classifier: train a linear quality filter, then score ----
+    // The model-based quality gate of the CCNet/fastText lineage: fastText
+    // (Joulin et al. 2016, public) is a LINEAR classifier over hashed
+    // n-gram features, and production corpus pipelines train exactly such
+    // a model against a trusted target corpus and keep what scores
+    // target-like. A full-batch perceptron (fixed [[QcEpochs]] epochs)
+    // over the same hashed-bigram features dsir_weights uses, positive
+    // class = the target docs (doc_id < EvalMaxDocId), then every
+    // document scored by the final weights. Perceptron, not logistic: the
+    // update Σ_misclassified y·c is INTEGER arithmetic end to end, so
+    // training is bit-exact cross-engine with no transcendental-rounding
+    // discipline needed — the oracle unrolls the epochs as CTEs and
+    // hash-matches.
+    // DRIVER-HELD loop (the kmeans_refine/ann_trained_topk discipline,
+    // registered in actionfulQueries) on purpose: the perceptron update
+    // references the weight frame TWICE per epoch (once under the
+    // gradient's margins, once in the additive join), so an action-free
+    // unrolled plan doubles the weight subtree every epoch — measured 24
+    // parquet scans at 3 epochs with zero exchange reuse, exponential in
+    // epoch count. Collecting the ≤[[QcBuckets]]-row weight vector per
+    // epoch makes it a broadcast literal instead: one cached feature
+    // frame, one margin job per epoch, and a final plan that scans the
+    // corpus twice. Margins accumulate in DECIMAL(38,0) (a 100 TB
+    // corpus-scale weight times a per-doc count can exceed Long — the
+    // dsir lesson applied before it bites); weights themselves are
+    // bounded by total corpus tokens, comfortably Long, and ANSI mode
+    // turns any miscalibration there into a loud abort, not corruption.
+    GraftQuery(
+      "quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val B = QcBuckets
+        val ev = Curation.EvalMaxDocId
+        // cached for the TRAINING actions only (epoch-1 weights + one
+        // gradient collect per later epoch); released in the finally so
+        // the returned plan owns no cache entries
+        val feats = Tables.documents(s, dir)
+          .withColumn("codes", expr(
+            """transform(split(text, ' '),
+                 t -> CAST(ascii(substring(t, 1, 1)) * 131
+                           + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))"""))
+          .select(col("doc_id"), explode(expr(s"""
+            IF(size(codes) >= 2,
+               transform(sequence(1, size(codes) - 1),
+                 i -> (element_at(codes, i) * 1000003
+                       + element_at(codes, i + 1)) % $B),
+               array(CAST(NULL AS BIGINT)))""")).as("f"))
+          .filter(col("f").isNotNull)
+          .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+          .withColumn("y", when(col("doc_id") < ev, 1L).otherwise(-1L))
+          .cache()
+        // per-doc margin under a broadcast (f, w) weight-literal frame
+        def margins(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = feats
+          .join(broadcast(w), Seq("f"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CAST(c * w AS DECIMAL(38,0))")).as("m"))
+        var w = Map.empty[Long, Long]
+        try {
+          // class-balanced updates: the target class is a fixed small
+          // eval set against an arbitrarily large corpus, so the plain
+          // update drowns the positives and learns "reject everything".
+          // Misclassified positives therefore count max(1, n₋ div n₊)
+          // times (the standard class-weighting, kept integer so the
+          // unrolled oracle still hash-matches; both engines derive the
+          // scale from the same feature-bearing-doc counts).
+          val byClass = feats.select("doc_id", "y").distinct()
+            .groupBy("y").count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val nPos = byClass.getOrElse(1L, 0L)
+          val scale = if (nPos == 0) 1L
+            else math.max(1L, byClass.getOrElse(-1L, 0L) / nPos)
+          val upd = s"y * c * (CASE WHEN y = 1 THEN ${scale}L ELSE 1L END)"
+          // epoch 1 from w₀ = 0: every doc has margin 0 ⇒ misclassified
+          w = feats.groupBy("f").agg(sum(expr(upd)).as("w"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // AVERAGED perceptron (Freund & Schapire 1999, public): score
+          // with Σ_t w_t, not the last w — full-batch updates under a
+          // large class weight oscillate (all-reject ↔ all-accept, both
+          // observed on this corpus), and the epoch average is the
+          // classic stabilizer. Summing instead of dividing keeps it
+          // integer; a positive scalar doesn't move the decision
+          // boundary, only the margin's units.
+          var wSum = w
+          // epochs 2..QcEpochs: w += Σ over misclassified (y·m ≤ 0)
+          for (_ <- 2 to QcEpochs) {
+            val g = feats
+              .join(margins(w.toSeq.toDF("f", "w"))
+                .withColumnRenamed("m", "pm"), Seq("doc_id"))
+              .filter(expr("y * pm <= 0"))
+              .groupBy("f").agg(sum(expr(upd)).as("g"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            w = w.map { case (f, v) => f -> (v + g.getOrElse(f, 0L)) }
+            wSum = wSum.map { case (f, v) => f -> (v + w(f)) }
+          }
+          w = wSum
+        } finally feats.unpersist(blocking = false)
+        Tables.documents(s, dir).select(col("doc_id"),
+            when(col("doc_id") < ev, 1).otherwise(-1).as("y"))
+          .join(margins(w.toSeq.sortBy(_._1).toDF("f", "w")), Seq("doc_id"), "left")
+          .withColumn("margin", expr("CAST(coalesce(m, 0) AS BIGINT)"))
+          .withColumn("pred", expr("CASE WHEN margin > 0 THEN 1 ELSE -1 END"))
+          .select("doc_id", "y", "margin", "pred")
+          .orderBy("doc_id")
+      },
+      Some {
+        val ev = Curation.EvalMaxDocId
+        s"""
+        WITH cx AS (
+          SELECT doc_id, list_transform(string_split(text, ' '),
+                   t -> CAST(ascii(substring(t, 1, 1)) * 131
+                             + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))
+                   AS codes
+          FROM documents),
+        fx AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(codes) >= 2 THEN
+                   list_transform(range(1, len(codes)),
+                     i -> (codes[i] * 1000003 + codes[i + 1]) % $QcBuckets)
+                   ELSE [] END) AS f
+          FROM cx),
+        dc AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) c,
+                      CASE WHEN doc_id < $ev THEN 1 ELSE -1 END y
+               FROM fx GROUP BY 1, 2),
+        sc AS (SELECT CASE WHEN count(DISTINCT doc_id) FILTER (y = 1) = 0 THEN 1
+                    ELSE greatest(1, count(DISTINCT doc_id) FILTER (y = -1)
+                                     // count(DISTINCT doc_id) FILTER (y = 1))
+                    END AS s
+               FROM dc),
+        du AS (SELECT doc_id, f, c, y,
+                      y * c * (CASE WHEN y = 1 THEN s ELSE 1 END) AS u
+               FROM dc, sc),
+        w1 AS (SELECT f, CAST(sum(u) AS HUGEINT) w FROM du GROUP BY 1),
+        m1 AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
+               FROM du JOIN w1 USING (f) GROUP BY 1),
+        g2 AS (SELECT f, CAST(sum(u) AS HUGEINT) g
+               FROM du JOIN m1 USING (doc_id)
+               WHERE y * m <= 0 GROUP BY 1),
+        w2 AS (SELECT f, w + COALESCE(g, 0) AS w
+               FROM w1 LEFT JOIN g2 USING (f)),
+        m2 AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
+               FROM du JOIN w2 USING (f) GROUP BY 1),
+        g3 AS (SELECT f, CAST(sum(u) AS HUGEINT) g
+               FROM du JOIN m2 USING (doc_id)
+               WHERE y * m <= 0 GROUP BY 1),
+        w3 AS (SELECT f, w + COALESCE(g, 0) AS w
+               FROM w2 LEFT JOIN g3 USING (f)),
+        wavg AS (SELECT f, w1.w + w2.w + w3.w AS w
+                 FROM w1 JOIN w2 USING (f) JOIN w3 USING (f)),
+        mf AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
+               FROM dc JOIN wavg USING (f) GROUP BY 1)
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id < $ev THEN 1 ELSE -1 END AS y,
+               CAST(COALESCE(m, 0) AS BIGINT) AS margin,
+               CASE WHEN CAST(COALESCE(m, 0) AS BIGINT) > 0 THEN 1 ELSE -1 END AS pred
+        FROM documents d LEFT JOIN mf ON d.doc_id = mf.doc_id
+        ORDER BY d.doc_id"""
       })
   )
 
   /** feature_hash width: fixed feature-space size B; memory per doc is
     * O(min(tokens, B)) whatever the corpus vocabulary grows to. */
   private val FhBuckets = 64
+
+  /** quality_classifier feature width: the weight vector is exactly this
+    * many rows however large the corpus — small enough that every epoch's
+    * weight/gradient frame broadcasts, wide enough that the hashed
+    * bigrams separate the target from the raw distribution. */
+  private val QcBuckets = 256
+
+  /** quality_classifier full-batch perceptron epochs. Fixed (not
+    * convergence-looped) so the oracle is a bounded CTE unroll; each
+    * epoch costs one margin job over the cached feature frame. */
+  private val QcEpochs = 3
 
   /** dsir_weights hashed-bigram feature-space width: the log-ratio table
     * is exactly this many rows however large the corpus, which is what

@@ -126,6 +126,26 @@ class OperatorSpec extends SparkSuite {
       s"contaminated mean ${meanW(cont)} <= clean mean ${meanW(clean)}")
   }
 
+  test("quality_classifier: trained model separates both classes above chance") {
+    // the averaged class-balanced perceptron must actually LEARN: a
+    // degenerate all-accept or all-reject model (both failure modes
+    // observed while tuning the update) scores one class at 0. Floors
+    // are design-point, not tight: most of each class on the right side.
+    val rows = run("quality_classifier").collect()
+    val (pos, neg) = rows.partition(_.getAs[Int]("y") == 1)
+    assert(pos.nonEmpty && neg.nonEmpty, "class split is vacuous")
+    def acc(xs: Array[org.apache.spark.sql.Row]) =
+      xs.count(r => r.getAs[Int]("pred") == r.getAs[Int]("y")).toDouble / xs.size
+    assert(acc(pos) >= 0.8, s"target-class accuracy ${acc(pos)} < 0.8")
+    // looser raw-class floor: at sf0.001 (500 docs, 256 hashed dims) the
+    // measured raw accuracy is ~0.78 (0.92 at sf0.1) — the floor guards
+    // against degeneracy, not a tuned operating point
+    assert(acc(neg) >= 0.7, s"raw-class accuracy ${acc(neg)} < 0.7")
+    // margins carry signal, not a constant sign
+    val m = rows.map(_.getAs[Long]("margin"))
+    assert(m.exists(_ > 0) && m.exists(_ < 0), "margins are one-sided")
+  }
+
   test("minhash candidates: no false positives and >=80% recall vs exact jaccard") {
     val exact = run("ngram_jaccard").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
