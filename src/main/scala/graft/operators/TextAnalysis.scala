@@ -1056,6 +1056,99 @@ object TextAnalysis {
                CASE WHEN CAST(COALESCE(m, 0) AS BIGINT) > 0 THEN 1 ELSE -1 END AS pred
         FROM documents d LEFT JOIN mf ON d.doc_id = mf.doc_id
         ORDER BY d.doc_id"""
+      }),
+
+    // ---- bpe_merges: tokenizer-training pair-merge loop ------------------
+    // The vocabulary-induction core of BPE training (Sennrich et al. 2016,
+    // public), run at the word level (= classic phrase induction): each
+    // round counts every adjacent token pair across the corpus, adopts the
+    // most frequent pair as a new vocabulary symbol (ties broken count
+    // DESC, then lexicographic — deterministic), and rewrites the corpus
+    // with the pair fused before the next round counts again. Output is
+    // the learned merge table, the artifact a tokenizer trainer ships.
+    // Two exactness decisions make this oracle-checkable:
+    // (1) only pairs with lhs ≠ rhs are candidates — a self-pair's
+    //     occurrences overlap ("x x x"), making greedy merging
+    //     order-dependent; distinct pairs never overlap at token level,
+    //     so "merge ALL occurrences" is order-free and well-defined;
+    // (2) the rewrite is a DOUBLE literal replace over the
+    //     space-sentineled doc string: chained occurrences ("a b a b")
+    //     share a boundary space, so one sequential replace pass skips
+    //     alternate matches (its scan consumes the shared space); any
+    //     survivor keeps spaces on both sides (replacements are
+    //     space-delimited), so the second pass fuses the rest — the final
+    //     string is "every occurrence fused" regardless of either
+    //     engine's scan order, and merged symbols (joined by the \u0001 sentinel,
+    //     absent from the corpus) can never create a fresh occurrence of
+    //     the same pair within a round.
+    // Scale: per round, one pair-count shuffle over the cached corpus
+    // (partial aggs absorb the explode), a 1-row collect, and a
+    // shuffle-free codegen'd rewrite. Caching each round's corpus keeps
+    // the lineage linear — K rounds cost K scans, not K²/2 replays (a
+    // cluster run would checkpoint rounds the same way). Driver-held
+    // round loop ⇒ registered in actionfulQueries.
+    GraftQuery(
+      "bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        var corpus = Tables.documents(s, dir)
+          .select(col("doc_id"), concat(lit(" "), col("text"), lit(" ")).as("s"))
+        val cachedRounds =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        val merges =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        try {
+          for (round <- 1 to BpeRounds) {
+            val cur = corpus.cache()
+            cachedRounds += cur
+            val top = cur
+              .select(split(trim(col("s")), " ").as("t"))
+              .select(explode(expr(
+                """IF(size(t) >= 2,
+                     transform(sequence(1, size(t) - 1),
+                       i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r)),
+                     array())""")).as("p"))
+              .select(col("p.l").as("l"), col("p.r").as("r"))
+              .filter(col("l") =!= col("r"))
+              .groupBy("l", "r").agg(count(lit(1)).as("c"))
+              .orderBy(col("c").desc, col("l"), col("r"))
+              .limit(1).collect()
+            if (top.nonEmpty) {
+              val (l, r, c) =
+                (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+              merges += ((round, l, r, c))
+              val pat = lit(s" $l $r ")
+              val rep = lit(s" $l\u0001$r ")
+              corpus = cur.withColumn("s",
+                replace(replace(col("s"), pat, rep), pat, rep))
+            }
+          }
+        } finally cachedRounds.foreach(_.unpersist(blocking = false))
+        merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+          .orderBy("merge_rank")
+      },
+      Some {
+        val rounds = (1 to BpeRounds).map { k =>
+          s"""
+        tk$k AS (SELECT doc_id, string_split(trim(s), ' ') AS t FROM c$k),
+        pr$k AS (SELECT t[i] AS l, t[i + 1] AS r
+                 FROM tk$k, UNNEST(range(1, len(t))) u(i)),
+        s$k AS (SELECT l, r, count(*) AS c FROM pr$k WHERE l <> r
+                GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+        c${k + 1} AS (SELECT doc_id,
+                 replace(replace(s, ' '||l||' '||r||' ', ' '||l||chr(1)||r||' '),
+                         ' '||l||' '||r||' ', ' '||l||chr(1)||r||' ') AS s
+               FROM c$k, s$k)"""
+        }.mkString(",")
+        val sel = (1 to BpeRounds)
+          .map(k => s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, " +
+            s"CAST(c AS BIGINT) AS pair_count FROM s$k")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH c1 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+        $rounds
+        $sel
+        ORDER BY merge_rank"""
       })
   )
 
@@ -1073,6 +1166,11 @@ object TextAnalysis {
     * convergence-looped) so the oracle is a bounded CTE unroll; each
     * epoch costs one margin job over the cached feature frame. */
   private val QcEpochs = 3
+
+  /** bpe_merges rounds = learned vocabulary growth. Fixed so the oracle
+    * is a bounded CTE unroll; real tokenizer training runs thousands of
+    * rounds with exactly this per-round shape. */
+  private val BpeRounds = 4
 
   /** dsir_weights hashed-bigram feature-space width: the log-ratio table
     * is exactly this many rows however large the corpus, which is what

@@ -242,4 +242,40 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("bpe double-pass replace equals greedy token-level merging on chained/run texts") {
+    // bpe_merges rewrites ' l r ' occurrences with TWO sequential literal
+    // replace passes; its exactness argument is that for l ≠ r this equals
+    // "fuse every adjacent (l, r) token pair" — including chains
+    // ("a b a b a b", where one pass skips alternate matches because its
+    // scan consumes the shared boundary space) and runs of equal tokens
+    // (never candidates). Fuzz that claim against a direct greedy merge
+    // over the token list, on a tiny alphabet that maximizes chains.
+    def greedy(toks: List[String], l: String, r: String): List[String] = toks match {
+      case a :: b :: rest if a == l && b == r =>
+        (a + "\u0001" + b) :: greedy(rest, l, r)
+      case a :: rest => a :: greedy(rest, l, r)
+      case Nil => Nil
+    }
+    val tokGen = Gen.oneOf("a", "b", "c")
+    for (s <- 1 to 8) {
+      val docs = sample(Gen.listOfN(24, Gen.choose(0, 10).flatMap(n =>
+        Gen.listOfN(n, tokGen))), 9100 + s)
+        .zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+      val df = docs.map { case (i, toks) => (i, " " + toks.mkString(" ") + " ") }
+        .toDF("id", "s")
+      for (l <- Seq("a", "b", "c"); r <- Seq("a", "b", "c") if l != r) {
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" $l\u0001$r ")
+        val engine = df
+          .select(col("id"), replace(replace(col("s"), pat, rep), pat, rep).as("s"))
+          .collect().map(row => row.getLong(0) -> row.getString(1).trim).toMap
+        docs.foreach { case (id, toks) =>
+          val want = greedy(toks, l, r).mkString(" ")
+          assert(engine(id) == want,
+            s"seed $s pair ($l,$r) toks $toks: engine '${engine(id)}' != greedy '$want'")
+        }
+      }
+    }
+  }
 }
