@@ -931,74 +931,18 @@ object TextAnalysis {
       "quality_classifier",
       (s, dir) => {
         import s.implicits._
-        val B = QcBuckets
         val ev = Curation.EvalMaxDocId
-        // cached for the TRAINING actions only (epoch-1 weights + one
-        // gradient collect per later epoch); released in the finally so
-        // the returned plan owns no cache entries
-        val feats = Tables.documents(s, dir)
-          .withColumn("codes", expr(
-            """transform(split(text, ' '),
-                 t -> CAST(ascii(substring(t, 1, 1)) * 131
-                           + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))"""))
-          .select(col("doc_id"), explode(expr(s"""
-            IF(size(codes) >= 2,
-               transform(sequence(1, size(codes) - 1),
-                 i -> (element_at(codes, i) * 1000003
-                       + element_at(codes, i + 1)) % $B),
-               array(CAST(NULL AS BIGINT)))""")).as("f"))
-          .filter(col("f").isNotNull)
-          .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
-          .withColumn("y", when(col("doc_id") < ev, 1L).otherwise(-1L))
-          .cache()
-        // per-doc margin under a broadcast (f, w) weight-literal frame
-        def margins(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = feats
-          .join(broadcast(w), Seq("f"))
+        val w = trainQualityPerceptron(s, dir)
+        // score every document under the trained weights (the training
+        // feature frame is unpersisted by then; this plan re-derives
+        // features once — two corpus scans total in the returned plan)
+        val scored = qcFeatures(Tables.documents(s, dir))
+          .join(broadcast(w.toSeq.sortBy(_._1).toDF("f", "w")), Seq("f"))
           .groupBy("doc_id")
           .agg(sum(expr("CAST(c * w AS DECIMAL(38,0))")).as("m"))
-        var w = Map.empty[Long, Long]
-        try {
-          // class-balanced updates: the target class is a fixed small
-          // eval set against an arbitrarily large corpus, so the plain
-          // update drowns the positives and learns "reject everything".
-          // Misclassified positives therefore count max(1, n₋ div n₊)
-          // times (the standard class-weighting, kept integer so the
-          // unrolled oracle still hash-matches; both engines derive the
-          // scale from the same feature-bearing-doc counts).
-          val byClass = feats.select("doc_id", "y").distinct()
-            .groupBy("y").count()
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          val nPos = byClass.getOrElse(1L, 0L)
-          val scale = if (nPos == 0) 1L
-            else math.max(1L, byClass.getOrElse(-1L, 0L) / nPos)
-          val upd = s"y * c * (CASE WHEN y = 1 THEN ${scale}L ELSE 1L END)"
-          // epoch 1 from w₀ = 0: every doc has margin 0 ⇒ misclassified
-          w = feats.groupBy("f").agg(sum(expr(upd)).as("w"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          // AVERAGED perceptron (Freund & Schapire 1999, public): score
-          // with Σ_t w_t, not the last w — full-batch updates under a
-          // large class weight oscillate (all-reject ↔ all-accept, both
-          // observed on this corpus), and the epoch average is the
-          // classic stabilizer. Summing instead of dividing keeps it
-          // integer; a positive scalar doesn't move the decision
-          // boundary, only the margin's units.
-          var wSum = w
-          // epochs 2..QcEpochs: w += Σ over misclassified (y·m ≤ 0)
-          for (_ <- 2 to QcEpochs) {
-            val g = feats
-              .join(margins(w.toSeq.toDF("f", "w"))
-                .withColumnRenamed("m", "pm"), Seq("doc_id"))
-              .filter(expr("y * pm <= 0"))
-              .groupBy("f").agg(sum(expr(upd)).as("g"))
-              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-            w = w.map { case (f, v) => f -> (v + g.getOrElse(f, 0L)) }
-            wSum = wSum.map { case (f, v) => f -> (v + w(f)) }
-          }
-          w = wSum
-        } finally feats.unpersist(blocking = false)
         Tables.documents(s, dir).select(col("doc_id"),
             when(col("doc_id") < ev, 1).otherwise(-1).as("y"))
-          .join(margins(w.toSeq.sortBy(_._1).toDF("f", "w")), Seq("doc_id"), "left")
+          .join(scored, Seq("doc_id"), "left")
           .withColumn("margin", expr("CAST(coalesce(m, 0) AS BIGINT)"))
           .withColumn("pred", expr("CASE WHEN margin > 0 THEN 1 ELSE -1 END"))
           .select("doc_id", "y", "margin", "pred")
@@ -1160,7 +1104,91 @@ object TextAnalysis {
     * many rows however large the corpus — small enough that every epoch's
     * weight/gradient frame broadcasts, wide enough that the hashed
     * bigrams separate the target from the raw distribution. */
-  private val QcBuckets = 256
+  private[graft] val QcBuckets = 256
+
+  /** Adds an ARRAY column `out` of hashed-bigram bucket codes of
+    * `textCol` — the shared feature basis of quality_classifier and the
+    * streaming scorer (StreamingPipeline.scoreQuality), one bucket per
+    * adjacent token pair, empty for sub-2-token docs. Engine-neutral
+    * token-code arithmetic (the doc_fingerprint basis), pure per-row
+    * codegen — safe on batch and streaming frames alike. */
+  private[graft] def withBigramBuckets(df: org.apache.spark.sql.DataFrame,
+      textCol: String, b: Int, out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__qc_codes", expr(
+        s"""transform(split($textCol, ' '),
+              t -> CAST(ascii(substring(t, 1, 1)) * 131
+                        + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))"""))
+      .withColumn(out, expr(s"""
+        IF(size(__qc_codes) >= 2,
+           transform(sequence(1, size(__qc_codes) - 1),
+             i -> (element_at(__qc_codes, i) * 1000003
+                   + element_at(__qc_codes, i + 1)) % $b),
+           CAST(array() AS ARRAY<BIGINT>))"""))
+      .drop("__qc_codes")
+
+  /** The classifier's long-format feature matrix: one (doc_id, f, c, y)
+    * row per distinct bucket per document, y = ±1 by the eval split. */
+  private def qcFeatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withBigramBuckets(docs, "text", QcBuckets, "__qc_f")
+      .select(col("doc_id"), explode(col("__qc_f")).as("f"))
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+      .withColumn("y",
+        when(col("doc_id") < Curation.EvalMaxDocId, 1L).otherwise(-1L))
+
+  /** Trains the averaged class-balanced perceptron of quality_classifier
+    * and returns its summed epoch weights — exposed so streaming
+    * inference (StreamingPipeline.scoreQuality) can score in-flight rows
+    * with the exact batch-trained model. Runs [[QcEpochs]] driver-held
+    * epochs over a cached feature frame (released before returning);
+    * every collect is ≤ [[QcBuckets]] rows. */
+  private[graft] def trainQualityPerceptron(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[Long, Long] = {
+    import s.implicits._
+    val feats = qcFeatures(Tables.documents(s, dir)).cache()
+    // per-doc margin under a broadcast (f, w) weight-literal frame
+    def margins(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = feats
+      .join(broadcast(w), Seq("f"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CAST(c * w AS DECIMAL(38,0))")).as("m"))
+    try {
+      // class-balanced updates: the target class is a fixed small eval
+      // set against an arbitrarily large corpus, so the plain update
+      // drowns the positives and learns "reject everything".
+      // Misclassified positives therefore count max(1, n₋ div n₊) times
+      // (the standard class-weighting, kept integer so the unrolled
+      // oracle still hash-matches; both engines derive the scale from
+      // the same feature-bearing-doc counts).
+      val byClass = feats.select("doc_id", "y").distinct()
+        .groupBy("y").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nPos = byClass.getOrElse(1L, 0L)
+      val scale = if (nPos == 0) 1L
+        else math.max(1L, byClass.getOrElse(-1L, 0L) / nPos)
+      val upd = s"y * c * (CASE WHEN y = 1 THEN ${scale}L ELSE 1L END)"
+      // epoch 1 from w₀ = 0: every doc has margin 0 ⇒ misclassified
+      var w = feats.groupBy("f").agg(sum(expr(upd)).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // AVERAGED perceptron (Freund & Schapire 1999, public): score with
+      // Σ_t w_t, not the last w — full-batch updates under a large class
+      // weight oscillate (all-reject ↔ all-accept, both observed on this
+      // corpus), and the epoch average is the classic stabilizer.
+      // Summing instead of dividing keeps it integer; a positive scalar
+      // doesn't move the decision boundary, only the margin's units.
+      var wSum = w
+      // epochs 2..QcEpochs: w += Σ over misclassified (y·m ≤ 0)
+      for (_ <- 2 to QcEpochs) {
+        val g = feats
+          .join(margins(w.toSeq.toDF("f", "w"))
+            .withColumnRenamed("m", "pm"), Seq("doc_id"))
+          .filter(expr("y * pm <= 0"))
+          .groupBy("f").agg(sum(expr(upd)).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = w.map { case (f, v) => f -> (v + g.getOrElse(f, 0L)) }
+        wSum = wSum.map { case (f, v) => f -> (v + w(f)) }
+      }
+      wSum
+    } finally feats.unpersist(blocking = false)
+  }
 
   /** quality_classifier full-batch perceptron epochs. Fixed (not
     * convergence-looped) so the oracle is a bounded CTE unroll; each

@@ -299,6 +299,34 @@ object StreamingPipeline {
         abs(col(valueCol) - col("median_value")) / (col("mad") * c) > z)
   }
 
+  /** Scores in-flight documents with the batch-trained quality perceptron
+    * (TextAnalysis.trainQualityPerceptron) — the train-offline /
+    * infer-online composition every production corpus pipeline runs.
+    * STATELESS by construction: the ≤256-entry weight vector rides the
+    * plan as a map literal and the margin Σ_f w[f] over the row's hashed
+    * bigrams is one per-row higher-order aggregate — no shuffle, no state
+    * store, no watermark needed, so it appends at source rate and
+    * composes ahead of any stateful stage. The margin arithmetic is the
+    * batch scorer's exactly (per-instance w[f] sums = per-bucket c·w
+    * sums, both in DECIMAL(38,0)); StreamingSpec pins row-for-row margin
+    * parity with the registered quality_classifier query. */
+  def scoreQuality(
+      docs: DataFrame,
+      weights: Map[Long, Long],
+      textCol: String = "text",
+      buckets: Int = graft.operators.TextAnalysis.QcBuckets): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate, coalesce, col, element_at, lit, typedlit}
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val wmap = typedlit(weights)
+    val dec = DecimalType(38, 0)
+    graft.operators.TextAnalysis.withBigramBuckets(docs, textCol, buckets, "__qc_f")
+      .withColumn("margin", aggregate(col("__qc_f"), lit(0L).cast(dec),
+        (acc, f) => acc + coalesce(element_at(wmap, f), lit(0L)).cast(dec))
+        .cast(LongType))
+      .withColumn("keep", col("margin") > 0)
+      .drop("__qc_f")
+  }
+
   /** Watermarked stream-stream interval join: each left row pairs with the
     * right-stream rows sharing `key` whose event time falls in
     * [left.ts, left.ts + maxDelay] — the impression→click attribution

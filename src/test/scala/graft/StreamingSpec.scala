@@ -349,6 +349,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("scoreQuality scores a stream statelessly, matching batch classifier margins") {
+    implicit val sc = spark.sqlContext
+    // the offline/online split: batch-train once, score the stream with
+    // the frozen weights. Margins must agree with the registered batch
+    // query row for row, and the scorer must add NO stateful operator
+    // (it composes ahead of watermarks and appends at source rate).
+    val w = operators.TextAnalysis.trainQualityPerceptron(spark, sf)
+    val batch = SparkEntry.queries("quality_classifier")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("margin")).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val scored = StreamingPipeline.scoreQuality(
+      mem.toDF().toDF("doc_id", "text"), w)
+    val q = scored.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("qc_stream").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "scoreQuality must be stateless")
+      val got = spark.table("qc_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("margin")).toMap
+      assert(got.size == docs.size)
+      got.foreach { case (id, m) =>
+        assert(m == batch(id), s"doc $id: stream margin $m != batch ${batch(id)}")
+      }
+      assert(got.values.exists(_ > 0) && got.values.exists(_ < 0),
+        "stream margins are one-sided — scoring is vacuous")
+    } finally q.stop()
+  }
+
   test("robustAnomalies flags only stream rows beyond the static MAD gate") {
     implicit val sc = spark.sqlContext
     // reference window: values 10..19 per type → median 14.5, MAD 2.5
