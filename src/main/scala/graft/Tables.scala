@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * the same declared-schema stance for its stream
   * (`spark-processor/processor.py:48-55`); we extend it to every table.
   *
-  * `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark 4
-  * refuses to map to TimestampType. We read it as raw nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and truncate to
-  * microseconds — exactly the coercion DuckDB applies, so oracle comparisons
-  * agree (see FIXTURES.md §2).
+  * `events.ts` has been written with two encodings across testdata
+  * generations: INT64 TIMESTAMP(NANOS) — which Spark 4 refuses to map to
+  * TimestampType, so it's read as raw nanos
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and truncated to
+  * microseconds (exactly the coercion DuckDB applies, so oracle
+  * comparisons agree; see FIXTURES.md §2) — and plain INT64
+  * TIMESTAMP(MICROS), which maps directly. [[events]] probes one file
+  * footer per directory to pick the matching declared schema.
   */
 object Tables {
 
@@ -79,10 +82,21 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** Raw (pre-conversion) events schema: ts is INT64 nanos on disk. */
+  /** Raw (pre-conversion) events schema for the NANOS encoding: ts is
+    * INT64 nanos on disk, readable only as a raw long. */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Events schema for the MICROS encoding: ts maps straight to
+    * TimestampType (same mapping orders/lineitem use). */
+  val eventsMicrosSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -136,35 +150,70 @@ object Tables {
           spark.conf.set(NanosAsLongConf, "true")
       }
 
-  /** Events with `ts` converted nanos → TimestampType (µs, truncating —
-    * matches DuckDB's parquet ns → TIMESTAMP coercion). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    ensureNanosAsLong(spark)
-    spark.read.schema(eventsRawSchema)
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** The on-disk encoding of `events.ts` has shifted across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (early rounds) vs INT64
+    * TIMESTAMP(MICROS) (current). A single static declared schema cannot
+    * cover both — NANOS must be read as a raw long (Spark 4 refuses the
+    * TimestampType mapping), MICROS must be read as TimestampType (a
+    * LongType declaration errors). Detect ONCE per directory from one
+    * file footer and memoize: this is a bounded migration probe (one
+    * footer, one column), not corpus-wide schema inference — at 100 TB
+    * you still declare the schema, this just picks WHICH declared schema
+    * matches the fleet's current writer. */
+  private val eventsTsNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
 
-  /** Events restricted to `ts >= sinceMicros`, with the bound translated
-    * onto the RAW nanos column BEFORE the timestamp conversion. A filter
-    * on the converted column cannot push past the `timestamp_micros(ns
-    * div 1000)` projection, so it scans everything; filtering the raw
-    * INT64 reaches the parquet scan as a pushed filter and skips row
-    * groups by min/max — at 100 TB the difference between reading a time
-    * slice and reading the table. Exact: floor(ns/1000) ≥ T ⟺
-    * ns ≥ 1000·T — for NONNEGATIVE epochs. `ts div 1000` truncates toward
-    * zero, so for pre-1970 nanos truncation ≠ floor and the raw-column
-    * bound would drop rows the converted-column filter keeps; guarded
-    * rather than silently diverging. */
+  private def tsStoredAsNanos(spark: SparkSession, dir: String): Boolean =
+    eventsTsNanos.computeIfAbsent(dir, _ => {
+      ensureNanosAsLong(spark)
+      // with nanosAsLong set, footer inference maps NANOS → LongType and
+      // MICROS → a timestamp type; the branch keys off that distinction
+      spark.read.parquet(s"$dir/events.parquet").schema("ts")
+        .dataType == LongType
+    })
+
+  /** Events with `ts` as TimestampType (µs precision) whichever encoding
+    * is on disk: NANOS files are read raw and truncated ns → µs (exactly
+    * DuckDB's coercion, so oracle comparisons agree); MICROS files map
+    * directly. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    if (tsStoredAsNanos(spark, dir)) {
+      ensureNanosAsLong(spark)
+      spark.read.schema(eventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else
+      spark.read.schema(eventsMicrosSchema)
+        .parquet(s"$dir/events.parquet")
+
+  /** Events restricted to `ts >= sinceMicros`, with the bound applied
+    * where it can reach the parquet scan as a PUSHED filter that skips
+    * row groups by min/max — at 100 TB the difference between reading a
+    * time slice and reading the table.
+    *
+    * MICROS encoding: a plain timestamp predicate on the scan column
+    * pushes down natively. NANOS encoding: a filter on the converted
+    * column cannot push past the `timestamp_micros(ns div 1000)`
+    * projection, so the bound is translated onto the RAW nanos column
+    * BEFORE the conversion. Exact: floor(ns/1000) ≥ T ⟺ ns ≥ 1000·T —
+    * for NONNEGATIVE epochs. `ts div 1000` truncates toward zero, so for
+    * pre-1970 nanos truncation ≠ floor and the raw-column bound would
+    * drop rows the converted-column filter keeps; guarded rather than
+    * silently diverging. */
   def eventsSince(spark: SparkSession, dir: String, sinceMicros: Long): DataFrame = {
     require(sinceMicros >= 0,
       "eventsSince requires a nonnegative epoch bound: the raw-nanos " +
         "pushdown is equivalence-proven only for ts >= 0 (div truncates)")
-    ensureNanosAsLong(spark)
-    spark.read.schema(eventsRawSchema)
-      .parquet(s"$dir/events.parquet")
-      .filter(col("ts") >= sinceMicros * 1000L)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsStoredAsNanos(spark, dir)) {
+      ensureNanosAsLong(spark)
+      spark.read.schema(eventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .filter(col("ts") >= sinceMicros * 1000L)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else
+      spark.read.schema(eventsMicrosSchema)
+        .parquet(s"$dir/events.parquet")
+        .filter(col("ts") >= timestamp_micros(lit(sinceMicros)))
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

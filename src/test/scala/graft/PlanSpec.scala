@@ -40,13 +40,15 @@ class PlanSpec extends SparkSuite {
     assert(planOf("latest_events").contains("TakeOrderedAndProject"))
   }
 
-  test("literal time bounds push onto the raw events nanos column") {
+  test("literal time bounds push onto the events scan column") {
     import org.apache.spark.sql.functions._
     val since = 1700000000000000L // any µs literal
     val df = Tables.eventsSince(spark, sf, since)
     val plan = df.queryExecution.executedPlan.toString
+    // either encoding: the bound must reach PushedFilters on ts (raw ns
+    // long or µs timestamp — same pushed-predicate shape)
     assert(plan.contains("GreaterThanOrEqual(ts,"),
-      s"raw-ns time bound not pushed to the scan:\n$plan")
+      s"time bound not pushed to the scan:\n$plan")
     // semantics identical to filtering the converted column
     val expected = Tables.events(spark, sf)
       .filter(col("ts") >= timestamp_micros(lit(since))).count()
