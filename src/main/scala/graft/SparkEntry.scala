@@ -31,7 +31,7 @@ object SparkEntry {
     * construction exclude exactly this set. */
   val actionfulQueries: Set[String] =
     Set("dedup_clusters", "dedup_keep_list", "minhash_clusters", "entity_clusters",
-      "ann_trained_topk", "quality_classifier", "bpe_merges")
+      "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

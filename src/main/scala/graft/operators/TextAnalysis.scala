@@ -1035,45 +1035,128 @@ object TextAnalysis {
       "bpe_merges",
       (s, dir) => {
         import s.implicits._
-        var corpus = Tables.documents(s, dir)
-          .select(col("doc_id"), concat(lit(" "), col("text"), lit(" ")).as("s"))
-        val cachedRounds =
-          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-        val merges =
-          scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-        try {
-          for (round <- 1 to BpeRounds) {
-            val cur = corpus.cache()
-            cachedRounds += cur
-            val top = cur
-              .select(split(trim(col("s")), " ").as("t"))
-              .select(explode(expr(
-                """IF(size(t) >= 2,
-                     transform(sequence(1, size(t) - 1),
-                       i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r)),
-                     array())""")).as("p"))
-              .select(col("p.l").as("l"), col("p.r").as("r"))
-              .filter(col("l") =!= col("r"))
-              .groupBy("l", "r").agg(count(lit(1)).as("c"))
-              .orderBy(col("c").desc, col("l"), col("r"))
-              .limit(1).collect()
-            if (top.nonEmpty) {
-              val (l, r, c) =
-                (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-              merges += ((round, l, r, c))
-              val pat = lit(s" $l $r ")
-              val rep = lit(s" $l\u0001$r ")
-              corpus = cur.withColumn("s",
-                replace(replace(col("s"), pat, rep), pat, rep))
-            }
-          }
-        } finally cachedRounds.foreach(_.unpersist(blocking = false))
-        merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        bpeTrain(s, dir)._1.toDF("merge_rank", "lhs", "rhs", "pair_count")
           .orderBy("merge_rank")
       },
       Some {
-        val rounds = (1 to BpeRounds).map { k =>
-          s"""
+        val sel = (1 to BpeRounds)
+          .map(k => s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, " +
+            s"CAST(c AS BIGINT) AS pair_count FROM s$k")
+          .mkString("\n        UNION ALL ")
+        s"""
+        $bpeSqlChain
+        $sel
+        ORDER BY merge_rank"""
+      }),
+
+    // ---- bpe_encode: tokenizer INFERENCE with the trained merge table ----
+    // The other half of the tokenizer loop (train -> encode), composed the
+    // same way ann_trained_topk composes kmeans_refine -> IVF: the merge
+    // table bpe_merges learns is applied back over the corpus and each
+    // document reports its encoded shape -- raw token count, post-merge
+    // token count, how many emitted symbols are fused phrases, and the
+    // compression ratio a tokenizer dashboard tracks.
+    //
+    // Scale: training cost is bpe_merges (K pair-count shuffles over the
+    // cached corpus). The ENCODE itself is the part that runs at corpus
+    // scale, and it is ONE parquet scan with K chained per-row literal
+    // replaces -- shuffle-free, codegen'd, the merge literals riding in
+    // the plan exactly as a broadcast merge table would on a cluster.
+    // n_words is recovered from the encoded string itself (each fusion
+    // contributes exactly one sentinel char, and the sentinel cannot
+    // occur in the raw corpus), so no join back to the raw text.
+    GraftQuery(
+      "bpe_encode",
+      (s, dir) => {
+        val enc = bpeTrain(s, dir)._2
+        enc
+          .withColumn("t", trim(col("s")))
+          .withColumn("n_bpe",
+            size(split(col("t"), " ")).cast(LongType))
+          .withColumn("n_fused",
+            (length(col("t")) -
+              length(replace(col("t"), lit("\u0001"), lit("")))).cast(LongType))
+          .select(
+            col("doc_id"),
+            (col("n_bpe") + col("n_fused")).as("n_words"),
+            col("n_bpe"),
+            expr("CAST(size(filter(split(t, ' '), " +
+              "w -> contains(w, '\u0001'))) AS BIGINT)").as("n_merged_symbols"),
+            round(col("n_bpe").cast(DoubleType) /
+              (col("n_bpe") + col("n_fused")), 4).as("compression"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $bpeSqlChain
+        SELECT doc_id,
+               CAST(len(string_split(t, ' '))
+                    + length(t) - length(replace(t, chr(1), '')) AS BIGINT) AS n_words,
+               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_bpe,
+               CAST(len(list_filter(string_split(t, ' '),
+                                    w -> contains(w, chr(1)))) AS BIGINT) AS n_merged_symbols,
+               round(CAST(len(string_split(t, ' ')) AS DOUBLE)
+                     / (len(string_split(t, ' '))
+                        + length(t) - length(replace(t, chr(1), ''))),
+                     4) AS compression
+        FROM (SELECT doc_id, trim(s) AS t FROM c${BpeRounds + 1})
+        ORDER BY doc_id"""))
+  )
+
+  /** Runs the [[BpeRounds]] driver-held BPE training loop: per round one
+    * adjacent-pair count over the cached corpus (partial aggs absorb the
+    * explode), a 1-row collect of the winner, and a shuffle-free
+    * double-replace rewrite (exactness argument on the bpe_merges query).
+    * Returns the merge table and the final rewritten corpus `(doc_id, s)`
+    * whose space-separated tokens ARE each document's BPE encoding.
+    * Every per-round cache is released before returning, so re-evaluating
+    * the returned frame costs ONE parquet scan through [[BpeRounds]]
+    * chained narrow string rewrites. Driver-held loop => both consumers
+    * are registered in SparkEntry.actionfulQueries. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var corpus = Tables.documents(s, dir)
+      .select(col("doc_id"), concat(lit(" "), col("text"), lit(" ")).as("s"))
+    val cachedRounds =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      for (round <- 1 to BpeRounds) {
+        val cur = corpus.cache()
+        cachedRounds += cur
+        val top = cur
+          .select(split(trim(col("s")), " ").as("t"))
+          .select(explode(expr(
+            """IF(size(t) >= 2,
+                 transform(sequence(1, size(t) - 1),
+                   i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r)),
+                 array())""")).as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"))
+          .filter(col("l") =!= col("r"))
+          .groupBy("l", "r").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, r, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((round, l, r, c))
+          val pat = lit(s" $l $r ")
+          val rep = lit(s" $l\u0001$r ")
+          corpus = cur.withColumn("s",
+            replace(replace(col("s"), pat, rep), pat, rep))
+        }
+      }
+    } finally cachedRounds.foreach(_.unpersist(blocking = false))
+    (merges.toSeq, corpus)
+  }
+
+  /** The WITH-chain both BPE oracles share: `c1` is the space-sentineled
+    * corpus, round k's winner is `s$k`, and `c${k + 1}` is the corpus
+    * with that merge applied everywhere -- so `c${BpeRounds + 1}` is the
+    * fully encoded corpus. Mirrors [[bpeTrain]] round for round. */
+  private def bpeSqlChain: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""
         tk$k AS (SELECT doc_id, string_split(trim(s), ' ') AS t FROM c$k),
         pr$k AS (SELECT t[i] AS l, t[i + 1] AS r
                  FROM tk$k, UNNEST(range(1, len(t))) u(i)),
@@ -1083,18 +1166,10 @@ object TextAnalysis {
                  replace(replace(s, ' '||l||' '||r||' ', ' '||l||chr(1)||r||' '),
                          ' '||l||' '||r||' ', ' '||l||chr(1)||r||' ') AS s
                FROM c$k, s$k)"""
-        }.mkString(",")
-        val sel = (1 to BpeRounds)
-          .map(k => s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, " +
-            s"CAST(c AS BIGINT) AS pair_count FROM s$k")
-          .mkString("\n        UNION ALL ")
-        s"""
-        WITH c1 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
-        $rounds
-        $sel
-        ORDER BY merge_rank"""
-      })
-  )
+    }.mkString(",")
+    s"""WITH c1 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+        $rounds"""
+  }
 
   /** feature_hash width: fixed feature-space size B; memory per doc is
     * O(min(tokens, B)) whatever the corpus vocabulary grows to. */

@@ -1346,4 +1346,30 @@ class OperatorSpec extends SparkSuite {
       assert(math.abs(p - u(d) / nrm) < 1e-4, s"dim $d: $p vs ${u(d) / nrm}")
     }
   }
+
+  test("bpe_encode conserves tokens and fuses exactly the trained pair counts") {
+    // Every merge of round k fuses EVERY occurrence counted by that
+    // round's winning pair (l ≠ r ⇒ occurrences never overlap), and each
+    // fusion adds exactly one sentinel, so across the corpus:
+    //   Σ_docs (n_words − n_bpe) = Σ_rounds pair_count.
+    // This ties INFERENCE output to the TRAINING table it was built from
+    // — if either side drifted (a missed occurrence, a double fuse, a
+    // miscounted round) the two totals separate.
+    val enc = run("bpe_encode").collect()
+    val merges = run("bpe_merges").collect()
+    assert(merges.length > 0, "training found no merges — invariant vacuous")
+    val fused = enc.map(r =>
+      r.getAs[Long]("n_words") - r.getAs[Long]("n_bpe")).sum
+    val counted = merges.map(_.getAs[Long]("pair_count")).sum
+    assert(fused == counted, s"fused $fused != trained pair counts $counted")
+    enc.foreach { r =>
+      val (w, b, m) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe"),
+        r.getAs[Long]("n_merged_symbols"))
+      assert(b >= 1 && b <= w, s"doc ${r.getAs[Long]("doc_id")}: n_bpe $b vs n_words $w")
+      assert(m <= w - b, // a symbol with j sentinels fused j pairs
+        s"doc ${r.getAs[Long]("doc_id")}: merged symbols $m > fused pairs ${w - b}")
+      val ratio = r.getAs[Double]("compression")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
 }
