@@ -491,6 +491,60 @@ object Dedup {
         GROUP BY md5(text)
         ORDER BY keep_id""")),
 
+    // ---- incremental dedup: a new snapshot against the standing corpus ---
+    // The ingestion-time variant of dedup_exact: a crawl pipeline never
+    // re-dedups the whole corpus per batch — it classifies each INCOMING
+    // document against (a) the digests already in the corpus and (b) the
+    // rest of its own batch. The split point is data-derived (top fifth
+    // of the doc_id range is "the new batch"), so the query is
+    // deterministic at every scale factor.
+    //
+    // Scale: both joins key on the 32-hex digest, never text. The
+    // standing-corpus side collapses to a DISTINCT digest frame (narrow,
+    // grows with corpus cardinality — a shuffled hash join is the right
+    // shape; bloom_semi_join shows the pre-filter to bolt on when the
+    // batch is tiny relative to the corpus). The within-batch rule is
+    // min-doc_id-first — the same deterministic survivor discipline as
+    // dedup_exact, via one partial-agg groupBy on the (small) batch.
+    GraftQuery(
+      "delta_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(to_binary(col("text"), lit("utf-8"))).as("digest"))
+        val bound = d.agg(expr("max(doc_id) * 4 DIV 5").as("t"))
+        val keyed = d.crossJoin(broadcast(bound))
+        val snapshot = keyed.filter(col("doc_id") < col("t"))
+          .select("digest").distinct()
+        val batch = keyed.filter(col("doc_id") >= col("t"))
+          .select("doc_id", "digest")
+        val firstSeen = batch.groupBy("digest")
+          .agg(min("doc_id").as("first_id"))
+        batch
+          .join(snapshot.withColumn("_hit", lit(1)), Seq("digest"), "left")
+          .join(firstSeen, Seq("digest"))
+          .select(col("doc_id"), col("digest"),
+            when(col("_hit").isNotNull, "dup_snapshot")
+              .when(col("doc_id") > col("first_id"), "dup_batch")
+              .otherwise("fresh").as("status"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH bound AS (SELECT max(doc_id) * 4 // 5 AS t FROM documents),
+        d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        snapshot AS (SELECT DISTINCT digest FROM d, bound WHERE doc_id < t),
+        batch AS (SELECT doc_id, digest FROM d, bound WHERE doc_id >= t),
+        first_seen AS (SELECT digest, min(doc_id) AS first_id
+                       FROM batch GROUP BY 1)
+        SELECT b.doc_id, b.digest,
+               CASE WHEN s.digest IS NOT NULL THEN 'dup_snapshot'
+                    WHEN b.doc_id > f.first_id THEN 'dup_batch'
+                    ELSE 'fresh' END AS status
+        FROM batch b
+        LEFT JOIN snapshot s USING (digest)
+        JOIN first_seen f USING (digest)
+        ORDER BY doc_id""")),
+
     // ---- exact n-gram Jaccard near-dup pairs (ground truth) --------------
     // Registered WITH the hot-gram cap (MaxGramDocFreq) — the uncapped
     // variant is quadratic in the hottest gram's document frequency and

@@ -1347,6 +1347,40 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("delta_dedup classifies planted snapshot/batch/fresh duplicates") {
+    // The testdata corpus has no exact duplicates, so the oracle check
+    // only proves the all-fresh path. Plant a corpus where every branch
+    // fires: ids 0..9, bound t = 9*4 div 5 = 7, so batch = {7, 8, 9};
+    // doc 7 copies snapshot doc 3 (dup_snapshot), doc 9 copies batch
+    // doc 8 (dup_batch; 8 itself stays fresh — min-id survivor).
+    import org.apache.spark.sql.Row
+    val rows = (0L to 9L).map { i =>
+      val text = i match {
+        case 7L => "copy of snapshot three"
+        case 3L => "copy of snapshot three"
+        case 8L | 9L => "batch twin text"
+        case _ => s"unique text number $i"
+      }
+      Row(i, text, "en", "src", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta").toString
+    try {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        Tables.documentsSchema).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("delta_dedup")(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      assert(got == Map(7L -> "dup_snapshot", 8L -> "fresh", 9L -> "dup_batch"),
+        s"unexpected classification: $got")
+    } finally {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally st.close()
+    }
+  }
+
   test("bpe_encode conserves tokens and fuses exactly the trained pair counts") {
     // Every merge of round k fuses EVERY occurrence counted by that
     // round's winning pair (l ≠ r ⇒ occurrences never overlap), and each
