@@ -204,6 +204,25 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Hashed-bigram bucket codes of a whitespace-tokenized string —
+    * see [[VectorKernels.bigramBuckets]]. */
+  case class BigramBuckets(child: Expression, b: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bigram_buckets expects string, got ${t.simpleString}")
+    }
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.bigramBuckets(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], b)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = graft.functions.VectorKernels.bigramBuckets($a, $b);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 16-element MinHash signature of an array<string> of shingles. */
   case class MinHashSig(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -274,6 +293,8 @@ object VectorExpressions {
     GraftSqlBridge.toColumn(MinHashSig(ex(a)))
   def termTfs(a: Column, terms: Seq[String]): Column =
     GraftSqlBridge.toColumn(TermTfs(ex(a), terms))
+  def bigramBuckets(a: Column, b: Int): Column =
+    GraftSqlBridge.toColumn(BigramBuckets(ex(a), b))
   def subSqDist(a: Column, b: Column, off: Column, len: Int): Column =
     GraftSqlBridge.toColumn(SubSqDist(ex(a), ex(b), ex(off), len))
 

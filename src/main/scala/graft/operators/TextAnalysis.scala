@@ -818,18 +818,11 @@ object TextAnalysis {
       "dsir_weights",
       (s, dir) => {
         val B = DsirBuckets
-        val withF = Tables.documents(s, dir)
-          .withColumn("codes", expr(
-            """transform(split(text, ' '),
-                 t -> CAST(ascii(substring(t, 1, 1)) * 131
-                           + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))"""))
-          .select(col("doc_id"), explode(expr(s"""
-            IF(size(codes) >= 2,
-               transform(sequence(1, size(codes) - 1),
-                 i -> (element_at(codes, i) * 1000003
-                       + element_at(codes, i + 1)) % $B),
-               array(CAST(NULL AS BIGINT)))""")).as("f"))
-          .filter(col("f").isNotNull)
+        // kernelized bigram buckets (withBigramBuckets basis): explode of
+        // the empty sub-2-token array drops the row, exactly like the
+        // explode(array(NULL)) + isNotNull dance the HOF version needed
+        val withF = withBigramBuckets(Tables.documents(s, dir), "text", B, "__f")
+          .select(col("doc_id"), explode(col("__f")).as("f"))
         val ev = Curation.EvalMaxDocId
         val stats = withF.groupBy("f")
           .agg(sum(when(col("doc_id") < ev, 1L).otherwise(0L)).as("nt"),
@@ -1182,24 +1175,20 @@ object TextAnalysis {
   private[graft] val QcBuckets = 256
 
   /** Adds an ARRAY column `out` of hashed-bigram bucket codes of
-    * `textCol` — the shared feature basis of quality_classifier and the
-    * streaming scorer (StreamingPipeline.scoreQuality), one bucket per
-    * adjacent token pair, empty for sub-2-token docs. Engine-neutral
-    * token-code arithmetic (the doc_fingerprint basis), pure per-row
-    * codegen — safe on batch and streaming frames alike. */
+    * `textCol` — the shared feature basis of quality_classifier,
+    * dsir_weights and the streaming scorer
+    * (StreamingPipeline.scoreQuality), one bucket per adjacent token
+    * pair, empty for sub-2-token docs. Engine-neutral token-code
+    * arithmetic (the doc_fingerprint basis) via the codegen'd
+    * [[graft.functions.VectorKernels.bigramBuckets]] kernel — the
+    * chained-`transform` formulation it replaces was interpreted and,
+    * after projection collapse, re-inlined into explode's size() filter
+    * (~30 s per corpus pass at sf0.1 vs sub-second now). Safe on batch
+    * and streaming frames alike. */
   private[graft] def withBigramBuckets(df: org.apache.spark.sql.DataFrame,
       textCol: String, b: Int, out: String): org.apache.spark.sql.DataFrame =
-    df.withColumn("__qc_codes", expr(
-        s"""transform(split($textCol, ' '),
-              t -> CAST(ascii(substring(t, 1, 1)) * 131
-                        + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))"""))
-      .withColumn(out, expr(s"""
-        IF(size(__qc_codes) >= 2,
-           transform(sequence(1, size(__qc_codes) - 1),
-             i -> (element_at(__qc_codes, i) * 1000003
-                   + element_at(__qc_codes, i + 1)) % $b),
-           CAST(array() AS ARRAY<BIGINT>))"""))
-      .drop("__qc_codes")
+    df.withColumn(out,
+      graft.functions.VectorExpressions.bigramBuckets(col(textCol), b))
 
   /** The classifier's long-format feature matrix: one (doc_id, f, c, y)
     * row per distinct bucket per document, y = ±1 by the eval split. */

@@ -243,6 +243,42 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bigramBuckets kernel equals the SQL transform formulation on adversarial texts") {
+    // same pinning discipline as the cdcBounds fuzz: the kernel replaced
+    // the chained-transform HOF for speed, and every oracle mirrors the
+    // HOF arithmetic — so kernel == HOF on empty tokens (ascii('') = 0),
+    // single-char tokens, sub-2-token docs (empty array), and multi-space
+    // runs must hold exactly
+    val tokGen = Gen.frequency(
+      (8, Gen.oneOf("key", "agg", "row", "x", "table", "part")), (1, Gen.const("")))
+    for (s <- 1 to 10) {
+      val texts = sample(Gen.listOfN(12, Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, tokGen))), 7300 + s)
+        .zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      val df = texts.toDF("id", "text")
+      val kernel = df.select(col("id"),
+        graft.functions.VectorExpressions.bigramBuckets(col("text"), 256).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val sqlWay = df.select(col("id"), expr(
+        """CASE WHEN size(split(text, ' ')) >= 2 THEN
+             transform(sequence(1, size(split(text, ' ')) - 1),
+               i -> (element_at(transform(split(text, ' '),
+                       t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                 + ascii(substring(t, -1, 1))
+                                 + length(t) AS BIGINT)), i) * 1000003
+                     + element_at(transform(split(text, ' '),
+                         t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                   + ascii(substring(t, -1, 1))
+                                   + length(t) AS BIGINT)), i + 1)) % 256)
+           ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      texts.foreach { case (id, text) =>
+        assert(kernel(id) == sqlWay(id),
+          s"seed $s text '$text': kernel ${kernel(id)} != sql ${sqlWay(id)}")
+      }
+    }
+  }
+
   test("bpe double-pass replace equals greedy token-level merging on chained/run texts") {
     // bpe_merges rewrites ' l r ' occurrences with TWO sequential literal
     // replace passes; its exactness argument is that for l ≠ r this equals
