@@ -165,11 +165,35 @@ object Tables {
 
   private def tsStoredAsNanos(spark: SparkSession, dir: String): Boolean =
     eventsTsNanos.computeIfAbsent(dir, _ => {
-      ensureNanosAsLong(spark)
-      // with nanosAsLong set, footer inference maps NANOS → LongType and
-      // MICROS → a timestamp type; the branch keys off that distinction
-      spark.read.parquet(s"$dir/events.parquet").schema("ts")
-        .dataType == LongType
+      // parquet-mr footer read, NOT spark.read.parquet(...).schema —
+      // schema inference submits a Spark JOB, which would break the
+      // action-free plan-construction contract (OperatorSpec gates it)
+      // for every events-backed builder. This is pure driver file IO.
+      import org.apache.parquet.format.converter.ParquetMetadataConverter
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      // events.parquet is a single file in the testdata; accept a
+      // directory of part files too (test fixtures write those)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).head
+        else root
+      val footer = ParquetFileReader.readFooter(
+        conf, file, ParquetMetadataConverter.NO_FILTER)
+      val schema = footer.getFileMetaData.getSchema
+      schema.getType(schema.getFieldIndex("ts")) match {
+        case p: org.apache.parquet.schema.PrimitiveType =>
+          p.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }
+        case _ => false
+      }
     })
 
   /** Events with `ts` as TimestampType (µs precision) whichever encoding
