@@ -219,4 +219,40 @@ class PlanSpec extends SparkSuite {
       assert(plan.contains("HashAggregate"), s"$name lost hash aggregation")
     }
   }
+
+  test("bpe_encode's returned frame is one scan of chained rewrites") {
+    // training runs at build time (actionful); the ENCODE plan the query
+    // returns — the part that runs at corpus scale — must stay one
+    // parquet scan through narrow per-row replaces: no join back to the
+    // raw text (n_words is recovered from the sentinels), no shuffle
+    // before the presentation sort
+    val plan = planOf("bpe_encode")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"bpe_encode plans $scans corpus scans, expected 1")
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"bpe_encode plans $exchanges exchanges, expected only the output sort's")
+  }
+
+  test("quality_classifier's scoring frame scans the corpus exactly twice") {
+    // one scan derives features, one derives the per-doc label frame the
+    // margins join back onto; the trained weights ride as a broadcast
+    // local relation, never a third scan
+    val plan = planOf("quality_classifier")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"quality_classifier plans $scans corpus scans, expected 2")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "trained weights lost their broadcast")
+  }
+
+  test("delta_dedup joins on digests only and keeps partial aggregation") {
+    // both join keys are 32-hex digests — the plan must never carry text
+    // into an exchange, and the within-batch min-id survivor agg keeps
+    // its map-side partial
+    val plan = planOf("delta_dedup")
+    assert(!plan.matches("(?s).*Exchange hashpartitioning\\([^)]*text.*"),
+      "delta_dedup shuffles document text")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "delta_dedup lost partial aggregation")
+  }
 }
