@@ -756,6 +756,80 @@ object TextAnalysis {
         FROM s JOIN lt USING (lang)
         ORDER BY lang""")),
 
+    // ---- Zipf slope: rank-frequency power-law fit per language -----------
+    // The corpus-naturalness diagnostic: natural language follows
+    // freq ∝ rank^s with s ≈ −1 (Zipf 1949, public), and machine-generated
+    // or template text bends the log-log rank-frequency line — data
+    // pipelines track the fitted slope per language as a drift alarm.
+    // Least-squares slope over (ln rank, ln freq) across the full
+    // vocabulary, one row per language.
+    //
+    // Exactness: ln values are quantized to integer micro-nats
+    // (lang_divergence's t6 discipline) so every sum is exact integer
+    // arithmetic in both engines; the only double ops are the final
+    // num/den division (identical IEEE inputs ⇒ identical quotient) and
+    // one round to 4 decimals. Moment products ride DECIMAL(38,0) /
+    // HUGEINT — BIGINT would overflow sxx at web-scale vocabularies.
+    //
+    // Scale: one corpus scan into the (lang, tok) partial-agg tf frame;
+    // ranking sorts each language's VOCABULARY (sublinear in the corpus —
+    // the window that is fine here is exactly the one pack_sequences had
+    // to avoid, where the frame was the data itself); moments are a
+    // map-side partial agg over the vocab frame.
+    GraftQuery(
+      "zipf_slope",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        tf.withColumn("rnk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+          .withColumn("x6",
+            expr("CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .withColumn("y6",
+            expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .groupBy("lang")
+          .agg(
+            sum("c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(expr("CAST(x6 AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(y6 AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("CAST(x6 AS DECIMAL(38,0)) * x6")).as("sxx"),
+            sum(expr("CAST(x6 AS DECIMAL(38,0)) * y6")).as("sxy"))
+          .withColumn("zipf_slope", expr(
+            """CASE WHEN n_types * sxx - sx * sx = 0 THEN 0.0
+                    ELSE round(CAST(n_types * sxy - sx * sy AS DOUBLE)
+                               / CAST(n_types * sxx - sx * sx AS DOUBLE), 4)
+               END"""))
+          .select("lang", "n_tokens", "n_types", "zipf_slope")
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tf AS (SELECT lang, tok, count(*) c FROM tok GROUP BY 1, 2),
+        rk AS (SELECT lang, tok, c,
+                 row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) rnk
+               FROM tf),
+        q AS (SELECT lang, c,
+                CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) x6,
+                CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) y6
+              FROM rk),
+        s AS (SELECT lang,
+                CAST(sum(c) AS BIGINT) n_tokens,
+                CAST(count(*) AS BIGINT) n_types,
+                sum(CAST(x6 AS HUGEINT)) sx,
+                sum(CAST(y6 AS HUGEINT)) sy,
+                sum(CAST(x6 AS HUGEINT) * x6) sxx,
+                sum(CAST(x6 AS HUGEINT) * y6) sxy
+              FROM q GROUP BY 1)
+        SELECT lang, n_tokens, n_types,
+               CASE WHEN n_types * sxx - sx * sx = 0 THEN 0.0
+                    ELSE round(CAST(n_types * sxy - sx * sy AS DOUBLE)
+                               / CAST(n_types * sxx - sx * sx AS DOUBLE), 4)
+               END AS zipf_slope
+        FROM s
+        ORDER BY lang""")),
+
     // ---- feature hashing: the hashing-trick bag-of-words vectorizer ------
     // The classic fixed-width text featurizer (Weinberger et al. 2009):
     // token → bucket via a hash mod B, a second hash bit signs the update

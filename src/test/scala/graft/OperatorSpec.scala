@@ -1347,6 +1347,33 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("zipf_slope matches a naive log-log least-squares fit") {
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (lang, rows) =>
+      val counts = rows.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      val ranked = counts.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      val pts = ranked.map { case ((_, c), i) =>
+        (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+      }
+      val n = BigInt(pts.length)
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val den = n * sxx - sx * sx
+      val slope = if (den == 0) 0.0
+        else BigDecimal((n * sxy - sx * sy).toDouble / den.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      lang -> slope
+    }
+    val got = run("zipf_slope").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("zipf_slope")).toMap
+    assert(got == want, s"slopes diverge: got $got want $want")
+    got.values.foreach(s => assert(s < 0.0, "rank-frequency slope must be negative"))
+  }
+
   test("delta_dedup classifies planted snapshot/batch/fresh duplicates") {
     // The testdata corpus has no exact duplicates, so the oracle check
     // only proves the all-fresh path. Plant a corpus where every branch
