@@ -180,7 +180,12 @@ object Tables {
       val file =
         if (fs.getFileStatus(root).isDirectory)
           fs.listStatus(root).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).head
+            .filter(_.getName.endsWith(".parquet"))
+            // listStatus order is filesystem-dependent; sort so the
+            // probed footer is deterministic across runs and machines
+            .sortBy(_.getName).headOption.getOrElse(throw new IllegalStateException(
+              s"$root is a directory with no .parquet part file — cannot " +
+                "probe the events ts encoding"))
         else root
       val footer = ParquetFileReader.readFooter(
         conf, file, ParquetMetadataConverter.NO_FILTER)
@@ -229,6 +234,12 @@ object Tables {
       "eventsSince requires a nonnegative epoch bound: the raw-nanos " +
         "pushdown is equivalence-proven only for ts >= 0 (div truncates)")
     if (tsStoredAsNanos(spark, dir)) {
+      // ×1000 must not wrap: a bound past Long.MaxValue/1000 would go
+      // negative and pass EVERY row where the µs encoding correctly
+      // returns none — the encoding split must never change answers
+      require(sinceMicros <= Long.MaxValue / 1000L,
+        s"eventsSince bound $sinceMicros µs overflows the raw-nanos " +
+          "translation (max " + Long.MaxValue / 1000L + ")")
       ensureNanosAsLong(spark)
       spark.read.schema(eventsRawSchema)
         .parquet(s"$dir/events.parquet")

@@ -1220,7 +1220,13 @@ object TextAnalysis {
   /** The WITH-chain both BPE oracles share: `c1` is the space-sentineled
     * corpus, round k's winner is `s$k`, and `c${k + 1}` is the corpus
     * with that merge applied everywhere -- so `c${BpeRounds + 1}` is the
-    * fully encoded corpus. Mirrors [[bpeTrain]] round for round. */
+    * fully encoded corpus. Mirrors [[bpeTrain]] round for round,
+    * INCLUDING the no-pair round: the rewrite is a LEFT JOIN against the
+    * (at most 1-row) winner so an empty `s$k` passes the corpus through
+    * unchanged — a plain cross join would empty every later round and
+    * bpe_encode would return zero rows where Spark keeps the corpus
+    * (bpe_merges never noticed: an empty winner contributes no UNION
+    * rows either way). */
   private def bpeSqlChain: String = {
     val rounds = (1 to BpeRounds).map { k =>
       s"""
@@ -1230,9 +1236,10 @@ object TextAnalysis {
         s$k AS (SELECT l, r, count(*) AS c FROM pr$k WHERE l <> r
                 GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
         c${k + 1} AS (SELECT doc_id,
-                 replace(replace(s, ' '||l||' '||r||' ', ' '||l||chr(1)||r||' '),
-                         ' '||l||' '||r||' ', ' '||l||chr(1)||r||' ') AS s
-               FROM c$k, s$k)"""
+                 CASE WHEN l IS NULL THEN s
+                      ELSE replace(replace(s, ' '||l||' '||r||' ', ' '||l||chr(1)||r||' '),
+                                   ' '||l||' '||r||' ', ' '||l||chr(1)||r||' ') END AS s
+               FROM c$k LEFT JOIN s$k ON true)"""
     }.mkString(",")
     s"""WITH c1 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
         $rounds"""
@@ -1261,8 +1268,13 @@ object TextAnalysis {
     * and streaming frames alike. */
   private[graft] def withBigramBuckets(df: org.apache.spark.sql.DataFrame,
       textCol: String, b: Int, out: String): org.apache.spark.sql.DataFrame =
-    df.withColumn(out,
-      graft.functions.VectorExpressions.bigramBuckets(col(textCol), b))
+    // coalesce restores the HOF formulation's NULL-text semantics (empty
+    // array, not NULL): batch consumers can't tell (explode drops both),
+    // but the streaming scorer's margin aggregate must see [] so a
+    // null-text record scores margin=0 / keep=false, not NULL
+    df.withColumn(out, coalesce(
+      graft.functions.VectorExpressions.bigramBuckets(col(textCol), b),
+      expr("CAST(array() AS ARRAY<BIGINT>)")))
 
   /** The classifier's long-format feature matrix: one (doc_id, f, c, y)
     * row per distinct bucket per document, y = ±1 by the eval split. */

@@ -277,6 +277,19 @@ class PropertySpec extends SparkSuite {
           s"seed $s text '$text': kernel ${kernel(id)} != sql ${sqlWay(id)}")
       }
     }
+    // NULL text: the raw expression null-propagates, but the shared
+    // withBigramBuckets basis must restore the HOF's empty-array
+    // semantics — the streaming scorer's margin aggregate needs [] so a
+    // null-text record scores margin=0/keep=false, never NULL
+    val withNull = graft.operators.TextAnalysis.withBigramBuckets(
+      Seq((1L, Some("a b")), (2L, None))
+        .toDF("id", "text").select(col("id"), col("text")),
+      "text", 256, "f")
+      .select("id", "f")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(withNull(2L) == Seq.empty,
+      s"null text must yield an empty bucket array, got ${withNull(2L)}")
+    assert(withNull(1L).nonEmpty)
   }
 
   test("bpe double-pass replace equals greedy token-level merging on chained/run texts") {
