@@ -660,6 +660,44 @@ object Dedup {
       },
       Some(minhashClustersOracleSql)),
 
+    // ---- per-source near-duplication profile ------------------------------
+    // The curation dashboard number: what fraction of each source's
+    // documents participates in at least one near-dup pair. Sources with
+    // runaway rates get capped (source_cap) or dropped; a rate JUMP on a
+    // refreshed crawl is the classic mirror-site alarm. Pairs come from
+    // the same banded-LSH chain as minhash_pairs (capped candidates,
+    // never the full pair space); the rollup is one doc_id-keyed left
+    // join onto the narrow (doc_id, source) projection and a partial
+    // agg — document text never enters a shuffle.
+    GraftQuery(
+      "neardup_rate_by_source",
+      (s, dir) => {
+        val dupDocs = minhashPairs(s, dir)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        Tables.documents(s, dir).select(col("doc_id"), col("source"))
+          .join(dupDocs.withColumn("_d", lit(1)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), count("_d").as("n_neardup_docs"))
+          .withColumn("neardup_rate", round(
+            col("n_neardup_docs").cast(DoubleType) / col("n_docs"), 4))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $minhashCtes,
+        dup AS (SELECT DISTINCT doc_id FROM (
+                  SELECT doc_a AS doc_id FROM mh_pairs
+                  UNION SELECT doc_b FROM mh_pairs)),
+        j AS (SELECT d.source, dup.doc_id AS hit
+              FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(hit) AS BIGINT) AS n_neardup_docs,
+               round(CAST(count(hit) AS DOUBLE) / count(*), 4) AS neardup_rate
+        FROM j
+        GROUP BY source
+        ORDER BY source""")),
+
     // ---- duplicate clusters: connected components over near-dup pairs ----
     // Iterative min-label propagation over the exact-Jaccard edge set:
     // each round joins current labels across edges and keeps the min
