@@ -63,6 +63,44 @@ object Salting {
                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey
-        ORDER BY s_nationkey"""))
+        ORDER BY s_nationkey""")),
+
+    // ---- skew diagnosis: hottest-key share report -------------------------
+    // The step BEFORE salting: which keys dominate, and by how much. Top
+    // 20 hottest event keys with their share of all rows and a hot flag
+    // at 5× the uniform share — the report that decides whether a join
+    // needs saltedEquiJoin, a higher AQE skew factor, or a key drop.
+    // The hot flag is INTEGER arithmetic (n·n_keys > 5·total), not a
+    // rounded-double comparison, so both engines decide identically at
+    // the boundary. One partial-agg count shuffle over the keys, a
+    // broadcast 1-row totals frame, TakeOrderedAndProject for the top-k —
+    // nothing here scales with rows beyond the first count.
+    GraftQuery(
+      "skew_profile",
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        val tot = counts.agg(sum("n_events").as("total"),
+          count(lit(1)).as("n_keys"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("share",
+            round(col("n_events").cast(DoubleType) / col("total"), 6))
+          .withColumn("is_hot",
+            col("n_events") * col("n_keys") > col("total") * 5)
+          .select("user_id", "n_events", "share", "is_hot")
+          .orderBy(col("n_events").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) n_events
+                   FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n_events) AS BIGINT) total,
+                     CAST(count(*) AS BIGINT) n_keys FROM c)
+        SELECT user_id, n_events,
+               round(CAST(n_events AS DOUBLE) / total, 6) AS share,
+               n_events * n_keys > total * 5 AS is_hot
+        FROM c, t
+        ORDER BY n_events DESC, user_id
+        LIMIT 20"""))
   )
 }
