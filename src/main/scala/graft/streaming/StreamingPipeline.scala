@@ -186,6 +186,47 @@ object StreamingPipeline {
       .drop("_dedup_key", "_grams")
   }
 
+  /** Stream-static incremental exact dedup — the streaming face of the
+    * batch delta_dedup classifier: in-flight documents whose content
+    * digest already exists in the standing-corpus snapshot are dropped
+    * (delta_dedup's dup_snapshot), within-stream repeats collapse inside
+    * the watermark horizon (dup_batch), and what reaches the sink is
+    * delta_dedup's `fresh` set for the stream's window.
+    *
+    * The snapshot side is a DIGEST-ONLY narrow frame (one 32-hex column)
+    * — document text never crosses the join. Stream-static joins
+    * re-evaluate the static side per micro-batch, so at corpus scale the
+    * snapshot should be a compacted digest table (or bloom-pruned via
+    * JoinPruning first), not a scan of the corpus itself.
+    *
+    * Null-text rows follow the dedupByMinHashWithinWatermark discipline:
+    * a deterministic row-content fallback key (never uuid — replay
+    * idempotence), null digests never anti-join away (left_anti on a
+    * null key matches nothing, which is correct: a malformed record is
+    * not "already in the corpus"). */
+  def deltaDedupAgainstSnapshot(
+      docs: DataFrame,
+      snapshotDigests: DataFrame,
+      digestCol: String = "digest",
+      textCol: String = "text",
+      tsCol: String = "timestamp",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, struct,
+      to_binary, to_json, when, xxhash64}
+    val rowHash = xxhash64(to_json(struct(docs.columns.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
+    docs
+      .filter(col(tsCol).isNotNull)
+      .withColumn("_digest",
+        when(col(textCol).isNull, concat(lit("null:"), rowHash.cast("string")))
+          .otherwise(md5(to_binary(col(textCol), lit("utf-8")))))
+      .join(snapshotDigests.select(col(digestCol).as("_digest")),
+        Seq("_digest"), "left_anti")
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("_digest"))
+      .drop("_digest")
+  }
+
   /** Silent-device detector — the liveness monitor the reference's IoT
     * domain implies: emits (device_id, last_seen) once a device has sent
     * nothing for `silenceMs` of EVENT time (watermark-driven, so a stalled

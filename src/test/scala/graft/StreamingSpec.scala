@@ -458,6 +458,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("deltaDedupAgainstSnapshot drops snapshot digests and within-stream repeats") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val known = "already landed in the corpus last week"
+    val snapshot = Seq(known).toDF("text")
+      .select(md5(to_binary(col("text"), lit("utf-8"))).as("digest"))
+    val mem = MemoryStream[Doc]
+    val out = StreamingPipeline.deltaDedupAgainstSnapshot(mem.toDF(), snapshot)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("delta_dedup_out").start()
+    try {
+      mem.addData(
+        Doc(1L, known, ts("2024-01-01T10:00:00Z")),        // dup_snapshot: dropped
+        Doc(2L, "a fresh document", ts("2024-01-01T10:00:05Z")),
+        Doc(3L, "a fresh document", ts("2024-01-01T10:00:10Z")), // dup_batch
+        Doc(4L, "another fresh one", ts("2024-01-01T10:00:15Z")),
+        // distinct malformed rows: must pass the anti join (a null text
+        // is not "already in the corpus") and must not share one key
+        Doc(5L, null, ts("2024-01-01T10:00:20Z")),
+        Doc(6L, null, ts("2024-01-01T10:00:25Z")),
+        Doc(7L, "dropped for null event time", null))
+      q.processAllAvailable()
+      mem.addData(Doc(8L, known, ts("2024-01-01T10:01:00Z"))) // still known next batch
+      q.processAllAvailable()
+      val ids = spark.table("delta_dedup_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(!ids.contains(1L) && !ids.contains(8L),
+        s"snapshot duplicates reached the sink: $ids")
+      assert(ids.count(Set(2L, 3L)) == 1, s"within-stream repeat survived: $ids")
+      assert(ids.contains(4L), "the fresh document was dropped")
+      assert(ids.contains(5L) && ids.contains(6L),
+        "distinct null-text documents collapsed or were anti-joined away")
+      assert(!ids.contains(7L), "null event time reached the stateful operator")
+    } finally q.stop()
+  }
+
   test("streaming session_window: gap-based sessions close after the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
