@@ -830,6 +830,51 @@ object TextAnalysis {
         FROM s
         ORDER BY lang""")),
 
+    // ---- vocabulary coverage: OOV rate under a fixed top-K vocab ---------
+    // The other tokenizer-dashboard number (with bpe_encode's compression
+    // and zipf_slope's drift): freeze the K most frequent corpus tokens
+    // as "the vocabulary" and report, per language, what fraction of
+    // token INSTANCES falls outside it — the out-of-vocabulary rate that
+    // decides vocab size and flags a language the tokenizer underserves.
+    // Deterministic vocab cut: (count DESC, token) total order.
+    //
+    // Scale: the (lang, tok) tf frame absorbs the explode behind a
+    // partial agg; the vocabulary re-agg runs over tf (vocabulary-sized),
+    // its top-K is a TakeOrderedAndProject, and the K-row vocab
+    // broadcasts back onto tf — the corpus is scanned twice (tf branch +
+    // vocab branch, the lang_divergence trade), text never shuffles.
+    GraftQuery(
+      "vocab_coverage",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val vocab = tf.groupBy("tok").agg(sum("c").as("cg"))
+          .orderBy(col("cg").desc, col("tok")).limit(VocabK)
+          .select(col("tok")).withColumn("_v", lit(1))
+        tf.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("lang")
+          .agg(sum("c").as("n_tokens"),
+            sum(when(col("_v").isNull, col("c")).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_rate",
+            round(col("oov_tokens").cast(DoubleType) / col("n_tokens"), 6))
+          .select("lang", "n_tokens", "oov_tokens", "oov_rate")
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tf AS (SELECT lang, tok, count(*) c FROM tok GROUP BY 1, 2),
+        v AS (SELECT tok FROM (SELECT tok, sum(c) cg FROM tf GROUP BY 1
+                               ORDER BY cg DESC, tok LIMIT $VocabK))
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+               round(CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS DOUBLE)
+                     / sum(c), 6) AS oov_rate
+        FROM tf LEFT JOIN v USING (tok)
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // ---- feature hashing: the hashing-trick bag-of-words vectorizer ------
     // The classic fixed-width text featurizer (Weinberger et al. 2009):
     // token → bucket via a hash mod B, a second hash bit signs the update
@@ -1354,4 +1399,12 @@ object TextAnalysis {
     * is exactly this many rows however large the corpus, which is what
     * lets it broadcast. */
   private val DsirBuckets = 4096
+
+  /** vocab_coverage's frozen vocabulary size: small enough that the cut
+    * lands INSIDE the testdata's vocabulary (nonzero OOV at every scale
+    * factor — a K above the corpus vocab would make the query vacuously
+    * all-covered), large enough to cover the head. The vocab frame is
+    * exactly K rows whatever the corpus, which is what lets it
+    * broadcast. */
+  private val VocabK = 20
 }
