@@ -129,39 +129,42 @@ object TextAnalysis {
     // ---- language ID: marker-token scoring, argmax w/ fixed tie order ----
     GraftQuery(
       "lang_id",
+      (s, dir) => langPredictions(Tables.documents(s, dir))
+        .select("doc_id", "labeled_lang", "pred_lang", "s_en")
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, labeled_lang, pred_lang, s_en
+        FROM ($langPredSql)
+        ORDER BY doc_id""")),
+
+    // ---- language-ID evaluation: the labeled-vs-predicted confusion ------
+    // The companion every classifier in the registry needs: lang_id's
+    // predictions rolled up against the labeled lang as a confusion
+    // matrix — the artifact that decides whether the marker lists need
+    // another pass before the classifier gates a corpus. One scan, a
+    // partial agg over at most |langs|² keys; per-label shares come from
+    // a window over that tiny frame, not the corpus.
+    GraftQuery(
+      "lang_confusion",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        def score(lang: String) =
-          size(filter(toks, t => t.isin(langMarkers(lang): _*)))
-        val langs = Seq("de", "en", "es", "fr", "zh") // tiebreak: alphabetical
-        val scored = langs.map(l => score(l).as(s"s_$l"))
-        val best = greatest(langs.map(l => col(s"s_$l")): _*)
-        val pred = when(best === 0, lit("unknown"))
-          .otherwise(langs.foldRight(lit("unknown")) { (l, acc) =>
-            when(col(s"s_$l") === best, lit(l)).otherwise(acc)
-          })
-        // foldRight so the FIRST alphabetical winner is kept on ties
-        Tables.documents(s, dir)
-          .select(col("doc_id") +: col("lang").as("labeled_lang") +: scored: _*)
-          .withColumn("pred_lang", pred)
-          .select("doc_id", "labeled_lang", "pred_lang", "s_en")
-          .orderBy("doc_id")
+        val byLabel = Window.partitionBy("labeled_lang")
+        langPredictions(Tables.documents(s, dir))
+          .groupBy("labeled_lang", "pred_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("share", round(
+            col("n_docs").cast(DoubleType) / sum("n_docs").over(byLabel), 4))
+          .select("labeled_lang", "pred_lang", "n_docs", "share")
+          .orderBy("labeled_lang", "pred_lang")
       },
-      Some {
-        def cnt(l: String) =
-          s"len(list_filter(string_split(text,' '), t -> t IN (${langMarkers(l).map(m => s"'$m'").mkString(",")})))"
-        s"""
-        SELECT doc_id, lang AS labeled_lang,
-               CASE WHEN greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) = 0 THEN 'unknown'
-                    WHEN ${cnt("de")} = greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) THEN 'de'
-                    WHEN ${cnt("en")} = greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) THEN 'en'
-                    WHEN ${cnt("es")} = greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) THEN 'es'
-                    WHEN ${cnt("fr")} = greatest(${Seq("de","en","es","fr","zh").map(cnt).mkString(",")}) THEN 'fr'
-                    ELSE 'zh' END AS pred_lang,
-               ${cnt("en")} AS s_en
-        FROM documents
-        ORDER BY doc_id"""
-      }),
+      Some(s"""
+        WITH p AS ($langPredSql),
+        m AS (SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) n_docs
+              FROM p GROUP BY 1, 2)
+        SELECT labeled_lang, pred_lang, n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / sum(n_docs) OVER (PARTITION BY labeled_lang), 4) AS share
+        FROM m
+        ORDER BY labeled_lang, pred_lang""")),
 
     // ---- TF-IDF: top term per document ------------------------------------
     // Classic shape: explode tokens → tf per (doc, term) → df per term →
@@ -1288,6 +1291,43 @@ object TextAnalysis {
     }.mkString(",")
     s"""WITH c1 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
         $rounds"""
+  }
+
+  /** Per-document language predictions shared by lang_id and
+    * lang_confusion: marker-token votes per language, argmax with
+    * alphabetical-first tiebreak (foldRight keeps the first winner),
+    * 'unknown' when no marker hits. Pure per-row arithmetic. */
+  private def langPredictions(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(lang: String) =
+      size(filter(toks, t => t.isin(langMarkers(lang): _*)))
+    val langs = Seq("de", "en", "es", "fr", "zh") // tiebreak: alphabetical
+    val scored = langs.map(l => score(l).as(s"s_$l"))
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = when(best === 0, lit("unknown"))
+      .otherwise(langs.foldRight(lit("unknown")) { (l, acc) =>
+        when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+      })
+    docs.select(col("doc_id") +: col("lang").as("labeled_lang") +: scored: _*)
+      .withColumn("pred_lang", pred)
+  }
+
+  /** [[langPredictions]]'s DuckDB mirror: a SELECT over documents with
+    * doc_id, labeled_lang, pred_lang, s_en. */
+  private def langPredSql: String = {
+    def cnt(l: String) =
+      s"len(list_filter(string_split(text,' '), t -> t IN (${langMarkers(l).map(m => s"'$m'").mkString(",")})))"
+    val all = Seq("de", "en", "es", "fr", "zh").map(cnt).mkString(",")
+    s"""SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN greatest($all) = 0 THEN 'unknown'
+                    WHEN ${cnt("de")} = greatest($all) THEN 'de'
+                    WHEN ${cnt("en")} = greatest($all) THEN 'en'
+                    WHEN ${cnt("es")} = greatest($all) THEN 'es'
+                    WHEN ${cnt("fr")} = greatest($all) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang,
+               ${cnt("en")} AS s_en
+        FROM documents"""
   }
 
   /** feature_hash width: fixed feature-space size B; memory per doc is
