@@ -245,6 +245,23 @@ class PlanSpec extends SparkSuite {
       "trained weights lost their broadcast")
   }
 
+  test("round-6 rollups keep their intended scan counts") {
+    // zipf_slope / lang_confusion: one corpus scan, everything after is
+    // vocabulary- or matrix-bounded. vocab_coverage: two (tf branch +
+    // vocab branch — the lang_divergence trade). skew_profile: two
+    // single-column count scans. neardup_rate_by_source: exactly ONE
+    // narrow (doc_id, source) scan on top of minhash_pairs' adjudicated
+    // shape — if the pair chain regresses, both gates move together.
+    def scans(name: String) =
+      "FileScan parquet".r.findAllIn(planOf(name)).length
+    assert(scans("zipf_slope") == 1, "zipf_slope must scan once")
+    assert(scans("lang_confusion") == 1, "lang_confusion must scan once")
+    assert(scans("vocab_coverage") == 2, "vocab_coverage must scan twice")
+    assert(scans("skew_profile") == 2, "skew_profile must scan twice")
+    assert(scans("neardup_rate_by_source") == scans("minhash_pairs") + 1,
+      "neardup_rate_by_source must add exactly one narrow scan to the pair chain")
+  }
+
   test("delta_dedup joins on digests only and keeps partial aggregation") {
     // both join keys are 32-hex digests — the plan must never carry text
     // into an exchange, and the within-batch min-id survivor agg keeps
