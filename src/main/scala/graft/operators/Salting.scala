@@ -70,9 +70,12 @@ object Salting {
     // 20 hottest event keys with their share of all rows and a hot flag
     // at 5× the uniform share — the report that decides whether a join
     // needs saltedEquiJoin, a higher AQE skew factor, or a key drop.
-    // The hot flag is INTEGER arithmetic (n·n_keys > 5·total), not a
-    // rounded-double comparison, so both engines decide identically at
-    // the boundary. One partial-agg count shuffle over the keys, a
+    // The hot flag is EXACT WIDE-INTEGER arithmetic (n·n_keys > 5·total
+    // in DECIMAL(38,0) / HUGEINT), not a rounded-double comparison, so
+    // both engines decide identically at the boundary — and the products
+    // cannot overflow at any realistic scale (a bare BIGINT multiply
+    // would wrap in Spark and error in DuckDB past 2^63, two different
+    // wrong behaviors). One partial-agg count shuffle over the keys, a
     // broadcast 1-row totals frame, TakeOrderedAndProject for the top-k —
     // nothing here scales with rows beyond the first count.
     GraftQuery(
@@ -86,7 +89,8 @@ object Salting {
           .withColumn("share",
             round(col("n_events").cast(DoubleType) / col("total"), 6))
           .withColumn("is_hot",
-            col("n_events") * col("n_keys") > col("total") * 5)
+            col("n_events").cast(DecimalType(38, 0)) * col("n_keys") >
+              col("total").cast(DecimalType(38, 0)) * 5)
           .select("user_id", "n_events", "share", "is_hot")
           .orderBy(col("n_events").desc, col("user_id"))
           .limit(20)
@@ -98,7 +102,8 @@ object Salting {
                      CAST(count(*) AS BIGINT) n_keys FROM c)
         SELECT user_id, n_events,
                round(CAST(n_events AS DOUBLE) / total, 6) AS share,
-               n_events * n_keys > total * 5 AS is_hot
+               CAST(n_events AS HUGEINT) * n_keys
+                 > CAST(total AS HUGEINT) * 5 AS is_hot
         FROM c, t
         ORDER BY n_events DESC, user_id
         LIMIT 20"""))

@@ -1300,17 +1300,25 @@ object TextAnalysis {
   private def langPredictions(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val toks = split(col("text"), " ")
-    def score(lang: String) =
-      size(filter(toks, t => t.isin(langMarkers(lang): _*)))
+    // NULL text scores NULL per language (matching the SQL mirror, where
+    // len(list_filter(NULL)) is NULL) and predicts 'unknown' via an
+    // EXPLICIT first branch — without it the engines diverge: Spark's
+    // legacy size(NULL) = -1 would tie every score at -1 and predict
+    // 'de', DuckDB's NULL comparisons would fall through to 'zh'
+    def score(lang: String) = when(col("text").isNotNull,
+      size(filter(toks, t => t.isin(langMarkers(lang): _*))))
     val langs = Seq("de", "en", "es", "fr", "zh") // tiebreak: alphabetical
     val scored = langs.map(l => score(l).as(s"s_$l"))
     val best = greatest(langs.map(l => col(s"s_$l")): _*)
-    val pred = when(best === 0, lit("unknown"))
+    val pred = when(col("text").isNull, lit("unknown"))
+      .when(best === 0, lit("unknown"))
       .otherwise(langs.foldRight(lit("unknown")) { (l, acc) =>
         when(col(s"s_$l") === best, lit(l)).otherwise(acc)
       })
-    docs.select(col("doc_id") +: col("lang").as("labeled_lang") +: scored: _*)
+    docs.select(col("doc_id") +: col("lang").as("labeled_lang") +:
+        col("text") +: scored: _*)
       .withColumn("pred_lang", pred)
+      .drop("text")
   }
 
   /** [[langPredictions]]'s DuckDB mirror: a SELECT over documents with
@@ -1320,7 +1328,8 @@ object TextAnalysis {
       s"len(list_filter(string_split(text,' '), t -> t IN (${langMarkers(l).map(m => s"'$m'").mkString(",")})))"
     val all = Seq("de", "en", "es", "fr", "zh").map(cnt).mkString(",")
     s"""SELECT doc_id, lang AS labeled_lang,
-               CASE WHEN greatest($all) = 0 THEN 'unknown'
+               CASE WHEN text IS NULL THEN 'unknown'
+                    WHEN greatest($all) = 0 THEN 'unknown'
                     WHEN ${cnt("de")} = greatest($all) THEN 'de'
                     WHEN ${cnt("en")} = greatest($all) THEN 'en'
                     WHEN ${cnt("es")} = greatest($all) THEN 'es'

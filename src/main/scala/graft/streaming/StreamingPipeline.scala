@@ -146,27 +146,33 @@ object StreamingPipeline {
     * than all colliding on the degenerate all-MaxValue signature. Banded
     * (any-band) matching would need stream-stream self-join state, not a
     * dedup key — that is the batch pipeline's job downstream. */
+  /** Deterministic fallback key for a NULL-`textCol` row, derived from
+    * the row's FULL content — never uuid(): a nondeterministic key
+    * re-keys the same malformed row on micro-batch replay after a
+    * failure, so dropDuplicatesWithinWatermark could not suppress its
+    * re-delivery and the pipeline's exactly-once replay guarantee would
+    * silently leak duplicates. The hash goes over the row's JSON with
+    * nulls kept EXPLICIT: hashing the columns directly would use Spark's
+    * null-skipping hash fold, under which two distinct rows whose
+    * non-null values "shift" across columns (a NULL,"x" vs "x",NULL)
+    * collide and one real malformed record would be dropped. Distinct
+    * malformed rows thus get distinct keys; fully-identical malformed
+    * rows collapse, which IS dedup semantics. Shared by every streaming
+    * dedup keying scheme so the replay discipline cannot drift. */
+  private def nullTextFallbackKey(docs: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, concat, lit, struct, to_json, xxhash64}
+    concat(lit("null:"),
+      xxhash64(to_json(struct(docs.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false"))).cast("string"))
+  }
+
   def dedupByMinHashWithinWatermark(
       docs: DataFrame,
       textCol: String = "text",
       tsCol: String = "timestamp",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat, lit, size, struct, to_json, when, xxhash64}
+    import org.apache.spark.sql.functions.{col, concat, lit, size, when}
     import graft.functions.{VectorExpressions => V}
-    // null-text fallback key: DETERMINISTIC from the row's full content,
-    // never uuid() — a nondeterministic key re-keys the same malformed row
-    // on micro-batch replay after a failure, so
-    // dropDuplicatesWithinWatermark could not suppress its re-delivery and
-    // the pipeline's exactly-once replay guarantee would silently leak
-    // duplicates. The hash goes over the row's JSON with nulls kept
-    // EXPLICIT: hashing the columns directly would use Spark's
-    // null-skipping hash fold, under which two distinct rows whose
-    // non-null values "shift" across columns (a NULL,"x" vs "x",NULL)
-    // collide and one real malformed record would be dropped. Distinct
-    // malformed rows thus get distinct keys; fully-identical malformed
-    // rows collapse, which IS dedup semantics.
-    val rowHash = xxhash64(to_json(struct(docs.columns.map(col): _*),
-      Map("ignoreNullFields" -> "false")))
     docs
       // a null event time must not reach the stateful operator (the
       // silentDevices lesson: the watermark drops OLD rows, not null
@@ -178,7 +184,7 @@ object StreamingPipeline {
       // row (conditional subtrees are outside subexpression elimination)
       .withColumn("_grams", V.wordShingles(col(textCol), 3))
       .withColumn("_dedup_key",
-        when(col(textCol).isNull, concat(lit("null:"), rowHash.cast("string")))
+        when(col(textCol).isNull, nullTextFallbackKey(docs))
           .when(size(col("_grams")) > 0, V.minhashSig(col("_grams")).cast("string"))
           .otherwise(concat(lit("short:"), col(textCol))))
       .withWatermark(tsCol, watermarkDelay)
@@ -199,11 +205,11 @@ object StreamingPipeline {
     * snapshot should be a compacted digest table (or bloom-pruned via
     * JoinPruning first), not a scan of the corpus itself.
     *
-    * Null-text rows follow the dedupByMinHashWithinWatermark discipline:
-    * a deterministic row-content fallback key (never uuid — replay
-    * idempotence), null digests never anti-join away (left_anti on a
-    * null key matches nothing, which is correct: a malformed record is
-    * not "already in the corpus"). */
+    * Null-text rows follow the shared [[nullTextFallbackKey]] discipline
+    * (deterministic row-content key, never uuid — replay idempotence);
+    * such keys never anti-join away (a malformed record is not "already
+    * in the corpus", and the "null:" prefix cannot collide with a 32-hex
+    * digest). */
   def deltaDedupAgainstSnapshot(
       docs: DataFrame,
       snapshotDigests: DataFrame,
@@ -211,14 +217,11 @@ object StreamingPipeline {
       textCol: String = "text",
       tsCol: String = "timestamp",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat, lit, md5, struct,
-      to_binary, to_json, when, xxhash64}
-    val rowHash = xxhash64(to_json(struct(docs.columns.map(col): _*),
-      Map("ignoreNullFields" -> "false")))
+    import org.apache.spark.sql.functions.{col, lit, md5, to_binary, when}
     docs
       .filter(col(tsCol).isNotNull)
       .withColumn("_digest",
-        when(col(textCol).isNull, concat(lit("null:"), rowHash.cast("string")))
+        when(col(textCol).isNull, nullTextFallbackKey(docs))
           .otherwise(md5(to_binary(col(textCol), lit("utf-8")))))
       .join(snapshotDigests.select(col(digestCol).as("_digest")),
         Seq("_digest"), "left_anti")
