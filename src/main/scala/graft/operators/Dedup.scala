@@ -660,6 +660,39 @@ object Dedup {
       },
       Some(minhashClustersOracleSql)),
 
+    // ---- cross-source overlap: the mirror-site / syndication detector ----
+    // Rolls the same banded-LSH near-dup pairs up by SOURCE PAIR: two
+    // sources sharing many near-duplicate documents are mirrors or
+    // syndication partners, and a crawl pipeline keeps one of them (or
+    // routes both through source_cap). Unordered pair key via
+    // least/greatest so (a,b) and (b,a) collapse; joins are doc_id-keyed
+    // onto the narrow (doc_id, source) projection, output is at most
+    // |sources|² rows.
+    GraftQuery(
+      "source_overlap",
+      (s, dir) => {
+        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        minhashPairs(s, dir).select("doc_a", "doc_b")
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+          .select(least(col("src_a"), col("src_b")).as("source_1"),
+            greatest(col("src_a"), col("src_b")).as("source_2"))
+          .groupBy("source_1", "source_2")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_1", "source_2")
+      },
+      Some(s"""
+        WITH $minhashCtes,
+        sp AS (SELECT least(a.source, b.source) AS source_1,
+                      greatest(a.source, b.source) AS source_2
+               FROM mh_pairs p
+               JOIN documents a ON p.doc_a = a.doc_id
+               JOIN documents b ON p.doc_b = b.doc_id)
+        SELECT source_1, source_2, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM sp
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
     // ---- per-source near-duplication profile ------------------------------
     // The curation dashboard number: what fraction of each source's
     // documents participates in at least one near-dup pair. Sources with
