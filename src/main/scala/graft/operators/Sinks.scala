@@ -12,8 +12,9 @@ import org.apache.spark.sql.DataFrame
   *  - [[idempotentParquet]]: dynamic partition overwrite keyed by a
   *    partition column (e.g. window_start) — replaying a batch rewrites the
   *    same partitions, giving effectively-once output at any scale;
-  *  - [[jdbc]]: the reference's JDBC path, compiled but unexercised in the
-  *    offline harness (no database; exercised shape-only in tests).
+  *  - [[jdbc]]: the reference's JDBC path, exercised end-to-end in tests
+  *    against embedded Derby (StreamingSpec "JDBC sink (Derby)" cases:
+  *    update-mode duplicate-window appends and clean append-after-close).
   */
 object Sinks {
 

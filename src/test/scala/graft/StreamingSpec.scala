@@ -552,6 +552,162 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------------------------------- JDBC
+  // The reference's actual sink is JDBC append (processor.py:124-140).
+  // Spark ships embedded Derby (/opt/spark/jars/derby-*.jar) for the Hive
+  // metastore, so the JDBC leg is exercisable offline: an in-memory Derby
+  // DB lives in this JVM and local-mode executors share it.
+  private val derbyUrl = "jdbc:derby:memory:graftjdbc;create=true"
+  private def derbyProps = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  test("JDBC sink (Derby): update-mode mimicReference appends one row per window revision") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = StreamingPipeline.aggregateWriter(
+      StreamingPipeline.aggregates(mem.toDF()),
+      checkpoint = java.nio.file.Files.createTempDirectory("graft-jdbc-ckpt").toString,
+      sink = (df, _) => operators.Sinks.jdbc(df, derbyUrl, "agg_mimic", derbyProps),
+      mimicReference = true).start()
+    try {
+      // two batches revising the same 10:00 window → the reference's
+      // append-only table accumulates BOTH revisions (processor.py:105,133)
+      mem.addData(reading("2024-01-01T10:00:10Z", 10.0))
+      q.processAllAvailable()
+      mem.addData(reading("2024-01-01T10:00:50Z", 30.0))
+      q.processAllAvailable()
+      val rows = spark.read.jdbc(derbyUrl, "agg_mimic", derbyProps)
+        .filter(col("window_start") === ts("2024-01-01T10:00:00Z"))
+        .orderBy("reading_count").collect()
+      assert(rows.map(_.getAs[Long]("reading_count")).toSeq == Seq(1L, 2L),
+        s"expected both window revisions in the append-only table, got ${rows.mkString(";")}")
+      assert(rows.map(_.getAs[Double]("avg_value")).toSeq == Seq(10.0, 20.0))
+      // round-trip fidelity: timestamps and keys survive JDBC write+read
+      assert(rows.forall(_.getAs[Timestamp]("window_end") == ts("2024-01-01T10:01:00Z")))
+      assert(rows.forall(_.getAs[String]("device_type") == "temperature"))
+    } finally q.stop()
+  }
+
+  test("JDBC sink (Derby): append mode lands each closed window exactly once; raw sink appends every row") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jdbc-ckpt2").toString
+    val (aggQ, rawQ) = StreamingPipeline.runBoth(
+      mem.toDF(), ckpt,
+      aggSink = (df, _) => operators.Sinks.jdbc(df, derbyUrl, "agg_clean", derbyProps),
+      rawSink = (df, _) => operators.Sinks.jdbc(df, derbyUrl, "raw_rows", derbyProps))
+    try {
+      mem.addData(reading("2024-01-01T10:00:10Z", 10.0),
+                  reading("2024-01-01T10:00:50Z", 30.0))
+      aggQ.processAllAvailable(); rawQ.processAllAvailable()
+      mem.addData(reading("2024-01-01T10:03:00Z", 99.0)) // closes 10:00
+      aggQ.processAllAvailable(); rawQ.processAllAvailable()
+      val aggs = spark.read.jdbc(derbyUrl, "agg_clean", derbyProps).collect()
+      assert(aggs.length == 1, s"append mode must emit a closed window once, got ${aggs.mkString(";")}")
+      assert(aggs.head.getAs[Double]("avg_value") == 20.0)
+      assert(aggs.head.getAs[Long]("reading_count") == 2L)
+      val raw = spark.read.jdbc(derbyUrl, "raw_rows", derbyProps)
+      assert(raw.count() == 3) // every decoded row, appended per batch
+      assert(raw.columns.contains("device_id") && raw.columns.contains("value"))
+    } finally { aggQ.stop(); rawQ.stop() }
+  }
+
+  // ------------------------------------------------------- RocksDB backend
+  // At 100 TB the stateful ops must not depend on the default HDFS-backed
+  // (heap) state store: RocksDB bounds state by local disk. Re-run each
+  // CUSTOM stateful operator under the RocksDB provider — same inputs,
+  // same expected output, only the backend differs. (The windowed agg
+  // already has its RocksDB case above; these cover the remaining state
+  // shapes: dropDuplicatesWithinWatermark, stream-stream join state, and
+  // flatMapGroupsWithState timeout state.)
+  private def withRocksDB[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("RocksDB backend: minhash ingest dedup drops re-posts identically") {
+    withRocksDB {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[Doc]
+      val out = StreamingPipeline.dedupByMinHashWithinWatermark(mem.toDF())
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("mh_dedup_rocks").start()
+      try {
+        val boiler = "the quick brown fox jumps over the lazy dog again and again"
+        mem.addData(Doc(1L, boiler, ts("2024-01-01T10:00:00Z")),
+                    Doc(2L, "distinct text about spark state store backends today",
+                      ts("2024-01-01T10:00:05Z")))
+        q.processAllAvailable()
+        mem.addData(Doc(3L, boiler, ts("2024-01-01T10:01:00Z"))) // re-post
+        q.processAllAvailable()
+        val ids = spark.table("mh_dedup_rocks").collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        assert(ids == Set(1L, 2L), s"got $ids")
+        assert(q.lastProgress.stateOperators.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
+  test("RocksDB backend: stream-stream interval join state evicts and matches identically") {
+    withRocksDB {
+      implicit val sc = spark.sqlContext
+      val views = MemoryStream[Reading]
+      val purchases = MemoryStream[Reading]
+      val v = views.toDF().select(col("device_id"), col("timestamp").as("v_ts"))
+      val p = purchases.toDF().select(col("device_id"), col("timestamp").as("p_ts"))
+      val joined = StreamingPipeline.intervalJoin(v, p, "device_id",
+        leftTs = "v_ts", rightTs = "p_ts",
+        maxDelay = "30 minutes", watermarkDelay = "10 minutes")
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("ss_join_rocks").start()
+      try {
+        views.addData(reading("2024-01-01T10:00:00Z", 1.0))
+        views.addData(reading("2024-01-01T08:00:00Z", 2.0)) // out of range
+        purchases.addData(reading("2024-01-01T10:15:00Z", 3.0))
+        q.processAllAvailable()
+        val rows = spark.table("ss_join_rocks").collect()
+        assert(rows.length == 1)
+        assert(rows.head.getAs[Timestamp]("v_ts").toInstant.toString
+          == "2024-01-01T10:00:00Z")
+      } finally q.stop()
+    }
+  }
+
+  test("RocksDB backend: silentDevices event-time timeout state fires identically") {
+    withRocksDB {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[Reading]
+      def at(dev: String, t: String) =
+        Reading(dev, "temperature", "room1", 1.0, 50.0, ts(t))
+      val quiet = StreamingPipeline.silentDevices(mem.toDF(),
+        silenceMs = 30 * 60 * 1000L, watermarkDelay = "10 minutes")
+      val q = quiet.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("silent_rocks").start()
+      try {
+        mem.addData(at("dev_a", "2024-01-01T10:00:00Z"),
+                    at("dev_b", "2024-01-01T10:00:00Z"))
+        q.processAllAvailable()
+        mem.addData(at("dev_b", "2024-01-01T12:00:00Z"))
+        q.processAllAvailable()
+        mem.addData(at("dev_b", "2024-01-01T15:00:00Z"))
+        q.processAllAvailable()
+        val rows = spark.table("silent_rocks").collect()
+        assert(rows.map(_.getAs[String]("device_id")).toSet == Set("dev_a"),
+          s"expected only dev_a, got ${rows.mkString}")
+      } finally q.stop()
+    }
+  }
+
   test("two concurrent sinks off one source (reference A11-A14 shape)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]
