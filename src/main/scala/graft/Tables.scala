@@ -159,34 +159,44 @@ object Tables {
     * file footer and memoize: this is a bounded migration probe (one
     * footer, one column), not corpus-wide schema inference — at 100 TB
     * you still declare the schema, this just picks WHICH declared schema
-    * matches the fleet's current writer. */
+    * matches the fleet's current writer.
+    *
+    * The memo key includes the probed file's (length, mtime), not just
+    * the directory: the harness driver regenerates testdata in place
+    * between rounds, and a JVM-lifetime dir-keyed cache would silently
+    * keep the stale encoding across a regeneration (reading µs as ns —
+    * the exact round-6 failure mode). Resolving the probe file costs one
+    * or two driver-side stats per events() call; the footer parse stays
+    * memoized. */
   private val eventsTsNanos =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
 
-  private def tsStoredAsNanos(spark: SparkSession, dir: String): Boolean =
-    eventsTsNanos.computeIfAbsent(dir, _ => {
-      // parquet-mr footer read, NOT spark.read.parquet(...).schema —
-      // schema inference submits a Spark JOB, which would break the
-      // action-free plan-construction contract (OperatorSpec gates it)
-      // for every events-backed builder. This is pure driver file IO.
-      import org.apache.parquet.format.converter.ParquetMetadataConverter
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val fs = root.getFileSystem(conf)
-      // events.parquet is a single file in the testdata; accept a
-      // directory of part files too (test fixtures write those)
-      val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-            // listStatus order is filesystem-dependent; sort so the
-            // probed footer is deterministic across runs and machines
-            .sortBy(_.getName).headOption.getOrElse(throw new IllegalStateException(
-              s"$root is a directory with no .parquet part file — cannot " +
-                "probe the events ts encoding"))
-        else root
+  private def tsStoredAsNanos(spark: SparkSession, dir: String): Boolean = {
+    // resolving the file + stat is pure driver file IO, NOT
+    // spark.read.parquet(...).schema — schema inference submits a Spark
+    // JOB, which would break the action-free plan-construction contract
+    // (OperatorSpec gates it) for every events-backed builder.
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    // events.parquet is a single file in the testdata; accept a
+    // directory of part files too (test fixtures write those)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          // listStatus order is filesystem-dependent; sort so the
+          // probed footer is deterministic across runs and machines
+          .sortBy(_.getName).headOption.getOrElse(throw new IllegalStateException(
+            s"$root is a directory with no .parquet part file — cannot " +
+              "probe the events ts encoding"))
+      else root
+    val st = fs.getFileStatus(file)
+    val key = s"$file|${st.getLen}|${st.getModificationTime}"
+    eventsTsNanos.computeIfAbsent(key, _ => {
       val footer = ParquetFileReader.readFooter(
         conf, file, ParquetMetadataConverter.NO_FILTER)
       val schema = footer.getFileMetaData.getSchema
@@ -200,6 +210,7 @@ object Tables {
         case _ => false
       }
     })
+  }
 
   /** Events with `ts` as TimestampType (µs precision) whichever encoding
     * is on disk: NANOS files are read raw and truncated ns → µs (exactly

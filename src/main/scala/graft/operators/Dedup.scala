@@ -509,9 +509,17 @@ object Dedup {
     GraftQuery(
       "delta_dedup",
       (s, dir) => {
+        // null-text rows get a deterministic per-row fallback key (the
+        // streaming counterpart's nullTextFallbackKey discipline): md5 of
+        // NULL is NULL, and a NULL digest would silently vanish at the
+        // inner first_seen join — a malformed record must classify as
+        // fresh, not disappear. doc_id is unique, so distinct null-text
+        // rows never collapse, and the "null:" prefix cannot collide
+        // with a 32-hex digest.
         val d = Tables.documents(s, dir)
           .select(col("doc_id"),
-            md5(to_binary(col("text"), lit("utf-8"))).as("digest"))
+            coalesce(md5(to_binary(col("text"), lit("utf-8"))),
+              concat(lit("null:"), col("doc_id").cast("string"))).as("digest"))
         val bound = d.agg(expr("max(doc_id) * 4 DIV 5").as("t"))
         val keyed = d.crossJoin(broadcast(bound))
         val snapshot = keyed.filter(col("doc_id") < col("t"))
@@ -531,7 +539,9 @@ object Dedup {
       },
       Some("""
         WITH bound AS (SELECT max(doc_id) * 4 // 5 AS t FROM documents),
-        d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        d AS (SELECT doc_id,
+                     coalesce(md5(text), 'null:' || doc_id) AS digest
+              FROM documents),
         snapshot AS (SELECT DISTINCT digest FROM d, bound WHERE doc_id < t),
         batch AS (SELECT doc_id, digest FROM d, bound WHERE doc_id >= t),
         first_seen AS (SELECT digest, min(doc_id) AS first_id

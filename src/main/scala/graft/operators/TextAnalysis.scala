@@ -773,6 +773,15 @@ object TextAnalysis {
     // num/den division (identical IEEE inputs ⇒ identical quotient) and
     // one round to 4 decimals. Moment products ride DECIMAL(38,0) /
     // HUGEINT — BIGINT would overflow sxx at web-scale vocabularies.
+    // KNOWN ACCEPTED TRADE (round-6 advisory): the quantization assumes
+    // JVM Math.log and DuckDB's libm ln agree to the last bit on the
+    // same double; both are ~1-ulp accurate, so an ln value landing
+    // EXACTLY on a round(x·1e6) .5 boundary could flip x6/y6 by 1
+    // between engines. No harness value sits on such a boundary (ln of
+    // small integers), the window is ~1 ulp wide, and lang_divergence
+    // shipped the same trade in round 6 — revisit only if a regenerated
+    // corpus ever trips it (symptom: zipf_slope hash-mismatch with
+    // every moment off by ≤1 micro-nat).
     //
     // Scale: one corpus scan into the (lang, tok) partial-agg tf frame;
     // ranking sorts each language's VOCABULARY (sublinear in the corpus —
@@ -1119,13 +1128,18 @@ object TextAnalysis {
 
     // ---- bpe_merges: tokenizer-training pair-merge loop ------------------
     // The vocabulary-induction core of BPE training (Sennrich et al. 2016,
-    // public), run at the word level (= classic phrase induction): each
-    // round counts every adjacent token pair across the corpus, adopts the
-    // most frequent pair as a new vocabulary symbol (ties broken count
-    // DESC, then lexicographic — deterministic), and rewrites the corpus
-    // with the pair fused before the next round counts again. Output is
-    // the learned merge table, the artifact a tokenizer trainer ships.
-    // Two exactness decisions make this oracle-checkable:
+    // public), run at the word level (= classic phrase induction), with
+    // BATCHED adoption: each round counts every adjacent token pair across
+    // the corpus, ranks the top [[BpeCandidates]] (count DESC, then
+    // lexicographic — a total order, so the candidate cutoff is
+    // deterministic), adopts up to [[BpeBatch]] of them as new vocabulary
+    // symbols, and rewrites the corpus with ALL adopted pairs fused before
+    // the next round counts again. Output is the learned merge table, the
+    // artifact a tokenizer trainer ships. Batching is what makes the loop
+    // extrapolate: a 30k-merge vocabulary is K ≈ vocab/batch driver
+    // round-trips, not 30k — cost per round stays one pair-count shuffle
+    // plus one ≤[[BpeCandidates]]-row collect regardless of batch size.
+    // Exactness decisions that keep the batched loop oracle-checkable:
     // (1) only pairs with lhs ≠ rhs are candidates — a self-pair's
     //     occurrences overlap ("x x x"), making greedy merging
     //     order-dependent; distinct pairs never overlap at token level,
@@ -1139,10 +1153,22 @@ object TextAnalysis {
     //     string is "every occurrence fused" regardless of either
     //     engine's scan order, and merged symbols (joined by the \u0001 sentinel,
     //     absent from the corpus) can never create a fresh occurrence of
-    //     the same pair within a round.
+    //     the same pair within a round;
+    // (3) adoption within a round is SYMBOL-DISJOINT: a candidate is
+    //     adopted iff it shares no token with any higher-ranked candidate
+    //     (adopted or not — the "conflict with predecessors" rule, chosen
+    //     over true greedy matching because it is one relational
+    //     anti-join, identical in both engines, no sequential driver
+    //     state to mirror). Disjointness makes the batch's rewrites
+    //     COMMUTE and keeps every adopted pair's start-of-round count
+    //     exact: fusing (l1,r1) can neither destroy nor create an
+    //     occurrence of (l2,r2) when the four symbols are distinct, so
+    //     "apply all adopted merges" is order-free and each merge still
+    //     fuses exactly pair_count occurrences (the OperatorSpec
+    //     conservation invariant, now summed over the whole batch).
     // Scale: per round, one pair-count shuffle over the cached corpus
-    // (partial aggs absorb the explode), a 1-row collect, and a
-    // shuffle-free codegen'd rewrite. Caching each round's corpus keeps
+    // (partial aggs absorb the explode), a ≤[[BpeCandidates]]-row
+    // collect, and a shuffle-free codegen'd rewrite. Caching each round's corpus keeps
     // the lineage linear — K rounds cost K scans, not K²/2 replays (a
     // cluster run would checkpoint rounds the same way). Driver-held
     // round loop ⇒ registered in actionfulQueries.
@@ -1155,12 +1181,14 @@ object TextAnalysis {
       },
       Some {
         val sel = (1 to BpeRounds)
-          .map(k => s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, " +
-            s"CAST(c AS BIGINT) AS pair_count FROM s$k")
+          .map(k => s"SELECT $k AS round, arank, l, r, c FROM ad$k")
           .mkString("\n        UNION ALL ")
         s"""
         $bpeSqlChain
-        $sel
+        SELECT CAST(row_number() OVER (ORDER BY round, arank) AS INTEGER)
+                 AS merge_rank,
+               l AS lhs, r AS rhs, CAST(c AS BIGINT) AS pair_count
+        FROM ($sel)
         ORDER BY merge_rank"""
       }),
 
@@ -1217,16 +1245,20 @@ object TextAnalysis {
         ORDER BY doc_id"""))
   )
 
-  /** Runs the [[BpeRounds]] driver-held BPE training loop: per round one
-    * adjacent-pair count over the cached corpus (partial aggs absorb the
-    * explode), a 1-row collect of the winner, and a shuffle-free
-    * double-replace rewrite (exactness argument on the bpe_merges query).
-    * Returns the merge table and the final rewritten corpus `(doc_id, s)`
-    * whose space-separated tokens ARE each document's BPE encoding.
-    * Every per-round cache is released before returning, so re-evaluating
-    * the returned frame costs ONE parquet scan through [[BpeRounds]]
-    * chained narrow string rewrites. Driver-held loop => both consumers
-    * are registered in SparkEntry.actionfulQueries. */
+  /** Runs the [[BpeRounds]] driver-held BATCHED BPE training loop: per
+    * round one adjacent-pair count over the cached corpus (partial aggs
+    * absorb the explode), a ≤[[BpeCandidates]]-row collect of the ranked
+    * candidates, symbol-disjoint batch adoption of up to [[BpeBatch]] of
+    * them (the predecessor-conflict rule — see the bpe_merges query
+    * comment for why disjointness keeps counts exact and rewrites
+    * commutative), and a shuffle-free chain of double-replace rewrites.
+    * Returns the merge table (global merge_rank across rounds) and the
+    * final rewritten corpus `(doc_id, s)` whose space-separated tokens ARE
+    * each document's BPE encoding. Every per-round cache is released
+    * before returning, so re-evaluating the returned frame costs ONE
+    * parquet scan through ≤ [[BpeRounds]]·[[BpeBatch]] chained narrow
+    * string rewrites. Driver-held loop => both consumers are registered
+    * in SparkEntry.actionfulQueries. */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var corpus = Tables.documents(s, dir)
@@ -1236,10 +1268,10 @@ object TextAnalysis {
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
-      for (round <- 1 to BpeRounds) {
+      for (_ <- 1 to BpeRounds) {
         val cur = corpus.cache()
         cachedRounds += cur
-        val top = cur
+        val ranked = cur
           .select(split(trim(col("s")), " ").as("t"))
           .select(explode(expr(
             """IF(size(t) >= 2,
@@ -1250,46 +1282,75 @@ object TextAnalysis {
           .filter(col("l") =!= col("r"))
           .groupBy("l", "r").agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (l, r, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((round, l, r, c))
+          .limit(BpeCandidates).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // predecessor-conflict adoption: candidate i survives iff no
+        // higher-ranked CANDIDATE (adopted or not) shares a symbol --
+        // checking against candidates rather than the adopted set keeps
+        // the rule a pure anti-join the DuckDB oracle mirrors exactly
+        val adopted = ranked.zipWithIndex.collect {
+          case ((l, r, c), i) if !ranked.take(i).exists { case (bl, br, _) =>
+            bl == l || bl == r || br == l || br == r } => (l, r, c)
+        }.take(BpeBatch)
+        adopted.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1, l, r, c))
+        }
+        // disjoint symbols => the replaces commute; fold in rank order
+        // for plan determinism (the result is order-free)
+        corpus = adopted.foldLeft(cur) { case (df, (l, r, _)) =>
           val pat = lit(s" $l $r ")
           val rep = lit(s" $l\u0001$r ")
-          corpus = cur.withColumn("s",
-            replace(replace(col("s"), pat, rep), pat, rep))
+          df.withColumn("s", replace(replace(col("s"), pat, rep), pat, rep))
         }
       }
     } finally cachedRounds.foreach(_.unpersist(blocking = false))
     (merges.toSeq, corpus)
   }
 
-  /** The WITH-chain both BPE oracles share: `c1` is the space-sentineled
-    * corpus, round k's winner is `s$k`, and `c${k + 1}` is the corpus
-    * with that merge applied everywhere -- so `c${BpeRounds + 1}` is the
-    * fully encoded corpus. Mirrors [[bpeTrain]] round for round,
-    * INCLUDING the no-pair round: the rewrite is a LEFT JOIN against the
-    * (at most 1-row) winner so an empty `s$k` passes the corpus through
-    * unchanged — a plain cross join would empty every later round and
-    * bpe_encode would return zero rows where Spark keeps the corpus
-    * (bpe_merges never noticed: an empty winner contributes no UNION
-    * rows either way). */
+  /** The WITH-chain both BPE oracles share, mirroring [[bpeTrain]] round
+    * for round: `c1` is the space-sentineled corpus; round k ranks the
+    * top [[BpeCandidates]] pairs (`cand$k`), adopts the symbol-disjoint
+    * prefix-conflict-free batch capped at [[BpeBatch]] (`ad$k`), and
+    * `c${k + 1}` is the corpus with ALL of round k's adopted merges
+    * applied. The rewrite fold is a RECURSIVE CTE walking the adopted
+    * list in arank order (the replaces commute -- symbol-disjointness --
+    * so the order only pins determinism); its base row carries i = 0, so
+    * an empty `ad$k` degenerates to `i = count(*) = 0` and passes the
+    * corpus through unchanged. Per-round CTEs are MATERIALIZED: each is
+    * referenced more than once, and DuckDB would otherwise inline (=
+    * re-evaluate) the entire upstream chain per reference -- measured as
+    * the difference between 0.5 s and a query that never finishes. */
   private def bpeSqlChain: String = {
     val rounds = (1 to BpeRounds).map { k =>
       s"""
         tk$k AS (SELECT doc_id, string_split(trim(s), ' ') AS t FROM c$k),
         pr$k AS (SELECT t[i] AS l, t[i + 1] AS r
                  FROM tk$k, UNNEST(range(1, len(t))) u(i)),
-        s$k AS (SELECT l, r, count(*) AS c FROM pr$k WHERE l <> r
-                GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
-        c${k + 1} AS (SELECT doc_id,
-                 CASE WHEN l IS NULL THEN s
-                      ELSE replace(replace(s, ' '||l||' '||r||' ', ' '||l||chr(1)||r||' '),
-                                   ' '||l||' '||r||' ', ' '||l||chr(1)||r||' ') END AS s
-               FROM c$k LEFT JOIN s$k ON true)"""
+        cand$k AS MATERIALIZED (
+          SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l, r) AS rk
+          FROM (SELECT l, r, count(*) AS c FROM pr$k WHERE l <> r
+                GROUP BY 1, 2)
+          ORDER BY c DESC, l, r LIMIT $BpeCandidates),
+        ad$k AS MATERIALIZED (
+          SELECT l, r, c, row_number() OVER (ORDER BY rk) AS arank
+          FROM cand$k a
+          WHERE NOT EXISTS (SELECT 1 FROM cand$k b WHERE b.rk < a.rk
+                            AND (b.l IN (a.l, a.r) OR b.r IN (a.l, a.r)))
+          QUALIFY arank <= $BpeBatch),
+        rw$k AS (SELECT doc_id, s, 0 AS i FROM c$k
+                 UNION ALL
+                 SELECT p.doc_id,
+                        replace(replace(p.s,
+                            ' '||a.l||' '||a.r||' ', ' '||a.l||chr(1)||a.r||' '),
+                            ' '||a.l||' '||a.r||' ', ' '||a.l||chr(1)||a.r||' '),
+                        p.i + 1
+                 FROM rw$k p JOIN ad$k a ON a.arank = p.i + 1),
+        c${k + 1} AS MATERIALIZED (
+          SELECT doc_id, s FROM rw$k
+          WHERE i = (SELECT count(*) FROM ad$k))"""
     }.mkString(",")
-    s"""WITH c1 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+    s"""WITH RECURSIVE c1 AS MATERIALIZED (
+          SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
         $rounds"""
   }
 
@@ -1439,10 +1500,16 @@ object TextAnalysis {
     * epoch costs one margin job over the cached feature frame. */
   private val QcEpochs = 3
 
-  /** bpe_merges rounds = learned vocabulary growth. Fixed so the oracle
-    * is a bounded CTE unroll; real tokenizer training runs thousands of
-    * rounds with exactly this per-round shape. */
-  private val BpeRounds = 4
+  /** Batched-BPE training shape: [[BpeRounds]] driver round-trips, each
+    * ranking [[BpeCandidates]] pairs and adopting up to [[BpeBatch]]
+    * symbol-disjoint merges -- >= 32 merges trained on the harness corpus
+    * (36 at sf0.01) while the driver-loop count stays K = vocab/batch.
+    * All three are mirrored literally into the DuckDB oracle, so the
+    * candidate cutoff, the adoption cap, and the round count can never
+    * drift between engines. */
+  private val BpeRounds = 6
+  private val BpeCandidates = 64
+  private val BpeBatch = 16
 
   /** dsir_weights hashed-bigram feature-space width: the log-ratio table
     * is exactly this many rows however large the corpus, which is what
