@@ -431,6 +431,61 @@ class OperatorSpec extends SparkSuite {
     assert(lens == 0) // ascii corpus: bytes == chars
   }
 
+  test("decodeBmp parses hand-crafted BMPs (bottom-up, top-down, padded, offset != 54)") {
+    // fixtures built from the SPEC, not from encodeBmp — a decoder bug
+    // that encodeBmp happens to mirror cannot hide here.
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // 2x2, 24bpp: row stride = ceil(6/4)*4 = 8 (2 pad bytes per row);
+    // data offset 60 (6-byte gap after the headers, must be honored).
+    // Logical pixels (BGR): row0 = (1,2,3),(4,5,6); row1 = (7,8,9),(10,11,12)
+    def bmp(topDown: Boolean): Array[Byte] = {
+      val rows = Seq(Array[Byte](1, 2, 3, 4, 5, 6, 99, 99), // pad bytes 99:
+        Array[Byte](7, 8, 9, 10, 11, 12, 99, 99))           // must be ignored
+      val fileRows = if (topDown) rows else rows.reverse
+      (Array[Byte]('B', 'M') ++ le32(60 + 16) ++ le32(0) ++ le32(60) ++
+        le32(40) ++ le32(2) ++ le32(if (topDown) -2 else 2) ++
+        le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+        Array.fill[Byte](16)(0) ++ // ppm/palette fields
+        Array.fill[Byte](6)(77) ++ // gap before the declared offset
+        fileRows.flatten)
+    }
+    for (td <- Seq(false, true)) {
+      val (w, h, sb, sg, sr) = operators.Multimodal.decodeBmp(bmp(td))
+      assert((w, h) == (2, 2), s"topDown=$td dims")
+      // channel sums over logical pixels: B=1+4+7+10, G=2+5+8+11, R=3+6+9+12
+      assert((sb, sg, sr) == (22L, 26L, 30L),
+        s"topDown=$td sums ($sb,$sg,$sr) — pad bytes or row order leaked in")
+    }
+    // strictness: bad magic and compressed variants must throw
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodeBmp(Array.fill[Byte](60)(0))
+    }
+    val rle = bmp(false); rle(30) = 1 // compression = BI_RLE8
+    intercept[IllegalArgumentException] { operators.Multimodal.decodeBmp(rle) }
+  }
+
+  test("decodeWav walks RIFF chunks (odd JUNK + pad byte) to signed s16 stats") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def tag(s: String) = s.getBytes("US-ASCII")
+    // samples 100, -2 (0xFFFE), -32768 (0x8000): sum|s| = 100+2+32768
+    val data = le16(100) ++ le16(0xFFFE) ++ le16(0x8000)
+    val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val wav = tag("RIFF") ++ le32(4 + 8 + 6 + 8 + 16 + 8 + data.length) ++ tag("WAVE") ++
+      tag("JUNK") ++ le32(5) ++ Array.fill[Byte](6)(55) ++ // odd size 5 ⇒ 6 on disk
+      tag("fmt ") ++ le32(16) ++ fmt ++
+      tag("data") ++ le32(data.length) ++ data
+    val (n, sum, peak) = operators.Multimodal.decodeWav(wav)
+    assert(n == 3 && sum == 100L + 2L + 32768L && peak == 32768,
+      s"got ($n, $sum, $peak) — chunk walk or sign extension is wrong")
+    // stereo must be rejected (we only claim mono PCM)
+    val stereo = wav.clone(); stereo(wav.indexOfSlice(tag("fmt ")) + 10) = 2
+    intercept[IllegalArgumentException] { operators.Multimodal.decodeWav(stereo) }
+  }
+
   test("asofJoin union+carry-forward matches the naive range-join formulation") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, sf)
