@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** AQE interplay gates (round-6 verdict item 6).
+  *
+  * PlanSpec asserts the INITIAL physical plans (what toString shows before
+  * execution drives AdaptiveSparkPlan to a final plan). At cluster scale
+  * AQE re-plans at runtime — coalescing partitions, switching join
+  * strategies, splitting skewed partitions — so the scale disciplines must
+  * also hold on the FINAL adaptive plans, which is what these tests
+  * execute-then-assert. Documented deltas vs the initial-plan gates: AQE
+  * may upgrade a shuffled join to broadcast (fine — gates assert required
+  * properties, never "exactly this join"), and exchanges may reuse, so
+  * scan/exchange COUNTS are not re-asserted here.
+  */
+class AqePlanSpec extends SparkSuite {
+
+  private def finalPlan(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+    // execute THIS QueryExecution's plan: count() would wrap the dataset
+    // in a new aggregate QueryExecution and leave this one un-finalized
+    qe.toRdd.count()
+    qe.executedPlan.toString
+  }
+
+  test("AQE is on in this session — the gates below see adaptive finals") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "Spark 4 defaults AQE on; the suite must not have disabled it")
+    assert(finalPlan("groupby_count").contains("isFinalPlan=true"),
+      "executing the query must finalize the adaptive plan")
+  }
+
+  test("broadcast gates hold on final adaptive plans") {
+    for (name <- Seq("region_rollup", "decontaminate", "zscore_outliers",
+        "revenue_by_nation", "dsir_weights"))
+      assert(finalPlan(name).contains("BroadcastHashJoin"),
+        s"$name lost its broadcast in the FINAL adaptive plan")
+  }
+
+  test("no cartesian products appear in final adaptive plans") {
+    for (name <- Seq("gap_fill", "pq_topk", "mad_outliers", "fuzzy_join",
+        "kmeans_refine", "salted_join"))
+      assert(!finalPlan(name).contains("CartesianProduct"),
+        s"$name gained a CartesianProduct after adaptive re-planning")
+  }
+
+  test("top-k, pushdown, and partial-agg gates survive adaptive re-planning") {
+    assert(finalPlan("latest_events").contains("TakeOrderedAndProject"))
+    val fe = finalPlan("filter_eq")
+    assert(fe.contains("PushedFilters: [") &&
+      !fe.matches("(?s).*PushedFilters: \\[\\].*"),
+      "filter_eq scan pushdown must be unaffected by AQE")
+    assert("HashAggregate".r.findAllIn(finalPlan("groupby_count")).size >= 2,
+      "groupby_count lost map-side partial aggregation under AQE")
+  }
+
+  test("AQE skew-join splits the hot partition and agrees with saltedEquiJoin") {
+    import spark.implicits._
+    // Skewed fixture: one key carries 60k of ~100k rows. With broadcast
+    // disabled (the 100 TB big-big case) the join sort-merges and the hot
+    // key lands one oversized partition — exactly what AQE's skew split
+    // and our salting both exist to fix. Assert (a) AQE actually marks
+    // the join skew=true under forced settings, (b) plain-AQE, salted,
+    // and groupBy-count results all agree — the two mitigations are
+    // interchangeable on semantics, which is what lets a pipeline choose
+    // per join at deploy time (SURVEY: salting covers the cases AQE
+    // cannot — broadcast-ineligible hot keys in left-preserving joins).
+    val left = spark.range(100000).select(
+      when(col("id") < 60000, lit("hot")).otherwise(concat(lit("k"), col("id") % 200))
+        .as("key"),
+      col("id").as("payload"))
+    val right = (Seq("hot") ++ (0L until 200L).map("k" + _))
+      .toDF("key").withColumn("tag", length(col("key")))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plain = left.join(right, Seq("key"))
+      val qe = plain.queryExecution
+      val n = qe.toRdd.count() // finalize THIS plan (see finalPlan above)
+      assert(n == 100000L)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(2000)}")
+      // salting: same join, planner-independent mitigation, same result
+      val salted = operators.Salting.saltedEquiJoin(
+        left, right, "key", saltBy = col("payload"), factor = 8)
+      assert(salted.count() == n)
+      val a = plain.groupBy("key").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val b = salted.groupBy("key").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a == b, "salted and AQE-skew joins diverge per key")
+      assert(a("hot") == 60000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

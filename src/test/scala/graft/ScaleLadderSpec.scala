@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The 10x scale ladder as CI (round-6 verdict item 8): the SURVEY §6
+  * extrapolation check, promoted from prose to a failing test.
+  *
+  * Builds the constant-dup-density 10x corpus deterministically in /tmp
+  * (sf0.1 documents replicated 10x; replica i's tokens suffixed `xi`, so
+  * replica gram/vocab spaces are disjoint — 10x content at the ORIGINAL
+  * near-dup rate, the honest scale-up for pair-emitting and
+  * vocabulary-driven queries), then times the five steepest queries at
+  * both scales ON THE SAME SESSION and asserts wall-clock grows ≤ 8x at
+  * 10x data on fixed cores. Ratios, not absolute times: both sides ride
+  * the same host conditions back-to-back, so noise largely divides out;
+  * a query that has gone quadratic shows 30-70x (measured in round 6's
+  * adversarial variant) and cannot hide inside the envelope.
+  *
+  * Skip with SPARK_GRAFT_SKIP_LADDER=1 for fast local iteration.
+  */
+class ScaleLadderSpec extends SparkSuite {
+
+  private val LadderDir = "/tmp/graft_ladder10x"
+  private val Replicas = 10
+  private val Envelope = 8.0
+  private val Steepest =
+    Seq("bpe_merges", "bpe_encode", "dsir_weights", "ngram_jaccard",
+      "dedup_keep_list")
+
+  /** Deterministic 10x documents corpus: replica i shifts doc_ids by
+    * i·10^7 and suffixes every token with `x<i>` (i > 0), keeping lang /
+    * source / n_chars shape. Cached across runs via parquet _SUCCESS. */
+  private def ensureLadderCorpus(): Unit = {
+    if (new java.io.File(s"$LadderDir/documents.parquet/_SUCCESS").isFile) return
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val replicas = (0 until Replicas).map { i =>
+      if (i == 0) base
+      else base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"x$i"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    replicas.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$LadderDir/documents.parquet")
+  }
+
+  private def time(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def median3(name: String, dir: String): Double =
+    Seq.fill(3)(time(name, dir)).sorted.apply(1)
+
+  test("10x corpus: the five steepest queries stay within the 8x wall-clock envelope") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    ensureLadderCorpus()
+    // warm both paths once so codegen/IO setup is out of the timings
+    Steepest.foreach { q => time(q, sf); () }
+    val report = Steepest.map { q =>
+      val small = median3(q, "/root/testdata/sf0.1")
+      val big = {
+        val first = time(q, LadderDir)
+        // one retry absorbs a single GC/neighbor spike; a real quadratic
+        // blowup fails both attempts by an order of magnitude
+        if (first / math.max(small, 0.05) > Envelope) {
+          val second = time(q, LadderDir)
+          math.min(first, second)
+        } else first
+      }
+      val ratio = big / math.max(small, 0.05)
+      (q, small, big, ratio)
+    }
+    val lines = report.map { case (q, s, b, r) =>
+      f"$q%s sf0.1=$s%.2fs 10x=$b%.2fs ratio=$r%.1fx" }
+    info(lines.mkString("; "))
+    report.foreach { case (q, _, _, ratio) =>
+      assert(ratio <= Envelope,
+        s"$q grew ${math.rint(ratio * 10) / 10}x at 10x data — " +
+          s"super-linear scaling regression (envelope ${Envelope}x); " +
+          s"full ladder: ${lines.mkString("; ")}")
+    }
+  }
+}

@@ -191,6 +191,31 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kafka contract: offline boundary is exactly the missing connector jar") {
+    // The image ships no spark-sql-kafka connector (verified: no kafka
+    // jar under /opt/spark/jars), so fromKafka's one untestable step is
+    // PROVIDER RESOLUTION — everything downstream of load() (decode,
+    // watermark, aggregate, both sinks) runs through the identical plan
+    // from MemoryStream in StreamingSpec, and the reader option map is
+    // pinned there too. This test nails the boundary in both directions:
+    // (a) resolving "kafka" fails TODAY with the standard missing-source
+    //     error (not silently, not with a broker error — the jar is the
+    //     boundary, nothing about our plumbing);
+    // (b) the day a connector jar lands on the classpath, the resolution
+    //     assertion FLIPS and this test fails loudly — upgrading it to a
+    //     real option-validation + relation-schema contract test becomes
+    //     a forced TODO instead of a forgotten one.
+    val ex = intercept[Exception] {
+      spark.readStream.format("kafka")
+        .options(StreamingPipeline.kafkaReaderOptions("broker:9092", "raw-data"))
+        .load()
+    }
+    val msg = Option(ex.getMessage).getOrElse("")
+    assert(msg.contains("kafka") &&
+      (msg.contains("Failed to find") || msg.contains("DATA_SOURCE_NOT_FOUND")),
+      s"expected the missing-provider error, got: $msg")
+  }
+
   test("binaryFile source: glob pruning, nested dirs, bytes intact through decodeStub") {
     val root = Files.createTempDirectory("graft-bin")
     val nested = Files.createDirectory(root.resolve("2024-01-01"))
