@@ -30,7 +30,8 @@ object SparkEntry {
     * GraftQuery pure-plan contract. Tests asserting action-free plan
     * construction exclude exactly this set. */
   val actionfulQueries: Set[String] =
-    Set("dedup_clusters", "dedup_keep_list", "minhash_clusters", "entity_clusters",
+    Set("dedup_clusters", "dedup_keep_list", "dedup_keep_best",
+      "minhash_clusters", "entity_clusters",
       "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

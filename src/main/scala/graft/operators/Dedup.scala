@@ -804,6 +804,46 @@ object Dedup {
         FROM documents d LEFT JOIN labels l USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- quality-weighted keep-list: keep the BEST duplicate, not the ----
+    // first. min-doc_id survivors (dedup_keep_list) are the simplest
+    // deterministic rule, but a real curation pass keeps the most complete
+    // member of each near-dup cluster — boilerplate-stripped fragments and
+    // truncated mirrors lose to the fullest copy. Survivor = argmax by
+    // (n_chars DESC, doc_id ASC), integer-exact so both engines pick the
+    // same row without float ties. Same CC labels as dedup_keep_list (the
+    // cluster definition must not fork between the two keep rules); the
+    // survivor choice is a per-cluster window over the labels frame —
+    // cluster ids are high-cardinality (≈ docs), so the window partitions
+    // fine at any scale, and the corpus joins the (far smaller) labels
+    // frame exactly once.
+    GraftQuery(
+      "dedup_keep_best",
+      (s, dir) => {
+        val pairs = exactJaccardPairs(s, dir, maxDocFreq = MaxGramDocFreq)
+          .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+        val labels = connectedComponents(pairs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+          .withColumn("is_kept", row_number().over(w) === 1)
+          .select("doc_id", "cluster_id", "n_chars", "is_kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $ccLabelsSql,
+        kl AS (SELECT d.doc_id,
+                      coalesce(l.label, d.doc_id) AS cluster_id,
+                      d.n_chars
+               FROM documents d LEFT JOIN labels l USING (doc_id))
+        SELECT doc_id, cluster_id, n_chars,
+               (row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) = 1) AS is_kept
+        FROM kl
+        ORDER BY doc_id""")),
+
     // ---- SimHash signatures + hamming-close pairs ------------------------
     // Signature: 64-bit SimHash via the codegen'd kernel — one pass per
     // token using the engine-neutral polynomial hash pair (polyHash /

@@ -192,6 +192,73 @@ object Similarity {
         WHERE rank <= 10
         ORDER BY qid, rank""")),
 
+    // ---- semantic decontamination: eval-vs-corpus embedding overlap ------
+    // The embedding-space face of decontaminate/winnow_decontaminate: an
+    // eval benchmark leaking into the training corpus is rarely verbatim
+    // (n-gram passes catch those) — paraphrases and translations surface
+    // only as HIGH COSINE between the eval item and some training item.
+    // Eval set = the 64 newest vectors (max vec_id − 63, the delta_dedup
+    // bound discipline — data-derived, deterministic at every sf); each
+    // reports its nearest training vector and whether it crosses the 0.95
+    // contamination threshold (decided on the 6-decimal rounding both
+    // engines share, so the boundary cannot flip between them).
+    //
+    // Scale: eval benchmarks are small by nature — the eval side
+    // BROADCASTS and the corpus never shuffles: one scan computing 64
+    // codegen'd dots per row, partial max_by per eval id map-side. At
+    // 100 TB you'd bolt the IVF/LSH probe stack (ann_* queries) in front
+    // to skip most of the scan; the brute-force form here is the exact
+    // answer the capped eval size keeps affordable at any corpus width.
+    GraftQuery(
+      "semantic_decontaminate",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val bound = e.agg((max(col("vec_id")) - 63).as("t"))
+        val keyed = e.crossJoin(broadcast(bound))
+        val eval = keyed.filter(col("vec_id") >= col("t"))
+          .select(col("vec_id").as("eval_id"),
+            col("embedding").as("qemb"), col("norm").as("qnorm"))
+        val scored = keyed.filter(col("vec_id") < col("t"))
+          .crossJoin(broadcast(eval))
+          .withColumn("cos",
+            V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
+        scored.groupBy("eval_id")
+          .agg(max_by(
+            struct(col("vec_id").as("m"), col("cos").as("c")),
+            // argmax on (rounded cosine, then SMALLER vec_id wins ties)
+            struct(round(col("cos"), 6).as("r"), (-col("vec_id")).as("nv"))).as("b"))
+          .select(col("eval_id"), col("b.m").as("best_match"),
+            round(col("b.c"), 4).as("cosine"),
+            (round(col("b.c"), 6) >= 0.95).as("contaminated"))
+          .orderBy("eval_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        b AS (SELECT max(vec_id) - 63 AS t FROM e),
+        q AS (SELECT vec_id eval_id, v qv, norm qnorm FROM e, b WHERE vec_id >= t),
+        c AS (SELECT vec_id, v, norm FROM e, b WHERE vec_id < t),
+        scored AS (
+          SELECT eval_id, vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])),
+                   (acc, x) -> acc + x) / (norm * qnorm) AS cos
+          FROM c CROSS JOIN q),
+        ranked AS (
+          SELECT eval_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY eval_id
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rk
+          FROM scored)
+        SELECT eval_id, vec_id AS best_match, round(cos, 4) AS cosine,
+               round(cos, 6) >= 0.95 AS contaminated
+        FROM ranked
+        WHERE rk = 1
+        ORDER BY eval_id""")),
+
     // ---- LSH-bucketed ANN (random-hyperplane signs, multi-table) ---------
     // Plane matrix is a deterministic literal (LshPlanes, 16 planes/table ⇒
     // 2^16 cells); signatures are codegen'd dot products. The corpus side

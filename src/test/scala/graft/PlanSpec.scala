@@ -134,7 +134,8 @@ class PlanSpec extends SparkSuite {
 
   test("pq_topk and mad_outliers broadcast their small frames") {
     for (name <- Seq("pq_topk", "mad_outliers", "fuzzy_join", "domain_mix_weights",
-        "heavy_hitters", "mrl_topk", "winsorize", "winnow_decontaminate")) {
+        "heavy_hitters", "mrl_topk", "winsorize", "winnow_decontaminate",
+        "semantic_decontaminate")) {
       val plan = planOf(name)
       assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
         || plan.contains("BroadcastNestedLoopJoin"),

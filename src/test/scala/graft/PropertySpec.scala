@@ -327,4 +327,47 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("BMP encode→decode recovers exact channel sums for arbitrary payloads") {
+    // the codec pair must agree with DIRECT byte arithmetic (the DuckDB
+    // oracle's formulation) on any payload: empty, sub-row, exact-row
+    // multiples, and both row orders — covering the padding/row-order
+    // seams a fixture can only spot-check
+    val byteGen = Gen.choose(0, 255).map(_.toByte)
+    for (s <- 1 to 30) {
+      val n = sample(Gen.oneOf(0, 1, 17, 18, 19, 36, 54, 200, 1000), s)
+      val bytes = sample(Gen.listOfN(n, byteGen), s + 1000).toArray
+      for (topDown <- Seq(false, true)) {
+        val (w, h, sb, sg, sr) =
+          operators.Multimodal.decodeBmp(
+            operators.Multimodal.encodeBmp(bytes, topDown))
+        assert(w == operators.Multimodal.BmpWidth)
+        assert(h == math.max(1, (n + 17) / 18), s"seed $s n=$n height $h")
+        def chan(off: Int) =
+          bytes.indices.collect { case i if i % 3 == off => bytes(i) & 0xffL }.sum
+        assert((sb, sg, sr) == (chan(0), chan(1), chan(2)),
+          s"seed $s n=$n topDown=$topDown: ($sb,$sg,$sr)")
+      }
+    }
+  }
+
+  test("WAV encode→decode recovers exact s16 stats for arbitrary payloads") {
+    val byteGen = Gen.choose(0, 255).map(_.toByte)
+    for (s <- 1 to 30) {
+      val n = sample(Gen.oneOf(0, 1, 2, 3, 17, 64, 999), s)
+      val bytes = sample(Gen.listOfN(n, byteGen), s + 2000).toArray
+      val (cnt, sum, peak) =
+        operators.Multimodal.decodeWav(operators.Multimodal.encodeWav(bytes))
+      val samples = bytes.grouped(2).map { pair =>
+        val lo = pair(0) & 0xff
+        val hi = if (pair.length > 1) pair(1) & 0xff else 0
+        ((lo | (hi << 8)).toShort: Int)
+      }.toSeq
+      assert(cnt == (n + 1) / 2, s"seed $s n=$n cnt=$cnt")
+      assert(sum == samples.map(v => math.abs(v).toLong).sum,
+        s"seed $s n=$n sum=$sum")
+      assert(peak == (if (samples.isEmpty) 0 else samples.map(math.abs).max),
+        s"seed $s n=$n peak=$peak")
+    }
+  }
 }
