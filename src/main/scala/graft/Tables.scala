@@ -184,17 +184,20 @@ object Tables {
     val fs = root.getFileSystem(conf)
     // events.parquet is a single file in the testdata; accept a
     // directory of part files too (test fixtures write those)
-    val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
+    val rootSt = fs.getFileStatus(root)
+    // reuse the root stat in the (common) single-file case — events() is
+    // called per plan construction, and a redundant per-call stat adds up
+    val (file, st) =
+      if (rootSt.isDirectory) {
+        val part = fs.listStatus(root).map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
           // listStatus order is filesystem-dependent; sort so the
           // probed footer is deterministic across runs and machines
           .sortBy(_.getName).headOption.getOrElse(throw new IllegalStateException(
             s"$root is a directory with no .parquet part file — cannot " +
               "probe the events ts encoding"))
-      else root
-    val st = fs.getFileStatus(file)
+        (part, fs.getFileStatus(part))
+      } else (root, rootSt)
     val key = s"$file|${st.getLen}|${st.getModificationTime}"
     eventsTsNanos.computeIfAbsent(key, _ => {
       val footer = ParquetFileReader.readFooter(

@@ -37,13 +37,18 @@ object Multimodal {
       doc_id: Long, media_type: String, byte_len: Int,
       width: Int, height: Int, features: Array[Float])
 
-  /** documents → media-shaped Dataset (payload = utf-8 bytes). */
+  /** documents → media-shaped Dataset (payload = utf-8 bytes). A NULL
+    * text becomes an EMPTY payload, not a null one: every decoder here
+    * has a defined, tested n = 0 path, while a null payload would NPE
+    * inside mapPartitions the first time a regenerated corpus carries a
+    * null-text row (the delta_dedup round-7 lesson applied to the media
+    * stack). All four asMedia-based oracles mirror the coalesce. */
   def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         lit("text/plain").as("media_type"),
-        to_binary(col("text"), lit("utf-8")).as("payload"))
+        to_binary(coalesce(col("text"), lit("")), lit("utf-8")).as("payload"))
       .as[MediaRecord]
   }
 
@@ -201,6 +206,15 @@ object Multimodal {
     val height = math.abs(heightRaw)
     val topDown = heightRaw < 0
     val rowSize = (width * 3 + 3) / 4 * 4
+    // strictness over crashes: a negative width would silently skip both
+    // loops and return garbage zeros, and an out-of-range offset/height
+    // would surface as ArrayIndexOutOfBounds instead of the advertised
+    // IllegalArgumentException — validate the declared geometry first
+    require(width > 0 && height >= 0, s"invalid BMP dims ${width}x$heightRaw")
+    require(dataOffset >= 54 &&
+      dataOffset.toLong + height.toLong * rowSize <= payload.length,
+      s"BMP pixel data (offset $dataOffset, $height rows of $rowSize) " +
+        s"exceeds the ${payload.length}-byte payload")
     var (sb, sg, sr) = (0L, 0L, 0L)
     var y = 0
     while (y < height) {
@@ -278,6 +292,12 @@ object Multimodal {
       val id = new String(payload, o, 4, "US-ASCII")
       val size = rdLe32(payload, o + 4)
       val body = o + 8
+      // a corrupt/hostile size must fail loudly, not loop forever (a
+      // negative size would leave the cursor in place) or read past the
+      // payload (AIOOBE instead of the advertised clean error)
+      require(size >= 0 && body.toLong + size <= payload.length,
+        s"RIFF chunk '$id' declares $size bytes at $body — " +
+          s"exceeds the ${payload.length}-byte payload")
       id match {
         case "fmt " =>
           require(rdLe16(payload, body) == 1 &&       // PCM
@@ -329,7 +349,7 @@ object Multimodal {
       },
       Some(s"""
         WITH hx AS (
-          SELECT doc_id, hex(encode(text)) h, octet_length(encode(text)) n
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h, octet_length(encode(coalesce(text, ''))) n
           FROM documents),
         b AS (
           SELECT doc_id, n,
@@ -365,7 +385,7 @@ object Multimodal {
       },
       Some("""
         WITH hx AS (
-          SELECT doc_id, hex(encode(text)) h, octet_length(encode(text)) n
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h, octet_length(encode(coalesce(text, ''))) n
           FROM documents),
         b AS (
           SELECT doc_id, n,
@@ -414,7 +434,7 @@ object Multimodal {
     // ---- stubbed decode + feature extraction (oracle-checked) ------------
     // The stub decode is deterministic byte arithmetic (first/last byte →
     // fake dims, slice mean-brightness → f0), so DuckDB can reproduce it
-    // exactly: bytes are recovered from hex(encode(text)) pairs, and the
+    // exactly: bytes are recovered from hex(encode(coalesce(text, ''))) pairs, and the
     // double→float→double truncation chain matches the Scala stub's.
     GraftQuery(
       "media_features",
@@ -425,8 +445,8 @@ object Multimodal {
         .orderBy("doc_id"),
       Some("""
         WITH hx AS (
-          SELECT doc_id, hex(encode(text)) h,
-                 octet_length(encode(text)) n
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
           FROM documents),
         b AS (
           SELECT doc_id, n,
@@ -465,7 +485,7 @@ object Multimodal {
       },
       Some(s"""
         WITH hx AS (
-          SELECT doc_id, hex(encode(text)) h, octet_length(encode(text)) n
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h, octet_length(encode(coalesce(text, ''))) n
           FROM documents),
         fr AS (
           SELECT doc_id, h, n,

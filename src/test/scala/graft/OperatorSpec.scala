@@ -484,6 +484,21 @@ class OperatorSpec extends SparkSuite {
     // stereo must be rejected (we only claim mono PCM)
     val stereo = wav.clone(); stereo(wav.indexOfSlice(tag("fmt ")) + 10) = 2
     intercept[IllegalArgumentException] { operators.Multimodal.decodeWav(stereo) }
+    // corrupt chunk sizes must fail loudly, not hang or AIOOBE: a
+    // NEGATIVE size would otherwise leave the walk cursor in place
+    // (infinite loop), an oversized one would read past the payload
+    val negSize = wav.clone()
+    val junkAt = wav.indexOfSlice(tag("JUNK"))
+    le32(-8).copyToArray(negSize, junkAt + 4)
+    intercept[IllegalArgumentException] { operators.Multimodal.decodeWav(negSize) }
+    val overSize = wav.clone()
+    le32(1 << 20).copyToArray(overSize, wav.indexOfSlice(tag("data")) + 4)
+    intercept[IllegalArgumentException] { operators.Multimodal.decodeWav(overSize) }
+    // and a BMP whose declared geometry exceeds the payload must raise
+    // the clean error too (strict parser, not an array crash)
+    val tiny = operators.Multimodal.encodeBmp(Array[Byte](1, 2, 3), topDown = false)
+    val truncated = tiny.take(tiny.length - 5)
+    intercept[IllegalArgumentException] { operators.Multimodal.decodeBmp(truncated) }
   }
 
   test("asofJoin union+carry-forward matches the naive range-join formulation") {

@@ -29,9 +29,22 @@ class ScaleLadderSpec extends SparkSuite {
 
   /** Deterministic 10x documents corpus: replica i shifts doc_ids by
     * i·10^7 and suffixes every token with `x<i>` (i > 0), keeping lang /
-    * source / n_chars shape. Cached across runs via parquet _SUCCESS. */
+    * source / n_chars shape. Cached across runs, but keyed on the SOURCE
+    * corpus identity (length + mtime of the sf0.1 documents file — the
+    * Tables events-probe discipline): the harness driver regenerates
+    * testdata between rounds, and a _SUCCESS-only check would silently
+    * ratio fresh sf0.1 timings against a 10x replica of the OLD corpus. */
+  private def sourceKey(): String = {
+    val f = new java.io.File("/root/testdata/sf0.1/documents.parquet")
+    s"${f.length}|${f.lastModified}"
+  }
+
   private def ensureLadderCorpus(): Unit = {
-    if (new java.io.File(s"$LadderDir/documents.parquet/_SUCCESS").isFile) return
+    val marker = new java.io.File(s"$LadderDir/source.key")
+    if (new java.io.File(s"$LadderDir/documents.parquet/_SUCCESS").isFile &&
+        marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == sourceKey()) return
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
     val replicas = (0 until Replicas).map { i =>
       if (i == 0) base
@@ -43,6 +56,8 @@ class ScaleLadderSpec extends SparkSuite {
     }
     replicas.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$LadderDir/documents.parquet")
+    java.nio.file.Files.createDirectories(marker.toPath.getParent)
+    java.nio.file.Files.write(marker.toPath, sourceKey().getBytes("UTF-8"))
   }
 
   private def time(name: String, dir: String): Double = {

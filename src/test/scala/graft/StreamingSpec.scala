@@ -615,6 +615,28 @@ class StreamingSpec extends SparkSuite {
     } finally { aggQ.stop(); rawQ.stop() }
   }
 
+  // ---------------------------------------------- checkpoint recovery
+  // Shared scaffold for the two restart tests: the full sensor schema, a
+  // JSONL line builder, and a file-source aggregate query factory — one
+  // definition so a schema change cannot silently diverge between them.
+  private val recoverySchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("device_id", StringType), StructField("device_type", StringType),
+      StructField("location", StringType), StructField("value", DoubleType),
+      StructField("battery_level", DoubleType), StructField("timestamp", TimestampType)))
+  }
+  private def recoveryLine(t: String, v: Double) =
+    s"""{"device_id":"s1","device_type":"temperature","location":"room1",""" +
+      s""""value":$v,"battery_level":50.0,"timestamp":"$t"}"""
+  private def startRecoveryQuery(srcDir: String, ckpt: String,
+      sink: (org.apache.spark.sql.DataFrame, Long) => Unit,
+      mimicReference: Boolean = false) =
+    StreamingPipeline.aggregateWriter(
+      StreamingPipeline.aggregates(
+        spark.readStream.schema(recoverySchema).json(srcDir)),
+      checkpoint = ckpt, sink = sink, mimicReference = mimicReference).start()
+
   test("checkpoint recovery: a restarted query emits each window exactly once") {
     // THE streaming integration claim testable offline: stop a query,
     // start a NEW instance on the same checkpoint, and the append-mode
@@ -624,27 +646,17 @@ class StreamingSpec extends SparkSuite {
     // here deliberately: MemoryStream offsets die with the query object,
     // but file-source offsets (like Kafka's) live in the checkpoint, so
     // this drives the same recovery path a broker deployment exercises.
-    import org.apache.spark.sql.types._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-rec-src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-rec-ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft-rec-out").toString
-    val schema = StructType(Seq(
-      StructField("device_id", StringType), StructField("device_type", StringType),
-      StructField("location", StringType), StructField("value", DoubleType),
-      StructField("battery_level", DoubleType), StructField("timestamp", TimestampType)))
-    def line(t: String, v: Double) =
-      s"""{"device_id":"s1","device_type":"temperature","location":"room1",""" +
-        s""""value":$v,"battery_level":50.0,"timestamp":"$t"}"""
-    def startQuery() = StreamingPipeline.aggregateWriter(
-      StreamingPipeline.aggregates(
-        spark.readStream.schema(schema).json(srcDir.toString)),
-      checkpoint = ckpt,
-      sink = (df, _) => operators.Sinks.appendParquet(df, out)).start()
+    def startQuery() = startRecoveryQuery(srcDir.toString, ckpt,
+      (df, _) => operators.Sinks.appendParquet(df, out))
 
     // life 1: window 10:00 closes (watermark via the 10:03 row) and lands
     java.nio.file.Files.writeString(srcDir.resolve("f1.jsonl"),
-      Seq(line("2024-01-01T10:00:10Z", 10.0), line("2024-01-01T10:00:50Z", 30.0),
-        line("2024-01-01T10:03:00Z", 99.0)).mkString("\n"))
+      Seq(recoveryLine("2024-01-01T10:00:10Z", 10.0),
+        recoveryLine("2024-01-01T10:00:50Z", 30.0),
+        recoveryLine("2024-01-01T10:03:00Z", 99.0)).mkString("\n"))
     val q1 = startQuery()
     try { q1.processAllAvailable() } finally q1.stop()
     val afterLife1 = spark.read.parquet(out).collect()
@@ -652,7 +664,7 @@ class StreamingSpec extends SparkSuite {
 
     // life 2: NEW query instance, same checkpoint; a new file closes 10:03
     java.nio.file.Files.writeString(srcDir.resolve("f2.jsonl"),
-      line("2024-01-01T10:06:00Z", 7.0))
+      recoveryLine("2024-01-01T10:06:00Z", 7.0))
     val q2 = startQuery()
     try { q2.processAllAvailable() } finally q2.stop()
     val rows = spark.read.parquet(out).collect()
@@ -674,31 +686,20 @@ class StreamingSpec extends SparkSuite {
     // while the recovered state means the second lifetime's revision counts
     // CONTINUE from the first (a count-3 revision after restart proves the
     // window state survived, not restarted from zero).
-    import org.apache.spark.sql.types._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-rec2-src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-rec2-ckpt").toString
-    val schema = StructType(Seq(
-      StructField("device_id", StringType), StructField("device_type", StringType),
-      StructField("location", StringType), StructField("value", DoubleType),
-      StructField("battery_level", DoubleType), StructField("timestamp", TimestampType)))
-    def line(t: String, v: Double) =
-      s"""{"device_id":"s1","device_type":"temperature","location":"room1",""" +
-        s""""value":$v,"battery_level":50.0,"timestamp":"$t"}"""
-    def startQuery() = StreamingPipeline.aggregateWriter(
-      StreamingPipeline.aggregates(
-        spark.readStream.schema(schema).json(srcDir.toString)),
-      checkpoint = ckpt,
-      sink = (df, _) => operators.Sinks.jdbc(df, derbyUrl, "agg_restart", derbyProps),
-      mimicReference = true).start()
+    def startQuery() = startRecoveryQuery(srcDir.toString, ckpt,
+      (df, _) => operators.Sinks.jdbc(df, derbyUrl, "agg_restart", derbyProps),
+      mimicReference = true)
 
     java.nio.file.Files.writeString(srcDir.resolve("f1.jsonl"),
-      line("2024-01-01T10:00:10Z", 10.0))
+      recoveryLine("2024-01-01T10:00:10Z", 10.0))
     val q1 = startQuery()
     try { q1.processAllAvailable() } finally q1.stop()
 
     java.nio.file.Files.writeString(srcDir.resolve("f2.jsonl"),
-      Seq(line("2024-01-01T10:00:30Z", 20.0),
-        line("2024-01-01T10:00:50Z", 30.0)).mkString("\n"))
+      Seq(recoveryLine("2024-01-01T10:00:30Z", 20.0),
+        recoveryLine("2024-01-01T10:00:50Z", 30.0)).mkString("\n"))
     val q2 = startQuery()
     try { q2.processAllAvailable() } finally q2.stop()
 
