@@ -1,0 +1,179 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ResultCache
+
+/** The reference's serving layer (`api-service/app.py`) re-expressed over
+  * the engine itself: every endpoint's SQL runs as a Spark plan against the
+  * pipeline's own tables instead of being delegated to Postgres, and the
+  * Redis result cache (`app.py:143-148,179-186`) is [[ResultCache]] —
+  * block-manager-pinned DataFrames with the same 300 s TTL.
+  *
+  * Endpoint parity (reference `api-service/app.py`):
+  *  - `GET /api/sensors` — DISTINCT (device_id, device_type, location)
+  *    ORDER BY device_type, location (`app.py:114-132`);
+  *  - `GET /api/data/latest?device_type=&location=` — dynamic conjunctive
+  *    equality filters + ORDER BY timestamp DESC LIMIT 100
+  *    (`app.py:134-186`), cached under `latest:{type}:{loc}` only when a
+  *    filter is present (`app.py:143,178-185`; the reference additionally
+  *    skips caching empty results because Redis would serve `[]` for the
+  *    TTL — a block-manager cache recomputes from lineage, so caching the
+  *    empty frame is harmless and we cache unconditionally);
+  *  - `GET /api/aggregates?device_type=&location=&hours=` — lookback
+  *    `window_start >= NOW() - INTERVAL h HOURS` with h validated into
+  *    [1, 24] (FastAPI `ge=1, le=24`, `app.py:193`; out-of-range → 422
+  *    like FastAPI), ORDER BY window_start DESC (`app.py:189-227`);
+  *  - `GET /health` (`app.py:229-235`);
+  *  - `GET /api/stats` — total count, per-device_type and per-location
+  *    distributions, global min/max timestamp (`app.py:237-288`).
+  *
+  * Server is the JDK's built-in `com.sun.net.httpserver` (no framework
+  * dependency). Row JSON comes from `Dataset.toJSON`, so types/timestamps
+  * serialize by Spark's own rules. Every endpoint's result is LIMIT-bounded
+  * or aggregate-small by construction (the reference's own caps:
+  * LIMIT 100, ≤24 h lookback, ≤5×6 group cells), so the driver-side
+  * collect is bounded regardless of table size — the heavy lifting stays
+  * distributed in the plans.
+  *
+  * @param raw        supplier of the `sensor_data`-shaped frame
+  *                   (device_id, device_type, location, value,
+  *                   battery_level, timestamp) — a supplier so a streaming
+  *                   deployment can re-read the sink per request
+  * @param aggregates supplier of the `sensor_aggregates`-shaped frame
+  *                   (window_start, window_end, device_type, location,
+  *                   avg_value, min_value, max_value, avg_battery,
+  *                   reading_count)
+  * @param clock      injectable NOW() for the /api/aggregates lookback
+  */
+final class ApiServer(
+    raw: () => DataFrame,
+    aggregates: () => DataFrame,
+    cache: ResultCache = new ResultCache(),
+    clock: () => Instant = () => Instant.now(),
+    port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.createContext("/health", handler(health _))
+  server.createContext("/api/sensors", handler(sensors _))
+  server.createContext("/api/data/latest", handler(latest _))
+  server.createContext("/api/aggregates", handler(aggs _))
+  server.createContext("/api/stats", handler(stats _))
+
+  def start(): ApiServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  // ---- endpoints ---------------------------------------------------------
+
+  private def health(q: Map[String, String]): (Int, String) =
+    (200, s"""{"status": "healthy", "timestamp": ${jstr(clock().toString)}}""")
+
+  private def sensors(q: Map[String, String]): (Int, String) =
+    (200, rowsJson(
+      raw().select("device_id", "device_type", "location").distinct()
+        .orderBy("device_type", "location", "device_id")))
+
+  private def latest(q: Map[String, String]): (Int, String) = {
+    val dt = q.get("device_type")
+    val loc = q.get("location")
+    def build: DataFrame = {
+      val f1 = dt.fold(raw())(v => raw().filter(col("device_type") === v))
+      val f2 = loc.fold(f1)(v => f1.filter(col("location") === v))
+      f2.orderBy(col("timestamp").desc, col("device_id")).limit(100)
+    }
+    // reference cache key shape `latest:{device_type}:{location}`
+    // (app.py:143); unfiltered requests bypass the cache (app.py:178).
+    val df =
+      if (dt.isDefined || loc.isDefined)
+        cache.getOrBuild(s"latest:${dt.getOrElse("None")}:${loc.getOrElse("None")}")(build)
+      else build
+    (200, rowsJson(df))
+  }
+
+  private def aggs(q: Map[String, String]): (Int, String) = {
+    val hours = q.get("hours").fold[Either[String, Int]](Right(1)) { h =>
+      h.toIntOption.filter(v => v >= 1 && v <= 24)
+        .toRight("hours must be an integer in [1, 24]")
+    }
+    hours match {
+      case Left(err) => (422, s"""{"detail": ${jstr(err)}}""")
+      case Right(h) =>
+        val since = Timestamp.from(clock().minusSeconds(h * 3600L))
+        val base = aggregates().filter(col("window_start") >= lit(since))
+        val f1 = q.get("device_type").fold(base)(v => base.filter(col("device_type") === v))
+        val f2 = q.get("location").fold(f1)(v => f1.filter(col("location") === v))
+        (200, rowsJson(f2.orderBy(col("window_start").desc, col("device_type"), col("location"))))
+    }
+  }
+
+  private def stats(q: Map[String, String]): (Int, String) = {
+    // one scan for the global numbers, one for each distribution — the
+    // same four statements the reference issues (app.py:247-274)
+    val r = raw()
+    val global = r.agg(
+      count(lit(1)).as("total"),
+      min("timestamp").as("earliest"), max("timestamp").as("latest")).head()
+    val byType = r.groupBy("device_type").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("device_type")).collect()
+    val byLoc = r.groupBy("location").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("location")).collect()
+    def dist(rows: Array[org.apache.spark.sql.Row]): String =
+      rows.map(r => s"${jstr(r.getString(0))}: ${r.getLong(1)}").mkString("{", ", ", "}")
+    def iso(i: Int): String =
+      if (global.isNullAt(i)) "null" else jstr(global.getTimestamp(i).toInstant.toString)
+    (200,
+      s"""{"total_readings": ${global.getLong(0)}, """ +
+        s""""device_type_distribution": ${dist(byType)}, """ +
+        s""""location_distribution": ${dist(byLoc)}, """ +
+        s""""time_range": {"earliest": ${iso(1)}, "latest": ${iso(2)}}}""")
+  }
+
+  // ---- plumbing ----------------------------------------------------------
+
+  private def rowsJson(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def handler(f: Map[String, String] => (Int, String)): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, body) =
+        try f(parseQuery(Option(ex.getRequestURI.getRawQuery)))
+        catch {
+          case e: Exception => (500, s"""{"detail": ${jstr(String.valueOf(e.getMessage))}}""")
+        }
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+  private def parseQuery(raw: Option[String]): Map[String, String] =
+    raw.filter(_.nonEmpty).fold(Map.empty[String, String]) {
+      _.split("&").iterator.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty =>
+            Some(java.net.URLDecoder.decode(k, UTF_8) ->
+              java.net.URLDecoder.decode(v, UTF_8))
+          case _ => None
+        }
+      }.toMap
+    }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ResultCache
+import graft.operators.WindowAgg
+import graft.serving.ApiServer
+import graft.sources.SensorGen
+
+/** The serving layer (reference `api-service/app.py`) end-to-end over the
+  * engine's own pipeline: SensorGen readings → WindowAgg rollup → HTTP.
+  * Every assertion recomputes the expectation directly from the frames the
+  * server was given, so the HTTP layer is checked against the engine, not
+  * against itself. */
+class ServingSpec extends SparkSuite {
+
+  private val http = HttpClient.newHttpClient()
+  private def get(port: Int, path: String): (Int, String) = {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  // 600 readings, 1/s from 2024-01-01 00:00:00 → spans ten 1-min windows
+  private lazy val raw: DataFrame = SensorGen.batch(spark, 600).cache()
+  private lazy val agg: DataFrame =
+    WindowAgg.sensorAggregates(raw, watermark = None).cache()
+  // NOW() for the lookback: just past the end of the data
+  private val now = Instant.parse("2024-01-01T00:10:00Z")
+
+  private def withServer[A](cache: ResultCache = new ResultCache())(
+      f: (Int, ResultCache) => A): A = {
+    val srv = new ApiServer(() => raw, () => agg, cache, () => now).start()
+    try f(srv.boundPort, cache) finally srv.stop()
+  }
+
+  test("GET /health reports healthy with the injected clock") {
+    withServer() { (port, _) =>
+      val (code, body) = get(port, "/health")
+      assert(code == 200)
+      assert(body.contains("\"status\": \"healthy\""))
+      assert(body.contains(now.toString))
+    }
+  }
+
+  test("GET /api/sensors returns every distinct device triple, ordered (app.py:122-126)") {
+    withServer() { (port, _) =>
+      val (code, body) = get(port, "/api/sensors")
+      assert(code == 200)
+      val expected = raw.select("device_id", "device_type", "location").distinct().count()
+      assert(countObjects(body) == expected)
+      // ordered by (device_type, location): extract the pair sequence
+      val pairs = """"device_type":"([a-z_]+)","location":"([a-z_0-9]+)"""".r
+        .findAllMatchIn(body).map(m => (m.group(1), m.group(2))).toVector
+      assert(pairs == pairs.sorted, "response not ordered by (device_type, location)")
+    }
+  }
+
+  test("GET /api/data/latest: LIMIT 100 newest, unfiltered requests bypass the cache") {
+    withServer() { (port, cache) =>
+      val (code, body) = get(port, "/api/data/latest")
+      assert(code == 200)
+      assert(countObjects(body) == 100)
+      // newest timestamp present, oldest absent (rows are 1 s apart)
+      val newest = raw.agg(max("timestamp")).head().getTimestamp(0)
+      assert(body.contains(newest.toInstant.toString.stripSuffix("Z").replace('T', ' ')
+        .take(19)) || body.contains("2024-01-01T00:09:59"))
+      assert(!cache.contains("latest:None:None"), "unfiltered request must not cache (app.py:178)")
+    }
+  }
+
+  test("GET /api/data/latest?device_type=: filter applies and result is cached under the reference key") {
+    withServer() { (port, cache) =>
+      val (code, body) = get(port, "/api/data/latest?device_type=temperature")
+      assert(code == 200)
+      val n = countObjects(body)
+      val expected = math.min(100, raw.filter(col("device_type") === "temperature").count())
+      assert(n == expected)
+      // only the requested type appears
+      assert("""\"device_type\":\"(\w+)\"""".r.findAllMatchIn(body)
+        .forall(_.group(1) == "temperature"))
+      assert(cache.contains("latest:temperature:None"), "filtered result must be cached (app.py:180)")
+      // second request serves from the cached frame (same body)
+      assert(get(port, "/api/data/latest?device_type=temperature")._2 == body)
+    }
+  }
+
+  test("GET /api/aggregates: lookback + ordering + conjunctive filters (app.py:189-227)") {
+    withServer() { (port, _) =>
+      // 24 h lookback covers all ten windows
+      val (c1, b1) = get(port, "/api/aggregates?hours=24")
+      assert(c1 == 200)
+      assert(countObjects(b1) == agg.count())
+      // window_start DESC ordering
+      val starts = """"window_start":"([^"]+)"""".r.findAllMatchIn(b1).map(_.group(1)).toVector
+      assert(starts == starts.sorted.reverse)
+      // hours=1 from 00:10 covers windows starting ≥ 23:10 prev day → all ten too;
+      // use a filter to narrow: location filter must match the engine count
+      val (c2, b2) = get(port, "/api/aggregates?hours=24&location=kitchen")
+      assert(c2 == 200)
+      assert(countObjects(b2) == agg.filter(col("location") === "kitchen").count())
+    }
+  }
+
+  test("GET /api/aggregates validates hours into [1,24] like FastAPI (app.py:193)") {
+    withServer() { (port, _) =>
+      assert(get(port, "/api/aggregates?hours=25")._1 == 422)
+      assert(get(port, "/api/aggregates?hours=0")._1 == 422)
+      assert(get(port, "/api/aggregates?hours=abc")._1 == 422)
+      assert(get(port, "/api/aggregates?hours=24")._1 == 200)
+    }
+  }
+
+  test("GET /api/stats matches the engine's own counts (app.py:238-288)") {
+    withServer() { (port, _) =>
+      val (code, body) = get(port, "/api/stats")
+      assert(code == 200)
+      assert(body.contains(s""""total_readings": ${raw.count()}"""))
+      // every device type's count appears in the distribution
+      raw.groupBy("device_type").count().collect().foreach { r =>
+        assert(body.contains(s""""${r.getString(0)}": ${r.getLong(1)}"""))
+      }
+      val earliest = raw.agg(min("timestamp")).head().getTimestamp(0).toInstant.toString
+      assert(body.contains(earliest))
+    }
+  }
+
+  test("expired cache entries rebuild: TTL semantics mirror the 300 s setex (app.py:183)") {
+    @volatile var tick = 0L
+    val cache = new ResultCache(ttlMillis = 300000L, clock = () => tick)
+    withServer(cache) { (port, _) =>
+      get(port, "/api/data/latest?location=kitchen")
+      assert(cache.contains("latest:None:kitchen"))
+      tick = 300001L // past the TTL deadline
+      assert(!cache.contains("latest:None:kitchen"))
+      // request after expiry rebuilds and re-caches
+      assert(get(port, "/api/data/latest?location=kitchen")._1 == 200)
+      assert(cache.contains("latest:None:kitchen"))
+    }
+  }
+
+  /** Count top-level JSON objects in a one-level array of flat objects. */
+  private def countObjects(arrayJson: String): Long =
+    if (arrayJson == "[]") 0L else arrayJson.count(_ == '{').toLong
+}
