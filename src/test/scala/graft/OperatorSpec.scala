@@ -1526,4 +1526,36 @@ class OperatorSpec extends SparkSuite {
     assert(merges.map(_.getAs[Int]("merge_rank")).toSeq ==
       (1 to merges.length), "merge_rank must be a global 1..N sequence")
   }
+
+  test("dup_pagerank matches a naive integer power iteration over the minhash edges") {
+    // independent reimplementation of the fixed-point recurrence from the
+    // registered minhash_pairs edge set — same integers or the query is
+    // wrong (JVM `/` on non-negative longs truncates like Spark `div`)
+    val edges = run("minhash_pairs").select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    assert(edges.nonEmpty, "fixture produced no near-dup edges")
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val n = deg.size.toLong
+    val scale = 1000000000L
+    var rank: Map[Long, Long] = deg.map { case (v, _) => v -> scale / n }
+    for (_ <- 1 to 3) {
+      val sums = scala.collection.mutable.LongMap.empty[Long]
+      edges.foreach { case (u, v) =>
+        sums(v) = sums.getOrElse(v, 0L) + rank(u) / deg(u) }
+      rank = deg.map { case (v, _) =>
+        v -> (15L * scale / (100L * n) + 85L * sums.getOrElse(v, 0L) / 100L) }
+    }
+    val expected = rank.toSeq.map { case (d, r) => (d, deg(d), r) }
+      .sortBy { case (d, _, r) => (-r, d) }.take(20)
+    val got = run("dup_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // total rank mass is conserved up to truncation loss: each node loses
+    // < deg units splitting its rank plus < 100+n units in the damped
+    // update, so the full-graph sum stays within n*(maxdeg+101) of scale
+    val mass = rank.values.sum
+    val slack = n * (deg.values.max + 101L)
+    assert(mass <= scale && mass >= scale - slack,
+      s"rank mass $mass outside [${scale - slack}, $scale]")
+  }
 }
