@@ -484,6 +484,34 @@ object RelationalQueries {
         FROM events
         ORDER BY event_id""")),
 
+    // ---- VARIANT semi-structured path (Spark 4 native) -------------------
+    // The modern shape of the json_extract query above: props parses ONCE
+    // into Spark's binary VariantType and typed fields come out via
+    // variant_get — at scale this is the open-table-format pattern where
+    // semi-structured columns are stored as variant and never re-tokenize
+    // JSON text per access (json_extract re-walks the string for every
+    // path). The extraction runs UNDER the aggregation, so the shuffle
+    // carries only (event_type, bigint), never the raw JSON. try_parse_json
+    // keeps a malformed row NULL in both engines instead of aborting.
+    GraftQuery(
+      "variant_stats",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          try_variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, count(*) AS n,
+               count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+               CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ---- CUBE (all grouping-set combinations) ----------------------------
     GraftQuery(
       "cube_orders",
