@@ -280,9 +280,9 @@ object StreamingPipeline {
 
   /** µs ↔ java.sql.Timestamp (getTime truncates to ms; nanos carry the
     * sub-second part, Spark timestamps are µs precision). */
-  private def tsToMicros(t: java.sql.Timestamp): Long =
+  private[streaming] def tsToMicros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-  private def microsToTs(us: Long): java.sql.Timestamp = {
+  private[streaming] def microsToTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
     t
@@ -414,5 +414,92 @@ object StreamingPipeline {
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"),
       joinType)
       .drop(r(key))
+  }
+
+  /** Consecutive-anomaly escalation on the transformWithState API (the
+    * Spark 4 arbitrary-state surface that supersedes
+    * flatMapGroupsWithState: typed named state cells, per-cell TTL,
+    * timers). Per device, a ValueState[(streakLen, streakStartµs)] counts
+    * CONSECUTIVE out-of-[lo,hi] readings in event-time order; the moment a
+    * streak reaches `threshold` one alert row
+    * (device_id, streak_start, alert_ts, streak_len) is emitted, and an
+    * in-range reading resets the streak. One alert per crossing — the
+    * streak keeps counting past the threshold without re-alerting until it
+    * resets, so alert volume is bounded by anomaly EPISODES, not readings.
+    *
+    * Determinism: rows inside a micro-batch arrive unordered, so the
+    * handler sorts each key's batch by (event time, value) before folding —
+    * per-key-per-batch row counts are small (bounded by trigger interval ×
+    * per-device rate), so the sort is a few elements, never a shuffle.
+    * State is O(live devices) × 12 bytes and hash-partitions with the keys.
+    * Requires the RocksDB state store provider (a transformWithState
+    * constraint; StreamingSpec runs it there). */
+  def streakAlerts(
+      readings: DataFrame,
+      idCol: String = "device_id",
+      tsCol: String = "timestamp",
+      valueCol: String = "value",
+      lo: Double = 0.0,
+      hi: Double = 100.0,
+      threshold: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.TimeMode
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings
+      // nulls never reach the state function (silentDevices discipline):
+      // a null ts can't be ordered, a null value would unbox to 0.0
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"), col(tsCol).as("_ts"),
+        col(valueCol).cast("double").as("_v"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new StreakProcessor(lo, hi, threshold),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("device_id", "streak_start", "alert_ts", "streak_len")
+  }
+
+}
+
+/** Keyed state machine for [[StreamingPipeline.streakAlerts]]. State is one
+  * (streakLen, streakStartMicros) cell per device; TTLConfig.NONE because a
+  * dormant streak must survive arbitrarily long gaps (liveness is
+  * silentDevices' job, not this operator's). */
+private[streaming] final class StreakProcessor(
+    lo: Double, hi: Double, threshold: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String,
+      (String, java.sql.Timestamp, Double),
+      (String, java.sql.Timestamp, java.sql.Timestamp, Int)] {
+
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var streak: ValueState[(Int, Long)] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    streak = getHandle.getValueState[(Int, Long)]("streak",
+      org.apache.spark.sql.Encoders.product[(Int, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, java.sql.Timestamp, Double)],
+      timerValues: TimerValues): Iterator[(String, java.sql.Timestamp, java.sql.Timestamp, Int)] = {
+    val out = Seq.newBuilder[(String, java.sql.Timestamp, java.sql.Timestamp, Int)]
+    var (len, start) = if (streak.exists()) streak.get() else (0, 0L)
+    rows.toSeq
+      .map(r => (StreamingPipeline.tsToMicros(r._2), r._3))
+      .sortBy(identity)
+      .foreach { case (us, v) =>
+        if (v < lo || v > hi) {
+          if (len == 0) start = us
+          len += 1
+          if (len == threshold)
+            out += ((key, StreamingPipeline.microsToTs(start),
+              StreamingPipeline.microsToTs(us), len))
+        } else len = 0
+      }
+    if (len == 0) streak.clear() else streak.update((len, start))
+    out.result().iterator
   }
 }

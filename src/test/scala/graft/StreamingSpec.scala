@@ -873,4 +873,53 @@ class StreamingSpec extends SparkSuite {
       assert(revs.forall(_.contains("x")), s"x lost across batches: $revs")
     } finally q.stop()
   }
+
+  test("streakAlerts (transformWithState): one alert per anomaly episode, state crosses batches") {
+    // transformWithState requires the RocksDB provider (API constraint)
+    withRocksDB {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[Reading]
+      def at(dev: String, t: String, v: Double) =
+        Reading(dev, "temperature", "room1", v, 50.0, ts(t))
+      val alerts = StreamingPipeline.streakAlerts(mem.toDF(),
+        lo = 0.0, hi = 100.0, threshold = 3)
+      val q = alerts.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("streak_alerts").start()
+      try {
+        // batch 1: dev_a streak reaches 2 (no alert yet); rows arrive
+        // OUT of event-time order — the handler must sort before folding
+        mem.addData(at("dev_a", "2024-01-01T10:00:02Z", 120.0),
+                    at("dev_a", "2024-01-01T10:00:00Z", 50.0),
+                    at("dev_a", "2024-01-01T10:00:01Z", 110.0),
+                    at("dev_b", "2024-01-01T10:00:00Z", 55.0))
+        q.processAllAvailable()
+        assert(spark.table("streak_alerts").count() == 0)
+        // batch 2: dev_a's third consecutive anomaly → alert with the
+        // streak's TRUE start (10:00:01, carried in state from batch 1);
+        // a fourth anomaly must NOT re-alert (one per crossing)
+        mem.addData(at("dev_a", "2024-01-01T10:00:03Z", 130.0),
+                    at("dev_a", "2024-01-01T10:00:04Z", 140.0),
+                    at("dev_b", "2024-01-01T10:00:05Z", 60.0))
+        q.processAllAvailable()
+        val a1 = spark.table("streak_alerts").collect()
+        assert(a1.length == 1, s"got ${a1.mkString}")
+        assert(a1.head.getAs[String]("device_id") == "dev_a")
+        assert(a1.head.getAs[Timestamp]("streak_start").toInstant.toString
+          == "2024-01-01T10:00:01Z")
+        assert(a1.head.getAs[Timestamp]("alert_ts").toInstant.toString
+          == "2024-01-01T10:00:03Z")
+        assert(a1.head.getAs[Int]("streak_len") == 3)
+        // batch 3: in-range reading resets; a fresh 3-streak alerts again
+        mem.addData(at("dev_a", "2024-01-01T10:00:05Z", 40.0),
+                    at("dev_a", "2024-01-01T10:00:06Z", 101.0),
+                    at("dev_a", "2024-01-01T10:00:07Z", 102.0),
+                    at("dev_a", "2024-01-01T10:00:08Z", 103.0))
+        q.processAllAvailable()
+        val a2 = spark.table("streak_alerts").collect()
+        assert(a2.length == 2)
+        val fresh = a2.map(_.getAs[Timestamp]("streak_start").toInstant.toString).toSet
+        assert(fresh == Set("2024-01-01T10:00:01Z", "2024-01-01T10:00:06Z"), s"got $fresh")
+      } finally q.stop()
+    }
+  }
 }
