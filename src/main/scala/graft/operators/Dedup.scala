@@ -1011,7 +1011,10 @@ object Dedup {
         SELECT doc_id, deg AS degree, rank AS rank_e9 FROM r$PrIters
         ORDER BY rank_e9 DESC, doc_id
         LIMIT 20"""
-      }))
+      })),
+
+    // ---- triangle census over the near-dup graph (see dupTriangles) ------
+    GraftQuery("dup_triangles", dupTriangles, Some(dupTrianglesOracleSql))
   )
 
   /** dup_pagerank fixed-point: rank mass carried in units of 1e-9 (BIGINT
@@ -1020,6 +1023,74 @@ object Dedup {
     * unrolled into the plan. */
   private val PrScale = 1000000000L
   private val PrIters = 3
+
+  /** Triangle counting + local clustering coefficient over the same
+    * near-dup graph — the graph-pattern complement to dup_pagerank's
+    * spectral view: a high-coefficient node sits inside a dense clone
+    * CLIQUE (one boilerplate family), a high-degree low-coefficient node
+    * is a hub stitching unrelated documents (a template shared across
+    * sources). Together they separate "one family of copies" from
+    * "systemic boilerplate" before choosing a dedup survivorship policy.
+    *
+    * Scale: the canonical two-join triangle enumeration over a<b-oriented
+    * edges — each triangle (a<b<c) is produced exactly once as wedge
+    * (a-b, b-c) confirmed by closing edge (a, c). Wedge volume is
+    * Σ deg²; on THIS graph the LSH bucket caps bound per-node degree at
+    * O(bands·cap), so wedges stay O(n·(bands·cap)²) — at web scale the
+    * standard refinement (orient edges by total degree rather than id,
+    * cutting wedges to O(edges^1.5)) drops in by replacing the orientation
+    * key, same plan shape. Edges materialize once (eager localCheckpoint,
+    * the dup_pagerank discipline) and feed the wedge join, the closing
+    * semi-join, and the degree count. */
+  private def dupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
+      .localCheckpoint(true)
+    val deg = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .groupBy("doc_a").agg(count(lit(1)).as("degree"))
+      .select(col("doc_a").as("doc_id"), col("degree"))
+    val wedges = pairs.as("p1")
+      .join(pairs.as("p2"), col("p1.doc_b") === col("p2.doc_a"))
+      .select(col("p1.doc_a").as("a"), col("p1.doc_b").as("b"),
+        col("p2.doc_b").as("c"))
+    val tris = wedges.join(pairs,
+        wedges("a") === pairs("doc_a") && wedges("c") === pairs("doc_b"),
+        "left_semi")
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("clustering_coeff",
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          round(col("triangles") * 2.0 / (col("degree") * (col("degree") - 1)), 4)))
+      .orderBy("doc_id")
+  }
+
+  private def dupTrianglesOracleSql: String = s"""
+        WITH $minhashCtes,
+        pairs AS (SELECT doc_a, doc_b FROM mh_pairs),
+        deg AS (SELECT doc_id, count(*) AS degree FROM (
+                  SELECT doc_a AS doc_id FROM pairs
+                  UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id),
+        tris AS (SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+                 FROM pairs p1
+                 JOIN pairs p2 ON p1.doc_b = p2.doc_a
+                 WHERE EXISTS (SELECT 1 FROM pairs p3
+                               WHERE p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b)),
+        pern AS (SELECT doc_id, count(*) AS triangles FROM (
+                   SELECT a AS doc_id FROM tris
+                   UNION ALL SELECT b FROM tris
+                   UNION ALL SELECT c FROM tris) GROUP BY doc_id)
+        SELECT d.doc_id, d.degree,
+               CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree < 2 THEN 0.0
+                    ELSE round(coalesce(p.triangles, 0) * 2.0
+                               / (d.degree * (d.degree - 1)), 4) END
+                 AS clustering_coeff
+        FROM deg d LEFT JOIN pern p USING (doc_id)
+        ORDER BY d.doc_id"""
 
   /** Token-block width for block_dedup — 3 because the synthetic corpus'
     * ~31-word vocabulary needs short blocks to exhibit any repetition;

@@ -1558,4 +1558,27 @@ class OperatorSpec extends SparkSuite {
     assert(mass <= scale && mass >= scale - slack,
       s"rank mass $mass outside [${scale - slack}, $scale]")
   }
+
+  test("dup_triangles matches a naive adjacency-set triangle count") {
+    val pairs = run("minhash_pairs").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    // enumerate each triangle once via the same a<b<c orientation
+    for ((a, b) <- pairs; c <- adj(b) if b < c && adj(a).contains(c)) {
+      tri(a) += 1; tri(b) += 1; tri(c) += 1
+    }
+    val got = run("dup_triangles").collect()
+    assert(got.map(_.getLong(0)).toSet == adj.keySet, "node set mismatch")
+    got.foreach { r =>
+      val (id, d, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d == adj(id).size.toLong, s"doc $id degree $d != ${adj(id).size}")
+      assert(t == tri(id), s"doc $id triangles $t != ${tri(id)}")
+      val cc = r.getDouble(3)
+      if (d < 2) assert(cc == 0.0)
+      else assert(math.abs(cc - 2.0 * t / (d * (d - 1))) < 5e-5)
+      assert(cc >= 0.0 && cc <= 1.0, s"doc $id coefficient $cc out of [0,1]")
+    }
+  }
 }
