@@ -273,4 +273,32 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "delta_dedup lost partial aggregation")
   }
+
+  test("graph queries iterate over the checkpointed edge set, never the LSH chain") {
+    // dup_pagerank's recurrence references the edge frame five times and
+    // dup_triangles three; as pure plans each mention re-derives the whole
+    // MinHash chain (measured: 88 parquet scans). The eager localCheckpoint
+    // must leave ZERO parquet scans in the returned plan — every iteration
+    // hangs off the materialized RDD.
+    for (name <- Seq("dup_pagerank", "dup_triangles")) {
+      val plan = planOf(name)
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      assert(scans == 0, s"$name re-derives the corpus: $scans parquet scans")
+      assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+        s"$name does not read the checkpointed edges")
+    }
+  }
+
+  test("variant_stats extracts under the aggregation: no raw JSON in the shuffle") {
+    val plan = planOf("variant_stats")
+    // the scan must read only (event_type, props) ...
+    assert(!plan.matches("(?s).*ReadSchema:[^\\n]*user_id.*"),
+      "variant_stats scan reads columns the query never touches")
+    // ... and the exchange key carries the grouping column, never props:
+    // the variant decode + typed extraction happen below the partial agg
+    assert(!plan.matches("(?s).*Exchange hashpartitioning\\([^)]*props.*"),
+      "variant_stats shuffles raw JSON")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "variant_stats lost partial aggregation")
+  }
 }
