@@ -705,8 +705,43 @@ object Curation {
         FROM q
         WHERE bucket < CASE tier WHEN 'high' THEN 90 WHEN 'med' THEN 50 ELSE 10 END
         ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- k-anonymity audit over quasi-identifiers ------------------------
+    // The privacy release gate a data pipeline runs before publishing
+    // derived event data: a quasi-identifier cell (event_type × value
+    // decade here) containing fewer than K distinct users re-identifies
+    // its members by intersection with outside knowledge. Reports every
+    // cell with its distinct-user count and the at-risk verdict — the
+    // downstream policy (suppress / generalize the cell) consumes the
+    // flags. Complements pii_redact: that scrubs direct identifiers,
+    // this measures indirect identifiability.
+    //
+    // Scale: one scan, one exchange on the cell key; count(DISTINCT user)
+    // plans as Spark's two-phase distinct-aggregate expansion (partial
+    // de-dup map-side). floor(value/10) is IEEE-exact in both engines.
+    GraftQuery(
+      "k_anonymity",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 10).cast(LongType).as("value_decade"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("at_risk", col("n_users") < KAnonThreshold)
+        .orderBy("event_type", "value_decade"),
+      Some(s"""
+        SELECT event_type,
+               CAST(floor(value / 10) AS BIGINT) AS value_decade,
+               count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT user_id) < $KAnonThreshold AS at_risk
+        FROM events
+        GROUP BY event_type, CAST(floor(value / 10) AS BIGINT)
+        ORDER BY event_type, value_decade"""))
   )
+
+  /** k_anonymity: minimum distinct users per quasi-identifier cell. */
+  private val KAnonThreshold = 5
 
   /** chunk_documents window: 32-token chunks at stride 24 (25% overlap). */
   private val ChunkTokens = 32
