@@ -331,6 +331,189 @@ object Multimodal {
       WavFeatures(r.doc_id, n, sum, peak)
     }
 
+  // ------------------------------------------------------------------ PNG
+  // The COMPRESSED codec class (BMP/WAV above are raw containers): PNG is
+  // zlib-deflated, per-row-filtered scanlines inside length-prefixed
+  // CRC-checked chunks. No codec library ships in this container, but the
+  // JDK's own zlib bindings (java.util.zip Inflater/Deflater/CRC32) are
+  // enough to implement the spec directly. Encoder: 8-bit RGB (color
+  // type 2), filter-0 rows, one IDAT. Decoder: the general non-interlaced
+  // 8-bit RGB/RGBA subset — chunk walk with CRC verification, multi-IDAT
+  // concatenation, zlib inflate with an exact expected-size contract, and
+  // all five scanline filters (None/Sub/Up/Average/Paeth), so it decodes
+  // PNGs produced by real encoders (pinned against ImageIO's output,
+  // which picks its own per-row filters), not just our own.
+
+  /** PNG geometry: width 5 ⇒ 15 pixel bytes/row (no padding concept in
+    * PNG; the filter byte makes the stride 16). */
+  val PngWidth = 5
+  private val PngRowBytes = PngWidth * 3           // 15
+  private val PngSig =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+  final case class PngFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def rdBe32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def pngChunk(tpe: String, body: Array[Byte]): Array[Byte] = {
+    val t = tpe.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(body)
+    be32(body.length) ++ t ++ body ++ be32(crc.getValue.toInt)
+  }
+
+  /** Encode `bytes` as an 8-bit RGB PNG: pixel stream = the bytes as RGB
+    * triples, zero-padded to `height = ceil(n/15)` full rows (min 1),
+    * every scanline filter 0, one deflated IDAT. */
+  def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val rowBytes = PngWidth * 3
+    val n = bytes.length
+    val height = math.max(1, (n + rowBytes - 1) / rowBytes)
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    var y = 0
+    while (y < height) {
+      // raw(y * (1 + rowBytes)) stays 0 = filter None
+      val src = y * rowBytes
+      val len = math.max(0, math.min(rowBytes, n - src))
+      if (len > 0)
+        System.arraycopy(bytes, src, raw, y * (1 + rowBytes) + 1, len)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = be32(PngWidth) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // bit depth 8, RGB, deflate, adaptive, no interlace
+    PngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Strict non-interlaced 8-bit RGB/RGBA PNG decode: signature + per-chunk
+    * CRC verification, IHDR validation, multi-IDAT zlib inflate with an
+    * exact size contract, and full scanline unfiltering (the five spec
+    * filters). Returns (width, height, Σr, Σg, Σb) — alpha, when present,
+    * participates in unfiltering (it is part of the byte lattice) but not
+    * in the channel sums. */
+  def decodePng(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    require(payload.length >= PngSig.length + 12 &&
+      payload.startsWith(PngSig), "not a PNG payload")
+    var o = PngSig.length
+    var ihdr: Option[(Int, Int, Int)] = None // width, height, bpp
+    val idat = new java.io.ByteArrayOutputStream
+    var ended = false
+    while (!ended) {
+      require(o + 8 <= payload.length, "truncated PNG: no IEND")
+      val len = rdBe32(payload, o)
+      require(len >= 0 && o + 12L + len <= payload.length,
+        s"PNG chunk at $o declares $len bytes — exceeds the payload")
+      val tpe = new String(payload, o + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(payload, o + 4, 4 + len)
+      require(crc.getValue.toInt == rdBe32(payload, o + 8 + len),
+        s"PNG chunk '$tpe' fails its CRC — corrupt payload")
+      tpe match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          val w = rdBe32(payload, o + 8)
+          val h = rdBe32(payload, o + 12)
+          val bitDepth = payload(o + 16) & 0xff
+          val colorType = payload(o + 17) & 0xff
+          val interlace = payload(o + 20) & 0xff
+          require(bitDepth == 8 && (colorType == 2 || colorType == 6) &&
+            interlace == 0,
+            s"unsupported PNG variant: depth=$bitDepth color=$colorType " +
+              s"interlace=$interlace (8-bit RGB/RGBA non-interlaced only)")
+          require(w > 0 && h > 0, s"invalid PNG dims ${w}x$h")
+          ihdr = Some((w, h, if (colorType == 2) 3 else 4))
+        case "IDAT" =>
+          require(ihdr.isDefined, "IDAT before IHDR — malformed PNG")
+          idat.write(payload, o + 8, len)
+        case "IEND" => ended = true
+        case _ => // ancillary chunks (tEXt, pHYs, ...) skip
+      }
+      o += 12 + len
+    }
+    val (w, h, bpp) = ihdr.getOrElse(
+      throw new IllegalArgumentException("PNG has no IHDR"))
+    val stride = w * bpp
+    val expected = h.toLong * (1 + stride)
+    require(expected <= Int.MaxValue, s"PNG raster too large: $expected")
+    val raw = new Array[Byte](expected.toInt)
+    val infl = new java.util.zip.Inflater
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !infl.finished()) {
+      val k = infl.inflate(raw, got, raw.length - got)
+      require(k > 0 || infl.finished(),
+        "PNG IDAT stream truncated or needs a dictionary")
+      got += k
+    }
+    // drain: a spec stream ends exactly at the raster boundary
+    val overflow = new Array[Byte](1)
+    require(got == raw.length && (infl.finished() || infl.inflate(overflow) == 0
+      && infl.finished()),
+      s"PNG raster size mismatch: inflated $got of ${raw.length}")
+    infl.end()
+    // unfilter in place, then sum channels
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride)
+      val filter = raw(rowOff) & 0xff
+      require(filter <= 4, s"PNG row $y has invalid filter $filter")
+      var i = 0
+      while (i < stride) {
+        val x = raw(rowOff + 1 + i) & 0xff
+        val left = if (i >= bpp) raw(rowOff + 1 + i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(rowOff - stride + i) & 0xff else 0
+        val upLeft =
+          if (y > 0 && i >= bpp) raw(rowOff - stride + i - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+        }
+        val v = recon & 0xff
+        raw(rowOff + 1 + i) = v.toByte
+        (i % bpp) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case 2 => sb += v
+          case _ => // alpha: unfiltered (part of the lattice) but not summed
+        }
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  /** Per-partition PNG encode→decode over media records — the compressed
+    * twin of [[bmpFeatures]]. */
+  def pngFeatures(rows: Iterator[MediaRecord]): Iterator[PngFeatures] =
+    rows.map { r =>
+      val (w, h, sr, sg, sb) = decodePng(encodePng(r.payload))
+      PngFeatures(r.doc_id, w, h, w.toLong * h, sr, sg, sb)
+    }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- REAL BMP encode→decode round-trip (oracle-checked) --------------
@@ -408,6 +591,45 @@ object Multimodal {
                CAST(coalesce(list_sum(s), 0) AS BIGINT) AS sum_abs,
                CAST(coalesce(list_max(s), 0) AS INT) AS peak
         FROM a
+        ORDER BY doc_id""")),
+
+    // ---- REAL PNG (deflate + filtered scanlines) decode (oracle-checked) -
+    // The compressed codec: the Spark side deflates each payload into a
+    // real PNG and decodes it back through the full chunk-walk → CRC →
+    // inflate → unfilter pipeline; the oracle reproduces the channel sums
+    // from the hex-recovered bytes directly (filter-0 encode keeps the
+    // identity exact), so a decoder that mis-unfilters, mis-inflates, or
+    // drops a row hash-mismatches. RGB order here (vs BMP's BGR): sum_r
+    // is the FIRST byte of each triple.
+    GraftQuery(
+      "png_decode",
+      (s, dir) => {
+        import s.implicits._
+        asMedia(s, dir).mapPartitions(pngFeatures).toDF()
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h, octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx)
+        SELECT doc_id,
+               CAST($PngWidth AS INT) AS width,
+               CAST(greatest(1, (n + ${PngRowBytes - 1}) // $PngRowBytes) AS INT) AS height,
+               CAST($PngWidth * greatest(1, (n + ${PngRowBytes - 1}) // $PngRowBytes)
+                    AS BIGINT) AS n_pixels,
+               CAST(coalesce(list_sum(list_transform(range(1, n + 1, 3),
+                    k -> bytes[k])), 0) AS BIGINT) AS sum_r,
+               CAST(coalesce(list_sum(list_transform(range(2, n + 1, 3),
+                    k -> bytes[k])), 0) AS BIGINT) AS sum_g,
+               CAST(coalesce(list_sum(list_transform(range(3, n + 1, 3),
+                    k -> bytes[k])), 0) AS BIGINT) AS sum_b
+        FROM b
         ORDER BY doc_id""")),
 
     // ---- metadata extraction (oracle-checkable: md5 + byte length) -------

@@ -501,6 +501,62 @@ class OperatorSpec extends SparkSuite {
     intercept[IllegalArgumentException] { operators.Multimodal.decodeBmp(truncated) }
   }
 
+  test("decodePng decodes real-encoder output (ImageIO: adaptive filters, RGB + RGBA)") {
+    // fixtures from a FOREIGN encoder: ImageIO picks its own per-row
+    // filters (Sub/Up/Average/Paeth on gradient data), so a decoder that
+    // only handles our filter-0 output cannot pass here
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(42)
+    def check(imgType: Int, w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Unit = {
+      val img = new BufferedImage(w, h, imgType)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pix(x, y)
+        img.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+        er += r; eg += g; eb += b
+      }
+      val bos = new java.io.ByteArrayOutputStream
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val (dw, dh, sr, sg, sb) = operators.Multimodal.decodePng(bos.toByteArray)
+      assert((dw, dh) == (w, h), s"type=$imgType dims ($dw,$dh)")
+      assert((sr, sg, sb) == (er, eg, eb),
+        s"type=$imgType sums ($sr,$sg,$sb) != ($er,$eg,$eb)")
+    }
+    def noise(x: Int, y: Int) = (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+    // smooth gradient: adaptive filter heuristics choose the predictive
+    // filters here, exercising Sub/Up/Average/Paeth reconstruction
+    def gradient(x: Int, y: Int) = ((x * 7 + y) % 256, (x + y * 5) % 256, (x * y) % 256)
+    check(BufferedImage.TYPE_3BYTE_BGR, 23, 17, noise)
+    check(BufferedImage.TYPE_3BYTE_BGR, 64, 48, gradient)
+    check(BufferedImage.TYPE_4BYTE_ABGR, 19, 11, noise)
+    check(BufferedImage.TYPE_4BYTE_ABGR, 40, 40, gradient)
+  }
+
+  test("decodePng is strict: CRC, truncation, and unsupported variants fail loudly") {
+    val ok = operators.Multimodal.encodePng(Array[Byte](1, 2, 3, 4, 5))
+    // flip one pixel byte inside IDAT: the chunk CRC must catch it
+    val corrupt = ok.clone()
+    corrupt(8 + 12 + 13 + 8 + 2) = (corrupt(8 + 12 + 13 + 8 + 2) ^ 0x40).toByte
+    val e1 = intercept[IllegalArgumentException] {
+      operators.Multimodal.decodePng(corrupt) }
+    assert(e1.getMessage.contains("CRC"))
+    // truncation mid-chunk
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodePng(ok.take(ok.length - 6)) }
+    // not a PNG at all
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodePng(Array.fill[Byte](30)(7)) }
+    // a 16-bit grayscale PNG (ImageIO TYPE_USHORT_GRAY → color type 0,
+    // bit depth 16) is outside the claimed subset → clean reject
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Multimodal.decodePng(bos.toByteArray) }
+    assert(e2.getMessage.contains("unsupported"))
+  }
+
   test("asofJoin union+carry-forward matches the naive range-join formulation") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, sf)

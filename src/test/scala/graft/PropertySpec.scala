@@ -351,6 +351,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PNG encode→decode recovers exact channel sums for arbitrary payloads") {
+    // the COMPRESSED codec must agree with direct byte arithmetic (the
+    // DuckDB oracle's formulation) on any payload: the whole
+    // deflate → chunk → CRC → inflate → unfilter pipeline is an identity
+    // on the pixel stream or the query is wrong
+    val byteGen = Gen.choose(0, 255).map(_.toByte)
+    for (s <- 1 to 30) {
+      val n = sample(Gen.oneOf(0, 1, 14, 15, 16, 30, 45, 200, 1000), s)
+      val bytes = sample(Gen.listOfN(n, byteGen), s + 3000).toArray
+      val (w, h, sr, sg, sb) =
+        operators.Multimodal.decodePng(operators.Multimodal.encodePng(bytes))
+      assert(w == operators.Multimodal.PngWidth)
+      assert(h == math.max(1, (n + 14) / 15), s"seed $s n=$n height $h")
+      def chan(off: Int) =
+        bytes.indices.collect { case i if i % 3 == off => bytes(i) & 0xffL }.sum
+      assert((sr, sg, sb) == (chan(0), chan(1), chan(2)),
+        s"seed $s n=$n: ($sr,$sg,$sb)")
+    }
+  }
+
   test("WAV encode→decode recovers exact s16 stats for arbitrary payloads") {
     val byteGen = Gen.choose(0, 255).map(_.toByte)
     for (s <- 1 to 30) {

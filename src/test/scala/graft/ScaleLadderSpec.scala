@@ -25,14 +25,20 @@ class ScaleLadderSpec extends SparkSuite {
   // The suite session is local[4]: at 10x data on 4 SATURATED cores, a
   // perfectly linear query legitimately approaches 10x wall-clock (the
   // sf0.1 side stops being overhead-dominated the moment the corpus
-  // regenerates denser — measured 9.6x on ngram_jaccard whose clean-JVM
-  // local[32] ratio is 2.6x). The envelope therefore asserts "at most
-  // linear plus slack": a quadratic blowup measures 30-70x (round-6
-  // adversarial variant) and still cannot hide.
-  private val Envelope = 12.0
+  // regenerates denser — measured 9.6x and once 12.7x on ngram_jaccard,
+  // whose clean-JVM local[32] ratio is 2.6x: the fast side rides a warm
+  // 200-test JVM, the big side eats its GC history). The envelope
+  // therefore asserts "at most linear plus saturation slack": a
+  // quadratic blowup measures 30-70x (round-6 adversarial variant) and
+  // still cannot hide, while linear queries under load must not flake.
+  private val Envelope = 16.0
+  // the five steepest corpus queries, plus the two iterative graph
+  // queries whose cost rides the near-dup EDGE set — constant dup
+  // density grows edges ~linearly, so a super-linear wedge or iteration
+  // blowup shows here as an envelope breach
   private val Steepest =
     Seq("bpe_merges", "bpe_encode", "dsir_weights", "ngram_jaccard",
-      "dedup_keep_list")
+      "dedup_keep_list", "dup_pagerank", "dup_triangles")
 
   /** Deterministic 10x documents corpus: replica i shifts doc_ids by
     * i·10^7 and suffixes every token with `x<i>` (i > 0), keeping lang /
