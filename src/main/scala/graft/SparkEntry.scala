@@ -31,7 +31,7 @@ object SparkEntry {
     * construction exclude exactly this set. */
   val actionfulQueries: Set[String] =
     Set("dedup_clusters", "dedup_keep_list", "dedup_keep_best",
-      "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles",
+      "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles", "dup_reach",
       "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1014,8 +1014,69 @@ object Dedup {
       })),
 
     // ---- triangle census over the near-dup graph (see dupTriangles) ------
-    GraftQuery("dup_triangles", dupTriangles, Some(dupTrianglesOracleSql))
+    GraftQuery("dup_triangles", dupTriangles, Some(dupTrianglesOracleSql)),
+
+    // ---- bounded BFS via a NATIVE recursive CTE (Spark 4 WITH RECURSIVE) -
+    // The SQL face of the graph stack: per-source min-hop distances to
+    // every document within 3 hops of the near-dup graph, written as the
+    // same `WITH RECURSIVE` text DuckDB runs — recursive SQL was
+    // impossible in Spark < 4.0 (the DataFrame loop in
+    // connectedComponents was the only shape); the UnionLoop operator now
+    // executes it natively. The recursion is DEPTH-BOUNDED (depth < 3
+    // in the recursive member) because the edge graph is symmetric =
+    // cyclic, and UNION ALL recursion never deduplicates: an unbounded
+    // walk diverges in BOTH engines. The closing GROUP BY collapses walk
+    // multiplicity into BFS distance.
+    //
+    // Scale: each UnionLoop iteration is one equi-join of the frontier
+    // against the edge set plus the depth filter — the same per-hop cost
+    // as the CC loop, executed by the engine instead of driver-looped.
+    // Walk volume is Σ deg^depth, bounded here by the LSH degree caps; at
+    // web scale you seed selectively (WHERE on the anchor member) rather
+    // than from every node. Edges materialize once (localCheckpoint, the
+    // shared graph discipline) behind a temp view the SQL references.
+    GraftQuery(
+      "dup_reach",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+        pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
+          .localCheckpoint(true)
+          .createOrReplaceTempView("graft_dup_edges")
+        s.sql(s"""
+          WITH RECURSIVE reach(src, doc_id, depth) AS (
+            SELECT doc_a, doc_a, 0 FROM (SELECT DISTINCT doc_a FROM graft_dup_edges) t
+            UNION ALL
+            SELECT r.src, e.doc_b, r.depth + 1
+            FROM reach r JOIN graft_dup_edges e ON r.doc_id = e.doc_a
+            WHERE r.depth < $ReachDepth
+          )
+          SELECT src, doc_id, min(depth) AS min_depth
+          FROM reach
+          GROUP BY src, doc_id
+          ORDER BY src, doc_id""")
+      },
+      Some(s"""
+        WITH RECURSIVE $minhashCtes,
+        edges AS (SELECT doc_a, doc_b FROM mh_pairs
+                  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM mh_pairs),
+        reach(src, doc_id, depth) AS (
+          SELECT doc_a, doc_a, 0 FROM (SELECT DISTINCT doc_a FROM edges) t
+          UNION ALL
+          SELECT r.src, e.doc_b, r.depth + 1
+          FROM reach r JOIN edges e ON r.doc_id = e.doc_a
+          WHERE r.depth < $ReachDepth
+        )
+        SELECT src, doc_id, min(depth) AS min_depth
+        FROM reach
+        GROUP BY src, doc_id
+        ORDER BY src, doc_id"""))
   )
+
+  /** dup_reach hop bound — the UNION ALL recursion is depth-limited
+    * because the symmetric graph is cyclic. */
+  private val ReachDepth = 3
 
   /** dup_pagerank fixed-point: rank mass carried in units of 1e-9 (BIGINT
     * micro-nano units — overflow headroom: total mass ≈ PrScale regardless
