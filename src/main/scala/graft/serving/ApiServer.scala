@@ -53,13 +53,21 @@ import graft.functions.ResultCache
   *                   avg_value, min_value, max_value, avg_battery,
   *                   reading_count)
   * @param clock      injectable NOW() for the /api/aggregates lookback
+  * @param registry   optional named-query surface: when set,
+  *                   `GET /api/query/<name>?limit=N` runs the registered
+  *                   plan builder against the registry's pinned session +
+  *                   data dir (never a client-supplied path) and returns
+  *                   up to N rows (≤ [[ApiServer.MaxQueryRows]]) — the
+  *                   engine's whole SparkEntry repertoire served the way
+  *                   the reference serves Postgres SQL
   */
 final class ApiServer(
     raw: () => DataFrame,
     aggregates: () => DataFrame,
     cache: ResultCache = new ResultCache(),
     clock: () => Instant = () => Instant.now(),
-    port: Int = 0) {
+    port: Int = 0,
+    registry: Option[ApiServer.QueryRegistry] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(4))
@@ -68,6 +76,9 @@ final class ApiServer(
   server.createContext("/api/data/latest", handler(latest _))
   server.createContext("/api/aggregates", handler(aggs _))
   server.createContext("/api/stats", handler(stats _))
+  registry.foreach { _ =>
+    server.createContext("/api/query/", pathHandler(namedQuery _))
+  }
 
   def start(): ApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
@@ -138,6 +149,19 @@ final class ApiServer(
         s""""time_range": {"earliest": ${iso(1)}, "latest": ${iso(2)}}}""")
   }
 
+  private def namedQuery(path: String, q: Map[String, String]): (Int, String) = {
+    val reg = registry.get
+    val name = path.stripPrefix("/api/query/")
+    reg.queries.get(name) match {
+      case None =>
+        (404, s"""{"detail": ${jstr(s"unknown query '$name'")}}""")
+      case Some(build) =>
+        val limit = q.get("limit").flatMap(_.toIntOption)
+          .getOrElse(100).min(ApiServer.MaxQueryRows).max(1)
+        (200, rowsJson(build(reg.spark, reg.dataDir).limit(limit)))
+    }
+  }
+
   // ---- plumbing ----------------------------------------------------------
 
   private def rowsJson(df: DataFrame): String =
@@ -152,9 +176,12 @@ final class ApiServer(
     } + "\""
 
   private def handler(f: Map[String, String] => (Int, String)): com.sun.net.httpserver.HttpHandler =
+    pathHandler((_, q) => f(q))
+
+  private def pathHandler(f: (String, Map[String, String]) => (Int, String)): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
       val (code, body) =
-        try f(parseQuery(Option(ex.getRequestURI.getRawQuery)))
+        try f(ex.getRequestURI.getPath, parseQuery(Option(ex.getRequestURI.getRawQuery)))
         catch {
           case e: Exception => (500, s"""{"detail": ${jstr(String.valueOf(e.getMessage))}}""")
         }
@@ -176,4 +203,19 @@ final class ApiServer(
         }
       }.toMap
     }
+}
+
+object ApiServer {
+  /** Hard row ceiling for /api/query responses — serving collects are
+    * bounded regardless of the client's limit parameter. */
+  val MaxQueryRows = 1000
+
+  /** Named-query serving surface: a pinned session + data directory and
+    * the plan-builder registry (e.g. `graft.SparkEntry.queries`). The
+    * directory is fixed server-side — clients choose the query and a row
+    * limit, never a filesystem path. */
+  final case class QueryRegistry(
+      spark: org.apache.spark.sql.SparkSession,
+      dataDir: String,
+      queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame])
 }

@@ -145,6 +145,27 @@ class ServingSpec extends SparkSuite {
     }
   }
 
+  test("GET /api/query/<name> serves the registered repertoire with a bounded limit") {
+    val reg = ApiServer.QueryRegistry(spark, sf, SparkEntry.queries)
+    val srv = new ApiServer(() => raw, () => agg, new ResultCache(),
+      () => now, port = 0, registry = Some(reg)).start()
+    try {
+      val port = srv.boundPort
+      // a registered relational query over the harness tables
+      val (c1, b1) = get(port, "/api/query/groupby_count")
+      assert(c1 == 200)
+      val expected = SparkEntry.queries("groupby_count")(spark, sf).count()
+      assert(countObjects(b1) == math.min(100, expected))
+      // the limit parameter applies and is capped server-side
+      assert(countObjects(get(port, "/api/query/distinct_pairs?limit=7")._2) == 7)
+      val (cBig, bBig) = get(port, s"/api/query/distinct_pairs?limit=99999")
+      assert(cBig == 200)
+      assert(countObjects(bBig) <= ApiServer.MaxQueryRows)
+      // unknown names 404 instead of evaluating anything
+      assert(get(port, "/api/query/drop_tables")._1 == 404)
+    } finally srv.stop()
+  }
+
   /** Count top-level JSON objects in a one-level array of flat objects. */
   private def countObjects(arrayJson: String): Long =
     if (arrayJson == "[]") 0L else arrayJson.count(_ == '{').toLong
