@@ -615,6 +615,26 @@ class StreamingSpec extends SparkSuite {
     } finally { aggQ.stop(); rawQ.stop() }
   }
 
+  test("JDBC sink (Derby): idempotentJdbc converges under batch replay") {
+    // the production fix for the reference's duplicate-on-replay append:
+    // re-delivering a batch id must leave the table content unchanged
+    val df1 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    operators.Sinks.idempotentJdbc(df1, derbyUrl, "idem_t", derbyProps, batchId = 7L)
+    // replay of batch 7 (foreachBatch after failure recovery)
+    operators.Sinks.idempotentJdbc(df1, derbyUrl, "idem_t", derbyProps, batchId = 7L)
+    // a partial earlier attempt is also healed: simulate by replaying
+    // batch 7 with MORE rows than the crashed attempt landed
+    val df1b = Seq(("a", 1.0), ("b", 2.0), ("b2", 9.0)).toDF("k", "v")
+    operators.Sinks.idempotentJdbc(df1b, derbyUrl, "idem_t", derbyProps, batchId = 7L)
+    operators.Sinks.idempotentJdbc(Seq(("c", 3.0)).toDF("k", "v"),
+      derbyUrl, "idem_t", derbyProps, batchId = 8L)
+    val got = spark.read.jdbc(derbyUrl, "idem_t", derbyProps).collect()
+    assert(got.length == 4, s"replays must not duplicate: ${got.mkString(";")}")
+    assert(got.map(_.getAs[String]("k")).sorted.toSeq == Seq("a", "b", "b2", "c"))
+    assert(got.map(r => r.getAs[String]("k") -> r.getAs[Long]("batch_id")).toMap
+      == Map("a" -> 7L, "b" -> 7L, "b2" -> 7L, "c" -> 8L))
+  }
+
   // ---------------------------------------------- checkpoint recovery
   // Shared scaffold for the two restart tests: the full sensor schema, a
   // JSONL line builder, and a file-source aggregate query factory — one
