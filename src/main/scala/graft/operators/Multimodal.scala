@@ -514,6 +514,47 @@ object Multimodal {
       PngFeatures(r.doc_id, w, h, w.toLong * h, sr, sg, sb)
     }
 
+  // ------------------------------------------------- mixed-media dispatch
+
+  /** Container type read from the payload's own magic bytes — never from
+    * trusted metadata (a mislabeled file must route by what it IS). */
+  def sniffMediaType(payload: Array[Byte]): String =
+    if (payload.length >= PngSig.length && payload.startsWith(PngSig)) "png"
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else if (payload.length >= 12 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE") "wav"
+    else "unknown"
+
+  /** Unified features across container types: `n_values` = pixels or
+    * samples, `magnitude` = the codec's integer energy sum (channel sums
+    * for images, Σ|s| for audio). */
+  final case class AnyMediaFeatures(doc_id: Long, media_type: String,
+      width: Option[Int], height: Option[Int], n_values: Long, magnitude: Long)
+
+  /** Per-partition sniff → strict-decode dispatch — the switchboard a
+    * mixed-media lake runs ahead of type-specific pipelines. Unknown
+    * containers pass through flagged (count and quarantine downstream)
+    * instead of failing the whole batch; a payload whose magic MATCHES a
+    * codec but whose body is corrupt still fails loudly, which is the
+    * strictness the per-codec tests pin. */
+  def anyMediaFeatures(rows: Iterator[(Long, Array[Byte])]): Iterator[AnyMediaFeatures] =
+    rows.map { case (id, p) =>
+      sniffMediaType(p) match {
+        case "png" =>
+          val (w, h, sr, sg, sb) = decodePng(p)
+          AnyMediaFeatures(id, "png", Some(w), Some(h), w.toLong * h, sr + sg + sb)
+        case "bmp" =>
+          val (w, h, sb, sg, sr) = decodeBmp(p)
+          AnyMediaFeatures(id, "bmp", Some(w), Some(h), w.toLong * h, sb + sg + sr)
+        case "wav" =>
+          val (n, sum, _) = decodeWav(p)
+          AnyMediaFeatures(id, "wav", None, None, n, sum)
+        case other =>
+          AnyMediaFeatures(id, other, None, None, 0L, 0L)
+      }
+    }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- REAL BMP encode→decode round-trip (oracle-checked) --------------

@@ -416,6 +416,42 @@ object StreamingPipeline {
       .drop(r(key))
   }
 
+  /** Dead-letter split sink: one stream, two destinations. Rows failing
+    * `isGood` go to the quarantine sink with full payload for replay
+    * after a parser fix; the rest take the main path. Pairs with
+    * [[graft.operators.Ingest.decodeWithCorrupt]] (`isGood =
+    * col("_corrupt").isNull`) to upgrade the reference's silent-null
+    * decode (`processor.py:74`, malformed JSON becomes nulls nobody
+    * sees) into an auditable quarantine.
+    *
+    * One persist serves both filters, so the upstream plan (including
+    * any stateful stages) executes once per batch, not three times
+    * (guard + two writes). Errors from either sink propagate — a failed
+    * batch must fail the query so the checkpoint retries it. */
+  def quarantineSink(
+      decoded: DataFrame,
+      isGood: org.apache.spark.sql.Column,
+      checkpoint: String,
+      good: (DataFrame, Long) => Unit,
+      quarantine: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    decoded.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{coalesce, lit, not}
+        // a NULL predicate row would vanish from BOTH filters (filter
+        // drops null); coalesce makes the split an exact partition with
+        // null-verdict rows quarantined
+        val goodPred = coalesce(isGood, lit(false))
+        df.persist()
+        try {
+          val bad = df.filter(not(goodPred))
+          if (!bad.isEmpty) quarantine(bad, batchId)
+          val ok = df.filter(goodPred)
+          if (!ok.isEmpty) good(ok, batchId)
+        } finally df.unpersist(blocking = false)
+      }
+
   /** Consecutive-anomaly escalation on the transformWithState API (the
     * Spark 4 arbitrary-state surface that supersedes
     * flatMapGroupsWithState: typed named state cells, per-cell TTL,

@@ -532,6 +532,31 @@ class OperatorSpec extends SparkSuite {
     check(BufferedImage.TYPE_4BYTE_ABGR, 40, 40, gradient)
   }
 
+  test("anyMediaFeatures routes by magic bytes and keeps per-codec strictness") {
+    import operators.Multimodal
+    val bytes = Array.tabulate[Byte](30)(i => (i * 7).toByte)
+    val rows = Iterator(
+      1L -> Multimodal.encodePng(bytes),
+      2L -> Multimodal.encodeBmp(bytes, topDown = false),
+      3L -> Multimodal.encodeWav(bytes),
+      4L -> Array.fill[Byte](20)(42))
+    val out = Multimodal.anyMediaFeatures(rows).toSeq
+    assert(out.map(f => f.doc_id -> f.media_type).toMap
+      == Map(1L -> "png", 2L -> "bmp", 3L -> "wav", 4L -> "unknown"))
+    val byId = out.map(f => f.doc_id -> f).toMap
+    val total = bytes.map(_ & 0xffL).sum
+    assert(byId(1L).magnitude == total && byId(2L).magnitude == total)
+    assert(byId(3L).n_values == 15) // 30 bytes → 15 s16 samples
+    assert(byId(4L).n_values == 0 && byId(4L).width.isEmpty)
+    // matching magic + corrupt body must still fail loudly (no silent
+    // "unknown" downgrade for a payload that CLAIMS to be decodable)
+    val corrupt = Multimodal.encodePng(bytes)
+    corrupt(corrupt.length - 10) = (corrupt(corrupt.length - 10) ^ 0x7f).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.anyMediaFeatures(Iterator(9L -> corrupt)).toSeq
+    }
+  }
+
   test("decodePng is strict: CRC, truncation, and unsupported variants fail loudly") {
     val ok = operators.Multimodal.encodePng(Array[Byte](1, 2, 3, 4, 5))
     // flip one pixel byte inside IDAT: the chunk CRC must catch it

@@ -615,6 +615,31 @@ class StreamingSpec extends SparkSuite {
     } finally { aggQ.stop(); rawQ.stop() }
   }
 
+  test("quarantineSink splits corrupt rows to the dead-letter path with payload intact") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val decoded = graft.operators.Ingest.decodeWithCorrupt(
+      mem.toDF().select(col("value").cast("binary").as("value")))
+    var goodRows = Seq.empty[org.apache.spark.sql.Row]
+    var badRows = Seq.empty[org.apache.spark.sql.Row]
+    val q = StreamingPipeline.quarantineSink(
+      decoded, col("_corrupt").isNull,
+      java.nio.file.Files.createTempDirectory("graft-quar-ckpt").toString,
+      good = (df, _) => goodRows ++= df.collect(),
+      quarantine = (df, _) => badRows ++= df.collect()).start()
+    try {
+      mem.addData(
+        """{"device_id":"d1","device_type":"temperature","location":"room1","value":4.0,"battery_level":50.0,"timestamp":"2024-01-01T10:00:00"}""",
+        """{"device_id":"d2", NOT JSON""",
+        """{"device_id":"d3","device_type":"humidity","location":"room2","value":7.0,"battery_level":40.0,"timestamp":"2024-01-01T10:00:01"}""")
+      q.processAllAvailable()
+      assert(goodRows.map(_.getAs[String]("device_id")).toSet == Set("d1", "d3"))
+      assert(badRows.length == 1)
+      // the quarantined row carries the FULL raw payload for later replay
+      assert(badRows.head.getAs[String]("_corrupt").contains("NOT JSON"))
+    } finally q.stop()
+  }
+
   test("JDBC sink (Derby): idempotentJdbc converges under batch replay") {
     // the production fix for the reference's duplicate-on-replay append:
     // re-delivering a batch id must leave the table content unchanged
