@@ -24,6 +24,20 @@ object TextAnalysis {
     * corpus vocabulary so the ratio is non-degenerate on the testdata). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "data")
 
+  /** The corpus_filter quality gate as a reusable predicate over a text
+    * column — token count in [5, 5000], stopword ratio ≤ 0.5, average
+    * token length in [2, 20]. One definition shared by the batch
+    * corpus_filter query and the streaming curation ingest so the two
+    * paths cannot drift. */
+  def qualityGate(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*)))
+      .cast(DoubleType) / nTok
+    val avgTokLen = (length(text) - (nTok - lit(1))).cast(DoubleType) / nTok
+    nTok.between(5, 5000) && stopRatio <= 0.5 && avgTokLen.between(2.0, 20.0)
+  }
+
   private val sqlStops = stopwords.map(s => s"'$s'").mkString(", ")
 
   /** bm25_topk: fixed query terms (mid-frequency corpus vocabulary) and
@@ -257,15 +271,8 @@ object TextAnalysis {
     GraftQuery(
       "corpus_filter",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks)
-        val stopRatio = size(filter(toks, t => t.isin(stopwords: _*)))
-          .cast(DoubleType) / nTok
-        val avgTokLen = (length(col("text")) - (nTok - lit(1)))
-          .cast(DoubleType) / nTok
         Tables.documents(s, dir)
-          .filter(nTok.between(5, 5000) &&
-            stopRatio <= 0.5 && avgTokLen.between(2.0, 20.0))
+          .filter(qualityGate(col("text")))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(col("text"), " ")).cast(LongType)).as("total_tokens"),

@@ -416,6 +416,33 @@ object StreamingPipeline {
       .drop(r(key))
   }
 
+  /** The curation pipeline AT INGEST, composed end-to-end: quality gate
+    * (the batch corpus_filter's exact predicate,
+    * [[graft.operators.TextAnalysis.qualityGate]]) → MinHash near-dup
+    * dedup within the watermark horizon → perceptron quality scoring
+    * with batch-trained weights. This is where a 100 TB training-data
+    * pipeline actually runs curation — filtering the stream costs one
+    * scan-side predicate and bounded dedup state, versus re-reading the
+    * landed corpus; the batch operators remain the ground truth the
+    * streaming path's components are each tested against.
+    *
+    * Order matters: the gate runs FIRST (cheap per-row arithmetic prunes
+    * before the shingle kernel and dedup state see the row), dedup runs
+    * before scoring (no margin computation for rows that die anyway). */
+  def curationIngest(
+      docs: DataFrame,
+      weights: Map[Long, Long],
+      textCol: String = "text",
+      tsCol: String = "timestamp",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    scoreQuality(
+      dedupByMinHashWithinWatermark(
+        docs.filter(graft.operators.TextAnalysis.qualityGate(col(textCol))),
+        textCol, tsCol, watermarkDelay),
+      weights, textCol)
+  }
+
   /** Dead-letter split sink: one stream, two destinations. Rows failing
     * `isGood` go to the quarantine sink with full payload for replay
     * after a parser fix; the rest take the main path. Pairs with

@@ -381,6 +381,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curationIngest composes gate -> near-dup dedup -> scoring in one stream") {
+    implicit val sc = spark.sqlContext
+    val w = operators.TextAnalysis.trainQualityPerceptron(spark, sf)
+    val mem = MemoryStream[Doc]
+    val out = StreamingPipeline.curationIngest(mem.toDF(), w)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curation_ingest").start()
+    try {
+      val goodText = "distinct words about spark streaming state stores today"
+      mem.addData(
+        Doc(1L, goodText, ts("2024-01-01T10:00:00Z")),
+        Doc(2L, "tiny doc", ts("2024-01-01T10:00:01Z")),            // gate: < 5 tokens
+        Doc(3L, "the a of and the a of and", ts("2024-01-01T10:00:02Z")), // gate: stopwords
+        Doc(4L, "another clean document mentioning engines plans shuffles",
+          ts("2024-01-01T10:00:03Z")))
+      q.processAllAvailable()
+      mem.addData(Doc(5L, goodText, ts("2024-01-01T10:01:00Z")))    // near-dup re-post
+      q.processAllAvailable()
+      val got = spark.table("curation_ingest").collect()
+      assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L),
+        s"expected gate to drop 2,3 and dedup to drop 5: ${got.mkString(";")}")
+      // scoring columns ride along; margins agree with the stateless scorer
+      assert(got.forall(r => !r.isNullAt(r.fieldIndex("margin"))))
+      assert(got.forall(r => r.schema.fieldNames.contains("keep")))
+    } finally q.stop()
+  }
+
   test("robustAnomalies flags only stream rows beyond the static MAD gate") {
     implicit val sc = spark.sqlContext
     // reference window: values 10..19 per type → median 14.5, MAD 2.5
