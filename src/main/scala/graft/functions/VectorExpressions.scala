@@ -162,6 +162,24 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Span-corruption account [n_tokens, n_masked, n_spans] — see
+    * [[VectorKernels.spanCorruption]]. */
+  case class SpanCorruption(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"span_corruption expects string, got ${t.simpleString}")
+    }
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.spanCorruption(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = graft.functions.VectorKernels.spanCorruption($a);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Distinct word n-gram shingles of a whitespace-tokenized string —
     * see [[VectorKernels.wordShingles]]. */
   case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
@@ -287,6 +305,8 @@ object VectorExpressions {
     GraftSqlBridge.toColumn(WordShingles(ex(a), n))
   def cdcBounds(a: Column, w: Int, d: Int): Column =
     GraftSqlBridge.toColumn(CdcBounds(ex(a), w, d))
+  def spanCorruption(a: Column): Column =
+    GraftSqlBridge.toColumn(SpanCorruption(ex(a)))
   def winnowFingerprint(a: Column, k: Int, w: Int): Column =
     GraftSqlBridge.toColumn(WinnowFingerprint(ex(a), k, w))
   def minhashSig(a: Column): Column =

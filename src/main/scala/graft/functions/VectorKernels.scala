@@ -204,6 +204,31 @@ object VectorKernels {
 
   /** Byte-polynomial hash of a token (ASCII-safe: byte value == codepoint,
     * matching the oracle's unicode(substring) per-char fold). */
+  /** T5-style span-corruption accounting in ONE greedy left-to-right
+    * pass over the whitespace tokens: a span STARTS at any unmasked
+    * token whose content hash ([[polyHash]], the engine-neutral char
+    * polynomial) is ≡ 0 (mod 7, ≈14% of tokens); span length is
+    * 1 + (h/7) % 3 (1-3 tokens, mean 2 → ≈28% tokens masked). No new
+    * span starts inside a span. Content-keyed and position-free, so the
+    * same document always corrupts identically — reproducible denoising
+    * batches — and the DuckDB oracle can replay the exact fold. Returns
+    * [n_tokens, n_masked, n_spans]. */
+  def spanCorruption(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    var rem = 0L; var masked = 0L; var spans = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (rem > 0) { masked += 1; rem -= 1 }
+      else {
+        val h = polyHash(UTF8String.fromString(toks(i)))
+        if (h % 7 == 0) { masked += 1; spans += 1; rem = (h / 7) % 3 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](toks.length.toLong, masked, spans))
+  }
+
   def polyHash(s: UTF8String): Long = {
     val bytes = s.getBytes
     var acc = 0L

@@ -707,6 +707,60 @@ object Curation {
         ORDER BY doc_id"""
       }),
 
+    // ---- T5-style span-corruption accounting -----------------------------
+    // Denoising-objective data prep: how much of each document a
+    // deterministic span-corruption pass masks (a span starts at ~14% of
+    // tokens keyed by content hash, runs 1-3 tokens, greedy no-overlap
+    // left to right — see VectorKernels.spanCorruption). Content-keyed
+    // rather than RNG-keyed so the same document always corrupts the
+    // same way: reproducible batches, and the whole account hash-checks.
+    //
+    // Scale: one scan, the greedy fold is ONE codegen'd kernel pass per
+    // row (the cdc_chunks lesson — a HOF formulation re-hashes per
+    // lambda), zero shuffle before the presentation sort. The oracle
+    // replays the fold as a list_reduce with the three counters PACKED
+    // into one BIGINT (rem + 4·(masked + 8192·spans)) because DuckDB's
+    // reduce accumulator must match the element type — sound while
+    // documents stay under 8192 tokens (corpus max ≈ 10²; a longer-doc
+    // corpus widens the fields).
+    GraftQuery(
+      "span_corruption",
+      (s, dir) => {
+        import graft.functions.{VectorExpressions => V}
+        Tables.documents(s, dir)
+          .withColumn("_sc", V.spanCorruption(col("text")))
+          .select(col("doc_id"),
+            col("_sc").getItem(0).as("n_tokens"),
+            col("_sc").getItem(1).as("n_masked"),
+            col("_sc").getItem(2).as("n_spans"))
+          .withColumn("masked_ratio",
+            round(col("n_masked").cast(DoubleType) / col("n_tokens"), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        h AS (SELECT doc_id, len(toks) AS n_tok,
+                list_transform(toks, tk ->
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(tk) + 1),
+                      i -> CAST(unicode(substring(tk, i, 1)) AS BIGINT))),
+                    (a, c) -> (a * 131 + c) % ${graft.functions.VectorKernels.MinHashP})) AS hs
+              FROM t),
+        f AS (SELECT doc_id, n_tok,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                  (acc, hv) -> CASE
+                    WHEN acc % 4 > 0 THEN acc + 3
+                    WHEN hv % 7 = 0 THEN acc + (hv // 7) % 3 + 4 + 32768
+                    ELSE acc END) AS acc
+              FROM h)
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CAST((acc // 4) % 8192 AS BIGINT) AS n_masked,
+               CAST(acc // 32768 AS BIGINT) AS n_spans,
+               round(CAST((acc // 4) % 8192 AS DOUBLE) / n_tok, 4) AS masked_ratio
+        FROM f
+        ORDER BY doc_id""")),
+
     // ---- k-anonymity audit over quasi-identifiers ------------------------
     // The privacy release gate a data pipeline runs before publishing
     // derived event data: a quasi-identifier cell (event_type × value

@@ -1640,6 +1640,36 @@ class OperatorSpec extends SparkSuite {
       s"rank mass $mass outside [${scale - slack}, $scale]")
   }
 
+  test("span_corruption matches a naive greedy fold and its masking invariants") {
+    val P = graft.functions.VectorKernels.MinHashP
+    def naive(text: String): (Long, Long, Long) = {
+      val toks = text.split(" ", -1)
+      var (rem, m, sp) = (0L, 0L, 0L)
+      toks.foreach { t =>
+        if (rem > 0) { m += 1; rem -= 1 }
+        else {
+          val h = t.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % P)
+          if (h % 7 == 0) { m += 1; sp += 1; rem = (h / 7) % 3 }
+        }
+      }
+      (toks.length.toLong, m, sp)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("span_corruption").collect()
+    assert(got.length == docs.size)
+    var anyMasked = false
+    got.foreach { r =>
+      val (n, m, sp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((n, m, sp) == naive(docs(r.getLong(0))), s"doc ${r.getLong(0)}")
+      // invariants: spans never overlap (each span masks 1-3 tokens) and
+      // masking never exceeds the document
+      assert(m <= n && sp <= m && m <= 3 * sp || (m == 0 && sp == 0))
+      if (m > 0) anyMasked = true
+    }
+    assert(anyMasked, "corpus produced zero masked spans — the account is vacuous")
+  }
+
   test("dup_triangles matches a naive adjacency-set triangle count") {
     val pairs = run("minhash_pairs").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
