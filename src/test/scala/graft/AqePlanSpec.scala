@@ -53,6 +53,16 @@ class AqePlanSpec extends SparkSuite {
       "filter_eq scan pushdown must be unaffected by AQE")
     assert("HashAggregate".r.findAllIn(finalPlan("groupby_count")).size >= 2,
       "groupby_count lost map-side partial aggregation under AQE")
+    // round-7 additions: the variant decode stays below the partial agg
+    // (no raw JSON on the exchange) and k_anonymity keeps its two-phase
+    // distinct expansion through adaptive re-planning
+    val vs = finalPlan("variant_stats")
+    assert("HashAggregate".r.findAllIn(vs).size >= 2,
+      "variant_stats lost map-side partial aggregation under AQE")
+    assert(!vs.matches("(?s).*Exchange hashpartitioning\\([^)]*props.*"),
+      "variant_stats shuffles raw JSON under AQE")
+    assert("HashAggregate".r.findAllIn(finalPlan("k_anonymity")).size >= 2,
+      "k_anonymity lost its distinct-aggregate expansion under AQE")
   }
 
   test("AQE skew-join splits the hot partition and agrees with saltedEquiJoin") {

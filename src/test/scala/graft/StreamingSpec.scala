@@ -784,6 +784,52 @@ class StreamingSpec extends SparkSuite {
         s"(count 3 proves recovered state), got ${revisions.mkString(";")}")
   }
 
+  test("checkpoint recovery: MinHash dedup state survives restart (re-post after restart still drops)") {
+    // the curation-at-ingest exactly-once claim: the dedup signature state
+    // lives in the checkpoint, so a near-dup re-post arriving AFTER a
+    // query restart is still recognized and dropped — without this, every
+    // restart would admit one duplicate of everything in flight
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rec3-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rec3-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-rec3-out").toString
+    val docSchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("timestamp", TimestampType)))
+    }
+    def docLine(id: Long, text: String, t: String) =
+      s"""{"doc_id":$id,"text":"$text","timestamp":"$t"}"""
+    def startQuery() =
+      StreamingPipeline.dedupByMinHashWithinWatermark(
+        spark.readStream.schema(docSchema).json(srcDir.toString))
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          operators.Sinks.appendParquet(df, out)
+        }.start()
+
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    java.nio.file.Files.writeString(srcDir.resolve("f1.jsonl"),
+      Seq(docLine(1L, boiler, "2024-01-01T10:00:00Z"),
+        docLine(2L, "distinct text about state store recovery semantics",
+          "2024-01-01T10:00:05Z")).mkString("\n"))
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // life 2: re-post of the boilerplate within the watermark horizon +
+    // one genuinely new document
+    java.nio.file.Files.writeString(srcDir.resolve("f2.jsonl"),
+      Seq(docLine(3L, boiler, "2024-01-01T10:01:00Z"),
+        docLine(4L, "another fresh document with different words entirely",
+          "2024-01-01T10:01:05Z")).mkString("\n"))
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 2L, 4L),
+      s"restart must keep dedup state (doc 3 is a re-post of doc 1), got $ids")
+  }
+
   // ------------------------------------------------------- RocksDB backend
   // At 100 TB the stateful ops must not depend on the default HDFS-backed
   // (heap) state store: RocksDB bounds state by local disk. Re-run each
