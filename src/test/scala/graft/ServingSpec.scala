@@ -166,6 +166,55 @@ class ServingSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("end-to-end reference topology: generate -> stream-process -> dual sinks -> serve") {
+    // the whole docker-compose in one JVM: the DataSource V2 generator
+    // micro-batch stream (C1/A1 stand-in) through the real decode-free
+    // pipeline into BOTH sinks (A11-A14), then the serving layer answers
+    // HTTP from what the pipeline landed (EP2) — each layer is tested
+    // in isolation elsewhere; this pins the seams between them
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-e2e-ckpt").toString
+    val rawOut = java.nio.file.Files.createTempDirectory("graft-e2e-raw").toString
+    val aggOut = java.nio.file.Files.createTempDirectory("graft-e2e-agg").toString
+    val stream = spark.readStream.format("graft-sensors")
+      .option("rows", 600).option("rowsPerBatch", 150).load()
+    val (aggQ, rawQ) = graft.streaming.StreamingPipeline.runBoth(
+      stream, ckpt,
+      aggSink = (df, _) => graft.operators.Sinks.appendParquet(df, aggOut),
+      rawSink = (df, _) => graft.operators.Sinks.appendParquet(df, rawOut))
+    try { aggQ.processAllAvailable(); rawQ.processAllAvailable() }
+    finally { aggQ.stop(); rawQ.stop() }
+
+    // serve what the pipeline landed: suppliers re-read the sink dirs
+    val srv = new ApiServer(
+      () => spark.read.parquet(rawOut),
+      () => spark.read.parquet(aggOut),
+      new ResultCache(), () => now).start()
+    try {
+      val port = srv.boundPort
+      val (c1, stats) = get(port, "/api/stats")
+      assert(c1 == 200)
+      assert(stats.contains("\"total_readings\": 600"),
+        s"raw sink must land every generated row: $stats")
+      // 600 rows at 1/s from 00:00 → watermark closes windows ending
+      // <= 00:08:59: exactly eight 1-minute windows reach the agg sink
+      val (c2, aggs) = get(port, "/api/aggregates?hours=24")
+      assert(c2 == 200)
+      val starts = """"window_start":"([^"]+)"""".r
+        .findAllMatchIn(aggs).map(_.group(1)).toSet
+      assert(starts.size == 8, s"expected 8 closed windows, got $starts")
+      // per-window reading counts over the whole response must cover all
+      // rows in closed windows: 8 windows x 60 rows
+      val counts = """"reading_count":(\d+)""".r
+        .findAllMatchIn(aggs).map(_.group(1).toLong).toSeq
+      assert(counts.sum == 480, s"closed-window rows: ${counts.sum}")
+      // the serving layer computes over the same frames the sinks wrote
+      val (c3, sensors) = get(port, "/api/sensors")
+      assert(c3 == 200 && countObjects(sensors) ==
+        spark.read.parquet(rawOut)
+          .select("device_id", "device_type", "location").distinct().count())
+    } finally srv.stop()
+  }
+
   /** Count top-level JSON objects in a one-level array of flat objects. */
   private def countObjects(arrayJson: String): Long =
     if (arrayJson == "[]") 0L else arrayJson.count(_ == '{').toLong
