@@ -491,7 +491,58 @@ object TimeSeries {
         SELECT event_type, hour, event_id, round(score, 4) AS shift
         FROM p
         WHERE rn = 1
-        ORDER BY event_type, hour"""))
+        ORDER BY event_type, hour""")),
+
+    // ---- seasonal profile + residual anomalies ---------------------------
+    // The daily-cycle complement to changepoints (level shifts) and
+    // mad_outliers (static robust bounds): a per-(series, hour-of-day)
+    // seasonal mean learned from the data itself, then the events
+    // farthest from their seasonal expectation — what an ops monitor
+    // alerts on when "high for 3am" differs from "high for 3pm".
+    //
+    // Scale: one scan builds the profile (exact-decimal davg — the
+    // rounding is integer arithmetic, so profile cells are bit-identical
+    // cross-engine), profile is series×24 cells → broadcast back onto a
+    // second scan; residual arithmetic is plain IEEE on exact inputs, so
+    // even the top-50 ordering hash-checks. No window functions, no
+    // data-sized shuffle beyond the profile agg.
+    GraftQuery(
+      "seasonal_baseline",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+          .withColumn("hr", hour(col("ts")))
+        val profile = e.groupBy("event_type", "hr")
+          .agg(graft.functions.Num.davg("value", scale = 2).as("seasonal_avg"),
+            count(lit(1)).as("n_cell"))
+        e.join(broadcast(profile), Seq("event_type", "hr"))
+          .withColumn("residual", col("value") - col("seasonal_avg"))
+          .orderBy(abs(col("residual")).desc, col("event_id"))
+          .limit(50)
+          .select(col("event_id"), col("event_type"), col("hr"),
+            col("value"), col("seasonal_avg"),
+            round(col("residual"), 2).as("residual"), col("n_cell"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_id, event_type,
+                 CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+                 value
+          FROM events),
+        prof AS (
+          SELECT event_type, hr,
+                 ${graft.functions.Num.sqlDavg("value", scale = 2)} AS seasonal_avg,
+                 count(*) AS n_cell
+          FROM e GROUP BY event_type, hr),
+        r AS (
+          SELECT e.event_id, e.event_type, e.hr, e.value, p.seasonal_avg,
+                 e.value - p.seasonal_avg AS resid, p.n_cell
+          FROM e JOIN prof p USING (event_type, hr))
+        SELECT event_id, event_type, hr, value, seasonal_avg,
+               round(resid, 2) AS residual, n_cell
+        FROM r
+        ORDER BY abs(resid) DESC, event_id
+        LIMIT 50"""))
   )
 
   /** changepoints: samples per side of the two-sided mean window. */
