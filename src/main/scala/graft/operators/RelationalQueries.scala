@@ -378,6 +378,67 @@ object RelationalQueries {
         SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 5000
         ORDER BY nationkey""")),
 
+    // ---- bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) --------------
+    // The multiset variants the plain set ops miss: multiplicities
+    // survive, so "how many of each priority appear in BOTH status
+    // classes" is answerable without a groupBy-join reformulation. Spark
+    // plans these as aggregate+generate (count-min replication), not a
+    // distinct — the output is a bag, made hash-comparable by the total
+    // ORDER BY over tagged rows.
+    GraftQuery(
+      "set_ops_all",
+      (s, dir) => {
+        val open = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "O").select("o_orderpriority")
+        val done = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F").select("o_orderpriority")
+        open.intersectAll(done).withColumn("op", lit("intersect_all"))
+          .union(open.exceptAll(done).withColumn("op", lit("except_all")))
+          .select("op", "o_orderpriority")
+          .orderBy("op", "o_orderpriority")
+      },
+      Some("""
+        SELECT 'intersect_all' AS op, o_orderpriority FROM (
+          SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT ALL
+          SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'except_all' AS op, o_orderpriority FROM (
+          SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT ALL
+          SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY op, o_orderpriority""")),
+
+    // ---- correlated LATERAL join with LIMIT (top-n per driving row) ------
+    // The SQL face of TopKPerKey: each nation drives a correlated
+    // LATERAL subquery returning its top-3 customers by balance — the
+    // text is identical in both engines (lateral joins landed in Spark 4
+    // SQL). Catalyst decorrelates the limit into a ranked window under
+    // the hood; the DataFrame-native alternative stays the TopKPerKey
+    // operator, which skips the full per-key sort — registered both ways
+    // on purpose so the SQL surface and the physical operator are each
+    // covered.
+    GraftQuery(
+      "lateral_topk",
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("graft_nation_v")
+        Tables.customer(s, dir).createOrReplaceTempView("graft_customer_v")
+        s.sql("""
+          SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+          FROM graft_nation_v n,
+          LATERAL (SELECT c_custkey, c_name, c_acctbal FROM graft_customer_v c
+                   WHERE c.c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+          ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+      },
+      Some("""
+        SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")),
+
     // ---- ROLLUP (hierarchical subtotals) ---------------------------------
     // NULL grouping keys are coalesced to 'ALL' so both engines sort alike.
     GraftQuery(
