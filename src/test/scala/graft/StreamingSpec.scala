@@ -784,6 +784,48 @@ class StreamingSpec extends SparkSuite {
         s"(count 3 proves recovered state), got ${revisions.mkString(";")}")
   }
 
+  test("checkpoint recovery x idempotentJdbc: exactly-once JDBC content across restart") {
+    // the clean-mode deployment: append-after-close windows through the
+    // replay-idempotent JDBC writer, restarted on the checkpoint. Each
+    // window lands exactly once WITH its batch lineage; a re-delivered
+    // batch id (the crash-replay path, driven directly here since a real
+    // mid-write crash cannot be scheduled) leaves content unchanged.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rec4-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rec4-ckpt").toString
+    def startQuery() = startRecoveryQuery(srcDir.toString, ckpt,
+      (df, id) => operators.Sinks.idempotentJdbc(df, derbyUrl, "agg_idem", derbyProps, id))
+
+    java.nio.file.Files.writeString(srcDir.resolve("f1.jsonl"),
+      Seq(recoveryLine("2024-01-01T10:00:10Z", 10.0),
+        recoveryLine("2024-01-01T10:03:00Z", 99.0)).mkString("\n"))
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    java.nio.file.Files.writeString(srcDir.resolve("f2.jsonl"),
+      recoveryLine("2024-01-01T10:06:00Z", 7.0))
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val rows = spark.read.jdbc(derbyUrl, "agg_idem", derbyProps).collect()
+    val windows = rows.map(_.getAs[Timestamp]("window_start").toInstant.toString)
+    assert(windows.sorted.toSeq == Seq("2024-01-01T10:00:00Z", "2024-01-01T10:03:00Z"),
+      s"each closed window exactly once across the restart, got ${windows.mkString(";")}")
+    // lineage: the two windows landed from different micro-batches, and
+    // replaying one of those batch ids converges instead of duplicating
+    val byWindow = rows.map(r => r.getAs[Timestamp]("window_start").toInstant.toString
+      -> r.getAs[Long]("batch_id")).toMap
+    // materialize BEFORE replaying: a lazy read of the target table
+    // would execute after the sink's delete and replay zero rows (in a
+    // real replay the batch comes from the SOURCE, not the sink table)
+    val replayed = spark.read.jdbc(derbyUrl, "agg_idem", derbyProps)
+      .filter(col("batch_id") === byWindow("2024-01-01T10:00:00Z")).drop("batch_id")
+      .localCheckpoint(true)
+    operators.Sinks.idempotentJdbc(replayed, derbyUrl, "agg_idem", derbyProps,
+      byWindow("2024-01-01T10:00:00Z"))
+    assert(spark.read.jdbc(derbyUrl, "agg_idem", derbyProps).count() == 2,
+      "re-delivered batch id must leave the table unchanged")
+  }
+
   test("checkpoint recovery: MinHash dedup state survives restart (re-post after restart still drops)") {
     // the curation-at-ingest exactly-once claim: the dedup signature state
     // lives in the checkpoint, so a near-dup re-post arriving AFTER a
