@@ -642,6 +642,38 @@ class StreamingSpec extends SparkSuite {
     } finally { aggQ.stop(); rawQ.stop() }
   }
 
+  test("ProgressMonitor collects per-batch rates, state sizes, and observed quality metrics") {
+    implicit val sc = spark.sqlContext
+    val mon = new graft.streaming.ProgressMonitor(spark, capacity = 8).attach()
+    val mem = MemoryStream[Reading]
+    val aggs = StreamingPipeline.aggregates(
+      StreamingPipeline.withQualityMetrics(mem.toDF()))
+    val q = aggs.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("mon_agg").start()
+    try {
+      mem.addData(reading("2024-01-01T10:00:10Z", 10.0),
+                  reading("2024-01-01T10:00:50Z", 30.0))
+      q.processAllAvailable()
+      mem.addData(reading("2024-01-01T10:03:00Z", 99.0))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously after the batch
+      val deadline = System.currentTimeMillis() + 20000
+      while (mon.totalInputRows("mon_agg") < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(mon.totalInputRows("mon_agg") == 3,
+        s"monitor saw ${mon.totalInputRows("mon_agg")} input rows")
+      val snaps = mon.snapshotsFor("mon_agg").filter(_.numInputRows > 0)
+      assert(snaps.nonEmpty)
+      // windowed-agg state rides the snapshots
+      assert(snaps.exists(_.stateRowsTotal > 0), "no state rows observed")
+      // the observe()d quality counters surface per batch: rows + value sum
+      val quality = snaps.flatMap(_.observed.get("graft_quality"))
+      assert(quality.nonEmpty, "graft_quality observed metrics missing")
+      val qRows = quality.map(_("rows").asInstanceOf[Long]).sum
+      assert(qRows == 3, s"quality counter saw $qRows rows")
+    } finally { q.stop(); mon.detach() }
+  }
+
   test("quarantineSink splits corrupt rows to the dead-letter path with payload intact") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
