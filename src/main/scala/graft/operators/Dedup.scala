@@ -443,18 +443,28 @@ object Dedup {
     * full signature is computed in one scan-side expression — no explode,
     * no per-permutation aggregation, no signature shuffle; candidates are
     * a narrow (id, cell) self-join, then exact Jaccard verifies. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Documents → non-empty shingle sets (the signature-eligible frame). */
+  private def shingledNonEmpty(docs: DataFrame): DataFrame =
+    shingled(docs).filter(size(col("grams")) > 0)
+
+  /** Shingled docs → (doc_id, band, bucket) LSH index rows — the relation
+    * minhash_index persists and every banded-join consumer probes. */
+  private def bandBuckets(sh: DataFrame): DataFrame = {
     import graft.functions.{VectorExpressions => V}
-    val sh = shingled(Tables.documents(s, dir)).filter(size(col("grams")) > 0)
     val sig = sh.withColumn("sig", V.minhashSig(col("grams")))
     val bandCols = (0 until bands).map { b =>
       val key = concat_ws(":", (0 until rowsPerBand).map(r =>
         col("sig").getItem(b * rowsPerBand + r).cast("string")): _*)
       struct(lit(b).as("band"), key.as("bucket"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingledNonEmpty(Tables.documents(s, dir))
+    val buckets = bandBuckets(sh)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") &&
@@ -1015,6 +1025,78 @@ object Dedup {
 
     // ---- triangle census over the near-dup graph (see dupTriangles) ------
     GraftQuery("dup_triangles", dupTriangles, Some(dupTrianglesOracleSql)),
+
+    // ---- the persistable LSH index relation ------------------------------
+    // (doc_id, band, bucket) rows — what a production deployment WRITES
+    // once per corpus so incremental near-dup passes (delta_neardup
+    // below, the streaming ingest dedup) probe a stored index instead of
+    // re-shingling 100 TB per batch. Registered as a query so the index
+    // content itself is hash-checked against the oracle's band chain;
+    // one scan, the signature is a scan-side codegen'd expression, the
+    // explode is bands(=8)× amplification of 3-column rows.
+    GraftQuery(
+      "minhash_index",
+      (s, dir) => bandBuckets(shingledNonEmpty(Tables.documents(s, dir)))
+        .orderBy("doc_id", "band"),
+      Some(s"""
+        WITH $minhashCtes
+        SELECT doc_id, band, bkey AS bucket
+        FROM bands
+        ORDER BY doc_id, band""")),
+
+    // ---- incremental near-dup: batch vs corpus index ---------------------
+    // The banded complement of delta_dedup's exact classifier: which
+    // INCOMING documents are near-dups of the standing corpus, found by
+    // probing the corpus' band index (minhash_index above) with the
+    // batch's bands — the corpus text is never re-paired against itself
+    // (batch×corpus candidates only), which is the whole point at 100 TB:
+    // per-batch cost is O(batch·bands) probes + verification on the
+    // candidates. Same deterministic batch split as delta_dedup
+    // (doc_id ≥ ⌊max·4/5⌋); verification re-reads grams only for
+    // candidate ids.
+    GraftQuery(
+      "delta_neardup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = shingledNonEmpty(docs)
+        val bound = docs.agg(expr("max(doc_id) * 4 DIV 5").as("t"))
+        val allBands = bandBuckets(sh).crossJoin(broadcast(bound))
+        val corpusB = allBands.filter(col("doc_id") < col("t"))
+          .select(col("doc_id").as("corpus_doc"), col("band"), col("bucket"))
+        val batchB = allBands.filter(col("doc_id") >= col("t"))
+          .select(col("doc_id").as("batch_doc"), col("band"), col("bucket"))
+        val cand = batchB.join(corpusB, Seq("band", "bucket"))
+          .select("batch_doc", "corpus_doc").distinct()
+        cand
+          .join(sh.select(col("doc_id").as("batch_doc"), col("grams").as("ga")), "batch_doc")
+          .join(sh.select(col("doc_id").as("corpus_doc"), col("grams").as("gb")), "corpus_doc")
+          .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
+          .withColumn("jaccard", round(col("common").cast(DoubleType) /
+            (size(col("ga")) + size(col("gb")) - col("common")), 4))
+          .filter(col("jaccard") >= 0.5)
+          .select("batch_doc", "corpus_doc", "jaccard")
+          .orderBy("batch_doc", "corpus_doc")
+      },
+      Some(s"""
+        WITH $minhashCtes,
+        bound AS (SELECT max(doc_id) * 4 // 5 AS t FROM documents),
+        cb AS (SELECT doc_id AS corpus_doc, band, bkey
+               FROM bands, bound WHERE doc_id < t),
+        bb AS (SELECT doc_id AS batch_doc, band, bkey
+               FROM bands, bound WHERE doc_id >= t),
+        nd_cand AS (SELECT DISTINCT batch_doc, corpus_doc
+                 FROM bb JOIN cb USING (band, bkey)),
+        wg AS (SELECT c.batch_doc, c.corpus_doc, sa.grams ga, sb.grams gb
+               FROM nd_cand c
+               JOIN sh sa ON c.batch_doc = sa.doc_id
+               JOIN sh sb ON c.corpus_doc = sb.doc_id)
+        SELECT batch_doc, corpus_doc,
+               round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                     (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
+        FROM wg
+        WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                    (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) >= 0.5
+        ORDER BY batch_doc, corpus_doc""")),
 
     // ---- bounded BFS via a NATIVE recursive CTE (Spark 4 WITH RECURSIVE) -
     // The SQL face of the graph stack: per-source min-hop distances to
