@@ -1098,6 +1098,55 @@ object Dedup {
                     (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) >= 0.5
         ORDER BY batch_doc, corpus_doc""")),
 
+    // ---- train/val/test leakage: near-dup pairs straddling splits --------
+    // The hygiene check hash_split exists FOR: a near-duplicate pair with
+    // one member in train and the other in val/test leaks evaluation
+    // signal no matter how clean the split arithmetic is, because
+    // near-dups carry each other's content. Pairs come off the capped
+    // banded-LSH chain; the split assignment is hash_split's exact
+    // md5-nibble rule applied to doc_id — deterministic, so the leak
+    // report is reproducible and hash-checked end to end. Remediation
+    // (move/drop one side) consumes these rows downstream.
+    GraftQuery(
+      "split_leakage",
+      (s, dir) => {
+        val splits = Tables.documents(s, dir)
+          .withColumn("_h", md5(to_binary(col("doc_id").cast(
+            org.apache.spark.sql.types.StringType), lit("utf-8"))))
+          .withColumn("bucket", expr(s"CAST((${PipelineOps.nib("1")} * 256 + " +
+            s"${PipelineOps.nib("2")} * 16 + ${PipelineOps.nib("3")}) % 100 AS INT)"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+          .select(col("doc_id"), col("split"))
+        minhashPairs(s, dir).select("doc_a", "doc_b", "jaccard")
+          .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+          .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH $minhashCtes,
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) % 100
+                     AS bucket
+            FROM documents))
+        SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+        FROM mh_pairs p
+        JOIN sp sa ON p.doc_a = sa.doc_id
+        JOIN sp sb ON p.doc_b = sb.doc_id
+        WHERE sa.split != sb.split
+        ORDER BY p.doc_a, p.doc_b""")),
+
     // ---- bounded BFS via a NATIVE recursive CTE (Spark 4 WITH RECURSIVE) -
     // The SQL face of the graph stack: per-source min-hop distances to
     // every document within 3 hops of the near-dup graph, written as the

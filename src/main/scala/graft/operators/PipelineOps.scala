@@ -36,7 +36,7 @@ object PipelineOps {
 
   /** hex nibble → value via position in the alphabet (engine-neutral —
     * unlike conv()/from_hex(), strpos/locate exist in both engines). */
-  private def nib(spark: String): String =
+  private[operators] def nib(spark: String): String =
     s"(locate(substring(_h, $spark, 1), '0123456789abcdef') - 1)"
 
   def queries: Seq[GraftQuery] = Seq(
