@@ -542,7 +542,152 @@ object TimeSeries {
                round(resid, 2) AS residual, n_cell
         FROM r
         ORDER BY abs(resid) DESC, event_id
-        LIMIT 50"""))
+        LIMIT 50""")),
+
+    // ---- nearest as-of join: closest view in EITHER direction ------------
+    // Completes the as-of family (asof_join = last-before, asof_forward =
+    // next-after): each purchase pairs with whichever same-user view is
+    // closest in absolute time, ties resolved toward the earlier (before)
+    // side. One union + ONE sort: both the carry-forward (backward match)
+    // and carry-first (forward match) frames share the same window
+    // partitioning and ordering, so Catalyst plans a single WindowExec —
+    // the nearest join costs exactly what either directional join costs.
+    // Views sort before purchases at equal ts, so an exactly-simultaneous
+    // view is the backward match with Δ = 0, which always wins "nearest";
+    // the forward frame not seeing it is therefore harmless (the oracle's
+    // inclusive min(ts >= p.ts) agrees on the final answer).
+    GraftQuery(
+      "asof_nearest",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("_side"), col("event_id"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), lit(0).as("_side"), col("event_id"))
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("_side"), col("event_id"))
+        p.unionByName(v)
+          .withColumn("_back", last(when(col("_side") === 0, col("ts")),
+            ignoreNulls = true).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("_fwd", first(when(col("_side") === 0, col("ts")),
+            ignoreNulls = true).over(ord.rowsBetween(0, Window.unboundedFollowing)))
+          .filter(col("_side") === 1)
+          .withColumn("nearest_view_ts",
+            when(col("_back").isNull, col("_fwd"))
+              .when(col("_fwd").isNull, col("_back"))
+              .when(unix_micros(col("ts")) - unix_micros(col("_back")) <=
+                unix_micros(col("_fwd")) - unix_micros(col("ts")), col("_back"))
+              .otherwise(col("_fwd")))
+          .withColumn("delta_us",
+            abs(unix_micros(col("ts")) - unix_micros(col("nearest_view_ts"))))
+          .withColumn("direction",
+            when(col("nearest_view_ts").isNull, lit(null).cast("string"))
+              .when(col("nearest_view_ts") <= col("ts"), "before")
+              .otherwise("after"))
+          .select("event_id", "user_id", "ts", "nearest_view_ts",
+            "delta_us", "direction")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+                   FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts
+                   FROM events WHERE event_type = 'view'),
+        m AS (
+          SELECT p.event_id, p.user_id, p.ts,
+                 (SELECT max(v.ts) FROM v
+                  WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS b,
+                 (SELECT min(v.ts) FROM v
+                  WHERE v.user_id = p.user_id AND v.ts >= p.ts) AS f
+          FROM p),
+        n AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN b IS NULL THEN f WHEN f IS NULL THEN b
+                      WHEN epoch_us(ts) - epoch_us(b)
+                           <= epoch_us(f) - epoch_us(ts) THEN b
+                      ELSE f END AS nearest_view_ts
+          FROM m)
+        SELECT event_id, user_id, ts, nearest_view_ts,
+               abs(epoch_us(ts) - epoch_us(nearest_view_ts)) AS delta_us,
+               CASE WHEN nearest_view_ts IS NULL THEN NULL
+                    WHEN nearest_view_ts <= ts THEN 'before'
+                    ELSE 'after' END AS direction
+        FROM n
+        ORDER BY event_id""")),
+
+    // ---- daily new/active users + running cumulative distinct ------------
+    // "Distinct users to date" per day without a quadratic
+    // distinct-over-expanding-window: a user's contribution to the
+    // cumulative count happens exactly once, on their FIRST day — so the
+    // running distinct total is a running SUM of per-day first-appearance
+    // counts. Two partial-agg shuffles over (user, day) cardinality; the
+    // only window runs over the GROUPED day frame (365 rows/year no
+    // matter the corpus width), never the events.
+    GraftQuery(
+      "cumulative_distinct",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val newPerDay = e.groupBy("user_id").agg(min("d").as("d"))
+          .groupBy("d").agg(count(lit(1)).as("n_new"))
+        val activePerDay = e.groupBy("d").agg(count(lit(1)).as("n_active"))
+        activePerDay.join(newPerDay, Seq("d"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_users", sum("n_new").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+          .select("d", "n_active", "n_new", "cum_users")
+          .orderBy("d")
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+        f AS (SELECT user_id, min(d) AS d FROM e GROUP BY 1),
+        nw AS (SELECT d, count(*) AS n_new FROM f GROUP BY 1),
+        ac AS (SELECT d, count(*) AS n_active FROM e GROUP BY 1)
+        SELECT ac.d, ac.n_active, coalesce(nw.n_new, 0) AS n_new,
+               CAST(sum(coalesce(nw.n_new, 0)) OVER (
+                 ORDER BY ac.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM ac LEFT JOIN nw USING (d)
+        ORDER BY d""")),
+
+    // ---- Markov transition matrix over per-user event sequences ----------
+    // The user-journey model funnel_counts summarizes one path of: for
+    // every consecutive (prev → next) event pair within a user's
+    // time-ordered stream, the transition count and its row-normalized
+    // probability in exact ppm (floor(n·1e6 / row total) — integer-exact
+    // in both engines, so the matrix hash-checks; the DECIMAL(38,0)
+    // product keeps the numerator exact at any corpus size).
+    //
+    // Scale: the lag window shuffles on user_id (the sessionize shuffle);
+    // the transition matrix is |event_types|² rows, so the normalizing
+    // window runs over a frame that never grows with the data.
+    GraftQuery(
+      "event_transitions",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_ppm", expr(
+          """CAST(CAST(n AS DECIMAL(38,0)) * 1000000
+               DIV sum(n) OVER (PARTITION BY from_type) AS BIGINT)"""))
+        .orderBy("from_type", "to_type"),
+      Some("""
+        WITH s AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+          FROM events),
+        t AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+              FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+                 AS BIGINT) AS p_ppm
+        FROM t
+        ORDER BY from_type, to_type"""))
   )
 
   /** changepoints: samples per side of the two-sided mean window. */
