@@ -71,6 +71,10 @@ object Curation {
   /** Token budget per training shard. */
   private val ShardTokenBudget = 2000
 
+  /** epoch_schedule: max repeats of any one source (the repeated-data
+    * degradation knee — beyond ~4 epochs, repeated tokens stop helping). */
+  private val MaxEpochs = 4
+
   /** Doc-id range buckets for the two-phase cumsum below. */
   private val CumsumBuckets = 32
 
@@ -577,6 +581,58 @@ object Curation {
         WITH $sqlMixWeights
         SELECT source, n_docs, n_tokens, weight
         FROM w2
+        ORDER BY source""")),
+
+    // ---- epoch scheduling: token budget → per-source repeat factors ------
+    // The step between mixture weights and the dataloader: given a total
+    // token budget (one full corpus pass here) split by the same √-temper
+    // as domain_mix_weights, how many EPOCHS of each source does the
+    // schedule imply, and where does the repeat cap (4 epochs — the
+    // repeated-data degradation knee) bind? Unlike domain_mix_weights,
+    // every number stays an exact integer: the target allocation is
+    // budget·num DIV tot on DECIMAL/HUGEINT (no float weight in the
+    // path), epochs are exact milli-epochs, so the schedule hash-checks.
+    // Scale: one corpus scan into a |sources|-row frame; the budget/
+    // normalizer is a one-row broadcast.
+    GraftQuery(
+      "epoch_schedule",
+      (s, dir) => {
+        val stats = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+          .withColumn("num",
+            expr("CAST(round(sqrt(n_tokens) * 1000000) AS DECIMAL(38,0))"))
+        val tot = stats.agg(sum(col("num")).as("tot"),
+          sum(col("n_tokens")).as("budget"))
+        stats.crossJoin(broadcast(tot))
+          .withColumn("target_tokens",
+            expr("CAST(CAST(budget AS DECIMAL(38,0)) * num DIV tot AS BIGINT)"))
+          .withColumn("effective_tokens",
+            least(col("target_tokens"), expr(s"$MaxEpochs * n_tokens")))
+          .withColumn("epochs_milli",
+            expr("CAST(effective_tokens * 1000 DIV n_tokens AS BIGINT)"))
+          .withColumn("capped",
+            col("target_tokens") > expr(s"$MaxEpochs * n_tokens"))
+          .select("source", "n_tokens", "target_tokens", "effective_tokens",
+            "epochs_milli", "capped")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH s AS (SELECT source,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+        w AS (SELECT *, CAST(round(sqrt(n_tokens) * 1000000) AS HUGEINT) AS num
+              FROM s),
+        t AS (SELECT sum(num) AS tot, sum(n_tokens) AS budget FROM w),
+        x AS (SELECT source, n_tokens,
+                     CAST(budget * num // tot AS BIGINT) AS target_tokens
+              FROM w, t)
+        SELECT source, n_tokens, target_tokens,
+               least(target_tokens, $MaxEpochs * n_tokens) AS effective_tokens,
+               CAST(least(target_tokens, $MaxEpochs * n_tokens) * 1000
+                    // n_tokens AS BIGINT) AS epochs_milli,
+               target_tokens > $MaxEpochs * n_tokens AS capped
+        FROM x
         ORDER BY source""")),
 
     // ---- mixture materialization: apply the weights as keep rates --------

@@ -140,6 +140,64 @@ object TextAnalysis {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ---- per-language character-class profile ----------------------------
+    // The script-drift alarm: a language whose alpha/digit/punctuation
+    // shares move between crawls signals encoding bugs, boilerplate
+    // injection, or mislabeled languages — tracked as exact-ppm
+    // character-class shares per language. Class counts come from
+    // length-after-strip deltas (regexp_replace is codegen'd; no UDF),
+    // so one scan computes four narrow longs per doc and the rollup is a
+    // |langs|-row partial agg. All arithmetic is integer (ppm = floor of
+    // a DECIMAL product), so the profile hash-checks cross-engine.
+    GraftQuery(
+      "charclass_profile",
+      (s, dir) => {
+        val t = coalesce(col("text"), lit(""))
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            length(t).cast(LongType).as("nc"),
+            (length(t) - length(regexp_replace(t, "[A-Za-z]", "")))
+              .cast(LongType).as("na"),
+            (length(t) - length(regexp_replace(t, "[0-9]", "")))
+              .cast(LongType).as("nd"),
+            (length(t) - length(translate(t, " ", "")))
+              .cast(LongType).as("ns"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+            sum("na").as("sa"), sum("nd").as("sd"), sum("ns").as("ss"))
+          .select(col("lang"), col("n_docs"), col("n_chars"),
+            expr(ppm("sa")).as("alpha_ppm"),
+            expr(ppm("sd")).as("digit_ppm"),
+            expr(ppm("ss")).as("space_ppm"),
+            expr(ppm("n_chars - sa - sd - ss")).as("other_ppm"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT lang,
+                 length(coalesce(text, '')) AS nc,
+                 length(coalesce(text, ''))
+                   - length(regexp_replace(coalesce(text, ''), '[A-Za-z]', '', 'g')) AS na,
+                 length(coalesce(text, ''))
+                   - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS nd,
+                 length(coalesce(text, ''))
+                   - length(replace(coalesce(text, ''), ' ', '')) AS ns
+          FROM documents),
+        g AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(nc) AS BIGINT) AS n_chars,
+                 CAST(sum(na) AS BIGINT) AS sa,
+                 CAST(sum(nd) AS BIGINT) AS sd,
+                 CAST(sum(ns) AS BIGINT) AS ss
+          FROM d GROUP BY 1)
+        SELECT lang, n_docs, n_chars,
+               ${sqlPpm("sa")} AS alpha_ppm,
+               ${sqlPpm("sd")} AS digit_ppm,
+               ${sqlPpm("ss")} AS space_ppm,
+               ${sqlPpm("n_chars - sa - sd - ss")} AS other_ppm
+        FROM g
+        ORDER BY lang""")),
+
     // ---- language ID: marker-token scoring, argmax w/ fixed tie order ----
     GraftQuery(
       "lang_id",
@@ -1515,6 +1573,19 @@ object TextAnalysis {
     * candidate cutoff, the adoption cap, and the round count can never
     * drift between engines. */
   private val BpeRounds = 6
+
+  /** Exact-ppm share `floor(num·1e6 / n_chars)` as Spark SQL — DECIMAL
+    * numerator so the product can't overflow at any corpus size; the
+    * zero-denominator guard matters because DuckDB's `//` errors on 0
+    * where Spark's DIV returns null (charclass_profile). */
+  private def ppm(num: String): String =
+    s"""CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV n_chars AS BIGINT) END"""
+
+  /** DuckDB mirror of [[ppm]] (HUGEINT product, `//` floor division). */
+  private def sqlPpm(num: String): String =
+    s"""CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(CAST($num AS HUGEINT) * 1000000 // n_chars AS BIGINT) END"""
   private val BpeCandidates = 64
   private val BpeBatch = 16
 
