@@ -274,6 +274,23 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Sign-bit binary quantization of an embedding into one packed long —
+    * see [[VectorKernels.signPackF]]. */
+  case class SignPack(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = checkVec(child, "sign_pack")
+    private def kernel = if (elemType(child) == FloatType) "signPackF" else "signPackD"
+    override def nullSafeEval(a: Any): Any = {
+      val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (elemType(child) == FloatType) VectorKernels.signPackF(ad)
+      else VectorKernels.signPackD(ad)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = graft.functions.VectorKernels.$kernel($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** All sign-LSH table buckets of an embedding — one expression node
     * backed by the static plane bank ([[VectorKernels.lshBucketsF]]);
     * see that kernel's note on why the bank must not live in the plan. */
@@ -295,6 +312,8 @@ object VectorExpressions {
   // ---- Column-API surface ----------------------------------------------
   def lshBuckets(a: Column): Column =
     GraftSqlBridge.toColumn(LshBuckets(ex(a)))
+  def signPack(a: Column): Column =
+    GraftSqlBridge.toColumn(SignPack(ex(a)))
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(DotProduct(ex(a), ex(b)))
   def l2norm(a: Column): Column =

@@ -45,6 +45,30 @@ object VectorKernels {
   def l2F(a: ArrayData): Double = math.sqrt(dotFF(a, a))
   def l2D(a: ArrayData): Double = math.sqrt(dotDD(a, a))
 
+  /** Binary (sign) quantization: bit i of the result is set iff
+    * `a[i] > 0`, for the first min(len, 64) dims. 32× smaller than the
+    * float vector; Hamming distance over the packed code
+    * (`bit_count(a ^ b)` — both built-in, codegen'd) approximates angular
+    * distance, the RaBitQ/binary-embedding shortlist trick. Strict `> 0`
+    * so the bit is a pure function of the IEEE sign+zero classification —
+    * float→double widening can't move a value across the threshold,
+    * which keeps the DuckDB mirror (`v[i] > 0` over DOUBLE[]) exact. */
+  def signPackF(a: ArrayData): Long = {
+    val n = math.min(a.numElements(), 64)
+    var code = 0L
+    var i = 0
+    while (i < n) { if (a.getFloat(i) > 0f) code |= (1L << i); i += 1 }
+    code
+  }
+
+  def signPackD(a: ArrayData): Long = {
+    val n = math.min(a.numElements(), 64)
+    var code = 0L
+    var i = 0
+    while (i < n) { if (a.getDouble(i) > 0d) code |= (1L << i); i += 1 }
+    code
+  }
+
   /** Squared L2 distance over one aligned slice of two vectors (the PQ
     * subspace kernel): Σ_{i<len} (a[off+i] − b[off+i])², each operand
     * widened to double BEFORE the subtract — identical to DuckDB folding

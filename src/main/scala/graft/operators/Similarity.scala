@@ -192,6 +192,78 @@ object Similarity {
         WHERE rank <= 10
         ORDER BY qid, rank""")),
 
+    // ---- binary-quantized top-k: 1-bit codes, Hamming shortlist, rerank --
+    // The memory-bound scale path cosine_topk's full-precision scan
+    // can't take: each vector collapses to its 64 coordinate SIGN BITS in
+    // ONE packed long ([[V.signPack]], codegen'd — 32× smaller than the
+    // float vector), the corpus scan computes Hamming distance as
+    // `bit_count(code ^ qcode)` (two codegen'd built-ins — the whole
+    // shortlist pass never touches a float), and only the
+    // [[BqShortlist]]-deep shortlist fetches real embeddings for the
+    // exact cosine rerank. At 100 TB the code column is 8 bytes/vector —
+    // RAM-resident where the embeddings are not — and the rerank reads
+    // O(q·shortlist) vectors instead of O(n·q) floats. The shortlist is
+    // broadcast back onto the embeddings scan, so the rerank adds no
+    // shuffle either. Both the 1-bit code rule (strictly-positive sign)
+    // and the shortlist cap are mirrored into the oracle, making the
+    // whole approximate pipeline hash-checkable; recall vs the exact
+    // top-k is pinned in OperatorSpec.
+    GraftQuery(
+      "bq_topk",
+      (s, dir) => {
+        val e = vecs(s, dir).withColumn("code", V.signPack(col("embedding")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm").as("qnorm"), col("code").as("qcode"))
+        val ham = e.select(col("vec_id"), col("code"))
+          .crossJoin(broadcast(q.select("qid", "qcode")))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("hamming",
+            bit_count(col("code").bitwiseXOR(col("qcode"))))
+        val shortlist = graft.plans.TopK.perKey(ham, Seq("qid"),
+          Seq(("hamming", "asc"), ("vec_id", "asc")), BqShortlist)
+        val scored = e.select(col("vec_id"), col("embedding"), col("norm"))
+          .join(broadcast(shortlist.select("qid", "vec_id")), "vec_id")
+          .join(broadcast(q.select("qid", "qemb", "qnorm")), "qid")
+          .withColumn("cos",
+            V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
+        rankTopK(scored, 10)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings),
+        q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
+        h AS (
+          SELECT qid, vec_id,
+                 len(list_filter(range(1, len(v) + 1),
+                     i -> (v[i] > 0) != (qv[i] > 0))) AS ham
+          FROM e CROSS JOIN q WHERE vec_id != qid),
+        sl AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY ham, vec_id) AS rn
+            FROM h) WHERE rn <= $BqShortlist),
+        scored AS (
+          SELECT sl.qid, sl.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i])),
+                   (acc, x) -> acc + x) / (e.norm * q.qnorm) AS cos
+          FROM sl JOIN e ON sl.vec_id = e.vec_id JOIN q ON sl.qid = q.qid),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, round(cos, 4) AS cosine
+        FROM ranked
+        WHERE rank <= 10
+        ORDER BY qid, rank""")),
+
     // ---- semantic decontamination: eval-vs-corpus embedding overlap ------
     // The embedding-space face of decontaminate/winnow_decontaminate: an
     // eval benchmark leaking into the training corpus is rarely verbatim
@@ -1154,6 +1226,10 @@ object Similarity {
 
   /** pq_topk geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
     * subspace drawn from the first 16 vectors. */
+  /** bq_topk: Hamming-shortlist depth per query ahead of the exact
+    * rerank — 5× the final k, the standard over-fetch for 1-bit codes. */
+  private val BqShortlist = 50
+
   private val PqSubspaces = 8
   private val PqSubDim = 8
   private val PqCodebook = 16

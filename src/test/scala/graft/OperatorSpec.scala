@@ -209,6 +209,25 @@ class OperatorSpec extends SparkSuite {
     assert(ranks.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10)))
   }
 
+  test("bq_topk: 1-bit Hamming shortlist recall floor, well-formed ranking") {
+    // Uniform-data regime (see the ann_lsh_topk note): sign-bit Hamming
+    // over 64 dims tracks angle well enough that a 50-deep shortlist
+    // lands ~68% of the exact top-10 here (measured, deterministic).
+    // Floor at 50% — far above the 10% a blind 50-of-500 sample expects —
+    // so quantizer or shortlist regressions trip this without the floor
+    // riding the measurement.
+    val exact = run("cosine_topk").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = run("bq_topk").collect()
+    val bq = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = bq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"binary-quantized recall too low: $recall")
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")),
+      "a query returned itself")
+    val ranks = rows.groupBy(_.getAs[Long]("qid")).values
+    assert(ranks.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10)))
+  }
+
   test("cosine_topk: self-similarity excluded, scores within [-1,1], rank dense") {
     val rows = run("cosine_topk").collect()
     assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
