@@ -1202,7 +1202,86 @@ object Dedup {
         SELECT src, doc_id, min(depth) AS min_depth
         FROM reach
         GROUP BY src, doc_id
-        ORDER BY src, doc_id"""))
+        ORDER BY src, doc_id""")),
+
+    // ---- exact duplicated-substring spans (suffix-dedup, gram-merged) ----
+    // The substring face of dedup: exact duplicated TEXT RUNS across
+    // documents (boilerplate headers, licenses, templated paragraphs) —
+    // the spans substring-level training-data dedup removes, where
+    // doc-level passes (dedup_exact) and near-dup passes (minhash) keep
+    // the whole document. Every [[DupSpanK]]-token gram that occurs in
+    // ≥2 distinct docs marks its start position; per doc, marked starts
+    // merge into maximal spans (a gram extends the current span iff it
+    // starts within K of the previous start — adjacent-or-overlapping).
+    //
+    // Scale: grams are hashed scan-side (the 32-hex digest rides the
+    // shuffle, never the gram text), the dup decision is one partial-agg
+    // groupBy over (gram, doc) cardinality, the position join keys on
+    // the digest, and the run-merge window partitions by doc_id — per-doc
+    // frames, the bounded-window shape chunk_documents uses. Everything
+    // is linear in corpus token count; no pairwise anything.
+    GraftQuery(
+      "dup_spans",
+      (s, dir) => dupSpans(s, dir)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""
+        WITH $sqlDupSpans
+        SELECT doc_id, span_start, span_end, span_tokens, n_grams
+        FROM spans
+        ORDER BY doc_id, span_start""")),
+
+    // ---- apply the spans: substring-deduplicated corpus ------------------
+    // The materialization step: every token covered by a duplicated span
+    // is dropped and the survivors are rejoined — the corpus a
+    // substring-dedup pipeline actually trains on. The span list per doc
+    // is small (grouped spans, not grams), so the apply step is one
+    // broadcast-friendly join of docs against their span lists and a
+    // per-row index-filter over the token array; no token-level shuffle.
+    GraftQuery(
+      "strip_dup_spans",
+      (s, dir) => {
+        val spanLists = dupSpans(s, dir)
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("span_start"), col("span_end")))
+            .as("spans"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            split(coalesce(col("text"), lit("")), " ").as("toks"))
+          .join(spanLists, Seq("doc_id"), "left")
+          .withColumn("spans", coalesce(col("spans"),
+            array().cast("array<struct<span_start:int,span_end:int>>")))
+          .withColumn("kept", expr(
+            """filter(toks, (t, i) ->
+                 NOT exists(spans, sp ->
+                   i >= sp.span_start AND i <= sp.span_end))"""))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            (size(col("toks")) - size(col("kept"))).as("n_removed"),
+            concat_ws(" ", col("kept")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $sqlDupSpans,
+        cov AS (SELECT DISTINCT doc_id,
+                       unnest(range(span_start, span_end + 1)) AS pos
+                FROM spans),
+        tk AS (SELECT doc_id,
+                      unnest(range(0, len(toks))) AS pos,
+                      unnest(toks) AS tok
+               FROM d),
+        kept AS (SELECT t.doc_id, t.pos, t.tok
+                 FROM tk t LEFT JOIN cov c
+                   ON t.doc_id = c.doc_id AND t.pos = c.pos
+                 WHERE c.pos IS NULL),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       array_to_string(list(tok ORDER BY pos), ' ') AS clean
+                FROM kept GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(len(d.toks) AS INT) AS n_tokens,
+               CAST(len(d.toks) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+               coalesce(a.clean, '') AS clean_text
+        FROM d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 
   /** dup_reach hop bound — the UNION ALL recursion is depth-limited
@@ -1340,4 +1419,81 @@ object Dedup {
     * Spark plan and the SQL oracle so band numbering stays identical. */
   private[graft] val simhashPairBands: Seq[(Int, Int)] =
     for { i <- 0 until 4; j <- (i + 1) until 4 } yield (i, j)
+
+  /** dup_spans: token-gram width — a duplicated run must be at least this
+    * many tokens long to register (the substring-dedup match length). */
+  private val DupSpanK = 8
+
+  /** `(doc_id, span_start, span_end, span_tokens, n_grams)` — maximal
+    * per-doc runs of [[DupSpanK]]-token grams that occur in ≥2 distinct
+    * documents. Shared by dup_spans (report) and strip_dup_spans (apply). */
+  private[graft] def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = DupSpanK
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $k
+             THEN transform(sequence(0, size(toks) - $k),
+                    i -> md5(to_binary(
+                      concat_ws(' ', slice(toks, i + 1, $k)), 'utf-8')))
+             ELSE array() END""")).as(Seq("start", "g")))
+    val dup = g.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start")
+    g.join(dup, "g")
+      .withColumn("brk", when(col("start") >
+        lag("start", 1).over(w) + k, 1)
+        .when(lag("start", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("start").as("span_start"),
+        (max("start") + k - 1).as("span_end"),
+        (max("start") - min("start") + k).as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+  }
+
+  /** CTE chain ending in `d(doc_id, toks)` and `spans(doc_id, span_start,
+    * span_end, span_tokens, n_grams)` mirroring [[dupSpans]] — the oracle
+    * groups by the raw gram text where Spark groups by its md5 (identical
+    * partitioning short of a 2^-128 digest collision). */
+  private val sqlDupSpans = s"""
+        d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+              FROM documents),
+        gx AS (SELECT doc_id, toks,
+                      unnest(range(0, greatest(len(toks) - $DupSpanK + 1, 0)))
+                        AS start
+               FROM d),
+        g AS (SELECT doc_id, CAST(start AS INT) AS start,
+                     array_to_string(
+                       list_slice(toks, start + 1, start + $DupSpanK), ' ')
+                       AS gram
+              FROM gx),
+        dup AS (SELECT gram
+                FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                      FROM g GROUP BY 1)
+                WHERE nd >= 2),
+        m AS (SELECT doc_id, start FROM g JOIN dup USING (gram)),
+        r AS (SELECT doc_id, start,
+                     CASE WHEN lag(start) OVER w IS NULL
+                            OR start > lag(start) OVER w + $DupSpanK
+                          THEN 1 ELSE 0 END AS brk
+              FROM m
+              WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        sp AS (SELECT doc_id, start,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS span_id
+               FROM r),
+        spans AS (SELECT doc_id,
+                         CAST(min(start) AS INT) AS span_start,
+                         CAST(max(start) + $DupSpanK - 1 AS INT) AS span_end,
+                         CAST(max(start) - min(start) + $DupSpanK AS INT)
+                           AS span_tokens,
+                         count(*) AS n_grams
+                  FROM sp GROUP BY doc_id, span_id)"""
 }

@@ -209,6 +209,56 @@ class OperatorSpec extends SparkSuite {
     assert(ranks.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10)))
   }
 
+  test("dup_spans matches a brute-force substring-dedup reference; strip applies it") {
+    val k = 8
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1)).toMap
+    val gramsOf = docs.map { case (id, toks) =>
+      id -> (if (toks.length >= k)
+        (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+      else Seq.empty[String])
+    }
+    val docsPerGram = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    gramsOf.foreach { case (id, gs) =>
+      gs.foreach(g => docsPerGram.getOrElseUpdate(g,
+        scala.collection.mutable.Set.empty) += id)
+    }
+    val expect = gramsOf.flatMap { case (id, gs) =>
+      val starts = gs.zipWithIndex.collect {
+        case (g, i) if docsPerGram(g).size >= 2 => i }
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int)]
+      var cur: Option[(Int, Int, Int)] = None // start, lastStart, nGrams
+      starts.foreach { p =>
+        cur match {
+          case Some((s0, last, n)) if p <= last + k => cur = Some((s0, p, n + 1))
+          case Some((s0, last, n)) =>
+            spans += ((id, s0, last + k - 1, n)); cur = Some((p, p, 1))
+          case None => cur = Some((p, p, 1))
+        }
+      }
+      cur.foreach { case (s0, last, n) => spans += ((id, s0, last + k - 1, n)) }
+      spans
+    }.toSet
+    val got = run("dup_spans").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Long]("n_grams").toInt)).toSet
+    assert(got == expect, s"span sets differ: got ${got.size}, expect ${expect.size}")
+    assert(got.nonEmpty, "no duplicated spans at this sf — test degenerate")
+    // strip_dup_spans must drop exactly the covered token positions
+    val spansByDoc = got.groupBy(_._1)
+    run("strip_dup_spans").collect().foreach { r =>
+      val id = r.getLong(0)
+      val sp = spansByDoc.getOrElse(id, Set.empty)
+      val covered = sp.flatMap(t => t._2 to t._3)
+      assert(r.getInt(2) == covered.size,
+        s"doc $id: n_removed ${r.getInt(2)} != covered ${covered.size}")
+      val expectClean = docs(id).zipWithIndex
+        .filterNot(t => covered(t._2)).map(_._1).mkString(" ")
+      assert(r.getString(3) == expectClean, s"doc $id: clean_text differs")
+    }
+  }
+
   test("bq_topk: 1-bit Hamming shortlist recall floor, well-formed ranking") {
     // Uniform-data regime (see the ann_lsh_topk note): sign-bit Hamming
     // over 64 dims tracks angle well enough that a 50-deep shortlist
