@@ -301,4 +301,42 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "variant_stats lost partial aggregation")
   }
+
+  test("asof_nearest computes both directional frames over one sort-shuffle") {
+    // the design claim: backward carry-last and forward carry-first share
+    // one partitioning+ordering. Spark splits the two frame shapes into
+    // two stacked WindowExec nodes, but they must hang off a SINGLE
+    // Sort+Exchange on user_id — a second hash exchange or a second sort
+    // under the windows means the frames stopped sharing the shuffle and
+    // the nearest join got twice as expensive as either directional join.
+    val plan = planOf("asof_nearest")
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected one hash exchange, got $hashExchanges")
+    // one sort under the windows + the final presentation orderBy
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts <= 2, s"expected <=2 sorts, got $sorts")
+  }
+
+  test("bq_topk reranks over broadcasts and ranks through TopKPerKey") {
+    val plan = planOf("bq_topk")
+    assert(plan.contains("TopKPerKey"),
+      "shortlist/rank must run the two-phase heap exec, not window sorts")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "rerank joins (shortlist, query side) must ride broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      "bq_topk must never shuffle the corpus for the rerank")
+  }
+
+  test("dup_spans shuffles gram digests, not gram text, and keeps partial agg") {
+    val plan = planOf("dup_spans")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "dup-gram doc-count lost its partial aggregation")
+    // the exchange key must be the md5 digest column `g`; the gram text
+    // itself is never a shuffle key (it only exists inside the scan-side
+    // projection that feeds the digest)
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(g#.*"),
+      "dup_spans does not shuffle on the gram digest")
+  }
 }
