@@ -635,6 +635,52 @@ object Curation {
         FROM x
         ORDER BY source""")),
 
+    // ---- Gini concentration of the corpus over sources -------------------
+    // The one-number diversity alarm behind domain_mix_weights: how
+    // concentrated is the token mass across sources (0 = uniform,
+    // →1 = one crawl dominates). Exact: Gini's discrete form
+    // Σ(2i−n−1)·x_(i) / (n·Σx) over ascending-sorted sources is pure
+    // integer arithmetic (the sum is invariant under tie order, and the
+    // tiebreak pins row_number anyway), emitted as floor-ppm. The window
+    // runs over the |sources| frame — never the corpus.
+    GraftQuery(
+      "gini_concentration",
+      (s, dir) => {
+        val stats = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(split(coalesce(col("text"), lit("")), " "))
+            .cast(LongType)).as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("n_tokens", "source")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        stats
+          .withColumn("i", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("tot", sum("n_tokens").over(wAll))
+          .agg(max("n").as("n_sources"), max("tot").as("total_tokens"),
+            sum(expr("CAST(2 * i - n - 1 AS DECIMAL(38,0)) * n_tokens"))
+              .as("gnum"))
+          .select(col("n_sources"), col("total_tokens"),
+            expr("""CAST(gnum * 1000000
+                      DIV (CAST(n_sources AS DECIMAL(38,0)) * total_tokens)
+                      AS BIGINT)""").as("gini_ppm"))
+      },
+      Some("""
+        WITH s AS (SELECT source,
+                     CAST(sum(len(string_split(coalesce(text, ''), ' ')))
+                       AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+        r AS (SELECT n_tokens,
+                     row_number() OVER (ORDER BY n_tokens, source) AS i,
+                     count(*) OVER () AS n,
+                     sum(n_tokens) OVER () AS tot
+              FROM s)
+        SELECT CAST(max(n) AS BIGINT) AS n_sources,
+               CAST(max(tot) AS BIGINT) AS total_tokens,
+               CAST(sum((2 * i - n - 1) * n_tokens) * 1000000
+                    // (max(n) * max(tot)) AS BIGINT) AS gini_ppm
+        FROM r""")),
+
     // ---- mixture materialization: apply the weights as keep rates --------
     // The step after allocation: turn each source's weight into a keep
     // rate toward a target corpus size (rate = weight·target/n_docs,

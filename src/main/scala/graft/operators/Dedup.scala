@@ -1281,7 +1281,53 @@ object Dedup {
                CAST(len(d.toks) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
                coalesce(a.clean, '') AS clean_text
         FROM d LEFT JOIN agg a USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- substring-dedup monitoring: duplicated-token rate per source ----
+    // The rollup a dedup pipeline alerts on: which sources are shipping
+    // boilerplate (docs_affected, and dup tokens as an exact floor-ppm of
+    // the source's token mass). Sits on [[dupSpans]]; the extra cost over
+    // dup_spans is one per-doc agg and a |sources|-row rollup.
+    GraftQuery(
+      "dup_span_rate_by_source",
+      (s, dir) => {
+        val perDoc = dupSpans(s, dir).groupBy("doc_id")
+          .agg(sum("span_tokens").as("dup_toks"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(coalesce(col("text"), lit("")), " "))
+              .cast(LongType).as("n_toks"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("dup_toks", coalesce(col("dup_toks"), lit(0L)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("dup_toks") > 0, 1L).otherwise(0L)).as("docs_affected"),
+            sum("n_toks").as("n_tokens"),
+            sum("dup_toks").as("dup_tokens"))
+          .withColumn("dup_ppm", expr(
+            "CAST(CAST(dup_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $sqlDupSpans,
+        pd AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_toks
+               FROM spans GROUP BY 1),
+        dd AS (SELECT doc_id, source,
+                      CAST(len(string_split(coalesce(text, ''), ' '))
+                        AS BIGINT) AS n_toks
+               FROM documents),
+        j AS (SELECT dd.source, dd.n_toks,
+                     coalesce(pd.dup_toks, 0) AS dup_toks
+              FROM dd LEFT JOIN pd USING (doc_id))
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN dup_toks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_affected,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(dup_toks) AS BIGINT) AS dup_tokens,
+               CAST(CAST(sum(dup_toks) AS HUGEINT) * 1000000 // sum(n_toks)
+                 AS BIGINT) AS dup_ppm
+        FROM j GROUP BY 1
+        ORDER BY source"""))
   )
 
   /** dup_reach hop bound — the UNION ALL recursion is depth-limited

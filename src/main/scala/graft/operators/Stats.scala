@@ -536,6 +536,80 @@ object Stats {
                least(greatest(value, lo), hi) AS clipped,
                value != least(greatest(value, lo), hi) AS was_clipped
         FROM events e JOIN b USING (event_type)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- binned two-sample Kolmogorov–Smirnov drift ----------------------
+    // The distribution-drift monitor corr/regr can't provide: the KS
+    // distance between two cohorts' value distributions ('view' vs
+    // 'purchase' events here — in production, this-week vs last-week).
+    // The at-scale shape is the BINNED variant every monitoring stack
+    // runs: values land in [[KsBins]] equal-width bins against broadcast
+    // global bounds (one scan, partial agg per (bin) — never a global
+    // sort of raw values, whose distinct count grows with the data), and
+    // the CDF walk is a window over ≤[[KsBins]] rows. The statistic is
+    // exact: D's numerator max|cumA·nB − cumB·nA| is pure BIGINT (the
+    // one double division happens once, on identical integer inputs).
+    // The bin rule ((v−mn)·bins/(mx−mn), floored, clamped) runs the same
+    // IEEE ops on the same doubles in both engines.
+    GraftQuery(
+      "ks_drift",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_type"), col("value"))
+        val bounds = e.agg(min("value").as("mn"), max("value").as("mx"))
+        val binned = e.crossJoin(broadcast(bounds))
+          .withColumn("bin", when(col("mx") > col("mn"),
+            least(lit(KsBins - 1),
+              floor((col("value") - col("mn")) * KsBins / (col("mx") - col("mn")))))
+            .otherwise(lit(0L)))
+          .groupBy("bin")
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        binned
+          .withColumn("ca", sum("a").over(w))
+          .withColumn("cb", sum("b").over(w))
+          .withColumn("na", sum("a").over(wAll))
+          .withColumn("nb", sum("b").over(wAll))
+          .agg(max("na").as("n_a"), max("nb").as("n_b"),
+            max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"))
+          .select(col("n_a"), col("n_b"), col("d_num"),
+            round(col("d_num").cast(DoubleType) / (col("n_a") * col("n_b")), 6)
+              .as("ks_d"))
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, value FROM events
+                   WHERE event_type IN ('view', 'purchase')),
+        bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM e),
+        binned AS (
+          SELECT CASE WHEN mx > mn
+                   THEN least(${KsBins - 1},
+                     CAST(floor((value - mn) * $KsBins / (mx - mn)) AS BIGINT))
+                   ELSE 0 END AS bin,
+                 sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+          FROM e, bounds
+          GROUP BY 1),
+        cdf AS (
+          SELECT bin, a, b,
+                 sum(a) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                 sum(b) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                 sum(a) OVER () AS na, sum(b) OVER () AS nb
+          FROM binned)
+        SELECT CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b,
+               CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+               round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+                     / (max(na) * max(nb)), 6) AS ks_d
+        FROM cdf"""))
   )
+
+  /** ks_drift: equal-width CDF bins — the binned-KS resolution every
+    * monitoring stack trades for never sorting raw values globally. */
+  private val KsBins = 256
 }

@@ -198,6 +198,81 @@ object TextAnalysis {
         FROM g
         ORDER BY lang""")),
 
+    // ---- PMI collocations: top bigrams by pointwise mutual information ---
+    // The association complement of top_ngrams' raw frequency: PMI
+    // ln(p_xy / (p_x·p_y)) surfaces bound collocations ("San Francisco")
+    // that frequency ranking buries under stopword pairs — the signal
+    // tokenizer-vocabulary and phrase-mining passes rank by. Exactness:
+    // each ln runs on an INTEGER count (identical double in both
+    // engines), is quantized to micro-nats separately, and the PMI is an
+    // integer SUM of quantized terms — the zipf_slope discipline, so the
+    // ranking hash-checks. The [[BigramMinCount]] floor kills singleton
+    // noise (classic PMI failure mode) and is mirrored in the oracle.
+    //
+    // Scale: unigram and bigram counts are partial-agg shuffles keyed on
+    // token text (narrow); the two count joins key on the same; totals
+    // broadcast. Top-k is a global TakeOrderedAndProject.
+    GraftQuery(
+      "bigram_pmi",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(split(coalesce(col("text"), lit("")), " ").as("t"))
+        val uni = toks.select(explode(col("t")).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("c_x"))
+        val bi = toks.select(explode(expr(
+          """CASE WHEN size(t) >= 2
+               THEN transform(sequence(0, size(t) - 2),
+                 i -> named_struct('x', element_at(t, i + 1),
+                                   'y', element_at(t, i + 2)))
+               ELSE array() END""")).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= BigramMinCount)
+        val tot = toks.agg(sum(size(col("t"))).as("n_tok"),
+          (sum(size(col("t"))) - count(lit(1))).as("m_bi"))
+        def q(c: String) =
+          expr(s"CAST(round(ln(CAST($c AS DOUBLE)) * 1000000) AS BIGINT)")
+        bi.join(uni, "x")
+          .join(uni.select(col("x").as("y"), col("c_x").as("c_y")), "y")
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi_micro",
+            q("c_xy") - q("m_bi") - q("c_x") - q("c_y") + lit(2L) * q("n_tok"))
+          .orderBy(col("pmi_micro").desc, col("x"), col("y"))
+          .limit(PmiTopK)
+          .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+            col("pmi_micro"),
+            round(col("pmi_micro") / 1000000.0, 4).as("pmi"))
+      },
+      Some(s"""
+        WITH dt AS (SELECT string_split(coalesce(text, ''), ' ') AS t
+                    FROM documents),
+        tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tok,
+                       CAST(sum(len(t)) - count(*) AS BIGINT) AS m_bi
+                FROM dt),
+        u AS (SELECT x, count(*) AS c_x
+              FROM (SELECT unnest(t) AS x FROM dt) GROUP BY 1),
+        b0 AS (SELECT unnest(list_slice(t, 1, len(t) - 1)) AS x,
+                      unnest(list_slice(t, 2, len(t))) AS y
+               FROM dt),
+        b AS (SELECT x, y, count(*) AS c_xy FROM b0 GROUP BY 1, 2
+              HAVING count(*) >= $BigramMinCount),
+        j AS (SELECT b.x, b.y, b.c_xy, ux.c_x, uy.c_x AS c_y, n_tok, m_bi
+              FROM b JOIN u ux ON b.x = ux.x
+                     JOIN u uy ON b.y = uy.x, tot),
+        p AS (SELECT x, y, c_xy, c_x, c_y,
+                CAST(round(ln(CAST(c_xy AS DOUBLE)) * 1000000) AS BIGINT)
+              - CAST(round(ln(CAST(m_bi AS DOUBLE)) * 1000000) AS BIGINT)
+              - CAST(round(ln(CAST(c_x AS DOUBLE)) * 1000000) AS BIGINT)
+              - CAST(round(ln(CAST(c_y AS DOUBLE)) * 1000000) AS BIGINT)
+              + 2 * CAST(round(ln(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT)
+                AS pmi_micro
+              FROM j)
+        SELECT x, y, c_xy, c_x, c_y, pmi_micro,
+               round(pmi_micro / 1000000.0, 4) AS pmi
+        FROM p
+        ORDER BY pmi_micro DESC, x, y
+        LIMIT $PmiTopK""")),
+
     // ---- language ID: marker-token scoring, argmax w/ fixed tie order ----
     GraftQuery(
       "lang_id",
@@ -1573,6 +1648,13 @@ object TextAnalysis {
     * candidate cutoff, the adoption cap, and the round count can never
     * drift between engines. */
   private val BpeRounds = 6
+
+  /** bigram_pmi: minimum bigram occurrences before a PMI is scored (the
+    * classic guard — PMI of a singleton pair is pure noise). */
+  private val BigramMinCount = 5
+
+  /** bigram_pmi: collocations reported. */
+  private val PmiTopK = 25
 
   /** Exact-ppm share `floor(num·1e6 / n_chars)` as Spark SQL — DECIMAL
     * numerator so the product can't overflow at any corpus size; the

@@ -259,6 +259,33 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("wave-5 analytics: PMI floors, KS bounds, Gini range, span-rate ties out") {
+    val pmi = run("bigram_pmi").collect()
+    assert(pmi.length == 25)
+    pmi.foreach { r =>
+      assert(r.getAs[Long]("c_xy") >= 5, "min-count floor violated")
+      assert(r.getAs[Long]("c_xy") <= math.min(r.getAs[Long]("c_x"), r.getAs[Long]("c_y")),
+        "a bigram outnumbers its own unigrams")
+    }
+    val ks = run("ks_drift").collect().head
+    val d = ks.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0, s"KS distance out of range: $d")
+    assert(ks.getAs[Long]("n_a") > 0 && ks.getAs[Long]("n_b") > 0)
+    val gini = run("gini_concentration").collect().head
+    val g = gini.getAs[Long]("gini_ppm")
+    assert(g >= 0L && g < 1000000L, s"Gini out of range: $g")
+    // dup_span_rate_by_source must tie out against dup_spans exactly
+    val spanToks = run("dup_spans").collect()
+      .map(r => r.getAs[Int]("span_tokens").toLong).sum
+    val rate = run("dup_span_rate_by_source").collect()
+    assert(rate.map(_.getAs[Long]("dup_tokens")).sum == spanToks,
+      "per-source dup tokens do not sum to the span inventory")
+    rate.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("docs_affected") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("bq_topk: 1-bit Hamming shortlist recall floor, well-formed ranking") {
     // Uniform-data regime (see the ann_lsh_topk note): sign-bit Hamming
     // over 64 dims tracks angle well enough that a 50-deep shortlist

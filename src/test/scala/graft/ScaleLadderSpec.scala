@@ -38,7 +38,11 @@ class ScaleLadderSpec extends SparkSuite {
   // blowup shows here as an envelope breach
   private val Steepest =
     Seq("bpe_merges", "bpe_encode", "dsir_weights", "ngram_jaccard",
-      "dedup_keep_list", "dup_pagerank", "dup_triangles")
+      "dedup_keep_list", "dup_pagerank", "dup_triangles",
+      // round-7 addition: the gram posting index behind substring dedup —
+      // exactly the shape (per-gram position lists) that goes quadratic
+      // if the dup-gram join ever loses its digest keying
+      "dup_spans")
 
   /** Deterministic 10x documents corpus: replica i shifts doc_ids by
     * i·10^7 and suffixes every token with `x<i>` (i > 0), keeping lang /
