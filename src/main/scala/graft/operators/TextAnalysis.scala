@@ -198,6 +198,99 @@ object TextAnalysis {
         FROM g
         ORDER BY lang""")),
 
+    // ---- segment-level language mix: code-switch / mislabel detection ----
+    // lang_id votes once per DOCUMENT — a doc that switches language
+    // mid-stream (or a mislabeled crawl segment) averages into one
+    // plausible-looking prediction. This pass votes per 32-token
+    // SEGMENT, then rolls up: how many segments, how many distinct
+    // non-unknown languages (≥2 ⇒ code-switched), the majority segment
+    // language, and whether the majority disagrees with the label. The
+    // marker-argmax rule and its alphabetical tiebreak are exactly
+    // lang_id's, applied at segment granularity.
+    //
+    // Scale: segmentation is per-row arithmetic in the scan stage; the
+    // rollup keys on (doc, pred) — ≤6 rows per doc — and the majority
+    // vote runs through TopKPerKey on that tiny frame.
+    GraftQuery(
+      "chunk_lang_mix",
+      (s, dir) => {
+        val segs = Tables.documents(s, dir)
+          .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            posexplode(expr(
+              s"""transform(sequence(0, (size(toks) - 1) DIV $LangSegTokens),
+                    i -> array_join(
+                      slice(toks, i * $LangSegTokens + 1, $LangSegTokens), ' '))"""))
+              .as(Seq("seg_id", "seg")))
+        val st = split(col("seg"), " ")
+        def sc(l: String) = size(filter(st, t => t.isin(langMarkers(l): _*)))
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val best = greatest(langs.map(sc): _*)
+        val pred = when(best === 0, lit("unknown"))
+          .otherwise(langs.foldRight(lit("unknown")) { (l, acc) =>
+            when(sc(l) === best, lit(l)).otherwise(acc) })
+        val perPred = segs.withColumn("pred", pred)
+          .groupBy("doc_id", "labeled_lang", "pred")
+          .agg(count(lit(1)).as("n"))
+        val majority = graft.plans.TopK.perKey(perPred, Seq("doc_id"),
+            Seq(("n", "desc"), ("pred", "asc")), 1)
+          .select(col("doc_id"), col("pred").as("majority_lang"))
+        perPred.groupBy("doc_id", "labeled_lang")
+          .agg(sum("n").as("n_chunks"),
+            sum(when(col("pred") =!= "unknown", 1L).otherwise(0L)).as("n_langs"))
+          .join(majority, "doc_id")
+          .withColumn("code_switched", col("n_langs") >= 2)
+          .withColumn("mislabeled", col("majority_lang") =!= "unknown" &&
+            col("majority_lang") =!= col("labeled_lang"))
+          .select("doc_id", "labeled_lang", "n_chunks", "n_langs",
+            "majority_lang", "code_switched", "mislabeled")
+          .orderBy("doc_id")
+      },
+      Some {
+        def cnt(l: String) =
+          s"len(list_filter(string_split(seg, ' '), t -> t IN (${
+            langMarkers(l).map(m => s"'$m'").mkString(",")})))"
+        val g = s"greatest(${Seq("de", "en", "es", "fr", "zh").map(cnt).mkString(",")})"
+        s"""
+        WITH t AS (SELECT doc_id, lang AS labeled_lang,
+                          string_split(coalesce(text, ''), ' ') AS toks
+                   FROM documents),
+        sg AS (SELECT doc_id, labeled_lang,
+                 unnest(list_transform(
+                   range(0, (len(toks) - 1) // $LangSegTokens + 1),
+                   i -> array_to_string(list_slice(toks,
+                     i * $LangSegTokens + 1, i * $LangSegTokens + $LangSegTokens),
+                     ' '))) AS seg
+               FROM t),
+        pr AS (SELECT doc_id, labeled_lang,
+                 CASE WHEN $g = 0 THEN 'unknown'
+                      WHEN ${cnt("de")} = $g THEN 'de'
+                      WHEN ${cnt("en")} = $g THEN 'en'
+                      WHEN ${cnt("es")} = $g THEN 'es'
+                      WHEN ${cnt("fr")} = $g THEN 'fr'
+                      ELSE 'zh' END AS pred
+               FROM sg),
+        pp AS (SELECT doc_id, labeled_lang, pred, count(*) AS n
+               FROM pr GROUP BY 1, 2, 3),
+        mj AS (SELECT doc_id, pred AS majority_lang FROM (
+                 SELECT doc_id, pred,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY n DESC, pred) AS rn
+                 FROM pp) WHERE rn = 1),
+        ag AS (SELECT doc_id, labeled_lang,
+                      CAST(sum(n) AS BIGINT) AS n_chunks,
+                      CAST(sum(CASE WHEN pred != 'unknown' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_langs
+               FROM pp GROUP BY 1, 2)
+        SELECT ag.doc_id, ag.labeled_lang, ag.n_chunks, ag.n_langs,
+               mj.majority_lang,
+               ag.n_langs >= 2 AS code_switched,
+               mj.majority_lang != 'unknown'
+                 AND mj.majority_lang != ag.labeled_lang AS mislabeled
+        FROM ag JOIN mj USING (doc_id)
+        ORDER BY ag.doc_id"""
+      }),
+
     // ---- PMI collocations: top bigrams by pointwise mutual information ---
     // The association complement of top_ngrams' raw frequency: PMI
     // ln(p_xy / (p_x·p_y)) surfaces bound collocations ("San Francisco")
@@ -1648,6 +1741,9 @@ object TextAnalysis {
     * candidate cutoff, the adoption cap, and the round count can never
     * drift between engines. */
   private val BpeRounds = 6
+
+  /** chunk_lang_mix: tokens per language-vote segment. */
+  private val LangSegTokens = 32
 
   /** bigram_pmi: minimum bigram occurrences before a PMI is scored (the
     * classic guard — PMI of a singleton pair is pure noise). */
