@@ -114,4 +114,21 @@ class AqePlanSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("wave-4/5 gates hold on final adaptive plans") {
+    // bq_topk: the rerank must stay shuffle-free through adaptive
+    // re-planning (AQE may only upgrade joins toward broadcast here)
+    val bq = finalPlan("bq_topk")
+    assert(bq.contains("TopKPerKey"),
+      "bq_topk lost its heap top-k in the final adaptive plan")
+    assert(!bq.contains("SortMergeJoin"),
+      "bq_topk's rerank gained a corpus shuffle under AQE")
+    // dup_spans: partial agg on the dup-gram decision survives
+    val ds = finalPlan("dup_spans")
+    assert("HashAggregate".r.findAllIn(ds).size >= 2,
+      "dup_spans lost map-side partial aggregation under AQE")
+    for (name <- Seq("bigram_pmi", "asof_nearest", "chunk_lang_mix"))
+      assert(!finalPlan(name).contains("CartesianProduct"),
+        s"$name gained a CartesianProduct after adaptive re-planning")
+  }
 }

@@ -17,6 +17,47 @@ class PropertySpec extends SparkSuite {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("dup_spans semantics on hand-built fixtures: cross-doc only, runs merge") {
+    // The definitional edges the sf-corpus brute-force cross-check can't
+    // guarantee to exercise: (1) a gram repeated WITHIN one doc but
+    // nowhere else must NOT mark (dup = >=2 DISTINCT docs); (2) two docs
+    // sharing one 8-token run yield exactly one span each with exact
+    // boundaries; (3) overlapping marked grams merge into ONE maximal
+    // span; (4) sub-8-token docs and empty docs yield nothing.
+    val run = (1 to 8).map(i => s"w$i").mkString(" ")   // the shared run
+    val docs = Seq(
+      // doc 1: the same 8-gram twice, only here -> no span
+      (1L, s"$run $run", "en", "s", 0L),
+      // docs 2 and 3 share `run`, with distinct non-shared tails/heads
+      (2L, s"$run t1 t2 t3 t4 t5 t6 t7 t8", "en", "s", 0L),
+      (3L, s"h1 h2 h3 h4 h5 h6 h7 h8 $run", "en", "s", 0L),
+      // docs 4 and 5 share a 10-token run -> 3 marked gram starts each,
+      // overlapping -> ONE merged span of 10 tokens
+      (4L, s"$run w9 w10 u1 u2 u3 u4 u5 u6 u7 u8", "en", "s", 0L),
+      (5L, s"$run w9 w10 v1 v2 v3 v4 v5 v6 v7 v8", "en", "s", 0L),
+      (6L, "short doc", "en", "s", 0L),
+      (7L, "", "en", "s", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanfix").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.dupSpans(spark, dir)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Long]("n_grams")))
+    // doc 1: only its two `w1..w8` starts (0 and 8) mark — the gram is
+    // cross-doc via docs 2-5 — and its wrap-around rotations (w2..w8 w1,
+    // …) occur in no other doc, so they must NOT mark even though each
+    // also appears "twice-ish" inside doc 1's repeated text. Starts
+    // {0, 8} are exactly k apart -> one merged span [0, 15].
+    val expect = Set(
+      (1L, 0, 15, 2L),
+      (2L, 0, 7, 1L),
+      (3L, 8, 15, 1L),
+      (4L, 0, 9, 3L),   // starts 0,1,2 of the 10-token shared run
+      (5L, 0, 9, 3L))
+    assert(got.toSet == expect, s"got: ${got.mkString(", ")}")
+  }
+
   test("every row falls in exactly one tumbling window; counts are partition-complete") {
     for (s <- 1 to 10) {
       val rows = sample(Gen.listOfN(50, Gen.zip(tsGen, Gen.choose(0.0, 100.0))), s)
