@@ -32,7 +32,8 @@ object SparkEntry {
   val actionfulQueries: Set[String] =
     Set("dedup_clusters", "dedup_keep_list", "dedup_keep_best",
       "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles", "dup_reach",
-      "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode")
+      "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode",
+      "split_repair")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

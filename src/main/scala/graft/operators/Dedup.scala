@@ -1147,6 +1147,73 @@ object Dedup {
         WHERE sa.split != sb.split
         ORDER BY p.doc_a, p.doc_b""")),
 
+    // ---- cluster-aware split repair: the FIX for split_leakage -----------
+    // split_leakage reports near-dup pairs straddling train/val/test;
+    // this emits the remediation: every member of a near-dup cluster is
+    // reassigned to its cluster representative's split (the min-doc_id
+    // member — which IS the CC label, so no extra ranking pass), making
+    // cross-split leakage zero by construction (OperatorSpec asserts it
+    // over every LSH pair). Unclustered docs keep their hash split.
+    // Actionful (CC convergence), like the other cluster builders.
+    //
+    // Scale: the repair adds two doc_id-keyed narrow joins on top of the
+    // existing CC labeling; the split rule itself is scan-side hash
+    // arithmetic.
+    GraftQuery(
+      "split_repair",
+      (s, dir) => {
+        val splits = Tables.documents(s, dir)
+          .withColumn("_h", md5(to_binary(col("doc_id").cast(
+            org.apache.spark.sql.types.StringType), lit("utf-8"))))
+          .withColumn("bucket", expr(s"CAST((${PipelineOps.nib("1")} * 256 + " +
+            s"${PipelineOps.nib("2")} * 16 + ${PipelineOps.nib("3")}) % 100 AS INT)"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+          .select(col("doc_id"), col("split"))
+        val labels = connectedComponents(
+          minhashPairs(s, dir).select("doc_a", "doc_b"))
+        val repaired = labels.join(
+          splits.select(col("doc_id").as("label"), col("split").as("rep_split")),
+          "label")
+        splits.join(repaired.select("doc_id", "rep_split"), Seq("doc_id"), "left")
+          .withColumn("new_split", coalesce(col("rep_split"), col("split")))
+          .withColumn("changed", col("new_split") =!= col("split"))
+          .select(col("doc_id"), col("split").as("old_split"),
+            col("new_split"), col("changed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $minhashCtes,
+        edges AS (
+          SELECT doc_a, doc_b FROM mh_pairs
+          UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach(doc_id, label) AS (
+          SELECT doc_a, doc_a FROM edges
+          UNION
+          SELECT e.doc_a, r.label
+          FROM edges e JOIN reach r ON e.doc_b = r.doc_id),
+        labels AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) % 100
+                     AS bucket
+            FROM documents)),
+        rep AS (SELECT l.doc_id, s2.split AS rep_split
+                FROM labels l JOIN sp s2 ON l.label = s2.doc_id)
+        SELECT sp.doc_id, sp.split AS old_split,
+               coalesce(rep.rep_split, sp.split) AS new_split,
+               coalesce(rep.rep_split, sp.split) != sp.split AS changed
+        FROM sp LEFT JOIN rep USING (doc_id)
+        ORDER BY sp.doc_id""")),
+
     // ---- bounded BFS via a NATIVE recursive CTE (Spark 4 WITH RECURSIVE) -
     // The SQL face of the graph stack: per-source min-hop distances to
     // every document within 3 hops of the near-dup graph, written as the

@@ -291,6 +291,51 @@ object TextAnalysis {
         ORDER BY ag.doc_id"""
       }),
 
+    // ---- distinct-n diversity: the corpus repetitiveness scalar ----------
+    // The distinct-n metric (unique n-grams / total n-grams, n = 1..4):
+    // the standard one-number diversity diagnostic for generated or
+    // templated corpora — boilerplate-heavy data collapses the higher-n
+    // ratios long before doc-level dedup notices. Exact integer counts
+    // (count + exact countDistinct per n), ratio as floor-ppm.
+    //
+    // Scale: one gram explosion per n (corpus-linear, the dup_spans scan
+    // shape without the position bookkeeping), distinct via partial-agg
+    // two-phase count. The output is four rows.
+    GraftQuery(
+      "distinct_ngrams",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(split(coalesce(col("text"), lit("")), " ").as("t"))
+        def level(n: Int) = toks.select(lit(n).as("n"), explode(expr(
+          s"""CASE WHEN size(t) >= $n
+               THEN transform(sequence(0, size(t) - $n),
+                      i -> array_join(slice(t, i + 1, $n), ' '))
+               ELSE array() END""")).as("g"))
+        (1 to 4).map(level).reduce(_.unionByName(_))
+          .groupBy("n")
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct(col("g")).as("n_distinct"))
+          .withColumn("distinct_ppm", expr(
+            "CAST(CAST(n_distinct AS DECIMAL(38,0)) * 1000000 DIV n_grams AS BIGINT)"))
+          .orderBy("n")
+      },
+      Some {
+        def lvl(n: Int) =
+          s"""SELECT $n AS n,
+                unnest(list_transform(range(0, greatest(len(t) - $n + 1, 0)),
+                  i -> array_to_string(list_slice(t, i + 1, i + $n), ' '))) AS g
+              FROM dt"""
+        s"""
+        WITH dt AS (SELECT string_split(coalesce(text, ''), ' ') AS t
+                    FROM documents),
+        l AS (${(1 to 4).map(lvl).mkString("\n UNION ALL ")})
+        SELECT n, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+               CAST(CAST(count(DISTINCT g) AS HUGEINT) * 1000000 // count(*)
+                 AS BIGINT) AS distinct_ppm
+        FROM l GROUP BY n
+        ORDER BY n"""
+      }),
+
     // ---- PMI collocations: top bigrams by pointwise mutual information ---
     // The association complement of top_ngrams' raw frequency: PMI
     // ln(p_xy / (p_x·p_y)) surfaces bound collocations ("San Francisco")

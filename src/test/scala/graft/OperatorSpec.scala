@@ -259,6 +259,24 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("split_repair eliminates cross-split near-dup leakage by construction") {
+    val newSplit = run("split_repair").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = run("minhash_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty, "no near-dup pairs at this sf — test degenerate")
+    pairs.foreach { case (a, b) =>
+      assert(newSplit(a) == newSplit(b),
+        s"pair ($a,$b) still straddles splits: ${newSplit(a)} vs ${newSplit(b)}")
+    }
+    // non-vacuous: the repair must actually move some documents (the
+    // split_leakage query is non-empty on this corpus)
+    assert(newSplit.nonEmpty && run("split_leakage").collect().nonEmpty)
+    val changed = run("split_repair").collect()
+      .count(_.getAs[Boolean]("changed"))
+    assert(changed > 0, "leakage exists but the repair moved nothing")
+  }
+
   test("wave-5 analytics: PMI floors, KS bounds, Gini range, span-rate ties out") {
     val pmi = run("bigram_pmi").collect()
     assert(pmi.length == 25)
