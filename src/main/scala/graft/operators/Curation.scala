@@ -681,6 +681,85 @@ object Curation {
                     // (max(n) * max(tot)) AS BIGINT) AS gini_ppm
         FROM r""")),
 
+    // ---- mixture order: the deterministic interleaved dataloader sequence -
+    // The artifact between mixture weights and training: ONE global
+    // document order in which every prefix holds each source in
+    // proportion to its √-tempered weight (weighted fair queueing —
+    // doc r of source s goes at integer virtual time r·10¹²/num_s, all
+    // docs sort by vt). Exact integer arithmetic end to end, so the
+    // entire training order hash-checks.
+    //
+    // Scale (the point — this composes the repo's two hardest rank
+    // patterns): the per-source rank and the global position are BOTH
+    // two-phase bucket + broadcast-offset ranks (no per-source window
+    // funnel, no single-task global sort); buckets bin monotonically in
+    // the respective sort key, so bucket-local row_number + tiny offset
+    // frames equal the single-window ranks the oracle computes.
+    GraftQuery(
+      "mixture_order",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        // phase 1: per-source rank by doc_id, doc_id-range bucketed
+        val bounds = base.agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+        val bucketed = base.crossJoin(broadcast(bounds))
+          .withColumn("bkt",
+            PipelineOps.rangeBucket("doc_id", "dmin", "dmax", CumsumBuckets))
+          .drop("dmin", "dmax")
+        val off = bucketed.groupBy("source", "bkt").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.partitionBy("source").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("source", "bkt", "off")
+        val ranked = bucketed
+          .withColumn("lr", row_number().over(
+            Window.partitionBy("source", "bkt").orderBy("doc_id")))
+          .join(broadcast(off), Seq("source", "bkt"))
+          .withColumn("src_rank", col("off") + col("lr"))
+        // virtual time from the √-tempered per-source doc weights
+        val wts = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("num",
+            expr("CAST(round(sqrt(n_docs) * 1000000) AS DECIMAL(38,0))"))
+          .select("source", "num")
+        val vted = ranked.join(broadcast(wts), "source")
+          .withColumn("vt", expr(
+            "CAST(CAST(src_rank AS DECIMAL(38,0)) * 1000000000000 DIV num AS BIGINT)"))
+          .select("doc_id", "source", "src_rank", "vt")
+        // phase 2: global position by (vt, source, doc_id), vt-range bucketed
+        val vb = vted.agg(min("vt").as("vmin"), max("vt").as("vmax"))
+        val vbk = vted.crossJoin(broadcast(vb))
+          .withColumn("vbkt",
+            PipelineOps.rangeBucket("vt", "vmin", "vmax", CumsumBuckets))
+          .drop("vmin", "vmax")
+        val voff = vbk.groupBy("vbkt").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.orderBy("vbkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("vbkt", "off")
+        vbk.withColumn("lr", row_number().over(
+            Window.partitionBy("vbkt").orderBy("vt", "source", "doc_id")))
+          .join(broadcast(voff), Seq("vbkt"))
+          .withColumn("global_pos", col("off") + col("lr"))
+          .select("global_pos", "doc_id", "source", "src_rank", "vt")
+          .orderBy("global_pos")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id, source FROM documents),
+        r AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS src_rank
+              FROM b),
+        w AS (SELECT source,
+                CAST(round(sqrt(count(*)) * 1000000) AS HUGEINT) AS num
+              FROM b GROUP BY 1),
+        v AS (SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank,
+                CAST(CAST(r.src_rank AS HUGEINT) * 1000000000000 // w.num
+                  AS BIGINT) AS vt
+              FROM r JOIN w USING (source))
+        SELECT row_number() OVER (ORDER BY vt, source, doc_id) AS global_pos,
+               doc_id, source, src_rank, vt
+        FROM v
+        ORDER BY global_pos""")),
+
     // ---- mixture materialization: apply the weights as keep rates --------
     // The step after allocation: turn each source's weight into a keep
     // rate toward a target corpus size (rate = weight·target/n_docs,

@@ -259,6 +259,26 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("mixture_order: dense permutation, per-source order kept, interleaved") {
+    val rows = run("mixture_order").collect()
+    // global_pos is a dense permutation 1..N
+    val pos = rows.map(_.getAs[Long]("global_pos")).sorted
+    assert(pos.toSeq == (1L to rows.length).toSeq, "global_pos not a permutation")
+    // within each source, docs appear in src_rank order starting at 1
+    rows.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      val ranks = rs.sortBy(_.getAs[Long]("global_pos")).map(_.getAs[Long]("src_rank"))
+      assert(ranks.head == 1L && ranks.toSeq == ranks.sorted.toSeq,
+        "per-source rank order violated in the global sequence")
+    }
+    // weighted fair queueing actually interleaves: the head of the order
+    // must mix many sources (each source's first doc has the smallest vt
+    // of that source), not drain one source first
+    val headSources = rows.filter(_.getAs[Long]("global_pos") <= 20)
+      .map(_.getAs[String]("source")).distinct
+    assert(headSources.length >= 10,
+      s"head of the order drains single sources: ${headSources.length} distinct in first 20")
+  }
+
   test("split_repair eliminates cross-split near-dup leakage by construction") {
     val newSplit = run("split_repair").collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
