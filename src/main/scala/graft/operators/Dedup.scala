@@ -599,6 +599,84 @@ object Dedup {
         WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    // ---- dedup threshold tuning curve ------------------------------------
+    // The operator's tuning artifact: how many pairs and how many
+    // documents a Jaccard-threshold dedup pass touches AT EACH candidate
+    // threshold (0.5 … 0.9) — the curve an operator reads before picking
+    // the production cutoff. One pass of the capped exact-Jaccard pairs,
+    // exploded over the 5-row threshold list (output size 5·pairs, never
+    // corpus-sized); the affected-doc rate is exact floor-ppm of the
+    // corpus. Thresholds below the pair generator's own 0.5 floor would
+    // need a regenerated pair set — mirrored exactly in the oracle.
+    GraftQuery(
+      "dedup_threshold_curve",
+      (s, dir) => {
+        val pairs = exactJaccardPairs(s, dir, maxDocFreq = MaxGramDocFreq)
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+        val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        val th = pairs.withColumn("threshold",
+            explode(typedlit(thresholds)))
+          .filter(col("jaccard") >= col("threshold"))
+        val pairCounts = th.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+        val docCounts = th
+          .select(col("threshold"),
+            explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .groupBy("threshold").agg(count(lit(1)).as("n_dup_docs"))
+        Tables.documents(s, dir).agg(count(lit(1)).as("n_corpus"))
+          .withColumn("threshold", explode(typedlit(thresholds)))
+          .join(pairCounts, Seq("threshold"), "left")
+          .join(docCounts, Seq("threshold"), "left")
+          .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+          .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+          .withColumn("dup_doc_ppm", expr(
+            "CAST(CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000 DIV n_corpus AS BIGINT)"))
+          .select("threshold", "n_pairs", "n_dup_docs", "dup_doc_ppm")
+          .orderBy("threshold")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END grams
+               FROM t),
+        ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
+        keep AS (SELECT gram FROM ex GROUP BY gram
+                 HAVING count(*) <= $MaxGramDocFreq),
+        exf AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
+        common AS (
+          SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+          FROM exf a JOIN exf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pj AS (
+          SELECT doc_a, doc_b,
+                 round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+          FROM common
+          JOIN (SELECT doc_id, len(grams) n FROM sh) sa ON doc_a = sa.doc_id
+          JOIN (SELECT doc_id, len(grams) n FROM sh) sb ON doc_b = sb.doc_id
+          WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.5),
+        th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        f AS (SELECT th.threshold, pj.doc_a, pj.doc_b
+              FROM th JOIN pj ON pj.jaccard >= th.threshold),
+        pc AS (SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1),
+        dc AS (SELECT threshold, count(*) AS n_dup_docs FROM (
+                 SELECT DISTINCT threshold, doc_id FROM (
+                   SELECT threshold, doc_a AS doc_id FROM f
+                   UNION ALL SELECT threshold, doc_b FROM f))
+               GROUP BY 1),
+        nn AS (SELECT count(*) AS n_corpus FROM documents)
+        SELECT th.threshold,
+               coalesce(pc.n_pairs, 0) AS n_pairs,
+               coalesce(dc.n_dup_docs, 0) AS n_dup_docs,
+               CAST(CAST(coalesce(dc.n_dup_docs, 0) AS HUGEINT) * 1000000
+                    // nn.n_corpus AS BIGINT) AS dup_doc_ppm
+        FROM th LEFT JOIN pc USING (threshold)
+                LEFT JOIN dc USING (threshold), nn
+        ORDER BY th.threshold""")),
+
     // ---- n-gram containment pairs (doc-inside-doc detection) -------------
     // Broder's CONTAINMENT |A∩B|/min(|A|,|B|), not resemblance: a short
     // document quoted whole inside a long one scores ~1.0 here while its

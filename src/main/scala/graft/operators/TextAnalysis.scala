@@ -198,6 +198,80 @@ object TextAnalysis {
         FROM g
         ORDER BY lang""")),
 
+    // ---- the Gopher quality-rule battery (per-rule flags) ----------------
+    // The published heuristic battery (Rae et al. 2021, public — the rule
+    // set FineWeb/Dolma-era pipelines still start from), adapted to this
+    // corpus' single-line texts and made INTEGER-EXACT: every ratio rule
+    // is cross-multiplied (3 ≤ mean-word-len ≤ 10 becomes
+    // 3·n ≤ chars−n+1 ≤ 10·n) so no float ever decides a flag. Per-rule
+    // booleans, not just the verdict — the per-rule pass rates are what
+    // a curation run actually tunes against. One scan, no shuffle before
+    // the presentation sort; corpus_filter keeps the composed-gate shape,
+    // this exposes the battery itself.
+    GraftQuery(
+      "gopher_rules",
+      (s, dir) => {
+        val t = coalesce(col("text"), lit(""))
+        val toks = split(t, " ")
+        val nt = size(toks).cast(LongType)
+        val nc = length(t).cast(LongType)
+        val alpha = (length(t) - length(regexp_replace(t, "[A-Za-z]", "")))
+          .cast(LongType)
+        val digit = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+          .cast(LongType)
+        val space = (length(t) - length(translate(t, " ", ""))).cast(LongType)
+        val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+          .cast(LongType)
+        val nStop = size(array_intersect(toks, typedlit(stopwords)))
+          .cast(LongType)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), nt.as("n_tokens"),
+            (nt >= 50 && nt <= 100000).as("rule_word_count"),
+            (nc - nt + 1 >= nt * 3 && nc - nt + 1 <= nt * 10)
+              .as("rule_mean_word_len"),
+            ((nc - alpha - digit - space) * 10 <= nt).as("rule_symbol_ratio"),
+            (nStop >= 2).as("rule_stopwords"),
+            (alphaWords * 5 >= nt * 4).as("rule_alpha_words"))
+          .withColumn("pass",
+            col("rule_word_count") && col("rule_mean_word_len") &&
+            col("rule_symbol_ratio") && col("rule_stopwords") &&
+            col("rule_alpha_words"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 string_split(coalesce(text, ''), ' ') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(length(t) AS BIGINT) AS nc,
+                 CAST(length(t)
+                   - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                 CAST(length(t)
+                   - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+                 CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) AS space,
+                 CAST(len(list_filter(toks,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+                 CAST(len(list_distinct(list_intersect(toks,
+                   [$sqlStops]))) AS BIGINT) AS nstop
+          FROM d)
+        SELECT doc_id, nt AS n_tokens,
+               nt >= 50 AND nt <= 100000 AS rule_word_count,
+               nc - nt + 1 >= nt * 3 AND nc - nt + 1 <= nt * 10
+                 AS rule_mean_word_len,
+               (nc - alpha - digit - space) * 10 <= nt AS rule_symbol_ratio,
+               nstop >= 2 AS rule_stopwords,
+               aw * 5 >= nt * 4 AS rule_alpha_words,
+               (nt >= 50 AND nt <= 100000)
+                 AND (nc - nt + 1 >= nt * 3 AND nc - nt + 1 <= nt * 10)
+                 AND ((nc - alpha - digit - space) * 10 <= nt)
+                 AND (nstop >= 2)
+                 AND (aw * 5 >= nt * 4) AS pass
+        FROM m
+        ORDER BY doc_id""")),
+
     // ---- segment-level language mix: code-switch / mislabel detection ----
     // lang_id votes once per DOCUMENT — a doc that switches language
     // mid-stream (or a mislabeled crawl segment) averages into one
@@ -583,51 +657,66 @@ object TextAnalysis {
     // between engines); docs under 2 tokens have no bigrams and drop out.
     GraftQuery(
       "bigram_logprob",
+      (s, dir) => bigramLogprob(s, dir).orderBy("doc_id"),
+      Some(s"""
+        WITH $sqlBlpCtes
+        SELECT doc_id, n_bigrams, avg_logprob
+        FROM blp
+        ORDER BY doc_id""")),
+
+    // ---- CCNet-style perplexity buckets: head / middle / tail per lang ---
+    // The standard LM-based quality partition: docs ranked by their
+    // in-corpus bigram-LM score (bigram_logprob's exact-decimal mean)
+    // WITHIN each language, split into terciles — 'head' trains first,
+    // 'tail' gets dropped or down-sampled. The rank is exact: the
+    // 4-decimal score becomes an integer lp4, rank is integer bucket
+    // arithmetic, the tercile is (3·(rank−1)) DIV n.
+    //
+    // Scale: the per-language rank is the two-phase bucket +
+    // broadcast-offset rank (languages are FEW — a plain per-lang window
+    // would funnel each language's corpus through one task; the
+    // pack_sequences lesson), bucketed on the score range per language.
+    GraftQuery(
+      "perplexity_buckets",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        // bind the token array ONCE per row: element_at(split(...), i)
-        // inside the transform would re-split the text per element
-        // (O(tokens²) per doc — measured 5× slower); a separate projection
-        // survives CollapseProject because the non-cheap split is
-        // referenced many times downstream
-        // rebalance before the per-row expansion: single-row-group testdata
-        // scans have parallelism 1 (see Dedup.shingled), and the bigram
-        // explode is the CPU-heavy phase
-        val bi = docs
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(toks) >= 2 THEN
-                 transform(sequence(1, size(toks) - 1),
-                   i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-               ELSE array() END""")).as("bigram"))
-        val counts = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
-        val total = bi.agg(count(lit(1)).cast(DoubleType).as("n_total"))
-        bi.join(counts, "bigram")
-          .crossJoin(broadcast(total))
-          .withColumn("lp", round(log(col("cnt") / col("n_total")), 6))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            // exact-integer rounded mean (Num.davg) — the double-quotient
-            // round() diverges between engines on .xxxx5 ties
-            graft.functions.Num.davg("lp", scale = 6, outScale = 4)
-              .as("avg_logprob"))
+        val d2 = bigramLogprob(s, dir)
+          .withColumn("lp4", expr("CAST(round(avg_logprob * 10000) AS BIGINT)"))
+          .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+          .withColumn("neg", -col("lp4"))
+        val bounds = d2.groupBy("lang").agg(min("neg").as("lo"),
+          max("neg").as("hi"), count(lit(1)).as("n_lang"))
+        val bk = d2.join(broadcast(bounds), "lang")
+          .withColumn("bkt", PipelineOps.rangeBucket("neg", "lo", "hi", PplBuckets))
+        val off = bk.groupBy("lang", "bkt").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.partitionBy("lang").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("lang", "bkt", "off")
+        bk.withColumn("lr", row_number().over(
+            Window.partitionBy("lang", "bkt").orderBy("neg", "doc_id")))
+          .join(broadcast(off), Seq("lang", "bkt"))
+          .withColumn("lang_rank", col("off") + col("lr"))
+          .withColumn("bucket", expr(
+            """CASE (3 * (lang_rank - 1)) DIV n_lang
+                 WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"""))
+          .select("doc_id", "lang", "lp4", "lang_rank", "bucket")
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
-        bi AS (SELECT doc_id,
-                 unnest(CASE WHEN len(toks) >= 2 THEN
-                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-                 ELSE [] END) AS bigram
-               FROM t),
-        c AS (SELECT bigram, count(*) cnt FROM bi GROUP BY 1),
-        n AS (SELECT CAST(count(*) AS DOUBLE) n_total FROM bi)
-        SELECT doc_id, count(*) AS n_bigrams,
-               ${graft.functions.Num.sqlDavg("round(ln(cnt / n.n_total), 6)",
-                 scale = 6, outScale = 4)} AS avg_logprob
-        FROM bi JOIN c USING (bigram) CROSS JOIN n
-        GROUP BY doc_id
+        WITH $sqlBlpCtes,
+        d2 AS (SELECT b.doc_id, doc.lang,
+                 CAST(round(b.avg_logprob * 10000) AS BIGINT) AS lp4
+               FROM blp b JOIN documents doc ON b.doc_id = doc.doc_id),
+        r AS (SELECT doc_id, lang, lp4,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY lp4 DESC, doc_id) AS rnk,
+                count(*) OVER (PARTITION BY lang) AS n
+              FROM d2)
+        SELECT doc_id, lang, lp4, CAST(rnk AS BIGINT) AS lang_rank,
+               CASE (3 * (rnk - 1)) // n
+                 WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+                 AS bucket
+        FROM r
         ORDER BY doc_id""")),
 
     // ---- repetition metrics: the Gopher-style degenerate-text signals ----
@@ -1789,6 +1878,59 @@ object TextAnalysis {
 
   /** chunk_lang_mix: tokens per language-vote segment. */
   private val LangSegTokens = 32
+
+  /** perplexity_buckets: score-range buckets for the two-phase per-lang
+    * rank (the global_row_number discipline applied to a FLOAT-derived
+    * key — monotone integer bucketing over the negated lp4). */
+  private val PplBuckets = 32
+
+  /** `(doc_id, n_bigrams, avg_logprob)` — each doc scored by the mean
+    * log-probability of its bigrams under the in-corpus bigram LM.
+    * Shared by bigram_logprob (report) and perplexity_buckets (rank).
+    *
+    * The token array is bound ONCE per row (element_at(split(...), i)
+    * inside the transform would re-split per element — O(tokens²),
+    * measured 5× slower), the frame is rebalanced before the CPU-heavy
+    * explode (single-row-group testdata scans have parallelism 1), and
+    * each ln() is rounded to 6 decimals then summed as an exact DECIMAL
+    * (Num.davg) so the mean is accumulation-order-independent. */
+  private def bigramLogprob(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+               i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+           ELSE array() END""")).as("bigram"))
+    val counts = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val total = bi.agg(count(lit(1)).cast(DoubleType).as("n_total"))
+    bi.join(counts, "bigram")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log(col("cnt") / col("n_total")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Num.davg("lp", scale = 6, outScale = 4)
+          .as("avg_logprob"))
+  }
+
+  /** CTE chain ending in `blp(doc_id, n_bigrams, avg_logprob)` mirroring
+    * [[bigramLogprob]]. */
+  private def sqlBlpCtes = s"""
+        t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        bi AS (SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END) AS bigram
+               FROM t),
+        c AS (SELECT bigram, count(*) cnt FROM bi GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) n_total FROM bi),
+        blp AS (SELECT doc_id, count(*) AS n_bigrams,
+                  ${graft.functions.Num.sqlDavg("round(ln(cnt / n.n_total), 6)",
+                    scale = 6, outScale = 4)} AS avg_logprob
+                FROM bi JOIN c USING (bigram) CROSS JOIN n
+                GROUP BY doc_id)"""
 
   /** bigram_pmi: minimum bigram occurrences before a PMI is scored (the
     * classic guard — PMI of a singleton pair is pure noise). */

@@ -259,6 +259,33 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("wave-7 curation: gopher rules conjunct, terciles balanced, curve monotone") {
+    val gr = run("gopher_rules").collect()
+    val ruleCols = Seq("rule_word_count", "rule_mean_word_len",
+      "rule_symbol_ratio", "rule_stopwords", "rule_alpha_words")
+    gr.foreach { r =>
+      val conj = ruleCols.forall(c => r.getAs[Boolean](c))
+      assert(r.getAs[Boolean]("pass") == conj, "pass is not the rule conjunction")
+    }
+    assert(gr.exists(_.getAs[Boolean]("pass")) && gr.exists(!_.getAs[Boolean]("pass")),
+      "rule battery degenerate: all docs on one side")
+    // perplexity terciles: per lang, bucket sizes differ by at most 1
+    run("perplexity_buckets").collect()
+      .groupBy(_.getAs[String]("lang")).values.foreach { rs =>
+        val sizes = rs.groupBy(_.getAs[String]("bucket")).values.map(_.size)
+        assert(sizes.max - sizes.min <= 1,
+          s"terciles unbalanced: ${sizes.mkString(",")}")
+      }
+    // threshold curve: non-increasing in the threshold; 0.5 row ties out
+    // against ngram_jaccard's pair inventory
+    val curve = run("dedup_threshold_curve").collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(curve.map(_.getAs[Long]("n_pairs")).sliding(2).forall(
+      w => w.length < 2 || w(0) >= w(1)), "pair curve not monotone")
+    assert(curve.head.getAs[Long]("n_pairs") ==
+      run("ngram_jaccard").count(), "0.5 row != ngram_jaccard inventory")
+  }
+
   test("mixture_order: dense permutation, per-source order kept, interleaved") {
     val rows = run("mixture_order").collect()
     // global_pos is a dense permutation 1..N
