@@ -614,6 +614,85 @@ object Similarity {
         GROUP BY label, dim
         ORDER BY label, dim""")),
 
+    // ---- prototypicality ranking (D4-style diversity curation) -----------
+    // After SemDeDup removes near-duplicates, the D4 recipe ranks each
+    // cluster's members by distance to their cluster centroid and drops
+    // the most PROTOTYPICAL ones (cluster-center redundancy) while
+    // keeping the diverse tail. Clusters here are the label cells the
+    // SemDeDup/IVF stack already uses; distance is exact: each squared
+    // per-dim deviation is quantized to an integer pico-unit, so the
+    // per-vector distance is an order-independent BIGINT sum and the
+    // per-cell decile assignment is pure integer arithmetic.
+    //
+    // Scale: the centroid frame is |labels|×dims rows (broadcast); the
+    // deviation join is scan-side; the per-cell rank is the two-phase
+    // bucket + broadcast-offset rank (cells are few relative to corpus —
+    // a per-cell window would funnel each cell through one task).
+    GraftQuery(
+      "prototypicality",
+      (s, dir) => {
+        val dims = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+        val cent = dims.groupBy("label", "dim")
+          .agg(round(
+            sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+              .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)),
+            6).as("mean"))
+        val dist = dims.join(broadcast(cent), Seq("label", "dim"))
+          .withColumn("t", expr(
+            "CAST(round((x - mean) * (x - mean) * 1000000000000) AS BIGINT)"))
+          .groupBy("vec_id", "label")
+          .agg(sum("t").as("dist12"))
+        val bounds = dist.groupBy("label").agg(min("dist12").as("lo"),
+          max("dist12").as("hi"), count(lit(1)).as("n_cell"))
+        val bk = dist.join(broadcast(bounds), "label")
+          .withColumn("bkt",
+            PipelineOps.rangeBucket("dist12", "lo", "hi", 32))
+        val off = bk.groupBy("label", "bkt").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.partitionBy("label").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("label", "bkt", "off")
+        bk.withColumn("lr", row_number().over(
+            Window.partitionBy("label", "bkt").orderBy("dist12", "vec_id")))
+          .join(broadcast(off), Seq("label", "bkt"))
+          .withColumn("cell_rank", col("off") + col("lr"))
+          .withColumn("decile",
+            expr("CAST((10 * (cell_rank - 1)) DIV n_cell AS INT)"))
+          .withColumn("drop_prototypical", col("decile") === 0)
+          .select("vec_id", "label", "dist12", "cell_rank", "decile",
+            "drop_prototypical")
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings),
+        c AS (
+          SELECT label, dim,
+                 round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+                       / count(*), 6) AS mean
+          FROM dims GROUP BY 1, 2),
+        d AS (
+          SELECT dims.vec_id, dims.label,
+                 CAST(sum(CAST(round((dims.x - c.mean) * (dims.x - c.mean)
+                   * 1000000000000) AS BIGINT)) AS BIGINT) AS dist12
+          FROM dims JOIN c ON dims.label = c.label AND dims.dim = c.dim
+          GROUP BY 1, 2),
+        r AS (
+          SELECT vec_id, label, dist12,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY dist12, vec_id) AS rnk,
+                 count(*) OVER (PARTITION BY label) AS n
+          FROM d)
+        SELECT vec_id, label, dist12, CAST(rnk AS BIGINT) AS cell_rank,
+               CAST((10 * (rnk - 1)) // n AS INT) AS decile,
+               (10 * (rnk - 1)) // n = 0 AS drop_prototypical
+        FROM r
+        ORDER BY vec_id""")),
+
     // ---- semantic dedup (SemDeDup): within-cell cosine, keep min-id ------
     // The embedding-space analog of dedup_keep_list: vectors land in a
     // coarse-quantizer cell, pairwise cosine runs ONLY within a cell, and
