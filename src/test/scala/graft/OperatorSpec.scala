@@ -259,6 +259,22 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("prototypicality: deciles balanced per cell, rank ordered by distance") {
+    val rows = run("prototypicality").collect()
+    rows.groupBy(_.getAs[Int]("label")).values.foreach { rs =>
+      // decile sizes differ by at most 1 (integer bucket arithmetic)
+      val sizes = rs.groupBy(_.getAs[Int]("decile")).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"deciles unbalanced: ${sizes.mkString(",")}")
+      // rank order agrees with (dist12, vec_id)
+      val byRank = rs.sortBy(_.getAs[Long]("cell_rank"))
+        .map(r => (r.getAs[Long]("dist12"), r.getAs[Long]("vec_id")))
+      assert(byRank.toSeq == byRank.sorted.toSeq, "cell_rank disagrees with distance order")
+      assert(rs.forall(r =>
+        r.getAs[Boolean]("drop_prototypical") == (r.getAs[Int]("decile") == 0)))
+      assert(rs.forall(_.getAs[Long]("dist12") >= 0L))
+    }
+  }
+
   test("wave-7 curation: gopher rules conjunct, terciles balanced, curve monotone") {
     val gr = run("gopher_rules").collect()
     val ruleCols = Seq("rule_word_count", "rule_mean_word_len",
