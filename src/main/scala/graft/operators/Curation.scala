@@ -699,22 +699,8 @@ object Curation {
       "mixture_order",
       (s, dir) => {
         val base = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-        // phase 1: per-source rank by doc_id, doc_id-range bucketed
-        val bounds = base.agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
-        val bucketed = base.crossJoin(broadcast(bounds))
-          .withColumn("bkt",
-            PipelineOps.rangeBucket("doc_id", "dmin", "dmax", CumsumBuckets))
-          .drop("dmin", "dmax")
-        val off = bucketed.groupBy("source", "bkt").agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(sum("bn").over(
-            Window.partitionBy("source").orderBy("bkt")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("source", "bkt", "off")
-        val ranked = bucketed
-          .withColumn("lr", row_number().over(
-            Window.partitionBy("source", "bkt").orderBy("doc_id")))
-          .join(broadcast(off), Seq("source", "bkt"))
-          .withColumn("src_rank", col("off") + col("lr"))
+        val ranked = PipelineOps.twoPhaseRank(base,
+          Seq("source"), "doc_id", Seq.empty, "src_rank", CumsumBuckets)
         // virtual time from the √-tempered per-source doc weights
         val wts = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
           .withColumn("num",
@@ -724,21 +710,8 @@ object Curation {
           .withColumn("vt", expr(
             "CAST(CAST(src_rank AS DECIMAL(38,0)) * 1000000000000 DIV num AS BIGINT)"))
           .select("doc_id", "source", "src_rank", "vt")
-        // phase 2: global position by (vt, source, doc_id), vt-range bucketed
-        val vb = vted.agg(min("vt").as("vmin"), max("vt").as("vmax"))
-        val vbk = vted.crossJoin(broadcast(vb))
-          .withColumn("vbkt",
-            PipelineOps.rangeBucket("vt", "vmin", "vmax", CumsumBuckets))
-          .drop("vmin", "vmax")
-        val voff = vbk.groupBy("vbkt").agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(sum("bn").over(
-            Window.orderBy("vbkt")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("vbkt", "off")
-        vbk.withColumn("lr", row_number().over(
-            Window.partitionBy("vbkt").orderBy("vt", "source", "doc_id")))
-          .join(broadcast(voff), Seq("vbkt"))
-          .withColumn("global_pos", col("off") + col("lr"))
+        PipelineOps.twoPhaseRank(vted,
+            Seq.empty, "vt", Seq("source", "doc_id"), "global_pos", CumsumBuckets)
           .select("global_pos", "doc_id", "source", "src_rank", "vt")
           .orderBy("global_pos")
       },

@@ -39,6 +39,45 @@ object PipelineOps {
   private[operators] def nib(spark: String): String =
     s"(locate(substring(_h, $spark, 1), '0123456789abcdef') - 1)"
 
+  /** The two-phase bucket + broadcast-offset rank, factored out of
+    * global_row_number / tokenCumsum and their round-7 consumers
+    * (mixture_order, perplexity_buckets, prototypicality): a dense
+    * per-`part` rank by (`value`, `tiebreak`) WITHOUT a per-part window
+    * funnel — rows bin by [[rangeBucket]] over the part's own value
+    * bounds (monotone in the sort key, so bucket-local row_number + a
+    * tiny broadcast offset frame equals the single-window rank the
+    * oracles compute), parallelism ≈ |parts|·`buckets` regardless of
+    * part skew. `part` may be empty (a global rank). `value` must be an
+    * integral column; ties across the bucket boundary are safe because
+    * the bucket is a pure function of the value. Appends `rankCol`
+    * (long) and preserves the input columns. */
+  private[operators] def twoPhaseRank(df: org.apache.spark.sql.DataFrame,
+      part: Seq[String], value: String, tiebreak: Seq[String],
+      rankCol: String, buckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds =
+      df.groupBy(part.map(col): _*)
+        .agg(min(value).as("_tpr_lo"), max(value).as("_tpr_hi"))
+    val keyed =
+      if (part.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), part)
+    val bk = keyed
+      .withColumn("_tpr_bkt", rangeBucket(value, "_tpr_lo", "_tpr_hi", buckets))
+      .drop("_tpr_lo", "_tpr_hi")
+    val off = bk.groupBy((part :+ "_tpr_bkt").map(col): _*)
+      .agg(count(lit(1)).as("_tpr_bn"))
+      .withColumn("_tpr_off", coalesce(sum("_tpr_bn").over(
+        Window.partitionBy(part.map(col): _*).orderBy("_tpr_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((part :+ "_tpr_bkt" :+ "_tpr_off").map(col): _*)
+    bk.withColumn("_tpr_lr", row_number().over(
+        Window.partitionBy((part :+ "_tpr_bkt").map(col): _*)
+          .orderBy(col(value) +: tiebreak.map(col): _*)))
+      .join(broadcast(off), part :+ "_tpr_bkt")
+      .withColumn(rankCol, col("_tpr_off") + col("_tpr_lr"))
+      .drop("_tpr_bkt", "_tpr_off", "_tpr_lr")
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- Z-order (Morton) layout keys + cell locality summary ------------

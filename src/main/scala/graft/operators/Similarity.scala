@@ -644,20 +644,10 @@ object Similarity {
             "CAST(round((x - mean) * (x - mean) * 1000000000000) AS BIGINT)"))
           .groupBy("vec_id", "label")
           .agg(sum("t").as("dist12"))
-        val bounds = dist.groupBy("label").agg(min("dist12").as("lo"),
-          max("dist12").as("hi"), count(lit(1)).as("n_cell"))
-        val bk = dist.join(broadcast(bounds), "label")
-          .withColumn("bkt",
-            PipelineOps.rangeBucket("dist12", "lo", "hi", 32))
-        val off = bk.groupBy("label", "bkt").agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(sum("bn").over(
-            Window.partitionBy("label").orderBy("bkt")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("label", "bkt", "off")
-        bk.withColumn("lr", row_number().over(
-            Window.partitionBy("label", "bkt").orderBy("dist12", "vec_id")))
-          .join(broadcast(off), Seq("label", "bkt"))
-          .withColumn("cell_rank", col("off") + col("lr"))
+        val sizes = dist.groupBy("label").agg(count(lit(1)).as("n_cell"))
+        PipelineOps.twoPhaseRank(dist,
+            Seq("label"), "dist12", Seq("vec_id"), "cell_rank")
+          .join(broadcast(sizes), "label")
           .withColumn("decile",
             expr("CAST((10 * (cell_rank - 1)) DIV n_cell AS INT)"))
           .withColumn("drop_prototypical", col("decile") === 0)

@@ -683,19 +683,10 @@ object TextAnalysis {
           .withColumn("lp4", expr("CAST(round(avg_logprob * 10000) AS BIGINT)"))
           .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
           .withColumn("neg", -col("lp4"))
-        val bounds = d2.groupBy("lang").agg(min("neg").as("lo"),
-          max("neg").as("hi"), count(lit(1)).as("n_lang"))
-        val bk = d2.join(broadcast(bounds), "lang")
-          .withColumn("bkt", PipelineOps.rangeBucket("neg", "lo", "hi", PplBuckets))
-        val off = bk.groupBy("lang", "bkt").agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(sum("bn").over(
-            Window.partitionBy("lang").orderBy("bkt")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("lang", "bkt", "off")
-        bk.withColumn("lr", row_number().over(
-            Window.partitionBy("lang", "bkt").orderBy("neg", "doc_id")))
-          .join(broadcast(off), Seq("lang", "bkt"))
-          .withColumn("lang_rank", col("off") + col("lr"))
+        val sizes = d2.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        PipelineOps.twoPhaseRank(d2,
+            Seq("lang"), "neg", Seq("doc_id"), "lang_rank", PplBuckets)
+          .join(broadcast(sizes), "lang")
           .withColumn("bucket", expr(
             """CASE (3 * (lang_rank - 1)) DIV n_lang
                  WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"""))
