@@ -46,15 +46,28 @@ object VectorKernels {
   def l2D(a: ArrayData): Double = math.sqrt(dotDD(a, a))
 
   /** Binary (sign) quantization: bit i of the result is set iff
-    * `a[i] > 0`, for the first min(len, 64) dims. 32× smaller than the
-    * float vector; Hamming distance over the packed code
-    * (`bit_count(a ^ b)` — both built-in, codegen'd) approximates angular
-    * distance, the RaBitQ/binary-embedding shortlist trick. Strict `> 0`
-    * so the bit is a pure function of the IEEE sign+zero classification —
-    * float→double widening can't move a value across the threshold,
-    * which keeps the DuckDB mirror (`v[i] > 0` over DOUBLE[]) exact. */
+    * `a[i] > 0`. 32× smaller than the float vector; Hamming distance
+    * over the packed code (`bit_count(a ^ b)` — both built-in, codegen'd)
+    * approximates angular distance, the RaBitQ/binary-embedding
+    * shortlist trick. Strict `> 0` so the bit is a pure function of the
+    * IEEE sign+zero classification — float→double widening can't move a
+    * value across the threshold, which keeps the DuckDB mirror
+    * (`v[i] > 0` over DOUBLE[]) exact.
+    *
+    * Vectors wider than 64 dims FAIL LOUDLY: one long holds 64 sign
+    * bits, and silently truncating would rank shortlists on half the
+    * vector (recall collapse) while the all-dims oracle quietly
+    * diverged — if embeddings ever widen, this kernel must grow a
+    * multi-word code (array<long> + summed bit_counts), not a cap. */
+  private def signPackLen(n: Int): Int = {
+    require(n <= 64,
+      s"sign_pack packs at most 64 dims into one long; got $n — " +
+        "widen the code to array<long> before widening the embeddings")
+    n
+  }
+
   def signPackF(a: ArrayData): Long = {
-    val n = math.min(a.numElements(), 64)
+    val n = signPackLen(a.numElements())
     var code = 0L
     var i = 0
     while (i < n) { if (a.getFloat(i) > 0f) code |= (1L << i); i += 1 }
@@ -62,7 +75,7 @@ object VectorKernels {
   }
 
   def signPackD(a: ArrayData): Long = {
-    val n = math.min(a.numElements(), 64)
+    val n = signPackLen(a.numElements())
     var code = 0L
     var i = 0
     while (i < n) { if (a.getDouble(i) > 0d) code |= (1L << i); i += 1 }

@@ -615,19 +615,23 @@ object Dedup {
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
         val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
-        val th = pairs.withColumn("threshold",
+        // ONE derivation of the pair subtree: per-(threshold, doc)
+        // membership counts give the doc inventory as the row count and
+        // the pair inventory as Σcnt/2 (each pair contributes one count
+        // to each endpoint) — two aggregations over the same exploded
+        // frame, not two re-plans of the posting-list chain.
+        val perDoc = pairs.withColumn("threshold",
             explode(typedlit(thresholds)))
           .filter(col("jaccard") >= col("threshold"))
-        val pairCounts = th.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
-        val docCounts = th
           .select(col("threshold"),
             explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-          .distinct()
-          .groupBy("threshold").agg(count(lit(1)).as("n_dup_docs"))
+          .groupBy("threshold", "doc_id").agg(count(lit(1)).as("cnt"))
+        val curve = perDoc.groupBy("threshold")
+          .agg(expr("CAST(sum(cnt) DIV 2 AS BIGINT)").as("n_pairs"),
+            count(lit(1)).as("n_dup_docs"))
         Tables.documents(s, dir).agg(count(lit(1)).as("n_corpus"))
           .withColumn("threshold", explode(typedlit(thresholds)))
-          .join(pairCounts, Seq("threshold"), "left")
-          .join(docCounts, Seq("threshold"), "left")
+          .join(curve, Seq("threshold"), "left")
           .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
           .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
           .withColumn("dup_doc_ppm", expr(
@@ -1188,15 +1192,7 @@ object Dedup {
     GraftQuery(
       "split_leakage",
       (s, dir) => {
-        val splits = Tables.documents(s, dir)
-          .withColumn("_h", md5(to_binary(col("doc_id").cast(
-            org.apache.spark.sql.types.StringType), lit("utf-8"))))
-          .withColumn("bucket", expr(s"CAST((${PipelineOps.nib("1")} * 256 + " +
-            s"${PipelineOps.nib("2")} * 16 + ${PipelineOps.nib("3")}) % 100 AS INT)"))
-          .withColumn("split",
-            when(col("bucket") < 80, "train")
-              .when(col("bucket") < 90, "val").otherwise("test"))
-          .select(col("doc_id"), col("split"))
+        val splits = docSplits(s, dir)
         minhashPairs(s, dir).select("doc_a", "doc_b", "jaccard")
           .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
           .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
@@ -1206,18 +1202,7 @@ object Dedup {
       },
       Some(s"""
         WITH $minhashCtes,
-        sp AS (
-          SELECT doc_id,
-                 CASE WHEN bucket < 80 THEN 'train'
-                      WHEN bucket < 90 THEN 'val'
-                      ELSE 'test' END AS split
-          FROM (
-            SELECT doc_id,
-                   ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
-                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
-                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) % 100
-                     AS bucket
-            FROM documents))
+        $sqlDocSplits
         SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
         FROM mh_pairs p
         JOIN sp sa ON p.doc_a = sa.doc_id
@@ -1240,15 +1225,7 @@ object Dedup {
     GraftQuery(
       "split_repair",
       (s, dir) => {
-        val splits = Tables.documents(s, dir)
-          .withColumn("_h", md5(to_binary(col("doc_id").cast(
-            org.apache.spark.sql.types.StringType), lit("utf-8"))))
-          .withColumn("bucket", expr(s"CAST((${PipelineOps.nib("1")} * 256 + " +
-            s"${PipelineOps.nib("2")} * 16 + ${PipelineOps.nib("3")}) % 100 AS INT)"))
-          .withColumn("split",
-            when(col("bucket") < 80, "train")
-              .when(col("bucket") < 90, "val").otherwise("test"))
-          .select(col("doc_id"), col("split"))
+        val splits = docSplits(s, dir)
         val labels = connectedComponents(
           minhashPairs(s, dir).select("doc_a", "doc_b"))
         val repaired = labels.join(
@@ -1272,18 +1249,7 @@ object Dedup {
           SELECT e.doc_a, r.label
           FROM edges e JOIN reach r ON e.doc_b = r.doc_id),
         labels AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
-        sp AS (
-          SELECT doc_id,
-                 CASE WHEN bucket < 80 THEN 'train'
-                      WHEN bucket < 90 THEN 'val'
-                      ELSE 'test' END AS split
-          FROM (
-            SELECT doc_id,
-                   ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
-                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
-                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) % 100
-                     AS bucket
-            FROM documents)),
+        $sqlDocSplits,
         rep AS (SELECT l.doc_id, s2.split AS rep_split
                 FROM labels l JOIN sp s2 ON l.label = s2.doc_id)
         SELECT sp.doc_id, sp.split AS old_split,
@@ -1610,6 +1576,36 @@ object Dedup {
     * Spark plan and the SQL oracle so band numbering stays identical. */
   private[graft] val simhashPairBands: Seq[(Int, Int)] =
     for { i <- 0 until 4; j <- (i + 1) until 4 } yield (i, j)
+
+  /** `(doc_id, split)` under hash_split's exact md5-nibble 80/10/10 rule
+    * applied to doc_id — ONE definition shared by split_leakage (the
+    * report) and split_repair (the fix). A drifted copy here would make
+    * the repaired corpus disagree with the reported splits while the
+    * cluster-consistency test still passed. */
+  private def docSplits(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("_h", md5(to_binary(col("doc_id").cast(StringType), lit("utf-8"))))
+      .withColumn("bucket", expr(s"CAST((${PipelineOps.nib("1")} * 256 + " +
+        s"${PipelineOps.nib("2")} * 16 + ${PipelineOps.nib("3")}) % 100 AS INT)"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+
+  /** CTE `sp(doc_id, split)` mirroring [[docSplits]]. */
+  private val sqlDocSplits = """
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) % 100
+                     AS bucket
+            FROM documents))"""
 
   /** dup_spans: token-gram width — a duplicated run must be at least this
     * many tokens long to register (the substring-dedup match length). */

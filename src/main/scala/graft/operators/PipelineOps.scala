@@ -253,27 +253,13 @@ object PipelineOps {
     // formulation this pattern replaces.
     GraftQuery(
       "global_row_number",
-      (s, dir) => {
-        val nBuckets = 32
-        val base = Tables.events(s, dir).select(col("event_id"), col("ts"))
-        val bounds = base.agg(min(unix_micros(col("ts"))).as("tmin"),
-          max(unix_micros(col("ts"))).as("tmax"))
-        val bucketed = base.crossJoin(broadcast(bounds))
-          .withColumn("pid",
-            rangeBucket("unix_micros(ts)", "tmin", "tmax", nBuckets))
-        val byPid = Window.partitionBy("pid").orderBy("ts", "event_id")
-        val numbered = bucketed
-          .withColumn("local_idx", row_number().over(byPid))
-        val offsets = bucketed.groupBy("pid").agg(count(lit(1)).as("n"))
-          .withColumn("off", coalesce(
-            sum("n").over(Window.orderBy("pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
-        numbered.join(broadcast(offsets), "pid")
-          .select(col("event_id"), col("ts"),
-            (col("off") + col("local_idx")).as("global_idx"))
-          .orderBy("global_idx")
-      },
+      (s, dir) => twoPhaseRank(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("ts"),
+              unix_micros(col("ts")).as("tsu")),
+          Seq.empty, "tsu", Seq("event_id"), "global_idx")
+        .select("event_id", "ts", "global_idx")
+        .orderBy("global_idx"),
       Some("""
         SELECT event_id, ts,
                CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS global_idx

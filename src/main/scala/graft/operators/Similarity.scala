@@ -1293,12 +1293,12 @@ object Similarity {
   private val SemDedupTau = 0.30
   private[graft] val SemCellCap = 512
 
-  /** pq_topk geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
-    * subspace drawn from the first 16 vectors. */
   /** bq_topk: Hamming-shortlist depth per query ahead of the exact
     * rerank — 5× the final k, the standard over-fetch for 1-bit codes. */
   private val BqShortlist = 50
 
+  /** pq_topk geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
+    * subspace drawn from the first 16 vectors. */
   private val PqSubspaces = 8
   private val PqSubDim = 8
   private val PqCodebook = 16

@@ -574,11 +574,18 @@ object Stats {
           .withColumn("cb", sum("b").over(w))
           .withColumn("na", sum("a").over(wAll))
           .withColumn("nb", sum("b").over(wAll))
+          // DECIMAL products (the event_transitions discipline): cohort
+          // counts ≥ ~3.1e9 would overflow a BIGINT ca·nb — the oracle's
+          // HUGEINT would then disagree (or ANSI would abort). The one
+          // remaining boundary is the OUTPUT cast of d_num, documented
+          // where a reader sizes the query, not hidden mid-expression.
           .agg(max("na").as("n_a"), max("nb").as("n_b"),
-            max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"))
-          .select(col("n_a"), col("n_b"), col("d_num"),
-            round(col("d_num").cast(DoubleType) / (col("n_a") * col("n_b")), 6)
-              .as("ks_d"))
+            max(expr("""abs(CAST(ca AS DECIMAL(38,0)) * nb
+                        - CAST(cb AS DECIMAL(38,0)) * na)""")).as("d_dec"))
+          .select(col("n_a"), col("n_b"),
+            expr("CAST(d_dec AS BIGINT)").as("d_num"),
+            round(col("d_dec").cast(DoubleType) /
+              (col("n_a").cast(DoubleType) * col("n_b")), 6).as("ks_d"))
       },
       Some(s"""
         WITH e AS (SELECT event_type, value FROM events
@@ -605,7 +612,7 @@ object Stats {
                CAST(max(nb) AS BIGINT) AS n_b,
                CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
                round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
-                     / (max(na) * max(nb)), 6) AS ks_d
+                     / (CAST(max(na) AS DOUBLE) * max(nb)), 6) AS ks_d
         FROM cdf"""))
   )
 
