@@ -9,13 +9,21 @@ documents table under /tmp/adv_corpus (other tables copied from
 sf0.001), then the usual Verify + check.py pair compares Spark against
 DuckDB on it for every documents-backed query.
 
+Two corpora: /tmp/adv_corpus (hostile documents) and /tmp/adv_events
+(hostile events — timestamp ties, single-sided view/purchase cohorts,
+midnight boundaries, extreme values, null/empty/malformed props).
+
 Usage:
-  python3 scripts/adv_sweep.py                     # build the corpus
+  python3 scripts/adv_sweep.py                     # build both corpora
   sbt "runMain graft.Verify /tmp/adv_corpus /tmp/vadv <names>"
   python3 scripts/check.py /tmp/adv_corpus /tmp/vadv
+  # …and the same pair against /tmp/adv_events for events-backed queries
 
-Round-7 result: 19/19 documents-backed queries (waves 4-7 plus the
-null-sensitive older ones) PASS on this corpus.
+Round-7 results: 19/19 documents-backed queries PASS; the events sweep
+caught (and the fixes now pin) an ANSI-mode cast abort in json_extract
+on non-integer JSON values and oracle-side json_extract_string errors
+on malformed/empty props in json_extract/variant_stats — after the
+TRY_CAST hardening, 20/20 events-backed queries PASS.
 """
 import random
 import shutil
@@ -25,9 +33,56 @@ import sys
 import duckdb
 
 DIR = "/tmp/adv_corpus"
+EDIR = "/tmp/adv_events"
+
+
+def build_events():
+    subprocess.run(["mkdir", "-p", EDIR], check=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{EDIR}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute("""CREATE TABLE e (event_id BIGINT, ts TIMESTAMPTZ,
+      user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)""")
+    rows, eid = [], 0
+
+    def add(ts, user, typ, val, props):
+        nonlocal eid
+        rows.append((eid, ts, user, typ, val, props))
+        eid += 1
+
+    # user 1: ten events at the SAME instant (tiebreak stress)
+    for i in range(10):
+        add("2024-01-01 12:00:00+00", 1,
+            ["view", "click", "purchase", "view", "scroll"][i % 5],
+            float(i), '{"k":%d}' % i)
+    # user 2: purchases only (null backward/forward as-of paths)
+    for i in range(6):
+        add(f"2024-01-02 0{i}:30:00+00", 2, "purchase", 10.0 * i, None)
+    # user 3: views only
+    for i in range(6):
+        add(f"2024-01-03 0{i}:15:00+00", 3, "view", -10.0 * i, "")
+    # user 4: extreme values, midnight boundaries, malformed props
+    add("2024-01-04 00:00:00+00", 4, "view", 0.0, '{bad')
+    add("2024-01-04 00:00:00+00", 4, "purchase", 1e9, '{"k":null}')
+    add("2024-01-05 00:00:00+00", 4, "view", -1e9, None)
+    add("2024-01-05 23:59:59.999999+00", 4, "purchase", 1e-9, '{"k":"v"}')
+    # user 5: a normal week of alternating activity
+    random.seed(3)
+    for d in range(1, 8):
+        for i in range(4):
+            add(f"2024-01-0{d} {10 + i}:0{i}:0{i}+00", 5,
+                random.choice(["view", "purchase", "click"]),
+                random.uniform(-50, 50), '{"k":1}')
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY e TO '{EDIR}/events.parquet' (FORMAT PARQUET)")
+    print(f"built {EDIR}/events.parquet with "
+          f"{con.sql('SELECT count(*) FROM e').fetchone()[0]} hostile events")
 
 
 def main():
+    build_events()
     subprocess.run(["mkdir", "-p", DIR], check=True)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "embeddings"]:

@@ -536,12 +536,20 @@ object RelationalQueries {
       "json_extract",
       (s, dir) => Tables.events(s, dir)
         .select(col("event_id"),
-                get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          // try_cast, not cast: Spark 4 runs ANSI by default, so a
+          // non-integer k (props = {"k":"v"}) would ABORT the query
+          // mid-corpus instead of nulling the row (adversarial-events
+          // sweep finding); get_json_object itself already nulls
+          // malformed/empty JSON
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
         .orderBy("event_id"),
-      // TRY_CAST: Spark's non-ANSI cast yields NULL on a non-integer k,
-      // DuckDB's CAST would abort the whole oracle query
+      // DuckDB mirror of the same tolerance: TRY_CAST(props AS JSON)
+      // nulls malformed/empty JSON (raw json_extract_string ERRORS on
+      // them), TRY_CAST ... AS BIGINT nulls non-integer values
       Some("""
-        SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        SELECT event_id,
+               TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                 AS BIGINT) AS k
         FROM events
         ORDER BY event_id""")),
 
@@ -563,13 +571,21 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
           sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
+      // TRY_CAST(props AS JSON) mirrors try_parse_json's tolerance —
+      // raw json_extract_string ERRORS on malformed/empty props where
+      // the Spark side nulls them (adversarial-events sweep finding)
       Some("""
+        WITH x AS (
+          SELECT event_type,
+                 TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                   AS BIGINT) AS k
+          FROM events)
         SELECT event_type, count(*) AS n,
-               count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-               CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-               max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        FROM events
+               count(k) AS n_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM x
         GROUP BY event_type
         ORDER BY event_type""")),
 
