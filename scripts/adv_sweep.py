@@ -81,8 +81,39 @@ def build_events():
           f"{con.sql('SELECT count(*) FROM e').fetchone()[0]} hostile events")
 
 
+MDIR = "/tmp/adv_emb"
+
+
+def build_embeddings():
+    subprocess.run(["mkdir", "-p", MDIR], check=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{MDIR}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], "
+                "label INTEGER)")
+    rows = [
+        (0, [0.0] * 64, 0),                              # ZERO query vector
+        (1, [1.0] * 64, 1),                              # all-positive
+        (2, [-1.0] * 64, 2),                             # all-negative
+        (3, [1e-40] * 64, 3),                            # denormal floats
+        (4, [(-1.0) ** i for i in range(64)], 4),        # alternating signs
+        (5, [1.0] * 64, 1),                              # duplicate of 1
+        (6, [0.0] * 64, None),                           # zero + NULL label
+    ]
+    random.seed(11)
+    for i in range(7, 60):
+        rows.append((i, [random.uniform(-1, 1) for _ in range(64)],
+                     random.choice(range(8))))
+    con.executemany("INSERT INTO e VALUES (?,?,?)", rows)
+    con.execute(f"COPY e TO '{MDIR}/embeddings.parquet' (FORMAT PARQUET)")
+    print(f"built {MDIR}/embeddings.parquet with "
+          f"{con.sql('SELECT count(*) FROM e').fetchone()[0]} hostile vectors")
+
+
 def main():
     build_events()
+    build_embeddings()
     subprocess.run(["mkdir", "-p", DIR], check=True)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "embeddings"]:

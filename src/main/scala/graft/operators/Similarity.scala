@@ -26,9 +26,20 @@ import graft.functions.{LshPlanes, VectorExpressions => V}
 object Similarity {
 
   /** embeddings + L2 norm (raw float vector — no cast materialization). */
+  /** The SIMILARITY universe: embeddings + L2 norm, zero-norm vectors
+    * excluded. A zero vector has no direction — its cosine is 0/0 — and
+    * under Spark 4's default ANSI mode ONE such row (a dead crawl page,
+    * an all-zero feature dump) aborts every similarity query in the
+    * suite mid-corpus (adversarial-embeddings sweep finding). Exclusion
+    * at the source is the standard ANN-index rule (FAISS normalizes or
+    * rejects), and every oracle's `e` CTE mirrors the `norm > 0` gate so
+    * the universes stay hash-identical on any corpus. embedding_norms
+    * deliberately does NOT use this frame — the norms REPORT must show
+    * the zero vectors a pipeline needs to find. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("norm", V.l2norm(col("embedding")))
+      .filter(col("norm") > 0)
 
   /** Candidate near-dup pairs from capped LSH probe cells — the frame
     * embedding_neardup confirms with exact cosine, exposed so the
@@ -96,7 +107,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         planes AS (SELECT * FROM (VALUES
           $rows) AS p(tbl, plane, w)),
         dots AS (
@@ -142,8 +154,11 @@ object Similarity {
     // ---- L2 norms (exercises the fold in both engines) -------------------
     GraftQuery(
       "embedding_norms",
-      (s, dir) => vecs(s, dir)
-        .select(col("vec_id"), col("label"), round(col("norm"), 4).as("l2_norm"))
+      // NOT vecs(): the norms report must include zero-norm vectors —
+      // it is the query that FINDS them for the vecs() exclusion
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          round(V.l2norm(col("embedding")), 4).as("l2_norm"))
         .orderBy("vec_id"),
       Some("""
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
@@ -173,7 +188,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         scored AS (
           SELECT qid, vec_id,
@@ -235,7 +251,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         h AS (
           SELECT qid, vec_id,
@@ -310,7 +327,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         b AS (SELECT max(vec_id) - 63 AS t FROM e),
         q AS (SELECT vec_id eval_id, v qv, norm qnorm FROM e, b WHERE vec_id >= t),
         c AS (SELECT vec_id, v, norm FROM e, b WHERE vec_id < t),
@@ -413,7 +431,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         cents AS (
           SELECT label AS c_label, list(m ORDER BY dim) AS centroid
           FROM (SELECT label, dim,
@@ -493,7 +512,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         q AS (SELECT vec_id qid, v qv, norm qnorm, label qlabel
               FROM e WHERE vec_id < 5),
         scored AS (
@@ -553,7 +573,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -631,53 +652,70 @@ object Similarity {
     GraftQuery(
       "prototypicality",
       (s, dir) => {
+        // fully integer after the first quantization: coordinates to
+        // exact micro-units, centroid as the half-up INTEGER micro-mean
+        // (the davg discipline), distance as an exact integer sum of
+        // squared micro deviations. The earlier double formulation
+        // (round((x−mean)²·1e12)) diverged on the adversarial corpus —
+        // Spark's BigDecimal-exact round and DuckDB's multiply-based
+        // round produce different doubles on some inputs; no float
+        // survives past x6 here, so nothing is left to diverge.
         val dims = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "x")))
+          // CAST to DOUBLE before the multiply: float·int stays FLOAT
+          // under both engines' promotion rules, and the float product
+          // rounds differently engine-to-engine (adversarial sweep)
+          .withColumn("x6",
+            expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
         val cent = dims.groupBy("label", "dim")
-          .agg(round(
-            sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
-              .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)),
-            6).as("mean"))
+          .agg(sum("x6").as("s6"), count(lit(1)).as("n"))
+          .withColumn("m6", expr(
+            """CASE WHEN s6 >= 0 THEN (2 * s6 + n) DIV (2 * n)
+                    ELSE -((2 * (-s6) + n) DIV (2 * n)) END"""))
+          .select("label", "dim", "m6")
         val dist = dims.join(broadcast(cent), Seq("label", "dim"))
-          .withColumn("t", expr(
-            "CAST(round((x - mean) * (x - mean) * 1000000000000) AS BIGINT)"))
           .groupBy("vec_id", "label")
-          .agg(sum("t").as("dist12"))
+          .agg(sum(expr(
+            "CAST(x6 - m6 AS DECIMAL(38,0)) * (x6 - m6)")).as("dd"))
+          .withColumn("dist_q", expr("CAST(dd AS BIGINT)")).drop("dd")
         val sizes = dist.groupBy("label").agg(count(lit(1)).as("n_cell"))
         PipelineOps.twoPhaseRank(dist,
-            Seq("label"), "dist12", Seq("vec_id"), "cell_rank")
+            Seq("label"), "dist_q", Seq("vec_id"), "cell_rank")
           .join(broadcast(sizes), "label")
           .withColumn("decile",
             expr("CAST((10 * (cell_rank - 1)) DIV n_cell AS INT)"))
           .withColumn("drop_prototypical", col("decile") === 0)
-          .select("vec_id", "label", "dist12", "cell_rank", "decile",
+          .select("vec_id", "label", "dist_q", "cell_rank", "decile",
             "drop_prototypical")
           .orderBy("vec_id")
       },
       Some("""
         WITH dims AS (
           SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
-                 unnest(embedding) AS x
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                   AS BIGINT) AS x6
           FROM embeddings),
         c AS (
           SELECT label, dim,
-                 round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
-                       / count(*), 6) AS mean
+                 CASE WHEN sum(x6) >= 0
+                      THEN (2 * sum(x6) + count(*)) // (2 * count(*))
+                      ELSE -((2 * (-sum(x6)) + count(*)) // (2 * count(*)))
+                 END AS m6
           FROM dims GROUP BY 1, 2),
         d AS (
           SELECT dims.vec_id, dims.label,
-                 CAST(sum(CAST(round((dims.x - c.mean) * (dims.x - c.mean)
-                   * 1000000000000) AS BIGINT)) AS BIGINT) AS dist12
+                 CAST(sum(CAST(dims.x6 - c.m6 AS HUGEINT)
+                          * (dims.x6 - c.m6)) AS BIGINT) AS dist_q
           FROM dims JOIN c ON dims.label = c.label AND dims.dim = c.dim
           GROUP BY 1, 2),
         r AS (
-          SELECT vec_id, label, dist12,
+          SELECT vec_id, label, dist_q,
                  row_number() OVER (PARTITION BY label
-                                    ORDER BY dist12, vec_id) AS rnk,
+                                    ORDER BY dist_q, vec_id) AS rnk,
                  count(*) OVER (PARTITION BY label) AS n
           FROM d)
-        SELECT vec_id, label, dist12, CAST(rnk AS BIGINT) AS cell_rank,
+        SELECT vec_id, label, dist_q, CAST(rnk AS BIGINT) AS cell_rank,
                CAST((10 * (rnk - 1)) // n AS INT) AS decile,
                (10 * (rnk - 1)) // n = 0 AS drop_prototypical
         FROM r
@@ -723,7 +761,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         c AS (
           SELECT vec_id, label, v, norm FROM (
             SELECT e.*, count(*) OVER (PARTITION BY label) csz FROM e)
@@ -737,7 +776,13 @@ object Similarity {
           GROUP BY a.vec_id)
         SELECT s.vec_id, r.rep_id IS NULL AS kept, r.rep_id,
                s.csz > $SemCellCap AS cell_capped
-        FROM (SELECT e.vec_id, count(*) OVER (PARTITION BY label) csz FROM e) s
+        -- the report covers EVERY vector (zero-norm ones can't be
+        -- semantically deduped — no direction — so they report kept),
+        -- and its cell sizes count all rows, mirroring the Spark side's
+        -- Tables.embeddings report frame; only the PAIRING universe
+        -- above (c) rides the norm-filtered e
+        FROM (SELECT vec_id, count(*) OVER (PARTITION BY label) csz
+              FROM embeddings) s
         LEFT JOIN reps r ON s.vec_id = r.vec_id
         ORDER BY s.vec_id""")),
 
@@ -775,7 +820,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, $MrlDims),
                      x -> x * x)), (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         f AS (SELECT * FROM e WHERE norm > 0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM f WHERE vec_id < 5),
         scored AS (
@@ -930,7 +976,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         cents AS (
           SELECT label AS c_label, list(m ORDER BY dim) AS centroid
           FROM (SELECT label, dim,
@@ -955,16 +1002,22 @@ object Similarity {
                      c.c_label) crank
             FROM q CROSS JOIN cents c)
           WHERE crank <= 4),
-        cb AS (SELECT CAST(vec_id AS INT) cw, v cv FROM e WHERE vec_id < $PqCodebook),
+        -- the PQ stack is L2/ADC: zero-norm vectors are legitimate points
+        -- there, so codebook + candidates come from the UNFILTERED
+        -- universe (mirrors pqDistances over Tables.embeddings); only the
+        -- cosine probe side above rides the norm-filtered e
+        eu AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+               FROM embeddings),
+        cb AS (SELECT CAST(vec_id AS INT) cw, v cv FROM eu WHERE vec_id < $PqCodebook),
         ms AS (SELECT unnest(range(0, $PqSubspaces)) m),
         dist AS (
-          SELECT e.vec_id, e.label, ms.m, cb.cw,
+          SELECT eu.vec_id, eu.label, ms.m, cb.cw,
                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(range(1, ${PqSubDim + 1}),
-                     i -> (e.v[ms.m * $PqSubDim + i] - cb.cv[ms.m * $PqSubDim + i])
-                        * (e.v[ms.m * $PqSubDim + i] - cb.cv[ms.m * $PqSubDim + i]))),
+                     i -> (eu.v[ms.m * $PqSubDim + i] - cb.cv[ms.m * $PqSubDim + i])
+                        * (eu.v[ms.m * $PqSubDim + i] - cb.cv[ms.m * $PqSubDim + i]))),
                    (acc, x) -> acc + x) AS d
-          FROM e CROSS JOIN ms CROSS JOIN cb),
+          FROM eu CROSS JOIN ms CROSS JOIN cb),
         codes AS (
           SELECT vec_id, label, m, cw AS code FROM (
             SELECT vec_id, label, m, cw,
@@ -1220,7 +1273,8 @@ object Similarity {
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
-          FROM embeddings),
+          FROM embeddings
+          WHERE norm > 0),
         c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmSeeds),
         ${lloyd("c0", "a1", "c1")},
         ${lloyd("c1", "a2", "c2")},

@@ -265,13 +265,13 @@ class OperatorSpec extends SparkSuite {
       // decile sizes differ by at most 1 (integer bucket arithmetic)
       val sizes = rs.groupBy(_.getAs[Int]("decile")).values.map(_.size)
       assert(sizes.max - sizes.min <= 1, s"deciles unbalanced: ${sizes.mkString(",")}")
-      // rank order agrees with (dist12, vec_id)
+      // rank order agrees with (dist_q, vec_id)
       val byRank = rs.sortBy(_.getAs[Long]("cell_rank"))
-        .map(r => (r.getAs[Long]("dist12"), r.getAs[Long]("vec_id")))
+        .map(r => (r.getAs[Long]("dist_q"), r.getAs[Long]("vec_id")))
       assert(byRank.toSeq == byRank.sorted.toSeq, "cell_rank disagrees with distance order")
       assert(rs.forall(r =>
         r.getAs[Boolean]("drop_prototypical") == (r.getAs[Int]("decile") == 0)))
-      assert(rs.forall(_.getAs[Long]("dist12") >= 0L))
+      assert(rs.forall(_.getAs[Long]("dist_q") >= 0L))
     }
   }
 
