@@ -741,6 +741,68 @@ object Dedup {
         .orderBy("doc_a", "doc_b"),
       Some(minhashOracleSql)),
 
+    // ---- MinHash estimator calibration ------------------------------------
+    // The tuning readout run BEFORE committing a (bands, rows, threshold)
+    // configuration to a 100 TB pass: for every LSH candidate pair
+    // (unthresholded — the misses are the point), the signature-agreement
+    // estimate matches/16 next to the exact Jaccard and the signed error.
+    // An estimator biased high near the threshold floods the verifier;
+    // biased low, it silently under-deduplicates — this frame is where
+    // either shows up at sf before it costs a cluster run. Same banded
+    // chain as minhash_pairs (the sig subtree appears twice — once for
+    // band keys, once for the agreement count; at this candidate volume
+    // that beats threading 16 extra columns through the pair shuffle).
+    GraftQuery(
+      "minhash_est_error",
+      (s, dir) => {
+        val sh = shingledNonEmpty(Tables.documents(s, dir))
+        val sig = sh.withColumn("sig",
+          graft.functions.VectorExpressions.minhashSig(col("grams")))
+        val buckets = bandBuckets(sh)
+        val cand = buckets.as("x")
+          .join(buckets.as("y"),
+            col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"),
+            col("grams").as("ga")), "doc_a")
+          .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"),
+            col("grams").as("gb")), "doc_b")
+          .withColumn("sig_matches",
+            expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))"))
+          .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
+          .withColumn("jaccard", round(col("common").cast(DoubleType) /
+            (size(col("ga")) + size(col("gb")) - col("common")), 4))
+          .withColumn("est_jaccard",
+            round(col("sig_matches") / lit(numHashes.toDouble), 4))
+          .withColumn("err", round(col("est_jaccard") - col("jaccard"), 4))
+          .select("doc_a", "doc_b", "sig_matches", "est_jaccard", "jaccard", "err")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH $minhashCtes,
+        sm AS (
+          SELECT c.doc_a, c.doc_b,
+                 ${(0 until numHashes).map(k =>
+                   s"CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END")
+                   .mkString("\n                 + ")} AS sig_matches
+          FROM cand c
+          JOIN sig a ON c.doc_a = a.doc_id
+          JOIN sig b ON c.doc_b = b.doc_id),
+        tr AS (
+          SELECT doc_a, doc_b,
+                 round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                       (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
+          FROM withg)
+        SELECT s.doc_a, s.doc_b, sig_matches,
+               round(sig_matches / $numHashes.0, 4) AS est_jaccard, jaccard,
+               round(round(sig_matches / $numHashes.0, 4) - jaccard, 4) AS err
+        FROM sm s JOIN tr USING (doc_a, doc_b)
+        ORDER BY doc_a, doc_b""")),
+
     // ---- MinHash-LSH duplicate clusters: the at-scale clustering path ----
     // dedup_clusters builds its edges from the exact inverted-index
     // Jaccard — the ground truth, but it still touches every posting list.

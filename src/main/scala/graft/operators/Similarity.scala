@@ -54,7 +54,12 @@ object Similarity {
     * volume is bounded by tables·probes·maxBucket·n/2 — linear in n
     * regardless of corpus degeneracy. */
   def neardupCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.embeddings(spark, dir)
+    // cells come from the SAME norm>0 universe the oracles hash (vecs()):
+    // a zero-norm vector must not occupy probe cells — it has no cosine to
+    // confirm, and its presence would skew the per-(tbl, cell) cap counts
+    // away from the oracle's filtered CTE on exactly the corpora
+    // (adversarial embeddings) where it appears.
+    val cells = vecs(spark, dir)
       .select(col("vec_id"),
         posexplode(LshPlanes.bucketsCol(col("embedding"))).as(Seq("tbl", "bucket")))
       .withColumn("m", explode(typedlit(LshPlanes.probeMasks(1))))
@@ -612,6 +617,99 @@ object Similarity {
         FROM scored
         WHERE cos >= 0.42
         ORDER BY vec_a, vec_b""")),
+
+    // ---- hard-negative mining (contrastive curation) ---------------------
+    // The training-pair miner for embedding/retrieval models: for each
+    // anchor, the HARDEST negative = the highest-cosine neighbor carrying a
+    // DIFFERENT label — close enough to confuse the model, labeled apart.
+    // Mining against the full corpus is O(n²); the production shape probes
+    // only the LSH candidate cells (the exact frame [[neardupCandidates]]
+    // already bounds to O(n·tables·probes·cap)), so the miner inherits the
+    // near-dup stack's scale guarantees and its oracle-mirrored bank.
+    // Candidates symmetrize (each pair is a candidate for both anchors),
+    // per-anchor argmax rides TopKPerKey k=1 (map-side heaps — no full
+    // per-anchor sort), tiebreak (rounded cos desc, vec_id asc) identical
+    // in both engines. Anchors with no different-label candidate in any
+    // shared cell emit nothing — both engines agree by construction.
+    GraftQuery(
+      "hard_negatives",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val cand = neardupCandidates(s, dir)
+        val sym = cand.select(col("vec_a").as("qid"), col("vec_b").as("vid"))
+          .unionAll(cand.select(col("vec_b").as("qid"), col("vec_a").as("vid")))
+        val scored = sym
+          .join(e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qe"), col("norm").as("qn")), "qid")
+          .join(e.select(col("vec_id").as("vid"), col("label").as("nlabel"),
+            col("embedding").as("ne"), col("norm").as("nn")), "vid")
+          .filter(col("qlabel") =!= col("nlabel"))
+          .withColumn("cos", V.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+          .select(col("qid"), col("qlabel"), col("vid"), col("nlabel"),
+            round(col("cos"), 6).as("cosr"), col("cos"))
+        graft.plans.TopK.perKey(
+          scored, Seq("qid"), Seq(("cosr", "desc"), ("vid", "asc")), 1)
+          .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+            col("vid").as("neg_id"), col("nlabel").as("neg_label"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0),
+        planes AS (SELECT * FROM (VALUES
+          ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
+        dots AS (
+          SELECT e.vec_id, p.tbl, p.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(p.w) + 1), i -> e.v[i] * p.w[i])),
+                   (a, x) -> a + x) AS dot
+          FROM e CROSS JOIN planes p),
+        sigs AS (
+          SELECT vec_id, tbl,
+                 sum(CASE WHEN dot >= 0 THEN 1 << (${LshPlanes.planesPerTable - 1} - plane) ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id, tbl),
+        cells AS (
+          SELECT vec_id, tbl, xor(bucket, m.m) AS cell
+          FROM sigs CROSS JOIN (SELECT unnest(${LshPlanes.sqlProbeMasks(1)}) AS m) m),
+        capped AS (
+          SELECT vec_id, tbl, cell FROM (
+            SELECT vec_id, tbl, cell,
+                   count(*) OVER (PARTITION BY tbl, cell) AS csz
+            FROM cells)
+          WHERE csz <= ${LshPlanes.maxBucket}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM capped a JOIN capped b
+            ON a.tbl = b.tbl AND a.cell = b.cell AND a.vec_id < b.vec_id),
+        sym AS (
+          SELECT vec_a AS qid, vec_b AS vid FROM cand
+          UNION ALL
+          SELECT vec_b AS qid, vec_a AS vid FROM cand),
+        scored AS (
+          SELECT s.qid, eq.label AS qlabel, s.vid, ev.label AS nlabel,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(eq.v) + 1), i -> eq.v[i] * ev.v[i])),
+                   (a, x) -> a + x) / (eq.norm * ev.norm) AS cos
+          FROM sym s
+          JOIN e eq ON s.qid = eq.vec_id
+          JOIN e ev ON s.vid = ev.vec_id
+          WHERE eq.label != ev.label),
+        ranked AS (
+          SELECT qid, qlabel, vid, nlabel, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY round(cos, 6) DESC, vid) AS rnk
+          FROM scored)
+        SELECT qid AS vec_id, qlabel AS label, vid AS neg_id,
+               nlabel AS neg_label, round(cos, 4) AS cosine
+        FROM ranked
+        WHERE rnk = 1
+        ORDER BY vec_id""")),
 
     // ---- per-label centroids (long format: label × dimension) ------------
     GraftQuery(

@@ -613,10 +613,111 @@ object Stats {
                CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
                round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
                      / (CAST(max(na) AS DOUBLE) * max(nb)), 6) AS ks_d
-        FROM cdf"""))
-  )
+        FROM cdf""")),
+
+    // ---- population stability index (time-cohort drift) ------------------
+    // The OTHER production drift staple next to ks_drift: PSI between the
+    // first and second half of the event timeline ("last week vs this
+    // week"). PSI = Σ (pA−pB)·ln(pA/pB) over [[PsiBins]] equal-width value
+    // bins with add-one (Laplace) smoothing over the FIXED bin universe —
+    // the standard guard that keeps empty bins finite, mirrored exactly.
+    // Everything after the one binning scan is ≤[[PsiBins]] rows.
+    //
+    // Exactness: the cohort split compares 2·epoch_µs against the summed
+    // bounds (pure integer — no midpoint division), the bin rule is the
+    // shared ks_drift IEEE expression, each ln runs on an INTEGER smoothed
+    // count quantized to micro-nats (the bigram_pmi discipline), and the
+    // per-bin contribution (sa·Nb − sb·Na)·Δln is a DECIMAL product summed
+    // exactly; ONE double division at the end. The major-drift flag at the
+    // industry 0.2 threshold is cross-multiplied so no float decides it.
+    // Scale: two scans of events (bounds + binning, the ks_drift shape),
+    // partial agg per bin; cohort counts ~3e9 would overflow BIGINT
+    // products, hence DECIMAL(38,0) numerators (the ks_drift precedent).
+    GraftQuery(
+      "psi_drift",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(unix_micros(col("ts")).as("us"), col("value"))
+        val bounds = e.agg(min("us").as("t0"), max("us").as("t1"),
+          min("value").as("mn"), max("value").as("mx"))
+        val counts = e.crossJoin(broadcast(bounds))
+          .withColumn("bin", when(col("mx") > col("mn"),
+            least(lit(PsiBins - 1),
+              floor((col("value") - col("mn")) * PsiBins / (col("mx") - col("mn")))))
+            .otherwise(lit(0L)))
+          .withColumn("inA", col("us") * 2 <= col("t0") + col("t1"))
+          .groupBy("bin")
+          .agg(sum(when(col("inA"), 1L).otherwise(0L)).as("a"),
+            sum(when(!col("inA"), 1L).otherwise(0L)).as("b"))
+        val universe = s.range(PsiBins).toDF("bin")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        universe.join(counts, Seq("bin"), "left")
+          .withColumn("sa", coalesce(col("a"), lit(0L)) + 1L)
+          .withColumn("sb", coalesce(col("b"), lit(0L)) + 1L)
+          .withColumn("na", sum("sa").over(wAll))
+          .withColumn("nb", sum("sb").over(wAll))
+          .withColumn("l6", expr(
+            """CAST(round(ln(CAST(sa AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(round(ln(CAST(sb AS DOUBLE)) * 1e6) AS BIGINT)
+               + CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(round(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT)"""))
+          .withColumn("contrib", expr(
+            """(CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)
+               * l6"""))
+          .agg(max(col("na") - PsiBins).as("n_a"),
+            max(col("nb") - PsiBins).as("n_b"),
+            sum("contrib").as("p6"), max("na").as("na"), max("nb").as("nb"))
+          .select(col("n_a"), col("n_b"),
+            round(col("p6").cast(DoubleType) /
+              (col("na").cast(DoubleType) * col("nb") * 1e6), 6).as("psi"),
+            (col("p6") * 5 >
+              col("na").cast(DecimalType(38, 0)) * col("nb") * 1000000L)
+              .as("major_drift"))
+      },
+      Some(s"""
+        WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+                   FROM events WHERE value IS NOT NULL),
+        bounds AS (SELECT min(us) AS t0, max(us) AS t1,
+                          min(value) AS mn, max(value) AS mx FROM e),
+        counts AS (
+          SELECT CASE WHEN mx > mn
+                   THEN least(${PsiBins - 1},
+                     CAST(floor((value - mn) * $PsiBins / (mx - mn)) AS BIGINT))
+                   ELSE 0 END AS bin,
+                 sum(CASE WHEN us * 2 <= t0 + t1 THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN us * 2 <= t0 + t1 THEN 0 ELSE 1 END) AS b
+          FROM e, bounds
+          GROUP BY 1),
+        sm AS (
+          SELECT u.bin, coalesce(a, 0) + 1 AS sa, coalesce(b, 0) + 1 AS sb
+          FROM range($PsiBins) u(bin) LEFT JOIN counts ON u.bin = counts.bin),
+        tot AS (
+          SELECT bin, sa, sb, sum(sa) OVER () AS na, sum(sb) OVER () AS nb
+          FROM sm),
+        terms AS (
+          SELECT na, nb,
+                 (CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)
+                 * (CAST(round(ln(CAST(sa AS DOUBLE)) * 1e6) AS BIGINT)
+                    - CAST(round(ln(CAST(sb AS DOUBLE)) * 1e6) AS BIGINT)
+                    + CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6) AS BIGINT)
+                    - CAST(round(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT)) AS contrib
+          FROM tot)
+        SELECT CAST(max(na) - $PsiBins AS BIGINT) AS n_a,
+               CAST(max(nb) - $PsiBins AS BIGINT) AS n_b,
+               round(CAST(sum(contrib) AS DOUBLE)
+                     / (CAST(max(na) AS DOUBLE) * max(nb) * 1e6), 6) AS psi,
+               sum(contrib) * 5 >
+                 CAST(max(na) AS DECIMAL(38,0)) * max(nb) * 1000000 AS major_drift
+        FROM terms""")))
 
   /** ks_drift: equal-width CDF bins — the binned-KS resolution every
     * monitoring stack trades for never sorting raw values globally. */
   private val KsBins = 256
+
+  /** psi_drift: fewer, coarser bins than KS — PSI is a Σ over per-bin
+    * ratios, where sparse bins inject smoothing noise rather than signal
+    * (the industry default is 10-20 bins; 64 keeps resolution while every
+    * smoothed bin still sees real mass at sf0.001). */
+  private val PsiBins = 64
 }

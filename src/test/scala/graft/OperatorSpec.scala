@@ -367,6 +367,81 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("wave-8: PSI bounds, hard negatives are the true argmax, MinHash estimator ties out") {
+    // psi_drift: the exact PSI is ≥ 0 term-by-term ((p−q)(ln p − ln q) ≥ 0);
+    // micro-nat quantization can only push the sum negligibly negative.
+    // Cohorts must partition exactly the non-null-value rows.
+    val psi = run("psi_drift").collect().head
+    assert(psi.getAs[Double]("psi") >= -1e-6, s"PSI negative: $psi")
+    val nonNull = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(psi.getAs[Long]("n_a") + psi.getAs[Long]("n_b") == nonNull,
+      "cohorts do not partition the non-null rows")
+    assert(psi.getAs[Long]("n_a") > 0 && psi.getAs[Long]("n_b") > 0)
+
+    // hard_negatives: one row per anchor, labels differ, and the reported
+    // mate IS the brute-force argmax over the candidate set (rounded-cos
+    // desc, vec_id asc — the engine's own tiebreak).
+    val hn = run("hard_negatives").collect()
+    assert(hn.nonEmpty, "no hard negatives at this sf — test degenerate")
+    assert(hn.forall(r => r.getAs[String]("label") != r.getAs[String]("neg_label")),
+      "a hard negative shares its anchor's label")
+    val anchors = hn.map(_.getAs[Long]("vec_id"))
+    assert(anchors.distinct.length == anchors.length, "anchor emitted twice")
+    val emb = Tables.embeddings(spark, sf).collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      r.getAs[Long]("vec_id") -> (v, Option(r.getAs[String]("label")))
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val cand = operators.Similarity.neardupCandidates(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val bySrc = (cand ++ cand.map(_.swap)).groupBy(_._1)
+    val expected = bySrc.flatMap { case (qid, ps) =>
+      val (qv, qlab) = emb(qid)
+      val mates = ps.map(_._2).distinct
+        .filter(v => emb(v)._2.isDefined && qlab.isDefined && emb(v)._2 != qlab)
+        .map { v =>
+          val (nv, _) = emb(v)
+          (v, dot(qv, nv) / (norm(qv) * norm(nv)))
+        }
+      if (mates.isEmpty) None
+      else Some(qid -> mates.minBy { case (v, c) =>
+        (-BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP), v)
+      })
+    }
+    assert(hn.length == expected.size, "anchor set differs from brute force")
+    hn.foreach { r =>
+      val qid = r.getAs[Long]("vec_id")
+      val (expV, expC) = expected(qid)
+      assert(r.getAs[Long]("neg_id") == expV, s"anchor $qid: wrong negative")
+      assert(math.abs(r.getAs[Double]("cosine") -
+        BigDecimal(expC).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+
+    // minhash_est_error: a band collision implies ≥ rows-per-band (4)
+    // agreeing signature components; the ≥0.5-true-Jaccard slice of the
+    // calibration frame must be EXACTLY minhash_pairs' pair set.
+    val est = run("minhash_est_error").collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val m = r.getAs[Int]("sig_matches")
+      assert(m >= 4 && m <= 16, s"sig_matches out of band-collision range: $m")
+      val e = r.getAs[Double]("est_jaccard"); val j = r.getAs[Double]("jaccard")
+      assert(e >= 0.0 && e <= 1.0 && j > 0.0 && j <= 1.0)
+      assert(math.abs(r.getAs[Double]("err") -
+        BigDecimal(e - j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    val confirmed = est.filter(_.getAs[Double]("jaccard") >= 0.5)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val mhPairs = run("minhash_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(confirmed == mhPairs,
+      "calibration frame's ≥0.5 slice disagrees with minhash_pairs")
+  }
+
   test("bq_topk: 1-bit Hamming shortlist recall floor, well-formed ranking") {
     // Uniform-data regime (see the ann_lsh_topk note): sign-bit Hamming
     // over 64 dims tracks angle well enough that a 50-deep shortlist
