@@ -636,8 +636,13 @@ object Similarity {
       (s, dir) => {
         val e = vecs(s, dir)
         val cand = neardupCandidates(s, dir)
-        val sym = cand.select(col("vec_a").as("qid"), col("vec_b").as("vid"))
-          .unionAll(cand.select(col("vec_b").as("qid"), col("vec_a").as("vid")))
+        // symmetrize by exploding both directions out of ONE pass — a
+        // unionAll of two selects would re-derive the whole LSH candidate
+        // chain twice (plans have no cache; the dup_pagerank lesson)
+        val sym = cand.select(explode(array(
+            struct(col("vec_a").as("qid"), col("vec_b").as("vid")),
+            struct(col("vec_b").as("qid"), col("vec_a").as("vid")))).as("p"))
+          .select(col("p.qid").as("qid"), col("p.vid").as("vid"))
         val scored = sym
           .join(e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
             col("embedding").as("qe"), col("norm").as("qn")), "qid")

@@ -343,6 +343,94 @@ object StreamingPipeline {
         abs(col(valueCol) - col("median_value")) / (col("mad") * c) > z)
   }
 
+  /** The frozen-bounds bin rule shared by [[driftMonitor]] and
+    * [[driftBaseline]]: psi_drift's equal-width rule with BOTH edges
+    * clamped — live values may leave the frozen reference range, and a
+    * range breach should land in an edge bin (where it reads as drift),
+    * not drop. */
+  private def binCol(v: org.apache.spark.sql.Column, lo: Double, hi: Double,
+      bins: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, greatest, least, lit}
+    if (hi > lo)
+      least(lit((bins - 1).toLong), greatest(lit(0L),
+        floor((v - lo) * bins / (hi - lo))))
+    else lit(0L)
+  }
+
+  /** Reference histogram for [[driftMonitor]]: (bin, ref_cnt) over the
+    * frozen [lo, hi] universe from a batch reference window. Absent bins
+    * are fine — the monitor Laplace-smooths over the full universe. */
+  def driftBaseline(ref: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    ref.filter(col(valueCol).isNotNull)
+      .withColumn("bin", binCol(col(valueCol), lo, hi, bins))
+      .groupBy("bin").agg(count(lit(1)).as("ref_cnt"))
+  }
+
+  /** Stream-static distribution-drift monitor: per event-time window, the
+    * Population Stability Index of the in-flight value distribution
+    * against a frozen reference histogram — the live face of the batch
+    * psi_drift query: same Laplace smoothing over the fixed bin universe,
+    * same integer micro-nat ln quantization, same DECIMAL contribution
+    * sums, same cross-multiplied 0.2 major-drift flag.
+    *
+    * Deployment shape: bounds and the reference histogram are FROZEN with
+    * the baseline (a stream has no global min/max to re-derive, and a
+    * drifting reference defeats the monitor); out-of-range live values
+    * clamp into the edge bins. The plan is two CHAINED windowed
+    * aggregations — (window, bin) counts, then per-window histogram
+    * assembly keyed on window_time() — the Spark 4 multiple-stateful-
+    * operator shape, so state is O(open windows × bins) regardless of
+    * rate; the PSI fold is stateless per-row arithmetic over
+    * ≤bins-element arrays against the broadcast one-row baseline. Emits
+    * once per window when the watermark closes it (append mode). */
+  def driftMonitor(
+      readings: DataFrame,
+      baseline: DataFrame,
+      lo: Double,
+      hi: Double,
+      bins: Int = 64,
+      tsCol: String = "timestamp",
+      valueCol: String = "value",
+      windowLen: String = "1 minute",
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val counts = readings
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("bin", binCol(col(valueCol), lo, hi, bins))
+      .groupBy(window(col(tsCol), windowLen), col("bin"))
+      .count()
+    val hist = counts
+      .groupBy(window(window_time(col("window")), windowLen).as("w"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("count")))).as("m"))
+    val base = baseline.agg(
+      map_from_entries(collect_list(struct(col("bin"), col("ref_cnt")))).as("rm"))
+    hist.crossJoin(broadcast(base))
+      .withColumn("u", sequence(lit(0L), lit((bins - 1).toLong)))
+      .withColumn("cur", expr("transform(u, i -> coalesce(m[i], 0L) + 1L)"))
+      .withColumn("ref", expr("transform(u, i -> coalesce(rm[i], 0L) + 1L)"))
+      .withColumn("na", expr("aggregate(cur, 0L, (a, x) -> a + x)"))
+      .withColumn("nb", expr("aggregate(ref, 0L, (a, x) -> a + x)"))
+      .withColumn("p6", expr(
+        """aggregate(zip_with(cur, ref, (sa, sb) ->
+             (CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)
+             * (CAST(round(ln(CAST(sa AS DOUBLE)) * 1e6) AS BIGINT)
+                - CAST(round(ln(CAST(sb AS DOUBLE)) * 1e6) AS BIGINT)
+                + CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6) AS BIGINT)
+                - CAST(round(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT))),
+           CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x)"""))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        (col("na") - bins).as("n"),
+        round(col("p6").cast(DoubleType) /
+          (col("na").cast(DoubleType) * col("nb") * 1e6), 6).as("psi"),
+        (col("p6") * 5 >
+          col("na").cast(DecimalType(38, 0)) * col("nb") * 1000000L)
+          .as("major_drift"))
+  }
+
   /** Scores in-flight documents with the batch-trained quality perceptron
     * (TextAnalysis.trainQualityPerceptron) — the train-offline /
     * infer-online composition every production corpus pipeline runs.

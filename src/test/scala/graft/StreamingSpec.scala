@@ -438,6 +438,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("driftMonitor: per-window PSI vs frozen baseline, integer-exact, flags major drift") {
+    implicit val sc = spark.sqlContext
+    val bins = 8
+    // reference window: uniform over bins 0..3 (values 5/15/25/35 ×3)
+    val ref = (0 until 3).flatMap(_ => Seq(5.0, 15.0, 25.0, 35.0)).toDF("value")
+    val baseline = StreamingPipeline.driftBaseline(ref, "value", 0.0, 100.0, bins)
+    val mem = MemoryStream[Reading]
+    val out = StreamingPipeline.driftMonitor(mem.toDF(), baseline,
+      lo = 0.0, hi = 100.0, bins = bins)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("drift").start()
+    try {
+      // window [10:00,10:01): the SAME distribution as the baseline
+      (0 until 3).foreach { i =>
+        Seq(5.0, 15.0, 25.0, 35.0).zipWithIndex.foreach { case (v, j) =>
+          mem.addData(reading(f"2024-01-01T10:00:${i * 4 + j}%02dZ", v))
+        }
+      }
+      // window [10:01,10:02): 12 rows piled into bin 7 — absent from the
+      // baseline (and 130.0 clamps into the top edge bin)
+      (0 until 11).foreach(i =>
+        mem.addData(reading(f"2024-01-01T10:01:$i%02dZ", 95.0)))
+      mem.addData(reading("2024-01-01T10:01:30Z", 130.0))
+      // advance the watermark past both windows
+      mem.addData(reading("2024-01-01T10:04:00Z", 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("drift").collect()
+        .sortBy(_.getAs[Timestamp]("window_start").getTime)
+      assert(rows.length == 2, s"expected both closed windows, got ${rows.length}")
+      val (same, shifted) = (rows(0), rows(1))
+      assert(same.getAs[Long]("n") == 12 && shifted.getAs[Long]("n") == 12)
+      // identical distribution → PSI exactly 0 (sa == sb for every bin)
+      assert(same.getAs[Double]("psi") == 0.0 && !same.getAs[Boolean]("major_drift"))
+      // shifted window: replicate the monitor's integer formula in-test
+      // (baseline bins by the same floor rule: 5→0, 15→1, 25→2, 35→2)
+      val refCnt = Seq(5.0, 15.0, 25.0, 35.0).flatMap(v => Seq.fill(3)(
+        math.floor(v * bins / 100.0).toLong)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val refSm = Array.tabulate(bins)(b => refCnt.getOrElse(b.toLong, 0L) + 1L)
+      val curSm = Array.tabulate(bins)(b => (if (b == 7) 12L else 0L) + 1L)
+      val (na, nb) = (curSm.sum, refSm.sum)
+      def l6(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+      val p6 = (0 until bins).map(b => BigInt(curSm(b) * nb - refSm(b) * na) *
+        BigInt(l6(curSm(b)) - l6(refSm(b)) + l6(nb) - l6(na))).sum
+      val expected = BigDecimal(p6.toDouble / (na.toDouble * nb * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(shifted.getAs[Double]("psi") == expected,
+        s"psi ${shifted.getAs[Double]("psi")} != hand-computed $expected")
+      assert(shifted.getAs[Boolean]("major_drift"),
+        "a wholesale distribution shift must trip the 0.2 flag")
+    } finally q.stop()
+  }
+
   test("kafka reader options carry the reference's consumer contract") {
     // processor.py:60-67 — subscribe (not assign), earliest start, and
     // failOnDataLoss=false; the offline harness has no broker, so pinning
