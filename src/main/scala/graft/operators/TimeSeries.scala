@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.{GraftQuery, Tables}
 
@@ -687,8 +687,153 @@ object TimeSeries {
                CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
                  AS BIGINT) AS p_ppm
         FROM t
-        ORDER BY from_type, to_type"""))
+        ORDER BY from_type, to_type""")),
+
+    // ---- lag-k autocorrelation of the hourly series (ACF) ----------------
+    // The seasonality DETECTOR feeding seasonal_baseline's profile: the
+    // Pearson autocorrelation of each event type's hourly-mean series at
+    // lags {1,2,3,6,12,24} h. A daily cycle shows as acf(24) ≫ acf(12);
+    // white noise shows nothing — run this before trusting any seasonal
+    // adjustment. Scale shape: the raw scan collapses to an hourly frame
+    // via ONE partial agg (davg cells, the seasonal_baseline discipline);
+    // every lag then probes that tiny frame through a single equi-join on
+    // (type, hour-number + k) — integer keys, no per-lag self-joins, no
+    // windows over raw rows. Moments follow the corr_stats exact-DECIMAL
+    // discipline; degenerate cells (n<2 or zero variance — constant
+    // series) are filtered by the SAME double comparison in both engines.
+    GraftQuery(
+      "autocorr",
+      (s, dir) => {
+        val lags = Seq(1, 2, 3, 6, 12, 24)
+        val W = DecimalType(30, 8)
+        val D8 = DecimalType(18, 8)
+        val series = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hu"))
+          .agg(graft.functions.Num.davg("value", scale = 4).as("y"))
+        val probes = series
+          .withColumn("k", explode(typedlit(lags)))
+          .select(col("event_type"), (col("hu") + col("k")).as("hu"),
+            col("k"), col("y").as("ylag"))
+        val sums = series.join(probes, Seq("event_type", "hu"))
+          .groupBy("event_type", "k")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y").cast(D8)).cast(DoubleType).as("sx"),
+            sum(col("ylag").cast(D8)).cast(DoubleType).as("sy"),
+            sum((col("y") * col("ylag")).cast(W)).cast(DoubleType).as("sxy"),
+            sum((col("y") * col("y")).cast(W)).cast(DoubleType).as("sxx"),
+            sum((col("ylag") * col("ylag")).cast(W)).cast(DoubleType).as("syy"))
+        sums
+          .filter(col("n") >= 2 &&
+            (col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n")) > 0 &&
+            (col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n")) > 0)
+          .select(col("event_type"), col("k").as("lag_hours"),
+            col("n").as("n_pairs"),
+            round(((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+              (sqrt((col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+               sqrt((col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n")))), 6)
+              .as("acf"))
+          .orderBy("event_type", "lag_hours")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hu, value
+          FROM events WHERE value IS NOT NULL),
+        series AS (
+          SELECT event_type, hu,
+                 ${graft.functions.Num.sqlDavg("value", scale = 4)} AS y
+          FROM e GROUP BY 1, 2),
+        probes AS (
+          SELECT event_type, hu + k AS hu, k, y AS ylag
+          FROM series CROSS JOIN (SELECT unnest([1,2,3,6,12,24]) AS k) l),
+        sums AS (
+          SELECT s.event_type, p.k, count(*) AS n,
+                 CAST(sum(CAST(s.y AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(p.ylag AS DECIMAL(18,8))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(s.y * p.ylag AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(s.y * s.y AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(p.ylag * p.ylag AS DECIMAL(30,8))) AS DOUBLE) AS syy
+          FROM series s JOIN probes p
+            ON s.event_type = p.event_type AND s.hu = p.hu
+          GROUP BY 1, 2)
+        SELECT event_type, k AS lag_hours, n AS n_pairs,
+               round(((sxy / n) - (sx / n) * (sy / n)) /
+                     (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+                      sqrt((syy / n) - (sy / n) * (sy / n))), 6) AS acf
+        FROM sums
+        WHERE n >= 2
+          AND (sxx / n) - (sx / n) * (sx / n) > 0
+          AND (syy / n) - (sy / n) * (sy / n) > 0
+        ORDER BY event_type, lag_hours""")),
+
+    // ---- inter-arrival regularity per user (bot detection) ---------------
+    // Humans are bursty; schedulers are metronomes. Per user with ≥
+    // [[BotMinGaps]] inter-event gaps: gap count, half-up integer mean gap,
+    // coefficient of variation, and the bot flag CV ≤ 0.1 decided ENTIRELY
+    // in integer arithmetic — cv² = (n·Σd² − S²)/S², so the gate is
+    // 100·n·Σd² ≤ 101·S² with exact DECIMAL products (an all-ties user has
+    // S = 0 and trips 0 ≤ 0 — simultaneous timestamps ARE the scheduler
+    // signature). One window pass per user for the deltas (the state is
+    // hash-partitioned by user — co-located, like event_transitions), one
+    // partial agg for the moments. CV's doubles come from identical
+    // DECIMAL casts in both engines; NULL when S = 0.
+    GraftQuery(
+      "bot_gaps",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val d = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("prev", lag("us", 1).over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")))
+          .filter(col("prev").isNotNull)
+          .withColumn("d", col("us") - col("prev"))
+        d.groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("d").cast(dec)).as("sd"),
+            sum(col("d").cast(dec) * col("d")).as("sd2"))
+          .filter(col("n_gaps") >= BotMinGaps)
+          // gap sums are µs over one table's time span — far inside BIGINT;
+          // the DECIMAL moments only guard the squared term
+          .select(col("user_id"), col("n_gaps"),
+            expr("(2 * CAST(sd AS BIGINT) + n_gaps) DIV (2 * n_gaps)").as("mean_gap_us"),
+            expr("""CASE WHEN sd > 0 THEN
+                      round(sqrt(CAST(n_gaps * sd2 - sd * sd AS DOUBLE))
+                            / CAST(sd AS DOUBLE), 4)
+                    END""").as("cv"),
+            (col("sd2") * 100L * col("n_gaps") <= col("sd") * col("sd") * 101L)
+              .as("bot_flag"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS d
+          FROM events),
+        m AS (
+          SELECT user_id, count(*) AS n_gaps,
+                 sum(CAST(d AS HUGEINT)) AS sd,
+                 sum(CAST(d AS HUGEINT) * d) AS sd2
+          FROM g WHERE d IS NOT NULL
+          GROUP BY 1
+          HAVING count(*) >= $BotMinGaps)
+        SELECT user_id, n_gaps,
+               CAST((2 * sd + n_gaps) // (2 * n_gaps) AS BIGINT) AS mean_gap_us,
+               CASE WHEN sd > 0 THEN
+                 round(sqrt(CAST(n_gaps * sd2 - sd * sd AS DOUBLE))
+                       / CAST(sd AS DOUBLE), 4)
+               END AS cv,
+               sd2 * 100 * n_gaps <= sd * sd * 101 AS bot_flag
+        FROM m
+        ORDER BY user_id"""))
   )
+
+  /** bot_gaps: minimum inter-event gaps before a user is profiled —
+    * below this the CV estimate is noise, not evidence. */
+  private val BotMinGaps = 5
 
   /** changepoints: samples per side of the two-sided mean window. */
   private val ChangepointWin = 30

@@ -442,6 +442,65 @@ class OperatorSpec extends SparkSuite {
       "calibration frame's ≥0.5 slice disagrees with minhash_pairs")
   }
 
+  test("autocorr matches built-in Pearson on the paired frame; bot_gaps flag replays exactly") {
+    // autocorr's exact-DECIMAL moment path vs Spark's own corr() — two
+    // independent numeric routes over the same pairs must agree to 1e-6
+    val acf = run("autocorr").collect()
+    assert(acf.nonEmpty)
+    acf.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf out of range: $a")
+      assert(Seq(1, 2, 3, 6, 12, 24).contains(r.getAs[Int]("lag_hours")))
+    }
+    val series = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hu"))
+      .agg(graft.functions.Num.davg("value", scale = 4).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    acf.foreach { r =>
+      val (et, k) = (r.getAs[String]("event_type"), r.getAs[Int]("lag_hours"))
+      // .toSeq BEFORE collect: Map.collect over tuple results rebuilds a
+      // Map, silently deduplicating pairs that share the same first value
+      val pairs = series.toSeq.collect {
+        case ((t, hu), y) if t == et && series.contains((t, hu + k)) =>
+          (y, series((t, hu + k)))
+      }
+      assert(pairs.size == r.getAs[Long]("n_pairs"), s"$et lag $k pair count")
+      val n = pairs.size.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val cov = pairs.map(p => p._1 * p._2).sum / n - (sx / n) * (sy / n)
+      val vx = pairs.map(p => p._1 * p._1).sum / n - (sx / n) * (sx / n)
+      val vy = pairs.map(p => p._2 * p._2).sum / n - (sy / n) * (sy / n)
+      val naive = cov / (math.sqrt(vx) * math.sqrt(vy))
+      assert(math.abs(r.getAs[Double]("acf") - naive) < 1e-5,
+        s"$et lag $k: acf ${r.getAs[Double]("acf")} vs naive $naive")
+    }
+
+    // bot_gaps: replay the integer gate per user from the raw events
+    val gaps = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { rows =>
+        val sorted = rows.sortBy(t => (t._3, t._2)).map(_._3)
+        sorted.zip(sorted.tail).map { case (a, b) => b - a }
+      }.toMap
+    val bg = run("bot_gaps").collect()
+    assert(bg.nonEmpty)
+    bg.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val ds = gaps(u).map(BigInt(_))
+      assert(ds.size >= 5 && ds.size == r.getAs[Long]("n_gaps"))
+      val (s1, s2) = (ds.sum, ds.map(d => d * d).sum)
+      val n = BigInt(ds.size)
+      assert(r.getAs[Boolean]("bot_flag") == (s2 * 100 * n <= s1 * s1 * 101),
+        s"user $u bot_flag mismatch")
+      assert(r.getAs[Long]("mean_gap_us") ==
+        ((2 * s1 + n) / (2 * n)).toLong, s"user $u mean gap")
+      if (s1 == 0) assert(r.isNullAt(r.fieldIndex("cv")))
+      else assert(r.getAs[Double]("cv") >= 0.0)
+    }
+  }
+
   test("bq_topk: 1-bit Hamming shortlist recall floor, well-formed ranking") {
     // Uniform-data regime (see the ann_lsh_topk note): sign-bit Hamming
     // over 64 dims tracks angle well enough that a 50-deep shortlist
