@@ -389,6 +389,120 @@ object Similarity {
       },
       Some(lshOracleSql)),
 
+    // ---- probe-radius recall curve (the ANN tuning readout) --------------
+    // The similarity-stack analog of dedup_threshold_curve: recall@10 and
+    // candidate volume at probe radius 0/1/2, read BEFORE committing a
+    // multiprobe setting to a 100 TB index build — radius buys recall
+    // with candidate volume, and this is the exchange rate on YOUR data.
+    // One candidate join serves every radius: each probe mask carries its
+    // Hamming weight, each (query, candidate) pair keeps the MINIMUM mask
+    // weight that finds it, and the curve is a cumulative rollup over
+    // that ≤3-value key — never one join per radius. Ground truth is the
+    // exact brute-force top-10 (broadcast query side, codegen'd dots),
+    // recall is integer ppm, so the whole diagnostic hash-checks.
+    GraftQuery(
+      "ann_probe_curve",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val buckets = e.select(col("vec_id"),
+          posexplode(LshPlanes.bucketsCol(col("embedding"))).as(Seq("table", "bucket")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm").as("qnorm"))
+        val qprobe = buckets.filter(col("vec_id") < 5)
+          .withColumn("m", explode(typedlit(LshPlanes.probeMasks(2))))
+          .select(col("vec_id").as("qid"), col("table").as("qtable"),
+            col("bucket").bitwiseXOR(col("m")).as("qcell"),
+            expr("bit_count(m)").as("w"))
+        val minw = buckets.join(broadcast(qprobe),
+            col("table") === col("qtable") && col("bucket") === col("qcell") &&
+            col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id").agg(min("w").as("minw"))
+        val scoredAll = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
+          .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosr"))
+        val truth = graft.plans.TopK.perKey(scoredAll, Seq("qid"),
+          Seq(("cosr", "desc"), ("vec_id", "asc")), 10)
+          .select(col("qid"), col("vec_id"), lit(1L).as("_t"))
+        val nt = truth.agg(count(lit(1)).as("nt"))
+        val perw = minw.join(truth, Seq("qid", "vec_id"), "left")
+          .groupBy("minw")
+          .agg(count(lit(1)).as("c"), sum(coalesce(col("_t"), lit(0L))).as("h"))
+        s.range(3).toDF("radius")
+          .join(broadcast(perw), col("minw") <= col("radius"), "left")
+          .groupBy("radius")
+          .agg(coalesce(sum("c"), lit(0L)).as("n_candidates"),
+            coalesce(sum("h"), lit(0L)).as("n_hits"))
+          .crossJoin(broadcast(nt))
+          .select(col("radius"), col("n_candidates"), col("n_hits"),
+            expr("CAST(n_hits * 1000000 DIV nt AS BIGINT)").as("recall_ppm"))
+          .orderBy("radius")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0),
+        planes AS (SELECT * FROM (VALUES
+          ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
+        dots AS (
+          SELECT e.vec_id, p.tbl, p.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(p.w) + 1), i -> e.v[i] * p.w[i])),
+                   (a, x) -> a + x) AS dot
+          FROM e CROSS JOIN planes p),
+        sigs AS (
+          SELECT vec_id, tbl,
+                 sum(CASE WHEN dot >= 0 THEN 1 << (${LshPlanes.planesPerTable - 1} - plane) ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id, tbl),
+        qprobe AS (
+          SELECT vec_id AS qid, tbl, xor(bucket, m.m) AS cell,
+                 bit_count(m.m) AS w
+          FROM sigs CROSS JOIN (SELECT unnest(${LshPlanes.sqlProbeMasks(2)}) AS m) m
+          WHERE vec_id < 5),
+        minw AS (
+          SELECT bq.qid, be.vec_id, min(bq.w) AS minw
+          FROM sigs be JOIN qprobe bq
+            ON be.tbl = bq.tbl AND be.bucket = bq.cell AND be.vec_id != bq.qid
+          GROUP BY 1, 2),
+        q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.qid, e.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i])),
+                   (a, x) -> a + x) / (e.norm * q.qnorm) AS cos
+          FROM e CROSS JOIN q
+          WHERE e.vec_id != q.qid),
+        truth AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(cos, 6) DESC, vec_id) AS rk
+            FROM scored)
+          WHERE rk <= 10),
+        nt AS (SELECT count(*) AS n FROM truth),
+        perw AS (
+          SELECT m.minw, count(*) AS c,
+                 sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+          FROM minw m LEFT JOIN truth t
+            ON m.qid = t.qid AND m.vec_id = t.vec_id
+          GROUP BY 1),
+        curve AS (
+          SELECT r.radius, coalesce(sum(c), 0) AS n_candidates,
+                 coalesce(sum(h), 0) AS n_hits
+          FROM range(3) r(radius) LEFT JOIN perw ON perw.minw <= r.radius
+          GROUP BY 1)
+        SELECT radius, CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(n_hits * 1000000 // n AS BIGINT) AS recall_ppm
+        FROM curve, nt
+        ORDER BY radius""")),
+
     // ---- IVF-style ANN: coarse quantizer = per-label centroids -----------
     // The inverted-file pattern: partition vectors by nearest coarse
     // centroid (here the label's mean vector — the testdata's built-in

@@ -410,6 +410,69 @@ object TextAnalysis {
         ORDER BY n"""
       }),
 
+    // ---- per-language unigram entropy (corpus naturalness scalar) --------
+    // Shannon entropy of the token distribution per language, with the
+    // V-normalized variant H/ln V in [0,1] — the complement of zipf_slope
+    // (a power-law fit assumes the shape; entropy measures concentration
+    // directly) and of distinct_ngrams (which counts types, not mass).
+    // Templated or machine-generated corpora crater H/lnV long before
+    // vocabulary size moves. Exactness: H = (N·lnN − Σ c·ln c)/N with
+    // every ln on an INTEGER count quantized to micro-nats term-by-term
+    // (the zipf_slope discipline), term sums in DECIMAL, and exactly one
+    // double division per output column; a single-token vocabulary emits
+    // NULL norm_entropy rather than 0/0. One token-frequency shuffle
+    // (partial-agg absorbed explode), then a per-language rollup.
+    GraftQuery(
+      "token_entropy",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        tf.groupBy("lang")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+            sum(expr("""CAST(c AS DECIMAL(38,0))
+                        * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)"""))
+              .as("s6"))
+          .withColumn("h_num", expr(
+            """CAST(n_tokens AS DECIMAL(38,0))
+               * CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) - s6"""))
+          .select(col("lang"), col("n_tokens"), col("vocab"),
+            round(col("h_num").cast(DoubleType) /
+              (col("n_tokens").cast(DoubleType) * 1e6), 4).as("entropy_nats"),
+            expr("""CASE WHEN vocab > 1 THEN
+                      round(CAST(h_num AS DOUBLE) /
+                        CAST(CAST(n_tokens AS DECIMAL(38,0))
+                             * CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6)
+                                    AS BIGINT) AS DOUBLE), 4)
+                    END""").as("norm_entropy"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        tf AS (SELECT lang, tok, count(*) c FROM tok GROUP BY 1, 2),
+        m AS (SELECT lang, sum(c) AS n_tokens, count(*) AS vocab,
+                     sum(CAST(c AS HUGEINT)
+                         * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS s6
+              FROM tf GROUP BY 1),
+        h AS (SELECT lang, n_tokens, vocab,
+                     CAST(n_tokens AS HUGEINT)
+                     * CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                     - s6 AS h_num
+              FROM m)
+        SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(vocab AS BIGINT) AS vocab,
+               round(CAST(h_num AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE) * 1e6), 4) AS entropy_nats,
+               CASE WHEN vocab > 1 THEN
+                 round(CAST(h_num AS DOUBLE) /
+                   CAST(CAST(n_tokens AS HUGEINT)
+                        * CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6)
+                               AS BIGINT) AS DOUBLE), 4)
+               END AS norm_entropy
+        FROM h
+        ORDER BY lang""")),
+
     // ---- PMI collocations: top bigrams by pointwise mutual information ---
     // The association complement of top_ngrams' raw frequency: PMI
     // ln(p_xy / (p_x·p_y)) surfaces bound collocations ("San Francisco")

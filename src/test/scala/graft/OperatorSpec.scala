@@ -501,6 +501,48 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("token_entropy replays exactly; ann_probe_curve is monotone and ties to ann_lsh") {
+    // token_entropy: replay H = (N·lnN − Σ c·ln c)/N per language with the
+    // same micro-nat quantization, from raw tokens
+    val te = run("token_entropy").collect()
+    assert(te.nonEmpty)
+    val counts = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[String]("lang"))
+    te.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val cs = counts(lang).map(_.getAs[Long]("c"))
+      val n = cs.sum
+      def l6(x: Long) = BigInt(math.round(math.log(x.toDouble) * 1e6))
+      val hNum = BigInt(n) * l6(n) - cs.map(c => BigInt(c) * l6(c)).sum
+      val h = BigDecimal(hNum.toDouble / (n.toDouble * 1e6))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("vocab") == cs.length)
+      assert(r.getAs[Double]("entropy_nats") == h, s"$lang entropy mismatch")
+      val norm = r.getAs[Double]("norm_entropy")
+      assert(norm > 0.0 && norm <= 1.0 + 1e-9, s"$lang norm entropy $norm")
+      assert(h <= math.log(cs.length.toDouble) + 1e-6, "H exceeds ln V")
+    }
+
+    // ann_probe_curve: cumulative in radius, internally consistent, and
+    // radius-2 hits bound the overlap ann_lsh_topk (same masks) achieves
+    val curve = run("ann_probe_curve").collect().sortBy(_.getAs[Long]("radius"))
+    assert(curve.map(_.getAs[Long]("radius")).toSeq == Seq(0L, 1L, 2L))
+    val cands = curve.map(_.getAs[Long]("n_candidates"))
+    val hits = curve.map(_.getAs[Long]("n_hits"))
+    assert(cands.toSeq == cands.sorted.toSeq && hits.toSeq == hits.sorted.toSeq,
+      "curve must be cumulative in radius")
+    curve.foreach(r => assert(
+      r.getAs[Long]("n_hits") <= r.getAs[Long]("n_candidates")))
+    val exact = run("cosine_topk").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("ann_lsh_topk").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.intersect(exact).size <= hits.last,
+      "ann_lsh_topk finds truth pairs the radius-2 candidate set lacks")
+  }
+
   test("bq_topk: 1-bit Hamming shortlist recall floor, well-formed ranking") {
     // Uniform-data regime (see the ann_lsh_topk note): sign-bit Hamming
     // over 64 dims tracks angle well enough that a 50-deep shortlist

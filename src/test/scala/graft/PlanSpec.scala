@@ -339,4 +339,25 @@ class PlanSpec extends SparkSuite {
     assert(plan.matches("(?s).*Exchange hashpartitioning\\(g#.*"),
       "dup_spans does not shuffle on the gram digest")
   }
+
+  test("wave-8 plans: scan counts, shuffle reuse, heap-based ranking") {
+    def scans(name: String) =
+      "FileScan parquet".r.findAllIn(planOf(name)).length
+    // psi_drift inherits ks_drift's shape: one bounds scan + one binning
+    // scan; everything after is <=PsiBins rows
+    assert(scans("psi_drift") == 2, "psi_drift must scan events exactly twice")
+    // autocorr: series + probes re-derive the hourly rollup — exactly two
+    // scans TOTAL, never one per lag (one integer join carries all six)
+    assert(scans("autocorr") == 2, "autocorr must not scan per lag")
+    // bot_gaps: the deltas window hash-partitions by user_id and the
+    // moments groupBy must REUSE that partitioning — one hash exchange
+    // end to end (the presentation orderBy adds only a range exchange)
+    val bg = planOf("bot_gaps")
+    assert("Exchange hashpartitioning".r.findAllIn(bg).size == 1,
+      "bot_gaps' aggregation stopped reusing the window's user_id shuffle")
+    // hard_negatives: per-anchor argmax through the two-phase heap exec,
+    // never a full per-anchor window sort
+    assert(planOf("hard_negatives").contains("TopKPerKey"),
+      "hard_negatives must rank via TopKPerKey")
+  }
 }
