@@ -473,6 +473,49 @@ object TextAnalysis {
         FROM h
         ORDER BY lang""")),
 
+    // ---- hapax ratio per document (gibberish / OCR-noise detector) -------
+    // Tokens with corpus collection-frequency 1 are hapax legomena; a
+    // document whose token mass is dominated by them is OCR garbage,
+    // mojibake, or random-ID boilerplate — text the perplexity and
+    // stopword gates under-penalize because they score what IS recognized.
+    // The flag at >30% hapax mass is cross-multiplied (10·n_rare > 3·n)
+    // so no float decides it. Scale: one corpus-frequency shuffle on token
+    // text (partial agg absorbs the explode), one shuffle join back onto
+    // the occurrences — the vocabulary is too big to broadcast by
+    // construction (hapaxes grow with the corpus), which is exactly why
+    // the join keys on the token and nothing wider — then a per-doc
+    // rollup. Null-text docs have no tokens and emit nothing, identically
+    // in both engines.
+    GraftQuery(
+      "rare_token_rate",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        toks.join(cf, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+            expr("CAST(n_rare * 1000000 DIV n_tokens AS BIGINT)").as("rare_ppm"),
+            (col("n_rare") * 10L > col("n_tokens") * 3L).as("flagged"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        cf AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        d AS (SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_rare
+              FROM toks JOIN cf USING (tok)
+              GROUP BY 1)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_rare AS BIGINT) AS n_rare,
+               CAST(n_rare * 1000000 // n_tokens AS BIGINT) AS rare_ppm,
+               n_rare * 10 > n_tokens * 3 AS flagged
+        FROM d
+        ORDER BY doc_id""")),
+
     // ---- PMI collocations: top bigrams by pointwise mutual information ---
     // The association complement of top_ngrams' raw frequency: PMI
     // ln(p_xy / (p_x·p_y)) surfaces bound collocations ("San Francisco")

@@ -131,4 +131,22 @@ class AqePlanSpec extends SparkSuite {
       assert(!finalPlan(name).contains("CartesianProduct"),
         s"$name gained a CartesianProduct after adaptive re-planning")
   }
+
+  test("wave-8 gates hold on final adaptive plans") {
+    // hard_negatives: the per-anchor argmax stays a heap exec and the
+    // candidate chain never degenerates to a cartesian under re-planning
+    val hn = finalPlan("hard_negatives")
+    assert(hn.contains("TopKPerKey"),
+      "hard_negatives lost its heap top-k in the final adaptive plan")
+    assert(!hn.contains("CartesianProduct"))
+    // bot_gaps / psi_drift / token_entropy / rare_token_rate: map-side
+    // partials survive adaptive re-planning
+    for (name <- Seq("bot_gaps", "psi_drift", "token_entropy",
+        "rare_token_rate", "autocorr"))
+      assert("HashAggregate".r.findAllIn(finalPlan(name)).size >= 2,
+        s"$name lost map-side partial aggregation under AQE")
+    for (name <- Seq("minhash_est_error", "ann_probe_curve", "autocorr"))
+      assert(!finalPlan(name).contains("CartesianProduct"),
+        s"$name gained a CartesianProduct after adaptive re-planning")
+  }
 }

@@ -525,6 +525,21 @@ class OperatorSpec extends SparkSuite {
       assert(h <= math.log(cs.length.toDouble) + 1e-6, "H exceeds ln V")
     }
 
+    // rare_token_rate: Σ n_rare over docs must equal the corpus hapax
+    // count (each hapax occurs exactly once, in exactly one doc), and the
+    // flag replays from the row's own integers
+    val rtr = run("rare_token_rate").collect()
+    val corpusTf = counts.values.flatten
+      .groupBy(_.getAs[String]("tok")).view
+      .mapValues(_.map(_.getAs[Long]("c")).sum).toMap
+    assert(rtr.map(_.getAs[Long]("n_rare")).sum == corpusTf.values.count(_ == 1L),
+      "per-doc rare sums disagree with the corpus hapax count")
+    rtr.foreach { r =>
+      assert(r.getAs[Long]("n_rare") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Boolean]("flagged") ==
+        (r.getAs[Long]("n_rare") * 10 > r.getAs[Long]("n_tokens") * 3))
+    }
+
     // ann_probe_curve: cumulative in radius, internally consistent, and
     // radius-2 hits bound the overlap ann_lsh_topk (same masks) achieves
     val curve = run("ann_probe_curve").collect().sortBy(_.getAs[Long]("radius"))
