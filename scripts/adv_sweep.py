@@ -24,6 +24,26 @@ caught (and the fixes now pin) an ANSI-mode cast abort in json_extract
 on non-integer JSON values and oracle-side json_extract_string errors
 on malformed/empty props in json_extract/variant_stats — after the
 TRY_CAST hardening, 20/20 events-backed queries PASS.
+
+Round-7 fourth session: the FULL registry (181 queries) now runs against
+all three hostile corpora, which surfaced and fixed:
+ - contentHash/doc_fingerprint NULL-text divergence (Spark NULL vs
+   DuckDB list_prepend-[0] → 0); both sides now coalesce(text, '').
+ - tokenCumsum's offsets equi-join dropped NULL-lang rows the oracle's
+   window PARTITION BY kept (shard_packing/pack_sequences).
+ - polyHash/polyHash2/cdcBounds folded UTF-8 BYTES / UTF-16 units while
+   the oracles fold CODEPOINTS — divergent on any non-ASCII char
+   (café/emoji); all kernels now iterate codepoints.
+ - a DuckDB 1.0 list_reduce bug: a CASE branching on the ACCUMULATOR
+   inside the lambda miscomputes when many varying-length lists share a
+   chunk (span_corruption); the oracle fold is now branch-free
+   boolean-arithmetic.
+ - pack_sequences' all-null offset groups ('' in concat_ws vs NULL in
+   string_agg), global_row_number's un-CAST TIMESTAMPTZ output, and
+   approx_quantiles' value-window claim, which the sketch guarantee
+   does not imply on sparse tails (now the true rank-window check).
+After the fixes: 181/181 PASS on /tmp/adv_corpus, /tmp/adv_events and
+/tmp/adv_emb, and 181/181 on the driver corpus at all three sfs.
 """
 import random
 import shutil

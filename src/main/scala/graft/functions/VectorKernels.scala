@@ -164,8 +164,10 @@ object VectorKernels {
     * iteration (measured 12 s for the whole corpus at sf0.1 vs sub-second
     * here). Token code = first-char codepoint · 131 + last-char codepoint
     * + length, the same arithmetic the DuckDB oracle and doc_fingerprint
-    * compute (charAt suffices: the corpus contract is BMP text, matching
-    * ascii(substring(t,-1,1)) semantics). */
+    * compute — on CODEPOINTS, not UTF-16 units: ascii()/length() in both
+    * engines are codepoint-based, and a charAt/String.length fold
+    * diverges on the first surrogate-pair token (emoji) the corpus
+    * carries (hostile-corpus sweep finding). */
   def cdcBounds(text: UTF8String, w: Int, d: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val toks = text.toString.split(" ", -1)
     val n = toks.length
@@ -175,7 +177,9 @@ object VectorKernels {
       val t = toks(i)
       codes(i) =
         if (t.isEmpty) 0L
-        else t.charAt(0).toLong * 131 + t.charAt(t.length - 1).toLong + t.length
+        else t.codePointAt(0).toLong * 131 +
+          t.codePointBefore(t.length).toLong +
+          t.codePointCount(0, t.length).toLong
       i += 1
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -266,11 +270,21 @@ object VectorKernels {
       Array[Any](toks.length.toLong, masked, spans))
   }
 
+  /** Char-polynomial fold over Unicode CODEPOINTS — the oracles compute
+    * `unicode(substring(g, i, 1))` per character, which is the codepoint,
+    * not the UTF-8 byte: a byte fold agrees on ASCII but diverges on the
+    * first accented char or emoji (hostile-corpus sweep finding — doc
+    * with 'café … 😀' fingerprinted differently per engine). Codepoint
+    * iteration also handles surrogate pairs (non-BMP) correctly. */
   def polyHash(s: UTF8String): Long = {
-    val bytes = s.getBytes
+    val str = s.toString
     var acc = 0L
     var i = 0
-    while (i < bytes.length) { acc = (acc * 131 + (bytes(i) & 0xff)) % MinHashP; i += 1 }
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 131 + cp) % MinHashP
+      i += Character.charCount(cp)
+    }
     acc
   }
 
@@ -343,11 +357,17 @@ object VectorKernels {
     * multiplier + modulus, both ~2^30 so bits 0..31 are well-populated). */
   val SimHashP2 = 998244353L
 
+  /** Codepoint fold like [[polyHash]] — the oracle's unicode() per-char
+    * formula; a byte fold diverges on the first non-ASCII char. */
   def polyHash2(s: UTF8String): Long = {
-    val bytes = s.getBytes
+    val str = s.toString
     var acc = 7L
     var i = 0
-    while (i < bytes.length) { acc = (acc * 137 + (bytes(i) & 0xff)) % SimHashP2; i += 1 }
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 137 + cp) % SimHashP2
+      i += Character.charCount(cp)
+    }
     acc
   }
 

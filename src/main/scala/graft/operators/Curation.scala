@@ -95,25 +95,30 @@ object Curation {
     * with a single window. */
   private def tokenCumsum(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // lang rides twice: verbatim for the output, null-coalesced as the
+    // partition/join key — the offsets join is an equi-join, and a NULL
+    // lang would drop its rows where the oracle's window PARTITION BY
+    // keeps them as one group (hostile-corpus sweep finding)
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
+        coalesce(col("lang"), lit("")).as("lkey"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
     val bounds = base.agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
     val bucketed = base.crossJoin(broadcast(bounds))
       .withColumn("bkt",
         PipelineOps.rangeBucket("doc_id", "dmin", "dmax", CumsumBuckets))
       .drop("dmin", "dmax")
-    val wLocal = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+    val wLocal = Window.partitionBy("lkey", "bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = bucketed.groupBy("lang", "bkt")
+    val offsets = bucketed.groupBy("lkey", "bkt")
       .agg(sum("n_tokens").as("btok"))
       .withColumn("off", coalesce(
-        sum("btok").over(Window.partitionBy("lang").orderBy("bkt")
+        sum("btok").over(Window.partitionBy("lkey").orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("lang", "bkt", "off")
+      .select("lkey", "bkt", "off")
     bucketed
       .withColumn("lcum", sum("n_tokens").over(wLocal))
-      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .join(broadcast(offsets), Seq("lkey", "bkt"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("off") + col("lcum")).as("cum"))
   }
@@ -122,9 +127,14 @@ object Curation {
     * doc_fingerprint): per-token code from first/last char + length,
     * folded mod 1e9+7. Deterministic, positive, uniform enough for
     * percent-bucket sampling. */
+  // text coalesced to '' FIRST: on a null-text row Spark's aggregate(NULL)
+  // is NULL while DuckDB's list_prepend(0, NULL) is [0] — the hash would
+  // be NULL vs 0 and every bucket filter downstream would disagree
+  // (full-hostile-corpus sweep finding). With '', both engines hash the
+  // single empty token to 0.
   private def contentHash = expr(
     """aggregate(
-         transform(split(text, ' '),
+         transform(split(coalesce(text, ''), ' '),
                    t -> CAST(ascii(substring(t, 1, 1)) * 131
                              + ascii(substring(t, -1, 1))
                              + length(t) AS BIGINT)),
@@ -133,7 +143,7 @@ object Curation {
   private val sqlContentHash = """
       list_reduce(
         list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(text, ' '),
+          list_transform(string_split(coalesce(text, ''), ' '),
             t -> CAST(ascii(substring(t, 1, 1)) * 131
                       + ascii(substring(t, -1, 1))
                       + length(t) AS BIGINT))),
@@ -144,10 +154,15 @@ object Curation {
     * so the two queries cannot disagree on boundaries. */
   private def cdcChunkSpans(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
+    // coalesce(text, ''): a null-text doc must chunk like the empty doc
+    // (one empty-token chunk) in BOTH engines — Spark's null-propagating
+    // kernel dropped it while the oracle emitted a null-bend chunk
+    // (hostile-corpus sweep finding)
     Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
       .withColumn("bounds",
-        graft.functions.VectorExpressions.cdcBounds(col("text"), CdcWindow, CdcDivisor))
+        graft.functions.VectorExpressions.cdcBounds(
+          coalesce(col("text"), lit("")), CdcWindow, CdcDivisor))
       .withColumn("starts", expr("concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
       .select(col("doc_id"), col("toks"), col("starts"),
         posexplode(col("bounds")).as(Seq("chunk_id", "bend")))
@@ -156,7 +171,8 @@ object Curation {
     * j, bend)` — ONE copy of the token-code/rolling-hash formula for both
     * CDC oracles. */
   private def sqlCdcCtes: String = s"""
-        t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') toks
+              FROM documents),
         c AS (SELECT doc_id, toks, len(toks) n,
                 list_transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 131
                                                + ascii(substring(t, -1, 1))
@@ -811,7 +827,11 @@ object Curation {
         SELECT lang, shard_id, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids,
-               string_agg(cum - n_tokens - shard_start, ',' ORDER BY doc_id) AS offsets
+               -- coalesce to '': both engines SKIP null offsets (null-text
+               -- docs), but an all-null group is '' in Spark's concat_ws
+               -- and NULL in string_agg (hostile-corpus sweep finding)
+               coalesce(string_agg(cum - n_tokens - shard_start, ','
+                 ORDER BY doc_id), '') AS offsets
         FROM m
         GROUP BY 1, 2
         ORDER BY lang, shard_id""")),
@@ -881,8 +901,11 @@ object Curation {
       "span_corruption",
       (s, dir) => {
         import graft.functions.{VectorExpressions => V}
+        // coalesce(text, ''): the null-propagating kernel emitted NULL
+        // counts where the oracle's list_prepend(0, NULL) produced 0s —
+        // align both on the empty-doc semantics (1 empty token)
         Tables.documents(s, dir)
-          .withColumn("_sc", V.spanCorruption(col("text")))
+          .withColumn("_sc", V.spanCorruption(coalesce(col("text"), lit(""))))
           .select(col("doc_id"),
             col("_sc").getItem(0).as("n_tokens"),
             col("_sc").getItem(1).as("n_masked"),
@@ -892,7 +915,8 @@ object Curation {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') toks
+                   FROM documents),
         h AS (SELECT doc_id, len(toks) AS n_tok,
                 list_transform(toks, tk ->
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -901,11 +925,17 @@ object Curation {
                     (a, c) -> (a * 131 + c) % ${graft.functions.VectorKernels.MinHashP})) AS hs
               FROM t),
         f AS (SELECT doc_id, n_tok,
+                -- branch-FREE fold: a CASE inside a list_reduce lambda
+                -- miscomputes in DuckDB 1.0 when many varying-length lists
+                -- share a vector chunk (full-corpus run returned 33/11 for
+                -- a row that computes 27/9 isolated, in the packed python
+                -- replica, and in the greedy kernel — hostile-corpus
+                -- sweep finding); boolean-to-int arithmetic sidesteps it
                 list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-                  (acc, hv) -> CASE
-                    WHEN acc % 4 > 0 THEN acc + 3
-                    WHEN hv % 7 = 0 THEN acc + (hv // 7) % 3 + 4 + 32768
-                    ELSE acc END) AS acc
+                  (acc, hv) -> acc
+                    + CAST(acc % 4 > 0 AS BIGINT) * 3
+                    + CAST(acc % 4 = 0 AS BIGINT) * CAST(hv % 7 = 0 AS BIGINT)
+                      * ((hv // 7) % 3 + 4 + 32768)) AS acc
               FROM h)
         SELECT doc_id,
                CAST(n_tok AS BIGINT) AS n_tokens,

@@ -280,14 +280,16 @@ object Multimodal {
     out
   }
 
-  /** RIFF chunk-walking PCM decode; returns (n_samples, Σ|s|, max|s|). */
-  def decodeWav(payload: Array[Byte]): (Long, Long, Int) = {
+  /** RIFF chunk walk → signed s16 samples: the shared decode core behind
+    * both the amplitude stats (wav_decode) and the windowed features
+    * (audio_features). */
+  def wavSamples(payload: Array[Byte]): Array[Int] = {
     require(payload.length >= 12 &&
       new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
       new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a WAV payload")
     var o = 12
     var fmtOk = false
-    var res: Option[(Long, Long, Int)] = None
+    var res: Option[Array[Int]] = None
     while (o + 8 <= payload.length && res.isEmpty) {
       val id = new String(payload, o, 4, "US-ASCII")
       val size = rdLe32(payload, o + 4)
@@ -308,16 +310,8 @@ object Multimodal {
         case "data" =>
           require(fmtOk, "data chunk before fmt — malformed WAV")
           val n = size / 2
-          var (sum, peak) = (0L, 0)
-          var i = 0
-          while (i < n) {
-            val v = rdLe16(payload, body + 2 * i).toShort.toInt
-            val a = math.abs(v)
-            sum += a
-            if (a > peak) peak = a
-            i += 1
-          }
-          res = Some((n.toLong, sum, peak))
+          res = Some(Array.tabulate(n)(i =>
+            rdLe16(payload, body + 2 * i).toShort.toInt))
         case _ => // skip unknown chunks (JUNK, LIST, ...)
       }
       o = body + size + (size & 1)                    // RIFF word alignment
@@ -325,10 +319,62 @@ object Multimodal {
     res.getOrElse(throw new IllegalArgumentException("WAV has no data chunk"))
   }
 
+  /** RIFF chunk-walking PCM decode; returns (n_samples, Σ|s|, max|s|). */
+  def decodeWav(payload: Array[Byte]): (Long, Long, Int) = {
+    val s = wavSamples(payload)
+    var (sum, peak) = (0L, 0)
+    var i = 0
+    while (i < s.length) {
+      val a = math.abs(s(i))
+      sum += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    (s.length.toLong, sum, peak)
+  }
+
   def wavFeatures(rows: Iterator[MediaRecord]): Iterator[WavFeatures] =
     rows.map { r =>
       val (n, sum, peak) = decodeWav(encodeWav(r.payload))
       WavFeatures(r.doc_id, n, sum, peak)
+    }
+
+  /** audio_features frame width: 256 samples (32 ms at the encoder's
+    * 8 kHz) — the usual VAD/energy analysis granularity. */
+  val AudioFrame = 256
+
+  final case class AudioFeatures(doc_id: Long, n_samples: Long,
+      energy: Long, zero_crossings: Long, loud_frame: Int, loud_energy: Long)
+
+  /** Windowed energy / zero-crossing extraction over the decoded PCM —
+    * the feature step (VAD, loudness normalization, silence trimming)
+    * that follows a raw decode in an audio curation pipeline. Integer
+    * throughout: energy is Σ s² in BIGINT, a crossing is a strict
+    * sign-product < 0 (zeros break runs), the loudest frame is the FIRST
+    * argmax. */
+  def audioFeatures(rows: Iterator[MediaRecord]): Iterator[AudioFeatures] =
+    rows.map { r =>
+      val s = wavSamples(encodeWav(r.payload))
+      var energy = 0L
+      var zc = 0L
+      var i = 0
+      while (i < s.length) {
+        energy += s(i).toLong * s(i)
+        if (i > 0 && s(i - 1).toLong * s(i) < 0) zc += 1
+        i += 1
+      }
+      val nf = (s.length + AudioFrame - 1) / AudioFrame
+      var (lf, le) = (-1, 0L)
+      var f = 0
+      while (f < nf) {
+        var e = 0L
+        var k = f * AudioFrame
+        val end = math.min((f + 1) * AudioFrame, s.length)
+        while (k < end) { e += s(k).toLong * s(k); k += 1 }
+        if (lf < 0 || e > le) { le = e; lf = f }
+        f += 1
+      }
+      AudioFeatures(r.doc_id, s.length.toLong, energy, zc, lf, le)
     }
 
   // ------------------------------------------------------------------ PNG
@@ -632,6 +678,66 @@ object Multimodal {
                CAST(coalesce(list_sum(s), 0) AS BIGINT) AS sum_abs,
                CAST(coalesce(list_max(s), 0) AS INT) AS peak
         FROM a
+        ORDER BY doc_id""")),
+
+    // ---- windowed audio features over the decoded PCM --------------------
+    // The step AFTER the raw decode in an audio curation pipeline:
+    // energy, zero-crossing rate, and the loudest 256-sample frame — the
+    // primitives VAD, silence trimming, and loudness normalization are
+    // built from. Runs through the REAL chunk-walking decoder
+    // ([[wavSamples]] — same walk wav_decode verifies), per-partition
+    // batch shape; the oracle rebuilds every signed sample from the
+    // hex-recovered bytes and replays the frame slicing, so a decoder
+    // that drops samples, mis-signs, or mis-frames hash-mismatches.
+    // All integer: energy is Σ s² in BIGINT, a crossing is a strict
+    // sign-product < 0, the loudest frame is the first argmax (DuckDB
+    // list_position returns the first match).
+    GraftQuery(
+      "audio_features",
+      (s, dir) => {
+        import s.implicits._
+        asMedia(s, dir).mapPartitions(audioFeatures).toDF()
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h, octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        u AS (
+          SELECT doc_id, n,
+            list_transform(range(1, (n + 1) // 2 + 1),
+              k -> bytes[2*k - 1] + 256 * coalesce(bytes[2*k], 0)) AS v
+          FROM b),
+        sg AS (
+          SELECT doc_id,
+            list_transform(v,
+              x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS s
+          FROM u),
+        fr AS (
+          SELECT doc_id, s,
+            list_transform(range(0, (len(s) + ${AudioFrame - 1}) // $AudioFrame),
+              f -> list_sum(list_transform(
+                     list_slice(s, f * $AudioFrame + 1,
+                       least((f + 1) * $AudioFrame, len(s))),
+                     x -> CAST(x AS BIGINT) * x))) AS fe
+          FROM sg)
+        SELECT doc_id,
+               CAST(len(s) AS BIGINT) AS n_samples,
+               CAST(coalesce(list_sum(list_transform(s,
+                 x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS energy,
+               CAST(coalesce(list_sum(list_transform(range(2, len(s) + 1),
+                 k -> CASE WHEN s[k-1] * s[k] < 0 THEN 1 ELSE 0 END)), 0)
+                 AS BIGINT) AS zero_crossings,
+               CAST(coalesce(list_position(fe, list_max(fe)) - 1, -1) AS INT)
+                 AS loud_frame,
+               CAST(coalesce(list_max(fe), 0) AS BIGINT) AS loud_energy
+        FROM fr
         ORDER BY doc_id""")),
 
     // ---- REAL PNG (deflate + filtered scanlines) decode (oracle-checked) -

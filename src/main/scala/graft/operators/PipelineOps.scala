@@ -261,8 +261,9 @@ object PipelineOps {
         .select("event_id", "ts", "global_idx")
         .orderBy("global_idx"),
       Some("""
-        SELECT event_id, ts,
-               CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS global_idx
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                 AS BIGINT) AS global_idx
         FROM events
         ORDER BY global_idx"""))
   )

@@ -361,32 +361,46 @@ object Stats {
 
     // ---- quantile sketch, oracle-checked via its accuracy bound ----------
     // Same discipline as approx_distinct: the sketch estimate itself is
-    // engine-private (Greenwald-Khanna variant, returns actual data points
-    // while percentile() interpolates), so the registered row emits the
-    // exact interpolated percentiles (hash-checked) plus the sketch's
-    // RANK-window claim — the estimate must land between surrounding exact
-    // percentiles (p45..p55 for p50, p90..p99 for p95). That is the bound
-    // the sketch guarantees (0.1% rank error at accuracy=1000) and it is
-    // distribution-independent — a fixed VALUE tolerance breaks on sparse
-    // tails where adjacent order statistics sit far apart.
+    // engine-private (Greenwald-Khanna variant, returns actual data
+    // points while percentile() interpolates), so the registered row
+    // emits the exact interpolated percentiles (hash-checked) plus the
+    // sketch's RANK-window claim. The claim is checked on RANKS, not
+    // values: the estimate's rank interval [#(v<ap)+1, #(v<=ap)] must
+    // sit within q·n ± (n/1000 + 1) — the actual 0.1%-rank-error
+    // guarantee plus the discrete-rank slack. The earlier value-window
+    // formulation (estimate between interpolated p45..p55 / p90..p99)
+    // is NOT implied by the guarantee: on a sparse tail (4-row group
+    // with a ±1e9 outlier — hostile-events sweep finding) the returned
+    // DATA POINT legitimately exceeds interpolated p99.
     GraftQuery(
       "approx_quantiles",
-      (s, dir) => Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("_ex50"),
-             expr("approx_percentile(value, 0.5, 1000)").as("_ap50"),
-             expr("percentile(value, 0.95)").as("_ex95"),
-             expr("approx_percentile(value, 0.95, 1000)").as("_ap95"),
-             expr("percentile(value, 0.45)").as("_lo50"),
-             expr("percentile(value, 0.55)").as("_hi50"),
-             expr("percentile(value, 0.90)").as("_lo95"),
-             expr("percentile(value, 0.99)").as("_hi95"))
-        .select(col("event_type"),
-          round(col("_ex50"), 4).as("p50"),
-          round(col("_ex95"), 4).as("p95"),
-          (col("_ap50").between(col("_lo50"), col("_hi50")) &&
-           col("_ap95").between(col("_lo95"), col("_hi95"))).as("sketch_in_rank_window"))
-        .orderBy("event_type"),
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val ap = e.groupBy("event_type")
+          .agg(count(col("value")).as("nv"),
+            expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+            expr("approx_percentile(value, 0.95, 1000)").as("ap95"),
+            expr("percentile(value, 0.5)").as("ex50"),
+            expr("percentile(value, 0.95)").as("ex95"))
+        e.join(broadcast(ap), "event_type")
+          .groupBy("event_type")
+          .agg(first("nv").as("nv"),
+            first("ex50").as("ex50"), first("ex95").as("ex95"),
+            sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") < col("ap95"), 1L).otherwise(0L)).as("lt95"),
+            sum(when(col("value") <= col("ap95"), 1L).otherwise(0L)).as("le95"))
+          .select(col("event_type"),
+            round(col("ex50"), 4).as("p50"),
+            round(col("ex95"), 4).as("p95"),
+            (col("nv") === 0L ||
+             (col("lt50") <= col("nv") * 0.5 + col("nv") * 0.001 + 1 &&
+              col("le50") >= col("nv") * 0.5 - col("nv") * 0.001 - 1 &&
+              col("lt95") <= col("nv") * 0.95 + col("nv") * 0.001 + 1 &&
+              col("le95") >= col("nv") * 0.95 - col("nv") * 0.001 - 1))
+              .as("sketch_in_rank_window"))
+          .orderBy("event_type")
+      },
       Some("""
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,

@@ -691,8 +691,11 @@ object TextAnalysis {
     // an exact DuckDB list-function mirror.
     GraftQuery(
       "collection_funcs",
+      // coalesce(text, ''): Spark's concat_ws renders a NULL array as ''
+      // while DuckDB's array_to_string keeps NULL — align null-text docs
+      // on the empty-doc semantics in both engines
       (s, dir) => {
-        val toks = split(col("text"), " ")
+        val toks = split(coalesce(col("text"), lit("")), " ")
         Tables.documents(s, dir)
           .select(col("doc_id"),
             size(array_distinct(toks)).cast(LongType).as("n_distinct_tokens"),
@@ -703,7 +706,8 @@ object TextAnalysis {
           .orderBy("doc_id")
       },
       Some("""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+        WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') toks
+                   FROM documents)
         SELECT doc_id,
                len(list_distinct(toks)) AS n_distinct_tokens,
                array_to_string(list_sort(toks[1:3]), ' ') AS first3_sorted,
@@ -881,7 +885,7 @@ object TextAnalysis {
       "doc_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .withColumn("_codes", expr(
-          """transform(split(text, ' '),
+          """transform(split(coalesce(text, ''), ' '),
                        t -> CAST(ascii(substring(t, 1, 1)) * 131
                                  + ascii(substring(t, -1, 1))
                                  + length(t) AS BIGINT))"""))
@@ -893,7 +897,7 @@ object TextAnalysis {
         SELECT doc_id,
                list_reduce(
                  list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(text, ' '),
+                   list_transform(string_split(coalesce(text, ''), ' '),
                      t -> CAST(ascii(substring(t, 1, 1)) * 131
                                + ascii(substring(t, -1, 1))
                                + length(t) AS BIGINT))),

@@ -161,8 +161,10 @@ class PlanSpec extends SparkSuite {
     // The two-phase build's only data-sized windows partition by
     // (lang, bkt); the lang-alone window that remains orders by bkt over
     // the #langs×#buckets offsets frame, which is fine and allowed here.
-    val badShape = """\], \[lang#\d+\], \[doc_id#\d+L? ASC""".r
-    val goodShape = """\[lang#\d+, bkt#\d+L?\], \[doc_id#\d+L? ASC""".r
+    // the partition key is lkey (lang null-coalesced for the offsets
+    // join — hostile-corpus fix); the hazard shapes are lang OR lkey alone
+    val badShape = """\], \[l(?:ang|key)#\d+\], \[doc_id#\d+L? ASC""".r
+    val goodShape = """\[lkey#\d+, bkt#\d+L?\], \[doc_id#\d+L? ASC""".r
     for (name <- Seq("shard_packing", "pack_sequences")) {
       val plan = planOf(name)
       assert(badShape.findFirstIn(plan).isEmpty,

@@ -431,4 +431,31 @@ class PropertySpec extends SparkSuite {
         s"seed $s n=$n peak=$peak")
     }
   }
+
+  test("audio_features frame math replays against direct sample arithmetic") {
+    val byteGen = Gen.choose(0, 255).map(_.toByte)
+    val W = operators.Multimodal.AudioFrame
+    for (s <- 1 to 30) {
+      // sizes straddling the 256-sample frame edge (512/514 bytes) matter
+      val n = sample(Gen.oneOf(0, 1, 2, 511, 512, 513, 514, 2000), s)
+      val bytes = sample(Gen.listOfN(n, byteGen), s + 4000).toArray
+      val rec = operators.Multimodal.MediaRecord(1L, "audio", bytes)
+      val f = operators.Multimodal.audioFeatures(Iterator(rec)).next()
+      val samples = bytes.grouped(2).map { pair =>
+        val lo = pair(0) & 0xff
+        val hi = if (pair.length > 1) pair(1) & 0xff else 0
+        ((lo | (hi << 8)).toShort: Int)
+      }.toArray
+      assert(f.n_samples == samples.length)
+      assert(f.energy == samples.map(v => v.toLong * v).sum, s"seed $s energy")
+      assert(f.zero_crossings == samples.indices.drop(1)
+        .count(i => samples(i - 1).toLong * samples(i) < 0), s"seed $s zc")
+      val fes = samples.grouped(W).map(_.map(v => v.toLong * v).sum).toSeq
+      if (fes.isEmpty) assert(f.loud_frame == -1 && f.loud_energy == 0L)
+      else {
+        assert(f.loud_energy == fes.max, s"seed $s loud energy")
+        assert(f.loud_frame == fes.indexOf(fes.max), s"seed $s loud frame")
+      }
+    }
+  }
 }
