@@ -274,16 +274,32 @@ object VectorKernels {
     * `unicode(substring(g, i, 1))` per character, which is the codepoint,
     * not the UTF-8 byte: a byte fold agrees on ASCII but diverges on the
     * first accented char or emoji (hostile-corpus sweep finding — doc
-    * with 'café … 😀' fingerprinted differently per engine). Codepoint
-    * iteration also handles surrogate pairs (non-BMP) correctly. */
+    * with 'café … 😀' fingerprinted differently per engine). Codepoints
+    * decode straight off the UTF-8 bytes (no String round-trip: this
+    * fold runs per token/gram in every dedup pass, and a toString here
+    * measured ~20% on the simhash/winnow queries). */
   def polyHash(s: UTF8String): Long = {
-    val str = s.toString
+    val bytes = s.getBytes
     var acc = 0L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0xF0) {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        len = 4
+      } else if (b0 >= 0xE0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f)
+        len = 3
+      } else if (b0 >= 0xC0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+        len = 2
+      }
       acc = (acc * 131 + cp) % MinHashP
-      i += Character.charCount(cp)
+      i += len
     }
     acc
   }
@@ -357,16 +373,31 @@ object VectorKernels {
     * multiplier + modulus, both ~2^30 so bits 0..31 are well-populated). */
   val SimHashP2 = 998244353L
 
-  /** Codepoint fold like [[polyHash]] — the oracle's unicode() per-char
-    * formula; a byte fold diverges on the first non-ASCII char. */
+  /** Codepoint fold like [[polyHash]] (same inline UTF-8 decode) — the
+    * oracle's unicode() per-char formula; a byte fold diverges on the
+    * first non-ASCII char. */
   def polyHash2(s: UTF8String): Long = {
-    val str = s.toString
+    val bytes = s.getBytes
     var acc = 7L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0xF0) {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        len = 4
+      } else if (b0 >= 0xE0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f)
+        len = 3
+      } else if (b0 >= 0xC0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+        len = 2
+      }
       acc = (acc * 137 + cp) % SimHashP2
-      i += Character.charCount(cp)
+      i += len
     }
     acc
   }

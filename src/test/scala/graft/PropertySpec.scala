@@ -432,6 +432,36 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("polyHash/polyHash2 inline UTF-8 decode matches the JDK codepoint fold") {
+    // the kernels decode codepoints straight off UTF-8 bytes (hot path);
+    // pin them against the unambiguous String.codePointAt reference over
+    // ASCII, Latin-1, CJK, and surrogate-pair (emoji) content
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(s: String, mul: Long, seed: Long, p: Long): Long = {
+      var acc = seed; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * mul + cp) % p
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val pool = "aZ9 éü€的了😀🎉ÿ߿￿😀"
+    val cps = pool.codePoints().toArray
+    for (seed <- 1 to 200) {
+      val rnd = new scala.util.Random(seed)
+      val sb = new java.lang.StringBuilder()
+      (0 until rnd.nextInt(12)).foreach(_ =>
+        sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      val s = sb.toString
+      val u = UTF8String.fromString(s)
+      assert(graft.functions.VectorKernels.polyHash(u) ==
+        ref(s, 131, 0, graft.functions.VectorKernels.MinHashP), s"polyHash '$s'")
+      assert(graft.functions.VectorKernels.polyHash2(u) ==
+        ref(s, 137, 7, 998244353L), s"polyHash2 '$s'")
+    }
+  }
+
   test("audio_features frame math replays against direct sample arithmetic") {
     val byteGen = Gen.choose(0, 255).map(_.toByte)
     val W = operators.Multimodal.AudioFrame
