@@ -44,6 +44,17 @@ all three hostile corpora, which surfaced and fixed:
    does not imply on sparse tails (now the true rank-window check).
 After the fixes: 181/181 PASS on /tmp/adv_corpus, /tmp/adv_events and
 /tmp/adv_emb, and 181/181 on the driver corpus at all three sfs.
+
+Same session, fourth corpus: /tmp/adv_rel — hostile TPC-H-shape tables
+(null keys and null foreign keys, referential breaks both directions,
+duplicate (orderkey, linenumber) lines, 100% discounts, negative
+prices, epoch/midnight/tie timestamps, a 3000-line hot order). First
+drive: 179/181 — corr_stats/regr_stats ANSI-aborted (DIVIDE_BY_ZERO)
+on zero-variance groups; both now route the divisions through lazy
+CASE branches (NULL correlation/slope on degenerate groups, variance
+clamped at 0 before sqrt so fp cancellation cannot NaN), mirrored in
+the oracles. After: 181/181 PASS. Joins, rollups, windows, medians,
+salted_join, and fuzzy_join survived the corpus unchanged.
 """
 import random
 import shutil
@@ -182,5 +193,100 @@ def main():
           f"{con.sql('SELECT count(*) FROM d').fetchone()[0]} hostile docs")
 
 
+RDIR = "/tmp/adv_rel"
+
+
+def build_relational():
+    """Hostile TPC-H-shape star schema: null keys, referential breaks,
+    duplicate keys, extreme/negative money, midnight/tie timestamps, a
+    hot skew key — the join/rollup/percentile divergence surface the
+    well-behaved driver tables never exercise."""
+    subprocess.run(["mkdir", "-p", RDIR], check=True)
+    for t in ["region", "nation", "events", "documents", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{RDIR}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+
+    con.execute("""CREATE TABLE c (c_custkey BIGINT, c_name VARCHAR,
+      c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)""")
+    cust = [
+        (1, "Customer#1", 0, 100.5, "BUILDING"),
+        (2, "Customer#2", 1, -999999999.99, "AUTOMOBILE"),   # extreme debt
+        (3, None, 2, 0.0, "BUILDING"),                       # null name
+        (4, "Customer#4", None, 50.0, None),                 # null fk + segment
+        (5, "Customer#5", 3, None, "MACHINERY"),             # null balance
+        (6, "Customer#1", 4, 100.5, "BUILDING"),             # duplicate name
+        (7, "Customer#7", 0, 999999999.99, "HOUSEHOLD"),     # no orders
+    ]
+    con.executemany("INSERT INTO c VALUES (?,?,?,?,?)", cust)
+    con.execute(f"COPY c TO '{RDIR}/customer.parquet' (FORMAT PARQUET)")
+
+    con.execute("""CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT,
+      o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+      o_orderpriority VARCHAR)""")
+    mid = "2024-06-01 00:00:00"                              # midnight tie
+    orders = [
+        (100, 1, "O", 1000.0, mid, "1-URGENT"),
+        (101, 1, "F", 2000.0, mid, "2-HIGH"),                # same-ts tie
+        (102, 2, "O", None, "2024-06-02 12:00:00", "3-MEDIUM"),  # null price
+        (103, None, "F", 10.0, "2024-06-03 23:59:59", None),     # null custkey
+        (104, 9999, "O", 10.0, None, "5-LOW"),               # dangling fk, null date
+        (105, 5, None, 0.0, "2024-06-05 06:30:00", "4-NOT SPECIFIED"),
+        (106, 6, "P", 1e9, "2024-06-06 06:30:00", "1-URGENT"),  # extreme price
+    ]
+    con.executemany("INSERT INTO o VALUES (?,?,?,?,?,?)", orders)
+    con.execute(f"COPY o TO '{RDIR}/orders.parquet' (FORMAT PARQUET)")
+
+    con.execute("""CREATE TABLE l (l_orderkey BIGINT, l_partkey BIGINT,
+      l_suppkey BIGINT, l_linenumber INTEGER, l_quantity DOUBLE,
+      l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE,
+      l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)""")
+    li = [
+        (100, 1, 1, 1, None, 100.0, 0.1, 0.02, "N", "O", mid),  # null qty
+        (100, 2, 2, 2, 5.0, None, 0.0, 0.0, "R", "F", mid),     # null price
+        (100, 3, 1, 3, 5.0, 100.0, 1.0, 0.08, None, None, None),  # 100% disc
+        (101, 1, 2, 1, 5.0, -100.0, 0.5, 0.0, "A", "F", "2024-06-01 12:00:00"),
+        (101, 1, 2, 1, 5.0, -100.0, 0.5, 0.0, "A", "F",
+         "2024-06-01 12:00:00"),                             # exact dup line
+        (103, 4, 3, 1, 7.0, 70.0, None, None, "N", "O", "2024-06-03 00:00:00"),
+        (104, 5, 1, 1, 7.0, 70.0, 0.0, 0.0, "R", "F", "1970-01-01 00:00:00"),
+        (999, 1, 1, 1, 7.0, 70.0, 0.0, 0.0, "N", "O",
+         "2024-06-09 00:00:00"),                             # dangling order
+    ]
+    random.seed(23)
+    # hot skew key: one order carries 3000 lines with tied values
+    for i in range(3000):
+        li.append((106, 1 + i % 7, 1 + i % 4, 4 + i, float(i % 5),
+                   round(random.uniform(1, 1000), 2), 0.05, 0.04,
+                   random.choice(["N", "R", "A"]), "O",
+                   f"2024-06-{6 + i % 3:02d} 06:30:00"))
+    con.executemany("INSERT INTO l VALUES (?,?,?,?,?,?,?,?,?,?,?)", li)
+    con.execute(f"COPY l TO '{RDIR}/lineitem.parquet' (FORMAT PARQUET)")
+
+    con.execute("""CREATE TABLE p (p_partkey BIGINT, p_name VARCHAR,
+      p_brand VARCHAR, p_type VARCHAR, p_size INTEGER, p_retailprice DOUBLE)""")
+    parts = [
+        (1, "azure metallic thing", "B#1", "TYPE A", 1, 10.0),
+        (2, "azure metalic thing", "B#1", "TYPE A", 1, 10.0),  # 1-edit twin
+        (3, None, "B#2", None, None, None),                    # null name
+        (4, "totally different part", "B#3", "TYPE B", 50, 1e6),
+        (5, "azure metallic thing", "B#4", "TYPE A", 1, 10.0), # exact dup name
+        (6, "x", None, "TYPE C", -1, -5.0),                    # negatives
+        (7, "y", "B#5", "TYPE C", 0, 0.0),
+    ]
+    con.executemany("INSERT INTO p VALUES (?,?,?,?,?,?)", parts)
+    con.execute(f"COPY p TO '{RDIR}/part.parquet' (FORMAT PARQUET)")
+
+    con.execute("""CREATE TABLE s (s_suppkey BIGINT, s_name VARCHAR,
+      s_nationkey INTEGER, s_acctbal DOUBLE)""")
+    sup = [(1, "Supplier#1", 0, 100.0), (2, None, 1, -100.0),
+           (3, "Supplier#3", None, None), (4, "Supplier#4", 24, 0.0)]
+    con.executemany("INSERT INTO s VALUES (?,?,?,?)", sup)
+    con.execute(f"COPY s TO '{RDIR}/supplier.parquet' (FORMAT PARQUET)")
+    print(f"built {RDIR} hostile relational tables "
+          f"(lineitem {con.sql('SELECT count(*) FROM l').fetchone()[0]} rows)")
+
+
 if __name__ == "__main__":
+    build_relational()
     sys.exit(main())

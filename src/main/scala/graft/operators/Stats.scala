@@ -115,15 +115,19 @@ object Stats {
             sum((x * y).cast(D)).cast(DoubleType).as("sxy"),
             sum((x * x).cast(D)).cast(DoubleType).as("sxx"),
             sum((y * y).cast(D)).cast(DoubleType).as("syy"))
+        // variances clamp at 0 (fp cancellation on a constant column can
+        // land at -1e-18 → NaN sqrt in both engines, which no compare
+        // survives) and the correlation emits NULL — inside a lazy CASE
+        // branch, since ANSI aborts on x/0.0 — when either stddev is 0
+        // (zero-variance group, hostile-relational sweep finding)
+        val varx = (col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))
+        val vary = (col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n"))
+        val cov = (col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n"))
+        val sd = sqrt(greatest(varx, lit(0.0))) * sqrt(greatest(vary, lit(0.0)))
         sums.select(col("l_returnflag"), col("n"),
-            round((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n")), 8)
-              .as("covar_pop"),
-            round(sqrt((col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))), 8)
-              .as("stddev_pop_discount"),
-            round(((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n"))) /
-              (sqrt((col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))) *
-               sqrt((col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n")))), 6)
-              .as("corr_discount_tax"))
+            round(cov, 8).as("covar_pop"),
+            round(sqrt(greatest(varx, lit(0.0))), 8).as("stddev_pop_discount"),
+            when(sd =!= 0.0, round(cov / sd, 6)).as("corr_discount_tax"))
           .orderBy("l_returnflag")
       },
       Some("""
@@ -134,14 +138,19 @@ object Stats {
                  CAST(sum(CAST(l_discount * l_tax AS DECIMAL(18,8))) AS DOUBLE) AS sxy,
                  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,8))) AS DOUBLE) AS sxx,
                  CAST(sum(CAST(l_tax * l_tax AS DECIMAL(18,8))) AS DOUBLE) AS syy
-          FROM lineitem GROUP BY l_returnflag)
+          FROM lineitem GROUP BY l_returnflag),
+        v AS (
+          SELECT l_returnflag, n,
+                 (sxy / n) - (sx / n) * (sy / n) AS cov,
+                 sqrt(greatest((sxx / n) - (sx / n) * (sx / n), 0))
+                 * sqrt(greatest((syy / n) - (sy / n) * (sy / n), 0)) AS sd,
+                 sqrt(greatest((sxx / n) - (sx / n) * (sx / n), 0)) AS sdx
+          FROM sums)
         SELECT l_returnflag, n,
-               round((sxy / n) - (sx / n) * (sy / n), 8) AS covar_pop,
-               round(sqrt((sxx / n) - (sx / n) * (sx / n)), 8) AS stddev_pop_discount,
-               round(((sxy / n) - (sx / n) * (sy / n)) /
-                     (sqrt((sxx / n) - (sx / n) * (sx / n)) *
-                      sqrt((syy / n) - (sy / n) * (sy / n))), 6) AS corr_discount_tax
-        FROM sums
+               round(cov, 8) AS covar_pop,
+               round(sdx, 8) AS stddev_pop_discount,
+               CASE WHEN sd != 0 THEN round(cov / sd, 6) END AS corr_discount_tax
+        FROM v
         ORDER BY l_returnflag""")),
 
     // ---- per-group least-squares regression (slope/intercept/R²) ---------
@@ -167,15 +176,22 @@ object Stats {
             sum((x * y).cast(W)).cast(DoubleType).as("sxy"),
             sum((x * x).cast(W)).cast(DoubleType).as("sxx"),
             sum((y * y).cast(W)).cast(DoubleType).as("syy"))
-        val slope = (col("sxy") - col("sx") * col("sy") / col("n")) /
-          (col("sxx") - col("sx") * col("sx") / col("n"))
-        val corr = ((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n"))) /
-          (sqrt((col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))) *
-           sqrt((col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n"))))
+        // OLS on a zero-variance regressor has no slope: the denominators
+        // go through lazy CASE branches (ANSI aborts on x/0.0) and the
+        // row emits NULL slope/intercept/r2 — mirrored in the oracle
+        // (hostile-relational sweep finding)
+        val sxxc = col("sxx") - col("sx") * col("sx") / col("n")
+        val slope = (col("sxy") - col("sx") * col("sy") / col("n")) / sxxc
+        val sd = sqrt(greatest(
+            (col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0))) *
+          sqrt(greatest(
+            (col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n")), lit(0.0)))
+        val corr = ((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n"))) / sd
         sums.select(col("l_returnflag"), col("n"),
-            round(slope, 6).as("slope"),
-            round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"),
-            round(corr * corr, 6).as("r2"))
+            when(sxxc =!= 0.0, round(slope, 6)).as("slope"),
+            when(sxxc =!= 0.0,
+              round((col("sy") - slope * col("sx")) / col("n"), 4)).as("intercept"),
+            when(sd =!= 0.0, round(corr * corr, 6)).as("r2"))
           .orderBy("l_returnflag")
       },
       Some("""
@@ -186,17 +202,23 @@ object Stats {
                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy
-          FROM lineitem GROUP BY l_returnflag)
+          FROM lineitem GROUP BY l_returnflag),
+        v AS (
+          SELECT l_returnflag, n, sx, sy, sxy,
+                 sxx - sx * sx / n AS sxxc,
+                 sqrt(greatest((sxx / n) - (sx / n) * (sx / n), 0))
+                 * sqrt(greatest((syy / n) - (sy / n) * (sy / n), 0)) AS sd,
+                 (sxy / n) - (sx / n) * (sy / n) AS cov
+          FROM sums)
         SELECT l_returnflag, n,
-               round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
-               round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 4) AS intercept,
-               round((((sxy / n) - (sx / n) * (sy / n)) /
-                      (sqrt((sxx / n) - (sx / n) * (sx / n)) *
-                       sqrt((syy / n) - (sy / n) * (sy / n)))) *
-                     (((sxy / n) - (sx / n) * (sy / n)) /
-                      (sqrt((sxx / n) - (sx / n) * (sx / n)) *
-                       sqrt((syy / n) - (sy / n) * (sy / n)))), 6) AS r2
-        FROM sums
+               CASE WHEN sxxc != 0
+                 THEN round((sxy - sx * sy / n) / sxxc, 6) END AS slope,
+               CASE WHEN sxxc != 0
+                 THEN round((sy - ((sxy - sx * sy / n) / sxxc) * sx) / n, 4)
+               END AS intercept,
+               CASE WHEN sd != 0
+                 THEN round((cov / sd) * (cov / sd), 6) END AS r2
+        FROM v
         ORDER BY l_returnflag""")),
 
     // ---- GROUPING SETS (finer than rollup/cube: explicit set list) -------
