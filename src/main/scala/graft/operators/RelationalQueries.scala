@@ -287,6 +287,57 @@ object RelationalQueries {
         ORDER BY revenue DESC, c_custkey
         LIMIT 20""")),
 
+    // ---- TPC-H Q3 shape: unshipped-revenue top-10 ------------------------
+    // The classic segment × date-window 3-way join: BUILDING customers,
+    // orders placed before a cutoff, lineitems shipping after it, top 10
+    // open orders by discounted revenue. The cutoff is data-derived (the
+    // µs midpoint of the order-date span, integer DIV — deterministic at
+    // every sf, no calendar literal to go stale on regenerated data) and
+    // broadcasts; the segment filter prunes customer before the join,
+    // both date filters sit on the fact scans, revenue is the exact
+    // DECIMAL sum, and the top-10 is a TakeOrderedAndProject over a
+    // total (revenue DESC, o_orderkey) order. Null dates fail both
+    // cutoff comparisons identically in the two engines.
+    GraftQuery(
+      "q3_shipping",
+      (s, dir) => {
+        val cut = Tables.orders(s, dir)
+          .select(unix_micros(col("o_orderdate")).as("du"))
+          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val bld = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val oc = Tables.orders(s, dir)
+          .crossJoin(broadcast(cut))
+          .filter(unix_micros(col("o_orderdate")) < col("cut"))
+          .join(bld, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"), col("cut"))
+        Tables.lineitem(s, dir)
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .filter(unix_micros(col("l_shipdate")) > col("cut"))
+          .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum(revenueExpr).cast(DoubleType), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT (min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                  + max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))) // 2 AS cut
+          FROM orders)
+        SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               o_orderpriority,
+               round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey, b
+        WHERE c_mktsegment = 'BUILDING'
+          AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) < cut
+          AND epoch_us(CAST(l_shipdate AS TIMESTAMP)) > cut
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")),
+
     // ---- star join with broadcast dims: orders rolled up to region -------
     GraftQuery(
       "region_rollup",
