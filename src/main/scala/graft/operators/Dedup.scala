@@ -1500,7 +1500,72 @@ object Dedup {
                CAST(CAST(sum(dup_toks) AS HUGEINT) * 1000000 // sum(n_toks)
                  AS BIGINT) AS dup_ppm
         FROM j GROUP BY 1
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ---- shingle novelty: how much of each doc the corpus already has ----
+    // The data-VALUE readout dedup thresholds can't give: a document can
+    // be nobody's near-duplicate yet contribute almost nothing new —
+    // every 3-gram it contains already appeared in earlier documents
+    // (boilerplate recombination, the failure mode trillion-token crawls
+    // meter before paying to train on an increment). Per doc: distinct
+    // 3-gram shingles, how many were first seen in an EARLIER doc_id
+    // (ingestion order = doc_id, the same convention delta_dedup keys
+    // on), and the novel fraction in ppm. Docs under 3 tokens (and
+    // null-text docs) have no shingles: kept with zero counts and NULL
+    // novelty, identically in both engines.
+    //
+    // Scale: one shingle shuffle for the min-doc_id posting heads
+    // (partial min absorbs hot shingles — no cap needed; the GROUP BY
+    // collapses any degeneracy), one join of the per-doc distinct
+    // shingles back onto those heads keyed on the shingle text (the
+    // vocabulary is corpus-sized by construction, so it is never
+    // broadcast), then a per-doc rollup. Same shape as rare_token_rate,
+    // at shingle instead of token granularity.
+    GraftQuery(
+      "shingle_novelty",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ex = shingled(docs)
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+        val firstSeen = ex.groupBy("gram").agg(min("doc_id").as("first_id"))
+        val perDoc = ex.join(firstSeen, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_seen_before"))
+        docs.select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+          .withColumn("n_seen_before", coalesce(col("n_seen_before"), lit(0L)))
+          .withColumn("novelty_ppm", expr(
+            """CASE WHEN n_shingles > 0 THEN
+                 CAST((n_shingles - n_seen_before) * 1000000
+                      DIV n_shingles AS BIGINT) END"""))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') toks
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END grams
+               FROM t),
+        ex AS (SELECT doc_id, unnest(grams) gram FROM sh),
+        fs AS (SELECT gram, min(doc_id) AS first_id FROM ex GROUP BY 1),
+        pd AS (SELECT ex.doc_id, count(*) AS n_shingles,
+                      sum(CASE WHEN fs.first_id < ex.doc_id
+                               THEN 1 ELSE 0 END) AS n_seen
+               FROM ex JOIN fs USING (gram) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(pd.n_seen, 0) AS BIGINT) AS n_seen_before,
+               CASE WHEN coalesce(pd.n_shingles, 0) > 0 THEN
+                 CAST((pd.n_shingles - pd.n_seen) * 1000000
+                      // pd.n_shingles AS BIGINT) END AS novelty_ppm
+        FROM documents d LEFT JOIN pd USING (doc_id)
+        ORDER BY doc_id"""))
   )
 
   /** dup_reach hop bound — the UNION ALL recursion is depth-limited

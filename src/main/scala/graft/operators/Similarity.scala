@@ -1537,6 +1537,183 @@ object Similarity {
         FROM ranked
         WHERE rank <= 10
         ORDER BY qid, rank"""
+      }),
+
+    // ---- MMR diversity rerank: relevance minus redundancy ---------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998, public —
+    // the standard RAG/retrieval diversity rerank): greedily re-rank the
+    // exact top-[[MmrPool]] shortlist so each pick maximizes
+    // `rel(c) − max_{s∈picked} sim(c, s)` (λ = 0.5 up to a positive
+    // scale, which argmax ignores). cosine_topk's raw ranking returns
+    // near-clones of the best hit; MMR is the pass that spends the k
+    // result slots on COVERAGE — the same reason semantic_dedup exists on
+    // the corpus side, applied at query time.
+    //
+    // Scale: the greedy is inherently sequential (pick k depends on picks
+    // 1..k−1), but only WITHIN a query — so it runs executor-side via
+    // flatMapGroups over ≤[[MmrPool]]-row groups (O(k·pool) dots each),
+    // NOT as a driver loop: a million queries = a million independent
+    // bounded groups, shuffling ≤ q·pool tiny rows. The shortlist itself
+    // comes from the TopKPerKey heap operator, and the embedding
+    // re-fetch broadcasts the ≤ q·pool id set onto the scan — the corpus
+    // is never shuffled. Exactness: the in-group dot replicates
+    // [[graft.functions.VectorKernels.dotFF]]'s float→double widening
+    // left-to-right fold (identical to the oracle's list_reduce over
+    // DOUBLE[]), score updates are pure double max/subtract, and the
+    // argmax tie-break is first-in-vec_id-order in both engines (strict
+    // `>` scan here, list_position-of-max there) — so the whole greedy
+    // trajectory is hash-checkable. The oracle replays it as a
+    // recursive CTE threading (maxsim[], chosen[]) list state with a
+    // precomputed per-candidate sim-list matrix.
+    GraftQuery(
+      "mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm").as("qnorm"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            V.dot(col("embedding"), col("qemb")) / (col("norm") * col("qnorm")))
+        val pool = graft.plans.TopK.perKey(
+          scored.withColumn("cosr", round(col("cos"), 6)),
+          Seq("qid"), Seq(("cosr", "desc"), ("vec_id", "asc")), MmrPool)
+          .select(col("qid"), col("vec_id"), col("cos"))
+        val cands = e.select(col("vec_id"), col("embedding"), col("norm"))
+          .join(broadcast(pool), "vec_id")
+          .select(col("qid"), col("vec_id"), col("cos"),
+            col("embedding"), col("norm"))
+          .as[(Long, Long, Double, Array[Float], Double)]
+        cands.groupByKey(_._1)
+          .flatMapGroups { (qid, it) =>
+            val cs = it.toArray.sortBy(_._2) // vec_id asc = oracle list order
+            val n = cs.length
+            val maxsim = Array.fill(n)(0.0) // sim to the empty set is 0
+            val chosen = Array.fill(n)(false)
+            val out = Array.newBuilder[(Long, Int, Long, Double, Double)]
+            var k = 1
+            val rounds = math.min(MmrK, n)
+            while (k <= rounds) {
+              var bi = -1
+              var bs = 0.0
+              var i = 0
+              while (i < n) {
+                if (!chosen(i)) {
+                  val sc = cs(i)._3 - maxsim(i)
+                  // strict > keeps the FIRST (lowest vec_id) on exact ties,
+                  // mirroring the oracle's list_position-of-max
+                  if (bi < 0 || sc > bs) { bi = i; bs = sc }
+                }
+                i += 1
+              }
+              chosen(bi) = true
+              out += ((qid, k, cs(bi)._2, cs(bi)._3, bs))
+              val pe = cs(bi)._4
+              val pn = cs(bi)._5
+              i = 0
+              while (i < n) {
+                if (!chosen(i)) {
+                  val ce = cs(i)._4
+                  var acc = 0.0
+                  var j = 0
+                  val m = math.min(ce.length, pe.length)
+                  // VectorKernels.dotFF's exact fold: float→double widening
+                  // multiply, left-to-right double adds
+                  while (j < m) { acc += ce(j).toDouble * pe(j).toDouble; j += 1 }
+                  val sim = acc / (cs(i)._5 * pn)
+                  if (sim > maxsim(i)) maxsim(i) = sim
+                }
+                i += 1
+              }
+              k += 1
+            }
+            out.result().iterator
+          }
+          .toDF("qid", "mmr_rank", "vec_id", "relevance", "mmr_score")
+          .select(col("qid"), col("mmr_rank"), col("vec_id"),
+            round(col("relevance"), 4).as("relevance"),
+            round(col("mmr_score"), 4).as("mmr_score"))
+          .orderBy("qid", "mmr_rank")
+      },
+      Some {
+        // unchosen candidates' current MMR score as a list (NULL = chosen,
+        // so list_aggregate('max') and list_position skip them)
+        val scoreList =
+          """list_transform(range(1, len(s.ids) + 1),
+               i -> CASE WHEN s.chosen[i] THEN NULL
+                         ELSE s.rels[i] - s.maxsims[i] END)"""
+        s"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0),
+        q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT qid, vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])),
+                   (a, x) -> a + x) / (norm * qnorm) AS cos
+          FROM e CROSS JOIN q
+          WHERE vec_id != qid),
+        pool AS (
+          SELECT qid, vec_id, cos FROM (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(cos, 6) DESC, vec_id) AS rnk
+            FROM scored)
+          WHERE rnk <= $MmrPool),
+        arr AS (
+          SELECT qid, list(vec_id ORDER BY vec_id) AS ids,
+                 list(cos ORDER BY vec_id) AS rels
+          FROM pool GROUP BY 1),
+        pairsim AS (
+          SELECT pa.qid, pa.vec_id AS a,
+                 list(
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, len(ea.v) + 1),
+                       i -> ea.v[i] * eb.v[i])),
+                     (x, y) -> x + y) / (ea.norm * eb.norm)
+                   ORDER BY pb.vec_id) AS simlist
+          FROM pool pa
+          JOIN e ea ON pa.vec_id = ea.vec_id
+          JOIN pool pb ON pb.qid = pa.qid
+          JOIN e eb ON pb.vec_id = eb.vec_id
+          GROUP BY 1, 2),
+        sel AS (
+          SELECT qid, CAST(0 AS INTEGER) AS k, ids, rels,
+                 list_transform(ids, x -> CAST(0 AS DOUBLE)) AS maxsims,
+                 list_transform(ids, x -> false) AS chosen,
+                 CAST(NULL AS BIGINT) AS pick,
+                 CAST(NULL AS DOUBLE) AS pick_rel,
+                 CAST(NULL AS DOUBLE) AS pick_score
+          FROM arr
+          UNION ALL
+          SELECT s2.qid, s2.k + 1, s2.ids, s2.rels,
+                 list_transform(range(1, len(s2.ids) + 1),
+                   i -> greatest(s2.maxsims[i], ps.simlist[i])) AS maxsims,
+                 list_transform(range(1, len(s2.ids) + 1),
+                   i -> s2.chosen[i] OR s2.ids[i] = ps.a) AS chosen,
+                 ps.a AS pick,
+                 s2.rels[list_position(s2.ids, ps.a)] AS pick_rel,
+                 s2.best AS pick_score
+          FROM (
+            SELECT s.*,
+                   list_aggregate($scoreList, 'max') AS best,
+                   s.ids[list_position($scoreList,
+                     list_aggregate($scoreList, 'max'))] AS pick0
+            FROM sel s
+            WHERE s.k < $MmrK) s2
+          JOIN pairsim ps ON ps.qid = s2.qid AND ps.a = s2.pick0)
+        SELECT qid, k AS mmr_rank, pick AS vec_id,
+               round(pick_rel, 4) AS relevance, round(pick_score, 4) AS mmr_score
+        FROM sel
+        WHERE k >= 1
+        ORDER BY qid, mmr_rank"""
       })
   )
 
@@ -1567,6 +1744,12 @@ object Similarity {
   /** bq_topk: Hamming-shortlist depth per query ahead of the exact
     * rerank — 5× the final k, the standard over-fetch for 1-bit codes. */
   private val BqShortlist = 50
+
+  /** mmr_rerank: exact-cosine shortlist fed to the greedy (5× the final
+    * slots — diversity needs headroom beyond the raw top-k) and the
+    * number of diversified result slots. */
+  private val MmrPool = 50
+  private val MmrK = 10
 
   /** pq_topk geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
     * subspace drawn from the first 16 vectors. */

@@ -40,6 +40,34 @@ object TextAnalysis {
 
   private val sqlStops = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** The five Gopher rule predicates over a text column, in battery
+    * order, plus the token count — ONE definition shared by gopher_rules
+    * (per-doc flags) and filter_funnel (cumulative survivor counts) so
+    * the battery and the funnel can never drift. Every ratio rule is
+    * cross-multiplied; no float ever decides a flag. */
+  private def gopherRules(t0: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, Seq[(String, org.apache.spark.sql.Column)]) = {
+    val t = coalesce(t0, lit(""))
+    val toks = split(t, " ")
+    val nt = size(toks).cast(LongType)
+    val nc = length(t).cast(LongType)
+    val alpha = (length(t) - length(regexp_replace(t, "[A-Za-z]", "")))
+      .cast(LongType)
+    val digit = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast(LongType)
+    val space = (length(t) - length(translate(t, " ", ""))).cast(LongType)
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast(LongType)
+    val nStop = size(array_intersect(toks, typedlit(stopwords)))
+      .cast(LongType)
+    (nt, Seq(
+      "word_count" -> (nt >= 50 && nt <= 100000),
+      "mean_word_len" -> (nc - nt + 1 >= nt * 3 && nc - nt + 1 <= nt * 10),
+      "symbol_ratio" -> ((nc - alpha - digit - space) * 10 <= nt),
+      "stopwords" -> (nStop >= 2),
+      "alpha_words" -> (alphaWords * 5 >= nt * 4)))
+  }
+
   /** bm25_topk: fixed query terms (mid-frequency corpus vocabulary) and
     * the standard Okapi parameters. */
   private val Bm25Terms = Seq("spark", "window", "table")
@@ -211,31 +239,12 @@ object TextAnalysis {
     GraftQuery(
       "gopher_rules",
       (s, dir) => {
-        val t = coalesce(col("text"), lit(""))
-        val toks = split(t, " ")
-        val nt = size(toks).cast(LongType)
-        val nc = length(t).cast(LongType)
-        val alpha = (length(t) - length(regexp_replace(t, "[A-Za-z]", "")))
-          .cast(LongType)
-        val digit = (length(t) - length(regexp_replace(t, "[0-9]", "")))
-          .cast(LongType)
-        val space = (length(t) - length(translate(t, " ", ""))).cast(LongType)
-        val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
-          .cast(LongType)
-        val nStop = size(array_intersect(toks, typedlit(stopwords)))
-          .cast(LongType)
+        val (nt, rules) = gopherRules(col("text"))
         Tables.documents(s, dir)
-          .select(col("doc_id"), nt.as("n_tokens"),
-            (nt >= 50 && nt <= 100000).as("rule_word_count"),
-            (nc - nt + 1 >= nt * 3 && nc - nt + 1 <= nt * 10)
-              .as("rule_mean_word_len"),
-            ((nc - alpha - digit - space) * 10 <= nt).as("rule_symbol_ratio"),
-            (nStop >= 2).as("rule_stopwords"),
-            (alphaWords * 5 >= nt * 4).as("rule_alpha_words"))
+          .select(col("doc_id") +: nt.as("n_tokens") +:
+            rules.map { case (n, c) => c.as(s"rule_$n") }: _*)
           .withColumn("pass",
-            col("rule_word_count") && col("rule_mean_word_len") &&
-            col("rule_symbol_ratio") && col("rule_stopwords") &&
-            col("rule_alpha_words"))
+            rules.map { case (n, _) => col(s"rule_$n") }.reduce(_ && _))
           .orderBy("doc_id")
       },
       Some(s"""
@@ -269,6 +278,169 @@ object TextAnalysis {
                  AND ((nc - alpha - digit - space) * 10 <= nt)
                  AND (nstop >= 2)
                  AND (aw * 5 >= nt * 4) AS pass
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ---- curation funnel: cumulative survivors through the gate chain ----
+    // The operational readout of the Gopher battery: how many documents
+    // pass EACH rule, and how many survive the rules applied in order —
+    // the funnel chart a curation run is tuned against (a gate that
+    // kills 40% of what the previous gates passed is either the most
+    // valuable filter or a bug; the battery's per-doc flags can't show
+    // which without this rollup). Same rule definitions as gopher_rules
+    // via [[gopherRules]] — the two queries cannot drift. One corpus
+    // scan; each doc emits one 5-struct array, and the aggregate runs on
+    // the exploded (gate, flags) frame — output is exactly 5 rows no
+    // matter the corpus size, and ppm shares are integer floor-division.
+    GraftQuery(
+      "filter_funnel",
+      (s, dir) => {
+        val (_, rules) = gopherRules(col("text"))
+        // materialize each regexp-heavy rule ONCE per row before the
+        // 5-struct explode — inlining them into the generator would
+        // re-evaluate every rule in each gate's prefix-AND (measured
+        // 1.5 s vs gopher_rules' 0.12 s for the same battery; boolean
+        // ANDs over the flag columns are free)
+        val flags = Tables.documents(s, dir)
+          .select(rules.zipWithIndex.map {
+            case ((_, r), i) => r.as(s"r$i")
+          }: _*)
+        val gates = rules.zipWithIndex.map { case ((name, _), i) =>
+          val cum = (0 to i).map(j => col(s"r$j")).reduce(_ && _)
+          struct(lit(i + 1).as("gate"), lit(name).as("rule"),
+            col(s"r$i").cast(IntegerType).as("p"),
+            cum.cast(IntegerType).as("cp"))
+        }
+        flags
+          .select(explode(array(gates: _*)).as("g"))
+          .select(col("g.*"))
+          .groupBy("gate", "rule")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("p").cast(LongType).as("n_pass"),
+            sum("cp").cast(LongType).as("n_surviving"))
+          .withColumn("pass_ppm",
+            expr("CAST(n_pass * 1000000 DIV n_docs AS BIGINT)"))
+          .withColumn("surviving_ppm",
+            expr("CAST(n_surviving * 1000000 DIV n_docs AS BIGINT)"))
+          .orderBy("gate")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT coalesce(text, '') AS t,
+                 string_split(coalesce(text, ''), ' ') AS toks
+          FROM documents),
+        m AS (
+          SELECT CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(length(t) AS BIGINT) AS nc,
+                 CAST(length(t)
+                   - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                 CAST(length(t)
+                   - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+                 CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) AS space,
+                 CAST(len(list_filter(toks,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+                 CAST(len(list_distinct(list_intersect(toks,
+                   [$sqlStops]))) AS BIGINT) AS nstop
+          FROM d),
+        r AS (
+          SELECT nt >= 50 AND nt <= 100000 AS r1,
+                 nc - nt + 1 >= nt * 3 AND nc - nt + 1 <= nt * 10 AS r2,
+                 (nc - alpha - digit - space) * 10 <= nt AS r3,
+                 nstop >= 2 AS r4,
+                 aw * 5 >= nt * 4 AS r5
+          FROM m),
+        g AS (
+          SELECT unnest([
+            {'gate': 1, 'rule': 'word_count',
+              'p': CAST(r1 AS INT), 'cp': CAST(r1 AS INT)},
+            {'gate': 2, 'rule': 'mean_word_len',
+              'p': CAST(r2 AS INT), 'cp': CAST(r1 AND r2 AS INT)},
+            {'gate': 3, 'rule': 'symbol_ratio',
+              'p': CAST(r3 AS INT), 'cp': CAST(r1 AND r2 AND r3 AS INT)},
+            {'gate': 4, 'rule': 'stopwords',
+              'p': CAST(r4 AS INT), 'cp': CAST(r1 AND r2 AND r3 AND r4 AS INT)},
+            {'gate': 5, 'rule': 'alpha_words',
+              'p': CAST(r5 AS INT),
+              'cp': CAST(r1 AND r2 AND r3 AND r4 AND r5 AS INT)}]) AS s
+          FROM r)
+        SELECT s.gate AS gate, s.rule AS rule,
+               count(*) AS n_docs,
+               CAST(sum(s.p) AS BIGINT) AS n_pass,
+               CAST(sum(s.cp) AS BIGINT) AS n_surviving,
+               CAST(CAST(sum(s.p) AS HUGEINT) * 1000000 // count(*)
+                 AS BIGINT) AS pass_ppm,
+               CAST(CAST(sum(s.cp) AS HUGEINT) * 1000000 // count(*)
+                 AS BIGINT) AS surviving_ppm
+        FROM g
+        GROUP BY 1, 2
+        ORDER BY gate""")),
+
+    // ---- Flesch reading-ease readability (syllable-heuristic) -----------
+    // The classic readability score (Flesch 1948, public domain formula),
+    // the quality signal length/stopword gates miss: dense jargon and
+    // run-on constructions score low even when every other gate passes.
+    // Syllables use the standard vowel-GROUP heuristic (each maximal
+    // [aeiouy]+ run ≈ one syllable, minimum 1 per word) — ASCII classes,
+    // so Java regex and RE2 count identical matches on any Unicode text.
+    // The score is kept in INTEGER milli-units with floor division
+    // mirrored on both sides: flesch_milli =
+    // 206835 − (1015·W) DIV S − (84600·SYL) DIV W. n_words ≥ 1 always
+    // (split of '' is ['']) and sentences clamp at ≥ 1, so no division
+    // can abort under ANSI mode. One scan, per-row arithmetic only —
+    // nothing shuffles before the presentation sort.
+    GraftQuery(
+      "readability",
+      (s, dir) => {
+        val t = coalesce(col("text"), lit(""))
+        val toks = split(t, " ")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).cast(LongType).as("n_words"),
+            greatest(lit(1L),
+              regexp_count(t, lit("[.!?]+")).cast(LongType)).as("n_sentences"),
+            expr("""aggregate(
+                      transform(split(coalesce(text, ''), ' '),
+                        w -> greatest(regexp_count(w, '[aeiouyAEIOUY]+'), 1)),
+                      CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+              .as("n_syllables"))
+          .withColumn("flesch_milli", expr(
+            """206835 - (1015 * n_words) DIV n_sentences
+                      - (84600 * n_syllables) DIV n_words"""))
+          .withColumn("band", expr(
+            """CASE WHEN flesch_milli >= 90000 THEN 'easy'
+                    WHEN flesch_milli >= 60000 THEN 'standard'
+                    WHEN flesch_milli >= 30000 THEN 'difficult'
+                    ELSE 'very_difficult' END"""))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 string_split(coalesce(text, ''), ' ') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 greatest(CAST(1 AS BIGINT),
+                   CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT))
+                   AS n_sentences,
+                 CAST(list_sum(list_transform(toks,
+                   w -> greatest(len(regexp_extract_all(w, '[aeiouyAEIOUY]+')),
+                                 1))) AS BIGINT) AS n_syllables
+          FROM d)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               206835 - (1015 * n_words) // n_sentences
+                      - (84600 * n_syllables) // n_words AS flesch_milli,
+               CASE WHEN 206835 - (1015 * n_words) // n_sentences
+                           - (84600 * n_syllables) // n_words >= 90000
+                      THEN 'easy'
+                    WHEN 206835 - (1015 * n_words) // n_sentences
+                           - (84600 * n_syllables) // n_words >= 60000
+                      THEN 'standard'
+                    WHEN 206835 - (1015 * n_words) // n_sentences
+                           - (84600 * n_syllables) // n_words >= 30000
+                      THEN 'difficult'
+                    ELSE 'very_difficult' END AS band
         FROM m
         ORDER BY doc_id""")),
 
@@ -1710,7 +1882,70 @@ object TextAnalysis {
                         + length(t) - length(replace(t, chr(1), ''))),
                      4) AS compression
         FROM (SELECT doc_id, trim(s) AS t FROM c${BpeRounds + 1})
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- tokenizer parity: per-language compression of the trained BPE ---
+    // The multilingual-equity readout every tokenizer training run ends
+    // with: a vocabulary learned on a mixed corpus compresses its
+    // majority languages best, and the per-language compression ratio is
+    // the published fairness metric (languages whose text stays near
+    // 1 token/word are the ones paying more per character at training
+    // and inference). Composes bpe_encode's per-doc shape with the lang
+    // dimension: Σ n_bpe / Σ n_words per language in integer ppm, plus
+    // the merged-symbol share of emitted tokens. Exactness: the sums are
+    // exact BIGINTs recovered from the encoded string (each fusion
+    // leaves exactly one sentinel), ppm is floor division; null-text
+    // docs carry NULL counts, which SUM skips identically in both
+    // engines while n_docs still counts them. Scale: training is
+    // bpe_merges' K bounded round-trips; this readout adds one narrow
+    // (doc_id, lang) join onto the single-scan encode and a ≤|langs|-row
+    // rollup. Driver-held training loop ⇒ actionfulQueries.
+    GraftQuery(
+      "tokenizer_parity",
+      (s, dir) => {
+        val enc = bpeTrain(s, dir)._2
+          .withColumn("t", trim(col("s")))
+          .select(col("doc_id"),
+            size(split(col("t"), " ")).cast(LongType).as("n_bpe"),
+            (length(col("t")) -
+              length(replace(col("t"), lit("\u0001"), lit(""))))
+              .cast(LongType).as("n_fused"),
+            expr("CAST(size(filter(split(t, ' '), " +
+              "w -> contains(w, '\u0001'))) AS BIGINT)").as("n_merged"))
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+          .join(enc, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("n_bpe + n_fused")).as("n_words"),
+            sum("n_bpe").as("n_bpe"),
+            sum("n_merged").as("n_merged_symbols"))
+          .withColumn("compression_ppm", expr(
+            "CAST(n_bpe * 1000000 DIV n_words AS BIGINT)"))
+          .withColumn("merged_ppm", expr(
+            "CAST(n_merged_symbols * 1000000 DIV n_bpe AS BIGINT)"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        $bpeSqlChain
+        SELECT d.lang AS lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(e.t, ' '))
+                    + length(e.t) - length(replace(e.t, chr(1), '')))
+                 AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(e.t, ' '))) AS BIGINT) AS n_bpe,
+               CAST(sum(len(list_filter(string_split(e.t, ' '),
+                 w -> contains(w, chr(1))))) AS BIGINT) AS n_merged_symbols,
+               CAST(CAST(sum(len(string_split(e.t, ' '))) AS HUGEINT) * 1000000
+                 // sum(len(string_split(e.t, ' '))
+                        + length(e.t) - length(replace(e.t, chr(1), '')))
+                 AS BIGINT) AS compression_ppm,
+               CAST(CAST(sum(len(list_filter(string_split(e.t, ' '),
+                      w -> contains(w, chr(1))))) AS HUGEINT) * 1000000
+                 // sum(len(string_split(e.t, ' ')))
+                 AS BIGINT) AS merged_ppm
+        FROM (SELECT doc_id, trim(s) AS t FROM c${BpeRounds + 1}) e
+        JOIN documents d USING (doc_id)
+        GROUP BY 1
+        ORDER BY lang"""))
   )
 
   /** Runs the [[BpeRounds]] driver-held BATCHED BPE training loop: per

@@ -149,4 +149,18 @@ class AqePlanSpec extends SparkSuite {
       assert(!finalPlan(name).contains("CartesianProduct"),
         s"$name gained a CartesianProduct after adaptive re-planning")
   }
+
+  test("wave-9 gates hold on final adaptive plans") {
+    // mmr_rerank: the pool re-fetch stays broadcast and the shortlist
+    // stays a heap exec through adaptive re-planning
+    val mmr = finalPlan("mmr_rerank")
+    assert(mmr.contains("TopKPerKey"),
+      "mmr_rerank lost its heap shortlist in the final adaptive plan")
+    assert(!mmr.contains("SortMergeJoin") && !mmr.contains("CartesianProduct"),
+      "mmr_rerank's pool re-fetch gained a corpus shuffle under AQE")
+    // funnel / novelty rollups: map-side partials survive re-planning
+    for (name <- Seq("filter_funnel", "shingle_novelty"))
+      assert("HashAggregate".r.findAllIn(finalPlan(name)).size >= 2,
+        s"$name lost map-side partial aggregation under AQE")
+  }
 }

@@ -2060,4 +2060,146 @@ class OperatorSpec extends SparkSuite {
       assert(cc >= 0.0 && cc <= 1.0, s"doc $id coefficient $cc out of [0,1]")
     }
   }
+
+  test("filter_funnel cross-foots against gopher_rules' per-doc flags") {
+    // the funnel is a pure rollup of the battery: each gate's pass count
+    // must equal the battery's flag sum, the survivor column must be the
+    // prefix-AND count, and survivors can only shrink down the funnel
+    val flags = run("gopher_rules").collect()
+    val byRule = Map(
+      "word_count" -> "rule_word_count", "mean_word_len" -> "rule_mean_word_len",
+      "symbol_ratio" -> "rule_symbol_ratio", "stopwords" -> "rule_stopwords",
+      "alpha_words" -> "rule_alpha_words")
+    val order = Seq("word_count", "mean_word_len", "symbol_ratio",
+      "stopwords", "alpha_words")
+    val funnel = run("filter_funnel").collect().sortBy(_.getAs[Int]("gate"))
+    assert(funnel.map(_.getAs[String]("rule")).toSeq == order,
+      "funnel gates out of battery order")
+    var prevSurv = Long.MaxValue
+    funnel.foreach { g =>
+      val rule = byRule(g.getAs[String]("rule"))
+      val passExp = flags.count(_.getAs[Boolean](rule)).toLong
+      val prefix = order.take(g.getAs[Int]("gate")).map(byRule)
+      val survExp = flags.count(r => prefix.forall(r.getAs[Boolean](_))).toLong
+      assert(g.getAs[Long]("n_docs") == flags.length.toLong)
+      assert(g.getAs[Long]("n_pass") == passExp,
+        s"gate ${g.getAs[String]("rule")}: n_pass ${g.getAs[Long]("n_pass")} != $passExp")
+      assert(g.getAs[Long]("n_surviving") == survExp,
+        s"gate ${g.getAs[String]("rule")}: survivors != prefix-AND count")
+      assert(g.getAs[Long]("n_surviving") <= prevSurv, "funnel grew")
+      prevSurv = g.getAs[Long]("n_surviving")
+    }
+    // the funnel's terminal survivor count IS the battery's verdict count
+    assert(funnel.last.getAs[Long]("n_surviving") ==
+      flags.count(_.getAs[Boolean]("pass")).toLong)
+  }
+
+  test("readability replays per-row: syllable floor, formula, band cuts") {
+    run("readability").collect().foreach { r =>
+      val (w, sn, sy) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"))
+      val f = r.getAs[Long]("flesch_milli")
+      assert(w >= 1 && sn >= 1, "clamps failed")
+      assert(sy >= w, s"doc ${r.getAs[Long]("doc_id")}: " +
+        s"syllables $sy < words $w — the 1-per-word floor broke")
+      assert(f == 206835L - (1015L * w) / sn - (84600L * sy) / w,
+        s"doc ${r.getAs[Long]("doc_id")}: flesch_milli drifted from its inputs")
+      val band = r.getAs[String]("band")
+      val expect = if (f >= 90000) "easy" else if (f >= 60000) "standard"
+        else if (f >= 30000) "difficult" else "very_difficult"
+      assert(band == expect, s"doc ${r.getAs[Long]("doc_id")}: band $band != $expect")
+    }
+  }
+
+  test("shingle_novelty: novel shingles across docs sum to the distinct-shingle count") {
+    // each distinct 3-gram is first-seen in exactly ONE document (its
+    // min doc_id), so sum(n_shingles - n_seen_before) must equal the
+    // corpus' distinct shingle count — ties per-doc novelty to a global
+    // inventory computed through an independent aggregation
+    val rows = run("shingle_novelty").collect()
+    val novelSum = rows.map(r =>
+      r.getAs[Long]("n_shingles") - r.getAs[Long]("n_seen_before")).sum
+    val distinctShingles = Tables.documents(spark, sf)
+      .select(explode(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 3)).as("g"))
+      .agg(countDistinct(col("g"))).head().getLong(0)
+    assert(novelSum == distinctShingles,
+      s"novel-shingle mass $novelSum != corpus distinct shingles $distinctShingles")
+    rows.foreach { r =>
+      val (n, seen) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_seen_before"))
+      assert(seen >= 0 && seen <= n)
+      if (n == 0) assert(r.isNullAt(r.fieldIndex("novelty_ppm")))
+      else assert(r.getAs[Long]("novelty_ppm") == (n - seen) * 1000000L / n)
+    }
+    // the earliest doc with shingles can have seen nothing before it
+    val withShingles = rows.filter(_.getAs[Long]("n_shingles") > 0)
+    assert(withShingles.nonEmpty, "corpus produced no shingles — vacuous")
+    val first = withShingles.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_seen_before") == 0L &&
+      first.getAs[Long]("novelty_ppm") == 1000000L,
+      "the first document cannot have pre-seen shingles")
+  }
+
+  test("tokenizer_parity cross-foots against bpe_encode's per-doc counts") {
+    val enc = run("bpe_encode").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("n_words")).map(_.longValue),
+         Option(r.getAs[java.lang.Long]("n_bpe")).map(_.longValue)))
+      .toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = enc.toSeq.groupBy { case (id, _) => langs(id) }
+      .view.mapValues { docs =>
+        (docs.size.toLong,
+          docs.flatMap(_._2._1).sum, docs.flatMap(_._2._2).sum)
+      }.toMap
+    val parity = run("tokenizer_parity").collect()
+    assert(parity.map(_.getAs[String]("lang")).toSet == expect.keySet)
+    parity.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (nd, nw, nb) = expect(lang)
+      assert(r.getAs[Long]("n_docs") == nd, s"$lang n_docs")
+      assert(r.getAs[Long]("n_words") == nw, s"$lang n_words")
+      assert(r.getAs[Long]("n_bpe") == nb, s"$lang n_bpe")
+      // merging can only shrink: compression in (0, 1e6] ppm
+      val c = r.getAs[Long]("compression_ppm")
+      assert(c > 0 && c <= 1000000L, s"$lang compression_ppm $c")
+    }
+  }
+
+  test("mmr_rerank: scores decrease, first pick is the exact top-1, slots never repeat") {
+    val rows = run("mmr_rerank").collect()
+    val top1 = run("cosine_topk").filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("mmr_rank"))
+      assert(sorted.map(_.getAs[Int]("mmr_rank")).toSeq == (1 to sorted.length),
+        s"qid $qid: ranks not contiguous")
+      // greedy argmax over a shrinking candidate set: the k-th best
+      // marginal score can never beat the (k-1)-th (maxsim only grows)
+      val scores = sorted.map(_.getAs[Double]("mmr_score"))
+      scores.sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a + 1e-9, s"qid $qid: mmr_score increased $a -> $b")
+      case _ => () }
+      // rank 1 has an empty picked set: MMR degenerates to pure relevance
+      assert(sorted.head.getAs[Long]("vec_id") == top1(qid),
+        s"qid $qid: first MMR pick differs from the exact top-1")
+      assert(sorted.head.getAs[Double]("mmr_score") ==
+        sorted.head.getAs[Double]("relevance"))
+      // the diversity penalty is non-negative
+      sorted.foreach(r => assert(r.getAs[Double]("mmr_score") <=
+        r.getAs[Double]("relevance") + 1e-9))
+      val ids = sorted.map(_.getAs[Long]("vec_id"))
+      assert(ids.distinct.length == ids.length, s"qid $qid: repeated pick")
+    }
+    // diversity must actually bite on this corpus: at least one query's
+    // MMR list differs from its raw top-k prefix
+    val raw = run("cosine_topk").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq).toMap
+    val mmr = rows.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("mmr_rank")).map(_.getAs[Long]("vec_id")).toSeq).toMap
+    assert(mmr.exists { case (q, ids) => raw(q) != ids },
+      "MMR returned the raw ranking for every query — the rerank is vacuous")
+  }
 }

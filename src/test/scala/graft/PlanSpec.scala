@@ -362,4 +362,27 @@ class PlanSpec extends SparkSuite {
     assert(planOf("hard_negatives").contains("TopKPerKey"),
       "hard_negatives must rank via TopKPerKey")
   }
+
+  test("wave-9 plans: scan counts, broadcast pool re-fetch, heap shortlist") {
+    def scans(name: String) =
+      "FileScan parquet".r.findAllIn(planOf(name)).length
+    // filter_funnel / readability: one corpus scan, per-row arithmetic
+    // only — output is 5 rows / per-doc rows with no pre-sort shuffle
+    // beyond the aggregate
+    assert(scans("filter_funnel") == 1, "filter_funnel must scan once")
+    assert(scans("readability") == 1, "readability must scan once")
+    // shingle_novelty: posting-heads branch + occurrence branch + the
+    // doc-universe left join — three narrow scans, independent of corpus
+    // degeneracy (the min() partial agg absorbs hot shingles)
+    assert(scans("shingle_novelty") == 3,
+      "shingle_novelty's scan count moved — a branch re-derived the corpus")
+    // mmr_rerank: the pool's embedding re-fetch must broadcast the
+    // ≤ q·pool id set onto the scan (never shuffle the corpus for a
+    // 250-row join) and the shortlist itself must rank through the
+    // two-phase heap exec, not a per-query window sort
+    val mmr = planOf("mmr_rerank")
+    assert(mmr.contains("TopKPerKey"), "mmr_rerank must shortlist via TopKPerKey")
+    assert(!mmr.contains("SortMergeJoin"),
+      "mmr_rerank shuffled the corpus for the pool re-fetch")
+  }
 }
