@@ -1962,7 +1962,34 @@ object TextAnalysis {
     * parquet scan through ≤ [[BpeRounds]]·[[BpeBatch]] chained narrow
     * string rewrites. Driver-held loop => both consumers are registered
     * in SparkEntry.actionfulQueries. */
+  /** Memoized trained-tokenizer artifacts: a BPE vocabulary trains ONCE
+    * per corpus and is then consumed by many readouts (bpe_merges,
+    * bpe_encode, tokenizer_parity — and a real pipeline's every encode
+    * job), so retraining per consumer is pure waste (measured 3×~3 s per
+    * bench pass). Keyed on (session, dir, corpus fingerprint): plans are
+    * session-bound, and the fingerprint (every documents.parquet file's
+    * name/length/mtime) invalidates the entry when the harness
+    * regenerates testdata in place — the Tables.eventsTsNanos probe
+    * discipline. The cached corpus frame is a PURE PLAN (its per-round
+    * caches are released before memoization), so holding it costs no
+    * executor memory. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String),
+    (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame)]
+
+  private def docsFingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+  }
+
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeCache.computeIfAbsent((s, dir, docsFingerprint(dir)),
+      _ => bpeTrainUncached(s, dir))
+
+  private def bpeTrainUncached(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var corpus = Tables.documents(s, dir)
       .select(col("doc_id"), concat(lit(" "), col("text"), lit(" ")).as("s"))
