@@ -1714,6 +1714,119 @@ object Similarity {
         FROM sel
         WHERE k >= 1
         ORDER BY qid, mmr_rank"""
+      }),
+
+    // ---- k-center coreset: farthest-point traversal ----------------------
+    // Greedy k-center (González 1985, public — the 2-approximation every
+    // coreset/data-pruning paper starts from): seed at the lowest vec_id,
+    // then K−1 times pick the vector FARTHEST from everything picked so
+    // far. Where mmr_rerank diversifies a per-query shortlist, this
+    // selects a global REPRESENTATIVE SUBSET of the corpus — the
+    // batch-selection primitive behind diversity-driven data pruning and
+    // active-learning seed sets. Output is the pick trajectory with each
+    // round's selection radius (the corpus coverage radius BEFORE that
+    // pick) — the decreasing curve an operator reads to choose K.
+    //
+    // Scale: the greedy is K driver round-trips over a cached
+    // (id, vec, mind) frame — O(n·K) distance work TOTAL via the
+    // incremental running min (recomputing against all picks per round
+    // would be O(n·K²)), each pick a 1-row TakeOrdered collect; the
+    // kmeans_refine / ann_trained_topk discipline, registered in
+    // actionfulQueries. L2 over the UNFILTERED universe (zero vectors
+    // are legitimate L2 points — the ivfpq posture, not the cosine
+    // family's norm>0 gate). Picked rows leave the frame, so duplicates
+    // of picks (mind 0) can never be re-picked and a corpus smaller
+    // than K stops early, identically in both engines. Exactness: the
+    // distance is subSqDist's float→double widened left-to-right fold,
+    // the running min is the same least() chain the unrolled oracle
+    // CTEs apply, and the argmax tie-break is (mind DESC, vec_id). Every
+    // per-round m-CTE is MATERIALIZED — each is referenced twice, and
+    // DuckDB would otherwise inline (= re-evaluate) the whole upstream
+    // chain per reference (the bpeSqlChain lesson).
+    GraftQuery(
+      "kcenter_sample",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val seed = e.orderBy("vec_id").limit(1).head()
+        val seedId = seed.getLong(0)
+        val picks = scala.collection.mutable.ArrayBuffer(
+          (1, seedId, Option.empty[Double]))
+        var cur = e.filter(col("vec_id") =!= seedId)
+          .withColumn("mind", V.subSqDist(col("embedding"),
+            typedlit(seed.getSeq[Float](1).toArray), lit(0), KcDims))
+          .cache()
+        var prev: org.apache.spark.sql.DataFrame = null
+        try {
+          var k = 2
+          var exhausted = false
+          while (k <= KcK && !exhausted) {
+            // this collect materializes cur from the PREVIOUS round's
+            // cache, after which that cache is dead — released here (no
+            // extra materialization job) so peak block-manager footprint
+            // stays two rounds, not K
+            val top = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+              .collect()
+            if (prev != null) { prev.unpersist(blocking = false); prev = null }
+            if (top.isEmpty) exhausted = true
+            else {
+              val pick = top.head
+              picks += ((k, pick.getLong(0), Some(pick.getDouble(2))))
+              if (k < KcK) {
+                val next = cur.filter(col("vec_id") =!= pick.getLong(0))
+                  .withColumn("mind", least(col("mind"),
+                    V.subSqDist(col("embedding"),
+                      typedlit(pick.getSeq[Float](1).toArray), lit(0), KcDims)))
+                  .cache()
+                prev = cur
+                cur = next
+              }
+            }
+            k += 1
+          }
+        } finally {
+          cur.unpersist(blocking = false)
+          if (prev != null) prev.unpersist(blocking = false)
+        }
+        picks.toSeq.toDF("round", "vec_id", "mind")
+          .select(col("round"), col("vec_id"),
+            round(sqrt(col("mind")), 4).as("radius"))
+          .orderBy("round")
+      },
+      Some {
+        def d2(a: String, b: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len($a) + 1),
+                  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+                (x, y) -> x + y)"""
+        val rounds = (2 to KcK).map { k =>
+          val prev = s"m${k - 1}"
+          val tail =
+            if (k < KcK)
+              s""",
+        m$k AS MATERIALIZED (
+          SELECT m.vec_id, m.v, least(m.mind, ${d2("m.v", "p.v")}) AS mind
+          FROM $prev m, p$k p
+          WHERE m.vec_id != p.vec_id)"""
+            else ""
+          s"""
+        p$k AS (SELECT vec_id, v, mind FROM $prev
+                ORDER BY mind DESC, vec_id LIMIT 1)$tail"""
+        }.mkString(",")
+        val unions = (2 to KcK).map(k =>
+          s"SELECT $k AS round, vec_id, round(sqrt(mind), 4) AS radius FROM p$k")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        p1 AS (SELECT vec_id, v FROM e
+               WHERE vec_id = (SELECT min(vec_id) FROM e)),
+        m1 AS MATERIALIZED (
+          SELECT e.vec_id, e.v, ${d2("e.v", "p.v")} AS mind
+          FROM e, p1 p
+          WHERE e.vec_id != p.vec_id),$rounds
+        SELECT 1 AS round, vec_id, CAST(NULL AS DOUBLE) AS radius FROM p1
+        UNION ALL $unions
+        ORDER BY round"""
       })
   )
 
@@ -1750,6 +1863,12 @@ object Similarity {
     * number of diversified result slots. */
   private val MmrPool = 50
   private val MmrK = 10
+
+  /** kcenter_sample: coreset size (the unrolled-oracle round count —
+    * raising it appends CTE pairs) and the full vector width the L2
+    * kernel covers. */
+  private val KcK = 16
+  private val KcDims = 64
 
   /** pq_topk geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
     * subspace drawn from the first 16 vectors. */

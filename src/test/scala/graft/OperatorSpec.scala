@@ -2202,4 +2202,54 @@ class OperatorSpec extends SparkSuite {
     assert(mmr.exists { case (q, ids) => raw(q) != ids },
       "MMR returned the raw ranking for every query — the rerank is vacuous")
   }
+
+  test("kcenter_sample matches a naive farthest-point replay and its radius curve shrinks") {
+    // independent replay: same seed rule, same incremental-min recurrence,
+    // same (mind desc, vec_id) argmax — over driver-collected vectors
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    var remaining = vecs.tail
+    var picks = Vector((1, vecs.head._1, Option.empty[Double]))
+    var mind = remaining.map(v => v._1 -> d2(v._2, vecs.head._2)).toMap
+    var k = 2
+    while (k <= 16 && remaining.nonEmpty) {
+      val best = remaining.maxBy(v => (mind(v._1), -v._1))
+      picks :+= ((k, best._1, Some(mind(best._1))))
+      remaining = remaining.filterNot(_._1 == best._1)
+      mind = remaining.map(v =>
+        v._1 -> math.min(mind(v._1), d2(v._2, best._2))).toMap
+      k += 1
+    }
+    val got = run("kcenter_sample").collect().sortBy(_.getAs[Int]("round"))
+    assert(got.length == picks.length)
+    got.zip(picks).foreach { case (r, (rnd, id, rad)) =>
+      assert(r.getAs[Int]("round") == rnd)
+      assert(r.getAs[Long]("vec_id") == id,
+        s"round $rnd picked ${r.getAs[Long]("vec_id")}, replay picked $id")
+      rad match {
+        case None => assert(r.isNullAt(r.fieldIndex("radius")))
+        case Some(m) =>
+          assert(math.abs(r.getAs[Double]("radius") - math.sqrt(m)) < 5e-5)
+      }
+    }
+    // the k-center objective: coverage radius is non-increasing in k
+    val radii = got.flatMap(r =>
+      if (r.isNullAt(r.fieldIndex("radius"))) None
+      else Some(r.getAs[Double]("radius")))
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9, s"radius grew $a -> $b")
+      case _ => ()
+    }
+    assert(got.map(_.getAs[Long]("vec_id")).distinct.length == got.length,
+      "a vector was picked twice")
+  }
 }
