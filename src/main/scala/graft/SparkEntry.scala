@@ -33,7 +33,7 @@ object SparkEntry {
     Set("dedup_clusters", "dedup_keep_list", "dedup_keep_best",
       "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles", "dup_reach",
       "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode",
-      "tokenizer_parity", "kcenter_sample", "split_repair")
+      "tokenizer_parity", "kcenter_sample", "bitext_margin", "split_repair")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

@@ -1827,7 +1827,153 @@ object Similarity {
         SELECT 1 AS round, vec_id, CAST(NULL AS DOUBLE) AS radius FROM p1
         UNION ALL $unions
         ORDER BY round"""
-      })
+      }),
+
+    // ---- ratio-margin bitext mining (cross-label pair selection) ---------
+    // The margin criterion of Artetxe & Schwenk 2019 (public — the
+    // CCMatrix/LASER mining rule): raw cross-label cosine over-selects
+    // pairs in DENSE neighborhoods (a hub vector is everyone's nearest
+    // neighbor), so each pair's cosine is normalized by the mean of both
+    // endpoints' k-NN cosines — margin = 2·cos(x,y) / (mean_k(x) +
+    // mean_k(y)). hard_negatives picks the highest raw cross-label
+    // cosine; this ranks by the margin, the difference between "similar"
+    // and "anomalously similar for its neighborhood". Labels stand in
+    // for the two languages of a bitext run, as in hard_negatives.
+    //
+    // Exactness: every per-pair cosine is quantized to INTEGER micro
+    // units BEFORE the neighborhood sums (a double Σ over an unordered
+    // aggregate would be association-order-dependent — the one float
+    // trap the corr_stats/DECIMAL discipline exists for), and the margin
+    // is one integer cross-multiplied floor division:
+    // margin_ppm = 2·cntA·cntB·cosµ·1e6 DIV (sumA·cntB + sumB·cntA),
+    // gated to cosµ > 0 AND denom > 0 in both engines (negative-cosine
+    // neighborhoods have no meaningful margin). Scale: candidates are
+    // neardupCandidates' capped O(n·tables·probes·cap) frame; the scored
+    // chain is derived ONCE and eagerly localCheckpointed (the
+    // dup_pagerank lesson — the margin readout references it three
+    // times: pairs + both endpoint neighborhoods; pure plans re-derive
+    // the whole LSH chain per reference) ⇒ actionfulQueries. Both
+    // rankings run through the TopKPerKey heap exec.
+    GraftQuery(
+      "bitext_margin",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val cand = neardupCandidates(s, dir)
+        val sym = cand.select(explode(array(
+            struct(col("vec_a").as("qid"), col("vec_b").as("vid")),
+            struct(col("vec_b").as("qid"), col("vec_a").as("vid")))).as("p"))
+          .select(col("p.qid").as("qid"), col("p.vid").as("vid"))
+        val scored = sym
+          .join(e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qe"), col("norm").as("qn")), "qid")
+          .join(e.select(col("vec_id").as("vid"), col("label").as("nlabel"),
+            col("embedding").as("ne"), col("norm").as("nn")), "vid")
+          .filter(col("qlabel") =!= col("nlabel"))
+          .withColumn("cos", V.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+          .select(col("qid"), col("qlabel"), col("vid"), col("nlabel"),
+            round(col("cos"), 6).as("cosr"), col("cos"),
+            expr("CAST(round(cos * 1000000) AS BIGINT)").as("cosu"))
+          .localCheckpoint(true)
+        val nbhd = graft.plans.TopK.perKey(
+            scored, Seq("qid"), Seq(("cosr", "desc"), ("vid", "asc")), BtK)
+          .groupBy("qid")
+          .agg(count(lit(1)).as("cnt"), sum("cosu").as("sumu"))
+        val margined = scored
+          .join(nbhd.select(col("qid"), col("cnt").as("cnt_a"),
+            col("sumu").as("sum_a")), "qid")
+          .join(nbhd.select(col("qid").as("vid"), col("cnt").as("cnt_b"),
+            col("sumu").as("sum_b")), "vid")
+          .filter(col("cosu") > 0 &&
+            col("sum_a") * col("cnt_b") + col("sum_b") * col("cnt_a") > 0)
+          .withColumn("margin_ppm", expr(
+            """CAST(2 * cnt_a * cnt_b * cosu * 1000000
+                    DIV (sum_a * cnt_b + sum_b * cnt_a) AS BIGINT)"""))
+        graft.plans.TopK.perKey(
+          margined, Seq("qid"), Seq(("margin_ppm", "desc"), ("vid", "asc")), 1)
+          .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+            col("vid").as("mate_id"), col("nlabel").as("mate_label"),
+            round(col("cos"), 4).as("cosine"), col("margin_ppm"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0),
+        planes AS (SELECT * FROM (VALUES
+          ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
+        dots AS (
+          SELECT e.vec_id, p.tbl, p.plane,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(p.w) + 1), i -> e.v[i] * p.w[i])),
+                   (a, x) -> a + x) AS dot
+          FROM e CROSS JOIN planes p),
+        sigs AS (
+          SELECT vec_id, tbl,
+                 sum(CASE WHEN dot >= 0
+                     THEN 1 << (${LshPlanes.planesPerTable - 1} - plane)
+                     ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id, tbl),
+        cells AS (
+          SELECT vec_id, tbl, xor(bucket, m.m) AS cell
+          FROM sigs CROSS JOIN (SELECT unnest(${LshPlanes.sqlProbeMasks(1)}) AS m) m),
+        capped AS (
+          SELECT vec_id, tbl, cell FROM (
+            SELECT vec_id, tbl, cell,
+                   count(*) OVER (PARTITION BY tbl, cell) AS csz
+            FROM cells)
+          WHERE csz <= ${LshPlanes.maxBucket}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM capped a JOIN capped b
+            ON a.tbl = b.tbl AND a.cell = b.cell AND a.vec_id < b.vec_id),
+        sym AS (
+          SELECT vec_a AS qid, vec_b AS vid FROM cand
+          UNION ALL
+          SELECT vec_b AS qid, vec_a AS vid FROM cand),
+        scored AS MATERIALIZED (
+          SELECT s.qid, eq.label AS qlabel, s.vid, ev.label AS nlabel,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(eq.v) + 1), i -> eq.v[i] * ev.v[i])),
+                   (a, x) -> a + x) / (eq.norm * ev.norm) AS cos
+          FROM sym s
+          JOIN e eq ON s.qid = eq.vec_id
+          JOIN e ev ON s.vid = ev.vec_id
+          WHERE eq.label != ev.label),
+        q AS MATERIALIZED (
+          SELECT qid, qlabel, vid, nlabel, cos,
+                 CAST(round(cos * 1000000) AS BIGINT) AS cosu
+          FROM scored),
+        nbhd AS MATERIALIZED (
+          SELECT qid, count(*) AS cnt, sum(cosu) AS sumu FROM (
+            SELECT qid, cosu,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(cos, 6) DESC, vid) AS rn
+            FROM q)
+          WHERE rn <= $BtK
+          GROUP BY qid),
+        margined AS (
+          SELECT q.qid, q.qlabel, q.vid, q.nlabel, q.cos,
+                 CAST(2 * a.cnt * b.cnt * q.cosu * 1000000
+                      // (a.sumu * b.cnt + b.sumu * a.cnt) AS BIGINT)
+                   AS margin_ppm
+          FROM q
+          JOIN nbhd a ON q.qid = a.qid
+          JOIN nbhd b ON q.vid = b.qid
+          WHERE q.cosu > 0 AND a.sumu * b.cnt + b.sumu * a.cnt > 0),
+        best AS (
+          SELECT qid, qlabel, vid, nlabel, cos, margin_ppm,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY margin_ppm DESC, vid) AS rn
+          FROM margined)
+        SELECT qid AS vec_id, qlabel AS label, vid AS mate_id,
+               nlabel AS mate_label, round(cos, 4) AS cosine, margin_ppm
+        FROM best
+        WHERE rn = 1
+        ORDER BY vec_id"""))
   )
 
   /** semantic_dedup's within-cell candidate pairs with their exact cosine,
@@ -1869,6 +2015,10 @@ object Similarity {
     * kernel covers. */
   private val KcK = 16
   private val KcDims = 64
+
+  /** bitext_margin: k-NN depth of the per-endpoint neighborhood mean
+    * that normalizes the pair cosine (the ratio-margin denominator). */
+  private val BtK = 4
 
   /** pq_topk geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
     * subspace drawn from the first 16 vectors. */

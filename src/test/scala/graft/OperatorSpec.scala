@@ -2252,4 +2252,60 @@ class OperatorSpec extends SparkSuite {
     assert(got.map(_.getAs[Long]("vec_id")).distinct.length == got.length,
       "a vector was picked twice")
   }
+
+  test("bitext_margin matches a driver replay of the ratio-margin rule") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def rnd(x: Double, scale: Int): Double =
+      new JBD(x).setScale(scale, RoundingMode.HALF_UP).doubleValue
+    val e = Tables.embeddings(spark, sf).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      var acc = 0.0
+      v.foreach(f => acc += f.toDouble * f.toDouble)
+      r.getLong(0) -> (r.getInt(2), v, math.sqrt(acc))
+    }.toMap.filter(_._2._3 > 0)
+    def cos(a: Long, b: Long): Double = {
+      val (_, va, na) = e(a); val (_, vb, nb) = e(b)
+      var acc = 0.0
+      var i = 0
+      while (i < math.min(va.length, vb.length)) {
+        acc += va(i).toDouble * vb(i).toDouble; i += 1
+      }
+      acc / (na * nb)
+    }
+    // same candidate generator, independent margin arithmetic
+    val cand = operators.Similarity.neardupCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (cand ++ cand.map(_.swap))
+      .filter { case (a, b) => e(a)._1 != e(b)._1 }
+      .map { case (a, b) => (a, b, cos(a, b)) }
+    val nbhd = sym.groupBy(_._1).map { case (q, g) =>
+      val top = g.sortBy(p => (-rnd(p._3, 6), p._2)).take(4)
+      q -> (top.length.toLong,
+        top.map(p => math.round(rnd(p._3 * 1000000, 0))).sum)
+    }
+    val expect = sym.flatMap { case (a, b, c) =>
+      val cu = math.round(rnd(c * 1000000, 0))
+      val (ca, sa) = nbhd(a); val (cb, sb) = nbhd(b)
+      val den = sa * cb + sb * ca
+      if (cu > 0 && den > 0)
+        Some((a, b, 2L * ca * cb * cu * 1000000L / den))
+      else None
+    }.groupBy(_._1).map { case (q, g) =>
+      val best = g.minBy(p => (-p._3, p._2))
+      q -> (best._2, best._3)
+    }
+    val got = run("bitext_margin").collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == expect.keySet,
+      "anchor set differs from the replay")
+    got.foreach { r =>
+      val q = r.getAs[Long]("vec_id")
+      val (mate, margin) = expect(q)
+      assert(r.getAs[Long]("mate_id") == mate,
+        s"anchor $q: mate ${r.getAs[Long]("mate_id")} != replay $mate")
+      assert(r.getAs[Long]("margin_ppm") == margin,
+        s"anchor $q: margin ${r.getAs[Long]("margin_ppm")} != replay $margin")
+      assert(r.getAs[Double]("cosine") > 0.0)
+    }
+    assert(got.nonEmpty, "corpus mined no cross-label pairs — vacuous")
+  }
 }

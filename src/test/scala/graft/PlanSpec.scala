@@ -384,5 +384,16 @@ class PlanSpec extends SparkSuite {
     assert(mmr.contains("TopKPerKey"), "mmr_rerank must shortlist via TopKPerKey")
     assert(!mmr.contains("SortMergeJoin"),
       "mmr_rerank shuffled the corpus for the pool re-fetch")
+    // bitext_margin: the margin readout references the scored candidate
+    // chain three times (pairs + both endpoint neighborhoods) — it must
+    // hang off the eager checkpoint, never re-derive the LSH chain
+    // (the dup_pagerank discipline)
+    val bt = planOf("bitext_margin")
+    assert("FileScan parquet".r.findAllIn(bt).isEmpty,
+      "bitext_margin re-derives the candidate chain from parquet")
+    assert(bt.contains("ExistingRDD") || bt.contains("Scan ExistingRDD"),
+      "bitext_margin does not read the checkpointed scored frame")
+    assert("TopKPerKey".r.findAllIn(bt).size >= 2,
+      "bitext_margin must rank neighborhoods AND best-pairs via TopKPerKey")
   }
 }

@@ -42,7 +42,11 @@ class ScaleLadderSpec extends SparkSuite {
       // round-7 addition: the gram posting index behind substring dedup —
       // exactly the shape (per-gram position lists) that goes quadratic
       // if the dup-gram join ever loses its digest keying
-      "dup_spans")
+      "dup_spans",
+      // wave-9 addition: the min-doc_id posting heads + occurrence join —
+      // goes quadratic only if the partial min stops absorbing hot
+      // shingles before the shuffle
+      "shingle_novelty")
 
   /** Deterministic 10x documents corpus: replica i shifts doc_ids by
     * i·10^7 and suffixes every token with `x<i>` (i > 0), keeping lang /
