@@ -338,6 +338,85 @@ object RelationalQueries {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10""")),
 
+    // ---- TPC-H Q2 shape: min-cost supplier per part within one region ----
+    // The classic correlated-subquery shape (Q2's "supplier with minimum
+    // supplycost"), re-derived from lineitem since this corpus ships no
+    // partsupp: a supplier's offer for a part is its minimum observed
+    // unit price (l_extendedprice / l_quantity — double ÷ double, the
+    // same IEEE quotient in both engines, the cosine-family precedent),
+    // the region is data-derived (alphabetically first r_name — no
+    // literal to go stale on regenerated data, the q3_shipping cut
+    // discipline), and the per-part argmin runs through the TopKPerKey
+    // heap, not a full per-part window sort. Offers require
+    // l_quantity > 0 and a non-null price: NULL min_unit would rank
+    // NULLS FIRST in Spark and NULLS LAST in DuckDB, and a zero/negative
+    // quantity is not a priceable offer (its ±Inf would also abort the
+    // BIGINT cast under ANSI). The ranking compares RAW doubles
+    // (identical quotient ⇒ identical order) and the displayed price is
+    // floor(unit·1e4) — constructed decimal prices land on .5 display
+    // boundaries where Spark's binary-expansion HALF_UP and DuckDB's
+    // decimal round disagree (measured on three parts at sf0.001), while
+    // floor of the same double is exact in both.
+    //
+    // Scale: supplier⋈nation⋈region is a broadcast dim chain onto the
+    // lineitem scan; the (part, supp) partial agg collapses lineitem
+    // before any wide shuffle; part attributes broadcast onto the ≤1-row-
+    // per-part winners.
+    GraftQuery(
+      "min_cost_supplier",
+      (s, dir) => {
+        val r0 = Tables.region(s, dir).agg(min(col("r_name")).as("r0"))
+        val sup = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .crossJoin(broadcast(r0))
+          .filter(col("r_name") === col("r0"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val offers = Tables.lineitem(s, dir)
+          .filter(col("l_quantity") > 0 && col("l_extendedprice").isNotNull)
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+          .agg(min(col("unit")).as("min_unit"))
+        graft.plans.TopK.perKey(offers,
+          Seq("l_partkey"), Seq(("min_unit", "asc"), ("s_suppkey", "asc")), 1)
+          .join(broadcast(Tables.part(s, dir)
+            .select("p_partkey", "p_name", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("s_suppkey"), col("s_name"), col("n_name"),
+            expr("CAST(floor(min_unit * 10000) AS BIGINT)").as("unit_price_e4"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        WITH r0 AS (SELECT min(r_name) AS r0 FROM region),
+        sup AS (
+          SELECT s_suppkey, s_name, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey, r0
+          WHERE r_name = r0),
+        offers AS (
+          SELECT l_partkey, s_suppkey, s_name, n_name,
+                 min(l_extendedprice / l_quantity) AS min_unit
+          FROM lineitem
+          JOIN sup ON l_suppkey = s_suppkey
+          WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
+          GROUP BY 1, 2, 3, 4),
+        best AS (
+          SELECT l_partkey, s_suppkey, s_name, n_name, min_unit,
+                 row_number() OVER (PARTITION BY l_partkey
+                   ORDER BY min_unit, s_suppkey) AS rn
+          FROM offers)
+        SELECT p_partkey, p_name, p_brand, s_suppkey, s_name, n_name,
+               CAST(floor(min_unit * 10000) AS BIGINT) AS unit_price_e4
+        FROM best JOIN part ON l_partkey = p_partkey
+        WHERE rn = 1
+        ORDER BY p_partkey""")),
+
     // ---- star join with broadcast dims: orders rolled up to region -------
     GraftQuery(
       "region_rollup",

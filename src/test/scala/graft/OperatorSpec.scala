@@ -2308,4 +2308,40 @@ class OperatorSpec extends SparkSuite {
     }
     assert(got.nonEmpty, "corpus mined no cross-label pairs — vacuous")
   }
+
+  test("min_cost_supplier matches a driver replay of the per-part argmin") {
+    val regions = Tables.region(spark, sf).collect()
+      .map(r => r.getAs[Int]("r_regionkey") -> r.getAs[String]("r_name")).toMap
+    val r0 = regions.values.min
+    val nations = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") ->
+        (r.getAs[String]("n_name"), r.getAs[Int]("n_regionkey"))).toMap
+    val sup = Tables.supplier(spark, sf).collect().flatMap { r =>
+      nations.get(r.getAs[Int]("s_nationkey")).collect {
+        case (_, rk) if regions.get(rk).contains(r0) => r.getAs[Long]("s_suppkey")
+      }
+    }.toSet
+    val offers = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .collect()
+      .filter(r => !r.isNullAt(3) && r.getDouble(3) > 0 && !r.isNullAt(2) &&
+        sup(r.getLong(1)))
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2) / r.getDouble(3)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).min }
+    val expect = offers.toSeq.groupBy(_._1._1).map { case (part, g) =>
+      val best = g.minBy { case ((_, supp), unit) => (unit, supp) }
+      part -> (best._1._2, math.floor(best._2 * 10000).toLong)
+    }
+    val got = run("min_cost_supplier").collect()
+    assert(got.map(_.getAs[Long]("p_partkey")).toSet == expect.keySet,
+      "part set differs from the replay")
+    got.foreach { r =>
+      val (supp, e4) = expect(r.getAs[Long]("p_partkey"))
+      assert(r.getAs[Long]("s_suppkey") == supp,
+        s"part ${r.getAs[Long]("p_partkey")}: supplier mismatch")
+      assert(r.getAs[Long]("unit_price_e4") == e4,
+        s"part ${r.getAs[Long]("p_partkey")}: price mismatch")
+    }
+    assert(got.nonEmpty, "no region-local offers — vacuous")
+  }
 }
