@@ -45,7 +45,7 @@ object TextAnalysis {
     * (per-doc flags) and filter_funnel (cumulative survivor counts) so
     * the battery and the funnel can never drift. Every ratio rule is
     * cross-multiplied; no float ever decides a flag. */
-  private def gopherRules(t0: org.apache.spark.sql.Column)
+  private[graft] def gopherRules(t0: org.apache.spark.sql.Column)
       : (org.apache.spark.sql.Column, Seq[(String, org.apache.spark.sql.Column)]) = {
     val t = coalesce(t0, lit(""))
     val toks = split(t, " ")

@@ -431,6 +431,59 @@ object StreamingPipeline {
           .as("major_drift"))
   }
 
+  /** Live curation funnel — the streaming face of the batch filter_funnel
+    * query: per event-time window and per Gopher gate, how many documents
+    * arrived, how many pass that gate, and how many survive the gates
+    * applied IN ORDER. The rule predicates are
+    * [[graft.operators.TextAnalysis.gopherRules]] — the same single
+    * definition the batch battery and funnel use, so the monitor cannot
+    * drift from the offline readout it fronts. A curation ingest watches
+    * this to catch a gate suddenly killing traffic (an upstream format
+    * change flips mean_word_len; a crawler bug floods symbols) within one
+    * window instead of at the next batch audit.
+    *
+    * Shape: rule flags are materialized ONCE per row before the 5-struct
+    * explode (the batch funnel's lesson — inlining re-evaluates every
+    * regexp per prefix-AND), then one stateful windowed aggregation on
+    * (window, gate) — state O(open windows × 5 gates), emitted once per
+    * closed window in append mode. Null event times are filtered before
+    * the stateful operator (the silentDevices lesson); null text rows
+    * flow through coalesce('') inside the rules and count as arrivals
+    * that fail the battery, exactly as the batch funnel counts them. */
+  def funnelMonitor(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "timestamp",
+      windowLen: String = "1 minute",
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val (_, rules) = graft.operators.TextAnalysis.gopherRules(col(textCol))
+    val flags = docs
+      .filter(col(tsCol).isNotNull)
+      .select(col(tsCol) +: rules.zipWithIndex.map {
+        case ((_, r), i) => r.as(s"r$i")
+      }: _*)
+    val gates = rules.zipWithIndex.map { case ((name, _), i) =>
+      val cum = (0 to i).map(j => col(s"r$j")).reduce(_ && _)
+      struct(lit(i + 1).as("gate"), lit(name).as("rule"),
+        col(s"r$i").cast(IntegerType).as("p"),
+        cum.cast(IntegerType).as("cp"))
+    }
+    flags
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(array(gates: _*)).as("g"))
+      .groupBy(window(col(tsCol), windowLen),
+        col("g.gate").as("gate"), col("g.rule").as("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("g.p").cast(LongType).as("n_pass"),
+        sum("g.cp").cast(LongType).as("n_surviving"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("gate"), col("rule"), col("n_docs"), col("n_pass"),
+        col("n_surviving"))
+  }
+
   /** Scores in-flight documents with the batch-trained quality perceptron
     * (TextAnalysis.trainQualityPerceptron) — the train-offline /
     * infer-online composition every production corpus pipeline runs.

@@ -491,6 +491,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnelMonitor: per-window per-gate survivor counts mirror the batch battery") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = StreamingPipeline.funnelMonitor(mem.toDF())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel").start()
+    try {
+      // A: 50 tokens, stopwords present, all-alpha — passes every gate
+      val good = "the a " + Seq.fill(48)("data").mkString(" ")
+      // B: 10 tokens — fails word_count, passes everything else
+      val short = "the a " + Seq.fill(8)("data").mkString(" ")
+      // C: 50 digit tokens — passes the length gates, fails stopwords
+      // and alpha_words
+      val digits = Seq.fill(50)("12345").mkString(" ")
+      mem.addData(
+        Doc(1, good, ts("2024-01-01T10:00:05Z")),
+        Doc(2, short, ts("2024-01-01T10:00:20Z")),
+        Doc(3, digits, ts("2024-01-01T10:00:40Z")))
+      // advance the watermark past the window so append mode emits it
+      mem.addData(Doc(9, "later", ts("2024-01-01T10:03:00Z")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel").collect().sortBy(_.getAs[Int]("gate"))
+      assert(rows.length == 5, s"expected one closed window x 5 gates, got ${rows.length}")
+      assert(rows.forall(_.getAs[Timestamp]("window_start") ==
+        ts("2024-01-01T10:00:00Z")))
+      // hand funnel: gate pass sets A={all}, B={all but word_count},
+      // C={word_count, mean_word_len, symbol_ratio}
+      val expect = Seq(
+        (1, "word_count", 2L, 2L),
+        (2, "mean_word_len", 3L, 2L),
+        (3, "symbol_ratio", 3L, 2L),
+        (4, "stopwords", 2L, 1L),
+        (5, "alpha_words", 2L, 1L))
+      rows.toSeq.zip(expect).foreach { case (r, (g, nm, p, cp)) =>
+        assert(r.getAs[Int]("gate") == g && r.getAs[String]("rule") == nm)
+        assert(r.getAs[Long]("n_docs") == 3L, s"gate $nm arrivals")
+        assert(r.getAs[Long]("n_pass") == p, s"gate $nm pass count")
+        assert(r.getAs[Long]("n_surviving") == cp, s"gate $nm survivors")
+      }
+    } finally q.stop()
+  }
+
   test("kafka reader options carry the reference's consumer contract") {
     // processor.py:60-67 — subscribe (not assign), earliest start, and
     // failOnDataLoss=false; the offline harness has no broker, so pinning
