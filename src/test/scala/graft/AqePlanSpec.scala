@@ -162,5 +162,17 @@ class AqePlanSpec extends SparkSuite {
     for (name <- Seq("filter_funnel", "shingle_novelty"))
       assert("HashAggregate".r.findAllIn(finalPlan(name)).size >= 2,
         s"$name lost map-side partial aggregation under AQE")
+    // min_cost_supplier: the dim chain and part re-attach stay broadcast
+    // (no corpus-sized shuffle join) and the argmin stays a heap exec
+    val mcs = finalPlan("min_cost_supplier")
+    assert(mcs.contains("TopKPerKey"),
+      "min_cost_supplier lost its heap argmin in the final adaptive plan")
+    assert(!mcs.contains("SortMergeJoin") && !mcs.contains("CartesianProduct"),
+      "min_cost_supplier's dim joins gained a shuffle under AQE")
+    // bitext_margin / kcenter_sample: actionful builders — their returned
+    // plans must stay cartesian-free through adaptive re-planning
+    for (name <- Seq("bitext_margin", "kcenter_sample"))
+      assert(!finalPlan(name).contains("CartesianProduct"),
+        s"$name gained a CartesianProduct after adaptive re-planning")
   }
 }
