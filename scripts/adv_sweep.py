@@ -99,6 +99,13 @@ def build_events():
     add("2024-01-04 00:00:00+00", 4, "purchase", 1e9, '{"k":null}')
     add("2024-01-05 00:00:00+00", 4, "view", -1e9, None)
     add("2024-01-05 23:59:59.999999+00", 4, "purchase", 1e-9, '{"k":"v"}')
+    # nulls in every nullable slot: user, type, value, and even ts —
+    # batch windows group a NULL ts identically in both engines, and the
+    # streaming ops filter it before stateful operators
+    add("2024-01-06 10:00:00+00", None, "view", 1.0, None)
+    add("2024-01-06 10:01:00+00", 6, None, 2.0, None)
+    add("2024-01-06 10:02:00+00", 6, "view", None, None)
+    add(None, 6, "view", 3.0, None)
     # user 5: a normal week of alternating activity
     random.seed(3)
     for d in range(1, 8):
@@ -131,6 +138,9 @@ def build_embeddings():
         (4, [(-1.0) ** i for i in range(64)], 4),        # alternating signs
         (5, [1.0] * 64, 1),                              # duplicate of 1
         (6, [0.0] * 64, None),                           # zero + NULL label
+        (61, [float("nan")] * 64, 5),                    # NaN vector
+        (62, [1e38] * 64, 6),                            # norm overflows to +Inf
+        (63, [float("inf"), 1.0] + [0.0] * 62, 7),       # an Inf coordinate
     ]
     random.seed(11)
     for i in range(7, 60):
@@ -167,6 +177,18 @@ def main():
          "en", "web", 60),
         (9, "identical doc body with the a of and tokens repeated the a of and",
          "en", "mirror", 60),
+    ]
+    rows += [
+        (60, "tab\there newline\nline cr\rdone the a of and pad pad", "en",
+         "web", 50),                                      # control chars
+        (61, "     ", "en", "web", 5),                    # spaces only
+        (62, "pre\x01post the a of and sentinel test", "en", "web",
+         40),                                             # BPE sentinel char
+        (63, "cafe\u0301 nfd combining the a of and words", "fr", "uni",
+         40),                                             # NFD combining mark
+        (64, "\u0645\u0631\u062d\u0628\u0627 rtl text the a of and",
+         "ar", "uni", 30),                                # RTL codepoints
+        (65, "x" * 50000 + " the a of and", "en", "big", 50014),  # huge token
     ]
     big = " ".join(f"t{i % 97}" for i in range(10000))    # 10k-token outlier
     rows += [

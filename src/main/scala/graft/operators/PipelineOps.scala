@@ -49,8 +49,11 @@ object PipelineOps {
     * oracles compute), parallelism ≈ |parts|·`buckets` regardless of
     * part skew. `part` may be empty (a global rank). `value` must be an
     * integral column; ties across the bucket boundary are safe because
-    * the bucket is a pure function of the value. Appends `rankCol`
-    * (long) and preserves the input columns. */
+    * the bucket is a pure function of the value. NULL values rank LAST
+    * (they fall into the top bucket — least() skips nulls — and the
+    * bucket-local window orders asc_nulls_last), so oracles must spell
+    * ORDER BY … NULLS LAST. Appends `rankCol` (long) and preserves the
+    * input columns. */
   private[operators] def twoPhaseRank(df: org.apache.spark.sql.DataFrame,
       part: Seq[String], value: String, tiebreak: Seq[String],
       rankCol: String, buckets: Int = 32): org.apache.spark.sql.DataFrame = {
@@ -70,9 +73,15 @@ object PipelineOps {
         Window.partitionBy(part.map(col): _*).orderBy("_tpr_bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select((part :+ "_tpr_bkt" :+ "_tpr_off").map(col): _*)
+    // asc_nulls_last: a NULL `value` lands in the TOP bucket (Spark's
+    // least() skips nulls, so rangeBucket yields buckets-1 for it) — and
+    // must also rank after every non-null value WITHIN that bucket, giving
+    // a consistent global NULLS-LAST rank. Spark's unpinned ASC default
+    // (NULLS FIRST) would rank the null row at the top bucket's start,
+    // splitting its neighbors' ranks (hostile-events sweep finding).
     bk.withColumn("_tpr_lr", row_number().over(
         Window.partitionBy((part :+ "_tpr_bkt").map(col): _*)
-          .orderBy(col(value) +: tiebreak.map(col): _*)))
+          .orderBy(col(value).asc_nulls_last +: tiebreak.map(col): _*)))
       .join(broadcast(off), part :+ "_tpr_bkt")
       .withColumn(rankCol, col("_tpr_off") + col("_tpr_lr"))
       .drop("_tpr_bkt", "_tpr_off", "_tpr_lr")
@@ -262,7 +271,8 @@ object PipelineOps {
         .orderBy("global_idx"),
       Some("""
         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
-               CAST(row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               CAST(row_number() OVER (
+                 ORDER BY CAST(ts AS TIMESTAMP) NULLS LAST, event_id)
                  AS BIGINT) AS global_idx
         FROM events
         ORDER BY global_idx"""))

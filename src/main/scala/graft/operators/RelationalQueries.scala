@@ -60,7 +60,10 @@ object RelationalQueries {
         .orderBy("window_start", "event_type"),
       // avg via Num.sqlDavg: the Spark side uses davg's exact-integer
       // half-up, and a hand-rolled round(double/count) here would diverge
-      // on the same .xxxx5 ties gap_fill hit
+      // on the same .xxxx5 ties gap_fill hit. WHERE ts IS NOT NULL mirrors
+      // Spark's window() semantics — a null event-time row belongs to no
+      // window and is dropped by the generated IsNotNull filter, while
+      // date_trunc would happily keep a NULL bucket (hostile-events sweep).
       Some(s"""
         SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
                date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
@@ -71,6 +74,7 @@ object RelationalQueries {
                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
                count(*) AS reading_count
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2, 3
         ORDER BY window_start, event_type""")),
 
@@ -97,7 +101,8 @@ object RelationalQueries {
           SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP))
                    - to_microseconds(k * 5 * 60 * 1000000) AS ws,
                  event_type, value
-          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+          WHERE ts IS NOT NULL)
         GROUP BY ws, event_type
         ORDER BY window_start, event_type""")),
 
@@ -613,10 +618,15 @@ object RelationalQueries {
         ORDER BY user_id, rn""")),
 
     // ---- analytic window: lag / event-time deltas ------------------------
+    // asc_nulls_last + NULLS LAST pin the null-ts placement: Spark's ASC
+    // default is NULLS FIRST, DuckDB's NULLS LAST, so an unpinned ordering
+    // silently reshuffles a null-event-time row's lag neighbors
+    // (hostile-events sweep finding).
     GraftQuery(
       "window_lag",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc_nulls_last, col("event_id"))
         Tables.events(s, dir)
           .select(col("user_id"), col("event_id"), col("value"),
                   lag("value", 1).over(w).as("prev_value"),
@@ -630,17 +640,20 @@ object RelationalQueries {
                epoch_us(CAST(ts AS TIMESTAMP))
                  - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w) AS delta_us
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) NULLS LAST, event_id)
         ORDER BY user_id, event_id""")),
 
     // ---- analytic window: 3-row moving average ---------------------------
     // Spelled with explicit lags (fixed-order arithmetic) instead of a
     // sliding-frame avg so both engines sum in the same order — DuckDB's
     // frame aggregation may subtract/re-add, which breaks FP determinism.
+    // Null-ts ordering pinned NULLS LAST (window_lag's rationale).
     GraftQuery(
       "moving_avg",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc_nulls_last, col("event_id"))
         val l1 = lag("value", 1).over(w)
         val l2 = lag("value", 2).over(w)
         Tables.events(s, dir)
@@ -658,7 +671,8 @@ object RelationalQueries {
                           + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END),
                      4) AS mavg3
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) NULLS LAST, event_id)
         ORDER BY user_id, event_id""")),
 
     // ---- JSON extraction from string props (events.props) ---------------
@@ -949,11 +963,14 @@ object RelationalQueries {
     // scan to discover columns — never acceptable on a 100 TB table.
     GraftQuery(
       "pivot_events",
+      // fill scoped to the pivoted columns: an unscoped na.fill(0) also
+      // rewrites a NULL user_id key to 0, silently merging the null group
+      // into user 0's row (hostile-events sweep finding)
       (s, dir) => Tables.events(s, dir)
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
-        .na.fill(0L)
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("user_id"),
       Some("""
         SELECT user_id,
@@ -1081,9 +1098,13 @@ object RelationalQueries {
     GraftQuery(
       "window_distribution",
       (s, dir) => {
-        val byValue = Window.partitionBy("event_type").orderBy("value")
+        // NULLS LAST pinned in both engines — unpinned, Spark's NULLS-FIRST
+        // ASC default makes a null-value row rank 1 and shifts nth_value(2)
+        // onto the true minimum (hostile-events sweep finding)
+        val byValue = Window.partitionBy("event_type")
+          .orderBy(col("value").asc_nulls_last)
         val full = Window.partitionBy("event_type")
-          .orderBy(col("value"), col("event_id"))
+          .orderBy(col("value").asc_nulls_last, col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         Tables.events(s, dir)
           .select(col("event_id"), col("event_type"),
@@ -1093,10 +1114,11 @@ object RelationalQueries {
       },
       Some("""
         SELECT event_id, event_type,
-               round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6)
+               round(cume_dist() OVER (
+                 PARTITION BY event_type ORDER BY value NULLS LAST), 6)
                  AS value_cume_dist,
                round(nth_value(value, 2) OVER (
-                 PARTITION BY event_type ORDER BY value, event_id
+                 PARTITION BY event_type ORDER BY value NULLS LAST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
                  AS second_lowest
         FROM events

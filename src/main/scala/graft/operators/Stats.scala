@@ -260,11 +260,17 @@ object Stats {
     // scale, unlike the previous arithmetic fold (value·1e7 + id), whose
     // id term could outweigh a 0.01 value gap once ids pass 1e5.
     // max side ties resolve to the LARGEST id, min side to the smallest,
-    // so both picks are total orders.
+    // so both picks are total orders. A NULL value must not win either
+    // side: Spark's struct comparison sorts a null field FIRST while
+    // DuckDB's sorts it LAST, so the engines would pick different rows —
+    // the rank is nulled for null-value rows (max_by/min_by skip null
+    // ranks, like max/min skip nulls) and the oracle FILTERs them, making
+    // "argmin/argmax ignore null values" the pinned semantics.
     GraftQuery(
       "minmax_by",
       (s, dir) => {
-        val rank = struct(col("value"), col("event_id"))
+        val rank = when(col("value").isNotNull,
+          struct(col("value"), col("event_id")))
         Tables.events(s, dir)
           .groupBy("event_type")
           .agg(max_by(col("event_id"), rank).as("max_value_event"),
@@ -274,8 +280,10 @@ object Stats {
       },
       Some("""
         SELECT event_type,
-               max(struct_pack(v := value, id := event_id)).id AS max_value_event,
-               min(struct_pack(v := value, id := event_id)).id AS min_value_event,
+               max(struct_pack(v := value, id := event_id))
+                 FILTER (WHERE value IS NOT NULL).id AS max_value_event,
+               min(struct_pack(v := value, id := event_id))
+                 FILTER (WHERE value IS NOT NULL).id AS min_value_event,
                count(*) AS n
         FROM events
         GROUP BY event_type
@@ -287,10 +295,15 @@ object Stats {
     // order — one map-side-combined hash agg carrying a single struct per
     // key, not a per-key window sort. At scale this is the compaction pass
     // a foreachBatch merge sink runs per microbatch.
+    // A null-ts row can never be "latest": the rank is nulled for it
+    // (max_by skips null ranks) and the oracle FILTERs it — without the
+    // pin, Spark's struct comparison sorts the null ts field first while
+    // DuckDB's sorts it last, so DuckDB would crown the null-ts row.
     GraftQuery(
       "latest_by_key",
       (s, dir) => {
-        val rank = struct(col("ts"), col("event_id"))
+        val rank = when(col("ts").isNotNull,
+          struct(col("ts"), col("event_id")))
         Tables.events(s, dir)
           .groupBy("user_id", "event_type")
           .agg(max_by(struct(col("event_id"), col("value"), col("ts")), rank)
@@ -306,9 +319,12 @@ object Stats {
       // the same microsecond (GraftQuery's µs-precision rule)
       Some("""
         SELECT user_id, event_type,
-               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value)).id AS event_id,
-               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value)).v AS value,
-               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value)).ts AS ts
+               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value))
+                 FILTER (WHERE ts IS NOT NULL).id AS event_id,
+               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value))
+                 FILTER (WHERE ts IS NOT NULL).v AS value,
+               max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id, v := value))
+                 FILTER (WHERE ts IS NOT NULL).ts AS ts
         FROM events
         GROUP BY user_id, event_type
         ORDER BY user_id, event_type""")),
@@ -398,13 +414,17 @@ object Stats {
       "approx_quantiles",
       (s, dir) => {
         val e = Tables.events(s, dir).select(col("event_type"), col("value"))
-        val ap = e.groupBy("event_type")
+        val ap = e.groupBy(col("event_type").as("_et"))
           .agg(count(col("value")).as("nv"),
             expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
             expr("approx_percentile(value, 0.95, 1000)").as("ap95"),
             expr("percentile(value, 0.5)").as("ex50"),
             expr("percentile(value, 0.95)").as("ex95"))
-        e.join(broadcast(ap), "event_type")
+        // null-safe join key: a NULL event_type is a legitimate group in
+        // both engines, but a plain equi-join would silently drop it from
+        // the rank-check rejoin (hostile-events sweep finding)
+        e.join(broadcast(ap), e("event_type") <=> ap("_et"))
+          .drop("_et")
           .groupBy("event_type")
           .agg(first("nv").as("nv"),
             first("ex50").as("ex50"), first("ex95").as("ex95"),
@@ -672,8 +692,12 @@ object Stats {
     GraftQuery(
       "psi_drift",
       (s, dir) => {
+        // ts IS NOT NULL too: a row with no event-time belongs to neither
+        // cohort — without the filter Spark's when().otherwise() counts it
+        // in NEITHER (null condition → otherwise on both branches) while
+        // the oracle's CASE ELSE counts it in cohort B
         val e = Tables.events(s, dir)
-          .filter(col("value").isNotNull)
+          .filter(col("value").isNotNull && col("ts").isNotNull)
           .select(unix_micros(col("ts")).as("us"), col("value"))
         val bounds = e.agg(min("us").as("t0"), max("us").as("t1"),
           min("value").as("mn"), max("value").as("mx"))
@@ -713,7 +737,8 @@ object Stats {
       },
       Some(s"""
         WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
-                   FROM events WHERE value IS NOT NULL),
+                   FROM events
+                   WHERE value IS NOT NULL AND ts IS NOT NULL),
         bounds AS (SELECT min(us) AS t0, max(us) AS t1,
                           min(value) AS mn, max(value) AS mx FROM e),
         counts AS (

@@ -193,6 +193,8 @@ object TimeSeries {
           (col("sw.end") - expr("INTERVAL 30 MINUTES")).as("session_last"),
           col("n_events"))
         .orderBy("user_id", "session_start"),
+      // WHERE ts IS NOT NULL mirrors session_window()'s generated
+      // IsNotNull(ts) filter — a null event-time row belongs to no session
       Some("""
         WITH t AS (
           SELECT user_id, CAST(ts AS TIMESTAMP) ts,
@@ -202,6 +204,7 @@ object TimeSeries {
                            >= INTERVAL 30 MINUTES THEN 1
                       ELSE 0 END AS new_session
           FROM events
+          WHERE ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         s AS (
           SELECT user_id, ts,
@@ -625,8 +628,12 @@ object TimeSeries {
     // matter the corpus width), never the events.
     GraftQuery(
       "cumulative_distinct",
+      // ts IS NOT NULL on both sides: a dateless event attributes to no
+      // day, and the running-sum window would otherwise place the NULL
+      // day first (Spark) vs last (DuckDB), skewing every cumulative count
       (s, dir) => {
         val e = Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
           .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
         val newPerDay = e.groupBy("user_id").agg(min("d").as("d"))
           .groupBy("d").agg(count(lit(1)).as("n_new"))
@@ -639,7 +646,8 @@ object TimeSeries {
           .orderBy("d")
       },
       Some("""
-        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events
+                   WHERE ts IS NOT NULL),
         f AS (SELECT user_id, min(d) AS d FROM e GROUP BY 1),
         nw AS (SELECT d, count(*) AS n_new FROM f GROUP BY 1),
         ac AS (SELECT d, count(*) AS n_active FROM e GROUP BY 1)
@@ -664,7 +672,12 @@ object TimeSeries {
     // window runs over a frame that never grows with the data.
     GraftQuery(
       "event_transitions",
+      // ts IS NOT NULL on both sides: a transition is defined by temporal
+      // adjacency, and an un-timestamped row would slot first in Spark's
+      // sequence but last in DuckDB's (NULLS FIRST vs LAST defaults),
+      // producing different (prev → next) pairs
       (s, dir) => Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("prev", lag("event_type", 1).over(
           Window.partitionBy("user_id").orderBy("ts", "event_id")))
@@ -680,7 +693,8 @@ object TimeSeries {
           SELECT event_type,
                  lag(event_type) OVER (PARTITION BY user_id
                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
-          FROM events),
+          FROM events
+          WHERE ts IS NOT NULL),
         t AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
               FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
         SELECT from_type, to_type, n,
