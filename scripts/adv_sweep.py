@@ -138,7 +138,6 @@ def build_embeddings():
         (4, [(-1.0) ** i for i in range(64)], 4),        # alternating signs
         (5, [1.0] * 64, 1),                              # duplicate of 1
         (6, [0.0] * 64, None),                           # zero + NULL label
-        (61, [float("nan")] * 64, 5),                    # NaN vector
         (62, [1e38] * 64, 6),                            # norm overflows to +Inf
         (63, [float("inf"), 1.0] + [0.0] * 62, 7),       # an Inf coordinate
     ]
@@ -147,6 +146,17 @@ def build_embeddings():
         rows.append((i, [random.uniform(-1, 1) for _ in range(64)],
                      random.choice(range(8))))
     con.executemany("INSERT INTO e VALUES (?,?,?)", rows)
+    # NULL-element and genuine-NaN vectors via SQL — the Python client
+    # converts float('nan') list elements to NULL on ingest, which is a
+    # DIFFERENT hostile class (malformed vector) than an IEEE NaN
+    con.execute("INSERT INTO e SELECT 61, list_transform(range(64), "
+                "i -> 'nan'::FLOAT), 5")                 # true NaN vector
+    con.execute("INSERT INTO e SELECT 64, list_transform(range(64), "
+                "i -> NULL::FLOAT), 5")                  # all-NULL elements
+    con.execute("INSERT INTO e SELECT 65, list_transform(range(64), "
+                "i -> CASE WHEN i = 3 THEN NULL ELSE 0.5 END::FLOAT), 6")
+    # ^ ONE null slot: the partial-null vector Spark's ArrayData would
+    #   silently read as 0.0 without the kernels' isNullAt probe
     con.execute(f"COPY e TO '{MDIR}/embeddings.parquet' (FORMAT PARQUET)")
     print(f"built {MDIR}/embeddings.parquet with "
           f"{con.sql('SELECT count(*) FROM e').fetchone()[0]} hostile vectors")

@@ -13,6 +13,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`CAST(x AS DOUBLE)` then fold) these kernels replace, and to DuckDB's
   * `list_reduce` fold — so swapping them in changes nothing the oracle can
   * see.
+  *
+  * NULL-element contract: a vector with a NULL element is malformed, and
+  * the dot/distance kernels return NaN for it. ArrayData.getFloat/getDouble
+  * silently read a null slot as 0.0, so without the isNullAt probe Spark
+  * would fold null→0 while DuckDB's list arithmetic folds null→NULL — a
+  * partially-null vector would pass Spark's `norm > 0` universe gate but
+  * fail DuckDB's (hostile-embeddings sweep finding). NaN fails every
+  * two-sided `norm > 0 AND norm < MaxVecNorm` gate in BOTH engines
+  * (NULL compares to neither bound; NaN sorts above the upper one), so
+  * malformed vectors leave the similarity universe identically.
   */
 object VectorKernels {
 
@@ -21,7 +31,10 @@ object VectorKernels {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
     acc
   }
 
@@ -30,7 +43,10 @@ object VectorKernels {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1
+    }
     acc
   }
 
@@ -38,7 +54,10 @@ object VectorKernels {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      acc += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     acc
   }
 
@@ -92,6 +111,7 @@ object VectorKernels {
     var acc = 0.0
     var i = math.max(off, 0)
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       acc += d * d
       i += 1
@@ -104,6 +124,7 @@ object VectorKernels {
     var acc = 0.0
     var i = math.max(off, 0)
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1

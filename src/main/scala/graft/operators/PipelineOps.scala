@@ -144,6 +144,13 @@ object PipelineOps {
       (s, dir) => Tables.embeddings(s, dir)
         .withColumn("_v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("_maxabs", expr("array_max(transform(_v, x -> abs(x)))"))
+        // a NaN/Inf coordinate has no int8 image: 127/Inf = 0 and
+        // Inf·0 = NaN aborts the ANSI int cast (and DuckDB's) — drop
+        // non-finite vectors; zero and all-null vectors stay (scale 0 /
+        // NULL sums), and ANY finite magnitude quantizes fine, so no
+        // norm bound is needed here (hostile-embeddings sweep)
+        .filter(col("_maxabs").isNull ||
+          (!isnan(col("_maxabs")) && col("_maxabs") < Double.PositiveInfinity))
         // zero vectors: scale 0 (all-zero quantization) instead of
         // 127/0 = Inf, whose 0*Inf = NaN would fail the ANSI int cast
         .withColumn("_scale",
@@ -157,11 +164,14 @@ object PipelineOps {
         .orderBy("vec_id"),
       Some("""
         WITH e AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> abs(x))) AS maxabs
+          FROM embeddings
+          WHERE maxabs IS NULL OR isfinite(maxabs)),
         s AS (
           SELECT vec_id, v,
-                 CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-                      THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                 CASE WHEN maxabs > 0 THEN 127.0 / maxabs
                       ELSE 0.0 END AS scale
           FROM e),
         q AS (

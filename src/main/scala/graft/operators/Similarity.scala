@@ -25,21 +25,39 @@ import graft.functions.{LshPlanes, VectorExpressions => V}
   */
 object Similarity {
 
+  /** Upper bound of the similarity universe's L2 norm. Everything in the
+    * suite that touches a vector quantizes through exact decimal/integer
+    * arithmetic (DECIMAL(18,8) coordinate sums, micro-unit squared
+    * distances) so the two engines hash-match bit-for-bit; that
+    * discipline needs bounded coordinates — with norms < 1e4 a squared
+    * distance tops out at (2·1e4)² = 4e8, far inside every cast. Any
+    * real embedding has O(1) norm; a vector beyond this bound is a
+    * corrupt feature dump, excluded like the zero vector. */
+  private[operators] val MaxVecNorm = 1e4
+  /** The oracle mirror of the universe gate (NaN > 0 is true but
+    * NaN < bound is false in BOTH engines, so NaN/Inf/overflowing/
+    * null-element vectors — the kernels fold a null element to NaN —
+    * leave the universe identically). */
+  private[operators] val SqlNormGate = "norm > 0 AND norm < 10000.0"
+
   /** embeddings + L2 norm (raw float vector — no cast materialization). */
-  /** The SIMILARITY universe: embeddings + L2 norm, zero-norm vectors
-    * excluded. A zero vector has no direction — its cosine is 0/0 — and
-    * under Spark 4's default ANSI mode ONE such row (a dead crawl page,
-    * an all-zero feature dump) aborts every similarity query in the
-    * suite mid-corpus (adversarial-embeddings sweep finding). Exclusion
-    * at the source is the standard ANN-index rule (FAISS normalizes or
-    * rejects), and every oracle's `e` CTE mirrors the `norm > 0` gate so
-    * the universes stay hash-identical on any corpus. embedding_norms
-    * deliberately does NOT use this frame — the norms REPORT must show
-    * the zero vectors a pipeline needs to find. */
+  /** The SIMILARITY universe: embeddings + L2 norm, zero-norm and
+    * non-finite/over-bound vectors excluded. A zero vector has no
+    * direction — its cosine is 0/0 — and under Spark 4's default ANSI
+    * mode ONE such row (a dead crawl page, an all-zero feature dump)
+    * aborts every similarity query in the suite mid-corpus
+    * (adversarial-embeddings sweep finding); a NaN/Inf/1e38 vector
+    * poisons every distance it touches and overflows the exact-decimal
+    * oracle arithmetic ([[MaxVecNorm]]). Exclusion at the source is the
+    * standard ANN-index rule (FAISS normalizes or rejects), and every
+    * oracle's `e` CTE mirrors the [[SqlNormGate]] so the universes stay
+    * hash-identical on any corpus. embedding_norms deliberately does NOT
+    * use this frame — the norms REPORT must show the degenerate vectors
+    * a pipeline needs to find. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("norm", V.l2norm(col("embedding")))
-      .filter(col("norm") > 0)
+      .filter(col("norm") > 0 && col("norm") < MaxVecNorm)
 
   /** Candidate near-dup pairs from capped LSH probe cells — the frame
     * embedding_neardup confirms with exact cosine, exposed so the
@@ -113,7 +131,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           $rows) AS p(tbl, plane, w)),
         dots AS (
@@ -194,7 +212,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         scored AS (
           SELECT qid, vec_id,
@@ -257,7 +275,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         h AS (
           SELECT qid, vec_id,
@@ -333,7 +351,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         b AS (SELECT max(vec_id) - 63 AS t FROM e),
         q AS (SELECT vec_id eval_id, v qv, norm qnorm FROM e, b WHERE vec_id >= t),
         c AS (SELECT vec_id, v, norm FROM e, b WHERE vec_id < t),
@@ -447,7 +465,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -516,8 +534,10 @@ object Similarity {
       "ann_ivf_topk",
       (s, dir) => {
         val e = vecs(s, dir)
-        // exact decimal centroid per label, rebuilt as array<double>
-        val cents = Tables.embeddings(s, dir)
+        // exact decimal centroid per label, rebuilt as array<double> —
+        // built from the GATED universe: a corrupt (NaN/1e38) vector in a
+        // cell's mean poisons the whole cell's centroid
+        val cents = e
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .groupBy("label", "dim")
           .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
@@ -551,14 +571,14 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         cents AS (
           SELECT label AS c_label, list(m ORDER BY dim) AS centroid
           FROM (SELECT label, dim,
                        CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m
-                FROM (SELECT label, unnest(embedding) x,
-                             generate_subscripts(embedding, 1) dim
-                      FROM embeddings)
+                FROM (SELECT label, unnest(v) x,
+                             generate_subscripts(v, 1) dim
+                      FROM e)
                 GROUP BY label, dim)
           GROUP BY label),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
@@ -632,7 +652,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm, label qlabel
               FROM e WHERE vec_id < 5),
         scored AS (
@@ -693,7 +713,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -780,7 +800,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -831,9 +851,12 @@ object Similarity {
         ORDER BY vec_id""")),
 
     // ---- per-label centroids (long format: label × dimension) ------------
+    // Universe-gated like every centroid in the suite: one corrupt
+    // (NaN/Inf/1e38) vector otherwise poisons its label's mean — and
+    // overflows the exact DECIMAL(18,8) sum the hash-check relies on.
     GraftQuery(
       "label_centroids",
-      (s, dir) => Tables.embeddings(s, dir)
+      (s, dir) => vecs(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .filter(col("dim") < 8)
         .groupBy("label", "dim")
@@ -843,11 +866,18 @@ object Similarity {
           6).as("mean"))
         .orderBy("label", "dim"),
       Some("""
+        WITH e AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0 AND norm < 10000.0)
         SELECT label, dim - 1 AS dim,
                round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS mean
-        FROM (SELECT label, unnest(embedding) x,
-                     generate_subscripts(embedding, 1) dim
-              FROM embeddings)
+        FROM (SELECT label, unnest(v) x,
+                     generate_subscripts(v, 1) dim
+              FROM e)
         WHERE dim - 1 < 8
         GROUP BY label, dim
         ORDER BY label, dim""")),
@@ -877,7 +907,10 @@ object Similarity {
         // Spark's BigDecimal-exact round and DuckDB's multiply-based
         // round produce different doubles on some inputs; no float
         // survives past x6 here, so nothing is left to diverge.
-        val dims = Tables.embeddings(s, dir)
+        // universe-gated (vecs): a 1e38 coordinate would overflow the
+        // BIGINT micro-quantization outright, and a NaN/Inf one aborts
+        // the ANSI cast mid-corpus
+        val dims = vecs(s, dir)
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "x")))
           // CAST to DOUBLE before the multiply: float·int stays FLOAT
@@ -908,11 +941,17 @@ object Similarity {
           .orderBy("vec_id")
       },
       Some("""
-        WITH dims AS (
-          SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
-                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-                   AS BIGINT) AS x6
-          FROM embeddings),
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0 AND norm < 10000.0),
+        dims AS (
+          SELECT vec_id, label, generate_subscripts(v, 1) AS dim,
+                 CAST(round(unnest(v) * 1000000) AS BIGINT) AS x6
+          FROM e),
         c AS (
           SELECT label, dim,
                  CASE WHEN sum(x6) >= 0
@@ -979,7 +1018,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         c AS (
           SELECT vec_id, label, v, norm FROM (
             SELECT e.*, count(*) OVER (PARTITION BY label) csz FROM e)
@@ -1022,7 +1061,7 @@ object Similarity {
         val e = Tables.embeddings(s, dir)
           .withColumn("tv", expr(s"slice(embedding, 1, $MrlDims)"))
           .select(col("vec_id"), col("tv"), V.l2norm(col("tv")).as("tnorm"))
-          .filter(col("tnorm") > 0)
+          .filter(col("tnorm") > 0 && col("tnorm") < MaxVecNorm)
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("tv").as("qv"), col("tnorm").as("qnorm"))
         val scored = e.crossJoin(broadcast(q))
@@ -1038,8 +1077,8 @@ object Similarity {
                    list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, $MrlDims),
                      x -> x * x)), (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
-        f AS (SELECT * FROM e WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
+        f AS (SELECT * FROM e WHERE norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM f WHERE vec_id < 5),
         scored AS (
           SELECT qid, vec_id,
@@ -1145,7 +1184,8 @@ object Similarity {
       "ivfpq_topk",
       (s, dir) => {
         val e = vecs(s, dir)
-        val cents = Tables.embeddings(s, dir)
+        // gated centroids — the ann_ivf_topk rationale
+        val cents = e
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .groupBy("label", "dim")
           .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
@@ -1194,14 +1234,14 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         cents AS (
           SELECT label AS c_label, list(m ORDER BY dim) AS centroid
           FROM (SELECT label, dim,
                        CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m
-                FROM (SELECT label, unnest(embedding) x,
-                             generate_subscripts(embedding, 1) dim
-                      FROM embeddings)
+                FROM (SELECT label, unnest(v) x,
+                             generate_subscripts(v, 1) dim
+                      FROM e)
                 GROUP BY label, dim)
           GROUP BY label),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
@@ -1284,7 +1324,9 @@ object Similarity {
     GraftQuery(
       "kmeans_refine",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        // universe-gated: a NaN/1e38 member makes its cluster's mean NaN /
+        // overflows the exact-decimal sum (hostile-embeddings sweep)
+        val e = vecs(s, dir).select(col("vec_id"), col("embedding"))
         val seeds = e.filter(col("vec_id") < KmSeeds)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
         val assigned = e.crossJoin(broadcast(seeds))
@@ -1306,7 +1348,13 @@ object Similarity {
           .orderBy("cluster", "dim")
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0 AND norm < 10000.0),
         s AS (SELECT vec_id AS c_id, v AS sv FROM e WHERE vec_id < $KmSeeds),
         d AS (
           SELECT e.vec_id, s.c_id, e.v,
@@ -1348,7 +1396,9 @@ object Similarity {
       (s, dir) => {
         val dec = org.apache.spark.sql.types.DecimalType(28, 8)
         val dbl = org.apache.spark.sql.types.DoubleType
-        val e = Tables.embeddings(s, dir)
+        // universe-gated: one 1e38 vector overflows the DECIMAL(28,8)
+        // projection sums; a NaN one zeroes pc1 outright
+        val e = vecs(s, dir)
           .select(col("vec_id"), col("embedding"))
           .withColumn("sv",
             expr("aggregate(embedding, 0D, (acc, x) -> acc + x)") * lit(0.125))
@@ -1363,7 +1413,13 @@ object Similarity {
           .orderBy("dim")
       },
       Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0 AND norm < 10000.0),
         ws AS (
           SELECT v, list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
                    (acc, x) -> acc + x) * 0.125 AS sv
@@ -1491,7 +1547,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmSeeds),
         ${lloyd("c0", "a1", "c1")},
         ${lloyd("c1", "a2", "c2")},
@@ -1651,7 +1707,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         scored AS (
           SELECT qid, vec_id,
@@ -1747,7 +1803,10 @@ object Similarity {
       "kcenter_sample",
       (s, dir) => {
         import s.implicits._
-        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        // universe-gated: greedy farthest-point would otherwise pick the
+        // corrupt max-magnitude vector first every time, and a NaN
+        // distance ranks incomparably between the engines
+        val e = vecs(s, dir).select(col("vec_id"), col("embedding"))
         val seed = e.orderBy("vec_id").limit(1).head()
         val seedId = seed.getLong(0)
         val picks = scala.collection.mutable.ArrayBuffer(
@@ -1817,7 +1876,13 @@ object Similarity {
           s"SELECT $k AS round, vec_id, round(sqrt(mind), 4) AS radius FROM p$k")
           .mkString("\n        UNION ALL ")
         s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE norm > 0 AND norm < 10000.0),
         p1 AS (SELECT vec_id, v FROM e
                WHERE vec_id = (SELECT min(vec_id) FROM e)),
         m1 AS MATERIALIZED (
@@ -1902,7 +1967,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0),
+          WHERE norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -2028,7 +2093,14 @@ object Similarity {
 
   /** All (vector, subspace, codeword) squared distances — the shared
     * front half of pq_topk and ivfpq_topk: codes are its per-(vec, m)
-    * argmins, per-query distance tables are its vec_id < 5 slice. */
+    * argmins, per-query distance tables are its vec_id < 5 slice.
+    * Deliberately UNGATED (unlike the cosine universe): PQ/ADC is pure
+    * L2, where a zero-norm vector is a legitimate point. Malformed/
+    * non-finite vectors stay consistent without a gate because no
+    * corpus-side distance ever crosses a decimal/int cast: their NaN
+    * (Spark kernels) / NULL (DuckDB folds) subspace distances tie every
+    * codeword, and both engines' argmin tiebreak (NaN and NULL both
+    * order last; cw ascending) lands on codeword 0 identically. */
   private def pqDistances(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val cb = e.filter(col("vec_id") < PqCodebook)

@@ -1752,6 +1752,31 @@ class OperatorSpec extends SparkSuite {
     assert(plan.contains("TopKPerKey"), "ivfpq lost its heap operator")
   }
 
+  test("vector kernels: a NULL element folds to NaN (malformed-vector contract)") {
+    // ArrayData.getFloat silently reads a null slot as 0.0 — without the
+    // kernels' isNullAt probe a partially-null vector passes Spark's
+    // norm > 0 universe gate while DuckDB's list fold nulls it out
+    // (hostile-embeddings sweep). NaN fails the two-sided
+    // norm > 0 AND norm < MaxVecNorm gate in both engines.
+    import graft.functions.{VectorExpressions => V}
+    val df = spark.sql(
+      """SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a,
+                array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b""")
+    val r = df.select(
+      V.dot(col("a"), col("b")).as("d"),
+      V.l2norm(col("a")).as("n"),
+      V.subSqDist(col("a"), col("b"), lit(0), 2).as("s"),
+      // the gate expression itself: NaN > 0 is true but NaN < bound is
+      // false, so the malformed vector leaves the universe
+      (V.l2norm(col("a")) > 0 && V.l2norm(col("a")) < 1e4).as("inUniverse"),
+      V.l2norm(col("b")).as("nb")).head()
+    assert(r.getDouble(0).isNaN, "dot over a null slot must be NaN")
+    assert(r.getDouble(1).isNaN, "l2norm over a null slot must be NaN")
+    assert(r.getDouble(2).isNaN, "subSqDist over a null slot must be NaN")
+    assert(!r.getBoolean(3), "malformed vector must fail the universe gate")
+    assert(r.getDouble(4) == math.sqrt(5.0), "clean vectors unaffected")
+  }
+
   test("subSqDist kernel equals the naive slice fold on random vectors") {
     import graft.functions.{VectorExpressions => V}
     val rnd = new scala.util.Random(7)
