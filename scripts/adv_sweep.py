@@ -157,6 +157,13 @@ def build_embeddings():
                 "i -> CASE WHEN i = 3 THEN NULL ELSE 0.5 END::FLOAT), 6")
     # ^ ONE null slot: the partial-null vector Spark's ArrayData would
     #   silently read as 0.0 without the kernels' isNullAt probe
+    # wrong-width vectors: Spark kernels min-length truncate, DuckDB
+    # folds the missing slots to NULL — the dims gate must drop both;
+    # the 96-dim one would also trip sign_pack's fail-loudly width check
+    con.execute("INSERT INTO e SELECT 66, list_transform(range(32), "
+                "i -> 0.25::FLOAT), 2")                  # 32-dim vector
+    con.execute("INSERT INTO e SELECT 67, list_transform(range(96), "
+                "i -> 0.25::FLOAT), 3")                  # 96-dim vector
     con.execute(f"COPY e TO '{MDIR}/embeddings.parquet' (FORMAT PARQUET)")
     print(f"built {MDIR}/embeddings.parquet with "
           f"{con.sql('SELECT count(*) FROM e').fetchone()[0]} hostile vectors")

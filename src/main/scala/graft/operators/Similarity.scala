@@ -34,11 +34,23 @@ object Similarity {
     * real embedding has O(1) norm; a vector beyond this bound is a
     * corrupt feature dump, excluded like the zero vector. */
   private[operators] val MaxVecNorm = 1e4
+
+  /** Declared embedding dimensionality — part of the universe contract.
+    * A wrong-width vector silently truncates in the Spark kernels
+    * (min-length loops) while DuckDB's fold reads the missing slots as
+    * NULL — the engines would disagree on every score it touches, and a
+    * >64-dim vector would trip sign_pack's fail-loudly width check.
+    * The gate (`size(embedding) = EmbDims`, `len(embedding) = 64` in the
+    * oracles) keeps mixed-width corpora deterministic: off-width vectors
+    * are out of the universe in both engines. */
+  private[operators] val EmbDims = 64
+
   /** The oracle mirror of the universe gate (NaN > 0 is true but
     * NaN < bound is false in BOTH engines, so NaN/Inf/overflowing/
     * null-element vectors — the kernels fold a null element to NaN —
     * leave the universe identically). */
-  private[operators] val SqlNormGate = "norm > 0 AND norm < 10000.0"
+  private[operators] val SqlNormGate =
+    "len(embedding) = 64 AND norm > 0 AND norm < 10000.0"
 
   /** embeddings + L2 norm (raw float vector — no cast materialization). */
   /** The SIMILARITY universe: embeddings + L2 norm, zero-norm and
@@ -57,7 +69,8 @@ object Similarity {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("norm", V.l2norm(col("embedding")))
-      .filter(col("norm") > 0 && col("norm") < MaxVecNorm)
+      .filter(size(col("embedding")) === EmbDims &&
+        col("norm") > 0 && col("norm") < MaxVecNorm)
 
   /** Candidate near-dup pairs from capped LSH probe cells — the frame
     * embedding_neardup confirms with exact cosine, exposed so the
@@ -131,7 +144,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           $rows) AS p(tbl, plane, w)),
         dots AS (
@@ -212,7 +225,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         scored AS (
           SELECT qid, vec_id,
@@ -275,7 +288,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         h AS (
           SELECT qid, vec_id,
@@ -351,7 +364,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         b AS (SELECT max(vec_id) - 63 AS t FROM e),
         q AS (SELECT vec_id eval_id, v qv, norm qnorm FROM e, b WHERE vec_id >= t),
         c AS (SELECT vec_id, v, norm FROM e, b WHERE vec_id < t),
@@ -465,7 +478,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -571,7 +584,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         cents AS (
           SELECT label AS c_label, list(m ORDER BY dim) AS centroid
           FROM (SELECT label, dim,
@@ -652,7 +665,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm, label qlabel
               FROM e WHERE vec_id < 5),
         scored AS (
@@ -713,7 +726,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -800,7 +813,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -872,7 +885,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0)
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0)
         SELECT label, dim - 1 AS dim,
                round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS mean
         FROM (SELECT label, unnest(v) x,
@@ -947,7 +960,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         dims AS (
           SELECT vec_id, label, generate_subscripts(v, 1) AS dim,
                  CAST(round(unnest(v) * 1000000) AS BIGINT) AS x6
@@ -1018,7 +1031,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         c AS (
           SELECT vec_id, label, v, norm FROM (
             SELECT e.*, count(*) OVER (PARTITION BY label) csz FROM e)
@@ -1077,7 +1090,7 @@ object Similarity {
                    list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, $MrlDims),
                      x -> x * x)), (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         f AS (SELECT * FROM e WHERE norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM f WHERE vec_id < 5),
         scored AS (
@@ -1137,7 +1150,8 @@ object Similarity {
           .orderBy("qid", "rank")
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+                   WHERE len(embedding) = 64),
         cb AS (SELECT CAST(vec_id AS INT) cw, v cv FROM e WHERE vec_id < $PqCodebook),
         ms AS (SELECT unnest(range(0, $PqSubspaces)) m),
         dist AS (
@@ -1234,7 +1248,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         cents AS (
           SELECT label AS c_label, list(m ORDER BY dim) AS centroid
           FROM (SELECT label, dim,
@@ -1264,7 +1278,7 @@ object Similarity {
         -- universe (mirrors pqDistances over Tables.embeddings); only the
         -- cosine probe side above rides the norm-filtered e
         eu AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
-               FROM embeddings),
+               FROM embeddings WHERE len(embedding) = 64),
         cb AS (SELECT CAST(vec_id AS INT) cw, v cv FROM eu WHERE vec_id < $PqCodebook),
         ms AS (SELECT unnest(range(0, $PqSubspaces)) m),
         dist AS (
@@ -1354,7 +1368,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         s AS (SELECT vec_id AS c_id, v AS sv FROM e WHERE vec_id < $KmSeeds),
         d AS (
           SELECT e.vec_id, s.c_id, e.v,
@@ -1419,7 +1433,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         ws AS (
           SELECT v, list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
                    (acc, x) -> acc + x) * 0.125 AS sv
@@ -1547,7 +1561,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmSeeds),
         ${lloyd("c0", "a1", "c1")},
         ${lloyd("c1", "a2", "c2")},
@@ -1707,7 +1721,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         scored AS (
           SELECT qid, vec_id,
@@ -1882,7 +1896,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         p1 AS (SELECT vec_id, v FROM e
                WHERE vec_id = (SELECT min(vec_id) FROM e)),
         m1 AS MATERIALIZED (
@@ -1967,7 +1981,7 @@ object Similarity {
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                    (acc, x) -> acc + x)) norm
           FROM embeddings
-          WHERE norm > 0 AND norm < 10000.0),
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
         planes AS (SELECT * FROM (VALUES
           ${LshPlanes.sqlValuesRows}) AS p(tbl, plane, w)),
         dots AS (
@@ -2100,9 +2114,14 @@ object Similarity {
     * corpus-side distance ever crosses a decimal/int cast: their NaN
     * (Spark kernels) / NULL (DuckDB folds) subspace distances tie every
     * codeword, and both engines' argmin tiebreak (NaN and NULL both
-    * order last; cw ascending) lands on codeword 0 identically. */
+    * order last; cw ascending) lands on codeword 0 identically. The ONE
+    * structural requirement is the declared width: PQ codes are defined
+    * over a fixed subspace geometry, and a wrong-width vector truncates
+    * in the Spark kernels while DuckDB folds its missing slots to NULL —
+    * hence the dims-only gate. */
   private def pqDistances(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+      .filter(size(col("embedding")) === EmbDims)
     val cb = e.filter(col("vec_id") < PqCodebook)
       .select(col("vec_id").cast(org.apache.spark.sql.types.IntegerType).as("cw"),
         col("embedding").as("cv"))
