@@ -422,6 +422,296 @@ object RelationalQueries {
         WHERE rn = 1
         ORDER BY p_partkey""")),
 
+    // ---- TPC-H Q7 shape: bilateral trade volume by ship year -------------
+    // Revenue flowing between a small nation GROUP, split by direction
+    // and ship year — the classic two-role dimension join (nation enters
+    // the tree twice: once as the supplier's country, once as the
+    // customer's). The group is data-derived (the four smallest
+    // nationkeys — the q3_shipping cut discipline, no name literal to go
+    // stale; four, because a bare pair yields zero cross-nation trades
+    // at the smoke scale), each role rides its own broadcast of the same
+    // 4-row frame, and the direction filter (supp_nation != cust_nation)
+    // runs AFTER both roles resolve.
+    //
+    // Scale: the supplier role collapses to a 4/25-of-suppliers map
+    // (broadcast — min_cost_supplier precedent; at a scale where 16% of
+    // suppliers outgrow the broadcast threshold this side degrades to a
+    // shuffle join and the plan still holds). The customer role is big —
+    // it stays a shuffled equi-join on custkey, as does the
+    // lineitem⋈orders spine on orderkey; the nation filter prunes both
+    // fact sides BEFORE the spine join, so the wide shuffle moves only
+    // group-relevant rows (~(4/25)² of lineitem).
+    GraftQuery(
+      "q7_volume",
+      (s, dir) => {
+        // asc_nulls_last: a hostile NULL nationkey must not displace a
+        // real key from the group (Spark default NULLS FIRST vs DuckDB
+        // NULLS LAST would pick different groups)
+        val n2 = Tables.nation(s, dir)
+          .orderBy(col("n_nationkey").asc_nulls_last).limit(4)
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = Tables.supplier(s, dir)
+          .join(broadcast(n2), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(n2), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val li = Tables.lineitem(s, dir)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_orderkey"), col("supp_nation"),
+            year(col("l_shipdate")).as("l_year"), revenueExpr.as("rev"))
+        val oc = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nation"))
+        li.join(oc, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(round(sum(col("rev")).cast(DoubleType), 2).as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+          // l_year is NULL for a dateless lineitem (inner joins keep the
+          // row) — pin the cross-engine null placement (registry NULLS
+          // LAST discipline)
+          .orderBy(col("supp_nation"), col("cust_nation"),
+            col("l_year").asc_nulls_last)
+      },
+      Some(s"""
+        WITH n2 AS (SELECT n_nationkey, n_name FROM nation
+                    ORDER BY n_nationkey NULLS LAST LIMIT 4)
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INT) AS l_year,
+               round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN n2 sn    ON s_nationkey = sn.n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN n2 cn    ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3 NULLS LAST""")),
+
+    // ---- TPC-H Q14 shape: promo revenue share by ship month --------------
+    // Conditional-aggregate-over-join: what fraction of each month's
+    // revenue came from PROMO-type parts. One equi-join lineitem⋈part on
+    // partkey (only p_type survives the projection — the scan reads two
+    // of part's six columns), revenue split by a CASE inside the same
+    // partial agg (one pass, no second scan for the denominator), and
+    // the share computed on the tiny per-month frame. 'PROMO' is a
+    // stable generator domain value (the q3 'BUILDING' precedent).
+    //
+    // Scale: part scales with sf, so the join is written as a plain
+    // equi-join — AQE broadcasts it while it fits and degrades to a
+    // shuffled hash join beyond the threshold; either way the CASE rides
+    // the map side and the month agg is partial→final over ≤ a few
+    // hundred groups.
+    GraftQuery(
+      "q14_promo",
+      (s, dir) => {
+        val promoRev = sum(when(col("p_type") === "PROMO", revenueExpr)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo_rev")
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+          .agg(promoRev, sum(revenueExpr).as("total_rev"),
+            count(lit(1)).as("n_lineitems"))
+          .select(col("ship_month"),
+            // lazy CASE around the division (the corr_stats ANSI
+            // discipline): a month whose rows are all 100%-discounted
+            // sums to exactly 0 revenue, and the divide would abort
+            // under ANSI — its share is undefined, not an error. The
+            // quotient itself is DOUBLE ÷ DOUBLE of the exact decimal
+            // sums (the cosine-family precedent): decimal division
+            // rounds at engine-specific result scales, while the IEEE
+            // quotient of identical operands is identical.
+            round(when(col("total_rev") =!= 0,
+              lit(100) * col("promo_rev").cast(DoubleType)
+                / col("total_rev").cast(DoubleType)), 4)
+              .as("promo_share_pct"),
+            round(col("total_rev").cast(DoubleType), 2).as("revenue"),
+            col("n_lineitems"))
+          // a dateless lineitem groups under a NULL month in both
+          // engines — pin its placement
+          .orderBy(col("ship_month").asc_nulls_last)
+      },
+      Some(s"""
+        SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS ship_month,
+               round(CASE WHEN $sqlRevenue = 0 THEN NULL
+                 ELSE 100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST($sqlRevenue AS DOUBLE) END, 4) AS promo_share_pct,
+               round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+        ORDER BY 1 NULLS LAST""")),
+
+    // ---- TPC-H Q15 shape: top supplier(s) by recent revenue --------------
+    // Per-supplier revenue inside a data-derived recency window (ship
+    // dates at-or-after the span midpoint — the q3 cut), then the
+    // supplier(s) whose revenue equals the global max. Q15 semantics
+    // keep ALL tied winners: the tie test compares the EXACT decimal
+    // sums (order-independent, engine-identical), never the rounded
+    // display value, so a display-precision collision cannot fabricate
+    // a tie. The max rides a broadcast 1-row frame onto the per-supplier
+    // aggregate — no global window sort, no second scan (the agg subtree
+    // is shared and exchange-reused).
+    //
+    // Scale: one partial→final agg over |suppliers| groups, a 1-row
+    // broadcast, and a filter. Nothing global except the 1-row max.
+    GraftQuery(
+      "q15_top_supplier",
+      (s, dir) => {
+        val cut = Tables.lineitem(s, dir)
+          .select(unix_micros(col("l_shipdate")).as("du"))
+          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val rev = Tables.lineitem(s, dir)
+          .crossJoin(broadcast(cut))
+          .filter(unix_micros(col("l_shipdate")) >= col("cut"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revenueExpr).as("rev"), count(lit(1)).as("n_lineitems"))
+        val top = rev.agg(max(col("rev")).as("max_rev"))
+        rev.join(broadcast(top), col("rev") === col("max_rev"))
+          .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("rev").cast(DoubleType), 2).as("revenue"),
+            col("n_lineitems"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT (min(epoch_us(CAST(l_shipdate AS TIMESTAMP)))
+                  + max(epoch_us(CAST(l_shipdate AS TIMESTAMP)))) // 2 AS cut
+          FROM lineitem),
+        rev AS (
+          SELECT l_suppkey, $sqlRevenue AS r, count(*) AS n_lineitems
+          FROM lineitem, b
+          WHERE epoch_us(CAST(l_shipdate AS TIMESTAMP)) >= cut
+          GROUP BY 1),
+        top AS (SELECT max(r) AS max_rev FROM rev)
+        SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS revenue,
+               n_lineitems
+        FROM rev JOIN top ON r = max_rev
+        JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY s_suppkey""")),
+
+    // ---- TPC-H Q19 shape: disjunctive multi-table predicate revenue ------
+    // Revenue under an OR of three (brand, size-range, quantity-range)
+    // triples — the classic disjunction spanning both join sides. The
+    // full OR can only evaluate after the join, but its per-table
+    // IMPLIED conjuncts (brand IN the three brands, size within the
+    // union of ranges; quantity within the union) are hoisted onto each
+    // scan explicitly — the factoring Q19 exists to test — so the join
+    // builds from pre-pruned inputs and the residual OR touches only
+    // candidate rows. Brand literals are stable generator domain values.
+    //
+    // Scale: both scans carry pushed range/IN filters; the join is a
+    // plain equi-join on partkey (AQE picks broadcast vs shuffle); the
+    // final agg is a single global row via partial sums.
+    GraftQuery(
+      "q19_disjunct",
+      (s, dir) => {
+        val triple = (b: String, s0: Int, s1: Int, q0: Int, q1: Int) =>
+          col("p_brand") === b &&
+            col("p_size").between(s0, s1) &&
+            col("l_quantity").between(q0, q1)
+        val disjunct = triple("Brand#1", 1, 15, 1, 20) ||
+          triple("Brand#2", 10, 30, 10, 30) ||
+          triple("Brand#3", 20, 50, 20, 40)
+        val partPruned = Tables.part(s, dir)
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(1, 50))
+          .select("p_partkey", "p_brand", "p_size")
+        Tables.lineitem(s, dir)
+          .filter(col("l_quantity").between(1, 40))
+          .join(partPruned, col("l_partkey") === col("p_partkey"))
+          .filter(disjunct)
+          .agg(round(sum(revenueExpr).cast(DoubleType), 2).as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some(s"""
+        SELECT round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)""")),
+
+    // ---- TPC-H Q22 shape: well-funded customers gone quiet ---------------
+    // Customers with an account balance above the average POSITIVE
+    // balance and NO orders in the most recent quarter of the
+    // order-date span, rolled up by market segment (this corpus has no
+    // phone column, so segment stands in for Q22's country code; every
+    // customer in this corpus has SOME order, so the recency window is
+    // what makes the anti-join non-vacuous — the cut is data-derived,
+    // the q3 discipline). The global average and the cut are 1-row
+    // broadcasts; the "gone quiet" test is a LEFT ANTI join against the
+    // DISTINCT-projected keys of recent orders (one BIGINT per recent
+    // order, collapsed before the join). A dateless order fails the
+    // recency comparison in both engines — it cannot mark a customer
+    // active.
+    //
+    // Scale: filter → anti-join on custkey (shuffled hash; the probe
+    // side is already average-filtered down) → partial agg over
+    // |segments| groups. NULL balances fail the > comparison in both
+    // engines and NULL segments group as their own key (both engines
+    // group NULLs together).
+    GraftQuery(
+      "q22_idle_customers",
+      (s, dir) => {
+        val avgBal = Tables.customer(s, dir)
+          .filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("avg_bal"))
+        val cut = Tables.orders(s, dir)
+          .select(unix_micros(col("o_orderdate")).as("du"))
+          .agg(expr("min(du) + (max(du) - min(du)) * 3 DIV 4").as("cut"))
+        val recent = Tables.orders(s, dir)
+          .crossJoin(broadcast(cut))
+          .filter(unix_micros(col("o_orderdate")) >= col("cut"))
+          .select("o_custkey").distinct()
+        Tables.customer(s, dir)
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("c_acctbal").cast(DecimalType(18, 2)))
+              .cast(DoubleType), 2).as("total_bal"))
+          // NULL segments group as their own key in both engines —
+          // pin the ordering slot
+          .orderBy(col("c_mktsegment").asc_nulls_last)
+      },
+      // NOT EXISTS, not NOT IN: Spark's left_anti KEEPS a NULL-custkey
+      // probe row (the key matches nothing), while NOT IN over any
+      // null-polluted subquery collapses to NULL and drops EVERY row —
+      // NOT EXISTS with the equality predicate reproduces the anti-join
+      // truth table exactly (hostile-relational-corpus discipline).
+      Some("""
+        WITH a AS (SELECT avg(c_acctbal) AS avg_bal FROM customer
+                   WHERE c_acctbal > 0),
+        b AS (SELECT min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                     + (max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                        - min(epoch_us(CAST(o_orderdate AS TIMESTAMP))))
+                       * 3 // 4 AS cut
+              FROM orders)
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_bal
+        FROM customer c, a
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o, b
+                          WHERE o.o_custkey = c.c_custkey
+                            AND epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) >= cut)
+        GROUP BY 1
+        ORDER BY 1 NULLS LAST""")),
+
     // ---- star join with broadcast dims: orders rolled up to region -------
     GraftQuery(
       "region_rollup",

@@ -2369,4 +2369,109 @@ class OperatorSpec extends SparkSuite {
     }
     assert(got.nonEmpty, "no region-local offers — vacuous")
   }
+
+  test("q7_volume trades stay inside the derived nation group, both roles distinct") {
+    val group = Tables.nation(spark, sf).collect()
+      .filter(!_.isNullAt(0)).sortBy(_.getAs[Int]("n_nationkey")).take(4)
+      .map(_.getAs[String]("n_name")).toSet
+    val rows = run("q7_volume").collect()
+    assert(rows.nonEmpty, "no cross-nation trades at smoke scale — vacuous")
+    rows.foreach { r =>
+      val sn = r.getAs[String]("supp_nation")
+      val cn = r.getAs[String]("cust_nation")
+      assert(group(sn) && group(cn), s"($sn,$cn) outside the derived group")
+      assert(sn != cn, "self-trade row survived the direction filter")
+      assert(r.getAs[Long]("n_lineitems") >= 1)
+    }
+  }
+
+  test("q14_promo shares are bounded and cross-foot against the unconditional total") {
+    val rows = run("q14_promo").collect()
+    assert(rows.nonEmpty)
+    // driver corpus: all prices/discounts are in-range, so every month's
+    // promo share is a true fraction of a positive total
+    rows.foreach { r =>
+      val share = r.getAs[Double]("promo_share_pct")
+      assert(share >= 0.0 && share <= 100.0, s"share $share out of [0,100]")
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    // months are unique group keys
+    val months = rows.map(_.getAs[java.sql.Timestamp]("ship_month"))
+    assert(months.distinct.length == months.length, "duplicate month group")
+  }
+
+  test("q15_top_supplier crowns exactly the max of a driver replay") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .collect()
+    val micros = li.filter(!_.isNullAt(3)).map(_.getTimestamp(3).getTime * 1000)
+    val cut = (micros.min + micros.max) / 2 // span midpoint, q3 discipline
+    val rev = li.filter(r => !r.isNullAt(3) && !r.isNullAt(1) && !r.isNullAt(2)
+        && r.getTimestamp(3).getTime * 1000 >= cut)
+      .map(r => r.getLong(0) ->
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          (1 - BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val maxRev = rev.values.max
+    val winners = rev.filter(_._2 == maxRev).keySet
+    val got = run("q15_top_supplier").collect()
+    assert(got.map(_.getAs[Long]("s_suppkey")).toSet == winners,
+      "winner set differs from the replay")
+    got.foreach(r => assert(
+      math.abs(r.getAs[Double]("revenue") - maxRev.toDouble) < 0.01))
+  }
+
+  test("q19_disjunct equals a driver replay of the OR predicate") {
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val hits = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .filter { r =>
+        !r.isNullAt(0) && !r.isNullAt(1) && parts.contains(r.getLong(0)) && {
+          val (b, sz) = parts(r.getLong(0))
+          val q = r.getDouble(1)
+          (b == "Brand#1" && sz >= 1 && sz <= 15 && q >= 1 && q <= 20) ||
+          (b == "Brand#2" && sz >= 10 && sz <= 30 && q >= 10 && q <= 30) ||
+          (b == "Brand#3" && sz >= 20 && sz <= 50 && q >= 20 && q <= 40)
+        }
+      }
+    val expRev = hits.map(r =>
+      BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        (1 - BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP))).sum
+    val got = run("q19_disjunct").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_lineitems") == hits.length,
+      s"matched ${got(0).getAs[Long]("n_lineitems")} vs replay ${hits.length}")
+    assert(math.abs(got(0).getAs[Double]("revenue") - expRev.toDouble) < 0.01)
+  }
+
+  test("q22_idle_customers returns only above-average customers with no recent order") {
+    val custs = Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+    val avgBal = {
+      val pos = custs.filter(r => !r.isNullAt(1) && r.getDouble(1) > 0)
+      pos.map(_.getDouble(1)).sum / pos.length
+    }
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate").collect()
+    val micros = orders.filter(!_.isNullAt(1)).map(_.getTimestamp(1).getTime * 1000)
+    val cut = micros.min + (micros.max - micros.min) * 3 / 4
+    val active = orders.filter(r => !r.isNullAt(1) && !r.isNullAt(0) &&
+      r.getTimestamp(1).getTime * 1000 >= cut).map(_.getLong(0)).toSet
+    val idle = custs.filter(r => !r.isNullAt(1) && r.getDouble(1) > avgBal &&
+      (r.isNullAt(0) || !active(r.getLong(0))))
+    val expBySeg = idle.groupBy(r => Option(r.getString(2))).map {
+      case (seg, g) => seg -> g.length
+    }
+    val got = run("q22_idle_customers").collect()
+      .map(r => Option(r.getAs[String]("c_mktsegment")) ->
+        r.getAs[Long]("n_customers")).toMap
+    assert(got == expBySeg.map { case (k, v) => k -> v.toLong },
+      s"segment counts differ: got $got vs replay $expBySeg")
+    assert(got.values.sum > 0, "no idle customers at smoke scale — vacuous")
+  }
 }

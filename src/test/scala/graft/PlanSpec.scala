@@ -396,4 +396,30 @@ class PlanSpec extends SparkSuite {
     assert("TopKPerKey".r.findAllIn(bt).size >= 2,
       "bitext_margin must rank neighborhoods AND best-pairs via TopKPerKey")
   }
+
+  test("TPC-H wave plans: pushed disjunction factors, pruned dims, anti shape") {
+    // q19: the per-table conjuncts IMPLIED by the cross-table OR must be
+    // hoisted onto each scan — brand IN-list + size envelope on part,
+    // quantity envelope on lineitem (Catalyst also pushes the per-table
+    // OR residual; the factored bounds are what prune row groups)
+    val q19 = planOf("q19_disjunct")
+    assert(q19.contains("In(p_brand"),
+      "q19's brand IN-list no longer reaches the part scan")
+    assert(q19.contains("LessThanOrEqual(l_quantity,40.0)"),
+      "q19's quantity envelope no longer reaches the lineitem scan")
+    // q14: the part side must project exactly (p_partkey, p_type) — a
+    // wider ReadSchema means the join ships dead columns at 100 TB
+    assert(planOf("q14_promo").contains(
+      "ReadSchema: struct<p_partkey:bigint,p_type:string>"),
+      "q14's part scan reads more than the join key + p_type")
+    // q22: the "gone quiet" test must plan as a LEFT ANTI join (a NOT IN
+    // rewrite via nested-loop would be quadratic at scale)
+    assert(planOf("q22_idle_customers").contains("LeftAnti"),
+      "q22 lost its anti-join shape")
+    // q7: both nation roles + the nation-filtered supplier map ride
+    // broadcasts; the spine stays an equi-join (no cartesian — global
+    // gate covers that)
+    assert("BroadcastHashJoin".r.findAllIn(planOf("q7_volume")).size >= 3,
+      "q7's dimension roles must ride broadcasts")
+  }
 }
