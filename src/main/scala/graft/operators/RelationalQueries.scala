@@ -712,6 +712,352 @@ object RelationalQueries {
         GROUP BY 1
         ORDER BY 1 NULLS LAST""")),
 
+    // ---- TPC-H Q4 shape: priority mix of orders with a late line ---------
+    // Orders in the third quarter of the order-date span (data-derived —
+    // the q3 no-stale-literal discipline) that have AT LEAST ONE lineitem
+    // shipping strictly after the order date, counted by priority. The
+    // at-least-one is a LEFT SEMI join on orderkey whose extra non-equi
+    // conjunct (l_shipdate > o_orderdate) rides as the join filter — the
+    // classic EXISTS shape where the correlation carries a comparison,
+    // not just the key. A null ship or order date fails the comparison in
+    // both engines; a null orderkey matches nothing.
+    //
+    // Scale: the window filter prunes orders on its scan; the semi join
+    // shuffles on orderkey and short-circuits per probe row (no fanout —
+    // an order with 3 000 late lines contributes once); the final agg is
+    // |priorities| groups.
+    GraftQuery(
+      "q4_priority",
+      (s, dir) => {
+        val win = Tables.orders(s, dir)
+          .select(unix_micros(col("o_orderdate")).as("du"))
+          .agg(expr("min(du) + (max(du) - min(du)) DIV 2").as("w0"),
+            expr("min(du) + (max(du) - min(du)) * 3 DIV 4").as("w1"))
+        val o = Tables.orders(s, dir)
+          .crossJoin(broadcast(win))
+          .filter(unix_micros(col("o_orderdate")) >= col("w0") &&
+            unix_micros(col("o_orderdate")) < col("w1"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        o.join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority").asc_nulls_last)
+      },
+      Some("""
+        WITH b AS (
+          SELECT min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                 + (max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                    - min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))) // 2 AS w0,
+                 min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                 + (max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                    - min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))) * 3 // 4 AS w1
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o, b
+        WHERE epoch_us(CAST(o_orderdate AS TIMESTAMP)) >= w0
+          AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) < w1
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND CAST(l.l_shipdate AS TIMESTAMP)
+                            > CAST(o.o_orderdate AS TIMESTAMP))
+        GROUP BY 1
+        ORDER BY 1 NULLS LAST""")),
+
+    // ---- TPC-H Q5 shape: local-supplier revenue by nation -----------------
+    // Revenue per nation where the SUPPLYING nation equals the CUSTOMER's
+    // nation, inside the first half of the order-date span — q7's two-role
+    // join flipped from inequality to equality. The nationkey equality is
+    // applied as a join conjunct on the orderkey spine join (after both
+    // roles resolve to keys), and only then does the 25-row nation name
+    // table broadcast on. Null nationkeys fail the equality in both
+    // engines.
+    //
+    // Scale: supplier collapses to a broadcastable (suppkey → nationkey)
+    // map; orders carries its window filter on the scan and joins customer
+    // shuffled on custkey; the spine shuffles on orderkey; the name
+    // broadcast is 25 rows. Group count = |nations|.
+    GraftQuery(
+      "q5_local_volume",
+      (s, dir) => {
+        val cut = Tables.orders(s, dir)
+          .select(unix_micros(col("o_orderdate")).as("du"))
+          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val oc = Tables.orders(s, dir)
+          .crossJoin(broadcast(cut))
+          .filter(unix_micros(col("o_orderdate")) < col("cut"))
+          .select("o_orderkey", "o_custkey")
+          .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "c_nationkey")
+        val li = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)
+              .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_orderkey"), col("s_nationkey"), revenueExpr.as("rev"))
+        li.join(oc, col("l_orderkey") === col("o_orderkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)
+              .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("rev")).cast(DoubleType), 2).as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+          .orderBy(col("revenue").desc, col("n_name").asc_nulls_last)
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT (min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                  + max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))) // 2 AS cut
+          FROM orders)
+        SELECT n_name, round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey, b
+        WHERE c_nationkey = s_nationkey
+          AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) < cut
+        GROUP BY 1
+        ORDER BY revenue DESC, n_name NULLS LAST""")),
+
+    // ---- TPC-H Q13 shape: customer order-count distribution ---------------
+    // How many customers placed exactly k above-average orders, for each
+    // k INCLUDING ZERO — the zero bucket is the whole point and forces a
+    // LEFT OUTER join (an inner join silently drops the quietest
+    // customers). "Above average" is the exact cross-multiplied test
+    // price·n > Σprice on DECIMAL sums (an avg-of-DOUBLE threshold is
+    // association-order-dependent in its last ulp — a row landing ON the
+    // mean could flip between engines), broadcast as one row. count(key)
+    // — not count(*) — so an unmatched customer counts 0, not 1.
+    //
+    // Scale: the mean filter prunes orders before the join; the outer
+    // join shuffles on custkey; level-2 collapses |customers| rows to
+    // |distinct counts| groups via partial aggs.
+    GraftQuery(
+      "q13_custdist",
+      (s, dir) => {
+        val mean = Tables.orders(s, dir)
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"),
+            count(col("o_totalprice")).as("n"))
+        val big = Tables.orders(s, dir)
+          .crossJoin(broadcast(mean))
+          .filter(col("o_totalprice").cast(DecimalType(18, 2)) * col("n")
+            > col("tot"))
+          .select("o_orderkey", "o_custkey")
+        Tables.customer(s, dir).select("c_custkey")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        WITH m AS (
+          SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+                 count(o_totalprice) AS n
+          FROM orders),
+        co AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders, m
+                     WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > tot) o
+            ON c_custkey = o_custkey
+          GROUP BY 1)
+        SELECT c_count, count(*) AS custdist
+        FROM co
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- TPC-H Q17 shape: small-quantity revenue for one brand ------------
+    // Revenue sitting in lineitems whose quantity is below a fifth of
+    // their part's average quantity, over the alphabetically-first brand
+    // (data-derived, broadcast — no literal to go stale). The correlated
+    // scalar subquery is re-expressed as a join of the brand's lineitems
+    // against their own per-part aggregate, and the "< 0.2·avg" test is
+    // the exact integer-decimal cross-multiplication 5·qty·n < Σqty —
+    // never a divided average. Null quantities fail both the aggregate
+    // (count(qty) counts non-null, matching DuckDB) and the comparison.
+    //
+    // Scale: the brand join prunes lineitem FIRST (≈1/|brands| survives)
+    // on BOTH sides of the self-aggregate join; the probe and stats
+    // subtrees carry different pruned projections, so Spark re-scans the
+    // narrow columns rather than reusing one exchange — the canonical
+    // Q17 plan shape (the alternative, a global window, serializes).
+    // Final agg is one global row.
+    GraftQuery(
+      "q17_small_qty",
+      (s, dir) => {
+        val brand = Tables.part(s, dir).agg(min(col("p_brand")).as("b"))
+        val bp = Tables.part(s, dir)
+          .crossJoin(broadcast(brand))
+          .filter(col("p_brand") === col("b"))
+          .select("p_partkey")
+        val li = Tables.lineitem(s, dir)
+          .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+            revenueExpr.as("rev"))
+        val stats = li.groupBy(col("l_partkey").as("sp"))
+          .agg(sum(col("qty")).as("sq"), count(col("qty")).as("nq"))
+        li.join(stats, col("l_partkey") === col("sp"))
+          .filter(col("qty") * 5 * col("nq") < col("sq"))
+          .agg(round(sum(col("rev")).cast(DoubleType), 2).as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some("""
+        WITH b AS (SELECT min(p_brand) AS b FROM part),
+        li AS (
+          SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey, b
+          WHERE p_brand = b),
+        st AS (SELECT l_partkey AS sp, sum(qty) AS sq, count(qty) AS nq
+               FROM li GROUP BY 1)
+        SELECT round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM li JOIN st ON l_partkey = sp
+        WHERE qty * 5 * nq < sq""")),
+
+    // ---- TPC-H Q18 shape: large-volume orders --------------------------
+    // Orders whose total quantity exceeds TWICE the mean per-order
+    // quantity, joined back to their customer — the HAVING-on-aggregate →
+    // rejoin shape. The threshold is the exact cross-multiplication
+    // Σq_order · n_orders > 2 · Σq_total on DECIMAL sums (same rationale
+    // as q13). The global total re-derives the per-order aggregate on a
+    // narrower projection (column pruning differentiates the subtrees,
+    // so no exchange reuse — the q15 two-scan precedent, both scans two
+    // columns wide) and broadcasts back as one row. No LIMIT: the filter
+    // is the operator under test (top_customers/q3 cover top-k).
+    //
+    // Scale: orderkey-shuffled per-order aggs; a 1-row broadcast; the
+    // customer join touches only the qualifying orders.
+    GraftQuery(
+      "q18_big_orders",
+      (s, dir) => {
+        val perOrder = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+            count(lit(1)).as("n_lineitems"))
+        val total = perOrder
+          .agg(sum(col("sum_qty")).as("tq"),
+            count(col("sum_qty")).as("no"))
+        perOrder
+          .crossJoin(broadcast(total))
+          .filter(col("sum_qty") * col("no") > col("tq") * 2)
+          .join(Tables.orders(s, dir)
+              .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"),
+            round(col("o_totalprice").cast(DoubleType), 2).as("total_price"),
+            col("sum_qty").cast(DoubleType).as("sum_qty"),
+            col("n_lineitems"))
+          .orderBy(col("o_orderkey").asc_nulls_last)
+      },
+      Some("""
+        WITH po AS (
+          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                 count(*) AS n_lineitems
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT sum(sum_qty) AS tq, count(sum_qty) AS no FROM po)
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               round(CAST(o_totalprice AS DOUBLE), 2) AS total_price,
+               CAST(sum_qty AS DOUBLE) AS sum_qty, n_lineitems
+        FROM po JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey, t
+        WHERE sum_qty * no > tq * 2
+        ORDER BY o_orderkey NULLS LAST""")),
+
+    // ---- TPC-H Q21 shape: the sole late shipper in multi-supplier orders --
+    // Suppliers who, in an order sourced from MORE THAN ONE supplier,
+    // were the ONLY one to ship late — Q21's double-correlated
+    // EXISTS/NOT-EXISTS collapsed into one per-order aggregate: distinct
+    // suppliers, distinct LATE suppliers, and the (unique when n_late=1)
+    // late supplier via max-over-CASE. "Late" is a ship lead (shipdate −
+    // orderdate, µs) at-or-beyond the span midpoint of all leads —
+    // data-derived; leads can be negative on hostile data and the
+    // midpoint stays exact because both engines' integer DIV truncates
+    // toward zero (pinned in ComponentSpec). Null dates make a null
+    // lead, which fails the late test and never pollutes the distincts
+    // (count distinct and max both skip the CASE's null branch).
+    //
+    // Scale: one narrow fact-fact join projected to three columns, one
+    // orderkey shuffle for the per-order profile, a |suppliers|-group
+    // count, a broadcast name join. No per-order fanout, no self-join
+    // of lineitem against itself on the full width.
+    GraftQuery(
+      "q21_late_solo",
+      (s, dir) => {
+        val lo = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (unix_micros(col("l_shipdate"))
+              - unix_micros(col("o_orderdate"))).as("lead"))
+        val cut = lo.agg(expr("(min(lead) + max(lead)) DIV 2").as("cut"))
+        lo.crossJoin(broadcast(cut))
+          // key-aligned rebalance (the top_customers constraint): the
+          // single-row-group testdata scans with parallelism 1; on a
+          // many-split production layout this line would be dropped.
+          // The orderkey partitioning is a PREFIX of both grouping keys
+          // below, so neither aggregate adds an exchange.
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+          // dedup to (order, supplier) pairs FIRST instead of Spark's
+          // dual-countDistinct plan (a 3× Expand + three agg levels):
+          // both distincts then become plain counts over the pairs, one
+          // exchange total. A null lead CASEs to 0 — never late.
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(when(col("lead") >= col("cut"), lit(1)).otherwise(lit(0)))
+            .as("late"))
+          .groupBy("l_orderkey")
+          // count(suppkey), not count(*): the null-supplier pair group
+          // must not count toward either distinct (countDistinct skips
+          // nulls, and so must this rewrite)
+          .agg(count(col("l_suppkey")).as("n_supp"),
+            count(when(col("late") === 1, col("l_suppkey"))).as("n_late"),
+            max(when(col("late") === 1, col("l_suppkey"))).as("the_supp"))
+          .filter(col("n_supp") > 1 && col("n_late") === 1)
+          .groupBy("the_supp")
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.supplier(s, dir)
+              .select("s_suppkey", "s_name")),
+            col("the_supp") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+      },
+      Some("""
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+                 epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                   - epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS lead
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        b AS (SELECT (min(lead) + max(lead)) // 2 AS cut FROM lo),
+        po AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN lead >= cut THEN l_suppkey END)
+                   AS n_late,
+                 max(CASE WHEN lead >= cut THEN l_suppkey END) AS the_supp
+          FROM lo, b
+          GROUP BY 1),
+        -- aggregate BEFORE the name join (as the plan does): on a hostile
+        -- corpus with duplicate supplier keys, count-after-join would
+        -- double the waits while the plan replicates them per name row
+        w AS (SELECT the_supp, count(*) AS numwait FROM po
+              WHERE n_supp > 1 AND n_late = 1 GROUP BY 1)
+        SELECT s_suppkey, s_name, numwait
+        FROM w JOIN supplier ON the_supp = s_suppkey
+        ORDER BY numwait DESC, s_suppkey""")),
+
     // ---- star join with broadcast dims: orders rolled up to region -------
     GraftQuery(
       "region_rollup",

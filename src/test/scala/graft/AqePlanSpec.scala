@@ -175,4 +175,20 @@ class AqePlanSpec extends SparkSuite {
       assert(!finalPlan(name).contains("CartesianProduct"),
         s"$name gained a CartesianProduct after adaptive re-planning")
   }
+
+  test("TPC-H wave gates hold on final adaptive plans") {
+    // the semi/anti/outer shapes are semantic — AQE may switch their
+    // physical strategy (broadcast vs shuffled) but never the join type
+    assert(finalPlan("q4_priority").contains("LeftSemi"),
+      "q4's EXISTS semi join degraded in the final adaptive plan")
+    assert(finalPlan("q13_custdist").contains("LeftOuter"),
+      "q13's outer join degraded in the final adaptive plan")
+    assert(finalPlan("q22_idle_customers").contains("LeftAnti"),
+      "q22's anti join degraded in the final adaptive plan")
+    for (name <- Seq("q7_volume", "q5_local_volume", "q14_promo",
+        "q15_top_supplier", "q19_disjunct", "q17_small_qty",
+        "q18_big_orders", "q21_late_solo"))
+      assert(!finalPlan(name).contains("CartesianProduct"),
+        s"$name gained a CartesianProduct after adaptive re-planning")
+  }
 }

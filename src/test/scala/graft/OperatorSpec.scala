@@ -2474,4 +2474,155 @@ class OperatorSpec extends SparkSuite {
       s"segment counts differ: got $got vs replay $expBySeg")
     assert(got.values.sum > 0, "no idle customers at smoke scale — vacuous")
   }
+
+  test("q4_priority equals a driver replay of the windowed EXISTS") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+    val micros = orders.filter(!_.isNullAt(1)).map(_.getTimestamp(1).getTime * 1000)
+    val (lo, hi) = (micros.min, micros.max)
+    val (w0, w1) = (lo + (hi - lo) / 2, lo + (hi - lo) * 3 / 4)
+    val lateOrders = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val exp = orders.filter { r =>
+      !r.isNullAt(1) && {
+        val du = r.getTimestamp(1).getTime * 1000
+        du >= w0 && du < w1 && !r.isNullAt(0) &&
+          lateOrders.get(r.getLong(0))
+            .exists(_ > r.getTimestamp(1).getTime)
+      }
+    }.groupBy(r => Option(r.getString(2))).view.mapValues(_.length.toLong).toMap
+    val got = run("q4_priority").collect()
+      .map(r => Option(r.getAs[String]("o_orderpriority")) ->
+        r.getAs[Long]("order_count")).toMap
+    assert(got == exp, s"priority mix differs: got $got vs replay $exp")
+    assert(got.values.sum > 0, "no late orders in the window — vacuous")
+  }
+
+  test("q5_local_volume keeps only nation-local trades and cross-foots") {
+    val supNation = Tables.supplier(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val custNation = Tables.customer(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+    val micros = orders.filter(!_.isNullAt(2)).map(_.getTimestamp(2).getTime * 1000)
+    val cut = (micros.min + micros.max) / 2
+    val orderCust = orders.filter(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        !r.isNullAt(2) && r.getTimestamp(2).getTime * 1000 < cut)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expLines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").collect()
+      .count { r =>
+        !r.isNullAt(0) && !r.isNullAt(1) &&
+          orderCust.get(r.getLong(0)).exists { ck =>
+            (supNation.get(r.getLong(1)), custNation.get(ck)) match {
+              case (Some(sn), Some(cn)) => sn == cn
+              case _ => false
+            }
+          }
+      }
+    val got = run("q5_local_volume").collect()
+    assert(got.nonEmpty, "no nation-local trades at smoke scale — vacuous")
+    assert(got.map(_.getAs[Long]("n_lineitems")).sum == expLines,
+      "local lineitem total differs from the replay")
+    got.foreach(r => assert(r.getAs[Double]("revenue") > 0.0))
+  }
+
+  test("q13_custdist: the zero bucket exists and buckets foot to all customers") {
+    val nCust = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .distinct.length
+    val got = run("q13_custdist").collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    assert(got.values.sum == nCust,
+      s"distribution foots to ${got.values.sum}, expected $nCust customers")
+    assert(got.contains(0L),
+      "no zero-order bucket — the LEFT OUTER is vacuously an inner join here")
+    assert(got.keys.toSeq.distinct.length == got.size, "duplicate c_count bucket")
+  }
+
+  test("q17_small_qty equals a driver replay of the per-part 0.2-avg rule") {
+    val minBrand = Tables.part(spark, sf).collect()
+      .flatMap(r => Option(r.getAs[String]("p_brand"))).min
+    val brandParts = Tables.part(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) && r.getAs[String]("p_brand") == minBrand)
+      .map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .filter(r => !r.isNullAt(0) && brandParts(r.getLong(0)))
+    val stats = li.filter(!_.isNullAt(1)).groupBy(_.getLong(0)).map {
+      case (k, g) =>
+        k -> (g.map(r => BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum, g.length)
+    }
+    val hits = li.filter { r =>
+      !r.isNullAt(1) && stats.get(r.getLong(0)).exists { case (sq, nq) =>
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          5 * nq < sq
+      }
+    }
+    val got = run("q17_small_qty").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_lineitems") == hits.length,
+      s"matched ${got(0).getAs[Long]("n_lineitems")} vs replay ${hits.length}")
+    assert(hits.nonEmpty, "no small-quantity lineitems — vacuous")
+  }
+
+  test("q18_big_orders: every row beats twice the mean order quantity, none missed") {
+    val perOrder = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity").collect()
+      .filter(r => !r.isNullAt(0))
+      .groupBy(_.getLong(0)).view.mapValues { g =>
+        val qs = g.filter(!_.isNullAt(1)).map(r => BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        (if (qs.isEmpty) None else Some(qs.sum), g.length.toLong)
+      }.toMap
+    val sums = perOrder.values.flatMap(_._1).toSeq
+    val (tq, no) = (sums.sum, sums.length)
+    val expKeys = perOrder.collect {
+      case (k, (Some(sq), _)) if sq * no > tq * 2 => k
+    }.toSet
+    val got = run("q18_big_orders").collect()
+    assert(got.map(_.getAs[Long]("o_orderkey")).toSet == expKeys,
+      "qualifying order set differs from the replay")
+    assert(expKeys.nonEmpty, "no large-volume orders at smoke scale — vacuous")
+    got.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      assert(r.getAs[Long]("n_lineitems") == perOrder(k)._2)
+    }
+  }
+
+  test("q21_late_solo equals a driver replay of the sole-late-shipper rule") {
+    val orderDate = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime * 1000).toMap
+    val lo = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .filter(r => !r.isNullAt(0) && orderDate.contains(r.getLong(0)))
+      .map { r =>
+        val lead = if (r.isNullAt(2)) None
+          else Some(r.getTimestamp(2).getTime * 1000 - orderDate(r.getLong(0)))
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), lead)
+      }
+    val leads = lo.flatMap(_._3)
+    val cut = (leads.min + leads.max) / 2
+    val exp = lo.groupBy(_._1).values.flatMap { g =>
+      val supps = g.flatMap(_._2).distinct
+      val late = g.collect {
+        case (_, Some(s), Some(l)) if l >= cut => s
+      }.distinct
+      if (supps.length > 1 && late.length == 1) Some(late.head) else None
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("q21_late_solo").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("numwait")).toMap
+    assert(got == exp, s"sole-late counts differ: got $got vs replay $exp")
+    assert(got.nonEmpty, "no sole-late suppliers at smoke scale — vacuous")
+  }
 }

@@ -422,4 +422,35 @@ class PlanSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(planOf("q7_volume")).size >= 3,
       "q7's dimension roles must ride broadcasts")
   }
+
+  test("TPC-H wave 2 plans: semi/outer shapes, broadcast maps, pruned scans") {
+    // q4: the windowed EXISTS must plan as a SEMI join — an inner join +
+    // distinct would fan out per late line (3000-line hot orders)
+    assert(planOf("q4_priority").contains("LeftSemi"),
+      "q4's EXISTS lost its semi-join shape")
+    // q13: the zero bucket only exists if the LEFT OUTER survives
+    // optimization (a pushed filter on the right side must not demote it)
+    assert(planOf("q13_custdist").contains("LeftOuter"),
+      "q13 lost its outer join — zero-order customers are being dropped")
+    // q5: the suppkey→nationkey map and the 25-row name table broadcast
+    assert("BroadcastHashJoin".r.findAllIn(planOf("q5_local_volume")).size >= 2,
+      "q5's dimension maps must ride broadcasts")
+    // q18: the customer-join side reads orders exactly four columns wide
+    assert(planOf("q18_big_orders").contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+        "o_totalprice:double,o_orderdate:timestamp"),
+      "q18's orders scan reads more than the four joined columns")
+    // q21: the dual distinct is rewritten as dedup-to-pairs + plain
+    // counts — the plan must stay Expand-free (Spark's native dual
+    // countDistinct would triple the rows through a 3× Expand) and both
+    // aggregates must ride the one orderkey repartition (prefix
+    // partitioning satisfies both groupings — no further exchange
+    // between the pair dedup and the per-order profile)
+    val q21 = planOf("q21_late_solo")
+    assert(!q21.contains("Expand"),
+      "q21 regressed to the Expand-based dual count-distinct")
+    assert(!q21.matches(
+      "(?s).*Exchange hashpartitioning\\(l_orderkey[^,]*, l_suppkey.*"),
+      "q21's pair dedup added its own exchange — prefix reuse lost")
+  }
 }
