@@ -14,12 +14,13 @@ import graft.{GraftQuery, Tables}
   * (narrow) columns, and partition counts are sized so one partition's
   * payloads fit executor memory.
   *
-  * Two REAL decode paths run behind the plumbing: [[decodeBmp]] (24 bpp
+  * Four REAL decode paths run behind the plumbing: [[decodeBmp]] (24 bpp
   * BMP — header parsing, declared data offset, signed height, row
-  * padding) and [[decodeWav]] (RIFF chunk walk, word alignment, s16 PCM),
-  * both pure JVM because uncompressed containers need no codec library.
-  * [[decodeStub]] remains as the stand-in for COMPRESSED codecs (JPEG/
-  * Opus/H.264) that genuinely need libraries this container lacks: it
+  * padding), [[decodeWav]] (RIFF chunk walk, word alignment, s16 PCM),
+  * [[decodePng]] (chunk walk → CRC → inflate → unfilter) and
+  * [[decodeY4m]] (YUV4MPEG2 frame walk, 4:2:0 plane slicing), all pure
+  * JVM. [[decodeStub]] remains as the stand-in for COMPRESSED a/v codecs
+  * (JPEG/Opus/H.264) that genuinely need libraries this container lacks: it
   * derives a deterministic fake feature vector from the payload bytes,
   * and a real codec would replace only its body — the binary schema,
   * typed Dataset, per-partition batch processing via `mapPartitions`
@@ -560,6 +561,120 @@ object Multimodal {
       PngFeatures(r.doc_id, w, h, w.toLong * h, sr, sg, sb)
     }
 
+  // ------------------------------------------------------------------ Y4M
+  // A REAL pure-JVM VIDEO container path, completing the image (BMP/PNG)
+  // and audio (WAV) set: YUV4MPEG2 is the uncompressed interchange format
+  // ffmpeg/x264 pipe between stages — an ASCII parameter header
+  // ("YUV4MPEG2 W.. H.. F.. Ip A.. C420..\n"), then per frame an ASCII
+  // "FRAME[ params]\n" marker and a raw 4:2:0 planar picture (w·h luma
+  // bytes, then w·h/4 Cb, then w·h/4 Cr). The encoder emits frame-level
+  // parameters on every odd frame, so a decoder that assumes a bare
+  // "FRAME\n" (instead of scanning the marker line to its newline, as the
+  // spec requires) fails loudly in tests — the Y4M analogue of BMP's
+  // non-54 data offset. Frame geometry is deliberately small (8×4 ⇒
+  // 48-byte frames) so every document spans several frames and the
+  // brightest-frame argmax is non-trivial.
+  // Scale shape: identical to the other codecs — per-partition iterators
+  // over scan-side payloads; only the narrow per-document feature row
+  // ever reaches a shuffle.
+
+  /** Frame geometry: 8×4 ⇒ 32 luma + 8 Cb + 8 Cr = 48 bytes per frame. */
+  val Y4mWidth = 8
+  val Y4mHeight = 4
+  private val Y4mLuma = Y4mWidth * Y4mHeight
+  private val Y4mFrameBytes = Y4mLuma + Y4mLuma / 2 // 48
+
+  final case class Y4mFeatures(
+      doc_id: Long, width: Int, height: Int, n_frames: Int,
+      sum_luma: Long, sum_chroma: Long, bright_frame: Int, bright_luma: Long)
+
+  /** Encode `bytes` as a YUV4MPEG2 stream: the logical byte stream fills
+    * consecutive 48-byte 4:2:0 frames (zero-padded tail, min 1 frame);
+    * every odd frame carries an `Xgraft` frame parameter. */
+  def encodeY4m(bytes: Array[Byte]): Array[Byte] = {
+    val nFrames = math.max(1, (bytes.length + Y4mFrameBytes - 1) / Y4mFrameBytes)
+    val out = new java.io.ByteArrayOutputStream(
+      64 + nFrames * (Y4mFrameBytes + 16))
+    out.write((s"YUV4MPEG2 W$Y4mWidth H$Y4mHeight F25:1 Ip A1:1 " +
+      "C420jpeg\n").getBytes("US-ASCII"))
+    var f = 0
+    while (f < nFrames) {
+      out.write((if (f % 2 == 1) "FRAME Xgraft\n" else "FRAME\n")
+        .getBytes("US-ASCII"))
+      var j = 0
+      while (j < Y4mFrameBytes) {
+        val k = f * Y4mFrameBytes + j
+        out.write(if (k < bytes.length) bytes(k) else 0)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Strict YUV4MPEG2 parse: magic, W/H/C tags from the header line (only
+    * 4:2:0 chroma accepted), then a spec-true frame walk — each marker
+    * line is scanned to ITS newline (frame parameters are legal), each
+    * picture must be complete, and the stream must end on a frame
+    * boundary. Returns (width, height, per-frame (lumaSum, chromaSum)). */
+  def decodeY4m(payload: Array[Byte]): (Int, Int, Array[(Long, Long)]) = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"y4m: $msg")
+    val hdrEnd = payload.indexOf('\n'.toByte)
+    if (hdrEnd < 0) fail("no header line")
+    val hdr = new String(payload, 0, hdrEnd, "US-ASCII")
+    val toks = hdr.split(' ')
+    if (toks.head != "YUV4MPEG2") fail(s"bad magic '${toks.head}'")
+    def tag(c: Char): Option[String] =
+      toks.tail.find(t => t.nonEmpty && t.head == c).map(_.tail)
+    val w = tag('W').map(_.toInt).getOrElse(fail("missing W"))
+    val h = tag('H').map(_.toInt).getOrElse(fail("missing H"))
+    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0)
+      fail(s"illegal 4:2:0 geometry ${w}x$h")
+    // C tag is optional in the spec (default 420); anything else here is
+    // a frame size we would mis-slice, so reject it
+    tag('C').foreach(c => if (!c.startsWith("420")) fail(s"unsupported C$c"))
+    val luma = w * h
+    val frameBytes = luma + luma / 2
+    val frames = Array.newBuilder[(Long, Long)]
+    var p = hdrEnd + 1
+    while (p < payload.length) {
+      if (p + 5 > payload.length ||
+        new String(payload, p, 5, "US-ASCII") != "FRAME")
+        fail(s"missing FRAME marker at $p")
+      var nl = p + 5
+      while (nl < payload.length && payload(nl) != '\n'.toByte) nl += 1
+      if (nl >= payload.length) fail("unterminated FRAME line")
+      if (nl > p + 5 && payload(p + 5) != ' '.toByte)
+        fail("malformed frame parameters")
+      val body = nl + 1
+      if (body + frameBytes > payload.length) fail("truncated picture")
+      var ls = 0L; var cs = 0L
+      var j = 0
+      while (j < frameBytes) {
+        val v = (payload(body + j) & 0xff).toLong
+        if (j < luma) ls += v else cs += v
+        j += 1
+      }
+      frames += ((ls, cs))
+      p = body + frameBytes
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) fail("zero frames")
+    (w, h, fs)
+  }
+
+  /** Per-partition Y4M encode→decode over media records — the video twin
+    * of [[bmpFeatures]]/[[wavFeatures]]. The brightest frame is the FIRST
+    * argmax (DuckDB list_position semantics). */
+  def y4mFeatures(rows: Iterator[MediaRecord]): Iterator[Y4mFeatures] =
+    rows.map { r =>
+      val (w, h, fs) = decodeY4m(encodeY4m(r.payload))
+      val lumas = fs.map(_._1)
+      val bright = lumas.max
+      Y4mFeatures(r.doc_id, w, h, fs.length,
+        lumas.sum, fs.map(_._2).sum, lumas.indexOf(bright), bright)
+    }
+
   // ------------------------------------------------- mixed-media dispatch
 
   /** Container type read from the payload's own magic bytes — never from
@@ -570,6 +685,8 @@ object Multimodal {
     else if (payload.length >= 12 &&
       new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
       new String(payload, 8, 4, "US-ASCII") == "WAVE") "wav"
+    else if (payload.length >= 9 &&
+      new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
     else "unknown"
 
   /** Unified features across container types: `n_values` = pixels or
@@ -596,6 +713,10 @@ object Multimodal {
         case "wav" =>
           val (n, sum, _) = decodeWav(p)
           AnyMediaFeatures(id, "wav", None, None, n, sum)
+        case "y4m" =>
+          val (w, h, fs) = decodeY4m(p)
+          AnyMediaFeatures(id, "y4m", Some(w), Some(h),
+            fs.length.toLong * w * h, fs.map(f => f._1 + f._2).sum)
         case other =>
           AnyMediaFeatures(id, other, None, None, 0L, 0L)
       }
@@ -777,6 +898,55 @@ object Multimodal {
                CAST(coalesce(list_sum(list_transform(range(3, n + 1, 3),
                     k -> bytes[k])), 0) AS BIGINT) AS sum_b
         FROM b
+        ORDER BY doc_id""")),
+
+    // ---- REAL Y4M (YUV4MPEG2) frame walk (oracle-checked) ----------------
+    // The video container: header-line parameter parse, frame markers
+    // with per-frame parameters on odd frames, 4:2:0 plane slicing. The
+    // oracle replays the 48-byte framing arithmetic over the
+    // hex-recovered document bytes (zero-padded tail adds nothing to the
+    // integer sums) and re-derives the brightest frame as the FIRST
+    // argmax — a decoder that mis-walks a marker line, mis-splits the
+    // luma/chroma planes, or drops the padded last frame hash-mismatches.
+    GraftQuery(
+      "y4m_frames",
+      (s, dir) => {
+        import s.implicits._
+        asMedia(s, dir).mapPartitions(y4mFeatures).toDF()
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h, octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        fr AS (
+          SELECT doc_id,
+            greatest(1, (n + ${Y4mFrameBytes - 1}) // $Y4mFrameBytes) AS nf,
+            list_transform(
+              range(0, greatest(1, (n + ${Y4mFrameBytes - 1}) // $Y4mFrameBytes)),
+              f -> coalesce(list_sum(list_transform(
+                     range(f * $Y4mFrameBytes + 1,
+                           least(f * $Y4mFrameBytes + $Y4mLuma, n) + 1),
+                     k -> bytes[k])), 0)) AS lf,
+            coalesce(list_sum(list_transform(range(1, n + 1),
+              k -> CASE WHEN (k - 1) % $Y4mFrameBytes >= $Y4mLuma
+                        THEN bytes[k] ELSE 0 END)), 0) AS cs
+          FROM b)
+        SELECT doc_id,
+               CAST($Y4mWidth AS INT) AS width,
+               CAST($Y4mHeight AS INT) AS height,
+               CAST(nf AS INT) AS n_frames,
+               CAST(coalesce(list_sum(lf), 0) AS BIGINT) AS sum_luma,
+               CAST(cs AS BIGINT) AS sum_chroma,
+               CAST(list_position(lf, list_max(lf)) - 1 AS INT) AS bright_frame,
+               CAST(list_max(lf) AS BIGINT) AS bright_luma
+        FROM fr
         ORDER BY doc_id""")),
 
     // ---- metadata extraction (oracle-checkable: md5 + byte length) -------

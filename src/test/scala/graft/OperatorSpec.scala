@@ -907,15 +907,18 @@ class OperatorSpec extends SparkSuite {
       1L -> Multimodal.encodePng(bytes),
       2L -> Multimodal.encodeBmp(bytes, topDown = false),
       3L -> Multimodal.encodeWav(bytes),
-      4L -> Array.fill[Byte](20)(42))
+      4L -> Array.fill[Byte](20)(42),
+      5L -> Multimodal.encodeY4m(bytes))
     val out = Multimodal.anyMediaFeatures(rows).toSeq
     assert(out.map(f => f.doc_id -> f.media_type).toMap
-      == Map(1L -> "png", 2L -> "bmp", 3L -> "wav", 4L -> "unknown"))
+      == Map(1L -> "png", 2L -> "bmp", 3L -> "wav", 4L -> "unknown",
+        5L -> "y4m"))
     val byId = out.map(f => f.doc_id -> f).toMap
     val total = bytes.map(_ & 0xffL).sum
     assert(byId(1L).magnitude == total && byId(2L).magnitude == total)
     assert(byId(3L).n_values == 15) // 30 bytes → 15 s16 samples
     assert(byId(4L).n_values == 0 && byId(4L).width.isEmpty)
+    assert(byId(5L).magnitude == total && byId(5L).n_values == 32) // 1 frame
     // matching magic + corrupt body must still fail loudly (no silent
     // "unknown" downgrade for a payload that CLAIMS to be decodable)
     val corrupt = Multimodal.encodePng(bytes)
@@ -923,6 +926,34 @@ class OperatorSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Multimodal.anyMediaFeatures(Iterator(9L -> corrupt)).toSeq
     }
+  }
+
+  test("decodeY4m walks spec-built streams and rejects malformed ones") {
+    import operators.Multimodal
+    def asc(s: String) = s.getBytes("US-ASCII")
+    // fixture built from the SPEC, not via encodeY4m (the BMP discipline):
+    // 2×2 4:2:0 ⇒ 4 luma + 2 chroma bytes per frame; the second frame
+    // carries a parameter list the decoder must scan past
+    val fx = asc("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n") ++
+      asc("FRAME\n") ++ Array[Byte](1, 2, 3, 4, 5, 6) ++
+      asc("FRAME Xvoluntary param\n") ++ Array[Byte](10, 20, 30, 40, 50, 60)
+    val (w, h, fs) = Multimodal.decodeY4m(fx)
+    assert((w, h) == (2, 2))
+    assert(fs.toSeq == Seq((10L, 11L), (100L, 110L)))
+    // the C tag is optional (spec default 4:2:0)
+    val noC = asc("YUV4MPEG2 W2 H2\nFRAME\n") ++ Array[Byte](9, 0, 0, 0, 0, 0)
+    assert(Multimodal.decodeY4m(noC)._3.toSeq == Seq((9L, 0L)))
+    def bad(p: Array[Byte]) =
+      intercept[IllegalArgumentException](Multimodal.decodeY4m(p))
+    bad(asc("YUV4MPEG3 W2 H2\nFRAME\n") ++ Array.fill[Byte](6)(0)) // magic
+    bad(asc("YUV4MPEG2 W2 H2"))                    // unterminated header
+    bad(asc("YUV4MPEG2 H2\nFRAME\n") ++ Array.fill[Byte](6)(0))   // no W
+    bad(asc("YUV4MPEG2 W3 H2\nFRAME\n") ++ Array.fill[Byte](9)(0)) // odd W
+    bad(asc("YUV4MPEG2 W2 H2 C444\nFRAME\n") ++ Array.fill[Byte](6)(0))
+    bad(asc("YUV4MPEG2 W2 H2\nFRAME\n") ++ Array.fill[Byte](5)(0)) // short
+    bad(asc("YUV4MPEG2 W2 H2\nFRAMEX\n") ++ Array.fill[Byte](6)(0)) // param
+    bad(asc("YUV4MPEG2 W2 H2\n"))                  // zero frames
+    bad(asc("YUV4MPEG2 W2 H2\nFRAME\n") ++ Array.fill[Byte](7)(0)) // junk
   }
 
   test("decodePng is strict: CRC, truncation, and unsupported variants fail loudly") {

@@ -432,6 +432,29 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("Y4M encode→decode recovers exact plane sums for arbitrary payloads") {
+    // the video container must agree with direct 48-byte framing
+    // arithmetic (the DuckDB oracle's formulation) on any payload —
+    // including the zero-padded last frame and the min-1-frame empty case
+    val byteGen = Gen.choose(0, 255).map(_.toByte)
+    for (s <- 1 to 30) {
+      val n = sample(Gen.oneOf(0, 1, 31, 32, 33, 47, 48, 49, 96, 1000), s)
+      val bytes = sample(Gen.listOfN(n, byteGen), s + 4000).toArray
+      val (w, h, fs) =
+        operators.Multimodal.decodeY4m(operators.Multimodal.encodeY4m(bytes))
+      assert(w == operators.Multimodal.Y4mWidth &&
+        h == operators.Multimodal.Y4mHeight)
+      assert(fs.length == math.max(1, (n + 47) / 48), s"seed $s n=$n")
+      def plane(f: Int, lo: Int, hi: Int) =
+        (lo until hi).map(j => f * 48 + j)
+          .collect { case k if k < n => bytes(k) & 0xffL }.sum
+      fs.zipWithIndex.foreach { case ((ls, cs), f) =>
+        assert(ls == plane(f, 0, 32), s"seed $s n=$n frame $f luma")
+        assert(cs == plane(f, 32, 48), s"seed $s n=$n frame $f chroma")
+      }
+    }
+  }
+
   test("polyHash/polyHash2 inline UTF-8 decode matches the JDK codepoint fold") {
     // the kernels decode codepoints straight off UTF-8 bytes (hot path);
     // pin them against the unambiguous String.codePointAt reference over
