@@ -89,21 +89,15 @@ class ScaleLadderSpec extends SparkSuite {
   private def median3(name: String, dir: String): Double =
     Seq.fill(3)(time(name, dir)).sorted.apply(1)
 
-  test("10x corpus: the five steepest queries stay within the 8x wall-clock envelope") {
-    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
-      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
-    ensureLadderCorpus()
+  /** Time `queries` at sf0.1 and at `bigDir`, median-of-3 both sides
+    * (the full-suite JVM swings single runs 3-5x), re-measure any breach
+    * once (the Bench spike discipline), assert the envelope. */
+  private def assertEnvelope(queries: Seq[String], bigDir: String): Unit = {
     // warm both paths once so codegen/IO setup is out of the timings
-    Steepest.foreach { q => time(q, sf); () }
-    val report = Steepest.map { q =>
+    queries.foreach { q => time(q, sf); () }
+    val report = queries.map { q =>
       val small = median3(q, "/root/testdata/sf0.1")
-      // median-of-3 on the BIG side too: inside the full-suite JVM (~200
-      // tests of cached state and GC history behind it) a single 10x run
-      // swings 3-5x — clean-JVM 5-rep medians measured ngram_jaccard at
-      // 2.6x and dedup_keep_list at 2.2x on corpora a single-shot run
-      // here reported as 14x/11x. A real quadratic blowup (30-70x in the
-      // round-6 adversarial variant) still fails the median decisively.
-      val big = median3(q, LadderDir)
+      val big = median3(q, bigDir)
       val ratio = big / math.max(small, 0.05)
       (q, small, big, ratio)
     }
@@ -111,14 +105,14 @@ class ScaleLadderSpec extends SparkSuite {
       f"$q%s sf0.1=$s%.2fs 10x=$b%.2fs ratio=$r%.1fx" }
     info(lines.mkString("; "))
     report.foreach { case (q, small, _, ratio) =>
-      // self-adjudicate an envelope breach before failing — the Bench
-      // spike discipline: a saturated full-suite JVM has measured a
-      // clean-5.5x query at 17.5x (GC stall on one 10x rep survives a
-      // median of 3); one fresh median decides noise vs regression
+      // self-adjudicate an envelope breach before failing: a saturated
+      // full-suite JVM has measured a clean-5.5x query at 17.5x (GC
+      // stall on one 10x rep survives a median of 3); one fresh median
+      // decides noise vs regression
       val finalRatio =
         if (ratio <= Envelope) ratio
         else {
-          val again = median3(q, LadderDir) / math.max(small, 0.05)
+          val again = median3(q, bigDir) / math.max(small, 0.05)
           info(f"$q%s breached at $ratio%.1fx — re-measured ${again}%.1fx")
           math.min(ratio, again)
         }
@@ -127,5 +121,63 @@ class ScaleLadderSpec extends SparkSuite {
           s"TWO medians — super-linear scaling regression " +
           s"(envelope ${Envelope}x); full ladder: ${lines.mkString("; ")}")
     }
+  }
+
+  test("10x corpus: the five steepest queries stay within the 8x wall-clock envelope") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    ensureLadderCorpus()
+    assertEnvelope(Steepest, LadderDir)
+  }
+
+  // ------------------------------------------------- relational 10x ladder
+  // The TPC-H-wave counterpart: FACTS grow 10x (orders/lineitem replicated
+  // into disjoint orderkey ranges), DIMENSIONS stay fixed (customer/
+  // supplier/part copied 1x) — the realistic warehouse growth shape, and
+  // the one that exposes a join that only looked linear because both
+  // sides grew together. Each customer now carries 10x orders and each
+  // part 10x lineitems, so the per-key group sizes grow too — a per-order
+  // profile or per-part aggregate that silently went quadratic in group
+  // size shows here.
+
+  private val RelLadderDir = "/tmp/graft_relladder10x"
+  // the two heaviest new relational shapes: the fact-fact per-order
+  // profile (q21) and the HAVING-rejoin (q18); q13's outer join rides
+  // the same custkey shuffle q18 exercises
+  private val RelSteepest = Seq("q21_late_solo", "q18_big_orders")
+
+  private def relSourceKey(): String = {
+    val f = new java.io.File("/root/testdata/sf0.1/lineitem.parquet")
+    s"${f.length}|${f.lastModified}"
+  }
+
+  private def ensureRelLadderCorpus(): Unit = {
+    val marker = new java.io.File(s"$RelLadderDir/source.key")
+    if (new java.io.File(s"$RelLadderDir/lineitem.parquet/_SUCCESS").isFile &&
+        marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == relSourceKey()) return
+    val shift = 1000000000L // disjoint orderkey ranges per replica
+    def replicate(df: org.apache.spark.sql.DataFrame, key: String) =
+      (0 until Replicas).map { i =>
+        df.withColumn(key, col(key) + lit(i * shift))
+      }.reduce(_.unionByName(_))
+    replicate(Tables.lineitem(spark, "/root/testdata/sf0.1"), "l_orderkey")
+      .write.mode("overwrite").parquet(s"$RelLadderDir/lineitem.parquet")
+    replicate(Tables.orders(spark, "/root/testdata/sf0.1"), "o_orderkey")
+      .write.mode("overwrite").parquet(s"$RelLadderDir/orders.parquet")
+    for (dim <- Seq("customer", "supplier", "part", "nation", "region"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.1/$dim.parquet"),
+        java.nio.file.Paths.get(s"$RelLadderDir/$dim.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(marker.toPath, relSourceKey().getBytes("UTF-8"))
+  }
+
+  test("10x facts on fixed dims: the TPC-H join queries stay within the envelope") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    ensureRelLadderCorpus()
+    assertEnvelope(RelSteepest, RelLadderDir)
   }
 }
