@@ -1058,6 +1058,324 @@ object RelationalQueries {
         FROM w JOIN supplier ON the_supp = s_suppkey
         ORDER BY numwait DESC, s_suppkey""")),
 
+    // ---- TPC-H Q6 shape: forecast revenue change ---------------------------
+    // The pure scan-side query: revenue that WOULD move if mid-band
+    // discounts were eliminated, over the first half of the ship-date
+    // span. Every predicate (derived date bound, discount band, quantity
+    // cap) sits on the lineitem scan — PlanSpec asserts all three reach
+    // PushedFilters; the delta is the exact decimal Σ price·discount.
+    // The discount band endpoints are structural domain values (the
+    // generator's 11-step 0.00–0.10 grid, the 'PROMO' precedent); a
+    // stored double compares identically against the same literal in
+    // both engines.
+    GraftQuery(
+      "q6_forecast",
+      (s, dir) => {
+        val cut = Tables.lineitem(s, dir)
+          .select(unix_micros(col("l_shipdate")).as("du"))
+          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_discount").between(0.02, 0.06) &&
+            col("l_quantity") < 24)
+          .crossJoin(broadcast(cut))
+          .filter(unix_micros(col("l_shipdate")) < col("cut"))
+          .agg(round(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+              * col("l_discount").cast(DecimalType(18, 2)))
+            .cast(DoubleType), 2).as("revenue_delta"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT (min(epoch_us(CAST(l_shipdate AS TIMESTAMP)))
+                  + max(epoch_us(CAST(l_shipdate AS TIMESTAMP)))) // 2 AS cut
+          FROM lineitem)
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS revenue_delta,
+               count(*) AS n_lineitems
+        FROM lineitem, b
+        WHERE l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+          AND epoch_us(CAST(l_shipdate AS TIMESTAMP)) < cut""")),
+
+    // ---- TPC-H Q8 shape: national market share by order year --------------
+    // Inside ONE region's customer market (the alphabetically-first
+    // region — data-derived), what share of supplied revenue came from
+    // ONE target nation (the region's alphabetically-first nation), per
+    // order year. Combines the two-role dimension join (q7) with the
+    // conditional-share aggregate (q14): the customer role restricts the
+    // market through the nation⋈region chain, the supplier role carries
+    // its nation NAME into a CASE inside the same partial agg, and the
+    // share divides the exact decimal sums as DOUBLE÷DOUBLE under a
+    // zero-total guard.
+    //
+    // Scale: region/nation chains and the supplier→nation map broadcast;
+    // orders prunes through the market join before the orderkey spine;
+    // the final agg is |years| groups.
+    GraftQuery(
+      "q8_market_share",
+      (s, dir) => {
+        val rg = Tables.region(s, dir).agg(min(col("r_name")).as("rg"))
+        val natInReg = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .crossJoin(broadcast(rg))
+          .filter(col("r_name") === col("rg"))
+          .select("n_nationkey", "n_name")
+        val tn = natInReg.agg(min(col("n_name")).as("tn"))
+        val market = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+          .join(broadcast(natInReg.select(col("n_nationkey").as("mk"))),
+            col("c_nationkey") === col("mk"))
+          .select("c_custkey")
+        val oc = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+          .join(market, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year"))
+        val li = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)
+              .select("s_suppkey", "s_nationkey")
+              .join(broadcast(Tables.nation(s, dir)
+                .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+                col("s_nationkey") === col("sk"))
+              .select("s_suppkey", "supp_nation")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_orderkey"), col("supp_nation"), revenueExpr.as("rev"))
+        li.join(oc, col("l_orderkey") === col("o_orderkey"))
+          .crossJoin(broadcast(tn))
+          .groupBy("o_year")
+          .agg(sum(when(col("supp_nation") === col("tn"), col("rev"))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).as("target_rev"),
+            sum(col("rev")).as("total_rev"),
+            count(lit(1)).as("n_lineitems"))
+          .select(col("o_year"),
+            round(when(col("total_rev") =!= 0,
+              lit(100) * col("target_rev").cast(DoubleType)
+                / col("total_rev").cast(DoubleType)), 4).as("mkt_share_pct"),
+            round(col("total_rev").cast(DoubleType), 2).as("revenue"),
+            col("n_lineitems"))
+          .orderBy(col("o_year").asc_nulls_last)
+      },
+      Some(s"""
+        WITH rg AS (SELECT min(r_name) AS rg FROM region),
+        nr AS (SELECT n_nationkey, n_name
+               FROM nation JOIN region ON n_regionkey = r_regionkey, rg
+               WHERE r_name = rg),
+        tn AS (SELECT min(n_name) AS tn FROM nr)
+        SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year,
+               round(CASE WHEN $sqlRevenue = 0 THEN NULL
+                 ELSE 100 * CAST(sum(CASE WHEN sn.n_name = tn
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST($sqlRevenue AS DOUBLE) END, 4) AS mkt_share_pct,
+               round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nr cn    ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey, tn
+        GROUP BY 1
+        ORDER BY 1 NULLS LAST""")),
+
+    // ---- TPC-H Q9 shape: product-line profit by nation and year -----------
+    // Profit = discounted revenue − part cost (this corpus ships no
+    // partsupp, so the part's retail price × quantity stands in for
+    // ps_supplycost × quantity — same join tree, same arithmetic shape),
+    // rolled up to the supplier's nation per order year. Every term is an
+    // exact decimal product, so the two-level sum reassociates exactly at
+    // any parallelism.
+    //
+    // Scale: part joins the spine as a plain equi-join (AQE broadcasts
+    // while it fits); the supplier→nation map broadcasts; the orderkey
+    // spine shuffles once; |nations × years| final groups.
+    GraftQuery(
+      "q9_profit",
+      (s, dir) => {
+        val profit = revenueExpr -
+          col("p_retailprice").cast(DecimalType(18, 2)) *
+            col("l_quantity").cast(DecimalType(18, 2))
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).select("p_partkey", "p_retailprice"),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)
+              .select("s_suppkey", "s_nationkey")
+              .join(broadcast(Tables.nation(s, dir)
+                .select("n_nationkey", "n_name")),
+                col("s_nationkey") === col("n_nationkey"))
+              .select("s_suppkey", "n_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_orderkey"), col("n_name"), profit.as("profit"))
+        li.join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(round(sum(col("profit")).cast(DoubleType), 2).as("profit"),
+            count(lit(1)).as("n_lineitems"))
+          .orderBy(col("n_name").asc_nulls_last,
+            col("o_year").desc_nulls_last)
+      },
+      Some("""
+        SELECT n_name, CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 - CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS profit,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        ORDER BY 1 NULLS LAST, 2 DESC NULLS LAST""")),
+
+    // ---- TPC-H Q10 shape: returned-item revenue by customer ---------------
+    // Which customers returned the most revenue in the third quarter of
+    // the order-date span: lineitems flagged 'R' (a stable generator
+    // domain value) joined through their window-filtered orders to the
+    // customer and nation dims, top 20 by lost revenue. The returnflag
+    // filter rides the lineitem scan; the top-k is a
+    // TakeOrderedAndProject over (revenue DESC, c_custkey, c_name) — the
+    // custkey tiebreak makes the LIMIT deterministic across engines.
+    GraftQuery(
+      "q10_returns",
+      (s, dir) => {
+        val win = Tables.orders(s, dir)
+          .select(unix_micros(col("o_orderdate")).as("du"))
+          .agg(expr("min(du) + (max(du) - min(du)) DIV 2").as("w0"),
+            expr("min(du) + (max(du) - min(du)) * 3 DIV 4").as("w1"))
+        val oc = Tables.orders(s, dir)
+          .crossJoin(broadcast(win))
+          .filter(unix_micros(col("o_orderdate")) >= col("w0") &&
+            unix_micros(col("o_orderdate")) < col("w1"))
+          .select("o_orderkey", "o_custkey")
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), revenueExpr.as("rev"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir)
+              .select("c_custkey", "c_name", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)
+              .select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(round(sum(col("rev")).cast(DoubleType), 2).as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc_nulls_last,
+            col("c_name").asc_nulls_last)
+          .limit(20)
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                 + (max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                    - min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))) // 2 AS w0,
+                 min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                 + (max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                    - min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))) * 3 // 4 AS w1
+          FROM orders)
+        SELECT c_custkey, c_name, n_name,
+               round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey, b
+        WHERE l_returnflag = 'R'
+          AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) >= w0
+          AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) < w1
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey NULLS LAST, c_name NULLS LAST
+        LIMIT 20""")),
+
+    // ---- TPC-H Q12 shape: priority mix per line status ---------------------
+    // Per line status (this corpus's stand-in for ship mode): how many
+    // lineitems shipped in the second half of the span belong to
+    // critical-priority orders (1-URGENT / 2-HIGH — stable generator
+    // domain values) vs everything else. The CASE pair rides one partial
+    // agg; a NULL priority counts on the low side in both engines (the
+    // IN predicate evaluates NULL → else-branch).
+    GraftQuery(
+      "q12_priority_mix",
+      (s, dir) => {
+        val cut = Tables.lineitem(s, dir)
+          .select(unix_micros(col("l_shipdate")).as("du"))
+          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linestatus", "l_shipdate")
+          .crossJoin(broadcast(cut))
+          .filter(unix_micros(col("l_shipdate")) >= col("cut"))
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+            sum(when(hi, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+          .orderBy(col("l_linestatus").asc_nulls_last)
+      },
+      Some("""
+        WITH b AS (
+          SELECT (min(epoch_us(CAST(l_shipdate AS TIMESTAMP)))
+                  + max(epoch_us(CAST(l_shipdate AS TIMESTAMP)))) // 2 AS cut
+          FROM lineitem)
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey, b
+        WHERE epoch_us(CAST(l_shipdate AS TIMESTAMP)) >= cut
+        GROUP BY 1
+        ORDER BY 1 NULLS LAST""")),
+
+    // ---- TPC-H Q16 shape: supplier diversity per part attribute -----------
+    // How many DISTINCT suppliers ship each (brand, type, size) — with
+    // the supplier-part relation re-derived from lineitem (no partsupp
+    // in this corpus), one brand excluded by a data-derived <>
+    // (q17's alphabetically-first — the anti-literal), and suppliers
+    // with a NEGATIVE balance excluded via LEFT ANTI (Q16's
+    // customer-complaints exclusion; the driver corpus has none, the
+    // hostile corpus exercises it — written as NOT EXISTS, never NOT IN,
+    // for null-key safety). countDistinct fans (part,supp) pairs into
+    // one Expand — acceptable here because the grouping is the part
+    // attribute triple, not a per-order profile (no q21-style rewrite
+    // needed: the distinct IS the aggregate).
+    GraftQuery(
+      "q16_supplier_cnt",
+      (s, dir) => {
+        val mb = Tables.part(s, dir).agg(min(col("p_brand")).as("mb"))
+        val badSupp = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+          .join(Tables.part(s, dir)
+              .select("p_partkey", "p_brand", "p_type", "p_size")
+              .crossJoin(broadcast(mb))
+              .filter(col("p_brand") =!= col("mb"))
+              .select("p_partkey", "p_brand", "p_type", "p_size"),
+            col("l_partkey") === col("p_partkey"))
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand").asc_nulls_last,
+            col("p_type").asc_nulls_last, col("p_size").asc_nulls_last)
+      },
+      Some("""
+        WITH mb AS (SELECT min(p_brand) AS mb FROM part)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part ON l_partkey = p_partkey, mb
+        WHERE p_brand <> mb
+          AND NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey
+                            AND s.s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, 1 NULLS LAST, 2 NULLS LAST, 3 NULLS LAST""")),
+
     // ---- star join with broadcast dims: orders rolled up to region -------
     GraftQuery(
       "region_rollup",

@@ -2656,4 +2656,183 @@ class OperatorSpec extends SparkSuite {
     assert(got == exp, s"sole-late counts differ: got $got vs replay $exp")
     assert(got.nonEmpty, "no sole-late suppliers at smoke scale — vacuous")
   }
+
+  test("q6_forecast equals a driver replay of the three-predicate scan") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .collect()
+    val micros = li.filter(!_.isNullAt(0)).map(_.getTimestamp(0).getTime * 1000)
+    val cut = (micros.min + micros.max) / 2
+    val hits = li.filter { r =>
+      !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getTimestamp(0).getTime * 1000 < cut &&
+        r.getDouble(1) >= 0.02 && r.getDouble(1) <= 0.06 &&
+        r.getDouble(2) < 24
+    }
+    val expDelta = hits.filter(!_.isNullAt(3)).map(r =>
+      BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    val got = run("q6_forecast").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_lineitems") == hits.length,
+      s"matched ${got(0).getAs[Long]("n_lineitems")} vs replay ${hits.length}")
+    assert(math.abs(got(0).getAs[Double]("revenue_delta") - expDelta.toDouble) < 0.01)
+    assert(hits.nonEmpty, "no mid-band discounted lineitems — vacuous")
+  }
+
+  test("q8_market_share restricts to the derived region's market and bounds the share") {
+    val regions = Tables.region(spark, sf).collect()
+      .flatMap(r => Option(r.getAs[String]("r_name")))
+    val rg = regions.min
+    val rows = run("q8_market_share").collect()
+    assert(rows.nonEmpty, "no market revenue at smoke scale — vacuous")
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share_pct")
+      assert(share >= 0.0 && share <= 100.0, s"share $share out of [0,100]")
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    // cross-foot the market restriction: total lineitems must equal the
+    // replayed count of lineitems whose ORDER belongs to a customer of
+    // the derived region
+    val regKey = Tables.region(spark, sf).collect()
+      .find(r => r.getAs[String]("r_name") == rg).get.getAs[Int]("r_regionkey")
+    val natKeys = Tables.nation(spark, sf).collect()
+      .filter(r => !r.isNullAt(2) && r.getAs[Int]("n_regionkey") == regKey)
+      .map(_.getAs[Int]("n_nationkey")).toSet
+    val custInMkt = Tables.customer(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(2) && natKeys(r.getInt(2)))
+      .map(_.getLong(0)).toSet
+    val orderInMkt = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && custInMkt(r.getLong(1)))
+      .map(_.getLong(0)).toSet
+    val allNatKeys = Tables.nation(spark, sf).collect()
+      .filter(!_.isNullAt(0)).map(_.getInt(0)).toSet
+    val suppKeys = Tables.supplier(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(2) && allNatKeys(r.getInt(2)))
+      .map(_.getLong(0)).toSet
+    val expLines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").collect()
+      .count(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        orderInMkt(r.getLong(0)) && suppKeys(r.getLong(1)))
+    assert(rows.map(_.getAs[Long]("n_lineitems")).sum == expLines,
+      "market lineitem total differs from the replay")
+  }
+
+  test("q9_profit equals a driver replay of the nation-year rollup counts") {
+    val retail = Tables.part(spark, sf).collect()
+      .filter(r => !r.isNullAt(0)).map(r =>
+        r.getLong(0) -> Option(r.getAs[Any]("p_retailprice"))).toMap
+    val suppNat = {
+      val nat = Tables.nation(spark, sf).collect()
+        .filter(r => !r.isNullAt(0))
+        .map(r => r.getInt(0) -> r.getAs[String]("n_name")).toMap
+      Tables.supplier(spark, sf).collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(2) && nat.contains(r.getInt(2)))
+        .map(r => r.getLong(0) -> nat(r.getInt(2))).toMap
+    }
+    val orderYear = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate").collect()
+      .filter(r => !r.isNullAt(0))
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getTimestamp(1).toLocalDateTime.getYear))).toMap
+    val exp = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+        retail.contains(r.getLong(1)) && suppNat.contains(r.getLong(2)) &&
+        orderYear.contains(r.getLong(0)))
+      .groupBy(r => (suppNat(r.getLong(2)), orderYear(r.getLong(0))))
+      .view.mapValues(_.length.toLong).toMap
+    val got = run("q9_profit").collect()
+      .map(r => (r.getAs[String]("n_name"),
+        if (r.isNullAt(r.fieldIndex("o_year"))) None
+        else Some(r.getAs[Int]("o_year"))) -> r.getAs[Long]("n_lineitems"))
+      .toMap
+    assert(got == exp, "nation-year lineitem counts differ from the replay")
+    assert(got.nonEmpty, "no profit rows at smoke scale — vacuous")
+  }
+
+  test("q10_returns ranks exactly the replayed returned-revenue top 20") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+    val micros = orders.filter(!_.isNullAt(2)).map(_.getTimestamp(2).getTime * 1000)
+    val (lo, hi) = (micros.min, micros.max)
+    val (w0, w1) = (lo + (hi - lo) / 2, lo + (hi - lo) * 3 / 4)
+    val orderCust = orders.filter(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        !r.isNullAt(2) && {
+          val du = r.getTimestamp(2).getTime * 1000; du >= w0 && du < w1
+        })
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCust = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .collect()
+      .filter(r => !r.isNullAt(0) && r.getAs[String]("l_returnflag") == "R" &&
+        orderCust.contains(r.getLong(0)))
+      .groupBy(r => orderCust(r.getLong(0)))
+      .view.mapValues { g =>
+        g.filter(r => !r.isNullAt(2) && !r.isNullAt(3)).map(r =>
+          BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (1 - BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP))).sum
+      }.toMap
+    val expTop = byCust.toSeq
+      .sortBy { case (ck, rev) => (-rev, ck) }.take(20).map(_._1)
+    val got = run("q10_returns").collect().map(_.getAs[Long]("c_custkey"))
+    assert(got.toSeq == expTop,
+      s"top-20 returned-revenue customers differ: got ${got.toSeq} vs $expTop")
+    assert(got.nonEmpty, "no returned lineitems in the window — vacuous")
+  }
+
+  test("q12_priority_mix equals a driver replay of the high/low split") {
+    val prio = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linestatus", "l_shipdate").collect()
+    val micros = li.filter(!_.isNullAt(2)).map(_.getTimestamp(2).getTime * 1000)
+    val cut = (micros.min + micros.max) / 2
+    val exp = li.filter(r => !r.isNullAt(0) && !r.isNullAt(2) &&
+        r.getTimestamp(2).getTime * 1000 >= cut && prio.contains(r.getLong(0)))
+      .groupBy(r => Option(r.getString(1)))
+      .view.mapValues { g =>
+        val high = g.count(r =>
+          prio(r.getLong(0)).exists(p => p == "1-URGENT" || p == "2-HIGH"))
+        (high.toLong, (g.length - high).toLong)
+      }.toMap
+    val got = run("q12_priority_mix").collect()
+      .map(r => Option(r.getAs[String]("l_linestatus")) ->
+        ((r.getAs[Long]("high_line_count"), r.getAs[Long]("low_line_count"))))
+      .toMap
+    assert(got == exp, s"priority mix differs: got $got vs replay $exp")
+    assert(got.values.map(v => v._1 + v._2).sum > 0, "vacuous window")
+  }
+
+  test("q16_supplier_cnt equals a driver replay of distinct-supplier counts") {
+    val minBrand = Tables.part(spark, sf).collect()
+      .flatMap(r => Option(r.getAs[String]("p_brand"))).min
+    val partAttr = Tables.part(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) &&
+        Option(r.getAs[String]("p_brand")).exists(_ != minBrand))
+      .map(r => r.getLong(0) -> ((r.getAs[String]("p_brand"),
+        r.getAs[String]("p_type"),
+        if (r.isNullAt(r.fieldIndex("p_size"))) None else Some(r.getInt(4)))))
+      .toMap
+    val badSupp = Tables.supplier(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(3) && r.getDouble(3) < 0)
+      .map(_.getLong(0)).toSet
+    val exp = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        partAttr.contains(r.getLong(0)) && !badSupp(r.getLong(1)))
+      .groupBy(r => partAttr(r.getLong(0)))
+      .view.mapValues(_.map(_.getLong(1)).distinct.length.toLong).toMap
+    val got = run("q16_supplier_cnt").collect()
+      .map(r => ((r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        if (r.isNullAt(r.fieldIndex("p_size"))) None
+        else Some(r.getAs[Int]("p_size")))) -> r.getAs[Long]("supplier_cnt"))
+      .toMap
+    assert(got == exp, "distinct-supplier counts differ from the replay")
+    assert(got.nonEmpty && got.values.max > 1,
+      "no multi-supplier part attribute — vacuous")
+  }
 }

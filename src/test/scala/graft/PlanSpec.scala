@@ -453,4 +453,47 @@ class PlanSpec extends SparkSuite {
       "(?s).*Exchange hashpartitioning\\(l_orderkey[^,]*, l_suppkey.*"),
       "q21's pair dedup added its own exchange — prefix reuse lost")
   }
+
+  test("TPC-H wave 3 plans: pushed scan predicates, broadcast chains, anti") {
+    // q6 pushes FOUR scan predicates and the default 100-char metadata
+    // render truncates the PushedFilters list mid-entry — raise the limit
+    // for this gate so the assertions see the full list
+    val mk = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(mk)
+    spark.conf.set(mk, "2000")
+    try {
+    // q6: all three predicates (discount band, quantity cap; the derived
+    // date bound is runtime) must reach the lineitem scan
+    val q6 = planOf("q6_forecast")
+    assert(q6.contains("GreaterThanOrEqual(l_discount,0.02)") &&
+      q6.contains("LessThanOrEqual(l_discount,0.06)"),
+      "q6's discount band no longer reaches the scan")
+    assert(q6.contains("LessThan(l_quantity,24.0)"),
+      "q6's quantity cap no longer reaches the scan")
+    // q10: the returnflag filter is scan-side and the top-20 is a heap,
+    // never a global sort
+    val q10 = planOf("q10_returns")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      "q10's returnflag filter no longer reaches the scan")
+    assert(q10.contains("TakeOrderedAndProject"),
+      "q10's top-20 regressed to a global sort")
+    // q8: market chain (region→nation→customer) + supplier map broadcast
+    assert("BroadcastHashJoin".r.findAllIn(planOf("q8_market_share")).size >= 4,
+      "q8's dimension chains must ride broadcasts")
+    // q9: the supplier→nation map broadcasts; part reads two columns
+    val q9 = planOf("q9_profit")
+    assert("BroadcastHashJoin".r.findAllIn(q9).size >= 2,
+      "q9's supplier→nation map must ride broadcasts")
+    assert(q9.contains(
+      "ReadSchema: struct<p_partkey:bigint,p_retailprice:double>"),
+      "q9's part scan reads more than the join key + retail price")
+    // q12: the orders side reads exactly (o_orderkey, o_orderpriority)
+    assert(planOf("q12_priority_mix").contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>"),
+      "q12's orders scan reads more than the key + priority")
+    // q16: the complaints exclusion must stay a LEFT ANTI join
+    assert(planOf("q16_supplier_cnt").contains("LeftAnti"),
+      "q16 lost its anti-join exclusion shape")
+    } finally spark.conf.set(mk, saved)
+  }
 }
