@@ -1376,6 +1376,80 @@ object RelationalQueries {
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, 1 NULLS LAST, 2 NULLS LAST, 3 NULLS LAST""")),
 
+    // ---- TPC-H Q11 shape: important stock value by nation ------------------
+    // The HAVING-against-a-global-fraction shape Q11 exists for: nations
+    // whose stock value exceeds an equal share (1/|nations|, data-derived
+    // — Q11's 0.0001/SF constant re-expressed without a literal) of the
+    // corpus total. partsupp is re-derived from lineitem (the
+    // min_cost_supplier precedent): per (part, supplier), availqty = Σ
+    // shipped quantity and unit cost = the minimum observed
+    // floor(price/quantity·1e4) — an IEEE double division floored to an
+    // integer, identical in both engines. Every product stages through
+    // explicit decimal precisions (aq 18,2 × u4 12,0 → 31,2; sv 28,2 ×
+    // nn 4,0 → 33,2) so Spark's 38-precision clamp never rounds — an
+    // unstaged (38,2)×bigint multiply silently loses exactness at the
+    // precision ceiling.
+    //
+    // Scale: one (part,supp) agg over the offer-filtered scan, a
+    // broadcast supplier→nation map, a 25-row rollup, two 1-row
+    // broadcasts. The HAVING compares exact decimals cross-multiplied.
+    GraftQuery(
+      "q11_stock_value",
+      (s, dir) => {
+        val unit4 = floor(col("l_extendedprice") / col("l_quantity")
+          * lit(10000)).cast(LongType)
+        val ps = Tables.lineitem(s, dir)
+          .filter(col("l_quantity") > 0 && col("l_extendedprice").isNotNull)
+          // key-aligned rebalance (the top_customers constraint): the
+          // single-row-group testdata scans with parallelism 1; partkey
+          // is a prefix of the grouping, so the agg adds no exchange
+          .repartition(s.sparkContext.defaultParallelism, col("l_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("aq"),
+            min(unit4).cast(DecimalType(12, 0)).as("u4"))
+        val stock = ps
+          .join(broadcast(Tables.supplier(s, dir)
+              .select("s_suppkey", "s_nationkey")
+              .join(broadcast(Tables.nation(s, dir)
+                .select("n_nationkey", "n_name")),
+                col("s_nationkey") === col("n_nationkey"))
+              .select("s_suppkey", "n_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("n_name")
+          .agg(sum(col("aq") * col("u4")).as("sv"))
+        val tot = stock.agg(sum(col("sv")).as("tot"))
+        val nn = Tables.nation(s, dir)
+          .agg(count(lit(1)).cast(DecimalType(4, 0)).as("nn"))
+        stock.crossJoin(broadcast(tot)).crossJoin(broadcast(nn))
+          .filter(col("sv").cast(DecimalType(28, 2)) * col("nn") > col("tot"))
+          .select(col("n_name"),
+            round(col("sv").cast(DoubleType), 2).as("stock_value"))
+          .orderBy(col("stock_value").desc, col("n_name").asc_nulls_last)
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS aq,
+                 CAST(min(CAST(floor(l_extendedprice / l_quantity * 10000)
+                   AS BIGINT)) AS DECIMAL(12,0)) AS u4
+          FROM lineitem
+          WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
+          GROUP BY 1, 2),
+        st AS (
+          SELECT n_name, sum(aq * u4) AS sv
+          FROM ps
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          GROUP BY 1),
+        t AS (SELECT sum(sv) AS tot FROM st),
+        c AS (SELECT CAST(count(*) AS DECIMAL(4,0)) AS nn FROM nation)
+        SELECT n_name, round(CAST(sv AS DOUBLE), 2) AS stock_value
+        FROM st, t, c
+        WHERE CAST(sv AS DECIMAL(28,2)) * nn > tot
+        ORDER BY stock_value DESC, n_name NULLS LAST""")),
+
     // ---- star join with broadcast dims: orders rolled up to region -------
     GraftQuery(
       "region_rollup",

@@ -1071,7 +1071,14 @@ object Similarity {
     GraftQuery(
       "mrl_topk",
       (s, dir) => {
+        // width gate BEFORE slicing (the universe contract): a 32-dim
+        // hostile vector still yields a full 16-dim slice with a finite
+        // truncated norm, so without the size() gate it would enter this
+        // universe while the oracle's len(embedding) = 64 excludes it —
+        // the one slice-first query the fc616ee gate pass missed
+        // (caught by the full-registry adv_emb sweep)
         val e = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === EmbDims)
           .withColumn("tv", expr(s"slice(embedding, 1, $MrlDims)"))
           .select(col("vec_id"), col("tv"), V.l2norm(col("tv")).as("tnorm"))
           .filter(col("tnorm") > 0 && col("tnorm") < MaxVecNorm)

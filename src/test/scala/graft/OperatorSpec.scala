@@ -2835,4 +2835,61 @@ class OperatorSpec extends SparkSuite {
     assert(got.nonEmpty && got.values.max > 1,
       "no multi-supplier part attribute — vacuous")
   }
+
+  test("q11_stock_value equals a driver replay of the fraction HAVING") {
+    val nat = Tables.nation(spark, sf).collect().filter(!_.isNullAt(0))
+      .map(r => r.getInt(0) -> r.getAs[String]("n_name")).toMap
+    val nNations = Tables.nation(spark, sf).count()
+    val suppNat = Tables.supplier(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(2) && nat.contains(r.getInt(2)))
+      .map(r => r.getLong(0) -> nat(r.getInt(2))).toMap
+    val ps = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .collect()
+      .filter(r => !r.isNullAt(2) && r.getDouble(2) > 0 && !r.isNullAt(3) &&
+        !r.isNullAt(0) && !r.isNullAt(1))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .toSeq // NOT .map on the Map: (supp → value) pairs repeat per part
+      .map { case ((_, sk), g) =>
+        val aq = g.map(r => BigDecimal(r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        val u4 = g.map(r =>
+          math.floor(r.getDouble(3) / r.getDouble(2) * 10000).toLong).min
+        (sk, aq * u4)
+      }
+    val byNation = ps.filter(p => suppNat.contains(p._1))
+      .groupBy(p => suppNat(p._1)).view.mapValues(_.map(_._2).sum).toMap
+    val tot = byNation.values.sum
+    val exp = byNation.filter { case (_, sv) => sv * nNations > tot }
+    val got = run("q11_stock_value").collect()
+      .map(r => r.getAs[String]("n_name") -> r.getAs[Double]("stock_value"))
+      .toMap
+    assert(got.keySet == exp.keySet,
+      s"important nations differ: got ${got.keySet} vs ${exp.keySet}")
+    exp.foreach { case (n, sv) =>
+      assert(math.abs(got(n) - sv.toDouble) < 0.01, s"$n value off") }
+    assert(got.nonEmpty, "no above-fraction nation — vacuous")
+  }
+
+  test("mrl_topk's truncated universe keeps the declared-width gate") {
+    // regression pin for the adv_emb sweep finding: mrl slices the first
+    // 16 dims BEFORE its norm filter, so a wrong-width (e.g. 32-dim)
+    // hostile vector still yields a healthy truncated slice — without
+    // the size(embedding) gate it enters the Spark universe while the
+    // oracle's len(embedding) = 64 excludes it
+    import spark.implicits._
+    val dir = "/tmp/graft_mrl_width"
+    val planted = Seq(
+      (900001L, Array.fill(32)(0.5f), 0),        // wrong width, clean slice
+      (900002L, Array.fill(64)(Float.NaN), 0),   // non-finite
+      (900003L, Array.fill(64)(0f), 0))          // zero norm
+      .toDF("vec_id", "embedding", "label")
+    Tables.embeddings(spark, sf).unionByName(planted)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("mrl_topk")(spark, dir).collect()
+    assert(got.nonEmpty, "planted corpus returned no rankings — vacuous")
+    val ids = got.map(_.getAs[Long]("vec_id")).toSet
+    assert(!ids.exists(_ >= 900001L),
+      "a planted degenerate vector entered the truncated universe")
+  }
 }

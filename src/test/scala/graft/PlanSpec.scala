@@ -494,6 +494,14 @@ class PlanSpec extends SparkSuite {
     // q16: the complaints exclusion must stay a LEFT ANTI join
     assert(planOf("q16_supplier_cnt").contains("LeftAnti"),
       "q16 lost its anti-join exclusion shape")
+    // q11: the supplier→nation map broadcasts and the offer filters
+    // (positive quantity, non-null price) reach the lineitem scan
+    val q11 = planOf("q11_stock_value")
+    assert("BroadcastHashJoin".r.findAllIn(q11).size >= 2,
+      "q11's dimension maps must ride broadcasts")
+    assert(q11.contains("GreaterThan(l_quantity,0.0)") &&
+      q11.contains("IsNotNull(l_extendedprice)"),
+      "q11's offer filters no longer reach the scan")
     } finally spark.conf.set(mk, saved)
   }
 }
