@@ -628,7 +628,12 @@ object Multimodal {
       toks.tail.find(t => t.nonEmpty && t.head == c).map(_.tail)
     val w = tag('W').map(_.toInt).getOrElse(fail("missing W"))
     val h = tag('H').map(_.toInt).getOrElse(fail("missing H"))
-    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0)
+    // bound w·h BEFORE the Int products: a hostile W2147483646 H2 header
+    // passes the even/positive checks but wraps w*h negative, which
+    // would turn the frame walk below into an infinite loop (p never
+    // advances past a non-positive frameBytes) — fail loudly instead
+    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 ||
+        w.toLong * h > (1L << 26))
       fail(s"illegal 4:2:0 geometry ${w}x$h")
     // C tag is optional in the spec (default 420); anything else here is
     // a frame size we would mis-slice, so reject it

@@ -45,6 +45,23 @@ object RelationalQueries {
   private val sqlRevenue =
     "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
 
+  /** Data-derived temporal cut: the µs midpoint of `c`'s span over `df`
+    * (integer DIV — deterministic at every sf, no calendar literal to go
+    * stale on regenerated data; Spark `DIV` and DuckDB `//` both truncate
+    * toward zero, pinned in ComponentSpec). Returns a 1-row frame to
+    * `crossJoin(broadcast(...))` onto the fact scan. One definition so
+    * the q3/q5/q6/q12/q15 cuts cannot drift apart (review finding). */
+  private def spanCut(df: DataFrame, c: Column): DataFrame =
+    df.select(unix_micros(c).as("du"))
+      .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+
+  /** Data-derived third-quarter window [w0, w1) over `c`'s span — the
+    * recency slice q4/q10 filter on. Same DIV discipline as [[spanCut]]. */
+  private def spanWindow(df: DataFrame, c: Column): DataFrame =
+    df.select(unix_micros(c).as("du"))
+      .agg(expr("min(du) + (max(du) - min(du)) DIV 2").as("w0"),
+        expr("min(du) + (max(du) - min(du)) * 3 DIV 4").as("w1"))
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- Reference Layer A parity: tumbling event-time windowed agg ------
@@ -306,9 +323,7 @@ object RelationalQueries {
     GraftQuery(
       "q3_shipping",
       (s, dir) => {
-        val cut = Tables.orders(s, dir)
-          .select(unix_micros(col("o_orderdate")).as("du"))
-          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val cut = spanCut(Tables.orders(s, dir), col("o_orderdate"))
         val bld = Tables.customer(s, dir)
           .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
         val oc = Tables.orders(s, dir)
@@ -446,9 +461,12 @@ object RelationalQueries {
       (s, dir) => {
         // asc_nulls_last: a hostile NULL nationkey must not displace a
         // real key from the group (Spark default NULLS FIRST vs DuckDB
-        // NULLS LAST would pick different groups)
+        // NULLS LAST would pick different groups); n_name tiebreak: on a
+        // hostile corpus with DUPLICATE nationkeys a bare key sort is
+        // engine-underdetermined at the LIMIT boundary (review finding)
         val n2 = Tables.nation(s, dir)
-          .orderBy(col("n_nationkey").asc_nulls_last).limit(4)
+          .orderBy(col("n_nationkey").asc_nulls_last,
+            col("n_name").asc_nulls_last).limit(4)
           .select(col("n_nationkey"), col("n_name"))
         val sup = Tables.supplier(s, dir)
           .join(broadcast(n2), col("s_nationkey") === col("n_nationkey"))
@@ -476,7 +494,8 @@ object RelationalQueries {
       },
       Some(s"""
         WITH n2 AS (SELECT n_nationkey, n_name FROM nation
-                    ORDER BY n_nationkey NULLS LAST LIMIT 4)
+                    ORDER BY n_nationkey NULLS LAST, n_name NULLS LAST
+                    LIMIT 4)
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INT) AS l_year,
                round(CAST($sqlRevenue AS DOUBLE), 2) AS revenue,
@@ -565,9 +584,7 @@ object RelationalQueries {
     GraftQuery(
       "q15_top_supplier",
       (s, dir) => {
-        val cut = Tables.lineitem(s, dir)
-          .select(unix_micros(col("l_shipdate")).as("du"))
-          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val cut = spanCut(Tables.lineitem(s, dir), col("l_shipdate"))
         val rev = Tables.lineitem(s, dir)
           .crossJoin(broadcast(cut))
           .filter(unix_micros(col("l_shipdate")) >= col("cut"))
@@ -729,10 +746,7 @@ object RelationalQueries {
     GraftQuery(
       "q4_priority",
       (s, dir) => {
-        val win = Tables.orders(s, dir)
-          .select(unix_micros(col("o_orderdate")).as("du"))
-          .agg(expr("min(du) + (max(du) - min(du)) DIV 2").as("w0"),
-            expr("min(du) + (max(du) - min(du)) * 3 DIV 4").as("w1"))
+        val win = spanWindow(Tables.orders(s, dir), col("o_orderdate"))
         val o = Tables.orders(s, dir)
           .crossJoin(broadcast(win))
           .filter(unix_micros(col("o_orderdate")) >= col("w0") &&
@@ -781,9 +795,7 @@ object RelationalQueries {
     GraftQuery(
       "q5_local_volume",
       (s, dir) => {
-        val cut = Tables.orders(s, dir)
-          .select(unix_micros(col("o_orderdate")).as("du"))
-          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val cut = spanCut(Tables.orders(s, dir), col("o_orderdate"))
         val oc = Tables.orders(s, dir)
           .crossJoin(broadcast(cut))
           .filter(unix_micros(col("o_orderdate")) < col("cut"))
@@ -839,9 +851,13 @@ object RelationalQueries {
     GraftQuery(
       "q13_custdist",
       (s, dir) => {
+        // n staged to DECIMAL(12,0): price(18,2) × bigint(20,0) would
+        // need precision 39 > Spark's 38 clamp and silently round at
+        // extreme magnitudes (the q11 staging discipline, applied after
+        // review); (18,2)×(12,0) → (31,2), exact
         val mean = Tables.orders(s, dir)
           .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"),
-            count(col("o_totalprice")).as("n"))
+            count(col("o_totalprice")).cast(DecimalType(12, 0)).as("n"))
         val big = Tables.orders(s, dir)
           .crossJoin(broadcast(mean))
           .filter(col("o_totalprice").cast(DecimalType(18, 2)) * col("n")
@@ -858,7 +874,7 @@ object RelationalQueries {
       Some("""
         WITH m AS (
           SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
-                 count(o_totalprice) AS n
+                 CAST(count(o_totalprice) AS DECIMAL(12,0)) AS n
           FROM orders),
         co AS (
           SELECT c_custkey, count(o_orderkey) AS c_count
@@ -901,10 +917,15 @@ object RelationalQueries {
           .select(col("l_partkey"),
             col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
             revenueExpr.as("rev"))
+        // staged precisions (the q11 discipline, applied after review):
+        // qty(18,2) × 5(3,0) → (22,2), × nq(12,0) → (35,2) — exact;
+        // an unstaged qty*5*bigint clamps at Spark's 38-precision limit
         val stats = li.groupBy(col("l_partkey").as("sp"))
-          .agg(sum(col("qty")).as("sq"), count(col("qty")).as("nq"))
+          .agg(sum(col("qty")).as("sq"),
+            count(col("qty")).cast(DecimalType(12, 0)).as("nq"))
         li.join(stats, col("l_partkey") === col("sp"))
-          .filter(col("qty") * 5 * col("nq") < col("sq"))
+          .filter(col("qty") * lit(5).cast(DecimalType(3, 0)) * col("nq")
+            < col("sq"))
           .agg(round(sum(col("rev")).cast(DoubleType), 2).as("revenue"),
             count(lit(1)).as("n_lineitems"))
       },
@@ -916,12 +937,13 @@ object RelationalQueries {
                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
           FROM lineitem JOIN part ON l_partkey = p_partkey, b
           WHERE p_brand = b),
-        st AS (SELECT l_partkey AS sp, sum(qty) AS sq, count(qty) AS nq
+        st AS (SELECT l_partkey AS sp, sum(qty) AS sq,
+                      CAST(count(qty) AS DECIMAL(12,0)) AS nq
                FROM li GROUP BY 1)
         SELECT round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
                count(*) AS n_lineitems
         FROM li JOIN st ON l_partkey = sp
-        WHERE qty * 5 * nq < sq""")),
+        WHERE qty * CAST(5 AS DECIMAL(3,0)) * nq < sq""")),
 
     // ---- TPC-H Q18 shape: large-volume orders --------------------------
     // Orders whose total quantity exceeds TWICE the mean per-order
@@ -939,16 +961,23 @@ object RelationalQueries {
     GraftQuery(
       "q18_big_orders",
       (s, dir) => {
+        // staged precisions (the q11 discipline, applied after review):
+        // sum_qty re-staged to (18,2), no to (12,0) → product (31,2)
+        // exact; tq(28,2) × 2(2,0) → (31,2) exact. Unstaged, the
+        // (28,2)×bigint product needs precision 49 and Spark's 38-clamp
+        // rounds where DuckDB computes the wider product exactly.
         val perOrder = Tables.lineitem(s, dir)
           .groupBy(col("l_orderkey"))
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("sum_qty"),
             count(lit(1)).as("n_lineitems"))
         val total = perOrder
           .agg(sum(col("sum_qty")).as("tq"),
-            count(col("sum_qty")).as("no"))
+            count(col("sum_qty")).cast(DecimalType(12, 0)).as("no"))
         perOrder
           .crossJoin(broadcast(total))
-          .filter(col("sum_qty") * col("no") > col("tq") * 2)
+          .filter(col("sum_qty") * col("no")
+            > col("tq") * lit(2).cast(DecimalType(2, 0)))
           .join(Tables.orders(s, dir)
               .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
@@ -963,17 +992,20 @@ object RelationalQueries {
       },
       Some("""
         WITH po AS (
-          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS sum_qty,
                  count(*) AS n_lineitems
           FROM lineitem GROUP BY 1),
-        t AS (SELECT sum(sum_qty) AS tq, count(sum_qty) AS no FROM po)
+        t AS (SELECT sum(sum_qty) AS tq,
+                     CAST(count(sum_qty) AS DECIMAL(12,0)) AS no FROM po)
         SELECT c_custkey, c_name, o_orderkey,
                CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
                round(CAST(o_totalprice AS DOUBLE), 2) AS total_price,
                CAST(sum_qty AS DOUBLE) AS sum_qty, n_lineitems
         FROM po JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey, t
-        WHERE sum_qty * no > tq * 2
+        WHERE sum_qty * no > tq * CAST(2 AS DECIMAL(2,0))
         ORDER BY o_orderkey NULLS LAST""")),
 
     // ---- TPC-H Q21 shape: the sole late shipper in multi-supplier orders --
@@ -1071,9 +1103,7 @@ object RelationalQueries {
     GraftQuery(
       "q6_forecast",
       (s, dir) => {
-        val cut = Tables.lineitem(s, dir)
-          .select(unix_micros(col("l_shipdate")).as("du"))
-          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val cut = spanCut(Tables.lineitem(s, dir), col("l_shipdate"))
         Tables.lineitem(s, dir)
           .filter(col("l_discount").between(0.02, 0.06) &&
             col("l_quantity") < 24)
@@ -1243,10 +1273,7 @@ object RelationalQueries {
     GraftQuery(
       "q10_returns",
       (s, dir) => {
-        val win = Tables.orders(s, dir)
-          .select(unix_micros(col("o_orderdate")).as("du"))
-          .agg(expr("min(du) + (max(du) - min(du)) DIV 2").as("w0"),
-            expr("min(du) + (max(du) - min(du)) * 3 DIV 4").as("w1"))
+        val win = spanWindow(Tables.orders(s, dir), col("o_orderdate"))
         val oc = Tables.orders(s, dir)
           .crossJoin(broadcast(win))
           .filter(unix_micros(col("o_orderdate")) >= col("w0") &&
@@ -1265,8 +1292,12 @@ object RelationalQueries {
           .groupBy("c_custkey", "c_name", "n_name")
           .agg(round(sum(col("rev")).cast(DoubleType), 2).as("revenue"),
             count(lit(1)).as("n_lineitems"))
+          // all three GROUP KEYS in the tiebreak: duplicate dim keys on
+          // a hostile corpus can yield two groups sharing (custkey,
+          // name) that tie on revenue and differ only in n_name — the
+          // LIMIT boundary must still be a total order (review finding)
           .orderBy(col("revenue").desc, col("c_custkey").asc_nulls_last,
-            col("c_name").asc_nulls_last)
+            col("c_name").asc_nulls_last, col("n_name").asc_nulls_last)
           .limit(20)
       },
       Some(s"""
@@ -1289,7 +1320,8 @@ object RelationalQueries {
           AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) >= w0
           AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) < w1
         GROUP BY 1, 2, 3
-        ORDER BY revenue DESC, c_custkey NULLS LAST, c_name NULLS LAST
+        ORDER BY revenue DESC, c_custkey NULLS LAST, c_name NULLS LAST,
+                 n_name NULLS LAST
         LIMIT 20""")),
 
     // ---- TPC-H Q12 shape: priority mix per line status ---------------------
@@ -1302,9 +1334,7 @@ object RelationalQueries {
     GraftQuery(
       "q12_priority_mix",
       (s, dir) => {
-        val cut = Tables.lineitem(s, dir)
-          .select(unix_micros(col("l_shipdate")).as("du"))
-          .agg(expr("(min(du) + max(du)) DIV 2").as("cut"))
+        val cut = spanCut(Tables.lineitem(s, dir), col("l_shipdate"))
         val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
         Tables.lineitem(s, dir)
           .select("l_orderkey", "l_linestatus", "l_shipdate")

@@ -954,6 +954,10 @@ class OperatorSpec extends SparkSuite {
     bad(asc("YUV4MPEG2 W2 H2\nFRAMEX\n") ++ Array.fill[Byte](6)(0)) // param
     bad(asc("YUV4MPEG2 W2 H2\n"))                  // zero frames
     bad(asc("YUV4MPEG2 W2 H2\nFRAME\n") ++ Array.fill[Byte](7)(0)) // junk
+    // Int-overflow geometry: w*h wraps negative — must fail loudly, not
+    // loop forever on a non-advancing frame walk (review finding)
+    bad(asc("YUV4MPEG2 W2147483646 H2\nFRAME\n") ++ Array.fill[Byte](6)(0))
+    bad(asc("YUV4MPEG2 W46342 H46342\nFRAME\n") ++ Array.fill[Byte](6)(0))
   }
 
   test("decodePng is strict: CRC, truncation, and unsupported variants fail loudly") {
