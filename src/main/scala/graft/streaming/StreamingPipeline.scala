@@ -484,6 +484,39 @@ object StreamingPipeline {
         col("n_surviving"))
   }
 
+  /** Per-window trending values — the streaming face of the batch
+    * heavy_hitters two-pass pattern: each event-time window keeps one
+    * bounded Misra–Gries buffer (the SAME mergeable
+    * [[graft.functions.FreqSketch]] aggregator the batch query runs, so
+    * the two surfaces cannot drift) and emits its ≤k candidate set once
+    * the watermark closes the window. State is O(open windows × k) — no
+    * per-value counters, no second ranking stage, which is what makes
+    * this a legal single stateful operator in append mode. The MG
+    * contract carries over verbatim: every value whose in-window count
+    * exceeds n/(k+1) is guaranteed present; the exact recount (batch
+    * heavy_hitters pass 2) remains an offline job over the closed
+    * window. For low-cardinality dimensions the candidate set is simply
+    * exact (the buffer never overflows). */
+  def trendingMonitor(
+      events: DataFrame,
+      valueCol: String = "event_type",
+      tsCol: String = "ts",
+      windowLen: String = "1 minute",
+      watermarkDelay: String = "1 minute",
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.FreqSketch.candidates(k)(col(valueCol))
+        .as("trending"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("trending"), col("n_events"))
+  }
+
   /** Scores in-flight documents with the batch-trained quality perceptron
     * (TextAnalysis.trainQualityPerceptron) — the train-offline /
     * infer-online composition every production corpus pipeline runs.

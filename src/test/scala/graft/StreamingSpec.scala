@@ -533,6 +533,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("trendingMonitor: per-window MG candidates close exactly with the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val out = StreamingPipeline.trendingMonitor(
+      mem.toDF().selectExpr("device_type AS event_type", "timestamp AS ts"),
+      k = 2)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("trending").start()
+    try {
+      def r(t: String, when: String) =
+        Reading("sensor_1", t, "room1", 1.0, 50.0, ts(when))
+      // window 10:00: a×5, b×4, c×1 — n=10, n/(k+1)=3.33, so the MG
+      // guarantee forces BOTH a (5) and b (4) into the k=2 buffer and
+      // there is no third slot: the candidate set is exactly {a, b}
+      val w0 = (1 to 5).map(i => r("a", s"2024-01-01T10:00:0${i}Z")) ++
+        (1 to 4).map(i => r("b", s"2024-01-01T10:00:1${i}Z")) :+
+        r("c", "2024-01-01T10:00:30Z")
+      mem.addData(w0: _*)
+      q.processAllAvailable() // batch 1: window fills, watermark 09:59:30
+      // advance the watermark past the window so append mode emits it
+      mem.addData(r("z", "2024-01-01T10:03:00Z"))
+      q.processAllAvailable() // batch 2: watermark 10:02, window closes
+      // a LATE straggler for 10:00 must be dropped, not revise the
+      // closed window (separate batches — coalesced addData would reach
+      // the operator before the watermark ever advanced)
+      mem.addData(r("c", "2024-01-01T10:00:45Z"))
+      q.processAllAvailable()
+      val rows = spark.table("trending").collect()
+      assert(rows.length == 1, s"expected one closed window, got ${rows.length}")
+      val row = rows.head
+      assert(row.getAs[Timestamp]("window_start") == ts("2024-01-01T10:00:00Z"))
+      assert(row.getAs[Long]("n_events") == 10L,
+        "late straggler revised a closed window")
+      assert(row.getSeq[String](row.fieldIndex("trending")).toSet
+        == Set("a", "b"),
+        s"MG candidates ${row.getSeq[String](row.fieldIndex("trending"))}")
+    } finally q.stop()
+  }
+
   test("kafka reader options carry the reference's consumer contract") {
     // processor.py:60-67 — subscribe (not assign), earliest start, and
     // failOnDataLoss=false; the offline harness has no broker, so pinning
