@@ -1677,6 +1677,18 @@ object Dedup {
     val withFp = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), V.simhash64(split(col("text"), " ")).as("fp"))
+    hammingCandidates(withFp)
+  }
+
+  /** Capped banded-Hamming candidate generation over ANY `(doc_id, fp)`
+    * frame of 64-bit fingerprints — the shared machinery behind
+    * simhash_pairs (text) and phash_neardup (images). Bands 0-3 are the
+    * four 16-bit chunks (pigeonhole: any pair within hamming ≤ 3 shares a
+    * clean chunk), bands 4-9 the six ordered chunk pairs as 32-bit keys;
+    * every (band, value) bucket is capped at [[MaxChunkBucket]] so
+    * candidate volume is provably ≤ 10·(cap−1)/2·n (CandidateBoundSpec).
+    * Output: (doc_a, doc_b, fpa, fpb), doc_a < doc_b, distinct. */
+  private[operators] def hammingCandidates(withFp: DataFrame): DataFrame = {
     def chunk(c: Int) =
       expr(s"CAST(shiftright(fp, ${c * 16}) & 65535 AS BIGINT)")
     val singles = (0 until 4).map(c => struct(lit(c).as("band"), chunk(c).as("v")))

@@ -680,6 +680,204 @@ object Multimodal {
         lumas.sum, fs.map(_._2).sum, lumas.indexOf(bright), bright)
     }
 
+  // ---------------------------------------------------------------- pHash
+  // Perceptual-hash image near-dup dedup: the composition of the REAL
+  // image decode path (encodeBmp → strict decodeBmp-style pixel walk →
+  // integer luma) with the capped banded-Hamming join simhash_pairs
+  // proved (Dedup.hammingCandidates). A 64-bit dHash is computed per
+  // image: the decoded pixel stream is split into 65 near-equal cells,
+  // and bit k compares cell k's mean luma against cell k+1's — the
+  // classic difference-hash, robust to uniform brightness shifts because
+  // only ORDER between neighboring cells matters. All arithmetic is
+  // integer (BT.601 luma (299r+587g+114b)/1000; means compared by
+  // cross-multiplication sum_k·cnt_{k+1} > sum_{k+1}·cnt_k), so the
+  // DuckDB oracle replays the hash bit-for-bit from hex-recovered bytes.
+  //
+  // Scale shape: the payload and the per-pixel luma never leave the
+  // scan-side task — the fingerprint is computed INSIDE the same
+  // mapPartitions pass as the decode (packing sign bits downstream via a
+  // separate expression would shuffle the luma array first), and only the
+  // 8-byte code enters the banded join, whose candidate volume is capped
+  // linear by construction (Dedup.MaxChunkBucket, CandidateBoundSpec).
+
+  /** dHash cell count: 65 cells ⇒ 64 neighbor comparisons = 64 bits. */
+  val PhashCells = 65
+
+  /** phash_neardup confirmation threshold (bits of 64). */
+  val PhashMaxHamming = 6
+
+  /** Strict 24 bpp BMP decode to per-pixel integer luma in LOGICAL
+    * row-major order (top-down and bottom-up containers yield the same
+    * sequence — the fingerprint must not depend on the encoder's row
+    * order). Shares [[decodeBmp]]'s strictness contract: magic, declared
+    * data offset, signed height, per-row padding, geometry validation.
+    * Luma is the ITU-R BT.601 integer approximation
+    * `(299·R + 587·G + 114·B) / 1000` — exact in any engine. */
+  def bmpLuma(payload: Array[Byte]): Array[Int] = {
+    require(payload.length >= 54 &&
+      payload(0) == 'B' && payload(1) == 'M', "not a BMP payload")
+    val dataOffset = rdLe32(payload, 10)
+    val width = rdLe32(payload, 18)
+    val heightRaw = rdLe32(payload, 22)
+    val bpp = rdLe16(payload, 28)
+    val compression = rdLe32(payload, 30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP variant: bpp=$bpp compression=$compression")
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(width > 0 && height >= 0, s"invalid BMP dims ${width}x$heightRaw")
+    require(dataOffset >= 54 &&
+      dataOffset.toLong + height.toLong * rowSize <= payload.length,
+      s"BMP pixel data (offset $dataOffset, $height rows of $rowSize) " +
+        s"exceeds the ${payload.length}-byte payload")
+    val out = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val fileRow = if (topDown) y else height - 1 - y
+      var o = dataOffset + fileRow * rowSize
+      var x = 0
+      while (x < width) {
+        val b = payload(o) & 0xff
+        val g = payload(o + 1) & 0xff
+        val r = payload(o + 2) & 0xff
+        out(y * width + x) = (299 * r + 587 * g + 114 * b) / 1000
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit dHash over a luma sequence: cell k = pixels
+    * [k·P/65, (k+1)·P/65), bit k set iff cell k's mean luma is STRICTLY
+    * greater than cell k+1's — compared exactly via cross-multiplication
+    * (sums ≤ 255·P, counts ≤ P: products fit a Long for any image under
+    * ~180 M pixels). Empty cells (P < 65) have sum 0 / count 0, so both
+    * cross-products are 0 and the bit is 0 — deterministic, mirrored in
+    * the oracle. */
+  def dhash64(luma: Array[Int]): Long = {
+    val p = luma.length
+    val sums = new Array[Long](PhashCells)
+    val cnts = new Array[Long](PhashCells)
+    var j = 0
+    while (j < PhashCells) {
+      val lo = j * p / PhashCells
+      val hi = (j + 1) * p / PhashCells
+      var s = 0L
+      var k = lo
+      while (k < hi) { s += luma(k); k += 1 }
+      sums(j) = s; cnts(j) = hi - lo
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b)) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Per-partition encode→decode→hash: doc_id parity picks bottom-up vs
+    * top-down containers (as bmp_decode does), and the logical-order luma
+    * walk makes the fingerprint identical either way — pinned in tests. */
+  def phashRows(rows: Iterator[MediaRecord]): Iterator[(Long, Long)] =
+    rows.map { r =>
+      val bmp = encodeBmp(r.payload, topDown = r.doc_id % 2 == 1)
+      (r.doc_id, dhash64(bmpLuma(bmp)))
+    }
+
+  /** Fingerprint frame → capped banded-Hamming candidates: the image face
+    * of [[Dedup.hammingCandidates]], exposed for CandidateBoundSpec. */
+  private[graft] def phashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = asMedia(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions(phashRows).toDF("doc_id", "fp")
+    Dedup.hammingCandidates(fp)
+  }
+
+  /** DuckDB oracle for phash_neardup: recomputes the per-pixel BT.601
+    * luma from the hex-recovered document bytes (BGR triples, zero-padded
+    * to full 6-pixel rows exactly as encodeBmp pads), replays the 65-cell
+    * dHash into four 16-bit chunks, then the same capped banding +
+    * hamming ≤ [[PhashMaxHamming]] confirmation as the simhash oracle. */
+  private def phashOracleSql: String = {
+    val cap = Dedup.MaxChunkBucket
+    val chunkCols = (0 until 4).map(c =>
+      s"""CAST(list_sum(list_transform(range(0, 16),
+             i -> bt[${16 * c} + i + 1] * (1 << i))) AS BIGINT) AS c$c""")
+      .mkString(",\n            ")
+    val singleSelects = (0 until 4).map(c =>
+      s"SELECT doc_id, $c AS band, c$c AS v FROM sig")
+    val pairSelects = Dedup.simhashPairBands.zipWithIndex.map { case ((ci, cj), k) =>
+      s"SELECT doc_id, ${4 + k} AS band, c$ci + c$cj * 65536 AS v FROM sig"
+    }
+    val bandSelects = (singleSelects ++ pairSelects).mkString("\n          UNION ALL ")
+    s"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+            $BmpWidth * greatest(1, (n + ${BmpRowBytes - 1}) // $BmpRowBytes) AS np,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        l AS (
+          SELECT doc_id, np,
+            list_transform(range(0, np),
+              k -> (299 * coalesce(bytes[3*k + 3], 0)
+                  + 587 * coalesce(bytes[3*k + 2], 0)
+                  + 114 * coalesce(bytes[3*k + 1], 0)) // 1000) AS lum
+          FROM b),
+        cells AS (
+          SELECT doc_id,
+            list_transform(range(0, $PhashCells),
+              j -> CAST(coalesce(list_sum(list_slice(lum,
+                     j * np // $PhashCells + 1, (j+1) * np // $PhashCells)), 0)
+                   AS BIGINT)) AS ss,
+            list_transform(range(0, $PhashCells),
+              j -> CAST((j+1) * np // $PhashCells - j * np // $PhashCells
+                   AS BIGINT)) AS cc
+          FROM l),
+        bits AS (
+          SELECT doc_id,
+            list_transform(range(0, 64),
+              j -> CASE WHEN ss[j+1] * cc[j+2] > ss[j+2] * cc[j+1]
+                        THEN 1 ELSE 0 END) AS bt
+          FROM cells),
+        sig AS (
+          SELECT doc_id,
+            $chunkCols
+          FROM bits),
+        bands AS ($bandSelects),
+        capped AS (
+          SELECT doc_id, band, v FROM (
+            SELECT doc_id, band, v,
+                   count(*) OVER (PARTITION BY band, v) AS bsz
+            FROM bands)
+          WHERE bsz <= $cap),
+        cand AS (
+          SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+          FROM capped x JOIN capped y
+            ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+        paired AS (
+          SELECT c.doc_a, c.doc_b,
+                 bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+               + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming
+          FROM cand c
+          JOIN sig sa ON c.doc_a = sa.doc_id
+          JOIN sig sb ON c.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        FROM paired
+        WHERE hamming <= $PhashMaxHamming
+        ORDER BY doc_a, doc_b"""
+  }
+
   // ------------------------------------------------- mixed-media dispatch
 
   /** Container type read from the payload's own magic bytes — never from
@@ -953,6 +1151,25 @@ object Multimodal {
                CAST(list_max(lf) AS BIGINT) AS bright_luma
         FROM fr
         ORDER BY doc_id""")),
+
+    // ---- perceptual-hash image near-dup dedup (oracle-checked) -----------
+    // The image twin of simhash_pairs: every document's bytes become a
+    // real BMP, the strict decoder walks it back to per-pixel luma, a
+    // 64-bit dHash summarizes it, and near-dup images surface through the
+    // SAME capped banded-Hamming join (Dedup.hammingCandidates) with an
+    // exact bit_count(fpa XOR fpb) ≤ 6 confirmation. The oracle replays
+    // the luma, the 65-cell hash, the banding, the bucket cap, and the
+    // confirmation from hex-recovered bytes — a drifted luma constant,
+    // cell boundary, or band key hash-mismatches.
+    GraftQuery(
+      "phash_neardup",
+      (s, dir) => phashCandidates(s, dir)
+        .withColumn("hamming",
+          bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast(IntegerType))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b"),
+      Some(phashOracleSql)),
 
     // ---- metadata extraction (oracle-checkable: md5 + byte length) -------
     GraftQuery(

@@ -70,6 +70,27 @@ class CandidateBoundSpec extends SparkSuite {
         "or plant a hotter corpus")
   }
 
+  test("phash candidates stay under the linear cap bound at all three scales") {
+    // same banding machinery as simhash (Dedup.hammingCandidates) applied
+    // to the image dHash fingerprints: 10 bands/doc, buckets capped at
+    // MaxChunkBucket ⇒ candidates ≤ 10·(cap−1)/2·n by construction
+    val capBoundPerDoc = 10.0 * (operators.Dedup.MaxChunkBucket - 1) / 2
+    for (dir <- dirs) {
+      val n = Tables.documents(spark, dir).count()
+      val cands = operators.Multimodal.phashCandidates(spark, dir).count()
+      assert(cands <= capBoundPerDoc * n,
+        s"$dir: $cands candidates exceed the provable bound ${capBoundPerDoc * n}")
+      // empirical ceiling ~3× today's measurements: byte-stream images of
+      // same-vocabulary text hash closer together than simhash text
+      // signatures do, so the per-doc volume is higher but still capped
+      // linear (measured ≈6/doc at 500 docs, ≈15/doc at 5000 and 50 000)
+      val perDoc = cands.toDouble / n
+      val ceiling = if (n <= 1000) 30.0 else 60.0
+      assert(perDoc <= ceiling,
+        s"$dir: $perDoc candidates/doc — phash candidate generation got hotter")
+    }
+  }
+
   test("embedding LSH candidates stay under the linear cap bound at all three scales") {
     import graft.functions.LshPlanes
     val capBoundPerVec =

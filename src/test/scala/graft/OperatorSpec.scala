@@ -834,6 +834,44 @@ class OperatorSpec extends SparkSuite {
     intercept[IllegalArgumentException] { operators.Multimodal.decodeBmp(rle) }
   }
 
+  test("bmpLuma + dhash64: BT.601 luma, row-order invariance, dHash fixtures") {
+    import operators.Multimodal
+    // luma formula on a known pixel: BGR (10, 20, 30) ⇒
+    // (299·30 + 587·20 + 114·10) / 1000 = (8970+11740+1140)/1000 = 21
+    val one = Multimodal.encodeBmp(Array[Byte](10, 20, 30), topDown = false)
+    assert(Multimodal.bmpLuma(one)(0) == 21, "BT.601 integer luma drifted")
+    // the fingerprint must not depend on the container's row order: the
+    // same payload encoded bottom-up and top-down hashes identically
+    val payload = Array.tabulate[Byte](1000)(i => ((i * 37 + 11) % 251).toByte)
+    val fpUp = Multimodal.dhash64(
+      Multimodal.bmpLuma(Multimodal.encodeBmp(payload, topDown = false)))
+    val fpDown = Multimodal.dhash64(
+      Multimodal.bmpLuma(Multimodal.encodeBmp(payload, topDown = true)))
+    assert(fpUp == fpDown, "dHash depends on BMP row order — luma walk broken")
+    // dHash fixtures from the DEFINITION (bit k = cell k mean > cell k+1):
+    // flat image ⇒ no strict inequality ⇒ 0; strictly increasing ramp ⇒ 0;
+    // strictly decreasing ramp ⇒ all 64 bits ⇒ -1L
+    assert(Multimodal.dhash64(Array.fill(130)(77)) == 0L, "flat image")
+    assert(Multimodal.dhash64(Array.tabulate(130)(i => i)) == 0L, "rising ramp")
+    assert(Multimodal.dhash64(Array.tabulate(130)(i => 1000 - i)) == -1L,
+      "falling ramp should set every bit")
+    // P < 65: sparse images spread pixels over non-adjacent cells with
+    // empty cells between them — every comparison involves an empty side
+    // (0·cnt vs 0·cnt) and the hash is deterministically 0, not a crash
+    assert(Multimodal.dhash64(Array(9, 1)) == 0L,
+      "2-pixel image: occupied cells are non-adjacent, hash must be 0")
+    // one pixel per cell (P = 65): bit k compares pixels k and k+1 directly
+    assert(Multimodal.dhash64(Array.tabulate(65)(i => if (i == 0) 9 else 1)) == 1L,
+      "65-pixel image with one bright head pixel must set exactly bit 0")
+    // near-dup robustness: one flipped byte in a 1000-byte payload moves
+    // one cell mean ⇒ at most 2 of 64 bits differ
+    val tweaked = payload.clone(); tweaked(500) = (tweaked(500) ^ 0x7f).toByte
+    val fpT = Multimodal.dhash64(
+      Multimodal.bmpLuma(Multimodal.encodeBmp(tweaked, topDown = false)))
+    assert(java.lang.Long.bitCount(fpUp ^ fpT) <= 2,
+      "single-byte edit should perturb at most its cell's two comparisons")
+  }
+
   test("decodeWav walks RIFF chunks (odd JUNK + pad byte) to signed s16 stats") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
