@@ -188,11 +188,14 @@ class AqePlanSpec extends SparkSuite {
     for (name <- Seq("q7_volume", "q5_local_volume", "q14_promo",
         "q15_top_supplier", "q19_disjunct", "q17_small_qty",
         "q18_big_orders", "q21_late_solo", "q6_forecast", "q8_market_share",
-        "q9_profit", "q12_priority_mix", "q11_stock_value"))
+        "q9_profit", "q12_priority_mix", "q11_stock_value",
+        "q20_excess_parts"))
       assert(!finalPlan(name).contains("CartesianProduct"),
         s"$name gained a CartesianProduct after adaptive re-planning")
     assert(finalPlan("q16_supplier_cnt").contains("LeftAnti"),
       "q16's anti-join exclusion degraded in the final adaptive plan")
+    assert(finalPlan("q20_excess_parts").contains("LeftOuter"),
+      "q20's demand outer join degraded in the final adaptive plan")
     assert(finalPlan("q10_returns").contains("TakeOrderedAndProject"),
       "q10's heap top-20 degraded in the final adaptive plan")
   }

@@ -421,6 +421,16 @@ class PlanSpec extends SparkSuite {
     // gate covers that)
     assert("BroadcastHashJoin".r.findAllIn(planOf("q7_volume")).size >= 3,
       "q7's dimension roles must ride broadcasts")
+    // q20: the part family, the part-level demand table, and the
+    // qualifying-supplier set all broadcast (only the two fact aggregates
+    // and the final distinct shuffle), and the demand join must stay
+    // LEFT OUTER — an inner join silently drops pairs whose part had no
+    // season shipments, which are exactly the excess-stock extreme
+    val q20 = planOf("q20_excess_parts")
+    assert("BroadcastHashJoin".r.findAllIn(q20).size >= 4,
+      "q20's dimension/aggregate maps must ride broadcasts")
+    assert(q20.contains("LeftOuter"),
+      "q20's demand join lost its outer shape — zero-demand pairs dropped")
   }
 
   test("TPC-H wave 2 plans: semi/outer shapes, broadcast maps, pruned scans") {
