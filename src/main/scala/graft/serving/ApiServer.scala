@@ -6,6 +6,8 @@ import java.sql.Timestamp
 import java.time.Instant
 import java.util.concurrent.Executors
 
+import scala.language.implicitConversions
+
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -38,11 +40,15 @@ import graft.functions.ResultCache
   *
   * Server is the JDK's built-in `com.sun.net.httpserver` (no framework
   * dependency). Row JSON comes from `Dataset.toJSON`, so types/timestamps
-  * serialize by Spark's own rules. Every endpoint's result is LIMIT-bounded
-  * or aggregate-small by construction (the reference's own caps:
-  * LIMIT 100, ≤24 h lookback, ≤5×6 group cells), so the driver-side
-  * collect is bounded regardless of table size — the heavy lifting stays
-  * distributed in the plans.
+  * serialize by Spark's own rules. Every endpoint's collect is bounded:
+  * /api/sensors and /api/data/latest by the reference's own LIMITs, and
+  * the two endpoints the reference leaves unbounded in group cardinality
+  * (/api/aggregates, app.py:202-218; the /api/stats distributions,
+  * app.py:247-266) by a [[maxRows]] page with an offset
+  * `cursor` parameter — the body stays the reference's exact shape and
+  * the continuation offset rides the [[ApiServer.NextCursorHeader]]
+  * response header, so a 100×-cardinality corpus pages instead of
+  * OOM-ing the driver. The heavy lifting stays distributed in the plans.
   *
   * @param raw        supplier of the `sensor_data`-shaped frame
   *                   (device_id, device_type, location, value,
@@ -57,7 +63,7 @@ import graft.functions.ResultCache
   *                   `GET /api/query/<name>?limit=N` runs the registered
   *                   plan builder against the registry's pinned session +
   *                   data dir (never a client-supplied path) and returns
-  *                   up to N rows (≤ [[ApiServer.MaxQueryRows]]) — the
+  *                   up to N rows (≤ [[maxRows]]) — the
   *                   engine's whole SparkEntry repertoire served the way
   *                   the reference serves Postgres SQL
   */
@@ -67,7 +73,10 @@ final class ApiServer(
     cache: ResultCache = new ResultCache(),
     clock: () => Instant = () => Instant.now(),
     port: Int = 0,
-    registry: Option[ApiServer.QueryRegistry] = None) {
+    registry: Option[ApiServer.QueryRegistry] = None,
+    maxRows: Int = ApiServer.MaxQueryRows) {
+
+  import ApiServer.Resp
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(4))
@@ -111,42 +120,86 @@ final class ApiServer(
     (200, rowsJson(df))
   }
 
-  private def aggs(q: Map[String, String]): (Int, String) = {
+  private def aggs(q: Map[String, String]): Resp = {
     val hours = q.get("hours").fold[Either[String, Int]](Right(1)) { h =>
       h.toIntOption.filter(v => v >= 1 && v <= 24)
         .toRight("hours must be an integer in [1, 24]")
     }
-    hours match {
-      case Left(err) => (422, s"""{"detail": ${jstr(err)}}""")
-      case Right(h) =>
+    (hours, cursorOf(q)) match {
+      case (Left(err), _) => Resp(422, s"""{"detail": ${jstr(err)}}""")
+      case (_, Left(err)) => Resp(422, s"""{"detail": ${jstr(err)}}""")
+      case (Right(h), Right(cursor)) =>
         val since = Timestamp.from(clock().minusSeconds(h * 3600L))
         val base = aggregates().filter(col("window_start") >= lit(since))
         val f1 = q.get("device_type").fold(base)(v => base.filter(col("device_type") === v))
         val f2 = q.get("location").fold(f1)(v => f1.filter(col("location") === v))
-        (200, rowsJson(f2.orderBy(col("window_start").desc, col("device_type"), col("location"))))
+        // the reference returns the whole lookback (app.py:202-218 has no
+        // LIMIT), which is unbounded in the GROUP-CELL cardinality — fine
+        // at 5×6 cells, a driver OOM at 100× — so the collect is capped at
+        // MaxQueryRows with an offset cursor; the body stays the same bare
+        // array the reference emits and the continuation rides a header.
+        // The ORDER BY is total (window_start, device_type, location is
+        // the aggregate's key), so pages are stable across requests.
+        pageJson(f2.orderBy(col("window_start").desc,
+          col("device_type"), col("location")), cursor)
     }
   }
 
-  private def stats(q: Map[String, String]): (Int, String) = {
-    // one scan for the global numbers, one for each distribution — the
-    // same four statements the reference issues (app.py:247-274)
-    val r = raw()
-    val global = r.agg(
-      count(lit(1)).as("total"),
-      min("timestamp").as("earliest"), max("timestamp").as("latest")).head()
-    val byType = r.groupBy("device_type").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("device_type")).collect()
-    val byLoc = r.groupBy("location").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("location")).collect()
-    def dist(rows: Array[org.apache.spark.sql.Row]): String =
-      rows.map(r => s"${jstr(r.getString(0))}: ${r.getLong(1)}").mkString("{", ", ", "}")
-    def iso(i: Int): String =
-      if (global.isNullAt(i)) "null" else jstr(global.getTimestamp(i).toInstant.toString)
-    (200,
-      s"""{"total_readings": ${global.getLong(0)}, """ +
-        s""""device_type_distribution": ${dist(byType)}, """ +
-        s""""location_distribution": ${dist(byLoc)}, """ +
-        s""""time_range": {"earliest": ${iso(1)}, "latest": ${iso(2)}}}""")
+  private def stats(q: Map[String, String]): Resp = cursorOf(q) match {
+    case Left(err) => Resp(422, s"""{"detail": ${jstr(err)}}""")
+    case Right(cursor) =>
+      // one scan for the global numbers, one for each distribution — the
+      // same four statements the reference issues (app.py:247-274). The
+      // distributions are bounded only by key cardinality (app.py:247-266
+      // has no LIMIT), so both are capped at MaxQueryRows entries with the
+      // SAME offset cursor applied symmetrically; the deterministic
+      // (count desc, key) order makes the pages stable.
+      val r = raw()
+      val global = r.agg(
+        count(lit(1)).as("total"),
+        min("timestamp").as("earliest"), max("timestamp").as("latest")).head()
+      def page(keyed: DataFrame, key: String): Array[org.apache.spark.sql.Row] =
+        keyed.groupBy(key).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col(key))
+          .offset(cursor).limit(maxRows + 1).collect()
+      val byType = page(r, "device_type")
+      val byLoc = page(r, "location")
+      val truncated =
+        byType.length > maxRows || byLoc.length > maxRows
+      def dist(rows: Array[org.apache.spark.sql.Row]): String =
+        rows.take(maxRows)
+          .map(r => s"${jstr(r.getString(0))}: ${r.getLong(1)}").mkString("{", ", ", "}")
+      def iso(i: Int): String =
+        if (global.isNullAt(i)) "null" else jstr(global.getTimestamp(i).toInstant.toString)
+      Resp(200,
+        s"""{"total_readings": ${global.getLong(0)}, """ +
+          s""""device_type_distribution": ${dist(byType)}, """ +
+          s""""location_distribution": ${dist(byLoc)}, """ +
+          s""""time_range": {"earliest": ${iso(1)}, "latest": ${iso(2)}}}""",
+        if (truncated)
+          Map(ApiServer.NextCursorHeader ->
+            (cursor + maxRows).toString)
+        else Map.empty)
+  }
+
+  /** `cursor` query param: a non-negative row offset (422 otherwise). */
+  private def cursorOf(q: Map[String, String]): Either[String, Int] =
+    q.get("cursor").fold[Either[String, Int]](Right(0)) { c =>
+      c.toIntOption.filter(_ >= 0)
+        .toRight("cursor must be a non-negative integer")
+    }
+
+  /** Collect one MaxQueryRows page at `offset` (fetching one extra row to
+    * detect a continuation); the body is the same bare JSON array an
+    * uncapped response would carry, the next-page offset rides
+    * [[ApiServer.NextCursorHeader]]. The input MUST be totally ordered. */
+  private def pageJson(df: DataFrame, offset: Int): Resp = {
+    val rows = df.offset(offset).limit(maxRows + 1).toJSON.collect()
+    val headers =
+      if (rows.length > maxRows)
+        Map(ApiServer.NextCursorHeader -> (offset + maxRows).toString)
+      else Map.empty[String, String]
+    Resp(200, rows.take(maxRows).mkString("[", ",", "]"), headers)
   }
 
   private def namedQuery(path: String, q: Map[String, String]): (Int, String) = {
@@ -157,12 +210,14 @@ final class ApiServer(
         (404, s"""{"detail": ${jstr(s"unknown query '$name'")}}""")
       case Some(build) =>
         val limit = q.get("limit").flatMap(_.toIntOption)
-          .getOrElse(100).min(ApiServer.MaxQueryRows).max(1)
+          .getOrElse(100).min(maxRows).max(1)
         (200, rowsJson(build(reg.spark, reg.dataDir).limit(limit)))
     }
   }
 
   // ---- plumbing ----------------------------------------------------------
+
+  private implicit def pairResp(p: (Int, String)): Resp = Resp(p._1, p._2)
 
   private def rowsJson(df: DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
@@ -175,19 +230,21 @@ final class ApiServer(
       case c => c.toString
     } + "\""
 
-  private def handler(f: Map[String, String] => (Int, String)): com.sun.net.httpserver.HttpHandler =
+  private def handler(f: Map[String, String] => Resp): com.sun.net.httpserver.HttpHandler =
     pathHandler((_, q) => f(q))
 
-  private def pathHandler(f: (String, Map[String, String]) => (Int, String)): com.sun.net.httpserver.HttpHandler =
+  private def pathHandler(f: (String, Map[String, String]) => Resp): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
-      val (code, body) =
+      val r =
         try f(ex.getRequestURI.getPath, parseQuery(Option(ex.getRequestURI.getRawQuery)))
         catch {
-          case e: Exception => (500, s"""{"detail": ${jstr(String.valueOf(e.getMessage))}}""")
+          case e: Exception =>
+            Resp(500, s"""{"detail": ${jstr(String.valueOf(e.getMessage))}}""")
         }
-      val bytes = body.getBytes(UTF_8)
+      val bytes = r.body.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length.toLong)
+      r.headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+      ex.sendResponseHeaders(r.code, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
       ex.close()
     }
@@ -206,9 +263,20 @@ final class ApiServer(
 }
 
 object ApiServer {
-  /** Hard row ceiling for /api/query responses — serving collects are
-    * bounded regardless of the client's limit parameter. */
+  /** Hard row ceiling for every serving collect: /api/query responses,
+    * one /api/aggregates page, and each /api/stats distribution — the
+    * driver-side collect is bounded regardless of table size, group
+    * cardinality, or the client's limit parameter. */
   val MaxQueryRows = 1000
+
+  /** Response header carrying the next page's `cursor` offset when a
+    * capped endpoint truncated its result; absent on the last page. */
+  val NextCursorHeader = "X-Next-Cursor"
+
+  /** An endpoint response: status, JSON body, extra headers (the
+    * pagination cursor — body shapes stay reference-identical). */
+  private[serving] final case class Resp(
+      code: Int, body: String, headers: Map[String, String] = Map.empty)
 
   /** Named-query serving surface: a pinned session + data directory and
     * the plan-builder registry (e.g. `graft.SparkEntry.queries`). The

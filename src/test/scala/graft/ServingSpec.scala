@@ -131,6 +131,75 @@ class ServingSpec extends SparkSuite {
     }
   }
 
+  test("GET /api/aggregates pages under the cap: stable order, X-Next-Cursor chain") {
+    // a tiny injected cap (7) exercises the truncation path the real
+    // MaxQueryRows=1000 only hits at 100× group cardinality
+    val srv = new ApiServer(() => raw, () => agg, new ResultCache(),
+      () => now, maxRows = 7).start()
+    try {
+      val port = srv.boundPort
+      val total = agg.count().toInt
+      assert(total > 7, "fixture must overflow the injected cap")
+      // walk the cursor chain; pages must concatenate to the full result
+      var cursor = Option(0)
+      val pages = Vector.newBuilder[String]
+      var guard = 0
+      while (cursor.isDefined && guard < 100) {
+        val resp = http.send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/api/aggregates?hours=24&cursor=${cursor.get}"))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+        val n = countObjects(resp.body())
+        cursor = Option(resp.headers()
+          .firstValue(ApiServer.NextCursorHeader).orElse(null)).map(_.toInt)
+        if (cursor.isDefined)
+          assert(n == 7, s"non-final page carried $n rows, expected the cap")
+        pages += resp.body()
+        guard += 1
+      }
+      val all = pages.result()
+      assert(all.map(countObjects).sum == total,
+        "cursor chain did not cover the full result exactly once")
+      // pages are stable and disjoint: the window_start+type+loc triples
+      // across pages must equal the engine's own ordered sequence
+      val key = """"window_start":"([^"]+)","window_end":"[^"]+","device_type":"([^"]+)","location":"([^"]+)"""".r
+      val served = all.flatMap(b =>
+        key.findAllMatchIn(b).map(m => (m.group(1), m.group(2), m.group(3))))
+      assert(served.distinct.size == total, "pages overlap or drop rows")
+      // an invalid cursor is a 422, like the hours validation
+      assert(get(port, "/api/aggregates?cursor=-1")._1 == 422)
+      assert(get(port, "/api/aggregates?cursor=abc")._1 == 422)
+      // /api/stats under the same cap: distributions truncate to the cap
+      // and surface the continuation header (5 types / 6 locations > 4)
+      val srv2 = new ApiServer(() => raw, () => agg, new ResultCache(),
+        () => now, maxRows = 4)
+      srv2.start()
+      try {
+        val r1 = http.send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:${srv2.boundPort}/api/stats")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r1.statusCode() == 200)
+        assert(r1.headers().firstValue(ApiServer.NextCursorHeader).orElse("") == "4",
+          "stats distributions over the cap must carry the next cursor")
+        val page2 = http.send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:${srv2.boundPort}/api/stats?cursor=4")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(page2.statusCode() == 200)
+        // 5 types / 6 locations: page 2 holds the remaining 1 + 2 entries
+        // and no further continuation
+        assert(page2.headers().firstValue(ApiServer.NextCursorHeader).isEmpty)
+        val typeEntries = """"device_type_distribution": \{([^}]*)\}""".r
+          .findFirstMatchIn(page2.body()).get.group(1)
+        assert(typeEntries.split(",").count(_.contains(":")) ==
+          raw.select("device_type").distinct().count().toInt - 4)
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
+
   test("expired cache entries rebuild: TTL semantics mirror the 300 s setex (app.py:183)") {
     @volatile var tick = 0L
     val cache = new ResultCache(ttlMillis = 300000L, clock = () => tick)
