@@ -2031,6 +2031,37 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("bigramLogprob memoizes per corpus fingerprint and invalidates on regeneration") {
+    import operators.TextAnalysis
+    // a private corpus copy we are allowed to mutate (testdata is RO)
+    val dir = java.nio.file.Files.createTempDirectory("blp_fp").toString
+    def writeDocs(texts: Seq[String]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(texts.zipWithIndex.map { case (t, i) =>
+          org.apache.spark.sql.Row(i.toLong, t, "en", "src", t.length.toLong)
+        }, 1), Tables.documentsSchema)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Seq("a b a b c", "a b a b"))
+    val first = TextAnalysis.bigramLogprob(spark, dir)
+    // same fingerprint ⇒ the SAME persisted frame instance (memo hit)
+    assert(TextAnalysis.bigramLogprob(spark, dir) eq first,
+      "second call under an unchanged corpus must return the memoized frame")
+    val n1 = first.count()
+    assert(n1 == 2)
+    // regenerate the corpus in place: the fingerprint (name/len/mtime of
+    // every part file) must invalidate the entry and the new frame must
+    // reflect the NEW corpus, not the stale cached blocks
+    writeDocs(Seq("x y x", "x y", "y x"))
+    val second = TextAnalysis.bigramLogprob(spark, dir)
+    assert(!(second eq first), "regenerated corpus served a stale memo entry")
+    assert(second.count() == 3,
+      "post-invalidation frame must score the regenerated corpus")
+    // (no storageLevel probe on `first`: CacheManager matches by
+    // canonicalized plan, so after re-persisting the same path the stale
+    // frame REPORTS the new entry's level — the unpersist is still the
+    // right hygiene, it just can't be observed through this lens)
+  }
+
   test("bpe_encode conserves tokens and fuses exactly the trained pair counts") {
     // Every merge of round k fuses EVERY occurrence counted by that
     // round's winning pair (l ≠ r ⇒ occurrences never overlap), and each
