@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Salting.queries ++
       operators.Curation.queries ++
       operators.JoinPruning.queries ++
-      operators.Linkage.queries
+      operators.Linkage.queries ++
+      operators.UnigramLm.queries
 
   /** Queries whose builder RUNS Spark jobs (connected-components needs
     * per-round convergence checks) — the documented deviations from the
@@ -33,7 +34,8 @@ object SparkEntry {
     Set("dedup_clusters", "dedup_keep_list", "dedup_keep_best",
       "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles", "dup_reach",
       "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode",
-      "tokenizer_parity", "kcenter_sample", "bitext_margin", "split_repair")
+      "tokenizer_parity", "kcenter_sample", "bitext_margin", "split_repair",
+      "unigram_train", "unigram_encode", "tokenizer_compare")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

@@ -1984,7 +1984,7 @@ object TextAnalysis {
     files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
   }
 
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[operators] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
     bpeCache.computeIfAbsent((s, dir, docsFingerprint(dir)),
       _ => bpeTrainUncached(s, dir))
@@ -2050,7 +2050,7 @@ object TextAnalysis {
     * referenced more than once, and DuckDB would otherwise inline (=
     * re-evaluate) the entire upstream chain per reference -- measured as
     * the difference between 0.5 s and a query that never finishes. */
-  private def bpeSqlChain: String = {
+  private[operators] def bpeSqlChain: String = {
     val rounds = (1 to BpeRounds).map { k =>
       s"""
         tk$k AS (SELECT doc_id, string_split(trim(s), ' ') AS t FROM c$k),
@@ -2237,7 +2237,7 @@ object TextAnalysis {
     * All three are mirrored literally into the DuckDB oracle, so the
     * candidate cutoff, the adoption cap, and the round count can never
     * drift between engines. */
-  private val BpeRounds = 6
+  private[operators] val BpeRounds = 6
 
   /** chunk_lang_mix: tokens per language-vote segment. */
   private val LangSegTokens = 32

@@ -2031,6 +2031,33 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("unigram Viterbi: composite-key tie-breaks, codepoint atomicity, length fallback") {
+    import operators.UnigramLm
+    val sc = Map("a" -> -100L, "b" -> -120L, "ab" -> -150L,
+      "ba" -> -150L, "abab" -> -400L)
+    def seg(w: String) = UnigramLm.viterbi(UnigramLm.cps(w), sc)
+    // best score wins outright: ab+ab = -300 beats abab (-400) and any
+    // single-char path (≤ -370... wait: a+b+a+b = -440)
+    assert(seg("abab") == List("ab", "ab"))
+    // exact tie (a+ba = ab+a = -250, both 2 pieces): the composite key
+    // prefers the LONGER last piece — the oracle's identical arithmetic
+    assert(seg("aba") == List("a", "ba"))
+    assert(seg("b") == List("b"))
+    // surrogate pairs stay atomic: an emoji is ONE codepoint-piece, so a
+    // vocab keyed on codepoints segments it whole (UTF-16 would split it)
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(UnigramLm.cps(s"a${emoji}b").toList == List("a", emoji, "b"))
+    assert(UnigramLm.encodeWord(s"a${emoji}b",
+      Map("a" -> -10L, "b" -> -10L, emoji -> -10L)) == List("a", emoji, "b"))
+    // over-length blobs skip the DP and fall back to single codepoints
+    val blob = "ab" * 100 // 200 codepoints > MaxWordLen
+    val enc = UnigramLm.encodeWord(blob, sc)
+    assert(enc.length == 200 && enc.forall(_.length == 1),
+      "over-MaxWordLen words must byte-fallback to single codepoints")
+    // a word under the cap still uses the DP
+    assert(UnigramLm.encodeWord("abab", sc) == List("ab", "ab"))
+  }
+
   test("bigramLogprob memoizes per corpus fingerprint and invalidates on regeneration") {
     import operators.TextAnalysis
     // a private corpus copy we are allowed to mutate (testdata is RO)
