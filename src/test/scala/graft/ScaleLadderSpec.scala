@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
 class ScaleLadderSpec extends SparkSuite {
 
   private val LadderDir = "/tmp/graft_ladder10x"
+  private val Ladder30Dir = "/tmp/graft_ladder30x"
   private val Replicas = 10
   // The suite session is local[4]: at 10x data on 4 SATURATED cores, a
   // perfectly linear query legitimately approaches 10x wall-clock (the
@@ -60,14 +61,15 @@ class ScaleLadderSpec extends SparkSuite {
     s"${f.length}|${f.lastModified}"
   }
 
-  private def ensureLadderCorpus(): Unit = {
-    val marker = new java.io.File(s"$LadderDir/source.key")
-    if (new java.io.File(s"$LadderDir/documents.parquet/_SUCCESS").isFile &&
+  private def ensureLadderCorpus(dir: String = LadderDir,
+      replicas: Int = Replicas): Unit = {
+    val marker = new java.io.File(s"$dir/source.key")
+    if (new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile &&
         marker.isFile &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath),
           "UTF-8") == sourceKey()) return
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
-    val replicas = (0 until Replicas).map { i =>
+    val reps = (0 until replicas).map { i =>
       if (i == 0) base
       else base.select(
         (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
@@ -75,8 +77,8 @@ class ScaleLadderSpec extends SparkSuite {
           t => concat(t, lit(s"x$i"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
-    replicas.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$LadderDir/documents.parquet")
+    reps.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     java.nio.file.Files.createDirectories(marker.toPath.getParent)
     java.nio.file.Files.write(marker.toPath, sourceKey().getBytes("UTF-8"))
   }
@@ -151,26 +153,28 @@ class ScaleLadderSpec extends SparkSuite {
     s"${f.length}|${f.lastModified}"
   }
 
-  private def ensureRelLadderCorpus(): Unit = {
-    val marker = new java.io.File(s"$RelLadderDir/source.key")
-    if (new java.io.File(s"$RelLadderDir/lineitem.parquet/_SUCCESS").isFile &&
+  private def ensureRelLadderCorpus(dir: String = RelLadderDir,
+      replicas: Int = Replicas): Unit = {
+    val marker = new java.io.File(s"$dir/source.key")
+    if (new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").isFile &&
         marker.isFile &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath),
           "UTF-8") == relSourceKey()) return
     val shift = 1000000000L // disjoint orderkey ranges per replica
     def replicate(df: org.apache.spark.sql.DataFrame, key: String) =
-      (0 until Replicas).map { i =>
+      (0 until replicas).map { i =>
         df.withColumn(key, col(key) + lit(i * shift))
       }.reduce(_.unionByName(_))
     replicate(Tables.lineitem(spark, "/root/testdata/sf0.1"), "l_orderkey")
-      .write.mode("overwrite").parquet(s"$RelLadderDir/lineitem.parquet")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     replicate(Tables.orders(spark, "/root/testdata/sf0.1"), "o_orderkey")
-      .write.mode("overwrite").parquet(s"$RelLadderDir/orders.parquet")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     for (dim <- Seq("customer", "supplier", "part", "nation", "region"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"/root/testdata/sf0.1/$dim.parquet"),
-        java.nio.file.Paths.get(s"$RelLadderDir/$dim.parquet"),
+        java.nio.file.Paths.get(s"$dir/$dim.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.createDirectories(marker.toPath.getParent)
     java.nio.file.Files.write(marker.toPath, relSourceKey().getBytes("UTF-8"))
   }
 
@@ -179,5 +183,64 @@ class ScaleLadderSpec extends SparkSuite {
       "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
     ensureRelLadderCorpus()
     assertEnvelope(RelSteepest, RelLadderDir)
+  }
+
+  // ----------------------------------------------- second rung: 10x -> 30x
+  // The round-7 verdict's extrapolation check: one rung proves nothing
+  // about CURVATURE — a gently super-linear query can sit inside the 10x
+  // envelope and still blow up at 100x. The second rung measures the
+  // SAME queries across a further 3x step (10x corpus -> 30x corpus) and
+  // asserts the step ratio stays within the linear-plus-slack envelope
+  // the first rung predicts: a linear query steps ~3x, a quadratic one
+  // ~9x. Only the three steepest classes climb the second rung (the
+  // 30x corpora cost real CI time): the gram-posting substring dedup
+  // (dup_spans), the driver-looped tokenizer training (bpe_merges), and
+  // the fact-fact per-order profile (q21_late_solo).
+
+  private val Rel30Dir = "/tmp/graft_relladder30x"
+  // a 3x data step: linear ≤ 3x, quadratic ≈ 9x; slack mirrors the first
+  // rung's saturation reasoning (4 cores saturate, GC history accrues)
+  private val StepEnvelope = 6.0
+
+  private def assertStep(queries: Seq[String], dir10: String,
+      dir30: String): Unit = {
+    queries.foreach { q => time(q, dir10); () }
+    val report = queries.map { q =>
+      val mid = median3(q, dir10)
+      val big = median3(q, dir30)
+      (q, mid, big, big / math.max(mid, 0.05))
+    }
+    val lines = report.map { case (q, m, b, r) =>
+      f"$q%s 10x=$m%.2fs 30x=$b%.2fs step=$r%.1fx" }
+    info(lines.mkString("; "))
+    report.foreach { case (q, mid, _, ratio) =>
+      val finalRatio =
+        if (ratio <= StepEnvelope) ratio
+        else {
+          val again = median3(q, dir30) / math.max(mid, 0.05)
+          info(f"$q%s breached at $ratio%.1fx — re-measured ${again}%.1fx")
+          math.min(ratio, again)
+        }
+      assert(finalRatio <= StepEnvelope,
+        s"$q stepped ${math.rint(finalRatio * 10) / 10}x across the 3x " +
+          s"10x->30x rung on TWO medians — super-linear curvature " +
+          s"(envelope ${StepEnvelope}x); full rung: ${lines.mkString("; ")}")
+    }
+  }
+
+  test("second rung (30x): dup_spans and bpe_merges step linearly past the 10x point") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    ensureLadderCorpus()
+    ensureLadderCorpus(Ladder30Dir, replicas = 30)
+    assertStep(Seq("dup_spans", "bpe_merges"), LadderDir, Ladder30Dir)
+  }
+
+  test("second rung (30x facts): q21 steps linearly past the 10x point") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    ensureRelLadderCorpus()
+    ensureRelLadderCorpus(Rel30Dir, replicas = 30)
+    assertStep(Seq("q21_late_solo"), RelLadderDir, Rel30Dir)
   }
 }
