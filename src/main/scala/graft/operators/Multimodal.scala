@@ -17,10 +17,13 @@ import graft.{GraftQuery, Tables}
   * Four REAL decode paths run behind the plumbing: [[decodeBmp]] (24 bpp
   * BMP — header parsing, declared data offset, signed height, row
   * padding), [[decodeWav]] (RIFF chunk walk, word alignment, s16 PCM),
-  * [[decodePng]] (chunk walk → CRC → inflate → unfilter) and
-  * [[decodeY4m]] (YUV4MPEG2 frame walk, 4:2:0 plane slicing), all pure
-  * JVM. [[decodeStub]] remains as the stand-in for COMPRESSED a/v codecs
-  * (JPEG/Opus/H.264) that genuinely need libraries this container lacks: it
+  * [[decodePng]] (chunk walk → CRC → inflate → unfilter),
+  * [[decodeY4m]] (YUV4MPEG2 frame walk, 4:2:0 plane slicing), and —
+  * round 8 — [[Jpeg.decodeJpeg]] (baseline JPEG: Huffman + IDCT +
+  * chroma upsampling, pinned against ImageIO), all pure
+  * JVM. [[decodeStub]] remains as the stand-in for the codecs that
+  * genuinely need libraries this container lacks (Opus/MP3 audio,
+  * inter-frame H.264 video, progressive JPEG): it
   * derives a deterministic fake feature vector from the payload bytes,
   * and a real codec would replace only its body — the binary schema,
   * typed Dataset, per-partition batch processing via `mapPartitions`
@@ -878,12 +881,41 @@ object Multimodal {
         ORDER BY doc_a, doc_b"""
   }
 
+  // ----------------------------------------------------------------- JPEG
+  // The lossy-codec class, closing the round-7 "What's missing #2"
+  // boundary: a REAL baseline JPEG engine ([[Jpeg]] — marker walk,
+  // canonical Huffman, dequant, zigzag, IDCT, fancy chroma upsampling,
+  // pinned against the JDK's own ImageIO decoder on foreign 4:2:0
+  // output). Lossy DCT means the raster is NOT SQL-replayable, but every
+  // block's DC coefficient is an exact integer function of the source
+  // pixels (F(0,0) = round(Σ(p−128)/8)), preserved exactly by Huffman +
+  // all-ones quantization — so the oracle hash-checks the entire entropy
+  // layer (markers → Huffman → differential DC → dequant) while the
+  // AC/IDCT layer is pinned in ScalaTest at the spec-allowed tolerance.
+
+  /** Mirrors [[Jpeg.JpegWidth]] into the oracle SQL literal. */
+  private val JpegOracleWidth = Jpeg.JpegWidth
+
+  final case class JpegFeatures(
+      doc_id: Long, width: Int, height: Int, n_blocks: Int, sum_dc: Long)
+
+  /** Per-partition encode→decode over media records through the full
+    * baseline JPEG engine. */
+  def jpegFeatures(rows: Iterator[MediaRecord]): Iterator[JpegFeatures] =
+    rows.map { r =>
+      val img = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(r.payload))
+      JpegFeatures(r.doc_id, img.width, img.height, img.nBlocksComp0,
+        img.dcSumComp0)
+    }
+
   // ------------------------------------------------- mixed-media dispatch
 
   /** Container type read from the payload's own magic bytes — never from
     * trusted metadata (a mislabeled file must route by what it IS). */
   def sniffMediaType(payload: Array[Byte]): String =
     if (payload.length >= PngSig.length && payload.startsWith(PngSig)) "png"
+    else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
     else if (payload.length >= 12 &&
       new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
@@ -913,6 +945,11 @@ object Multimodal {
         case "bmp" =>
           val (w, h, sb, sg, sr) = decodeBmp(p)
           AnyMediaFeatures(id, "bmp", Some(w), Some(h), w.toLong * h, sb + sg + sr)
+        case "jpeg" =>
+          val img = Jpeg.decodeJpeg(p)
+          AnyMediaFeatures(id, "jpeg", Some(img.width), Some(img.height),
+            img.width.toLong * img.height,
+            img.planes.map(_.foldLeft(0L)(_ + _)).sum)
         case "wav" =>
           val (n, sum, _) = decodeWav(p)
           AnyMediaFeatures(id, "wav", None, None, n, sum)
@@ -1150,6 +1187,53 @@ object Multimodal {
                CAST(list_position(lf, list_max(lf)) - 1 AS INT) AS bright_frame,
                CAST(list_max(lf) AS BIGINT) AS bright_luma
         FROM fr
+        ORDER BY doc_id""")),
+
+    // ---- REAL baseline JPEG decode: the DC chain oracle-checked ----------
+    // The Spark side builds a spec-valid grayscale baseline JPEG from each
+    // document's bytes and decodes it back through the full engine; the
+    // oracle replays the per-block DC (round-away-from-zero of
+    // (Σblock − 8192)/8, zero-padded tail blocks included) from the
+    // hex-recovered bytes. A drifted Huffman table, differential-DC
+    // predictor, dequant, or block walk hash-mismatches; the raster path
+    // is pinned against ImageIO in OperatorSpec (lossy ⇒ not SQL-checkable).
+    GraftQuery(
+      "jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        asMedia(s, dir).mapPartitions(jpegFeatures).toDF()
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            (greatest(1, (n + 7) // 8) + 7) // 8 * 8 AS hh,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        blk AS (
+          SELECT doc_id, hh,
+            unnest(range(0, hh // 8)) AS bi, bytes, n
+          FROM b),
+        dc AS (
+          SELECT doc_id, hh, bi,
+            coalesce(list_sum(list_slice(bytes, bi * 64 + 1,
+              least((bi + 1) * 64, n))), 0) AS bs
+          FROM blk)
+        SELECT doc_id,
+               CAST($JpegOracleWidth AS INT) AS width,
+               CAST(hh AS INT) AS height,
+               CAST(hh // 8 AS INT) AS n_blocks,
+               CAST(sum(CASE WHEN bs >= 8192 THEN (bs - 8192 + 4) // 8
+                             ELSE -((8192 - bs + 4) // 8) END) AS BIGINT)
+                 AS sum_dc
+        FROM dc
+        GROUP BY doc_id, hh
         ORDER BY doc_id""")),
 
     // ---- perceptual-hash image near-dup dedup (oracle-checked) -----------

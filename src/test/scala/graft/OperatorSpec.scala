@@ -872,6 +872,90 @@ class OperatorSpec extends SparkSuite {
       "single-byte edit should perturb at most its cell's two comparisons")
   }
 
+  test("JPEG codec: gray round-trip (dims, exact DC chain, raster), strictness") {
+    import operators.Jpeg
+    val rnd = new java.util.Random(42)
+    for (n <- Seq(0, 1, 63, 64, 65, 500, 4096)) {
+      val bytes = new Array[Byte](n); rnd.nextBytes(bytes)
+      val img = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(bytes))
+      val rows = math.max(1, (n + 7) / 8)
+      val h = (rows + 7) / 8 * 8
+      assert(img.width == 8 && img.height == h && img.nComps == 1,
+        s"n=$n dims ${img.width}x${img.height}")
+      assert(img.nBlocksComp0 == h / 8)
+      // the DC chain is EXACT through Huffman + differential + dequant:
+      // replay round(sum(p-128)/8) per block from the source bytes
+      var expDc = 0L
+      for (b <- 0 until h / 8) {
+        var s = 0L
+        for (i <- 0 until 64) {
+          val k = b * 64 + i
+          s += (if (k < n) bytes(k) & 0xff else 0)
+        }
+        expDc += Jpeg.dcOf(s)
+      }
+      assert(img.dcSumComp0 == expDc,
+        s"n=$n decoded DC sum ${img.dcSumComp0} != replayed $expDc")
+      // the AC/IDCT path reconstructs the raster: q=1 baseline keeps the
+      // error to DCT rounding (spec allows ±1-class decoder variance)
+      var err = 0L
+      for (k <- 0 until n) err += math.abs(img.planes(0)(k) - (bytes(k) & 0xff))
+      assert(n == 0 || err.toDouble / n <= 1.5,
+        s"n=$n mean abs raster error ${err.toDouble / n} — IDCT drifted")
+    }
+    // strictness: progressive and truncated streams fail loudly
+    val ok = Jpeg.encodeJpegGray(Array[Byte](1, 2, 3))
+    val prog = ok.clone()
+    // rewrite the SOF0 marker to SOF2 (find FF C0)
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    intercept[IllegalArgumentException] { Jpeg.decodeJpeg(prog) }
+    intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(ok.take(ok.length - 4))
+    }
+    intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(Array.fill[Byte](64)(0x55))
+    }
+  }
+
+  test("JPEG codec decodes a FOREIGN encoder's output (ImageIO 4:2:0 color)") {
+    import operators.Jpeg
+    // ImageIO's writer emits standard Annex-K Huffman tables and 4:2:0
+    // chroma — none of which our encoder produces, so this pins the
+    // GENERIC table machinery, the interleaved-MCU walk, upsampling, and
+    // YCbCr conversion against a real third-party encoder.
+    // dims off the 16-px MCU grid so partial-MCU coverage is exercised;
+    // channels are smooth gradients — 4:2:0 decoders legitimately differ
+    // on high-frequency CHROMA (ImageIO upsamples bilinearly, we
+    // replicate; both spec-legal), so a sawtooth chroma fixture would
+    // measure that variance, not correctness
+    val w = 40; val h = 24
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 6) << 16) | ((y * 10) << 8) | (x * 3 + y * 2))
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(bi, "jpg", bos), "ImageIO JPEG writer missing")
+    val jbytes = bos.toByteArray
+    val ours = Jpeg.decodeJpeg(jbytes)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jbytes))
+    assert(ours.width == w && ours.height == h && ours.nComps == 3,
+      s"foreign dims ${ours.width}x${ours.height}x${ours.nComps}")
+    var diff = 0L
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val p = ref.getRGB(x, y)
+      val d = math.abs(((p >> (16 - 8 * c)) & 0xff) - ours.planes(c)(y * w + x))
+      diff += d
+      worst = math.max(worst, d)
+    }
+    val mean = diff.toDouble / (w * h * 3)
+    assert(mean <= 2.0 && worst <= 12,
+      s"vs ImageIO's own decode: mean=$mean worst=$worst — decoder " +
+        "disagrees with the reference implementation beyond IDCT/upsampling variance")
+  }
+
   test("decodeWav walks RIFF chunks (odd JUNK + pad byte) to signed s16 stats") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -946,17 +1030,24 @@ class OperatorSpec extends SparkSuite {
       2L -> Multimodal.encodeBmp(bytes, topDown = false),
       3L -> Multimodal.encodeWav(bytes),
       4L -> Array.fill[Byte](20)(42),
-      5L -> Multimodal.encodeY4m(bytes))
+      5L -> Multimodal.encodeY4m(bytes),
+      6L -> operators.Jpeg.encodeJpegGray(bytes))
     val out = Multimodal.anyMediaFeatures(rows).toSeq
     assert(out.map(f => f.doc_id -> f.media_type).toMap
       == Map(1L -> "png", 2L -> "bmp", 3L -> "wav", 4L -> "unknown",
-        5L -> "y4m"))
+        5L -> "y4m", 6L -> "jpeg"))
     val byId = out.map(f => f.doc_id -> f).toMap
     val total = bytes.map(_ & 0xffL).sum
     assert(byId(1L).magnitude == total && byId(2L).magnitude == total)
     assert(byId(3L).n_values == 15) // 30 bytes → 15 s16 samples
     assert(byId(4L).n_values == 0 && byId(4L).width.isEmpty)
     assert(byId(5L).magnitude == total && byId(5L).n_values == 32) // 1 frame
+    // jpeg: 8×8 single block; magnitude is the DECODED gray sum — lossy,
+    // so pin it within DCT-rounding distance of the source sum (padded
+    // pixels decode near 0), not equal to it
+    assert(byId(6L).width.contains(8) && byId(6L).height.contains(8))
+    assert(math.abs(byId(6L).magnitude - total) <= 64,
+      s"jpeg magnitude ${byId(6L).magnitude} vs source sum $total")
     // matching magic + corrupt body must still fail loudly (no silent
     // "unknown" downgrade for a payload that CLAIMS to be decodable)
     val corrupt = Multimodal.encodePng(bytes)
