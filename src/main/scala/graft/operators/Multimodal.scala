@@ -801,12 +801,57 @@ object Multimodal {
     Dedup.hammingCandidates(fp)
   }
 
-  /** DuckDB oracle for phash_neardup: recomputes the per-pixel BT.601
-    * luma from the hex-recovered document bytes (BGR triples, zero-padded
-    * to full 6-pixel rows exactly as encodeBmp pads), replays the 65-cell
-    * dHash into four 16-bit chunks, then the same capped banding +
-    * hamming ≤ [[PhashMaxHamming]] confirmation as the simhash oracle. */
-  private def phashOracleSql: String = {
+  /** 64-bit audio energy-difference fingerprint (the Haitsma–Kalker
+    * idea at cell granularity): the decoded s16 signal's per-sample
+    * energies s² are split into 65 near-equal cells and bit k compares
+    * cell k's mean energy against cell k+1's — the temporal twin of the
+    * image dHash, robust to uniform gain changes because only the ORDER
+    * of neighboring energies matters. Exact: energies are BIGINT sums,
+    * means compared by cross-multiplication (≤ 2³⁰·N per cell sum —
+    * inside Long for any payload under ~10⁸ samples). */
+  def ehash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    val sums = new Array[Long](PhashCells)
+    val cnts = new Array[Long](PhashCells)
+    var j = 0
+    while (j < PhashCells) {
+      val lo = j * n / PhashCells
+      val hi = (j + 1) * n / PhashCells
+      var s = 0L
+      var k = lo
+      while (k < hi) { s += samples(k).toLong * samples(k); k += 1 }
+      sums(j) = s; cnts(j) = hi - lo
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b)) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Per-partition encode→decode→hash through the REAL RIFF chunk walk. */
+  def ehashRows(rows: Iterator[MediaRecord]): Iterator[(Long, Long)] =
+    rows.map(r => (r.doc_id, ehash64(wavSamples(encodeWav(r.payload)))))
+
+  /** The audio face of [[Dedup.hammingCandidates]] (CandidateBoundSpec). */
+  private[graft] def ehashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = asMedia(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions(ehashRows).toDF("doc_id", "fp")
+    Dedup.hammingCandidates(fp)
+  }
+
+  /** Shared oracle tail for the 65-cell difference hashes: expects
+    * `sourceCtes` to end with a CTE `l(doc_id, nv, vals)` — an integer
+    * value list per document — and replays the cell means (exact
+    * cross-multiplied comparisons) into four 16-bit chunks, then the
+    * same capped banding + hamming ≤ [[PhashMaxHamming]] confirmation
+    * as the simhash oracle. */
+  private def cellHashPairsSql(sourceCtes: String): String = {
     val cap = Dedup.MaxChunkBucket
     val chunkCols = (0 until 4).map(c =>
       s"""CAST(list_sum(list_transform(range(0, 16),
@@ -819,32 +864,15 @@ object Multimodal {
     }
     val bandSelects = (singleSelects ++ pairSelects).mkString("\n          UNION ALL ")
     s"""
-        WITH hx AS (
-          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
-                 octet_length(encode(coalesce(text, ''))) n
-          FROM documents),
-        b AS (
-          SELECT doc_id,
-            $BmpWidth * greatest(1, (n + ${BmpRowBytes - 1}) // $BmpRowBytes) AS np,
-            list_transform(range(1, n + 1),
-              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
-                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
-          FROM hx),
-        l AS (
-          SELECT doc_id, np,
-            list_transform(range(0, np),
-              k -> (299 * coalesce(bytes[3*k + 3], 0)
-                  + 587 * coalesce(bytes[3*k + 2], 0)
-                  + 114 * coalesce(bytes[3*k + 1], 0)) // 1000) AS lum
-          FROM b),
+        WITH $sourceCtes,
         cells AS (
           SELECT doc_id,
             list_transform(range(0, $PhashCells),
-              j -> CAST(coalesce(list_sum(list_slice(lum,
-                     j * np // $PhashCells + 1, (j+1) * np // $PhashCells)), 0)
+              j -> CAST(coalesce(list_sum(list_slice(vals,
+                     j * nv // $PhashCells + 1, (j+1) * nv // $PhashCells)), 0)
                    AS BIGINT)) AS ss,
             list_transform(range(0, $PhashCells),
-              j -> CAST((j+1) * np // $PhashCells - j * np // $PhashCells
+              j -> CAST((j+1) * nv // $PhashCells - j * nv // $PhashCells
                    AS BIGINT)) AS cc
           FROM l),
         bits AS (
@@ -880,6 +908,55 @@ object Multimodal {
         WHERE hamming <= $PhashMaxHamming
         ORDER BY doc_a, doc_b"""
   }
+
+  /** DuckDB oracle for phash_neardup: recomputes the per-pixel BT.601
+    * luma from the hex-recovered document bytes (BGR triples, zero-padded
+    * to full 6-pixel rows exactly as encodeBmp pads), then the shared
+    * cell-hash tail. */
+  private def phashOracleSql: String = cellHashPairsSql(s"""hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+            $BmpWidth * greatest(1, (n + ${BmpRowBytes - 1}) // $BmpRowBytes) AS nv,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        l AS (
+          SELECT doc_id, nv,
+            list_transform(range(0, nv),
+              k -> (299 * coalesce(bytes[3*k + 3], 0)
+                  + 587 * coalesce(bytes[3*k + 2], 0)
+                  + 114 * coalesce(bytes[3*k + 1], 0)) // 1000) AS vals
+          FROM b)""")
+
+  /** DuckDB oracle for audio_neardup: rebuilds each s16 little-endian
+    * sample from the hex-recovered byte pairs (odd tail zero-padded, the
+    * encodeWav rule), squares into per-sample energies, then the shared
+    * cell-hash tail. */
+  private def ehashOracleSql: String = cellHashPairsSql("""hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id, (n + 1) // 2 AS nv,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        u AS (
+          SELECT doc_id, nv,
+            list_transform(range(1, nv + 1),
+              k -> bytes[2*k - 1] + 256 * coalesce(bytes[2*k], 0)) AS v
+          FROM b),
+        l AS (
+          SELECT doc_id, nv,
+            list_transform(v, x ->
+              CAST(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS BIGINT)
+              * (CASE WHEN x >= 32768 THEN x - 65536 ELSE x END)) AS vals
+          FROM u)""")
 
   // ----------------------------------------------------------------- JPEG
   // The lossy-codec class, closing the round-7 "What's missing #2"
@@ -1254,6 +1331,23 @@ object Multimodal {
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b"),
       Some(phashOracleSql)),
+
+    // ---- audio energy-fingerprint near-dup dedup (oracle-checked) --------
+    // Completes the near-dup triad (text: simhash_pairs, image:
+    // phash_neardup, audio: this): the decoded s16 signal's 65-cell
+    // energy-difference fingerprint (Haitsma–Kalker shape) through the
+    // SAME capped banded-Hamming join. The hash rides the REAL RIFF
+    // chunk-walk decode; the oracle replays sample recovery, squaring,
+    // cells, chunks, banding, cap, and confirmation from hex bytes.
+    GraftQuery(
+      "audio_neardup",
+      (s, dir) => ehashCandidates(s, dir)
+        .withColumn("hamming",
+          bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast(IntegerType))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b"),
+      Some(ehashOracleSql)),
 
     // ---- metadata extraction (oracle-checkable: md5 + byte length) -------
     GraftQuery(

@@ -91,6 +91,20 @@ class CandidateBoundSpec extends SparkSuite {
     }
   }
 
+  test("ehash (audio) candidates stay under the linear cap bound at all three scales") {
+    val capBoundPerDoc = 10.0 * (operators.Dedup.MaxChunkBucket - 1) / 2
+    for (dir <- dirs) {
+      val n = Tables.documents(spark, dir).count()
+      val cands = operators.Multimodal.ehashCandidates(spark, dir).count()
+      assert(cands <= capBoundPerDoc * n,
+        s"$dir: $cands candidates exceed the provable bound ${capBoundPerDoc * n}")
+      val perDoc = cands.toDouble / n
+      val ceiling = if (n <= 1000) 30.0 else 60.0
+      assert(perDoc <= ceiling,
+        s"$dir: $perDoc candidates/doc — ehash candidate generation got hotter")
+    }
+  }
+
   test("embedding LSH candidates stay under the linear cap bound at all three scales") {
     import graft.functions.LshPlanes
     val capBoundPerVec =

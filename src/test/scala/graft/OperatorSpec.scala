@@ -870,6 +870,19 @@ class OperatorSpec extends SparkSuite {
       Multimodal.bmpLuma(Multimodal.encodeBmp(tweaked, topDown = false)))
     assert(java.lang.Long.bitCount(fpUp ^ fpT) <= 2,
       "single-byte edit should perturb at most its cell's two comparisons")
+    // the audio twin: energy-difference fingerprint over decoded samples
+    // — gain-invariance (2x every sample preserves every ORDER
+    // comparison), falling-energy ramp sets all bits, single-sample edit
+    // perturbs at most its cell's two comparisons
+    val sig = Array.tabulate(650)(i => (i % 97) - 48)
+    val fpS = Multimodal.ehash64(sig)
+    assert(Multimodal.ehash64(sig.map(_ * 2)) == fpS,
+      "energy hash must be invariant to uniform gain")
+    assert(Multimodal.ehash64(Array.tabulate(130)(i => 1000 - i)) == -1L,
+      "falling energy ramp should set every bit")
+    val sig2 = sig.clone(); sig2(300) = 32000
+    assert(java.lang.Long.bitCount(fpS ^ Multimodal.ehash64(sig2)) <= 2,
+      "single-sample edit should perturb at most two comparisons")
   }
 
   test("JPEG codec: gray round-trip (dims, exact DC chain, raster), strictness") {
