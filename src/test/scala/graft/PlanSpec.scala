@@ -397,6 +397,35 @@ class PlanSpec extends SparkSuite {
       "bitext_margin must rank neighborhoods AND best-pairs via TopKPerKey")
   }
 
+  test("round-8 plans: scan-side codecs, banded hash joins, fused ranking") {
+    def scans(name: String) =
+      "FileScan parquet".r.findAllIn(planOf(name)).length
+    // the codec queries run their whole encode->decode inside the scan
+    // task: exactly ONE corpus scan, nothing binary in any shuffle
+    assert(scans("jpeg_decode") == 1, "jpeg_decode must scan the corpus once")
+    assert(scans("unigram_encode") == 1,
+      "unigram_encode's returned plan must be one scan (training is memoized)")
+    // the fingerprint dedups shuffle on the (band, value) keys — the
+    // 8-byte code rides the rows; payloads and luma/energy arrays never
+    // reach an exchange (their only exchange keys are band/v and the
+    // final orderBy)
+    for (q <- Seq("phash_neardup", "audio_neardup")) {
+      val plan = planOf(q)
+      assert(plan.matches("(?s).*Exchange hashpartitioning\\(band#.*"),
+        s"$q lost its (band, v) bucket shuffle")
+      assert(!plan.matches("(?s).*Exchange [^\\n]*payload#.*"),
+        s"$q shuffles the binary payload")
+    }
+    // rrf_fusion: the three persisted rank legs are read from the block
+    // manager (not re-derived per reference) and the top-25 is a heap,
+    // not a global sort-all
+    val rrf = planOf("rrf_fusion")
+    assert(rrf.contains("InMemoryTableScan"),
+      "rrf_fusion's rank legs lost their persist — each leg re-derives 3x")
+    assert(rrf.contains("TakeOrderedAndProject"),
+      "rrf_fusion's top-25 degraded to a global sort")
+  }
+
   test("TPC-H wave plans: pushed disjunction factors, pruned dims, anti shape") {
     // q19: the per-table conjuncts IMPLIED by the cross-table OR must be
     // hoisted onto each scan — brand IN-list + size envelope on part,
