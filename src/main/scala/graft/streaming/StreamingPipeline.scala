@@ -192,6 +192,49 @@ object StreamingPipeline {
       .drop("_dedup_key", "_grams")
   }
 
+  /** Streaming image dedup — the live face of the batch phash_neardup
+    * operator, on the SAME kernel ([[graft.operators.Multimodal.bmpLuma]]
+    * → [[graft.operators.Multimodal.dhash64]]), so the two surfaces
+    * cannot drift: an in-flight image whose 64-bit perceptual hash
+    * already arrived inside the watermark horizon is dropped. Exact-hash
+    * collapse (the hamming-0 class — identical and trivially-re-encoded
+    * re-posts); banded NEAR-dup clustering (hamming ≤ 6) stays a batch
+    * pass over the landed fingerprints, because its candidate join needs
+    * the full band index, not per-key state (the documented boundary).
+    *
+    * Contract: input columns (doc_id, payload: BINARY BMP container,
+    * event time). Strictness matches the batch decoder — a corrupt BMP
+    * fails the batch loudly (quarantine upstream with
+    * [[quarantineSink]]); a NULL payload gets a doc_id-unique key so two
+    * malformed records never silently collapse; null event times are
+    * filtered before the stateful operator (the silentDevices lesson).
+    * State: one 8-byte hash per distinct image inside the horizon. */
+  def dedupImagesByPhashWithinWatermark(
+      images: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload",
+      tsCol: String = "timestamp",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val session = images.sparkSession
+    import session.implicits._
+    images
+      .filter(col(tsCol).isNotNull)
+      .select(col(idCol), col(payloadCol), col(tsCol))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .map { case (id, p, ts) =>
+        val key =
+          if (p == null) s"null:$id"
+          else graft.operators.Multimodal.dhash64(
+            graft.operators.Multimodal.bmpLuma(p)).toString
+        (id, p, ts, key)
+      }
+      .toDF(idCol, payloadCol, tsCol, "_phash")
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("_phash"))
+      .drop("_phash")
+  }
+
   /** Stream-static incremental exact dedup — the streaming face of the
     * batch delta_dedup classifier: in-flight documents whose content
     * digest already exists in the standing-corpus snapshot are dropped

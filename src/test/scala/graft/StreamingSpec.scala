@@ -1058,6 +1058,42 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("dedupImagesByPhash drops hash-identical re-posts on the shared batch kernel") {
+    implicit val sc = spark.sqlContext
+    import operators.Multimodal
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val out = StreamingPipeline.dedupImagesByPhashWithinWatermark(
+      mem.toDF().toDF("doc_id", "payload", "timestamp"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("img_dedup").start()
+    try {
+      val a = Multimodal.encodeBmp(
+        Array.tabulate[Byte](600)(i => ((i * 37 + 11) % 251).toByte), topDown = false)
+      // the SAME pixels in the other row order: different container
+      // bytes, identical logical image => identical hash => a dup
+      val aFlipped = Multimodal.encodeBmp(
+        Array.tabulate[Byte](600)(i => ((i * 37 + 11) % 251).toByte), topDown = true)
+      val b = Multimodal.encodeBmp(
+        Array.tabulate[Byte](600)(i => ((i * 91 + 3) % 251).toByte), topDown = false)
+      mem.addData((1L, a, ts("2024-01-01T10:00:00Z")),
+                  (2L, b, ts("2024-01-01T10:00:01Z")))
+      q.processAllAvailable()
+      mem.addData((3L, a, ts("2024-01-01T10:01:00Z")),        // exact re-post
+                  (4L, aFlipped, ts("2024-01-01T10:01:01Z")), // re-encoded re-post
+                  (5L, null, ts("2024-01-01T10:01:02Z")),     // malformed: unique key
+                  (6L, null, ts("2024-01-01T10:01:03Z")))     // second malformed: kept
+      q.processAllAvailable()
+      val ids = spark.table("img_dedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L, 5L, 6L),
+        s"expected re-posts 3,4 dropped and null payloads kept distinct: $ids")
+      assert(q.lastProgress.stateOperators.nonEmpty, "dedup state missing")
+      // surface non-drift: the stream's key IS the batch kernel's hash
+      assert(Multimodal.dhash64(Multimodal.bmpLuma(a))
+        == Multimodal.dhash64(Multimodal.bmpLuma(aFlipped)))
+    } finally q.stop()
+  }
+
   test("throughput pin: curationIngest sustains >= 10k events/s on RocksDB") {
     // The reference's design point is 10 msg/s (generator.py's paced
     // producer); this pins the engine's actual ingest capacity at three
