@@ -189,7 +189,11 @@ class AqePlanSpec extends SparkSuite {
         "q15_top_supplier", "q19_disjunct", "q17_small_qty",
         "q18_big_orders", "q21_late_solo", "q6_forecast", "q8_market_share",
         "q9_profit", "q12_priority_mix", "q11_stock_value",
-        "q20_excess_parts"))
+        "q20_excess_parts",
+        // round-8 joins: the banded fingerprint self-joins and the fused
+        // ranker's spine joins must not degrade to cartesians when AQE
+        // re-plans their small-side broadcasts
+        "phash_neardup", "audio_neardup", "rrf_fusion"))
       assert(!finalPlan(name).contains("CartesianProduct"),
         s"$name gained a CartesianProduct after adaptive re-planning")
     assert(finalPlan("q16_supplier_cnt").contains("LeftAnti"),
