@@ -462,6 +462,110 @@ object Curation {
         FROM ch
         ORDER BY doc_id, chunk_id""")),
 
+    // ---- TextTiling: lexical-cohesion topic boundaries --------------------
+    // The SEMANTIC chunker next to the fixed-width (chunk_documents) and
+    // content-defined (cdc_chunks) ones — Hearst's TextTiling (1997,
+    // public): evaluate the lexical cohesion across every candidate gap
+    // (here every [[TileBlock]] tokens) as the Jaccard similarity of the
+    // distinct-token sets in the [[TileWindow]]-token spans on either
+    // side, then call a gap a topic boundary when it is a deep enough
+    // VALLEY — both neighbors more cohesive by a combined
+    // [[TileDepthPpm]] ppm. RAG indexers split here instead of
+    // mid-topic. Integer-exact end to end: similarities are
+    // floor(10⁶·|∩|/|∪|), depth is neighbor differences clamped at 0,
+    // so the oracle replays every gap bit-for-bit.
+    //
+    // Scale: the similarity is pure per-row HOF arithmetic (token array
+    // bound once — the chunk_documents lesson — then one explode); the
+    // depth pass is a lag/lead window partitioned by doc_id, which
+    // distributes over millions of documents (per-doc gap counts are
+    // corpus-bounded; this is NOT the few-series changepoints regime).
+    GraftQuery(
+      "text_tiling",
+      (s, dir) => {
+        val w = Window.partitionBy("doc_id").orderBy("gap_idx")
+        Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          // drop empty tokens from doubled spaces (mirrored) and bind the
+          // array once — a split() inside the transform would re-tokenize
+          // per gap
+          .withColumn("toks",
+            expr("filter(split(coalesce(text, ''), ' '), t -> t != '')"))
+          .withColumn("n", size(col("toks")))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(expr(
+              s"IF(n > $TileBlock, sequence(1, CAST((n - 1) DIV $TileBlock AS INT)), array())"))
+              .as("gap_idx"))
+          .withColumn("p", col("gap_idx") * TileBlock)
+          .withColumn("lw", expr(
+            s"array_distinct(slice(toks, greatest(1, p - $TileWindow + 1), " +
+              s"p - greatest(1, p - $TileWindow + 1) + 1))"))
+          .withColumn("rw", expr(
+            s"array_distinct(slice(toks, p + 1, least($TileWindow, n - p)))"))
+          .withColumn("sim_ppm", expr(
+            """CAST(CAST(size(array_intersect(lw, rw)) AS BIGINT) * 1000000
+               DIV size(array_union(lw, rw)) AS BIGINT)"""))
+          .withColumn("prev", lag("sim_ppm", 1).over(w))
+          .withColumn("next", lead("sim_ppm", 1).over(w))
+          .withColumn("depth_ppm",
+            expr("coalesce(greatest(0L, prev - sim_ppm), 0L)") +
+              expr("coalesce(greatest(0L, next - sim_ppm), 0L)"))
+          .withColumn("is_boundary",
+            col("prev").isNotNull && col("next").isNotNull &&
+              col("depth_ppm") > TileDepthPpm)
+          .select(col("doc_id"), col("gap_idx").cast(LongType).as("gap_idx"),
+            col("p").cast(LongType).as("token_pos"),
+            col("sim_ppm"), col("depth_ppm"), col("is_boundary"))
+          .orderBy("doc_id", "gap_idx")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 unnest(CASE WHEN len(toks) > $TileBlock
+                        THEN range(1, (len(toks) - 1) // $TileBlock + 1)
+                        ELSE [] END) AS gap_idx
+          FROM t),
+        sim AS (
+          SELECT doc_id, gap_idx, gap_idx * $TileBlock AS p,
+                 CAST(CAST(len(list_intersect(
+                        list_distinct(list_slice(toks,
+                          greatest(1, gap_idx * $TileBlock - $TileWindow + 1),
+                          gap_idx * $TileBlock)),
+                        list_distinct(list_slice(toks,
+                          gap_idx * $TileBlock + 1,
+                          least(n, gap_idx * $TileBlock + $TileWindow)))))
+                      AS BIGINT) * 1000000
+                   // len(list_distinct(list_concat(
+                        list_distinct(list_slice(toks,
+                          greatest(1, gap_idx * $TileBlock - $TileWindow + 1),
+                          gap_idx * $TileBlock)),
+                        list_distinct(list_slice(toks,
+                          gap_idx * $TileBlock + 1,
+                          least(n, gap_idx * $TileBlock + $TileWindow))))))
+                   AS BIGINT) AS sim_ppm
+          FROM g),
+        d AS (
+          SELECT doc_id, gap_idx, p, sim_ppm,
+                 lag(sim_ppm) OVER (PARTITION BY doc_id ORDER BY gap_idx) AS prev,
+                 lead(sim_ppm) OVER (PARTITION BY doc_id ORDER BY gap_idx) AS next
+          FROM sim)
+        SELECT doc_id, CAST(gap_idx AS BIGINT) AS gap_idx,
+               CAST(p AS BIGINT) AS token_pos, sim_ppm,
+               CAST(coalesce(greatest(0, prev - sim_ppm), 0)
+                  + coalesce(greatest(0, next - sim_ppm), 0) AS BIGINT)
+                 AS depth_ppm,
+               (prev IS NOT NULL AND next IS NOT NULL AND
+                coalesce(greatest(0, prev - sim_ppm), 0)
+                  + coalesce(greatest(0, next - sim_ppm), 0) > $TileDepthPpm)
+                 AS is_boundary
+        FROM d
+        ORDER BY doc_id, gap_idx""")),
+
     // ---- per-source document cap (domain cap) ----------------------------
     // The anti-monoculture rule of web-scale curation: no single
     // source/domain may contribute more than N documents, survivors chosen
@@ -980,6 +1084,19 @@ object Curation {
 
   /** k_anonymity: minimum distinct users per quasi-identifier cell. */
   private val KAnonThreshold = 5
+
+  /** text_tiling gap spacing: a candidate topic boundary every this many
+    * tokens (the sentence-gap stand-in on an unpunctuated corpus). */
+  private val TileBlock = 10
+
+  /** text_tiling cohesion span on each side of a gap, in tokens. */
+  private val TileWindow = 30
+
+  /** text_tiling boundary threshold: combined valley depth in ppm of
+    * Jaccard similarity (0.2 — deep enough that adjacent same-topic
+    * jitter doesn't split, shallow enough that the planted topic shifts
+    * in the synthetic corpus register). */
+  private val TileDepthPpm = 200000L
 
   /** chunk_documents window: 32-token chunks at stride 24 (25% overlap). */
   private val ChunkTokens = 32
