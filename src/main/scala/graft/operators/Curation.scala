@@ -510,8 +510,12 @@ object Curation {
           .withColumn("depth_ppm",
             expr("coalesce(greatest(0L, prev - sim_ppm), 0L)") +
               expr("coalesce(greatest(0L, next - sim_ppm), 0L)"))
+          // a boundary must be a strict VALLEY (both neighbors more
+          // cohesive), not a shoulder where only one side falls — the
+          // planted-seam fixture flags the shoulder rule
           .withColumn("is_boundary",
             col("prev").isNotNull && col("next").isNotNull &&
+              col("prev") > col("sim_ppm") && col("next") > col("sim_ppm") &&
               col("depth_ppm") > TileDepthPpm)
           .select(col("doc_id"), col("gap_idx").cast(LongType).as("gap_idx"),
             col("p").cast(LongType).as("token_pos"),
@@ -560,6 +564,7 @@ object Curation {
                   + coalesce(greatest(0, next - sim_ppm), 0) AS BIGINT)
                  AS depth_ppm,
                (prev IS NOT NULL AND next IS NOT NULL AND
+                prev > sim_ppm AND next > sim_ppm AND
                 coalesce(greatest(0, prev - sim_ppm), 0)
                   + coalesce(greatest(0, next - sim_ppm), 0) > $TileDepthPpm)
                  AS is_boundary

@@ -2162,6 +2162,36 @@ class OperatorSpec extends SparkSuite {
     assert(UnigramLm.encodeWord("abab", sc) == List("ab", "ab"))
   }
 
+  test("text_tiling finds the planted topic seam and stays quiet on uniform text") {
+    // oracle agreement proves the two engines match; this proves the
+    // operator DETECTS: a document whose vocabulary flips at token 60
+    // must boundary exactly at the seam gap, and a homogeneous document
+    // must produce none
+    val dir = java.nio.file.Files.createTempDirectory("tile_fx").toString
+    val twoTopics =
+      ((1 to 60).map(i => s"alpha${i % 5}") ++
+        (1 to 60).map(i => s"beta${i % 5}")).mkString(" ")
+    val uniform = (1 to 120).map(i => s"gamma${i % 5}").mkString(" ")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, twoTopics, "en", "src", twoTopics.length.toLong),
+        org.apache.spark.sql.Row(2L, uniform, "en", "src", uniform.length.toLong)), 1),
+      Tables.documentsSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_tiling")(spark, dir).collect()
+    val bounds = rows.filter(_.getAs[Boolean]("is_boundary"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("token_pos")))
+    assert(bounds.toSet == Set((1L, 60L)),
+      s"expected exactly the seam boundary (doc 1, token 60): ${bounds.mkString(",")}")
+    // the seam gap's similarity is exactly zero; deep-interior gaps of
+    // the uniform doc sit at full cohesion
+    val seam = rows.find(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[Long]("token_pos") == 60L).get
+    assert(seam.getAs[Long]("sim_ppm") == 0L)
+    assert(rows.exists(r => r.getAs[Long]("doc_id") == 2L &&
+      r.getAs[Long]("sim_ppm") == 1000000L))
+  }
+
   test("bigramLogprob memoizes per corpus fingerprint and invalidates on regeneration") {
     import operators.TextAnalysis
     // a private corpus copy we are allowed to mutate (testdata is RO)
