@@ -326,6 +326,58 @@ def build_relational():
           f"(lineitem {con.sql('SELECT count(*) FROM l').fetchone()[0]} rows)")
 
 
+HDIR = "/tmp/adv_html"
+
+
+def build_html():
+    """Crafted-HTML/URL hostile corpus (round 9, for the WebIngest family):
+    documents whose TEXT is markup-shaped (tags, entity-lookalikes, bare
+    ampersands, CRLF runs that could masquerade as WARC/HTTP terminators)
+    and whose SOURCE is URL-hostile (unicode hosts, embedded credentials,
+    ports, slashes, mixed case). The renderer must escape all of it, the
+    strict parser must round-trip it, the WARC walk must stay
+    length-delimited through payloads containing CRLF CRLF, and the URL
+    label sanitizer must collapse the hostile sources identically in both
+    engines."""
+    subprocess.run(["mkdir", "-p", HDIR], check=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{HDIR}/{t}.parquet")
+    con = duckdb.connect()
+    rows = [
+        (0, "<div>hello</div> <p>world</p> the a of and more words here",
+         "en", "WEB.Example", 58),                      # literal tags in text
+        (1, "&amp; &lt; &gt; &unknown; &#65; & bare ampersand the a of and",
+         "en", "user:pw@host", 60),                     # entity lookalikes
+        (2, "quote \" and ' apos < > & mixed the a of and words",
+         "en", "host:80", 50),                          # escapable chars
+        (3, "line1\r\nline2\r\n\r\nline3 the a of and padding words here",
+         "en", "日本語ホスト", 52),                      # CRLF CRLF inside payload
+        (4, "</html> trailing close the a of and words to pass the gate",
+         "en", None, 58),                               # close-tag text, null src
+        (5, "<script>alert(1)</script> <style>p{}</style> the a of and",
+         "en", "", 57),                                 # raw-container text
+        (6, "<!-- comment --> <!DOCTYPE html> the a of and words here",
+         "en", "a b c", 56),                            # declaration text
+        (7, "x" * 50000 + " <b>bold</b> the a of and", "en", "UPPERCASE",
+         50026),                                        # huge word + tags
+        (8, "😀<p>😀</p>😀 café café the a of and words here",
+         "en", "with/slash?q=1#f", 50),                 # unicode + tags
+        (9, None, None, None, None),                    # all-null row
+        (10, "%61 %2F %zz percent lookalikes the a of and words here",
+         "en", "pct%41src", 54),                        # %-escapes in text/src
+        (11, "  <p>  </p>  double  spaces  the a of and  ", "en",
+         "-dash-host-", 44),                            # empties + tags
+    ]
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+                "source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+    con.execute(f"COPY d TO '{HDIR}/documents.parquet' (FORMAT PARQUET)")
+    print(f"built {HDIR}/documents.parquet with "
+          f"{con.sql('SELECT count(*) FROM d').fetchone()[0]} hostile docs")
+
+
 if __name__ == "__main__":
     build_relational()
+    build_html()
     sys.exit(main())

@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.JoinPruning.queries ++
       operators.Linkage.queries ++
-      operators.UnigramLm.queries
+      operators.UnigramLm.queries ++
+      operators.WebIngest.queries
 
   /** Queries whose builder RUNS Spark jobs (connected-components needs
     * per-round convergence checks) — the documented deviations from the

@@ -1,0 +1,809 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{UrlExpressions, UrlKernels}
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-ingestion stage: URL canonicalization + URL-keyed dedup, strict HTML
+  * boilerplate extraction, and a WARC container walk — the pipeline front a
+  * pretraining corpus runs BEFORE the curation stack in [[TextAnalysis]] /
+  * [[Curation]] / [[Dedup]] ever sees clean text.
+  *
+  * The reference pipeline (ashrafkvt/KafkaSparkStream, processor.py) ingests
+  * already-structured JSON; these operators extend the engine to the raw-web
+  * shape (CommonCrawl-like WARC → HTML → text) the LLM-data brief calls for.
+  *
+  * Fixture discipline (same as the media codecs, Multimodal.scala): the
+  * corpus tables carry no raw HTML/WARC bytes, so each query RENDERS a
+  * deterministic page (or container) from the document row with the repo's
+  * own writer, then decodes it back as untrusted foreign input through the
+  * strict parser. The DuckDB oracle rebuilds the expected numbers from the
+  * same row with pure SQL — so a parser that drops a block, miscounts a
+  * codepoint, or trusts a header it shouldn't hash-mismatches.
+  *
+  * Scale notes:
+  *  - url_normalize / url_dedup are scan-side codegen (one pass, no data
+  *    exchange beyond the digest-keyed groupBy whose key is the bounded
+  *    canonical string) — the same shape as dedup_exact (Dedup.scala:491).
+  *  - html_text / boilerplate_rate are per-row mapPartitions over the scan:
+  *    zero shuffle for the per-doc form; the rate rolls up on the 20-value
+  *    source key.
+  *  - warc_records / warc_extract group ~16 docs per WARC file (bounded
+  *    bucket, linear in corpus size) — the ONE shuffle that moves text, and
+  *    it must: container building needs record co-location. At 100 TB the
+  *    bucket key keeps every task's working set at ~16 pages.
+  */
+object WebIngest {
+
+  private val UC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val LC = "abcdefghijklmnopqrstuvwxyz"
+
+  // ------------------------------------------------------------------ URLs
+
+  /** Hostname label from `source`: RFC 952/1123 hostnames are [A-Za-z0-9-],
+    * so the fixture sanitizes to that alphabet (mirrored in every oracle —
+    * this is also what makes hostile unicode/null sources safe to embed). */
+  private def labelCol: Column =
+    regexp_replace(coalesce(col("source"), lit("")), "[^A-Za-z0-9-]", "")
+
+  private val labelSql =
+    "regexp_replace(coalesce(source, ''), '[^A-Za-z0-9-]', '', 'g')"
+
+  private def lowerSql(e: String) = s"translate($e, '$UC', '$LC')"
+  private def upperSql(e: String) = s"translate($e, '$LC', '$UC')"
+
+  /** The messy-URL fixture: eight deterministic RFC 3986 denormalizations of
+    * the same resource, keyed on doc_id % 8 — uppercase scheme/host, default
+    * port, dot segments, %-encoded unreserved octet, unsorted+tracking query
+    * params, fragment, embedded credentials. doc_id % 200 (and %50) makes
+    * distinct docs share a canonical URL, so url_dedup has real groups. */
+  private def messyUrlCol: Column = {
+    val label = labelCol
+    val k = (col("doc_id") % 50).cast("string")
+    val m = (col("doc_id") % 200).cast("string")
+    val host = concat(lit("www."), label, lit(".example.com"))
+    val path = concat(lit("/docs/"), k, lit("/page-"), m)
+    val q = lit("?a=1&b=2")
+    val v = col("doc_id") % 8
+    when(v === 1, concat(lit("HTTP://WWW."), translate(label, LC, UC),
+        lit(".EXAMPLE.COM"), path, q))
+      .when(v === 2, concat(lit("http://"), host, lit(":80"), path, q))
+      .when(v === 3, concat(lit("http://"), host, lit("/docs/../docs/"), k,
+        lit("/./page-"), m, q))
+      .when(v === 4, concat(lit("http://"), host, lit("/docs/"), k,
+        lit("/p%61ge-"), m, q))
+      .when(v === 5, concat(lit("http://"), host, path,
+        lit("?b=2&a=1&utm_source=feed")))
+      .when(v === 6, concat(lit("http://"), host, path, q, lit("#sec-"), k))
+      .when(v === 7, concat(lit("http://user:pw@"), host, lit(":80"), path, q))
+      .otherwise(concat(lit("http://"), host, path, q))
+  }
+
+  /** SQL twin of [[messyUrlCol]] over a CTE exposing label/k/m. */
+  private def messyUrlSql: String = s"""
+    CASE doc_id % 8
+      WHEN 1 THEN 'HTTP://WWW.' || ${upperSql("label")} || '.EXAMPLE.COM/docs/' || k || '/page-' || m || '?a=1&b=2'
+      WHEN 2 THEN 'http://www.' || label || '.example.com:80/docs/' || k || '/page-' || m || '?a=1&b=2'
+      WHEN 3 THEN 'http://www.' || label || '.example.com/docs/../docs/' || k || '/./page-' || m || '?a=1&b=2'
+      WHEN 4 THEN 'http://www.' || label || '.example.com/docs/' || k || '/p%61ge-' || m || '?a=1&b=2'
+      WHEN 5 THEN 'http://www.' || label || '.example.com/docs/' || k || '/page-' || m || '?b=2&a=1&utm_source=feed'
+      WHEN 6 THEN 'http://www.' || label || '.example.com/docs/' || k || '/page-' || m || '?a=1&b=2#sec-' || k
+      WHEN 7 THEN 'http://user:pw@www.' || label || '.example.com:80/docs/' || k || '/page-' || m || '?a=1&b=2'
+      ELSE 'http://www.' || label || '.example.com/docs/' || k || '/page-' || m || '?a=1&b=2'
+    END"""
+
+  /** The oracle computes the canonical form DIRECTLY from the fixture
+    * formula — the Spark side must reach the same string through the real
+    * general-purpose normalizer ([[UrlKernels.canonicalize]]) applied to the
+    * messy spelling. That asymmetry is the test. */
+  private def canonicalSql: String =
+    s"'http://www.' || ${lowerSql("label")} || '.example.com/docs/' || k || '/page-' || m || '?a=1&b=2'"
+
+  private val urlCte = s"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, $labelSql AS label,
+             CAST(doc_id % 50 AS VARCHAR) AS k,
+             CAST(doc_id % 200 AS VARCHAR) AS m
+      FROM documents)"""
+
+  /** Scala twin of [[messyUrlCol]] (the WARC writer's Target-URI path, and
+    * the unit-test surface). */
+  def messyUrlString(docId: Long, label: String): String = {
+    val k = (docId % 50).toString
+    val m = (docId % 200).toString
+    val host = s"www.$label.example.com"
+    val path = s"/docs/$k/page-$m"
+    docId % 8 match {
+      case 1 => s"HTTP://WWW.${UrlKernels.asciiUpper(label)}.EXAMPLE.COM$path?a=1&b=2"
+      case 2 => s"http://$host:80$path?a=1&b=2"
+      case 3 => s"http://$host/docs/../docs/$k/./page-$m?a=1&b=2"
+      case 4 => s"http://$host/docs/$k/p%61ge-$m?a=1&b=2"
+      case 5 => s"http://$host$path?b=2&a=1&utm_source=feed"
+      case 6 => s"http://$host$path?a=1&b=2#sec-$k"
+      case 7 => s"http://user:pw@$host:80$path?a=1&b=2"
+      case _ => s"http://$host$path?a=1&b=2"
+    }
+  }
+
+  def sanitizeLabel(source: String): String =
+    (if (source == null) "" else source).replaceAll("[^A-Za-z0-9-]", "")
+
+  // ------------------------------------------------------------------ HTML
+
+  /** Page template constants — every number below is mirrored into the
+    * oracles as a formula over the same row, so renderer and parser are
+    * pinned from both sides. */
+  val ParaTokens = 30        // words per <p> chunk
+  val MinContentTokens = 5   // Kohlschütter-style: short blocks are boiler
+  val LinkDensityNum = 3     // content iff 3*link_chars < text_chars
+
+  def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Chunk the document into ParaTokens-word paragraphs on single spaces,
+    * preserving empty tokens (string_split semantics, so the oracle's
+    * list_slice replay is exact). */
+  def paraChunks(text: String): Vector[String] = {
+    val toks = text.split(" ", -1)
+    val n = (toks.length + ParaTokens - 1) / ParaTokens
+    (0 until n).map { j =>
+      toks.slice(j * ParaTokens, math.min((j + 1) * ParaTokens, toks.length))
+        .mkString(" ")
+    }.toVector
+  }
+
+  /** Deterministic page renderer: head with raw-text containers (script
+    * holds unescaped '<' and '&' on purpose), then five boilerplate-or-
+    * content block kinds — link-dense nav, short h1, the text paragraphs,
+    * a link-dense related box, and a footer whose classification flips on
+    * label length (the oracle replays the same rule). Compact output: no
+    * inter-block whitespace, so the parser's block inventory is exact. */
+  def renderHtml(docId: Long, label: String, text: String): String = {
+    val a = 100 + (docId * 7) % 900
+    val b = 100 + (docId * 13) % 900
+    val sb = new java.lang.StringBuilder(text.length * 2 + 512)
+    sb.append("<!DOCTYPE html><html><head><title>Doc ").append(docId)
+      .append("</title><script>if (x < 1) { x = \"&\"; }</script>")
+      .append("<style>p { color: red; }</style></head><body>")
+    sb.append("<div class=\"nav\"><a href=\"/home\">Home</a> <a href=\"/about\">About</a> <a href=\"/src/")
+      .append(label).append("\">").append(label).append("</a></div>")
+    sb.append("<h1>Document ").append(docId).append("</h1>")
+    paraChunks(text).foreach { p =>
+      sb.append("<p>").append(escapeHtml(p)).append("</p>")
+    }
+    sb.append("<div class=\"rel\">Related: <a href=\"/d/").append(a)
+      .append("\">doc ").append(a).append("</a> <a href=\"/d/").append(b)
+      .append("\">doc ").append(b).append("</a> see also</div>")
+    sb.append("<div class=\"footer\"><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a> Copyright 2024 ")
+      .append(label).append("</div>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** One parsed block: decoded text, codepoint count, codepoint count inside
+    * <a>, and the single-space token count (string_split semantics). */
+  final case class HtmlBlock(text: String, chars: Long, linkChars: Long, tokens: Int)
+
+  private val BlockTags = Set("div", "p", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "blockquote", "pre", "td", "th", "section", "article", "header",
+    "footer", "nav", "aside")
+  private val InlineTags = Set("b", "i", "em", "strong", "span", "code", "u", "small")
+  private val VoidTags = Set("br", "hr", "img", "meta", "link", "input")
+  private val RawTags = Set("script", "style", "title")
+
+  /** Strict HTML block parser, codec-style: malformed markup classes we do
+    * not support are REJECTED loudly, never guessed at. Unsupported (each
+    * pinned by an OperatorSpec rejection): unterminated tags/comments/raw
+    * containers, '<' or '>' bare in attribute position, unknown tag names,
+    * uppercase tag names, unknown or unterminated entities, nested
+    * block-level containers, <a> outside a block or nested, mismatched or
+    * stray closers, non-whitespace text outside any block, and trailing
+    * bytes after </html>. */
+  def parseHtmlBlocks(html: String): Vector[HtmlBlock] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"html reject: $msg")
+    val n = html.length
+    var i = 0
+    var inHead = false
+    var inLink = false
+    var closedHtml = false
+    var blockTag: String = null
+    val out = Vector.newBuilder[HtmlBlock]
+    val text = new java.lang.StringBuilder
+    var chars = 0L
+    var linkChars = 0L
+
+    def appendCp(cp: Int): Unit = {
+      text.appendCodePoint(cp)
+      chars += 1
+      if (inLink) linkChars += 1
+    }
+    def flush(): Unit = {
+      val t = text.toString
+      var spaces = 0
+      var j = 0
+      while (j < t.length) { if (t.charAt(j) == ' ') spaces += 1; j += 1 }
+      out += HtmlBlock(t, chars, linkChars, spaces + 1)
+      text.setLength(0); chars = 0L; linkChars = 0L
+    }
+    def isNameChar(c: Char, first: Boolean): Boolean =
+      (c >= 'a' && c <= 'z') || (!first && c >= '0' && c <= '9')
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (closedHtml) {
+        if (!Character.isWhitespace(c)) fail("content after </html>")
+        i += 1
+      } else if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          if (e < 0) fail("unterminated comment")
+          i = e + 3
+        } else if (html.startsWith("<!", i)) {
+          val e = html.indexOf('>', i + 2)
+          if (e < 0) fail("unterminated <! declaration")
+          i = e + 1
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j), j == nameStart)) j += 1
+          if (j == nameStart) fail(s"bare '<' at offset $i")
+          val name = html.substring(nameStart, j)
+          val gt = html.indexOf('>', j)
+          if (gt < 0) fail(s"unterminated <$name tag")
+          val attrs = html.substring(j, gt)
+          if (attrs.indexOf('<') >= 0) fail(s"'<' inside <$name ...> tag")
+          if (closing && attrs.exists(!Character.isWhitespace(_)))
+            fail(s"attributes on closing </$name>")
+          i = gt + 1
+          name match {
+            case "html" => if (closing) closedHtml = true
+            case "head" => inHead = !closing
+            case "body" => // structural; nothing to track beyond strict tags
+            case t if RawTags(t) =>
+              if (closing) fail(s"stray </$t>")
+              val close = s"</$t>"
+              val e = html.indexOf(close, i)
+              if (e < 0) fail(s"unterminated <$t> raw container")
+              i = e + close.length
+            case t if VoidTags(t) =>
+              if (closing) fail(s"closing tag on void <$t>")
+            case "a" =>
+              if (closing) {
+                if (!inLink) fail("</a> without <a>")
+                inLink = false
+              } else {
+                if (blockTag == null) fail("<a> outside a block container")
+                if (inLink) fail("nested <a>")
+                inLink = true
+              }
+            case t if BlockTags(t) =>
+              if (closing) {
+                if (blockTag == null) fail(s"</$t> without open block")
+                if (blockTag != t) fail(s"</$t> closes <$blockTag>")
+                if (inLink) fail(s"</$t> with unclosed <a>")
+                flush()
+                blockTag = null
+              } else {
+                if (blockTag != null) fail(s"nested block <$t> inside <$blockTag>")
+                if (inHead) fail(s"block <$t> inside <head>")
+                blockTag = t
+              }
+            case t if InlineTags(t) =>
+              if (blockTag == null) fail(s"inline <$t> outside a block")
+            case t => fail(s"unknown tag <$t>")
+          }
+        }
+      } else if (c == '&') {
+        val e = html.indexOf(';', i + 1)
+        if (e < 0 || e - i > 9) fail(s"unterminated entity at offset $i")
+        val name = html.substring(i + 1, e)
+        val cp = name match {
+          case "amp" => '&'.toInt
+          case "lt" => '<'.toInt
+          case "gt" => '>'.toInt
+          case "quot" => '"'.toInt
+          case "apos" => '\''.toInt
+          case _ if name.startsWith("#x") || name.startsWith("#X") =>
+            try Integer.parseInt(name.substring(2), 16)
+            catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+          case _ if name.startsWith("#") =>
+            try Integer.parseInt(name.substring(1), 10)
+            catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+          case _ => fail(s"unknown entity &$name;")
+        }
+        if (cp < 0 || cp > 0x10FFFF) fail(s"entity &$name; out of range")
+        if (blockTag == null) fail("entity outside a block")
+        appendCp(cp)
+        i = e + 1
+      } else {
+        if (blockTag != null) {
+          if (Character.isHighSurrogate(c) && i + 1 < n &&
+            Character.isLowSurrogate(html.charAt(i + 1))) {
+            appendCp(Character.toCodePoint(c, html.charAt(i + 1)))
+            i += 2
+          } else {
+            appendCp(c.toInt)
+            i += 1
+          }
+        } else {
+          if (!inHead && !Character.isWhitespace(c))
+            fail(s"text outside a block at offset $i")
+          i += 1
+        }
+      }
+    }
+    if (blockTag != null) fail(s"unclosed <$blockTag> at EOF")
+    if (inLink) fail("unclosed <a> at EOF")
+    if (!closedHtml) fail("missing </html>")
+    out.result()
+  }
+
+  def isContent(b: HtmlBlock): Boolean =
+    b.tokens >= MinContentTokens && LinkDensityNum * b.linkChars < b.chars
+
+  final case class HtmlDocIn(doc_id: Long, source: String, label: String, text: String)
+  final case class HtmlTextOut(doc_id: Long, source: String, n_blocks: Int,
+      content_blocks: Int, content_chars: Long, boiler_chars: Long,
+      content_text: String)
+
+  def htmlStats(docId: Long, source: String, blocks: Vector[HtmlBlock]): HtmlTextOut = {
+    val (content, boiler) = blocks.partition(isContent)
+    HtmlTextOut(docId, source,
+      blocks.length, content.length,
+      content.map(_.chars).sum, boiler.map(_.chars).sum,
+      content.map(_.text).mkString("\n"))
+  }
+
+  /** render → strict-parse → classify, one scan, zero shuffle. */
+  private def htmlTextDs(s: SparkSession, dir: String): Dataset[HtmlTextOut] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), labelCol.as("label"),
+        coalesce(col("text"), lit("")).as("text"))
+      .as[HtmlDocIn]
+      .mapPartitions(_.map { d =>
+        htmlStats(d.doc_id, d.source,
+          parseHtmlBlocks(renderHtml(d.doc_id, d.label, d.text)))
+      })
+  }
+
+  /** Shared oracle CTE: label + paragraph chunks + the a/b related ids +
+    * the footer-classification bit, exactly as the renderer derives them. */
+  private val htmlCte = s"""
+    WITH d AS (
+      SELECT doc_id, source, $labelSql AS label,
+             string_split(coalesce(text, ''), ' ') AS toks,
+             CAST(100 + (doc_id * 7) % 900 AS VARCHAR) AS a,
+             CAST(100 + (doc_id * 13) % 900 AS VARCHAR) AS b
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, label, a, b,
+             list_transform(range(0, (len(toks) + ${ParaTokens - 1}) // $ParaTokens),
+               j -> array_to_string(list_slice(toks, j*$ParaTokens + 1,
+                      least((j+1)*$ParaTokens, len(toks))), ' ')) AS paras
+      FROM d),
+    c AS (
+      SELECT doc_id, source, label, a, b, paras,
+             list_filter(paras, x ->
+               len(string_split(x, ' ')) >= $MinContentTokens
+               AND length(x) > 0) AS cps,
+             CASE WHEN $LinkDensityNum * 12 < 29 + length(label)
+                  THEN 1 ELSE 0 END AS fc
+      FROM p)"""
+
+  /** Per-doc block-stat fragments over CTE `c` (all codepoint counts). */
+  private def boilerSql = s"""
+    (11 + length(label)) + (9 + length(CAST(doc_id AS VARCHAR)))
+      + length('Related: doc ' || a || ' doc ' || b || ' see also')
+      + (1 - fc) * (29 + length(label))
+      + coalesce(list_sum(list_transform(paras, x ->
+          CASE WHEN len(string_split(x, ' ')) >= $MinContentTokens
+                    AND length(x) > 0
+               THEN 0 ELSE length(x) END)), 0)"""
+  private def contentSql = s"""
+    coalesce(list_sum(list_transform(cps, x -> length(x))), 0)
+      + fc * (29 + length(label))"""
+
+  // ------------------------------------------------------------------ WARC
+
+  /** Docs per WARC file: the grouping bucket is doc_id DIV 16, so file size
+    * is bounded (~16 pages) no matter the corpus size — the linear-scale
+    * container shape. */
+  val WarcBucket = 16
+
+  final case class WarcDoc(doc_id: Long, label: String, text: String)
+  final case class WarcRecordOut(doc_id: Long, rec_type: String,
+      target_uri: String, content_length: Long, payload_digest: String)
+  final case class WarcExtractOut(doc_id: Long, content_blocks: Int,
+      content_chars: Long, boiler_chars: Long)
+
+  private val CRLF = "\r\n"
+
+  def httpPayload(html: String): Array[Byte] = {
+    val htmlBytes = html.getBytes("UTF-8")
+    val head = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html; charset=utf-8" + CRLF +
+      s"Content-Length: ${htmlBytes.length}" + CRLF + CRLF).getBytes("US-ASCII")
+    head ++ htmlBytes
+  }
+
+  private def gzipMember(payload: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(payload); gz.close()
+    bo.toByteArray
+  }
+
+  private def warcRecord(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val hdr = new StringBuilder("WARC/1.0").append(CRLF)
+    headers.foreach { case (k, v) => hdr.append(k).append(": ").append(v).append(CRLF) }
+    hdr.append("Content-Length: ").append(payload.length).append(CRLF).append(CRLF)
+    hdr.toString.getBytes("US-ASCII") ++ payload ++ (CRLF + CRLF).getBytes("US-ASCII")
+  }
+
+  /** One WARC.gz file for a bucket of docs: a warcinfo record, then one
+    * response record per doc, each record its own gzip member (the
+    * CommonCrawl layout, which is what makes per-record random access and
+    * splittable reads possible at scale). */
+  def warcFile(docs: Seq[WarcDoc]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(4096)
+    val info = "software: graft-webingest/1.0\r\nformat: WARC File Format 1.0\r\n"
+      .getBytes("US-ASCII")
+    bo.write(gzipMember(warcRecord(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:graft:warcinfo>",
+      "Content-Type" -> "application/warc-fields"), info)))
+    docs.foreach { d =>
+      val payload = httpPayload(renderHtml(d.doc_id, d.label, d.text))
+      bo.write(gzipMember(warcRecord(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:${d.doc_id}>",
+        "WARC-Target-URI" -> UrlKernels.canonicalize(messyUrlString(d.doc_id, d.label)),
+        "Content-Type" -> "application/http; msgtype=response"), payload)))
+    }
+    bo.toByteArray
+  }
+
+  final case class WarcRec(warcType: String, recordId: String,
+      targetUri: String, payload: Array[Byte])
+
+  /** Strict WARC reader over multi-member gzip (JDK GZIPInputStream walks
+    * concatenated members natively). Rejections (each pinned by a spec):
+    * bad gzip stream, version line != WARC/1.0, malformed header line,
+    * missing WARC-Type / WARC-Record-ID / Content-Length, non-numeric or
+    * short Content-Length, and a missing CRLF CRLF record terminator.
+    * Payload bytes are length-delimited — never delimiter-scanned, so
+    * payloads containing CRLF CRLF survive intact. */
+  def readWarc(bytes: Array[Byte]): Vector[WarcRec] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"warc reject: $msg")
+    val raw =
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val bo = new java.io.ByteArrayOutputStream(bytes.length * 4)
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r > 0) { bo.write(buf, 0, r); r = in.read(buf) }
+        in.close()
+        bo.toByteArray
+      } catch {
+        case e: java.io.IOException => fail(s"gzip: ${e.getMessage}")
+      }
+    val out = Vector.newBuilder[WarcRec]
+    var i = 0
+    def readLine(): String = {
+      val e = {
+        var j = i
+        while (j + 1 < raw.length && !(raw(j) == '\r' && raw(j + 1) == '\n')) j += 1
+        if (j + 1 >= raw.length) fail("header line without CRLF")
+        j
+      }
+      val s = new String(raw, i, e - i, "US-ASCII")
+      i = e + 2
+      s
+    }
+    while (i < raw.length) {
+      val version = readLine()
+      if (version != "WARC/1.0") fail(s"bad version line '$version'")
+      var warcType: String = null
+      var recordId: String = null
+      var targetUri: String = ""
+      var contentLength = -1L
+      var line = readLine()
+      while (line.nonEmpty) {
+        val ci = line.indexOf(": ")
+        if (ci <= 0) fail(s"malformed header line '$line'")
+        val (k, v) = (line.substring(0, ci), line.substring(ci + 2))
+        k match {
+          case "WARC-Type" => warcType = v
+          case "WARC-Record-ID" => recordId = v
+          case "WARC-Target-URI" => targetUri = v
+          case "Content-Length" =>
+            contentLength =
+              try v.toLong
+              catch { case _: NumberFormatException => fail(s"bad Content-Length '$v'") }
+          case _ => // tolerated unknown header (spec-legal extension point)
+        }
+        line = readLine()
+      }
+      if (warcType == null) fail("missing WARC-Type")
+      if (recordId == null) fail("missing WARC-Record-ID")
+      if (contentLength < 0) fail("missing Content-Length")
+      if (i + contentLength + 4 > raw.length) fail("truncated record payload")
+      val payload = java.util.Arrays.copyOfRange(raw, i, i + contentLength.toInt)
+      i += contentLength.toInt
+      if (!(raw(i) == '\r' && raw(i + 1) == '\n' && raw(i + 2) == '\r' && raw(i + 3) == '\n'))
+        fail("missing record terminator CRLF CRLF")
+      i += 4
+      out += WarcRec(warcType, recordId, targetUri, payload)
+    }
+    out.result()
+  }
+
+  /** Split an HTTP response payload: status must be 200, headers end at the
+    * first blank line (the body itself is never scanned), body returned. */
+  def httpBody(payload: Array[Byte]): Array[Byte] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"http reject: $msg")
+    var j = 0
+    while (j + 3 < payload.length &&
+      !(payload(j) == '\r' && payload(j + 1) == '\n' &&
+        payload(j + 2) == '\r' && payload(j + 3) == '\n')) j += 1
+    if (j + 3 >= payload.length) fail("no header terminator")
+    val head = new String(payload, 0, j, "US-ASCII")
+    if (!head.startsWith("HTTP/1.1 200 ")) fail(s"status '${head.takeWhile(_ != '\r')}'")
+    java.util.Arrays.copyOfRange(payload, j + 4, payload.length)
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def docIdOf(recordId: String): Long = {
+    val p = "<urn:graft:"
+    require(recordId.startsWith(p) && recordId.endsWith(">"),
+      s"warc reject: record id '$recordId'")
+    recordId.substring(p.length, recordId.length - 1).toLong
+  }
+
+  /** write-a-bucket → read-it-back-as-foreign-input spine for both WARC
+    * queries. The ONE text-moving shuffle, bounded at WarcBucket docs/group. */
+  private def warcRoundTrip(s: SparkSession, dir: String): Dataset[(Long, String, String, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), labelCol.as("label"),
+        coalesce(col("text"), lit("")).as("text"))
+      .groupBy((col("doc_id") % WarcBucket).as("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("label"), col("text")))).as("docs"))
+      .select(col("docs").as[Seq[WarcDoc]])
+      .flatMap { docs =>
+        readWarc(warcFile(docs)).collect {
+          case r if r.warcType == "response" =>
+            (docIdOf(r.recordId), r.targetUri, r.warcType, r.payload)
+        }
+      }
+  }
+
+  private def httpSql(htmlExpr: String) =
+    s"""'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      || 'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10)
+      || 'Content-Length: ' || CAST(octet_length(encode($htmlExpr)) AS VARCHAR)
+      || chr(13) || chr(10) || chr(13) || chr(10) || $htmlExpr"""
+
+  /** SQL twin of [[renderHtml]] over CTE `c` columns. */
+  private val htmlSql = """
+    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><script>if (x < 1) { x = "&"; }</script><style>p { color: red; }</style></head><body>'
+    || '<div class="nav"><a href="/home">Home</a> <a href="/about">About</a> <a href="/src/'
+    || label || '">' || label || '</a></div>'
+    || '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || array_to_string(list_transform(paras, x ->
+         '<p>' || replace(replace(replace(x, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>'), '')
+    || '<div class="rel">Related: <a href="/d/' || a || '">doc ' || a
+    || '</a> <a href="/d/' || b || '">doc ' || b || '</a> see also</div>'
+    || '<div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> Copyright 2024 '
+    || label || '</div>'
+    || '</body></html>'"""
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- RFC 3986 canonicalization (oracle-checked against the formula) --
+    // The oracle derives BOTH the messy spelling and the canonical form
+    // from the fixture formula; the Spark side must recover the canonical
+    // form by actually normalizing the messy string through the codegen'd
+    // UrlCanonicalize expression — 8 denormalization variants per corpus.
+    GraftQuery(
+      "url_normalize",
+      (s, dir) => {
+        val u = messyUrlCol
+        Tables.documents(s, dir)
+          .select(col("doc_id"), u.as("url"),
+            UrlExpressions.urlCanonicalize(u).as("canonical_url"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $urlCte
+        SELECT doc_id, $messyUrlSql AS url, $canonicalSql AS canonical_url
+        FROM d ORDER BY doc_id""")),
+
+    // ---- URL-keyed dedup: the crawl-frontier pass ------------------------
+    // Exact digest-join shape of dedup_exact (Dedup.scala:491), keyed on
+    // the canonical URL instead of the content hash: scan-side codegen'd
+    // canonicalization, one groupBy on the bounded canonical string,
+    // min-doc_id survivor rule. doc_id % 200 guarantees real dup groups.
+    GraftQuery(
+      "url_dedup",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          UrlExpressions.urlCanonicalize(messyUrlCol).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies", "canonical_url")
+        .orderBy("keep_id"),
+      Some(s"""
+        $urlCte
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+               $canonicalSql AS canonical_url
+        FROM d GROUP BY canonical_url ORDER BY keep_id""")),
+
+    // ---- content-dup vs URL-dup overlap readout --------------------------
+    // Production dedup runs URL-keyed first because it is nearly free, but
+    // it is LOSSY both ways (same URL ≠ same bytes; same bytes ≠ same URL).
+    // This readout quantifies that: of the URL-dup groups, how many are
+    // content-identical (URL dedup was sound) vs content-distinct (URL
+    // dedup would have merged genuinely different pages).
+    GraftQuery(
+      "url_overlap",
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            coalesce(col("text"), lit("")).as("t"),
+            UrlExpressions.urlCanonicalize(messyUrlCol).as("cu"))
+          .groupBy("cu")
+          .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("nc"))
+        g.agg(
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L)).as("dup_groups"),
+          coalesce(sum(when(col("n") > 1, col("n")).otherwise(0L)), lit(0L)).as("dup_docs"),
+          coalesce(sum(when(col("n") > 1 && col("nc") === 1, 1L).otherwise(0L)), lit(0L))
+            .as("content_identical_groups"),
+          coalesce(sum(when(col("n") > 1 && col("nc") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("content_distinct_groups"))
+      },
+      Some(s"""
+        $urlCte,
+        g AS (
+          SELECT $canonicalSql AS cu, count(*) AS n, count(DISTINCT t) AS nc
+          FROM d GROUP BY cu)
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_groups,
+               CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS dup_docs,
+               CAST(coalesce(sum(CASE WHEN n > 1 AND nc = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS content_identical_groups,
+               CAST(coalesce(sum(CASE WHEN n > 1 AND nc > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS content_distinct_groups
+        FROM g""")),
+
+    // ---- HTML boilerplate extraction (Kohlschütter-style density rules) --
+    // render → strict-parse → classify. A block is content iff it has at
+    // least MinContentTokens tokens AND LinkDensityNum·link_chars <
+    // text_chars (integer-exact — no float densities). The oracle replays
+    // the block inventory AND the classification arithmetic from the same
+    // row, so parser, entity decoder, codepoint counting, and classifier
+    // are all pinned.
+    GraftQuery(
+      "html_text",
+      (s, dir) => htmlTextDs(s, dir).toDF()
+        .select("doc_id", "n_blocks", "content_blocks", "content_chars",
+          "boiler_chars", "content_text")
+        .orderBy("doc_id"),
+      Some(s"""
+        $htmlCte
+        SELECT doc_id,
+               CAST(4 + len(paras) AS INT) AS n_blocks,
+               CAST(len(cps) + fc AS INT) AS content_blocks,
+               CAST($contentSql AS BIGINT) AS content_chars,
+               CAST($boilerSql AS BIGINT) AS boiler_chars,
+               coalesce(array_to_string(
+                 CASE WHEN fc = 1
+                      THEN list_append(cps, 'Terms Privacy Copyright 2024 ' || label)
+                      ELSE cps END, chr(10)), '') AS content_text
+        FROM c ORDER BY doc_id""")),
+
+    // ---- per-source boilerplate-rate readout -----------------------------
+    // The corpus-curation dial: how much of each source is chrome vs text.
+    // Rolls the html_text stats up on the low-cardinality source key.
+    GraftQuery(
+      "boilerplate_rate",
+      (s, dir) => htmlTextDs(s, dir).toDF()
+        .withColumn("total", col("content_chars") + col("boiler_chars"))
+        .groupBy("source")
+        .agg(sum("boiler_chars").as("boiler_chars"),
+          sum("total").as("total_chars"),
+          round(sum(col("boiler_chars")).cast("double") / sum(col("total")), 4)
+            .as("boiler_rate"))
+        .orderBy("source"),
+      Some(s"""
+        $htmlCte,
+        perdoc AS (
+          SELECT source,
+                 CAST($boilerSql AS BIGINT) AS boiler,
+                 CAST($contentSql AS BIGINT) + CAST($boilerSql AS BIGINT) AS total
+          FROM c)
+        SELECT source,
+               CAST(sum(boiler) AS BIGINT) AS boiler_chars,
+               CAST(sum(total) AS BIGINT) AS total_chars,
+               round(CAST(sum(boiler) AS DOUBLE) / sum(total), 4) AS boiler_rate
+        FROM perdoc GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // ---- WARC container walk ---------------------------------------------
+    // Writer renders each bucket of pages into a real multi-member WARC.gz
+    // (warcinfo + one gzip member per response record, the CommonCrawl
+    // layout); the reader walks it back as untrusted foreign input: gzip →
+    // strict version/header parse → length-delimited payload → terminator
+    // check. The oracle recomputes record length and payload digest from
+    // the SQL-rebuilt HTTP+HTML bytes, so a reader that miscounts a byte
+    // or drops a member hash-mismatches.
+    GraftQuery(
+      "warc_records",
+      (s, dir) => {
+        import s.implicits._
+        warcRoundTrip(s, dir)
+          .map { case (id, uri, tpe, payload) =>
+            WarcRecordOut(id, tpe, uri, payload.length.toLong, md5Hex(payload))
+          }
+          .toDF()
+          .select("doc_id", "rec_type", "target_uri", "content_length", "payload_digest")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $htmlCte,
+        k2 AS (
+          SELECT doc_id, label,
+                 CAST(doc_id % 50 AS VARCHAR) AS k,
+                 CAST(doc_id % 200 AS VARCHAR) AS m,
+                 ${httpSql(s"($htmlSql)")} AS http
+          FROM c)
+        SELECT doc_id, 'response' AS rec_type,
+               $canonicalSql AS target_uri,
+               CAST(octet_length(encode(http)) AS BIGINT) AS content_length,
+               md5(http) AS payload_digest
+        FROM k2 ORDER BY doc_id""")),
+
+    // ---- WARC → HTTP → HTML → text: the composed CommonCrawl ingest ------
+    // The full pipeline front in one plan: container walk, HTTP split,
+    // strict HTML parse, density classification. Output must equal the
+    // direct html_text numbers — proving the container round-trip is
+    // byte-transparent end to end.
+    GraftQuery(
+      "warc_extract",
+      (s, dir) => {
+        import s.implicits._
+        warcRoundTrip(s, dir)
+          .map { case (id, _, _, payload) =>
+            val blocks = parseHtmlBlocks(new String(httpBody(payload), "UTF-8"))
+            val (content, boiler) = blocks.partition(isContent)
+            WarcExtractOut(id, content.length,
+              content.map(_.chars).sum, boiler.map(_.chars).sum)
+          }
+          .toDF()
+          .select("doc_id", "content_blocks", "content_chars", "boiler_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $htmlCte
+        SELECT doc_id,
+               CAST(len(cps) + fc AS INT) AS content_blocks,
+               CAST($contentSql AS BIGINT) AS content_chars,
+               CAST($boilerSql AS BIGINT) AS boiler_chars
+        FROM c ORDER BY doc_id"""))
+  )
+}

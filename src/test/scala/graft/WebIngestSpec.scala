@@ -1,0 +1,210 @@
+package graft
+
+import graft.functions.UrlKernels
+import graft.operators.WebIngest
+
+/** Unit surface for the round-9 web-ingestion stage: the RFC 3986 kernel,
+  * the strict HTML parser's rejection contract, and the WARC walk. The
+  * oracle-checked queries pin the happy path cross-engine; these pin the
+  * general-purpose kernel behavior and every documented rejection class. */
+class WebIngestSpec extends SparkSuite {
+
+  // ------------------------------------------------------------ UrlKernels
+
+  private def canon(u: String) = UrlKernels.canonicalize(u)
+
+  test("url: percent-normalization decodes unreserved, uppercases kept escapes, keeps invalid") {
+    assert(UrlKernels.pctNormalize("p%61ge") == "page")     // %61='a' unreserved
+    assert(UrlKernels.pctNormalize("a%2fb") == "a%2Fb")     // '/' reserved: keep, upper
+    assert(UrlKernels.pctNormalize("a%2Fb") == "a%2Fb")
+    assert(UrlKernels.pctNormalize("x%7ey") == "x~y")       // '~' unreserved
+    assert(UrlKernels.pctNormalize("bad%zzkeep") == "bad%zzkeep") // invalid: literal
+    assert(UrlKernels.pctNormalize("tail%4") == "tail%4")   // short: literal
+    assert(UrlKernels.pctNormalize("%%41") == "%A")         // '%%' → literal %, then %41='A'
+    assert(UrlKernels.pctNormalize("no-escapes") == "no-escapes")
+  }
+
+  test("url: remove_dot_segments follows RFC 3986 §5.2.4") {
+    assert(UrlKernels.removeDotSegments("/a/b/c/./../../g") == "/a/g")
+    assert(UrlKernels.removeDotSegments("/docs/../docs/5/./page-7") == "/docs/5/page-7")
+    assert(UrlKernels.removeDotSegments("mid/content=5/../6") == "mid/6")
+    assert(UrlKernels.removeDotSegments("/..") == "/")
+    assert(UrlKernels.removeDotSegments("/a/../../b") == "/b")
+    assert(UrlKernels.removeDotSegments("/a/b/..") == "/a/")
+  }
+
+  test("url: canonicalize lowercases scheme+host ASCII-only, strips default port/credentials/fragment") {
+    assert(canon("HTTP://WWW.EXAMPLE.COM/Path?a=1") == "http://www.example.com/Path?a=1")
+    assert(canon("http://host:80/x") == "http://host/x")
+    assert(canon("https://host:443/x") == "https://host/x")
+    assert(canon("https://host:80/x") == "https://host:80/x") // not https default
+    assert(canon("http://host:/x") == "http://host/x")        // bare colon
+    assert(canon("http://user:pw@host:80/x?b=2&a=1#frag") == "http://host/x?a=1&b=2")
+    assert(canon("http://h/") == "http://h/")
+    assert(canon("http://h") == "http://h/")                  // empty path → "/"
+    // ASCII-only fold: Turkish İ (U+0130) must NOT fold
+    assert(canon("http://İhost/x") == "http://İhost/x")
+  }
+
+  test("url: IPv6 literal colons are not ports") {
+    assert(canon("http://[2001:db8::1]/x") == "http://[2001:db8::1]/x")
+    assert(canon("http://[2001:db8::1]:80/x") == "http://[2001:db8::1]/x")
+  }
+
+  test("url: query params drop empties and utm_*, sort by codepoint (UTF-8 byte order)") {
+    assert(canon("http://h/p?b=2&&a=1&utm_source=x&utm_medium=y") == "http://h/p?a=1&b=2")
+    assert(canon("http://h/p?utm_only=1") == "http://h/p")
+    // U+FFFD (BMP, high) vs U+10000 (astral): codepoint order puts FFFD first;
+    // Java UTF-16 compareTo would put the surrogate pair first — the bug this pins
+    assert(canon("http://h/p?𐀀=1&�=2") == "http://h/p?�=2&𐀀=1")
+  }
+
+  test("url: canonicalize is idempotent and null-safe; opaque (no ://) passes through stages 1-2 only") {
+    val messy = Seq(
+      "HTTP://U:P@WWW.A.COM:80/docs/../d/./x?b=2&utm_x=9&a=1#f",
+      "http://h/p%61th?q=%2f", "mailto:x@y.z?subject=hi#frag", "not a url at all")
+    messy.foreach { u => assert(canon(canon(u)) == canon(u), s"not idempotent: $u") }
+    assert(canon(null) == null)
+    assert(canon("mailto:X@Y.z#f") == "mailto:X@Y.z") // opaque: only fragment strip
+  }
+
+  test("url: every messy fixture variant canonicalizes to the same formula target") {
+    for (label <- Seq("src7", "MiXeD-9", ""); id <- 0L until 16L) {
+      val expect = s"http://www.${UrlKernels.asciiLower(label)}.example.com" +
+        s"/docs/${id % 50}/page-${id % 200}?a=1&b=2"
+      val got = canon(WebIngest.messyUrlString(id, label))
+      assert(got == expect, s"id=$id label=$label: $got != $expect")
+    }
+  }
+
+  // ------------------------------------------------------------ HTML parse
+
+  private def page(body: String) =
+    s"<!DOCTYPE html><html><head><title>T</title></head><body>$body</body></html>"
+
+  test("html: rendered page round-trips to the exact block inventory") {
+    val text = "one two three four five six seven eight nine ten"
+    val blocks = WebIngest.parseHtmlBlocks(WebIngest.renderHtml(3L, "src3", text))
+    assert(blocks.length == 5) // nav, h1, 1 para (10 tokens), rel, footer
+    assert(blocks(0).text == "Home About src3" && blocks(0).linkChars == 13)
+    assert(blocks(1).text == "Document 3" && blocks(1).tokens == 2)
+    assert(blocks(2).text == text && blocks(2).linkChars == 0 && blocks(2).tokens == 10)
+    assert(blocks(3).text.startsWith("Related: doc ") && blocks(3).text.endsWith(" see also"))
+    assert(blocks(4).text == "Terms Privacy Copyright 2024 src3" && blocks(4).linkChars == 12)
+    assert(blocks.count(WebIngest.isContent) == 1) // only the paragraph
+  }
+
+  test("html: entity decode and codepoint counting survive escapes and astral chars") {
+    val text = "a & b < c > d 😀 café six seven eight"
+    val blocks = WebIngest.parseHtmlBlocks(WebIngest.renderHtml(1L, "s", text))
+    val para = blocks(2)
+    assert(para.text == text)
+    // codepoints, not UTF-16 units: the emoji counts once
+    assert(para.chars == text.codePointCount(0, text.length))
+  }
+
+  test("html: rejection battery — every unsupported markup class fails loudly") {
+    val bad = Seq(
+      "unterminated tag" -> page("<p>x"),
+      "unterminated comment" -> page("<!-- never closed <p>x</p>"),
+      "unterminated raw container" -> page("<p>a</p><script>var x=1;"),
+      "bare '<'" -> page("<p>a < b</p>"),
+      "'<' inside tag" -> page("<p <div>>x</p>"),
+      "unknown tag" -> page("<marquee>x</marquee>"),
+      "uppercase tag" -> page("<P>x</P>"),
+      "unknown entity" -> page("<p>&nope;</p>"),
+      "unterminated entity" -> page("<p>&amp no semi</p>"),
+      "bad numeric entity" -> page("<p>&#xzz;</p>"),
+      "nested block" -> page("<div><p>x</p></div>"),
+      "mismatched closer" -> page("<div>x</p>"),
+      "stray closer" -> page("</div>"),
+      "nested <a>" -> page("<p><a href=\"x\"><a href=\"y\">z</a></a></p>"),
+      "</a> without <a>" -> page("<p>x</a></p>"),
+      "<a> outside block" -> page("<a href=\"x\">y</a>"),
+      "text outside block" -> page("stray words"),
+      "entity outside block" -> page("&amp;"),
+      "unclosed block at EOF" -> "<!DOCTYPE html><html><body><p>x",
+      "missing </html>" -> "<!DOCTYPE html><html><body><p>x</p></body>",
+      "content after </html>" -> (page("<p>x</p>") + "trailing"))
+    bad.foreach { case (what, html) =>
+      val e = intercept[IllegalArgumentException](WebIngest.parseHtmlBlocks(html))
+      assert(e.getMessage.startsWith("html reject:"), s"$what: ${e.getMessage}")
+    }
+  }
+
+  test("html: supported-but-unused classes parse (comments, inline tags, void tags, numeric entities)") {
+    val blocks = WebIngest.parseHtmlBlocks(page(
+      "<!-- c --><p>a <b>bold</b> &#65;&#x42; x<br> y z w</p>"))
+    assert(blocks.length == 1)
+    assert(blocks.head.text == "a bold AB x y z w")
+  }
+
+  // ------------------------------------------------------------------ WARC
+
+  private def docs = Seq(
+    WebIngest.WarcDoc(1L, "src1", "alpha beta gamma delta epsilon zeta"),
+    WebIngest.WarcDoc(2L, "src2", "line1\r\nline2\r\n\r\nline3 five six seven eight nine"))
+
+  test("warc: write → read round-trip recovers every record, byte-exact payloads") {
+    val recs = WebIngest.readWarc(WebIngest.warcFile(docs))
+    assert(recs.length == 3)
+    assert(recs.head.warcType == "warcinfo")
+    val responses = recs.filter(_.warcType == "response")
+    assert(responses.map(_.recordId) == Vector("<urn:graft:1>", "<urn:graft:2>"))
+    responses.zip(docs).foreach { case (r, d) =>
+      val html = new String(WebIngest.httpBody(r.payload), "UTF-8")
+      assert(html == WebIngest.renderHtml(d.doc_id, d.label, d.text))
+      assert(r.targetUri == UrlKernels.canonicalize(
+        WebIngest.messyUrlString(d.doc_id, d.label)))
+    }
+  }
+
+  test("warc: payloads containing CRLF CRLF survive (length-delimited, never scanned)") {
+    // doc 2's text embeds \r\n\r\n — the html (and so the record payload)
+    // contains the record-terminator byte sequence mid-payload
+    val recs = WebIngest.readWarc(WebIngest.warcFile(docs))
+    val html2 = new String(WebIngest.httpBody(
+      recs.filter(_.warcType == "response")(1).payload), "UTF-8")
+    assert(html2.contains("line2\r\n\r\nline3"))
+  }
+
+  test("warc: rejection battery — malformed containers fail loudly") {
+    val good = WebIngest.warcFile(docs.take(1))
+    def gz(s: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(s); g.close()
+      bo.toByteArray
+    }
+    val cases = Seq[(String, Array[Byte])](
+      "not gzip" -> "WARC/1.0\r\n".getBytes("US-ASCII"),
+      "truncated gzip member" -> good.dropRight(8),
+      "bad version" -> gz("WARC/0.9\r\nWARC-Type: response\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes("US-ASCII")),
+      "malformed header line" -> gz("WARC/1.0\r\nNoColonHere\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes("US-ASCII")),
+      "missing WARC-Type" -> gz("WARC/1.0\r\nWARC-Record-ID: <urn:x>\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes("US-ASCII")),
+      "missing Content-Length" -> gz("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x>\r\n\r\n\r\n\r\n".getBytes("US-ASCII")),
+      "bad Content-Length" -> gz("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x>\r\nContent-Length: zz\r\n\r\n\r\n\r\n".getBytes("US-ASCII")),
+      "truncated payload" -> gz("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x>\r\nContent-Length: 99\r\n\r\nshort".getBytes("US-ASCII")),
+      "missing terminator" -> gz("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x>\r\nContent-Length: 2\r\n\r\nabXXXX".getBytes("US-ASCII")))
+    cases.foreach { case (what, bytes) =>
+      val e = intercept[IllegalArgumentException](WebIngest.readWarc(bytes))
+      assert(e.getMessage.contains("reject"), s"$what: ${e.getMessage}")
+    }
+  }
+
+  test("warc: http split rejects non-200 and headerless payloads") {
+    intercept[IllegalArgumentException](
+      WebIngest.httpBody("HTTP/1.1 404 Not Found\r\n\r\nx".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      WebIngest.httpBody("no terminator here".getBytes("US-ASCII")))
+  }
+
+  // --------------------------------------------------- classifier boundary
+
+  test("html: footer classification flips exactly at the documented label-length boundary") {
+    // content iff 3·12 < 29 + len(label) → len ≥ 8
+    val short = WebIngest.parseHtmlBlocks(WebIngest.renderHtml(1L, "len7-ab", "w1 w2"))
+    val long = WebIngest.parseHtmlBlocks(WebIngest.renderHtml(1L, "len8-abc", "w1 w2"))
+    assert(!WebIngest.isContent(short.last))
+    assert(WebIngest.isContent(long.last))
+  }
+}
