@@ -119,12 +119,16 @@ object Jpeg {
 
   // ----------------------------------------------------------- bit reader
 
-  /** Entropy-segment bit reader: 0xFF00 unstuffing, restart markers
-    * surfaced via [[atMarker]]. */
+  /** Entropy-segment bit reader: 0xFF00 unstuffing; restart markers are
+    * consumed by [[restart]] at their expected MCU boundaries. A
+    * non-stuffed 0xFF anywhere ELSE mid-entropy (truncated or corrupt
+    * stream — a conformant scan's Huffman decode never reads past its
+    * last padded byte) fails LOUDLY: serving zero bits here would let the
+    * decoder re-consume the marker identifier as entropy data and emit
+    * silent garbage, breaking the strictness contract the codec tests pin. */
   private final class BitReader(data: Array[Byte], var pos: Int) {
     private var buf = 0
     private var cnt = 0
-    var markerHit = -1
     def bit(): Int = {
       if (cnt == 0) {
         require(pos < data.length, "entropy stream truncated")
@@ -133,8 +137,9 @@ object Jpeg {
         if (b == 0xff) {
           require(pos < data.length, "entropy stream truncated at 0xFF")
           val nxt = data(pos) & 0xff
-          if (nxt == 0x00) pos += 1 // stuffed byte
-          else { markerHit = nxt; b = 0 /* should not be consumed */ }
+          require(nxt == 0x00,
+            f"unexpected marker 0xFF$nxt%02X inside entropy-coded segment")
+          pos += 1 // stuffed byte
         }
         buf = b; cnt = 8
       }
@@ -149,7 +154,7 @@ object Jpeg {
     }
     /** Align to byte boundary and consume an expected RSTn marker. */
     def restart(): Unit = {
-      cnt = 0; markerHit = -1
+      cnt = 0
       require(pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
         ((data(pos + 1) & 0xff) & 0xf8) == 0xd0, "expected RST marker")
       pos += 2

@@ -807,10 +807,18 @@ object Multimodal {
     * cell k's mean energy against cell k+1's — the temporal twin of the
     * image dHash, robust to uniform gain changes because only the ORDER
     * of neighboring energies matters. Exact: energies are BIGINT sums,
-    * means compared by cross-multiplication (≤ 2³⁰·N per cell sum —
-    * inside Long for any payload under ~10⁸ samples). */
+    * means compared by cross-multiplication. Overflow bound: a cell sum is
+    * ≤ 2³⁰·(N/65) and the cross-product multiplies it by a ≈N/65 cell
+    * count, so the comparison is ≤ 2³⁰·(N/65)² — inside Long only while
+    * N < ~6·10⁶ samples (~12 MB of s16 audio). Scala Long wraps silently
+    * past that while the DuckDB oracle sums in HUGEINT, so the guard
+    * below fails LOUDLY instead of emitting divergent fingerprint bits;
+    * payloads that large belong in a chunked fingerprint, not this one. */
   def ehash64(samples: Array[Int]): Long = {
     val n = samples.length
+    require(n < 6000000,
+      s"ehash64: $n samples exceeds the exact cross-multiplication bound " +
+        "(~6M samples); chunk the signal before fingerprinting")
     val sums = new Array[Long](PhashCells)
     val cnts = new Array[Long](PhashCells)
     var j = 0

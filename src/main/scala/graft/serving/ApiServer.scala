@@ -145,41 +145,56 @@ final class ApiServer(
     }
   }
 
-  private def stats(q: Map[String, String]): Resp = cursorOf(q) match {
-    case Left(err) => Resp(422, s"""{"detail": ${jstr(err)}}""")
-    case Right(cursor) =>
-      // one scan for the global numbers, one for each distribution — the
-      // same four statements the reference issues (app.py:247-274). The
-      // distributions are bounded only by key cardinality (app.py:247-266
-      // has no LIMIT), so both are capped at MaxQueryRows entries with the
-      // SAME offset cursor applied symmetrically; the deterministic
-      // (count desc, key) order makes the pages stable.
-      val r = raw()
-      val global = r.agg(
-        count(lit(1)).as("total"),
-        min("timestamp").as("earliest"), max("timestamp").as("latest")).head()
-      def page(keyed: DataFrame, key: String): Array[org.apache.spark.sql.Row] =
-        keyed.groupBy(key).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col(key))
-          .offset(cursor).limit(maxRows + 1).collect()
-      val byType = page(r, "device_type")
-      val byLoc = page(r, "location")
-      val truncated =
-        byType.length > maxRows || byLoc.length > maxRows
-      def dist(rows: Array[org.apache.spark.sql.Row]): String =
-        rows.take(maxRows)
-          .map(r => s"${jstr(r.getString(0))}: ${r.getLong(1)}").mkString("{", ", ", "}")
-      def iso(i: Int): String =
-        if (global.isNullAt(i)) "null" else jstr(global.getTimestamp(i).toInstant.toString)
-      Resp(200,
-        s"""{"total_readings": ${global.getLong(0)}, """ +
-          s""""device_type_distribution": ${dist(byType)}, """ +
-          s""""location_distribution": ${dist(byLoc)}, """ +
-          s""""time_range": {"earliest": ${iso(1)}, "latest": ${iso(2)}}}""",
-        if (truncated)
-          Map(ApiServer.NextCursorHeader ->
-            (cursor + maxRows).toString)
-        else Map.empty)
+  private def stats(q: Map[String, String]): Resp = {
+    // one scan for the global numbers, one for each distribution — the
+    // same four statements the reference issues (app.py:247-274). The
+    // distributions are bounded only by key cardinality (app.py:247-266
+    // has no LIMIT), so each is capped at MaxQueryRows entries under its
+    // OWN offset cursor (`cursor_type` / `cursor_location`; bare `cursor`
+    // is the set-both shorthand) with its own continuation header —
+    // distributions have independent cardinalities, and a shared cursor
+    // made "page past the shorter one's end" indistinguishable from "no
+    // such keys". The deterministic (count desc, key) order keeps pages
+    // stable.
+    def cursorNamed(name: String): Either[String, Int] =
+      q.get(name).orElse(q.get("cursor"))
+        .fold[Either[String, Int]](Right(0)) { c =>
+          c.toIntOption.filter(_ >= 0)
+            .toRight(s"$name must be a non-negative integer")
+        }
+    (cursorNamed("cursor_type"), cursorNamed("cursor_location")) match {
+      case (Left(err), _) => Resp(422, s"""{"detail": ${jstr(err)}}""")
+      case (_, Left(err)) => Resp(422, s"""{"detail": ${jstr(err)}}""")
+      case (Right(ct), Right(cl)) =>
+        val r = raw()
+        val global = r.agg(
+          count(lit(1)).as("total"),
+          min("timestamp").as("earliest"), max("timestamp").as("latest")).head()
+        def page(keyed: DataFrame, key: String, cursor: Int): Array[org.apache.spark.sql.Row] =
+          keyed.groupBy(key).agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col(key))
+            .offset(cursor).limit(maxRows + 1).collect()
+        val byType = page(r, "device_type", ct)
+        val byLoc = page(r, "location", cl)
+        def dist(rows: Array[org.apache.spark.sql.Row]): String =
+          rows.take(maxRows)
+            .map(r => s"${jstr(r.getString(0))}: ${r.getLong(1)}").mkString("{", ", ", "}")
+        def iso(i: Int): String =
+          if (global.isNullAt(i)) "null" else jstr(global.getTimestamp(i).toInstant.toString)
+        val headers =
+          (if (byType.length > maxRows)
+            Map(ApiServer.NextCursorTypeHeader -> (ct + maxRows).toString)
+          else Map.empty[String, String]) ++
+            (if (byLoc.length > maxRows)
+              Map(ApiServer.NextCursorLocationHeader -> (cl + maxRows).toString)
+            else Map.empty[String, String])
+        Resp(200,
+          s"""{"total_readings": ${global.getLong(0)}, """ +
+            s""""device_type_distribution": ${dist(byType)}, """ +
+            s""""location_distribution": ${dist(byLoc)}, """ +
+            s""""time_range": {"earliest": ${iso(1)}, "latest": ${iso(2)}}}""",
+          headers)
+    }
   }
 
   /** `cursor` query param: a non-negative row offset (422 otherwise). */
@@ -272,6 +287,13 @@ object ApiServer {
   /** Response header carrying the next page's `cursor` offset when a
     * capped endpoint truncated its result; absent on the last page. */
   val NextCursorHeader = "X-Next-Cursor"
+
+  /** `/api/stats` per-distribution continuation headers: each distribution
+    * paginates to its own end (feeds `cursor_type` / `cursor_location`),
+    * so clients can distinguish "no such keys" from "page past the
+    * shorter distribution's end". */
+  val NextCursorTypeHeader = "X-Next-Cursor-Type"
+  val NextCursorLocationHeader = "X-Next-Cursor-Location"
 
   /** An endpoint response: status, JSON body, extra headers (the
     * pagination cursor — body shapes stay reference-identical). */

@@ -883,6 +883,13 @@ class OperatorSpec extends SparkSuite {
     val sig2 = sig.clone(); sig2(300) = 32000
     assert(java.lang.Long.bitCount(fpS ^ Multimodal.ehash64(sig2)) <= 2,
       "single-sample edit should perturb at most two comparisons")
+    // past ~6M samples the exact cross-multiplication can wrap Long while
+    // the DuckDB oracle sums in HUGEINT — the guard must fail loudly
+    // instead of emitting divergent fingerprint bits
+    val eOver = intercept[IllegalArgumentException] {
+      Multimodal.ehash64(new Array[Int](6000000))
+    }
+    assert(eOver.getMessage.contains("cross-multiplication bound"))
   }
 
   test("JPEG codec: gray round-trip (dims, exact DC chain, raster), strictness") {
@@ -930,6 +937,24 @@ class OperatorSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Jpeg.decodeJpeg(Array.fill[Byte](64)(0x55))
     }
+    // a non-stuffed marker INSIDE the entropy segment must reject loudly,
+    // not serve zero bits and re-consume the marker id as entropy data
+    // (the silent-garbage path the BitReader used to have): splice an EOI
+    // where the first entropy byte belongs
+    val marked = {
+      val big = Jpeg.encodeJpegGray(Array.tabulate[Byte](64)(i => (i * 7).toByte))
+      val sos = (0 until big.length - 1).find(i =>
+        (big(i) & 0xff) == 0xff && (big(i + 1) & 0xff) == 0xda).get
+      val hdrLen = ((big(sos + 2) & 0xff) << 8) | (big(sos + 3) & 0xff)
+      val entropy = sos + 2 + hdrLen
+      val m = big.clone()
+      m(entropy) = 0xff.toByte
+      m(entropy + 1) = 0xd9.toByte
+      m
+    }
+    val e = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(marked) }
+    assert(e.getMessage.contains("marker") || e.getMessage.contains("entropy"),
+      s"expected the mid-entropy marker rejection, got: ${e.getMessage}")
   }
 
   test("JPEG codec decodes a FOREIGN encoder's output (ImageIO 4:2:0 color)") {

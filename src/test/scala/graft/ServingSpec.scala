@@ -171,31 +171,47 @@ class ServingSpec extends SparkSuite {
       // an invalid cursor is a 422, like the hours validation
       assert(get(port, "/api/aggregates?cursor=-1")._1 == 422)
       assert(get(port, "/api/aggregates?cursor=abc")._1 == 422)
-      // /api/stats under the same cap: distributions truncate to the cap
-      // and surface the continuation header (5 types / 6 locations > 4)
+      // /api/stats under the same cap: each distribution truncates to the
+      // cap under its OWN cursor + continuation header (5 types / 6
+      // locations > 4; a shared cursor couldn't tell "no such keys" from
+      // "page past the shorter distribution's end")
       val srv2 = new ApiServer(() => raw, () => agg, new ResultCache(),
         () => now, maxRows = 4)
       srv2.start()
       try {
-        val r1 = http.send(
+        def statsGet(path: String) = http.send(
           HttpRequest.newBuilder(URI.create(
-            s"http://127.0.0.1:${srv2.boundPort}/api/stats")).GET().build(),
+            s"http://127.0.0.1:${srv2.boundPort}$path")).GET().build(),
           HttpResponse.BodyHandlers.ofString())
+        val r1 = statsGet("/api/stats")
         assert(r1.statusCode() == 200)
-        assert(r1.headers().firstValue(ApiServer.NextCursorHeader).orElse("") == "4",
-          "stats distributions over the cap must carry the next cursor")
-        val page2 = http.send(
-          HttpRequest.newBuilder(URI.create(
-            s"http://127.0.0.1:${srv2.boundPort}/api/stats?cursor=4")).GET().build(),
-          HttpResponse.BodyHandlers.ofString())
+        assert(r1.headers().firstValue(ApiServer.NextCursorTypeHeader).orElse("") == "4",
+          "type distribution over the cap must carry its next cursor")
+        assert(r1.headers().firstValue(ApiServer.NextCursorLocationHeader).orElse("") == "4",
+          "location distribution over the cap must carry its next cursor")
+        // bare `cursor` stays the set-both shorthand
+        val page2 = statsGet("/api/stats?cursor=4")
         assert(page2.statusCode() == 200)
         // 5 types / 6 locations: page 2 holds the remaining 1 + 2 entries
-        // and no further continuation
-        assert(page2.headers().firstValue(ApiServer.NextCursorHeader).isEmpty)
+        // and no further continuation on either distribution
+        assert(page2.headers().firstValue(ApiServer.NextCursorTypeHeader).isEmpty)
+        assert(page2.headers().firstValue(ApiServer.NextCursorLocationHeader).isEmpty)
         val typeEntries = """"device_type_distribution": \{([^}]*)\}""".r
           .findFirstMatchIn(page2.body()).get.group(1)
         assert(typeEntries.split(",").count(_.contains(":")) ==
           raw.select("device_type").distinct().count().toInt - 4)
+        // asymmetric paging: advance ONLY the location cursor — the type
+        // distribution restarts at its full first page (with continuation)
+        // while location reaches its own end
+        val asym = statsGet("/api/stats?cursor_location=4")
+        assert(asym.statusCode() == 200)
+        assert(asym.headers().firstValue(ApiServer.NextCursorTypeHeader).orElse("") == "4")
+        assert(asym.headers().firstValue(ApiServer.NextCursorLocationHeader).isEmpty)
+        val locEntries = """"location_distribution": \{([^}]*)\}""".r
+          .findFirstMatchIn(asym.body()).get.group(1)
+        assert(locEntries.split(",").count(_.contains(":")) ==
+          raw.select("location").distinct().count().toInt - 4)
+        assert(statsGet("/api/stats?cursor_type=-1").statusCode() == 422)
       } finally srv2.stop()
     } finally srv.stop()
   }
