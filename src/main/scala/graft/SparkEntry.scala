@@ -52,4 +52,22 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+
+  /** SQL-first surface: register every registry query as a temp view named
+    * after the query, so `spark.sql` users can consume and COMPOSE engine
+    * capabilities the way the reference's ad-hoc surface is raw SQL
+    * (api-service/app.py:114-288) — e.g.
+    * `spark.sql("SELECT * FROM rrf_fusion JOIN html_text USING (doc_id)")`.
+    *
+    * Registration is plan registration: a temp view wraps the analyzed
+    * plan and nothing executes until the view is queried. The documented
+    * actionful builders (SparkEntry.actionfulQueries — driver training
+    * loops) still run their training at registration time, exactly as they
+    * do when built through [[queries]]. Returns the registered names. */
+  def registerAll(spark: SparkSession, dir: String,
+      names: Seq[String] = Nil): Seq[String] = {
+    val qs = if (names.isEmpty) all else all.filter(q => names.contains(q.name))
+    qs.foreach(q => q.plan(spark, dir).createOrReplaceTempView(q.name))
+    qs.map(_.name)
+  }
 }

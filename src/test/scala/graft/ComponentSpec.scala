@@ -235,4 +235,37 @@ class ComponentSpec extends SparkSuite {
     assert(merged.entries.size <= 3)
     assert(agg.finish(merged) == "4,4,5")
   }
+
+  test("SQL-first parity: the whole registry is reachable and composable through spark.sql") {
+    // the reference's ad-hoc surface is raw SQL (app.py:114-288); after
+    // registerAll every engine capability is a named temp view a SQL user
+    // can SELECT from and JOIN — this walks the FULL registry through the
+    // catalog, executes a cross-family sample through spark.sql, and
+    // composes two views in one statement
+    val names = SparkEntry.registerAll(spark, sf)
+    assert(names.size == SparkEntry.all.size)
+    names.foreach { n =>
+      assert(spark.catalog.tableExists(n), s"view $n missing from the catalog")
+    }
+    // execute a cross-family sample through the SQL entry path and pin it
+    // to the direct plan output (same rows, same order)
+    val sample = Seq("windowed_agg", "q1_pricing", "dedup_exact", "url_normalize",
+      "html_text", "warc_records", "bm25_topk", "token_count", "ann_ivf_topk",
+      "zorder_cells")
+    assert(sample.forall(names.contains), "sample names drifted from the registry")
+    sample.foreach { n =>
+      val viaSql = spark.sql(s"SELECT * FROM `$n`").collect()
+      val direct = SparkEntry.queries(n)(spark, sf).collect()
+      assert(viaSql.sameElements(direct), s"$n: SQL view diverges from the direct plan")
+    }
+    // composition: join two capability views in ONE SQL statement
+    val fused = spark.sql("""
+      SELECT h.doc_id, h.content_chars, w.content_length
+      FROM html_text h JOIN warc_records w USING (doc_id)
+      WHERE h.content_chars > 0
+      ORDER BY h.doc_id LIMIT 5""").collect()
+    assert(fused.nonEmpty, "composed SQL over two capability views returned nothing")
+    fused.foreach(r => assert(r.getLong(2) > r.getLong(1),
+      "warc record length must exceed its extracted content"))
+  }
 }

@@ -93,8 +93,10 @@ class ScaleLadderSpec extends SparkSuite {
 
   /** Time `queries` at sf0.1 and at `bigDir`, median-of-3 both sides
     * (the full-suite JVM swings single runs 3-5x), re-measure any breach
-    * once (the Bench spike discipline), assert the envelope. */
-  private def assertEnvelope(queries: Seq[String], bigDir: String): Unit = {
+    * once (the Bench spike discipline), assert the envelope. `what`
+    * labels the big side in the report (10x corpus, skewed corpus, …). */
+  private def assertEnvelope(queries: Seq[String], bigDir: String,
+      envelope: Double = Envelope, what: String = "10x"): Unit = {
     // warm both paths once so codegen/IO setup is out of the timings
     queries.foreach { q => time(q, sf); () }
     val report = queries.map { q =>
@@ -104,7 +106,7 @@ class ScaleLadderSpec extends SparkSuite {
       (q, small, big, ratio)
     }
     val lines = report.map { case (q, s, b, r) =>
-      f"$q%s sf0.1=$s%.2fs 10x=$b%.2fs ratio=$r%.1fx" }
+      f"$q%s sf0.1=$s%.2fs $what%s=$b%.2fs ratio=$r%.1fx" }
     info(lines.mkString("; "))
     report.foreach { case (q, small, _, ratio) =>
       // self-adjudicate an envelope breach before failing: a saturated
@@ -112,16 +114,16 @@ class ScaleLadderSpec extends SparkSuite {
       // stall on one 10x rep survives a median of 3); one fresh median
       // decides noise vs regression
       val finalRatio =
-        if (ratio <= Envelope) ratio
+        if (ratio <= envelope) ratio
         else {
           val again = median3(q, bigDir) / math.max(small, 0.05)
           info(f"$q%s breached at $ratio%.1fx — re-measured ${again}%.1fx")
           math.min(ratio, again)
         }
-      assert(finalRatio <= Envelope,
-        s"$q grew ${math.rint(finalRatio * 10) / 10}x at 10x data on " +
-          s"TWO medians — super-linear scaling regression " +
-          s"(envelope ${Envelope}x); full ladder: ${lines.mkString("; ")}")
+      assert(finalRatio <= envelope,
+        s"$q grew ${math.rint(finalRatio * 10) / 10}x on the $what corpus " +
+          s"on TWO medians — scaling regression " +
+          s"(envelope ${envelope}x); full ladder: ${lines.mkString("; ")}")
     }
   }
 
@@ -242,5 +244,91 @@ class ScaleLadderSpec extends SparkSuite {
     ensureRelLadderCorpus()
     ensureRelLadderCorpus(Rel30Dir, replicas = 30)
     assertStep(Seq("q21_late_solo"), RelLadderDir, Rel30Dir)
+  }
+
+  // ------------------------------------------------------ skew rung (round 9)
+  // Volume and group-count rungs never test SKEW: the same bytes with half
+  // the mass piled on ONE key is where a shuffle-heavy plan melts (one
+  // straggler task, or a per-group quadratic that volume rungs can't see).
+  // Both skew corpora hold row counts ≈ sf0.1 and redistribute mass, so the
+  // asserted ratio is skew-vs-uniform at EQUAL volume: a skew-safe plan
+  // (map-side partial aggregation absorbing the hot key, broadcast dims,
+  // AQE skew-split on sort-merge joins — on by default in this session)
+  // stays near 1x; a plan that funnels the hot key through one task reads
+  // ~cores/2 x, and a per-group quadratic reads 100x+. The envelope leaves
+  // room for the saturated full-suite JVM, not for either failure mode.
+  private val SkewEnvelope = 5.0
+  private val SkewDocsDir = "/tmp/graft_skewdocs"
+  private val SkewRelDir = "/tmp/graft_skewrel"
+
+  /** 50%-hot documents: every even doc_id's first 64 tokens are replaced
+    * by one fixed boilerplate run (token counts preserved, tails unique),
+    * so half the corpus shares every boilerplate gram/bigram — the hot
+    * -key shape for gram postings (dup_spans), bigram counts and the
+    * two-phase rank buckets (perplexity_buckets — the same twoPhaseRank
+    * machinery rrf_fusion's legs ride), and BM25 term stats. */
+  private def ensureSkewDocs(): Unit = {
+    val marker = new java.io.File(s"$SkewDocsDir/source.key")
+    if (new java.io.File(s"$SkewDocsDir/documents.parquet/_SUCCESS").isFile &&
+        marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == sourceKey()) return
+    val hot = (1 to 64).map(i => s"boiler${i % 16}").mkString(" ")
+    Tables.documents(spark, "/root/testdata/sf0.1")
+      .withColumn("text", when(col("doc_id") % 2 === 0,
+        concat_ws(" ",
+          concat(split(lit(hot), " "),
+            expr("slice(split(coalesce(text, ''), ' '), 65, 2147483647)"))))
+        .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$SkewDocsDir/documents.parquet")
+    java.nio.file.Files.createDirectories(marker.toPath.getParent)
+    java.nio.file.Files.write(marker.toPath, sourceKey().getBytes("UTF-8"))
+  }
+
+  /** 50%-hot facts: half of lineitem re-keys to ONE l_orderkey and half of
+    * orders re-keys to ONE o_custkey — the hot order and the hot customer
+    * a real warehouse grows (same row counts as sf0.1, mass moved). */
+  private def ensureSkewRel(): Unit = {
+    val marker = new java.io.File(s"$SkewRelDir/source.key")
+    if (new java.io.File(s"$SkewRelDir/lineitem.parquet/_SUCCESS").isFile &&
+        marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == relSourceKey()) return
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val hotOrder = li.agg(min("l_orderkey")).head().getLong(0)
+    li.withColumn("l_orderkey",
+        when(col("l_linenumber") % 2 === 0, lit(hotOrder))
+          .otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(s"$SkewRelDir/lineitem.parquet")
+    val od = Tables.orders(spark, "/root/testdata/sf0.1")
+    val hotCust = od.agg(min("o_custkey")).head().getLong(0)
+    od.withColumn("o_custkey",
+        when(col("o_orderkey") % 2 === 0, lit(hotCust))
+          .otherwise(col("o_custkey")))
+      .write.mode("overwrite").parquet(s"$SkewRelDir/orders.parquet")
+    for (dim <- Seq("customer", "supplier", "part", "nation", "region"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.1/$dim.parquet"),
+        java.nio.file.Paths.get(s"$SkewRelDir/$dim.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.createDirectories(marker.toPath.getParent)
+    java.nio.file.Files.write(marker.toPath, relSourceKey().getBytes("UTF-8"))
+  }
+
+  test("skew rung: 50%-hot keys through the heaviest shuffles stay near uniform wall-clock") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    ensureSkewDocs()
+    ensureSkewRel()
+    // dup_spans: hot boilerplate grams (map-side combine must absorb);
+    // perplexity_buckets: hot score buckets in the two-phase rank (the
+    // same machinery rrf_fusion's memoized legs ride at materialization);
+    // bm25_topk: hot term stats. Doc-side output stays linear because
+    // candidate caps and per-doc span/score outputs bound the hot key.
+    assertEnvelope(Seq("dup_spans", "perplexity_buckets", "bm25_topk"),
+      SkewDocsDir, SkewEnvelope, "skew")
+    // q18_big_orders: the hot order's 300k-line group must die in partial
+    // aggregation, the hot customer's half-of-orders join must not funnel
+    assertEnvelope(Seq("q18_big_orders"), SkewRelDir, SkewEnvelope, "skew")
   }
 }
