@@ -198,6 +198,7 @@ object Jpeg {
     // frame state
     var w = 0; var h = 0
     var nComps = 0
+    var progressive = false
     var compId: Array[Int] = null
     var compH: Array[Int] = null
     var compV: Array[Int] = null
@@ -206,6 +207,16 @@ object Jpeg {
     var planeW: Array[Int] = null
     var planeH: Array[Int] = null
     var planeStride: Array[Int] = null
+    // per-comp coefficient buffers in ZIGZAG order, MCU-padded block grid:
+    // scans (one for baseline, many for progressive) accumulate here, and
+    // dequantization + IDCT run once at EOI — the layout progressive
+    // decoding requires, shared by the baseline path so there is ONE
+    // entropy-to-raster pipeline to trust
+    var coefs: Array[Array[Int]] = null
+    var blocksPerRow: Array[Int] = null
+    var blockRows: Array[Int] = null
+    var dcSeen: Array[Boolean] = null
+    var sawScan = false
     var dcSum0 = 0L
     var nBlocks0 = 0
 
@@ -250,7 +261,8 @@ object Jpeg {
         case 0xd9 => sawEoi = true
         case 0x01 => // TEM, standalone
         case x if x >= 0xd0 && x <= 0xd7 => // stray RST, standalone
-        case 0xc0 | 0xc1 => // SOF0/1 (baseline / extended sequential huffman)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 (sequential) or SOF2 (progressive)
+          progressive = m == 0xc2
           val len = rd16(payload, o)
           val s = o + 2
           require((payload(s) & 0xff) == 8, "only 8-bit precision supported")
@@ -293,12 +305,16 @@ object Jpeg {
             val bh = (h + 8 * vMax - 1) / (8 * vMax) * compV(c) * 8
             new Array[Int](planeStride(c) * bh)
           }
+          blocksPerRow = Array.tabulate(nComps)(c => planeStride(c) / 8)
+          blockRows = Array.tabulate(nComps)(c =>
+            (h + 8 * vMax - 1) / (8 * vMax) * compV(c))
+          coefs = Array.tabulate(nComps)(c =>
+            new Array[Int](blocksPerRow(c) * blockRows(c) * 64))
+          dcSeen = new Array[Boolean](nComps)
           o += len
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) not supported — baseline only")
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
           throw new IllegalArgumentException(
-            f"unsupported SOF marker 0xFF$x%02X — baseline only")
+            f"unsupported SOF marker 0xFF$x%02X — sequential/progressive huffman only")
         case 0xc4 =>
           val len = rd16(payload, o)
           parseDht(java.util.Arrays.copyOfRange(payload, o + 2, o + len))
@@ -312,23 +328,31 @@ object Jpeg {
           restartInterval = rd16(payload, o + 2)
           o += len
         case 0xda =>
-          require(planes != null, "SOS before SOF0 — malformed JPEG")
+          require(planes != null, "SOS before SOF — malformed JPEG")
+          sawScan = true
           val len = rd16(payload, o)
           val s = o + 2
           val ns = payload(s) & 0xff
-          require(ns == nComps, "multi-scan JPEG not supported (baseline interleaved only)")
+          require(ns >= 1 && ns <= nComps, s"SOS component count $ns")
+          val scs = new Array[Int](ns)
           val scanDc = new Array[Huff](nComps)
           val scanAc = new Array[Huff](nComps)
           for (i <- 0 until ns) {
             val cid = payload(s + 1 + 2 * i) & 0xff
             val c = compId.indexOf(cid)
             require(c >= 0, s"SOS references unknown component $cid")
+            scs(i) = c
             val tsel = payload(s + 2 + 2 * i) & 0xff
             scanDc(c) = dcTabs((tsel & 0xf0) >> 4)
             scanAc(c) = acTabs(tsel & 0x0f)
-            require(scanDc(c) != null && scanAc(c) != null,
-              "SOS references undefined Huffman table")
           }
+          // progression parameters (spectral selection + successive
+          // approximation); a sequential frame pins them to the full band
+          val ss = payload(s + 1 + 2 * ns) & 0xff
+          val se = payload(s + 2 + 2 * ns) & 0xff
+          val ahal = payload(s + 3 + 2 * ns) & 0xff
+          val ah = (ahal & 0xf0) >> 4
+          val al = ahal & 0x0f
           o += len
           val r = new BitReader(payload, o)
           val hMax = compH.max
@@ -336,61 +360,208 @@ object Jpeg {
           val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
           val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
           val dcPred = new Array[Int](nComps)
-          val coeffs = new Array[Int](64)
-          var mcu = 0
-          val nMcus = mcusX * mcusY
-          while (mcu < nMcus) {
-            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-              r.restart()
-              java.util.Arrays.fill(dcPred, 0)
-            }
-            val mx = mcu % mcusX
-            val my = mcu / mcusX
-            var c = 0
-            while (c < nComps) {
-              val q = quant(compQ(c))
-              require(q != null, "scan references undefined quant table")
-              var v = 0
-              while (v < compV(c)) {
-                var hh = 0
-                while (hh < compH(c)) {
-                  java.util.Arrays.fill(coeffs, 0)
-                  // DC
-                  val t = scanDc(c).decode(r)
-                  require(t <= 11, "corrupt DC category")
-                  val diff = extend(r.bits(t), t)
-                  dcPred(c) += diff
-                  coeffs(0) = dcPred(c) * q(0)
-                  if (c == 0) { dcSum0 += dcPred(c) * q(0); nBlocks0 += 1 }
-                  // AC
-                  var k = 1
-                  while (k < 64) {
-                    val rs = scanAc(c).decode(r)
-                    val run = (rs & 0xf0) >> 4
-                    val size = rs & 0x0f
-                    if (size == 0) {
-                      if (run == 15) k += 16 // ZRL
-                      else k = 64 // EOB
-                    } else {
-                      k += run
-                      require(k < 64, "AC run past block end")
-                      coeffs(Zigzag(k)) = extend(r.bits(size), size) * q(Zigzag(k))
-                      k += 1
-                    }
-                  }
-                  // IDCT into the component plane
-                  val bw = planeStride(c)
-                  idctInto(coeffs, planes(c), (my * compV(c) + v) * 8 * bw
-                    + (mx * compH(c) + hh) * 8, bw)
-                  hh += 1
-                }
-                v += 1
+          var eobrun = 0
+
+          def blockBase(c: Int, by: Int, bx: Int): Int =
+            (by * blocksPerRow(c) + bx) * 64
+
+          /** Interleaved MCU walk over the scan components (spec A.2.3). */
+          def mcuWalk(onBlock: (Int, Int) => Unit): Unit = {
+            var mcu = 0
+            val n = mcusX * mcusY
+            while (mcu < n) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                r.restart()
+                java.util.Arrays.fill(dcPred, 0)
+                eobrun = 0
               }
-              c += 1
+              val mx = mcu % mcusX
+              val my = mcu / mcusX
+              var i = 0
+              while (i < ns) {
+                val c = scs(i)
+                var v = 0
+                while (v < compV(c)) {
+                  var hh = 0
+                  while (hh < compH(c)) {
+                    onBlock(c, blockBase(c, my * compV(c) + v, mx * compH(c) + hh))
+                    hh += 1
+                  }
+                  v += 1
+                }
+                i += 1
+              }
+              mcu += 1
             }
-            mcu += 1
           }
-          // skip to the next marker (EOI expected)
+
+          /** Non-interleaved walk (ns=1, spec A.2.2): block raster over the
+            * component's OWN ceil(dim/8) grid — the MCU-padded columns and
+            * rows beyond it are not coded in this scan. Restart intervals
+            * count these single-block MCUs. */
+          def singleWalk(c: Int)(onBlock: (Int, Int) => Unit): Unit = {
+            val bw = (planeW(c) + 7) / 8
+            val bh = (planeH(c) + 7) / 8
+            var blk = 0
+            val n = bw * bh
+            while (blk < n) {
+              if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+                r.restart()
+                java.util.Arrays.fill(dcPred, 0)
+                eobrun = 0
+              }
+              onBlock(c, blockBase(c, blk / bw, blk % bw))
+              blk += 1
+            }
+          }
+
+          def walk(onBlock: (Int, Int) => Unit): Unit =
+            if (ns == 1) singleWalk(scs(0))(onBlock) else mcuWalk(onBlock)
+
+          def dcDiff(c: Int): Int = {
+            val dcT = scanDc(c)
+            require(dcT != null, "scan references undefined DC Huffman table")
+            val t = dcT.decode(r)
+            require(t <= 11, "corrupt DC category")
+            extend(r.bits(t), t)
+          }
+
+          /** Full-band sequential block: DC diff + run-length AC. */
+          def baselineBlock(c: Int, base: Int): Unit = {
+            require(scanAc(c) != null, "scan references undefined AC Huffman table")
+            dcPred(c) += dcDiff(c)
+            coefs(c)(base) = dcPred(c)
+            var k = 1
+            while (k < 64) {
+              val rs = scanAc(c).decode(r)
+              val run = (rs & 0xf0) >> 4
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += run
+                require(k < 64, "AC run past block end")
+                coefs(c)(base + k) = extend(r.bits(size), size)
+                k += 1
+              }
+            }
+          }
+
+          /** Progressive first DC scan (G.1.2.1): diff coded, shifted by Al. */
+          def dcFirstBlock(c: Int, base: Int): Unit = {
+            dcPred(c) += dcDiff(c)
+            coefs(c)(base) = dcPred(c) << al
+          }
+
+          /** DC refinement: one raw bit per block, no Huffman tables. */
+          def dcRefineBlock(c: Int, base: Int): Unit = {
+            if (r.bit() == 1) coefs(c)(base) |= 1 << al
+          }
+
+          /** Progressive first AC scan (G.1.2.2): run-length within the
+            * Ss..Se band, EOBn codes carry a block-run. */
+          def acFirstBlock(c: Int, base: Int): Unit = {
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var done = false
+              while (k <= se && !done) {
+                val rs = scanAc(c).decode(r)
+                val run = (rs & 0xf0) >> 4
+                val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else { // EOBn: this block ends; run covers the NEXT 2^r-1+bits blocks
+                    eobrun = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
+                    done = true
+                  }
+                } else {
+                  k += run
+                  require(k <= se, "AC run past band end")
+                  coefs(c)(base + k) = extend(r.bits(size), size) << al
+                  k += 1
+                }
+              }
+            }
+          }
+
+          /** AC refinement (G.1.2.3): every nonzero coefficient passed gets
+            * a correction bit; new coefficients arrive as ±1<<Al after a
+            * run of zero-HISTORY positions; EOB runs still pay correction
+            * bits for the remaining band of every covered block. */
+          def acRefineBlock(c: Int, base: Int): Unit = {
+            val p1 = 1 << al
+            def correct(idx: Int): Unit = {
+              val cv = coefs(c)(idx)
+              if (r.bit() == 1 && (cv & p1) == 0)
+                coefs(c)(idx) = if (cv >= 0) cv + p1 else cv - p1
+            }
+            var k = ss
+            if (eobrun == 0) {
+              var done = false
+              while (k <= se && !done) {
+                val rs = scanAc(c).decode(r)
+                var run = (rs & 0xf0) >> 4
+                val size = rs & 0x0f
+                var newVal = 0
+                if (size == 0) {
+                  if (run != 15) { // EOBn: covers THIS block too (tail below)
+                    eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0)
+                    done = true
+                  } // run == 15: ZRL — pass 16 zero-history positions below
+                } else {
+                  require(size == 1, "AC refinement magnitude must be 1")
+                  newVal = if (r.bit() == 1) p1 else -p1
+                }
+                if (!done) {
+                  var advancing = true
+                  while (advancing && k <= se) {
+                    if (coefs(c)(base + k) != 0) { correct(base + k); k += 1 }
+                    else if (run == 0) advancing = false // placement slot
+                    else { run -= 1; k += 1 }
+                  }
+                  if (size != 0) {
+                    require(k <= se, "AC refinement placement past band end")
+                    coefs(c)(base + k) = newVal
+                  }
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) {
+              while (k <= se) { // correction bits for the remaining band
+                if (coefs(c)(base + k) != 0) correct(base + k)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+
+          if (!progressive) {
+            require(ns == nComps,
+              "sequential JPEG scan must be fully interleaved")
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "sequential scan must cover the full band at full precision")
+            mcuWalk(baselineBlock)
+            java.util.Arrays.fill(dcSeen, true)
+          } else {
+            require(se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+            require(ah == 0 || ah == al + 1,
+              s"successive approximation must step one bit (Ah=$ah Al=$al)")
+            if (ss == 0) {
+              require(se == 0, "progressive DC scan must have Se=0")
+              if (ah == 0) { walk(dcFirstBlock); scs.foreach(dcSeen(_) = true) }
+              else walk(dcRefineBlock)
+            } else {
+              require(ns == 1, "progressive AC scan must be single-component")
+              val c = scs(0)
+              require(scanAc(c) != null, "AC scan references undefined Huffman table")
+              require(dcSeen(c), "AC scan before the component's first DC scan")
+              if (ah == 0) walk(acFirstBlock) else walk(acRefineBlock)
+            }
+          }
+          // skip to the next marker (EOI or the next scan header)
           o = r.pos
           while (o + 1 < payload.length &&
             !((payload(o) & 0xff) == 0xff && (payload(o + 1) & 0xff) != 0x00))
@@ -402,7 +573,47 @@ object Jpeg {
           o += len
       }
     }
-    require(planes != null, "JPEG has no frame (SOF0)")
+    require(planes != null, "JPEG has no frame (SOF)")
+    require(sawScan, "JPEG has no scan (SOS)")
+    for (c <- 0 until nComps)
+      require(dcSeen(c), s"component $c never received a DC scan")
+
+    // dequantize + IDCT every block — once, at EOI, so sequential and
+    // progressive share one entropy-to-raster pipeline
+    {
+      var c = 0
+      var dcSum0Acc = 0L
+      var nBlocks0Acc = 0
+      val block = new Array[Int](64)
+      while (c < nComps) {
+        val q = quant(compQ(c))
+        require(q != null, "frame references undefined quant table")
+        val bw = blocksPerRow(c)
+        val stride = planeStride(c)
+        var by = 0
+        while (by < blockRows(c)) {
+          var bx = 0
+          while (bx < bw) {
+            val base = (by * bw + bx) * 64
+            var k = 0
+            while (k < 64) {
+              block(Zigzag(k)) = coefs(c)(base + k) * q(Zigzag(k))
+              k += 1
+            }
+            if (c == 0) {
+              dcSum0Acc += coefs(0)(base).toLong * q(0)
+              nBlocks0Acc += 1
+            }
+            idctInto(block, planes(c), by * 8 * stride + bx * 8, stride)
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      dcSum0 = dcSum0Acc
+      nBlocks0 = nBlocks0Acc
+    }
 
     // upsample + color-convert to full-resolution output planes
     val out =

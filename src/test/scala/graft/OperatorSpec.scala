@@ -994,6 +994,87 @@ class OperatorSpec extends SparkSuite {
         "disagrees with the reference implementation beyond IDCT/upsampling variance")
   }
 
+  test("JPEG codec decodes PROGRESSIVE (SOF2): spectral selection + successive approximation") {
+    import operators.Jpeg
+    // ImageIO's progressive mode emits the classic multi-scan script
+    // (DC-first with Al>0 + DC refinement, per-component AC bands, AC
+    // refinement passes with EOB runs) — every G.1.2 code path at once,
+    // pinned against ImageIO's own read-back like the baseline path
+    def progressiveBytes(bi: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      wr.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+      ios.close(); wr.dispose()
+      bos.toByteArray
+    }
+    def sof2(b: Array[Byte]): Boolean = (0 until b.length - 1).exists(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc2)
+    // color, off the 16-px MCU grid (partial-MCU + non-interleaved ceil
+    // dims diverge exactly on such shapes); detail beyond gradients so AC
+    // refinement scans carry real correction bits
+    val w = 41; val h = 27
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 6 + ((x * y * 37) % 23)) % 256
+      val g = (y * 10 + ((x * 13) % 17)) % 256
+      val b = (x * 3 + y * 2) % 256
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val jbytes = progressiveBytes(bi)
+    assert(sof2(jbytes), "ImageIO did not emit SOF2 — fixture broken")
+    val ours = Jpeg.decodeJpeg(jbytes)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jbytes))
+    assert(ours.width == w && ours.height == h && ours.nComps == 3)
+    var diff = 0L
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val p = ref.getRGB(x, y)
+      val d = math.abs(((p >> (16 - 8 * c)) & 0xff) - ours.planes(c)(y * w + x))
+      diff += d
+      worst = math.max(worst, d)
+    }
+    val mean = diff.toDouble / (w * h * 3)
+    assert(mean <= 2.0 && worst <= 12,
+      s"progressive vs ImageIO's own decode: mean=$mean worst=$worst")
+    // grayscale progressive: the non-interleaved single-component walk
+    val gw = 19; val gh = 13
+    val gbi = new java.awt.image.BufferedImage(
+      gw, gh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val v = (x * 11 + y * 7 + (x * y) % 29) % 256
+      gbi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gbytes = progressiveBytes(gbi)
+    assert(sof2(gbytes), "gray fixture not progressive")
+    val gOurs = Jpeg.decodeJpeg(gbytes)
+    val gRef = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    assert(gOurs.width == gw && gOurs.height == gh && gOurs.nComps == 1)
+    var gDiff = 0L
+    var gWorst = 0
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val d = math.abs((gRef.getRaster.getSample(x, y, 0)) - gOurs.planes(0)(y * gw + x))
+      gDiff += d
+      gWorst = math.max(gWorst, d)
+    }
+    val gMean = gDiff.toDouble / (gw * gh)
+    assert(gMean <= 2.0 && gWorst <= 12,
+      s"gray progressive vs ImageIO: mean=$gMean worst=$gWorst")
+    // progressive strictness: a stream whose scans were all stripped (EOI
+    // straight after the tables) must reject — no silent black frame
+    val sosAt = (0 until jbytes.length - 1).filter(i =>
+      (jbytes(i) & 0xff) == 0xff && (jbytes(i + 1) & 0xff) == 0xda)
+    assert(sosAt.size >= 2, "progressive stream should carry multiple scans")
+    val cut = jbytes.take(sosAt(0)) ++ Array(0xff.toByte, 0xd9.toByte)
+    val eCut = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(cut) }
+    assert(eCut.getMessage.contains("no scan") ||
+      eCut.getMessage.contains("DC scan"), eCut.getMessage)
+  }
+
   test("decodeWav walks RIFF chunks (odd JUNK + pad byte) to signed s16 stats") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
