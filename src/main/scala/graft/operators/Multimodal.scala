@@ -1011,6 +1011,16 @@ object Multimodal {
       new String(payload, 8, 4, "US-ASCII") == "WAVE") "wav"
     else if (payload.length >= 9 &&
       new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
+    // round 9, the web-ingestion containers: gzip magic (a .warc.gz in
+    // this lake — the only gzip producer is the WARC writer, and a gzip
+    // that is NOT a well-formed WARC must fail loudly, not downgrade) and
+    // document-markup openings for raw HTML pages
+    else if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
+      (payload(1) & 0xff) == 0x8b) "warc"
+    else if (payload.length >= 14 &&
+      new String(payload, 0, 14, "US-ASCII") == "<!DOCTYPE html") "html"
+    else if (payload.length >= 5 &&
+      new String(payload, 0, 5, "US-ASCII") == "<html") "html"
     else "unknown"
 
   /** Unified features across container types: `n_values` = pixels or
@@ -1046,6 +1056,14 @@ object Multimodal {
           val (w, h, fs) = decodeY4m(p)
           AnyMediaFeatures(id, "y4m", Some(w), Some(h),
             fs.length.toLong * w * h, fs.map(f => f._1 + f._2).sum)
+        case "warc" =>
+          val recs = WebIngest.readWarc(p)
+          AnyMediaFeatures(id, "warc", None, None, recs.length.toLong,
+            recs.map(_.payload.length.toLong).sum)
+        case "html" =>
+          val blocks = WebIngest.parseHtmlBlocks(new String(p, "UTF-8"))
+          AnyMediaFeatures(id, "html", None, None, blocks.length.toLong,
+            blocks.map(_.chars).sum)
         case other =>
           AnyMediaFeatures(id, other, None, None, 0L, 0L)
       }

@@ -103,7 +103,8 @@ object WebIngest {
 
   private val urlCte = s"""
     WITH d AS (
-      SELECT doc_id, coalesce(text, '') AS t, $labelSql AS label,
+      SELECT doc_id, coalesce(text, '') AS t, coalesce(n_chars, 0) AS nc,
+             $labelSql AS label,
              CAST(doc_id % 50 AS VARCHAR) AS k,
              CAST(doc_id % 200 AS VARCHAR) AS m
       FROM documents)"""
@@ -613,6 +614,96 @@ object WebIngest {
     || label || '</div>'
     || '</body></html>'"""
 
+  // ---------------------------------------------------------------- robots
+
+  /** The `*`-group rule set every fixture host serves (label-independent —
+    * the SEMANTICS under test are longest-match + allow-beats-disallow on
+    * ties + '$' anchoring, not per-host variety). Mirrored literally into
+    * the robots_gate oracle, so rule text and match arithmetic can never
+    * drift between engines. (isAllow, pattern). */
+  val RobotsRules: Seq[(Boolean, String)] = Seq(
+    (false, "/docs/1"),           // prefix: blocks k starting with '1'
+    (true, "/docs/1/page-1"),     // longer allow re-opens page-1* under k=1
+    (false, "/docs/3/"),          // slash-terminated prefix: k=3 only
+    (true, "/docs/3/page-"),      // longer allow re-opens ALL of k=3
+    (false, "/docs/40"),
+    (true, "/docs/40/page-140$")) // '$' anchor: re-opens exactly page-140
+
+  /** Deterministic robots.txt for a fixture host: a non-matching group
+    * first (the parser must skip it), comments, a tolerated extension
+    * directive, then the `*` group [[RobotsRules]]. */
+  def robotsTxtOf(label: String): String = {
+    val sb = new StringBuilder
+    sb.append("# robots for www.").append(label).append(".example.com\n")
+    sb.append("User-agent: research-bot\nDisallow: /\n\n")
+    sb.append("User-agent: *\nCrawl-delay: 2\n")
+    RobotsRules.foreach { case (allow, pat) =>
+      sb.append(if (allow) "Allow: " else "Disallow: ").append(pat).append('\n')
+    }
+    sb.toString
+  }
+
+  /** Strict robots.txt parser (RFC 9309 subset): '#' comments, blank-line
+    * tolerant, groups = consecutive User-agent lines + their rules; picks
+    * the group matching `agent` exactly, else the `*` group, else no rules.
+    * Crawl-delay/Sitemap are tolerated extensions; any OTHER directive,
+    * rules before any User-agent line, or a '*' wildcard inside a path
+    * pattern (unsupported class) reject loudly. */
+  def parseRobots(txt: String, agent: String): Seq[(Boolean, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"robots reject: $msg")
+    final case class Group(agents: List[String], rules: List[(Boolean, String)])
+    var groups = List.empty[Group]
+    var cur: Group = null
+    var inAgents = false
+    txt.split("\n", -1).foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        if (ci <= 0) fail(s"malformed line '$line'")
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (cur == null || !inAgents) {
+              if (cur != null) groups ::= cur
+              cur = Group(Nil, Nil)
+            }
+            cur = cur.copy(agents = value :: cur.agents)
+            inAgents = true
+          case "allow" | "disallow" =>
+            if (cur == null) fail("rule before any User-agent line")
+            if (value.contains('*')) fail(s"wildcard patterns unsupported: '$value'")
+            inAgents = false
+            // "Disallow:" with an empty value means allow-everything (no rule)
+            if (value.nonEmpty)
+              cur = cur.copy(rules = (key == "allow", value) :: cur.rules)
+          case "crawl-delay" | "sitemap" => inAgents = false // tolerated
+          case other => fail(s"unknown directive '$other'")
+        }
+      }
+    }
+    if (cur != null) groups ::= cur
+    val all = groups.map(g => g.copy(agents = g.agents.reverse, rules = g.rules.reverse))
+    all.find(_.agents.exists(_.equalsIgnoreCase(agent)))
+      .orElse(all.find(_.agents.contains("*")))
+      .map(_.rules).getOrElse(Nil)
+  }
+
+  /** RFC 9309 evaluation: the matching rule with the longest pattern wins;
+    * on a length tie Allow wins; no match → allowed. '$' anchors the
+    * pattern to the full path; specificity counts the pattern as written. */
+  def robotsDecision(rules: Seq[(Boolean, String)], path: String): (Boolean, Option[String]) = {
+    val matched = rules.filter { case (_, pat) =>
+      if (pat.endsWith("$")) path == pat.dropRight(1) else path.startsWith(pat)
+    }
+    if (matched.isEmpty) (true, None)
+    else {
+      val (allow, pat) = matched.maxBy { case (a, p) => (p.length * 2 + (if (a) 1 else 0), p) }
+      (allow, Some((if (allow) "Allow: " else "Disallow: ") + pat))
+    }
+  }
+
   // --------------------------------------------------------------- queries
 
   def queries: Seq[GraftQuery] = Seq(
@@ -804,6 +895,97 @@ object WebIngest {
                CAST(len(cps) + fc AS INT) AS content_blocks,
                CAST($contentSql AS BIGINT) AS content_chars,
                CAST($boilerSql AS BIGINT) AS boiler_chars
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // ---- robots.txt gate: the crawl-politeness filter ---------------------
+    // Every fixture host serves a deterministic robots.txt (a non-matching
+    // group the parser must skip, comments, a tolerated Crawl-delay, then
+    // the `*` group RobotsRules); the Spark side runs the REAL RFC 9309
+    // parser + longest-match evaluator per host (memoized per partition),
+    // while the oracle replays the match arithmetic from the same literal
+    // rule list — longest pattern wins, Allow beats Disallow on ties, '$'
+    // anchors, no match ⇒ allowed.
+    GraftQuery(
+      "robots_gate",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), labelCol.as("label"), lit("").as("text"))
+          .as[WarcDoc]
+          .mapPartitions { it =>
+            val cache = scala.collection.mutable.Map.empty[String, Seq[(Boolean, String)]]
+            it.map { d =>
+              val rules = cache.getOrElseUpdate(d.label,
+                parseRobots(robotsTxtOf(d.label), "graftbot"))
+              val path = s"/docs/${d.doc_id % 50}/page-${d.doc_id % 200}"
+              val (allowed, rule) = robotsDecision(rules, path)
+              (d.doc_id,
+                UrlKernels.canonicalize(messyUrlString(d.doc_id, d.label)),
+                allowed, rule.orNull)
+            }
+          }
+          .toDF("doc_id", "url", "allowed", "rule")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $urlCte,
+        pz AS (
+          SELECT doc_id, label, k, m, '/docs/' || k || '/page-' || m AS path
+          FROM d),
+        mz AS (
+          SELECT doc_id, label, k, m,
+                 list_max(flatten([
+                   $robotsOracleRules])) AS w
+          FROM pz)
+        SELECT doc_id, $canonicalSql AS url,
+               CAST(CASE WHEN w IS NULL OR w.k % 2 = 1 THEN true ELSE false END
+                    AS BOOLEAN) AS allowed,
+               w.r AS rule
+        FROM mz ORDER BY doc_id""")),
+
+    // ---- per-domain rollup: the crawl-frontier accounting pass ------------
+    // Canonical URL → host → registrable domain (strip the www label), then
+    // the per-domain numbers a frontier scheduler budgets by: doc count,
+    // distinct canonical URLs, URL-dup mass, total chars. The domain key
+    // has bounded cardinality however large the corpus — the rollup
+    // broadcast-sizes at any scale.
+    GraftQuery(
+      "host_rollup",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+          UrlExpressions.urlCanonicalize(messyUrlCol).as("cu"))
+        .withColumn("domain", regexp_replace(
+          split_part(split_part(col("cu"), lit("://"), lit(2)), lit("/"), lit(1)),
+          "^www\\.", ""))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cu")).as("n_urls"),
+          (count(lit(1)) - countDistinct(col("cu"))).as("url_dup_docs"),
+          sum(col("nc")).as("total_chars"))
+        .orderBy("domain"),
+      Some(s"""
+        $urlCte,
+        u AS (
+          SELECT doc_id, nc, $canonicalSql AS cu,
+                 regexp_replace(split_part(split_part($canonicalSql, '://', 2), '/', 1),
+                   '^www\\.', '') AS domain
+          FROM d)
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT cu) AS BIGINT) AS n_urls,
+               CAST(count(*) - count(DISTINCT cu) AS BIGINT) AS url_dup_docs,
+               CAST(sum(nc) AS BIGINT) AS total_chars
+        FROM u GROUP BY domain ORDER BY domain"""))
   )
+
+  /** Oracle-side literal rule list for robots_gate — one flatten branch per
+    * [[RobotsRules]] entry, keyed exactly as [[robotsDecision]] keys. */
+  private def robotsOracleRules: String = RobotsRules.map { case (allow, pat) =>
+    val anchored = pat.endsWith("$")
+    val eff = if (anchored) pat.dropRight(1) else pat
+    val key = pat.length * 2 + (if (allow) 1 else 0)
+    val rule = (if (allow) "Allow: " else "Disallow: ") + pat
+    val cond = if (anchored) s"path = '$eff'" else s"starts_with(path, '$eff')"
+    s"CASE WHEN $cond THEN [{'k': $key, 'r': '$rule'}] ELSE [] END"
+  }.mkString(",\n                   ")
 }

@@ -1150,11 +1150,15 @@ class OperatorSpec extends SparkSuite {
       3L -> Multimodal.encodeWav(bytes),
       4L -> Array.fill[Byte](20)(42),
       5L -> Multimodal.encodeY4m(bytes),
-      6L -> operators.Jpeg.encodeJpegGray(bytes))
+      6L -> operators.Jpeg.encodeJpegGray(bytes),
+      7L -> operators.WebIngest.warcFile(Seq(
+        operators.WebIngest.WarcDoc(70L, "src7", "alpha beta gamma"))),
+      8L -> operators.WebIngest.renderHtml(80L, "src8", "one two three")
+        .getBytes("UTF-8"))
     val out = Multimodal.anyMediaFeatures(rows).toSeq
     assert(out.map(f => f.doc_id -> f.media_type).toMap
       == Map(1L -> "png", 2L -> "bmp", 3L -> "wav", 4L -> "unknown",
-        5L -> "y4m", 6L -> "jpeg"))
+        5L -> "y4m", 6L -> "jpeg", 7L -> "warc", 8L -> "html"))
     val byId = out.map(f => f.doc_id -> f).toMap
     val total = bytes.map(_ & 0xffL).sum
     assert(byId(1L).magnitude == total && byId(2L).magnitude == total)
@@ -1167,12 +1171,31 @@ class OperatorSpec extends SparkSuite {
     assert(byId(6L).width.contains(8) && byId(6L).height.contains(8))
     assert(math.abs(byId(6L).magnitude - total) <= 64,
       s"jpeg magnitude ${byId(6L).magnitude} vs source sum $total")
+    // warc: warcinfo + 1 response; magnitude = Σ record payload bytes
+    assert(byId(7L).n_values == 2 && byId(7L).magnitude > 0)
+    // html: 5 blocks (nav, h1, 1 para, rel, footer)
+    assert(byId(8L).n_values == 5)
     // matching magic + corrupt body must still fail loudly (no silent
     // "unknown" downgrade for a payload that CLAIMS to be decodable)
     val corrupt = Multimodal.encodePng(bytes)
     corrupt(corrupt.length - 10) = (corrupt(corrupt.length - 10) ^ 0x7f).toByte
     intercept[IllegalArgumentException] {
       Multimodal.anyMediaFeatures(Iterator(9L -> corrupt)).toSeq
+    }
+    // gzip magic that is NOT a well-formed WARC: loud reject, no downgrade
+    val gzNotWarc = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write("just text, no WARC version line".getBytes("US-ASCII")); g.close()
+      bo.toByteArray
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.anyMediaFeatures(Iterator(10L -> gzNotWarc)).toSeq
+    }
+    // html magic with malformed markup: same strictness
+    intercept[IllegalArgumentException] {
+      Multimodal.anyMediaFeatures(Iterator(
+        11L -> "<html><body><p>unclosed".getBytes("UTF-8"))).toSeq
     }
   }
 

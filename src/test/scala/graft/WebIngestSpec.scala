@@ -198,6 +198,50 @@ class WebIngestSpec extends SparkSuite {
       WebIngest.httpBody("no terminator here".getBytes("US-ASCII")))
   }
 
+  // ---------------------------------------------------------------- robots
+
+  test("robots: parser picks the right group, evaluator applies RFC 9309 precedence") {
+    val txt = WebIngest.robotsTxtOf("src3")
+    // exact-agent group beats *; graftbot falls through to *
+    assert(WebIngest.parseRobots(txt, "research-bot") == Seq((false, "/")))
+    val rules = WebIngest.parseRobots(txt, "graftbot")
+    assert(rules == WebIngest.RobotsRules)
+    // unknown agent with no * group → no rules → everything allowed
+    assert(WebIngest.parseRobots("User-agent: other\nDisallow: /\n", "graftbot").isEmpty)
+    // longest match wins
+    assert(WebIngest.robotsDecision(rules, "/docs/10/page-60")._1 == false)
+    assert(WebIngest.robotsDecision(rules, "/docs/1/page-101") ==
+      (true, Some("Allow: /docs/1/page-1")))
+    // allow-beats-disallow on the longer pattern
+    assert(WebIngest.robotsDecision(rules, "/docs/3/page-53")._1 == true)
+    // '$' anchors: exact path re-opened, siblings stay blocked
+    assert(WebIngest.robotsDecision(rules, "/docs/40/page-140") ==
+      (true, Some("Allow: /docs/40/page-140$")))
+    assert(WebIngest.robotsDecision(rules, "/docs/40/page-1400")._1 == false)
+    assert(WebIngest.robotsDecision(rules, "/docs/40/page-90")._1 == false)
+    // no match → allowed with no rule
+    assert(WebIngest.robotsDecision(rules, "/docs/25/page-25") == (true, None))
+    // consecutive User-agent lines share one group
+    val multi = WebIngest.parseRobots(
+      "User-agent: a\nUser-agent: graftbot\nDisallow: /x\n", "graftbot")
+    assert(multi == Seq((false, "/x")))
+    // empty Disallow value = no rule (allow everything), per the RFC
+    assert(WebIngest.parseRobots("User-agent: *\nDisallow:\n", "graftbot").isEmpty)
+  }
+
+  test("robots: rejection battery — malformed or unsupported robots.txt fails loudly") {
+    val bad = Seq(
+      "rule before group" -> "Disallow: /x\nUser-agent: *\n",
+      "unknown directive" -> "User-agent: *\nNoIndex: /x\n",
+      "wildcard pattern" -> "User-agent: *\nDisallow: /docs/*/page\n",
+      "no colon" -> "User-agent: *\njust words\n")
+    bad.foreach { case (what, txt) =>
+      val e = intercept[IllegalArgumentException](
+        WebIngest.parseRobots(txt, "graftbot"))
+      assert(e.getMessage.startsWith("robots reject:"), s"$what: ${e.getMessage}")
+    }
+  }
+
   // --------------------------------------------------- classifier boundary
 
   test("html: footer classification flips exactly at the documented label-length boundary") {
