@@ -38,4 +38,23 @@ object UrlExpressions {
   /** Column face: `urlCanonicalize($"url")`. */
   def urlCanonicalize(c: Column): Column =
     GraftSqlBridge.toColumn(UrlCanonicalize(GraftSqlBridge.toExpression(c)))
+
+  /** Register as a SQL function (`graft_url_canonicalize`) so `spark.sql`
+    * users get the normalizer too — the [[VectorExpressions.register]]
+    * discipline. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = GraftSqlBridge.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("graft_url_canonicalize",
+      es => UrlCanonicalize(es.head), "scala_udf")
+  }
+
+  /** Build-time registration for `withExtensions`/`spark.sql.extensions`
+    * sessions ([[graft.plans.GraftExtensions]] calls this). */
+  def injectInto(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("graft_url_canonicalize"),
+      new ExpressionInfo(classOf[UrlCanonicalize].getName, "graft_url_canonicalize"),
+      (es: Seq[Expression]) => UrlCanonicalize(es.head)))
+  }
 }

@@ -143,5 +143,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => TopKRewrite)
     graft.functions.VectorExpressions.injectInto(e)
+    graft.functions.UrlExpressions.injectInto(e)
   }
 }

@@ -235,6 +235,34 @@ object StreamingPipeline {
       .drop("_phash")
   }
 
+  /** Streaming URL-keyed dedup — the crawl-frontier face of the batch
+    * url_dedup pass: in-flight fetch records whose URLs canonicalize to
+    * the same RFC 3986 form (case variants, default ports, dot segments,
+    * percent-spellings, query-param order, fragments, credentials —
+    * [[graft.functions.UrlKernels.canonicalize]]) collapse inside the
+    * watermark horizon. The key is computed by the same codegen'd
+    * expression the batch queries use (no kernel drift), and a null URL
+    * gets the deterministic per-row fallback key (the
+    * [[nullTextFallbackKey]] discipline — malformed records are kept, not
+    * merged). */
+  def dedupUrlsByCanonicalWithinWatermark(
+      urls: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      tsCol: String = "timestamp",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit}
+    urls
+      .filter(col(tsCol).isNotNull)
+      .withColumn("_curl",
+        coalesce(
+          graft.functions.UrlExpressions.urlCanonicalize(col(urlCol)),
+          concat(lit("null:"), col(idCol).cast("string"))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("_curl"))
+      .drop("_curl")
+  }
+
   /** Stream-static incremental exact dedup — the streaming face of the
     * batch delta_dedup classifier: in-flight documents whose content
     * digest already exists in the standing-corpus snapshot are dropped

@@ -109,4 +109,12 @@ class ExtensionsSpec extends SparkSuite {
       .head().getAs[Double]("d")
     assert(d == 1.0)
   }
+
+  test("imperative registration path: UrlExpressions.register on the shared session") {
+    functions.UrlExpressions.register(spark)
+    val c = spark.sql(
+      "SELECT graft_url_canonicalize('HTTP://U:P@H.COM:80/a/../b?z=1&a=2&utm_x=3#f') AS c")
+      .head().getAs[String]("c")
+    assert(c == "http://h.com/b?a=2&z=1")
+  }
 }

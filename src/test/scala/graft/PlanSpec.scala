@@ -543,4 +543,39 @@ class PlanSpec extends SparkSuite {
       "q11's offer filters no longer reach the scan")
     } finally spark.conf.set(mk, saved)
   }
+
+  test("round-9 plans: scan-side web ingest, codegen'd canonicalization, bounded WARC shuffle") {
+    def scans(name: String) =
+      "FileScan parquet".r.findAllIn(planOf(name)).length
+    // the whole URL family is scan-side: one corpus scan each, and the
+    // canonicalization runs as the native expression INSIDE WholeStageCodegen
+    // (a UDF here would serialize every URL out of the Tungsten row)
+    for (q <- Seq("url_normalize", "url_dedup", "url_overlap", "host_rollup")) {
+      assert(scans(q) == 1, s"$q must scan the corpus exactly once")
+      val p = planOf(q)
+      assert(p.toLowerCase.contains("urlcanonicalize"),
+        s"$q lost the native UrlCanonicalize expression (a UDF would " +
+          "break the codegen span — the expression generates a static call)")
+    }
+    // html extraction is a pure per-row pipeline over one scan: the only
+    // exchange is the final presentation sort
+    for (q <- Seq("html_text", "boilerplate_rate", "robots_gate")) {
+      assert(scans(q) == 1, s"$q must scan the corpus exactly once")
+      val p = planOf(q)
+      assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
+        s"$q shuffles raw document text")
+    }
+    // the WARC pair carries the ONE text-moving shuffle (container building
+    // needs record co-location) and it must be keyed on the bounded bucket,
+    // never on text
+    for (q <- Seq("warc_records", "warc_extract")) {
+      assert(scans(q) == 1, s"$q must scan the corpus exactly once")
+      val p = planOf(q)
+      // Catalyst collapses the bucket alias into _groupingexpression
+      assert(p.matches("(?s).*Exchange hashpartitioning\\((bucket|_groupingexpression)#.*"),
+        s"$q lost its bounded bucket shuffle")
+      assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
+        s"$q shuffles on the text column instead of the bucket")
+    }
+  }
 }

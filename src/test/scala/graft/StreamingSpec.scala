@@ -1094,6 +1094,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupUrlsByCanonical collapses RFC 3986 spelling variants live") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingPipeline.dedupUrlsByCanonicalWithinWatermark(
+      mem.toDF().toDF("doc_id", "url", "timestamp"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("url_dedup_stream").start()
+    try {
+      mem.addData(
+        (1L, "http://www.src1.example.com/docs/1/page-1?a=1&b=2", ts("2024-01-01T10:00:00Z")),
+        (2L, "http://www.src2.example.com/docs/2/page-2?a=1", ts("2024-01-01T10:00:01Z")))
+      q.processAllAvailable()
+      mem.addData(
+        // five denormalized spellings of doc 1's resource: all dups
+        (3L, "HTTP://WWW.SRC1.EXAMPLE.COM/docs/1/page-1?b=2&a=1", ts("2024-01-01T10:01:00Z")),
+        (4L, "http://user:pw@www.src1.example.com:80/docs/1/page-1?a=1&b=2&utm_source=x", ts("2024-01-01T10:01:01Z")),
+        (5L, "http://www.src1.example.com/docs/../docs/1/./page-1?a=1&b=2#frag", ts("2024-01-01T10:01:02Z")),
+        (6L, "http://www.src1.example.com/docs/1/p%61ge-1?a=1&b=2", ts("2024-01-01T10:01:03Z")),
+        // a genuinely different resource: kept
+        (7L, "http://www.src1.example.com/docs/1/page-3?a=1&b=2", ts("2024-01-01T10:01:04Z")),
+        // malformed (null URL) records: kept, each under its own key
+        (8L, null, ts("2024-01-01T10:01:05Z")),
+        (9L, null, ts("2024-01-01T10:01:06Z")))
+      q.processAllAvailable()
+      val ids = spark.table("url_dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L, 7L, 8L, 9L),
+        s"expected spellings 3-6 collapsed onto 1, others kept: $ids")
+      // surface non-drift: the stream's key IS the batch kernel
+      assert(graft.functions.UrlKernels.canonicalize(
+        "HTTP://WWW.SRC1.EXAMPLE.COM/docs/1/page-1?b=2&a=1")
+        == "http://www.src1.example.com/docs/1/page-1?a=1&b=2")
+    } finally q.stop()
+  }
+
   test("throughput pin: curationIngest sustains >= 10k events/s on RocksDB") {
     // The reference's design point is 10 msg/s (generator.py's paced
     // producer); this pins the engine's actual ingest capacity at three
