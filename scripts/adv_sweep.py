@@ -368,6 +368,10 @@ def build_html():
          "en", "pct%41src", 54),                        # %-escapes in text/src
         (11, "  <p>  </p>  double  spaces  the a of and  ", "en",
          "-dash-host-", 44),                            # empties + tags
+        (12, "\ufeffBOM-leading text the a of and words here", "en",
+         "bom-src", 44),                                # U+FEFF sniff edge
+        (13, "astral \U0001F600\U0001F600 pair text the a of and", "en",
+         "astral", 40),                                 # utf-16 pairs
     ]
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
                 "source VARCHAR, n_chars BIGINT)")

@@ -614,6 +614,84 @@ object WebIngest {
     || label || '</div>'
     || '</body></html>'"""
 
+  // -------------------------------------------------------------- charsets
+
+  /** Charset fixture: doc_id%3 picks UTF-16LE+BOM / UTF-8+BOM / bare UTF-8
+    * bytes of the text — the three spellings a real crawl actually sees. */
+  def charsetPayload(docId: Long, text: String): Array[Byte] = docId % 3 match {
+    case 0 => Array(0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")
+    case 1 => Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ text.getBytes("UTF-8")
+    case _ => text.getBytes("UTF-8")
+  }
+
+  private def charsetFail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"charset reject: $msg")
+
+  /** Strict UTF-8 validation + codepoint count (RFC 3629): rejects bare
+    * continuations, overlong encodings (C0/C1 leads, and the per-lead
+    * minimum-first-continuation rules), UTF-16 surrogates (ED A0..BF),
+    * and anything past U+10FFFF (F5+ leads, F4 with high continuation). */
+  def utf8Codepoints(b: Array[Byte], from: Int): Long = {
+    var i = from
+    var n = 0L
+    def cont(j: Int): Int = {
+      if (j >= b.length) charsetFail(s"truncated sequence at ${b.length}")
+      val c = b(j) & 0xff
+      if (c < 0x80 || c > 0xBF) charsetFail(f"bad continuation 0x$c%02X at $j")
+      c
+    }
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) charsetFail(f"bare continuation or overlong lead 0x$c%02X at $i")
+      else if (c < 0xE0) { cont(i + 1); i += 2 }
+      else if (c < 0xF0) {
+        val c1 = cont(i + 1)
+        if (c == 0xE0 && c1 < 0xA0) charsetFail(s"overlong 3-byte sequence at $i")
+        if (c == 0xED && c1 >= 0xA0) charsetFail(s"UTF-16 surrogate encoded at $i")
+        cont(i + 2); i += 3
+      } else if (c < 0xF5) {
+        val c1 = cont(i + 1)
+        if (c == 0xF0 && c1 < 0x90) charsetFail(s"overlong 4-byte sequence at $i")
+        if (c == 0xF4 && c1 >= 0x90) charsetFail(s"codepoint past U+10FFFF at $i")
+        cont(i + 2); cont(i + 3); i += 4
+      } else charsetFail(f"lead byte 0x$c%02X past U+10FFFF at $i")
+      n += 1
+    }
+    n
+  }
+
+  /** Strict UTF-16LE validation + codepoint count: even byte length,
+    * surrogates must pair high-then-low. */
+  def utf16leCodepoints(b: Array[Byte], from: Int): Long = {
+    if ((b.length - from) % 2 != 0) charsetFail("odd UTF-16 byte length")
+    var i = from
+    var n = 0L
+    while (i < b.length) {
+      val u = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      if (u >= 0xD800 && u < 0xDC00) {
+        if (i + 3 >= b.length) charsetFail(s"truncated surrogate pair at $i")
+        val lo = (b(i + 2) & 0xff) | ((b(i + 3) & 0xff) << 8)
+        if (lo < 0xDC00 || lo >= 0xE000) charsetFail(s"unpaired high surrogate at $i")
+        i += 4
+      } else if (u >= 0xDC00 && u < 0xE000) charsetFail(s"lone low surrogate at $i")
+      else i += 2
+      n += 1
+    }
+    n
+  }
+
+  /** BOM sniff → strict decode: (encoding, codepoints). A BOM is
+    * PRESENTATION, so a bare-UTF-8 payload whose text begins with U+FEFF
+    * legitimately sniffs as utf-8-bom — the oracle mirrors that rule. */
+  def sniffCharset(b: Array[Byte]): (String, Long) =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xFE)
+      ("utf-16le", utf16leCodepoints(b, 2))
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xEF && (b(1) & 0xff) == 0xBB &&
+      (b(2) & 0xff) == 0xBF)
+      ("utf-8-bom", utf8Codepoints(b, 3))
+    else ("utf-8", utf8Codepoints(b, 0))
+
   // ---------------------------------------------------------------- robots
 
   /** The `*`-group rule set every fixture host serves (label-independent —
@@ -942,6 +1020,50 @@ object WebIngest {
                     AS BOOLEAN) AS allowed,
                w.r AS rule
         FROM mz ORDER BY doc_id""")),
+
+    // ---- charset sniff + strict transcode validation ----------------------
+    // The byte-level front of text ingestion: every doc arrives in one of
+    // the three encodings a real crawl sees (UTF-16LE+BOM / UTF-8+BOM /
+    // bare UTF-8, picked by doc_id%3), and the reader must sniff the BOM
+    // and STRICTLY validate the body (overlongs, encoded surrogates,
+    // lone/unpaired UTF-16 surrogates, truncations — all rejected loudly,
+    // battery in WebIngestSpec). The oracle recomputes encoding, codepoint
+    // count, and exact byte size from the text alone — including the
+    // "text begins with U+FEFF" edge where a bare-UTF-8 payload
+    // legitimately sniffs as BOM'd.
+    GraftQuery(
+      "charset_sniff",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .map { case (id, t) =>
+            val payload = charsetPayload(id, t)
+            val (enc, cps) = sniffCharset(payload)
+            (id, enc, cps, payload.length.toLong)
+          }
+          .toDF("doc_id", "encoding", "n_codepoints", "n_bytes")
+          .orderBy("doc_id")
+      },
+      Some(raw"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'utf-16le'
+                    WHEN doc_id % 3 = 1 THEN 'utf-8-bom'
+                    WHEN starts_with(t, chr(65279)) THEN 'utf-8-bom'
+                    ELSE 'utf-8' END AS encoding,
+               CAST(length(t)
+                    - CASE WHEN doc_id % 3 NOT IN (0, 1)
+                                AND starts_with(t, chr(65279))
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_codepoints,
+               CAST(CASE WHEN doc_id % 3 = 0
+                         THEN 2 + 2 * (length(t)
+                              + len(regexp_extract_all(t, '[\x{10000}-\x{10FFFF}]')))
+                         WHEN doc_id % 3 = 1
+                         THEN 3 + octet_length(encode(t))
+                         ELSE octet_length(encode(t)) END AS BIGINT) AS n_bytes
+        FROM d ORDER BY doc_id""")),
 
     // ---- per-domain rollup: the crawl-frontier accounting pass ------------
     // Canonical URL → host → registrable domain (strip the www label), then

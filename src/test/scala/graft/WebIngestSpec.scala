@@ -198,6 +198,55 @@ class WebIngestSpec extends SparkSuite {
       WebIngest.httpBody("no terminator here".getBytes("US-ASCII")))
   }
 
+  // -------------------------------------------------------------- charsets
+
+  test("charset: BOM sniff + strict decode round-trips all three fixture encodings") {
+    val texts = Seq("plain ascii", "café 😀 naïve", "", "﻿BOM-leading text")
+    for (t <- texts; v <- 0L to 2L) {
+      val payload = WebIngest.charsetPayload(v, t)
+      val (enc, cps) = WebIngest.sniffCharset(payload)
+      val expEnc =
+        if (v == 0) "utf-16le"
+        else if (v == 1) "utf-8-bom"
+        else if (t.startsWith("﻿")) "utf-8-bom"
+        else "utf-8"
+      val expCps = t.codePointCount(0, t.length) -
+        (if (v == 2 && t.startsWith("﻿")) 1 else 0)
+      assert((enc, cps) == (expEnc, expCps.toLong), s"v=$v t='$t'")
+    }
+  }
+
+  test("charset: rejection battery — malformed UTF-8/UTF-16 fails loudly") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val utf8Bad = Seq(
+      "bare continuation" -> b(0x80),
+      "overlong 2-byte (C0 80)" -> b(0xC0, 0x80),
+      "overlong 2-byte (C1 BF)" -> b(0xC1, 0xBF),
+      "overlong 3-byte (E0 80 80)" -> b(0xE0, 0x80, 0x80),
+      "encoded surrogate (ED A0 80)" -> b(0xED, 0xA0, 0x80),
+      "overlong 4-byte (F0 80 80 80)" -> b(0xF0, 0x80, 0x80, 0x80),
+      "past U+10FFFF (F4 90 80 80)" -> b(0xF4, 0x90, 0x80, 0x80),
+      "lead past U+10FFFF (F5)" -> b(0xF5, 0x80, 0x80, 0x80),
+      "truncated 3-byte" -> b(0xE2, 0x82),
+      "non-continuation tail" -> b(0xC3, 0x41))
+    utf8Bad.foreach { case (what, bytes) =>
+      val e = intercept[IllegalArgumentException](WebIngest.utf8Codepoints(bytes, 0))
+      assert(e.getMessage.startsWith("charset reject:"), s"$what: ${e.getMessage}")
+    }
+    val utf16Bad = Seq(
+      "odd byte length" -> b(0x41),
+      "lone high surrogate" -> b(0x00, 0xD8),
+      "high + non-low" -> b(0x00, 0xD8, 0x41, 0x00),
+      "lone low surrogate" -> b(0x00, 0xDC))
+    utf16Bad.foreach { case (what, bytes) =>
+      val e = intercept[IllegalArgumentException](WebIngest.utf16leCodepoints(bytes, 0))
+      assert(e.getMessage.startsWith("charset reject:"), s"$what: ${e.getMessage}")
+    }
+    // valid astral pair counts once in both encodings
+    assert(WebIngest.utf8Codepoints("😀".getBytes("UTF-8"), 0) == 1L)
+    assert(WebIngest.utf16leCodepoints("😀".getBytes("UTF-16LE"), 0) == 1L)
+  }
+
   // ---------------------------------------------------------------- robots
 
   test("robots: parser picks the right group, evaluator applies RFC 9309 precedence") {
