@@ -184,8 +184,41 @@ object WebIngest {
   }
 
   /** One parsed block: decoded text, codepoint count, codepoint count inside
-    * <a>, and the single-space token count (string_split semantics). */
-  final case class HtmlBlock(text: String, chars: Long, linkChars: Long, tokens: Int)
+    * <a>, the single-space token count (string_split semantics), and the
+    * block's links as (href, anchor text) in document order. */
+  final case class HtmlBlock(text: String, chars: Long, linkChars: Long,
+      tokens: Int, links: Vector[(String, String)] = Vector.empty)
+
+  /** Strict attribute parse (consumed only where a value is READ — the <a>
+    * href): zero or more `name="value"` pairs, lowercase names, double
+    * quotes only; anything else in attribute position rejects loudly. */
+  def parseAttrs(attrs: String): Map[String, String] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"html reject: $msg")
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    val n = attrs.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
+      if (i < n) {
+        val ns = i
+        while (i < n && (attrs.charAt(i).isLetter && attrs.charAt(i).isLower ||
+          attrs.charAt(i) == '-')) i += 1
+        if (i == ns) fail(s"bad attribute name at '$attrs'")
+        val name = attrs.substring(ns, i)
+        if (i >= n || attrs.charAt(i) != '=') fail(s"attribute '$name' without =\"value\"")
+        i += 1
+        if (i >= n || attrs.charAt(i) != '"') fail(s"attribute '$name' value not double-quoted")
+        i += 1
+        val vs = i
+        while (i < n && attrs.charAt(i) != '"') i += 1
+        if (i >= n) fail(s"unterminated value for attribute '$name'")
+        out += name -> attrs.substring(vs, i)
+        i += 1
+      }
+    }
+    out.result()
+  }
 
   private val BlockTags = Set("div", "p", "h1", "h2", "h3", "h4", "h5", "h6",
     "li", "blockquote", "pre", "td", "th", "section", "article", "header",
@@ -215,6 +248,9 @@ object WebIngest {
     val text = new java.lang.StringBuilder
     var chars = 0L
     var linkChars = 0L
+    var linkHref = ""
+    var linkMark = 0
+    val links = Vector.newBuilder[(String, String)]
 
     def appendCp(cp: Int): Unit = {
       text.appendCodePoint(cp)
@@ -226,8 +262,8 @@ object WebIngest {
       var spaces = 0
       var j = 0
       while (j < t.length) { if (t.charAt(j) == ' ') spaces += 1; j += 1 }
-      out += HtmlBlock(t, chars, linkChars, spaces + 1)
-      text.setLength(0); chars = 0L; linkChars = 0L
+      out += HtmlBlock(t, chars, linkChars, spaces + 1, links.result())
+      text.setLength(0); chars = 0L; linkChars = 0L; links.clear()
     }
     def isNameChar(c: Char, first: Boolean): Boolean =
       (c >= 'a' && c <= 'z') || (!first && c >= '0' && c <= '9')
@@ -276,10 +312,13 @@ object WebIngest {
               if (closing) {
                 if (!inLink) fail("</a> without <a>")
                 inLink = false
+                links += ((linkHref, text.substring(linkMark)))
               } else {
                 if (blockTag == null) fail("<a> outside a block container")
                 if (inLink) fail("nested <a>")
                 inLink = true
+                linkHref = parseAttrs(attrs).getOrElse("href", "")
+                linkMark = text.length()
               }
             case t if BlockTags(t) =>
               if (closing) {
@@ -613,6 +652,10 @@ object WebIngest {
     || '<div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> Copyright 2024 '
     || label || '</div>'
     || '</body></html>'"""
+
+  /** In-corpus document reference shape in hrefs (negative ids appear on
+    * hostile corpora — the formula mirrors either way). */
+  private val DocHref = "/d/(-?\\d+)".r
 
   // -------------------------------------------------------------- charsets
 
@@ -1020,6 +1063,72 @@ object WebIngest {
                     AS BOOLEAN) AS allowed,
                w.r AS rule
         FROM mz ORDER BY doc_id""")),
+
+    // ---- crawl link graph: href extraction through the strict parser ------
+    // The hyperlink stage of web ingestion: anchor targets come out of the
+    // parsed <a href> attributes (the strict attribute grammar —
+    // parseAttrs), filtered to in-corpus /d/<id> references. The oracle
+    // regenerates the related-box edges from the page formula, so an
+    // attribute parser that drops, truncates, or mis-scopes an href
+    // hash-mismatches on every row.
+    GraftQuery(
+      "link_graph",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), labelCol.as("label"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[WarcDoc]
+          .flatMap { d =>
+            parseHtmlBlocks(renderHtml(d.doc_id, d.label, d.text))
+              .flatMap(_.links)
+              .collect { case (DocHref(t), anchor) => (d.doc_id, t.toLong, anchor) }
+          }
+          .toDF("doc_id", "target", "anchor")
+          .orderBy("doc_id", "target")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(100 + (doc_id * 7) % 900 AS BIGINT) AS a,
+                 CAST(100 + (doc_id * 13) % 900 AS BIGINT) AS b
+          FROM documents)
+        SELECT doc_id, target, anchor FROM (
+          SELECT doc_id, a AS target, 'doc ' || CAST(a AS VARCHAR) AS anchor FROM d
+          UNION ALL
+          SELECT doc_id, b AS target, 'doc ' || CAST(b AS VARCHAR) AS anchor FROM d) u
+        ORDER BY doc_id, target""")),
+
+    // ---- link-graph in-degree: the crawl-priority signal -------------------
+    GraftQuery(
+      "link_indegree",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), labelCol.as("label"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[WarcDoc]
+          .flatMap { d =>
+            parseHtmlBlocks(renderHtml(d.doc_id, d.label, d.text))
+              .flatMap(_.links)
+              .collect { case (DocHref(t), _) => t.toLong }
+          }
+          .toDF("target")
+          .groupBy("target").agg(count(lit(1)).as("n_links"))
+          .orderBy(col("n_links").desc, col("target"))
+          .limit(25)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(100 + (doc_id * 7) % 900 AS BIGINT) AS a,
+                 CAST(100 + (doc_id * 13) % 900 AS BIGINT) AS b
+          FROM documents),
+        e AS (SELECT a AS target FROM d UNION ALL SELECT b FROM d)
+        SELECT target, count(*) AS n_links
+        FROM e GROUP BY target
+        ORDER BY n_links DESC, target
+        LIMIT 25""")),
 
     // ---- charset sniff + strict transcode validation ----------------------
     // The byte-level front of text ingestion: every doc arrives in one of
