@@ -113,6 +113,63 @@ object TextAnalysis {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // ---- per-doc TF-IDF keywords (round 9) --------------------------------
+    // The classic keyword extractor: tf from one explode+groupBy, df from
+    // a distinct pass on the same token frame, idf integer-exact via the
+    // bigram_logprob ln-rounding discipline (round(ln·10⁶) of an identical
+    // double in both engines), score = tf·idf6 in BIGINT, top-5 per doc by
+    // (score desc, term) — a per-key top-k Spark plans as a two-phase
+    // WindowGroupLimit (Partial before the doc shuffle, Final after), so
+    // each task ships at most 5 rows per doc, never its full term list.
+    // Scale: both aggs shuffle on bounded keys ((doc,term) and term); the
+    // tf⋈df join is left to AQE — broadcast while the vocabulary fits
+    // (as at the test sfs), shuffled hash join beyond.
+    GraftQuery(
+      "tfidf_keywords",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val nd = Tables.documents(s, dir)
+          .agg(count(lit(1)).cast(DoubleType).as("n"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df, "term")
+          .crossJoin(broadcast(nd))
+          .withColumn("idf6",
+            expr("CAST(round(ln((n + 1) / (df + 1)) * 1000000) AS BIGINT)"))
+          .withColumn("score", col("tf") * col("idf6"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("doc_id", "term", "tf", "score")
+          .orderBy(col("doc_id"), col("score").desc, col("term"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                   x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+               FROM t GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df
+               FROM t GROUP BY 1),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents),
+        s AS (SELECT doc_id, term, tf,
+                     tf * CAST(round(ln((n + 1) / (df + 1)) * 1000000) AS BIGINT)
+                       AS score
+              FROM tf JOIN df USING (term) CROSS JOIN nd),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) rn
+              FROM s)
+        SELECT doc_id, term, tf, score
+        FROM r WHERE rn <= 5
+        ORDER BY doc_id, score DESC, term""")),
+
     // ---- token counting (whitespace + BPE-ish pre-tokenizer) -------------
     // n_subtokens approximates a BPE tokenizer's unit count with the
     // classic pre-tokenization regex (letter runs | digit runs | single
