@@ -38,8 +38,12 @@ class ScaleLadderSpec extends SparkSuite {
   // density grows edges ~linearly, so a super-linear wedge or iteration
   // blowup shows here as an envelope breach
   private val Steepest =
+    // minhash_clusters (not the memoized dedup_keep_list — its jaccard-CC
+    // labels derive once per corpus since round 9, so its median would
+    // measure the warm join): an UNmemoized connected-components run per
+    // invocation keeps label propagation itself under the scale envelope
     Seq("bpe_merges", "bpe_encode", "dsir_weights", "ngram_jaccard",
-      "dedup_keep_list", "dup_pagerank", "dup_triangles",
+      "minhash_clusters", "dup_pagerank", "dup_triangles",
       // round-7 addition: the gram posting index behind substring dedup —
       // exactly the shape (per-gram position lists) that goes quadratic
       // if the dup-gram join ever loses its digest keying
