@@ -187,6 +187,85 @@ object Similarity {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // ---- Matryoshka truncation recall curve (round 9) ---------------------
+    // The embedding-budget readout: recall@10 of brute-force cosine over
+    // the FIRST d dimensions (d ∈ 8/16/32/64) against the full-dimension
+    // ground truth — the question an MRL-style index build asks before
+    // committing a truncated dimension to a 100 TB vector store. One
+    // broadcast-query candidate frame serves all four dims (the dim rides
+    // an exploded column, not one join per d); prefixes with zero norm
+    // drop from that dim's ranking in BOTH engines; cosines rank on the
+    // 6-decimal rounding with vec_id ties, and recall is an exact integer
+    // ppm — the whole curve hash-checks. Scale: the exact scorer is the
+    // diagnostic over a sampled query set (ann_ivf_topk is the scale
+    // path); candidates stay |queries|·n·4.
+    GraftQuery(
+      "mrl_recall",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("dim", explode(typedlit(Seq(8, 16, 32, 64))))
+          .withColumn("qs", slice(col("qemb"), lit(1), col("dim")))
+          .withColumn("vs", slice(col("embedding"), lit(1), col("dim")))
+          .withColumn("qn", V.l2norm(col("qs")))
+          .withColumn("vn", V.l2norm(col("vs")))
+          .filter(col("qn") > 0 && col("vn") > 0)
+          .withColumn("cosr", round(V.dot(col("qs"), col("vs")) / (col("qn") * col("vn")), 6))
+        val top = graft.plans.TopK.perKey(scored,
+          Seq("dim", "qid"), Seq(("cosr", "desc"), ("vec_id", "asc")), 10)
+          .select("dim", "qid", "vec_id")
+        val truth = top.filter(col("dim") === EmbDims).select("qid", "vec_id")
+        val nq = truth.agg(countDistinct("qid").as("n"))
+        // LEFT join + hit flag: a dim whose top-10s share NOTHING with the
+        // ground truth must report recall 0, not vanish from the curve
+        top.join(truth.withColumn("_hit", lit(1L)), Seq("qid", "vec_id"), "left")
+          .groupBy(col("dim")).agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+          .crossJoin(broadcast(nq))
+          .select(col("dim"),
+            expr("CAST(hits * 1000000 DIV (10 * n) AS BIGINT)").as("recall_ppm"))
+          .orderBy("dim")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+          FROM embeddings
+          WHERE len(embedding) = $EmbDims
+            AND sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                  (a, b) -> a + b)) > 0
+            AND sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                  (a, b) -> a + b)) < $MaxVecNorm),
+        dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        sc AS (
+          SELECT dims.dim, q.vec_id AS qid, e.vec_id,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, dims.dim + 1), i -> q.v[i] * q.v[i])),
+                   (a, b) -> a + b)) AS qn,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, dims.dim + 1), i -> e.v[i] * e.v[i])),
+                   (a, b) -> a + b)) AS vn,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, dims.dim + 1), i -> q.v[i] * e.v[i])),
+                   (a, b) -> a + b) AS dot
+          FROM e q CROSS JOIN e CROSS JOIN dims
+          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+        r AS (
+          SELECT dim, qid, vec_id,
+                 row_number() OVER (PARTITION BY dim, qid
+                   ORDER BY round(dot / (qn * vn), 6) DESC, vec_id) AS rn
+          FROM sc WHERE qn > 0 AND vn > 0),
+        t AS (SELECT dim, qid, vec_id FROM r WHERE rn <= 10),
+        g AS (SELECT qid, vec_id, 1 AS hit FROM t WHERE dim = $EmbDims),
+        h AS (SELECT t.dim,
+                     CAST(coalesce(sum(coalesce(g.hit, 0)), 0) AS BIGINT) AS hits
+              FROM t LEFT JOIN g USING (qid, vec_id) GROUP BY t.dim),
+        nq AS (SELECT count(DISTINCT qid) AS n FROM t WHERE dim = $EmbDims)
+        SELECT dim, CAST(hits * 1000000 // (10 * n) AS BIGINT) AS recall_ppm
+        FROM h CROSS JOIN nq ORDER BY dim""")),
+
     // ---- L2 norms (exercises the fold in both engines) -------------------
     GraftQuery(
       "embedding_norms",
