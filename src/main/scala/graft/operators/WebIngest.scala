@@ -1130,6 +1130,66 @@ object WebIngest {
         ORDER BY n_links DESC, target
         LIMIT 25""")),
 
+    // ---- the composed crawl funnel -----------------------------------------
+    // Every round-9 ingest stage in ONE pipeline, the way a crawl actually
+    // chains them: WARC container walk → HTTP split → strict HTML parse →
+    // robots gate on the record's canonical target URI → density
+    // classification — emitting the stage counts an ingestion dashboard
+    // tracks. The oracle recomputes each stage from the fixture formulas,
+    // so a drop anywhere in the chain (a lost record, a mis-parsed page, a
+    // wrong robots verdict, a classifier drift) moves a counter and
+    // hash-mismatches.
+    GraftQuery(
+      "crawl_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val stages = warcRoundTrip(s, dir)
+          .map { case (id, uri, _, payload) =>
+            val blocks = parseHtmlBlocks(new String(httpBody(payload), "UTF-8"))
+            // path from the canonical URI: after "://", from the first '/',
+            // query stripped — the gate matches on the PATH, the same
+            // contract robots_gate pins
+            val rest = uri.substring(uri.indexOf("://") + 3)
+            val slash = rest.indexOf('/')
+            val withQuery = if (slash < 0) "/" else rest.substring(slash)
+            val qm = withQuery.indexOf('?')
+            val path = if (qm < 0) withQuery else withQuery.substring(0, qm)
+            val (allowed, _) = robotsDecision(RobotsRules, path)
+            val content = blocks.filter(isContent)
+            (id, if (allowed) 1L else 0L,
+              if (allowed && content.nonEmpty) 1L else 0L,
+              if (allowed) content.map(_.chars).sum else 0L)
+          }
+          .toDF("doc_id", "allowed", "content_doc", "content_chars")
+        stages.agg(
+          count(lit(1)).as("n_records"),
+          sum("allowed").as("n_allowed"),
+          sum("content_doc").as("n_content_docs"),
+          sum("content_chars").as("total_content_chars"))
+      },
+      Some(s"""
+        $htmlCte,
+        kz AS (
+          SELECT doc_id, label, paras, cps, fc,
+                 '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+                   || '/page-' || CAST(doc_id % 200 AS VARCHAR) AS path
+          FROM c),
+        fz AS (
+          SELECT doc_id,
+                 CASE WHEN w IS NULL OR w.k % 2 = 1 THEN 1 ELSE 0 END AS allowed,
+                 CAST(len(cps) + fc AS INT) AS content_blocks,
+                 CAST($contentSql AS BIGINT) AS content_chars
+          FROM (SELECT *, list_max(flatten([
+                  $robotsOracleRules])) AS w
+                FROM kz))
+        SELECT CAST(count(*) AS BIGINT) AS n_records,
+               CAST(coalesce(sum(allowed), 0) AS BIGINT) AS n_allowed,
+               CAST(coalesce(sum(CASE WHEN allowed = 1 AND content_blocks > 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_content_docs,
+               CAST(coalesce(sum(CASE WHEN allowed = 1 THEN content_chars
+                                      ELSE 0 END), 0) AS BIGINT) AS total_content_chars
+        FROM fz""")),
+
     // ---- charset sniff + strict transcode validation ----------------------
     // The byte-level front of text ingestion: every doc arrives in one of
     // the three encodings a real crawl sees (UTF-16LE+BOM / UTF-8+BOM /
