@@ -9,9 +9,13 @@ documents table under /tmp/adv_corpus (other tables copied from
 sf0.001), then the usual Verify + check.py pair compares Spark against
 DuckDB on it for every documents-backed query.
 
-Two corpora: /tmp/adv_corpus (hostile documents) and /tmp/adv_events
+Five corpora: /tmp/adv_corpus (hostile documents), /tmp/adv_events
 (hostile events — timestamp ties, single-sided view/purchase cohorts,
-midnight boundaries, extreme values, null/empty/malformed props).
+midnight boundaries, extreme values, null/empty/malformed props),
+/tmp/adv_emb (hostile embeddings), /tmp/adv_rel (hostile TPC-H-shape
+relational tables), and /tmp/adv_html (round 9: crafted markup-shaped
+texts + URL-hostile sources + BOM/astral charset edges for the
+WebIngest family).
 
 Usage:
   python3 scripts/adv_sweep.py                     # build both corpora
