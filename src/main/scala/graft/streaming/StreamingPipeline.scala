@@ -688,6 +688,48 @@ object StreamingPipeline {
       weights, textCol)
   }
 
+  /** Streaming crawl ingest — the in-flight face of the round-9 batch
+    * web-ingestion stage, composed the way a live fetcher runs it:
+    * canonical-URL dedup within the watermark horizon (re-fetches and
+    * spelling variants collapse BEFORE the expensive parse — the cheap
+    * key first, the [[curationIngest]] gate-then-dedup discipline in
+    * reverse because here the key is cheaper than the parse), then the
+    * STRICT HTML block parse + density classification per surviving page,
+    * then the content gate (pages with no content blocks drop). Parsing
+    * uses exactly the batch kernel ([[graft.operators.WebIngest
+    * .parseHtmlBlocks]]/isContent) — no drift between what batch curation
+    * and live ingest consider "content". Output: (doc_id, canonical_url,
+    * content_blocks, content_chars, content_text, timestamp).
+    *
+    * Malformed pages THROW (the strict contract); a production deploy
+    * wraps this stage with [[quarantineSink]] so rejects land in the
+    * dead-letter path — the composition StreamingSpec drives. */
+  def crawlIngest(
+      pages: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      htmlCol: String = "html",
+      tsCol: String = "timestamp",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val session = pages.sparkSession
+    import session.implicits._
+    dedupUrlsByCanonicalWithinWatermark(pages, idCol, urlCol, tsCol, watermarkDelay)
+      .withColumn("canonical_url",
+        graft.functions.UrlExpressions.urlCanonicalize(col(urlCol)))
+      .select(col(idCol), col("canonical_url"), col(htmlCol), col(tsCol))
+      .as[(Long, String, String, java.sql.Timestamp)]
+      .map { case (id, curl, html, ts) =>
+        val blocks = graft.operators.WebIngest.parseHtmlBlocks(html)
+        val content = blocks.filter(graft.operators.WebIngest.isContent)
+        (id, curl, content.length, content.map(_.chars).sum,
+          content.map(_.text).mkString("\n"), ts)
+      }
+      .toDF(idCol, "canonical_url", "content_blocks", "content_chars",
+        "content_text", tsCol)
+      .filter(col("content_blocks") > 0)
+  }
+
   /** Dead-letter split sink: one stream, two destinations. Rows failing
     * `isGood` go to the quarantine sink with full payload for replay
     * after a parser fix; the rest take the main path. Pairs with

@@ -1129,6 +1129,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("crawlIngest: URL dedup -> strict parse -> content gate, live on the batch kernels") {
+    implicit val sc = spark.sqlContext
+    import operators.WebIngest
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val out = StreamingPipeline.crawlIngest(
+      mem.toDF().toDF("doc_id", "url", "html", "timestamp"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("crawl_ingest").start()
+    try {
+      val richText = "alpha beta gamma delta epsilon zeta eta theta"
+      val page = WebIngest.renderHtml(1L, "src1", richText)
+      // a page whose only content-eligible block is too short: gated out
+      val thin = WebIngest.renderHtml(2L, "src2", "tiny text")
+      mem.addData(
+        (1L, "http://www.src1.example.com/docs/1/page-1?a=1&b=2", page, ts("2024-01-01T10:00:00Z")),
+        (2L, "http://www.src2.example.com/docs/2/page-2?a=1&b=2", thin, ts("2024-01-01T10:00:01Z")))
+      q.processAllAvailable()
+      mem.addData(
+        // re-fetch of doc 1 under a denormalized spelling: collapses
+        // BEFORE the parse (same canonical key)
+        (3L, "HTTP://WWW.SRC1.EXAMPLE.COM/docs/1/page-1?b=2&a=1#f", page, ts("2024-01-01T10:01:00Z")))
+      q.processAllAvailable()
+      val rows = spark.table("crawl_ingest").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L),
+        s"expected only doc 1 (2 gated thin, 3 deduped): ${rows.mkString(";")}")
+      val r = rows.head
+      assert(r.getAs[String]("canonical_url")
+        == "http://www.src1.example.com/docs/1/page-1?a=1&b=2")
+      assert(r.getAs[String]("content_text") == richText)
+      // surface non-drift: the stream's stats ARE the batch kernel's
+      val blocks = WebIngest.parseHtmlBlocks(page)
+      assert(r.getAs[Long]("content_chars")
+        == blocks.filter(WebIngest.isContent).map(_.chars).sum)
+    } finally q.stop()
+  }
+
   test("throughput pin: curationIngest sustains >= 10k events/s on RocksDB") {
     // The reference's design point is 10 msg/s (generator.py's paced
     // producer); this pins the engine's actual ingest capacity at three
