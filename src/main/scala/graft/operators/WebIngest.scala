@@ -456,6 +456,7 @@ object WebIngest {
   val WarcBucket = 16
 
   final case class WarcDoc(doc_id: Long, label: String, text: String)
+  final case class SitemapGroup(label: String, ids: Seq[Long])
   final case class WarcRecordOut(doc_id: Long, rec_type: String,
       target_uri: String, content_length: Long, payload_digest: String)
   final case class WarcExtractOut(doc_id: Long, content_blocks: Int,
@@ -656,6 +657,138 @@ object WebIngest {
   /** In-corpus document reference shape in hrefs (negative ids appear on
     * hostile corpora — the formula mirrors either way). */
   private val DocHref = "/d/(-?\\d+)".r
+
+  // --------------------------------------------------------------- sitemap
+
+  /** Sitemap lastmod fixture: a deterministic date per doc. */
+  def lastmodOf(docId: Long): String =
+    java.time.LocalDate.of(2024, 1, 1).plusDays(docId % 365).toString
+
+  /** Deterministic per-host sitemap.xml: one <url> entry per doc with the
+    * canonical URL (escaped — '&' separates its query params) and the
+    * lastmod date. Real hosts cap sitemaps at 50k URLs and chain them from
+    * an index file; the fixture stays far under the cap per host. */
+  def sitemapXmlOf(label: String, docIds: Seq[Long]): String = {
+    val sb = new java.lang.StringBuilder(docIds.length * 96 + 128)
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+    sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">")
+    docIds.foreach { id =>
+      sb.append("<url><loc>")
+        .append(escapeHtml(UrlKernels.canonicalize(messyUrlString(id, label))))
+        .append("</loc><lastmod>").append(lastmodOf(id))
+        .append("</lastmod></url>")
+    }
+    sb.append("</urlset>")
+    sb.toString
+  }
+
+  /** One parsed XML element: name, attributes, child elements, and the
+    * concatenated decoded text of its direct text children. */
+  final case class XmlElem(name: String, attrs: Map[String, String],
+      children: Vector[XmlElem], text: String)
+
+  /** Strict XML subset parser (the sitemap grammar): optional <?xml?>
+    * prolog, case-sensitive element names, the [[parseAttrs]] attribute
+    * grammar, the five XML entities + numeric refs, matched close tags.
+    * Rejected loudly (battery in WebIngestSpec): mismatched or unclosed
+    * tags, bare '<'/'&', unknown entities, attribute junk, trailing bytes
+    * after the root, comments/CDATA/processing instructions past the
+    * prolog (unsupported classes this grammar never produces). */
+  def parseXml(xml: String): XmlElem = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"xml reject: $msg")
+    var i = 0
+    val n = xml.length
+    if (xml.startsWith("<?xml")) {
+      val e = xml.indexOf("?>", 5)
+      if (e < 0) fail("unterminated <?xml prolog")
+      i = e + 2
+    }
+    def ws(): Unit = while (i < n && Character.isWhitespace(xml.charAt(i))) i += 1
+    def isName(c: Char, first: Boolean): Boolean =
+      c.isLetter || c == '_' || (!first && (c.isDigit || c == '-' || c == ':'))
+    def decodeText(until: Char): String = {
+      val sb = new java.lang.StringBuilder
+      while (i < n && xml.charAt(i) != until) {
+        val c = xml.charAt(i)
+        if (c == '&') {
+          val e = xml.indexOf(';', i + 1)
+          if (e < 0 || e - i > 9) fail(s"unterminated entity at $i")
+          val name = xml.substring(i + 1, e)
+          val cp = name match {
+            case "amp" => '&'.toInt
+            case "lt" => '<'.toInt
+            case "gt" => '>'.toInt
+            case "quot" => '"'.toInt
+            case "apos" => '\''.toInt
+            case _ if name.startsWith("#x") || name.startsWith("#X") =>
+              try Integer.parseInt(name.substring(2), 16)
+              catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+            case _ if name.startsWith("#") =>
+              try Integer.parseInt(name.substring(1), 10)
+              catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+            case _ => fail(s"unknown entity &$name;")
+          }
+          sb.appendCodePoint(cp)
+          i = e + 1
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    def element(): XmlElem = {
+      if (i >= n || xml.charAt(i) != '<') fail(s"expected element at $i")
+      i += 1
+      val ns = i
+      while (i < n && isName(xml.charAt(i), i == ns)) i += 1
+      if (i == ns) fail(s"bare '<' at ${ns - 1}")
+      val name = xml.substring(ns, i)
+      val gt = xml.indexOf('>', i)
+      if (gt < 0) fail(s"unterminated <$name tag")
+      val selfClose = gt > i && xml.charAt(gt - 1) == '/'
+      val rawAttrs = xml.substring(i, if (selfClose) gt - 1 else gt)
+      if (rawAttrs.indexOf('<') >= 0) fail(s"'<' inside <$name ...> tag")
+      val attrs = parseAttrs(rawAttrs)
+      i = gt + 1
+      if (selfClose) return XmlElem(name, attrs, Vector.empty, "")
+      val kids = Vector.newBuilder[XmlElem]
+      val text = new java.lang.StringBuilder
+      var closed = false
+      while (!closed) {
+        text.append(decodeText('<'))
+        if (i >= n) fail(s"unclosed <$name> at EOF")
+        if (i + 1 < n && xml.charAt(i + 1) == '/') {
+          val ce = xml.indexOf('>', i + 2)
+          if (ce < 0) fail(s"unterminated closing tag in <$name>")
+          val cname = xml.substring(i + 2, ce)
+          if (cname != name) fail(s"</$cname> closes <$name>")
+          i = ce + 1
+          closed = true
+        } else kids += element()
+      }
+      XmlElem(name, attrs, kids.result(), text.toString)
+    }
+    ws()
+    val root = element()
+    ws()
+    if (i != n) fail(s"trailing content after </${root.name}>")
+    root
+  }
+
+  /** Walk one host's sitemap back out of the strict parser: the urlset
+    * root, per-url loc + lastmod, structural violations rejected. */
+  def readSitemap(xml: String): Vector[(String, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"sitemap reject: $msg")
+    val root = parseXml(xml)
+    if (root.name != "urlset") fail(s"root <${root.name}>, expected <urlset>")
+    root.children.map { u =>
+      if (u.name != "url") fail(s"<${u.name}> under <urlset>")
+      val loc = u.children.find(_.name == "loc")
+        .getOrElse(fail("<url> without <loc>"))
+      val lastmod = u.children.find(_.name == "lastmod").map(_.text).getOrElse("")
+      (loc.text, lastmod)
+    }
+  }
 
   // -------------------------------------------------------------- charsets
 
@@ -1129,6 +1262,49 @@ object WebIngest {
         FROM e GROUP BY target
         ORDER BY n_links DESC, target
         LIMIT 25""")),
+
+    // ---- sitemap.xml: the other crawl-control container --------------------
+    // Per host: render the sitemap (url entries carry the canonical URL —
+    // whose query '&' must survive the XML escape round-trip — and a
+    // deterministic lastmod), then walk it back through the STRICT XML
+    // subset parser and the urlset/url/loc structural check. The oracle
+    // rebuilds per-host URL counts, the lastmod range, and an
+    // order-preserving digest of the locs from the fixture formulas, so a
+    // parser that drops an entry, mangles an entity, or reorders children
+    // hash-mismatches.
+    GraftQuery(
+      "sitemap_parse",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy(translate(labelCol, UC, LC).as("label"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .as[SitemapGroup]
+          .map { g =>
+            val entries = readSitemap(sitemapXmlOf(g.label, g.ids))
+            (s"www.${g.label}.example.com", entries.length.toLong,
+              entries.map(_._2).min, entries.map(_._2).max,
+              md5Hex(entries.map(_._1).mkString("\n").getBytes("UTF-8")))
+          }
+          .toDF("host", "n_urls", "first_mod", "last_mod", "locs_digest")
+          .orderBy("host")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 ${lowerSql(labelSql)} AS llabel,
+                 'http://www.' || ${lowerSql(labelSql)} || '.example.com/docs/'
+                   || CAST(doc_id % 50 AS VARCHAR) || '/page-'
+                   || CAST(doc_id % 200 AS VARCHAR) || '?a=1&b=2' AS canonical,
+                 CAST(DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS VARCHAR)
+                   AS lastmod
+          FROM documents)
+        SELECT 'www.' || llabel || '.example.com' AS host,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               min(lastmod) AS first_mod,
+               max(lastmod) AS last_mod,
+               md5(string_agg(canonical, chr(10) ORDER BY doc_id)) AS locs_digest
+        FROM d GROUP BY llabel ORDER BY host""")),
 
     // ---- the composed crawl funnel -----------------------------------------
     // Every round-9 ingest stage in ONE pipeline, the way a crawl actually

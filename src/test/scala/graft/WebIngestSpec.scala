@@ -291,6 +291,44 @@ class WebIngestSpec extends SparkSuite {
     }
   }
 
+  // ----------------------------------------------------------------- xml
+
+  test("xml: sitemap round-trip — entities in locs survive, order and dates exact") {
+    val ids = Seq(3L, 17L, 203L)
+    val entries = WebIngest.readSitemap(WebIngest.sitemapXmlOf("src3", ids))
+    assert(entries.length == 3)
+    entries.zip(ids).foreach { case ((loc, mod), id) =>
+      // the canonical URL's query '&' must round-trip through &amp;
+      assert(loc == graft.functions.UrlKernels.canonicalize(
+        WebIngest.messyUrlString(id, "src3")), s"id=$id loc=$loc")
+      assert(loc.contains("?a=1&b=2"))
+      assert(mod == WebIngest.lastmodOf(id))
+    }
+    assert(WebIngest.lastmodOf(203L) == "2024-07-22")
+    assert(WebIngest.lastmodOf(-7L) == "2023-12-25") // hostile negative ids
+  }
+
+  test("xml: rejection battery — malformed sitemaps fail loudly") {
+    def sm(body: String) = s"""<?xml version="1.0" encoding="UTF-8"?>$body"""
+    val bad = Seq(
+      "mismatched close" -> sm("<urlset><url></urlset></url>"),
+      "unclosed root" -> sm("<urlset><url></url>"),
+      "bare '<'" -> sm("<urlset>< url/></urlset>"),
+      "unknown entity" -> sm("<urlset><url><loc>&nope;</loc></url></urlset>"),
+      "bad attr" -> sm("<urlset xmlns=nounquoted><url/></urlset>"),
+      "trailing junk" -> (sm("<urlset></urlset>") + "extra"),
+      "unterminated prolog" -> "<?xml version=\"1.0\"",
+      "wrong root" -> sm("<sitemapindex></sitemapindex>"),
+      "non-url child" -> sm("<urlset><loc>x</loc></urlset>"),
+      "url without loc" -> sm("<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"))
+    bad.foreach { case (what, xml) =>
+      val e = intercept[IllegalArgumentException](WebIngest.readSitemap(xml))
+      assert(e.getMessage.contains("reject"), s"$what: ${e.getMessage}")
+    }
+    // self-closing elements parse (the grammar allows them)
+    assert(WebIngest.parseXml("<urlset><url/></urlset>").children.head.name == "url")
+  }
+
   // --------------------------------------------------- classifier boundary
 
   test("html: footer classification flips exactly at the documented label-length boundary") {
