@@ -565,6 +565,11 @@ class PlanSpec extends SparkSuite {
       assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
         s"$q shuffles raw document text")
     }
+    // sitemap groups on the ~20-value host label; charset and the link
+    // family stay scan-side single-scan
+    for (q <- Seq("sitemap_parse", "charset_sniff", "link_graph", "crawl_funnel")) {
+      assert(scans(q) == 1, s"$q must scan the corpus exactly once")
+    }
     // the WARC pair carries the ONE text-moving shuffle (container building
     // needs record co-location) and it must be keyed on the bounded bucket,
     // never on text
