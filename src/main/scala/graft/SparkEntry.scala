@@ -25,7 +25,8 @@ object SparkEntry {
       operators.JoinPruning.queries ++
       operators.Linkage.queries ++
       operators.UnigramLm.queries ++
-      operators.WebIngest.queries
+      operators.WebIngest.queries ++
+      operators.TextNormalize.queries
 
   /** Queries whose builder RUNS Spark jobs (connected-components needs
     * per-round convergence checks) — the documented deviations from the

@@ -162,12 +162,23 @@ object WebIngest {
     * label length (the oracle replays the same rule). Compact output: no
     * inter-block whitespace, so the parser's block inventory is exact. */
   def renderHtml(docId: Long, label: String, text: String): String = {
-    val a = 100 + (docId * 7) % 900
-    val b = 100 + (docId * 13) % 900
     val sb = new java.lang.StringBuilder(text.length * 2 + 512)
     sb.append("<!DOCTYPE html><html><head><title>Doc ").append(docId)
       .append("</title><script>if (x < 1) { x = \"&\"; }</script>")
-      .append("<style>p { color: red; }</style></head><body>")
+      .append("<style>p { color: red; }</style></head>")
+    renderBody(sb, docId, label, text)
+    sb.append("</html>")
+    sb.toString
+  }
+
+  /** The shared body blocks (nav, h1, paragraphs, related box, footer) —
+    * factored so [[renderHtmlMeta]] renders the identical body under its
+    * metadata-bearing head. */
+  private def renderBody(sb: java.lang.StringBuilder, docId: Long,
+      label: String, text: String): Unit = {
+    val a = 100 + (docId * 7) % 900
+    val b = 100 + (docId * 13) % 900
+    sb.append("<body>")
     sb.append("<div class=\"nav\"><a href=\"/home\">Home</a> <a href=\"/about\">About</a> <a href=\"/src/")
       .append(label).append("\">").append(label).append("</a></div>")
     sb.append("<h1>Document ").append(docId).append("</h1>")
@@ -179,8 +190,183 @@ object WebIngest {
       .append("\">doc ").append(b).append("</a> see also</div>")
     sb.append("<div class=\"footer\"><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a> Copyright 2024 ")
       .append(label).append("</div>")
-    sb.append("</body></html>")
+    sb.append("</body>")
+  }
+
+  // ------------------------------------------------------------ HTML <head>
+
+  /** Attribute-value escape for renderer-written metadata (description,
+    * canonical href): '&' and '"' must not appear raw inside a
+    * double-quoted value, and '<'/'>' must not appear raw anywhere inside
+    * a tag (the strict scanner finds the tag end at the first '>' — a raw
+    * one inside a value would truncate the tag mid-attribute).
+    * [[decodeEntities]] inverts it on the read side. */
+  def escapeAttr(s: String): String =
+    s.replace("&", "&amp;").replace("\"", "&quot;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Entity decode over a whole string — the same five named entities +
+    * numeric refs the block parser accepts, same loud rejections. */
+  def decodeEntities(s: String): String = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"html reject: $msg")
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val e = s.indexOf(';', i + 1)
+        if (e < 0 || e - i > 9) fail(s"unterminated entity at offset $i")
+        val name = s.substring(i + 1, e)
+        val cp = name match {
+          case "amp" => '&'.toInt
+          case "lt" => '<'.toInt
+          case "gt" => '>'.toInt
+          case "quot" => '"'.toInt
+          case "apos" => '\''.toInt
+          case _ if name.startsWith("#x") || name.startsWith("#X") =>
+            try Integer.parseInt(name.substring(2), 16)
+            catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+          case _ if name.startsWith("#") =>
+            try Integer.parseInt(name.substring(1), 10)
+            catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+          case _ => fail(s"unknown entity &$name;")
+        }
+        if (cp < 0 || cp > 0x10FFFF) fail(s"entity &$name; out of range")
+        sb.appendCodePoint(cp)
+        i = e + 1
+      } else { sb.append(c); i += 1 }
+    }
     sb.toString
+  }
+
+  /** Declared-language fixture: the sanitized corpus lang, except every
+    * tenth doc declares the WRONG language (rotated) — real crawls carry
+    * mis-declared `html lang` attributes, and the lang_match readout is
+    * what a lang-id-vs-declared audit reports. */
+  def sanitizeLang(lang: String): String =
+    (if (lang == null) "" else lang).toLowerCase.replaceAll("[^a-z-]", "")
+
+  private val LangRotation = Map(
+    "en" -> "fr", "fr" -> "es", "es" -> "de", "de" -> "zh", "zh" -> "en")
+
+  def declaredLangOf(docId: Long, sanitizedLang: String): String =
+    if (docId % 10 == 0) LangRotation.getOrElse(sanitizedLang, "en")
+    else sanitizedLang
+
+  /** Tokens for the meta description: the first 12 single-space tokens
+    * (string_split semantics — mirrored by the oracle's list_slice). */
+  val DescTokens = 12
+
+  def descriptionOf(text: String): String =
+    text.split(" ", -1).take(DescTokens).mkString(" ")
+
+  /** WAT-style metadata-bearing page: the [[renderHtml]] body under a head
+    * carrying `html lang`, a charset meta, a title, a description meta
+    * whose content is attribute-escaped corpus text, and a
+    * `link rel=canonical` pointing at the canonical URL (its query '&'
+    * must survive the escape round-trip). */
+  def renderHtmlMeta(docId: Long, label: String, declaredLang: String,
+      text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length * 2 + 768)
+    sb.append("<!DOCTYPE html><html lang=\"").append(declaredLang)
+      .append("\"><head><meta charset=\"utf-8\"><title>Doc ").append(docId)
+      .append(" (").append(label).append(")</title>")
+      .append("<meta name=\"description\" content=\"")
+      .append(escapeAttr(descriptionOf(text))).append("\">")
+      .append("<link rel=\"canonical\" href=\"")
+      .append(escapeAttr(UrlKernels.canonicalize(messyUrlString(docId, label))))
+      .append("\">")
+      .append("<script>if (x < 1) { x = \"&\"; }</script>")
+      .append("<style>p { color: red; }</style></head>")
+    renderBody(sb, docId, label, text)
+    sb.append("</html>")
+    sb.toString
+  }
+
+  /** Extracted head metadata: title text, html-lang attribute, meta
+    * name→content pairs, link rel→href pairs (values entity-decoded). */
+  final case class HeadMeta(title: String, htmlLang: String,
+      metas: Map[String, String], links: Map[String, String])
+
+  /** Strict head walk: optional <!DOCTYPE>, `<html ...>` (attrs through the
+    * [[parseAttrs]] grammar), `<head>`, then only title / meta / link /
+    * raw script/style until `</head>`. Rejected loudly (battery in
+    * WebIngestSpec): a missing html/head element, duplicate or
+    * unterminated <title>, a <meta> without (charset | name+content), a
+    * <link> without rel+href, block or unknown tags inside the head,
+    * non-whitespace text between head tags, and every [[parseAttrs]] /
+    * [[decodeEntities]] rejection class. Stops at </head> — body parsing
+    * stays [[parseHtmlBlocks]]' job. */
+  def parseHead(html: String): HeadMeta = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"html reject: $msg")
+    val n = html.length
+    var i = 0
+    // optional <!DOCTYPE ...>
+    while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+    if (html.startsWith("<!", i)) {
+      val e = html.indexOf('>', i + 2)
+      if (e < 0) fail("unterminated <! declaration")
+      i = e + 1
+    }
+    def expectTag(name: String): String = {
+      while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+      if (!html.startsWith(s"<$name", i)) fail(s"expected <$name>")
+      val gt = html.indexOf('>', i)
+      if (gt < 0) fail(s"unterminated <$name tag")
+      val attrs = html.substring(i + 1 + name.length, gt)
+      if (attrs.indexOf('<') >= 0) fail(s"'<' inside <$name ...> tag")
+      i = gt + 1
+      attrs
+    }
+    val htmlAttrs = parseAttrs(expectTag("html"))
+    expectTag("head")
+    var title: String = null
+    val metas = Map.newBuilder[String, String]
+    val links = Map.newBuilder[String, String]
+    var closed = false
+    while (!closed) {
+      if (i >= n) fail("unclosed <head> at EOF")
+      val c = html.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c != '<') fail(s"text inside <head> at offset $i")
+      else if (html.startsWith("</head>", i)) { i += 7; closed = true }
+      else if (html.startsWith("<title", i)) {
+        if (title != null) fail("duplicate <title>")
+        val gt = html.indexOf('>', i)
+        if (gt < 0) fail("unterminated <title tag")
+        val e = html.indexOf("</title>", gt + 1)
+        if (e < 0) fail("unterminated <title> raw container")
+        title = html.substring(gt + 1, e)
+        i = e + 8
+      } else if (html.startsWith("<script", i) || html.startsWith("<style", i)) {
+        val tag = if (html.startsWith("<script", i)) "script" else "style"
+        val gt = html.indexOf('>', i)
+        if (gt < 0) fail(s"unterminated <$tag tag")
+        val close = s"</$tag>"
+        val e = html.indexOf(close, gt + 1)
+        if (e < 0) fail(s"unterminated <$tag> raw container")
+        i = e + close.length
+      } else if (html.startsWith("<meta", i)) {
+        val attrs = parseAttrs(expectTag("meta"))
+        if (attrs.contains("charset")) ()
+        else attrs.get("name").zip(attrs.get("content")) match {
+          case Some((name, content)) => metas += name -> decodeEntities(content)
+          case None => fail("<meta> without charset or name+content")
+        }
+      } else if (html.startsWith("<link", i)) {
+        val attrs = parseAttrs(expectTag("link"))
+        attrs.get("rel").zip(attrs.get("href")) match {
+          case Some((rel, href)) => links += rel -> decodeEntities(href)
+          case None => fail("<link> without rel+href")
+        }
+      } else fail(s"unsupported tag inside <head> at offset $i")
+    }
+    if (title == null) fail("<head> without <title>")
+    HeadMeta(title, htmlAttrs.getOrElse("lang", ""), metas.result(), links.result())
   }
 
   /** One parsed block: decoded text, codepoint count, codepoint count inside
@@ -386,6 +572,7 @@ object WebIngest {
     b.tokens >= MinContentTokens && LinkDensityNum * b.linkChars < b.chars
 
   final case class HtmlDocIn(doc_id: Long, source: String, label: String, text: String)
+  final case class HtmlMetaIn(doc_id: Long, label: String, lang: String, text: String)
   final case class HtmlTextOut(doc_id: Long, source: String, n_blocks: Int,
       content_blocks: Int, content_chars: Long, boiler_chars: Long,
       content_text: String)
@@ -790,6 +977,102 @@ object WebIngest {
     }
   }
 
+  // ------------------------------------------------------- sitemap indexes
+
+  /** URLs per child sitemap in the index fixture. Real hosts cap sitemap
+    * files at 50k URLs and chain them from a `<sitemapindex>` — the chunk
+    * stands in for that cap so the recursion is exercised on every host. */
+  val SitemapChunk = 40
+
+  /** Bound on `<sitemapindex>` nesting: the protocol forbids an index
+    * pointing at another index, but real crawls meet them anyway — one
+    * level of tolerated nesting, loudly rejected past it. */
+  val SitemapMaxDepth = 2
+
+  def sitemapIndexUrlOf(label: String): String =
+    s"http://www.$label.example.com/sitemap-index.xml"
+
+  private def sitemapChunkUrlOf(label: String, i: Int): String =
+    s"http://www.$label.example.com/sitemap-$i.xml"
+
+  /** Sorted ids → SitemapChunk-sized slices (the per-file 50k-cap shape). */
+  def sitemapChunks(docIds: Seq[Long]): Vector[Seq[Long]] =
+    docIds.grouped(SitemapChunk).toVector
+
+  /** The host's `<sitemapindex>`: one `<sitemap><loc>` entry per chunk
+    * file, each entry carrying the chunk's max lastmod (what real indexes
+    * publish so crawlers can skip unchanged files). */
+  def sitemapIndexXmlOf(label: String, docIds: Seq[Long]): String = {
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+    sb.append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">")
+    sitemapChunks(docIds).zipWithIndex.foreach { case (chunk, i) =>
+      sb.append("<sitemap><loc>")
+        .append(escapeHtml(sitemapChunkUrlOf(label, i)))
+        .append("</loc><lastmod>").append(chunk.map(lastmodOf).max)
+        .append("</lastmod></sitemap>")
+    }
+    sb.append("</sitemapindex>")
+    sb.toString
+  }
+
+  /** Deterministic per-host fetch stand-in: resolves the index URL and the
+    * chunk URLs this fixture publishes; anything else rejects loudly (a
+    * crawler must never follow a loc outside the host's own namespace). */
+  def sitemapFixtureResolver(label: String, docIds: Seq[Long]): String => String = {
+    val chunks = sitemapChunks(docIds)
+    url =>
+      if (url == sitemapIndexUrlOf(label)) sitemapIndexXmlOf(label, docIds)
+      else {
+        val m = "sitemap-(\\d+)\\.xml$".r.findFirstMatchIn(url)
+          .filter(_ => url.startsWith(s"http://www.$label.example.com/"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"sitemap reject: loc outside host namespace: '$url'"))
+        val i = m.group(1).toInt
+        if (i >= chunks.length) throw new IllegalArgumentException(
+          s"sitemap reject: chunk $i past ${chunks.length}")
+        sitemapXmlOf(label, chunks(i))
+      }
+  }
+
+  /** Recursive sitemap walk: fetch → strict XML parse → either a urlset
+    * (leaf: URL entries) or a sitemapindex (recurse into each child loc,
+    * in document order). Bounded depth and a visited set — a cyclic or
+    * too-deep index is a broken (or hostile) host and rejects loudly.
+    * Returns (entries in walk order, sitemap files fetched). */
+  def readSitemapTree(startUrl: String, resolve: String => String,
+      maxDepth: Int = SitemapMaxDepth): (Vector[(String, String)], Int) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"sitemap reject: $msg")
+    val visited = scala.collection.mutable.Set.empty[String]
+    var fetched = 0
+    def walk(url: String, depth: Int): Vector[(String, String)] = {
+      if (depth > maxDepth) fail(s"index nesting past depth $maxDepth at '$url'")
+      if (!visited.add(url)) fail(s"cycle: '$url' already walked")
+      fetched += 1
+      val root = parseXml(resolve(url))
+      root.name match {
+        case "urlset" =>
+          root.children.map { u =>
+            if (u.name != "url") fail(s"<${u.name}> under <urlset>")
+            val loc = u.children.find(_.name == "loc")
+              .getOrElse(fail("<url> without <loc>"))
+            val lastmod = u.children.find(_.name == "lastmod").map(_.text).getOrElse("")
+            (loc.text, lastmod)
+          }
+        case "sitemapindex" =>
+          root.children.flatMap { sm =>
+            if (sm.name != "sitemap") fail(s"<${sm.name}> under <sitemapindex>")
+            val loc = sm.children.find(_.name == "loc")
+              .getOrElse(fail("<sitemap> without <loc>"))
+            walk(loc.text, depth + 1)
+          }
+        case other => fail(s"root <$other>, expected urlset or sitemapindex")
+      }
+    }
+    (walk(startUrl, 1), fetched)
+  }
+
   // -------------------------------------------------------------- charsets
 
   /** Charset fixture: doc_id%3 picks UTF-16LE+BOM / UTF-8+BOM / bare UTF-8
@@ -889,12 +1172,44 @@ object WebIngest {
   def robotsTxtOf(label: String): String = {
     val sb = new StringBuilder
     sb.append("# robots for www.").append(label).append(".example.com\n")
+    sb.append("Sitemap: ").append(sitemapIndexUrlOf(label)).append('\n')
     sb.append("User-agent: research-bot\nDisallow: /\n\n")
     sb.append("User-agent: *\nCrawl-delay: 2\n")
     RobotsRules.foreach { case (allow, pat) =>
       sb.append(if (allow) "Allow: " else "Disallow: ").append(pat).append('\n')
     }
     sb.toString
+  }
+
+  /** RFC 9309 §2.3: `Sitemap:` lines are group-independent — collected
+    * from anywhere in the file, in document order. Same line grammar and
+    * loud rejections as [[parseRobots]] (a malformed file must fail from
+    * BOTH readers identically). */
+  def parseRobotsSitemaps(txt: String): Seq[String] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"robots reject: $msg")
+    var sawAgent = false
+    val out = Seq.newBuilder[String]
+    txt.split("\n", -1).foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        if (ci <= 0) fail(s"malformed line '$line'")
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "sitemap" =>
+            if (value.isEmpty) fail("Sitemap directive without a URL")
+            out += value
+          case "user-agent" => sawAgent = true
+          case "allow" | "disallow" =>
+            if (!sawAgent) fail("rule before any User-agent line")
+          case "crawl-delay" => // tolerated
+          case other => fail(s"unknown directive '$other'")
+        }
+      }
+    }
+    out.result()
   }
 
   /** Strict robots.txt parser (RFC 9309 subset): '#' comments, blank-line
@@ -1088,6 +1403,63 @@ object WebIngest {
                CAST(sum(total) AS BIGINT) AS total_chars,
                round(CAST(sum(boiler) AS DOUBLE) / sum(total), 4) AS boiler_rate
         FROM perdoc GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // ---- HTML head metadata: the WAT-style extraction ----------------------
+    // render the metadata-bearing page (html lang, charset meta, title,
+    // attr-escaped description, link rel=canonical) → strict head walk →
+    // entity-decode. Two cross-checks ride in the output: lang_match
+    // (declared html-lang vs the corpus lang column — every tenth doc
+    // declares WRONG, the lang-id-vs-declared audit shape) and
+    // canonical_match (the rel=canonical href, after the escape
+    // round-trip, must equal what UrlKernels.canonicalize derives from
+    // the messy spelling — the in-document check on url_normalize).
+    GraftQuery(
+      "html_meta",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), labelCol.as("label"),
+            coalesce(col("lang"), lit("")).as("lang"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[HtmlMetaIn]
+          .map { d =>
+            val base = sanitizeLang(d.lang)
+            val declared = declaredLangOf(d.doc_id, base)
+            val meta = parseHead(renderHtmlMeta(d.doc_id, d.label, declared, d.text))
+            val canon = meta.links.getOrElse("canonical", "")
+            (d.doc_id, meta.title, meta.htmlLang, meta.htmlLang == base,
+              canon,
+              canon == UrlKernels.canonicalize(messyUrlString(d.doc_id, d.label)),
+              meta.metas.getOrElse("description", "").split(" ", -1).length.toLong)
+          }
+          .toDF("doc_id", "title", "lang_declared", "lang_match",
+            "canonical_url", "canonical_match", "desc_tokens")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, $labelSql AS label,
+                 regexp_replace(lower(coalesce(lang, '')), '[^a-z-]', '', 'g') AS base,
+                 len(string_split(coalesce(text, ''), ' ')) AS ntoks,
+                 CAST(doc_id % 50 AS VARCHAR) AS k,
+                 CAST(doc_id % 200 AS VARCHAR) AS m
+          FROM documents),
+        e AS (
+          SELECT doc_id, label, base, ntoks, k, m,
+                 CASE WHEN doc_id % 10 = 0 THEN
+                   CASE base WHEN 'en' THEN 'fr' WHEN 'fr' THEN 'es'
+                             WHEN 'es' THEN 'de' WHEN 'de' THEN 'zh'
+                             WHEN 'zh' THEN 'en' ELSE 'en' END
+                 ELSE base END AS declared
+          FROM d)
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' (' || label || ')' AS title,
+               declared AS lang_declared,
+               declared = base AS lang_match,
+               $canonicalSql AS canonical_url,
+               true AS canonical_match,
+               CAST(least(ntoks, $DescTokens) AS BIGINT) AS desc_tokens
+        FROM e ORDER BY doc_id""")),
 
     // ---- WARC container walk ---------------------------------------------
     // Writer renders each bucket of pages into a real multi-member WARC.gz
@@ -1306,19 +1678,82 @@ object WebIngest {
                md5(string_agg(canonical, chr(10) ORDER BY doc_id)) AS locs_digest
         FROM d GROUP BY llabel ORDER BY host""")),
 
+    // ---- sitemap discovery: robots `Sitemap:` → index recursion -------------
+    // The discovery leg a real crawl runs BEFORE fetching pages: the host's
+    // robots.txt publishes its sitemap index (RFC 9309 §2.3 group-
+    // independent `Sitemap:` directive), the index nests SitemapChunk-sized
+    // child files (the 50k-URL-cap shape), and the walker recurses through
+    // the strict XML parser with depth bound + cycle detection. The oracle
+    // rebuilds file count (ceil(n/chunk)), URL count, lastmod range and the
+    // order-preserving loc digest from the fixture formulas — so a walker
+    // that skips a child file, reorders chunks, or follows a loc it
+    // shouldn't hash-mismatches.
+    GraftQuery(
+      "sitemap_discovery",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy(translate(labelCol, UC, LC).as("label"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .as[SitemapGroup]
+          .map { g =>
+            val sitemaps = parseRobotsSitemaps(robotsTxtOf(g.label))
+            require(sitemaps.length == 1,
+              s"robots reject: expected one Sitemap directive, got $sitemaps")
+            val (entries, fetched) = readSitemapTree(sitemaps.head,
+              sitemapFixtureResolver(g.label, g.ids))
+            (s"www.${g.label}.example.com", (fetched - 1).toLong,
+              entries.length.toLong,
+              entries.map(_._2).min, entries.map(_._2).max,
+              md5Hex(entries.map(_._1).mkString("\n").getBytes("UTF-8")))
+          }
+          .toDF("host", "n_sitemaps", "n_urls", "first_mod", "last_mod",
+            "locs_digest")
+          .orderBy("host")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 ${lowerSql(labelSql)} AS llabel,
+                 'http://www.' || ${lowerSql(labelSql)} || '.example.com/docs/'
+                   || CAST(doc_id % 50 AS VARCHAR) || '/page-'
+                   || CAST(doc_id % 200 AS VARCHAR) || '?a=1&b=2' AS canonical,
+                 CAST(DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS VARCHAR)
+                   AS lastmod
+          FROM documents)
+        SELECT 'www.' || llabel || '.example.com' AS host,
+               CAST((count(*) + ${SitemapChunk - 1}) // $SitemapChunk AS BIGINT)
+                 AS n_sitemaps,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               min(lastmod) AS first_mod,
+               max(lastmod) AS last_mod,
+               md5(string_agg(canonical, chr(10) ORDER BY doc_id)) AS locs_digest
+        FROM d GROUP BY llabel ORDER BY host""")),
+
     // ---- the composed crawl funnel -----------------------------------------
-    // Every round-9 ingest stage in ONE pipeline, the way a crawl actually
-    // chains them: WARC container walk → HTTP split → strict HTML parse →
-    // robots gate on the record's canonical target URI → density
-    // classification — emitting the stage counts an ingestion dashboard
-    // tracks. The oracle recomputes each stage from the fixture formulas,
-    // so a drop anywhere in the chain (a lost record, a mis-parsed page, a
-    // wrong robots verdict, a classifier drift) moves a counter and
-    // hash-mismatches.
+    // Every ingest stage in ONE pipeline, the way a crawl actually chains
+    // them: sitemap DISCOVERY (robots `Sitemap:` directive → index
+    // recursion, round 10) → WARC container walk → HTTP split → strict
+    // HTML parse → robots gate on the record's canonical target URI →
+    // density classification — emitting the stage counts an ingestion
+    // dashboard tracks. The oracle recomputes each stage from the fixture
+    // formulas, so a drop anywhere in the chain (a lost sitemap child, a
+    // lost record, a mis-parsed page, a wrong robots verdict, a classifier
+    // drift) moves a counter and hash-mismatches.
     GraftQuery(
       "crawl_funnel",
       (s, dir) => {
         import s.implicits._
+        val discovered = Tables.documents(s, dir)
+          .groupBy(translate(labelCol, UC, LC).as("label"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .as[SitemapGroup]
+          .map { g =>
+            readSitemapTree(parseRobotsSitemaps(robotsTxtOf(g.label)).head,
+              sitemapFixtureResolver(g.label, g.ids))._1.length.toLong
+          }
+          .toDF("n")
+          .agg(coalesce(sum("n"), lit(0L)).as("n_discovered"))
         val stages = warcRoundTrip(s, dir)
           .map { case (id, uri, _, payload) =>
             val blocks = parseHtmlBlocks(new String(httpBody(payload), "UTF-8"))
@@ -1342,6 +1777,9 @@ object WebIngest {
           sum("allowed").as("n_allowed"),
           sum("content_doc").as("n_content_docs"),
           sum("content_chars").as("total_content_chars"))
+          .crossJoin(discovered) // 1 row × 1 row: the discovery-leg count
+          .select("n_discovered", "n_records", "n_allowed",
+            "n_content_docs", "total_content_chars")
       },
       Some(s"""
         $htmlCte,
@@ -1358,7 +1796,8 @@ object WebIngest {
           FROM (SELECT *, list_max(flatten([
                   $robotsOracleRules])) AS w
                 FROM kz))
-        SELECT CAST(count(*) AS BIGINT) AS n_records,
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_discovered,
+               CAST(count(*) AS BIGINT) AS n_records,
                CAST(coalesce(sum(allowed), 0) AS BIGINT) AS n_allowed,
                CAST(coalesce(sum(CASE WHEN allowed = 1 AND content_blocks > 0
                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_content_docs,

@@ -144,5 +144,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectOptimizerRule(_ => TopKRewrite)
     graft.functions.VectorExpressions.injectInto(e)
     graft.functions.UrlExpressions.injectInto(e)
+    graft.functions.TextNormExpressions.injectInto(e)
   }
 }

@@ -117,4 +117,14 @@ class ExtensionsSpec extends SparkSuite {
       .head().getAs[String]("c")
     assert(c == "http://h.com/b?a=2&z=1")
   }
+
+  test("imperative registration path: TextNormExpressions.register on the shared session") {
+    functions.TextNormExpressions.register(spark)
+    // NFC: combining acute composes; mojibake: one garble level inverts
+    val r = spark.sql(
+      "SELECT graft_nfc_normalize('Cafe\u0301') AS n, " +
+        "graft_mojibake_repair('caf\u00c3\u00a9') AS m").head()
+    assert(r.getAs[String]("n") == "Caf\u00e9")
+    assert(r.getAs[String]("m") == "caf\u00e9")
+  }
 }

@@ -567,8 +567,21 @@ class PlanSpec extends SparkSuite {
     }
     // sitemap groups on the ~20-value host label; charset and the link
     // family stay scan-side single-scan
-    for (q <- Seq("sitemap_parse", "charset_sniff", "link_graph", "crawl_funnel")) {
+    for (q <- Seq("sitemap_parse", "charset_sniff", "link_graph",
+        "sitemap_discovery")) {
       assert(scans(q) == 1, s"$q must scan the corpus exactly once")
+    }
+    // the funnel composes TWO legs since round 10: sitemap discovery
+    // (doc_id + source only — the scan must stay pruned to those two
+    // columns) and the WARC fetch leg (which needs text). Two scans, and
+    // the discovery one must never drag text along.
+    locally {
+      val p = planOf("crawl_funnel")
+      assert(scans("crawl_funnel") == 2,
+        "crawl_funnel must scan exactly twice (discovery + fetch legs)")
+      assert(p.matches("(?s).*ReadSchema: struct<doc_id:bigint,source:string>.*"),
+        "crawl_funnel's discovery leg lost its column pruning — it must " +
+          "read only doc_id + source, never text")
     }
     // the WARC pair carries the ONE text-moving shuffle (container building
     // needs record co-location) and it must be keyed on the bounded bucket,
@@ -582,5 +595,30 @@ class PlanSpec extends SparkSuite {
       assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
         s"$q shuffles on the text column instead of the bucket")
     }
+  }
+
+  test("round-10 plans: normalization family is scan-side native-expression codegen") {
+    def scans(name: String) =
+      "FileScan parquet".r.findAllIn(planOf(name)).length
+    // NFC + mojibake ride the scan as native expressions (a UDF would
+    // serialize every document out of the Tungsten row); the per-doc forms
+    // never exchange text — their only exchange is the presentation sort,
+    // and the rate rolls up on the bounded source key
+    for (q <- Seq("text_normalize", "mojibake_repair", "mojibake_rate")) {
+      assert(scans(q) == 1, s"$q must scan the corpus exactly once")
+      val p = planOf(q)
+      assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
+        s"$q shuffles raw document text")
+    }
+    assert(planOf("text_normalize").toLowerCase.contains("nfcnormalize"),
+      "text_normalize lost the native NfcNormalize expression")
+    val mr = planOf("mojibake_repair").toLowerCase
+    assert(mr.contains("mojibakegarble") && mr.contains("mojibakerepair"),
+      "mojibake_repair lost its native garble/repair expressions")
+    // head metadata extraction: one scan, per-row mapPartitions, no raw-text
+    // exchange (same contract as html_text)
+    assert(scans("html_meta") == 1, "html_meta must scan the corpus exactly once")
+    assert(!planOf("html_meta").matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
+      "html_meta shuffles raw document text")
   }
 }

@@ -338,4 +338,125 @@ class WebIngestSpec extends SparkSuite {
     assert(!WebIngest.isContent(short.last))
     assert(WebIngest.isContent(long.last))
   }
+
+  // ------------------------------------------------------- head metadata
+
+  test("head: renderHtmlMeta round-trips title, lang, description, canonical") {
+    val text = "alpha <b>bold</b> \"quoted\" & amp > gt tokens nine ten eleven twelve thirteen"
+    val html = WebIngest.renderHtmlMeta(7L, "src7", "fr", text)
+    val m = WebIngest.parseHead(html)
+    assert(m.title == "Doc 7 (src7)")
+    assert(m.htmlLang == "fr")
+    // description decodes back to the EXACT first-12-token prefix, hostile
+    // markup chars and all (the escape round-trip under test)
+    assert(m.metas("description") == text.split(" ", -1).take(12).mkString(" "))
+    assert(m.links("canonical") == UrlKernels.canonicalize(
+      WebIngest.messyUrlString(7L, "src7")))
+    assert(m.links("canonical").contains("?a=1&b=2")) // raw & survived &amp;
+    // the metadata-bearing page is ALSO a valid block-parser page with the
+    // identical body inventory (head never leaks into block stats)
+    val metaBlocks = WebIngest.parseHtmlBlocks(html)
+    val plainBlocks = WebIngest.parseHtmlBlocks(WebIngest.renderHtml(7L, "src7", text))
+    assert(metaBlocks == plainBlocks)
+  }
+
+  test("head: declared-lang fixture rotates every tenth doc, sanitizes the rest") {
+    assert(WebIngest.declaredLangOf(7L, "en") == "en")
+    assert(WebIngest.declaredLangOf(10L, "en") == "fr")
+    assert(WebIngest.declaredLangOf(20L, "zh") == "en")
+    assert(WebIngest.declaredLangOf(30L, "") == "en")   // unknown → en
+    assert(WebIngest.declaredLangOf(-20L, "es") == "de") // hostile negative ids
+    assert(WebIngest.sanitizeLang("Zh!") == "zh")
+    assert(WebIngest.sanitizeLang(null) == "")
+  }
+
+  test("head: rejection battery — malformed heads fail loudly") {
+    def doc(head: String) =
+      s"""<!DOCTYPE html><html lang="en"><head>$head</head><body></body></html>"""
+    val bad = Seq(
+      "missing title" -> doc("<meta charset=\"utf-8\">"),
+      "duplicate title" -> doc("<title>a</title><title>b</title>"),
+      "unterminated title" -> doc("<title>never closed"),
+      "unterminated raw container" -> doc("<title>t</title><script>var x;"),
+      "text in head" -> doc("<title>t</title>stray words"),
+      "unknown head tag" -> doc("<title>t</title><base href=\"/\">"),
+      "block tag in head" -> doc("<title>t</title><div>x</div>"),
+      "meta without name+content" -> doc("<title>t</title><meta name=\"d\">"),
+      "link without rel+href" -> doc("<title>t</title><link rel=\"canonical\">"),
+      "unquoted attr" -> doc("<title>t</title><meta charset=utf-8>"),
+      "unknown entity in attr" -> doc(
+        "<title>t</title><meta name=\"d\" content=\"&nope;\">"),
+      "unclosed head at EOF" -> "<!DOCTYPE html><html><head><title>t</title>",
+      "missing html element" -> "<!DOCTYPE html><head><title>t</title></head>")
+    bad.foreach { case (what, html) =>
+      val e = intercept[IllegalArgumentException](WebIngest.parseHead(html))
+      assert(e.getMessage.startsWith("html reject:"), s"$what: ${e.getMessage}")
+    }
+    // the plain renderHtml head (no lang, no metas) parses too — title only
+    val m = WebIngest.parseHead(WebIngest.renderHtml(3L, "src3", "w1 w2"))
+    assert(m.title == "Doc 3" && m.htmlLang == "" && m.metas.isEmpty)
+  }
+
+  test("head: escapeAttr/decodeEntities round-trip hostile values") {
+    for (s <- Seq("a&b", "q\"uote", "lt<gt>", "&amp; literal", "plain",
+      "astral " + new String(Character.toChars(0x1F600)))) {
+      assert(WebIngest.decodeEntities(WebIngest.escapeAttr(s)) == s, s)
+    }
+  }
+
+  // ------------------------------------------------------ sitemap indexes
+
+  test("sitemap index: robots Sitemap directive → index → chunks walks every URL in order") {
+    val ids = (1L to 100L).toVector
+    val sitemaps = WebIngest.parseRobotsSitemaps(WebIngest.robotsTxtOf("src5"))
+    assert(sitemaps == Seq("http://www.src5.example.com/sitemap-index.xml"))
+    val (entries, fetched) = WebIngest.readSitemapTree(sitemaps.head,
+      WebIngest.sitemapFixtureResolver("src5", ids))
+    assert(fetched == 4) // index + ceil(100/40) = 3 chunk files
+    // the recursive walk sees EXACTLY what the flat single-file walk sees
+    assert(entries == WebIngest.readSitemap(WebIngest.sitemapXmlOf("src5", ids)))
+    assert(entries.length == 100)
+  }
+
+  test("sitemap index: the robots gate still parses the Sitemap-bearing robots.txt") {
+    // the directive must be TOLERATED by the rule parser (same file, two
+    // readers) — and must not change the effective rule set
+    assert(WebIngest.parseRobots(WebIngest.robotsTxtOf("src1"), "graftbot")
+      == WebIngest.RobotsRules)
+  }
+
+  test("sitemap index: rejection battery — cycles, depth, foreign locs, bad grammar") {
+    def index(locs: String*) =
+      "<sitemapindex>" + locs.map(l => s"<sitemap><loc>$l</loc></sitemap>").mkString +
+        "</sitemapindex>"
+    val self = "http://h/sitemap-index.xml"
+    // cycle: the index lists itself
+    val e1 = intercept[IllegalArgumentException](
+      WebIngest.readSitemapTree(self, _ => index(self)))
+    assert(e1.getMessage.contains("cycle"))
+    // depth: index → index → index exceeds the 2-level bound
+    val deep = Map(
+      "http://h/a.xml" -> index("http://h/b.xml"),
+      "http://h/b.xml" -> index("http://h/c.xml"),
+      "http://h/c.xml" -> "<urlset></urlset>")
+    val e2 = intercept[IllegalArgumentException](
+      WebIngest.readSitemapTree("http://h/a.xml", deep))
+    assert(e2.getMessage.contains("depth"))
+    // foreign loc: the fixture resolver refuses off-host fetches
+    val e3 = intercept[IllegalArgumentException](
+      WebIngest.readSitemapTree("http://www.src1.example.com/sitemap-index.xml",
+        url => if (url.endsWith("index.xml"))
+          index("http://evil.example.org/sitemap-0.xml")
+        else WebIngest.sitemapFixtureResolver("src1", Seq(1L))(url)))
+    assert(e3.getMessage.contains("namespace") || e3.getMessage.contains("reject"))
+    // grammar: a non-<sitemap> child under the index
+    val e4 = intercept[IllegalArgumentException](
+      WebIngest.readSitemapTree("http://h/x.xml",
+        _ => "<sitemapindex><url><loc>y</loc></url></sitemapindex>"))
+    assert(e4.getMessage.contains("reject"))
+    // robots: a Sitemap directive without a URL
+    val e5 = intercept[IllegalArgumentException](
+      WebIngest.parseRobotsSitemaps("Sitemap:\nUser-agent: *\n"))
+    assert(e5.getMessage.contains("reject"))
+  }
 }
