@@ -698,8 +698,15 @@ object StreamingPipeline {
     * then the content gate (pages with no content blocks drop). Parsing
     * uses exactly the batch kernel ([[graft.operators.WebIngest
     * .parseHtmlBlocks]]/isContent) — no drift between what batch curation
-    * and live ingest consider "content". Output: (doc_id, canonical_url,
-    * content_blocks, content_chars, content_text, timestamp).
+    * and live ingest consider "content". Since round 10 the surviving
+    * content text is normalized in-flight with the batch kernels the
+    * text_normalize/mojibake_repair queries pin: one closed-rule mojibake
+    * inversion first (byte-level damage undone before composition), then
+    * Unicode NFC — the same normalize-before-curate order the batch
+    * pipeline runs between charset_sniff and the quality gates.
+    * content_chars counts the NORMALIZED text's codepoints. Output:
+    * (doc_id, canonical_url, content_blocks, content_chars, content_text,
+    * timestamp).
     *
     * Malformed pages THROW (the strict contract); a production deploy
     * wraps this stage with [[quarantineSink]] so rejects land in the
@@ -722,8 +729,11 @@ object StreamingPipeline {
       .map { case (id, curl, html, ts) =>
         val blocks = graft.operators.WebIngest.parseHtmlBlocks(html)
         val content = blocks.filter(graft.operators.WebIngest.isContent)
-        (id, curl, content.length, content.map(_.chars).sum,
-          content.map(_.text).mkString("\n"), ts)
+        val text = graft.functions.TextNormKernels.nfc(
+          graft.functions.TextNormKernels.repair(
+            content.map(_.text).mkString("\n")))
+        (id, curl, content.length,
+          text.codePointCount(0, text.length).toLong, text, ts)
       }
       .toDF(idCol, "canonical_url", "content_blocks", "content_chars",
         "content_text", tsCol)

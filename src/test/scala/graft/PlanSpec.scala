@@ -620,5 +620,22 @@ class PlanSpec extends SparkSuite {
     assert(scans("html_meta") == 1, "html_meta must scan the corpus exactly once")
     assert(!planOf("html_meta").matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
       "html_meta shuffles raw document text")
+    // the frontier pair: budget rolls up on the host label (one scan);
+    // priority joins the doc spine to the BOUNDED in-degree aggregate —
+    // the aggregate side must ride a broadcast (never a sort-merge: the
+    // target space is ~900 values at any corpus size) and the spine scan
+    // must stay pruned to doc_id alone
+    assert(scans("crawl_budget") == 1, "crawl_budget must scan the corpus exactly once")
+    locally {
+      val p = planOf("crawl_priority")
+      assert(scans("crawl_priority") == 2,
+        "crawl_priority must scan exactly twice (edge leg + doc spine)")
+      assert(p.contains("BroadcastHashJoin"),
+        "crawl_priority's in-degree join lost its broadcast")
+      assert(p.matches("(?s).*ReadSchema: struct<doc_id:bigint>.*"),
+        "crawl_priority's doc spine lost its pruning to doc_id alone")
+      assert(p.contains("TakeOrderedAndProject"),
+        "crawl_priority's frontier head must be a top-k, not a full sort")
+    }
   }
 }

@@ -418,6 +418,23 @@ class WebIngestSpec extends SparkSuite {
     assert(entries.length == 100)
   }
 
+  test("robots: crawl-delay rides the same group selection, rejects bad values") {
+    assert(WebIngest.parseCrawlDelay(WebIngest.robotsTxtOf("src1"), "graftbot")
+      == Some(2)) // the * group's delay (graftbot matches no named group)
+    val txt = "User-agent: graftbot\nCrawl-delay: 7\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 2\n"
+    assert(WebIngest.parseCrawlDelay(txt, "graftbot") == Some(7)) // exact group wins
+    assert(WebIngest.parseCrawlDelay(txt, "otherbot") == Some(2)) // falls to *
+    assert(WebIngest.parseCrawlDelay("User-agent: *\nDisallow: /\n", "x").isEmpty)
+    for (bad <- Seq("User-agent: *\nCrawl-delay: fast\n",
+      "User-agent: *\nCrawl-delay: -1\n",
+      "Crawl-delay: 2\n")) {
+      val e = intercept[IllegalArgumentException](
+        WebIngest.parseCrawlDelay(bad, "x"))
+      assert(e.getMessage.startsWith("robots reject:"), e.getMessage)
+    }
+  }
+
   test("sitemap index: the robots gate still parses the Sitemap-bearing robots.txt") {
     // the directive must be TOLERATED by the rule parser (same file, two
     // readers) — and must not change the effective rule set
