@@ -40,6 +40,16 @@ object TextAnalysis {
 
   private val sqlStops = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB twin of [[qualityGate]] over a SQL text expression — shared
+    * with the composed web_pipeline oracle (WebIngest) so the gate
+    * arithmetic can never drift between the direct and composed paths. */
+  private[operators] def qualityGateSql(e: String): String = s"""(
+    len(string_split($e, ' ')) BETWEEN 5 AND 5000
+    AND CAST(len(list_filter(string_split($e, ' '), t -> t IN ($sqlStops)))
+          AS DOUBLE) / len(string_split($e, ' ')) <= 0.5
+    AND CAST(length($e) - (len(string_split($e, ' ')) - 1) AS DOUBLE)
+          / len(string_split($e, ' ')) BETWEEN 2.0 AND 20.0)"""
+
   /** The five Gopher rule predicates over a text column, in battery
     * order, plus the token count — ONE definition shared by gopher_rules
     * (per-doc flags) and filter_funnel (cumulative survivor counts) so

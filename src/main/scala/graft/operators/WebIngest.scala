@@ -2033,7 +2033,85 @@ object WebIngest {
                CAST(freshness AS BIGINT) AS freshness,
                CAST(CASE WHEN allowed THEN 1000 ELSE 0 END
                     + 10 * n_links + freshness AS BIGINT) AS priority
-        FROM f ORDER BY priority DESC, doc_id LIMIT 100"""))
+        FROM f ORDER BY priority DESC, doc_id LIMIT 100""")),
+
+    // ---- the whole ingestion, one plan: WARC → training-corpus stats -------
+    // The flagship composition: container walk → HTTP split → strict HTML
+    // parse → density classification → NFC normalization (the batch
+    // kernel text_normalize pins; mojibake repair stays on the planted
+    // query + streaming face — its accept/refuse decision is not
+    // SQL-replayable on arbitrary text) → URL-keyed dedup (min-doc_id
+    // survivor) → the corpus_filter quality gate (the SHARED predicate,
+    // so direct and composed paths cannot drift) → exact content dedup →
+    // token accounting. Scale shape: every per-doc feature (gate verdict,
+    // token count, content digest) is computed SCAN-SIDE before the
+    // dedup shuffle, so the only URL-keyed exchange carries ~50 bytes a
+    // row and NO text ever crosses a shuffle (gated in PlanSpec) — at
+    // 100 TB the funnel costs the WARC walk plus one skinny exchange.
+    GraftQuery(
+      "web_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val pages = warcRoundTrip(s, dir)
+          .map { case (id, uri, _, payload) =>
+            val blocks = parseHtmlBlocks(new String(httpBody(payload), "UTF-8"))
+            val content = blocks.filter(isContent).map(_.text).mkString("\n")
+            (id, uri, graft.functions.TextNormKernels.nfc(content))
+          }
+          .toDF("doc_id", "uri", "ct")
+        val per = pages.select(col("uri"), struct(
+          col("doc_id"),
+          (length(col("ct")) > 0).as("has_content"),
+          TextAnalysis.qualityGate(col("ct")).as("q"),
+          size(split(col("ct"), " ")).cast("long").as("ntok"),
+          md5(col("ct").cast("binary")).as("digest")).as("rec"))
+        val survivors = per.groupBy("uri")
+          .agg(min(col("rec")).as("s"))
+          .select(col("s.has_content").as("has_content"), col("s.q").as("q"),
+            col("s.ntok").as("ntok"), col("s.digest").as("digest"))
+        survivors.agg(
+          count(lit(1)).as("n_urls"),
+          coalesce(sum(when(col("has_content"), 1L).otherwise(0L)), lit(0L))
+            .as("n_content_docs"),
+          coalesce(sum(when(col("q"), 1L).otherwise(0L)), lit(0L))
+            .as("n_quality_docs"),
+          countDistinct(when(col("q"), col("digest"))).as("n_unique_texts"),
+          coalesce(sum(when(col("q"), col("ntok")).otherwise(0L)), lit(0L))
+            .as("total_tokens"))
+          .crossJoin(Tables.documents(s, dir)
+            .agg(count(lit(1)).as("n_pages")))
+          .select("n_pages", "n_urls", "n_content_docs", "n_quality_docs",
+            "n_unique_texts", "total_tokens")
+      },
+      Some(s"""
+        $htmlCte,
+        x AS (
+          SELECT doc_id,
+                 'http://www.' || ${lowerSql("label")} || '.example.com/docs/'
+                   || CAST(doc_id % 50 AS VARCHAR) || '/page-'
+                   || CAST(doc_id % 200 AS VARCHAR) || '?a=1&b=2' AS uri,
+                 nfc_normalize(coalesce(array_to_string(
+                   CASE WHEN fc = 1
+                        THEN list_append(cps, 'Terms Privacy Copyright 2024 ' || label)
+                        ELSE cps END, chr(10)), '')) AS ct
+          FROM c),
+        sv AS (SELECT uri, min(doc_id) AS kid FROM x GROUP BY uri),
+        k AS (SELECT x.ct FROM x JOIN sv ON x.uri = sv.uri AND x.doc_id = sv.kid),
+        g AS (
+          SELECT ct, ${TextAnalysis.qualityGateSql("ct")} AS q,
+                 len(string_split(ct, ' ')) AS ntok
+          FROM k)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_pages,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(coalesce(sum(CASE WHEN length(ct) > 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_content_docs,
+               CAST(coalesce(sum(CASE WHEN q THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_quality_docs,
+               CAST(count(DISTINCT CASE WHEN q THEN md5(ct) END)
+                    AS BIGINT) AS n_unique_texts,
+               CAST(coalesce(sum(CASE WHEN q THEN ntok ELSE 0 END), 0)
+                    AS BIGINT) AS total_tokens
+        FROM g"""))
   )
 
   /** Oracle-side literal rule list for robots_gate — one flatten branch per

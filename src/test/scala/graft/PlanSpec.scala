@@ -626,6 +626,19 @@ class PlanSpec extends SparkSuite {
     // target space is ~900 values at any corpus size) and the spine scan
     // must stay pruned to doc_id alone
     assert(scans("crawl_budget") == 1, "crawl_budget must scan the corpus exactly once")
+    // the flagship composition: WARC walk + the n_pages count scan (pruned
+    // to doc_id). Its dedup exchange is keyed on the canonical URI and
+    // carries only the ~50-byte per-record feature struct — neither text
+    // nor the extracted content may ever key an exchange.
+    locally {
+      val p = planOf("web_pipeline")
+      assert(scans("web_pipeline") == 2,
+        "web_pipeline must scan exactly twice (WARC leg + n_pages count)")
+      assert(p.matches("(?s).*Exchange hashpartitioning\\((uri|bucket|_groupingexpression)#.*"),
+        "web_pipeline lost its uri-keyed dedup / bucket shuffle shape")
+      assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|ct)#.*"),
+        "web_pipeline keys an exchange on document text")
+    }
     locally {
       val p = planOf("crawl_priority")
       assert(scans("crawl_priority") == 2,
