@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Linkage.queries ++
       operators.UnigramLm.queries ++
       operators.WebIngest.queries ++
-      operators.TextNormalize.queries
+      operators.TextNormalize.queries ++
+      operators.ChatData.queries
 
   /** Queries whose builder RUNS Spark jobs (connected-components needs
     * per-round convergence checks) — the documented deviations from the

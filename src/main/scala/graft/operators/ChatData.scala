@@ -1,0 +1,362 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+
+import org.apache.spark.sql.functions._
+
+/** SFT / chat training-data validation: the stage a post-training pipeline
+  * runs over conversation transcripts before they reach a loss mask —
+  * strict JSON parsing, role-alternation lint, and assistant-token
+  * accounting (the fraction of tokens that actually train).
+  *
+  * Fixture discipline (the WebIngest pattern): the corpus carries no chat
+  * JSON, so each query RENDERS a deterministic transcript from the
+  * document row — [[WebIngest.paraChunks]]' 30-token chunks as alternating
+  * user/assistant turns, a system turn on every fifth doc, and a PLANTED
+  * role violation on every seventh (the first turn claims "assistant") —
+  * then decodes it back as untrusted foreign input through a strict JSON
+  * subset parser and the real validator. The DuckDB oracle replays turn
+  * math and plant formulas from the row, so a parser that mangles an
+  * escape, a validator that misses a violation, or a token accountant
+  * that drops a turn hash-mismatches.
+  *
+  * Scale notes: both queries are one corpus scan + per-row mapPartitions
+  * (render → parse → validate never leaves the task); the lint rolls up
+  * on the bounded source key. No shuffle ever carries text.
+  */
+object ChatData {
+
+  // -------------------------------------------------------------- JSON
+
+  /** JSON string escape (RFC 8259 §7): the two mandatory escapes plus
+    * short forms for the common controls, \ u00XX for the rest. */
+  def escapeJson(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\t' => sb.append("\\t")
+        case '\r' => sb.append("\\r")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  sealed trait Json
+  final case class JStr(v: String) extends Json
+  final case class JNum(v: Long) extends Json
+  final case class JBool(v: Boolean) extends Json
+  case object JNull extends Json
+  final case class JArr(v: Vector[Json]) extends Json
+  final case class JObj(v: Vector[(String, Json)]) extends Json
+
+  /** Strict JSON subset parser, codec-style: RFC 8259 grammar minus
+    * floats (integers only — transcripts carry no numbers today, the
+    * production is kept for generality). Rejected loudly (battery in
+    * OperatorSpec): trailing content, unterminated strings/containers,
+    * raw control chars inside strings, bad or truncated escapes,
+    * surrogate-escape halves, duplicate object keys, missing colons and
+    * commas, leading zeros. */
+  def parseJson(s: String): Json = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"json reject: $msg")
+    var i = 0
+    val n = s.length
+    def ws(): Unit = while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\n' ||
+      s.charAt(i) == '\t' || s.charAt(i) == '\r')) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= n || s.charAt(i) != c) fail(s"expected '$c' at offset $i")
+      i += 1
+    }
+    def string(): String = {
+      expect('"')
+      val sb = new java.lang.StringBuilder
+      while (i < n && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c < 0x20) fail(s"raw control char in string at offset $i")
+        if (c == '\\') {
+          if (i + 1 >= n) fail("truncated escape")
+          s.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' =>
+              if (i + 6 > n) fail("truncated \\u escape")
+              val hex = s.substring(i + 2, i + 6)
+              val cp = try Integer.parseInt(hex, 16)
+              catch { case _: NumberFormatException => fail(s"bad \\u escape '$hex'") }
+              sb.append(cp.toChar)
+              i += 6
+            case e => fail(s"bad escape '\\$e'")
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= n) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    def value(): Json = {
+      ws()
+      if (i >= n) fail("empty value")
+      s.charAt(i) match {
+        case '"' => JStr(string())
+        case '{' =>
+          i += 1; ws()
+          val kv = Vector.newBuilder[(String, Json)]
+          val seen = scala.collection.mutable.Set.empty[String]
+          if (i < n && s.charAt(i) == '}') { i += 1; return JObj(Vector.empty) }
+          var more = true
+          while (more) {
+            ws()
+            val k = string()
+            if (!seen.add(k)) fail(s"duplicate key '$k'")
+            ws(); expect(':')
+            kv += k -> value()
+            ws()
+            if (i < n && s.charAt(i) == ',') i += 1
+            else { expect('}'); more = false }
+          }
+          JObj(kv.result())
+        case '[' =>
+          i += 1; ws()
+          val vs = Vector.newBuilder[Json]
+          if (i < n && s.charAt(i) == ']') { i += 1; return JArr(Vector.empty) }
+          var more = true
+          while (more) {
+            vs += value()
+            ws()
+            if (i < n && s.charAt(i) == ',') i += 1
+            else { expect(']'); more = false }
+          }
+          JArr(vs.result())
+        case 't' =>
+          if (!s.startsWith("true", i)) fail(s"bad literal at offset $i")
+          i += 4; JBool(true)
+        case 'f' =>
+          if (!s.startsWith("false", i)) fail(s"bad literal at offset $i")
+          i += 5; JBool(false)
+        case 'n' =>
+          if (!s.startsWith("null", i)) fail(s"bad literal at offset $i")
+          i += 4; JNull
+        case c if c == '-' || (c >= '0' && c <= '9') =>
+          val ns = i
+          if (c == '-') i += 1
+          val ds = i
+          while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+          if (i == ds) fail(s"bare '-' at offset $ns")
+          if (s.charAt(ds) == '0' && i - ds > 1) fail(s"leading zero at offset $ns")
+          JNum(s.substring(ns, i).toLong)
+        case c => fail(s"unexpected '$c' at offset $i")
+      }
+    }
+    val root = value()
+    ws()
+    if (i != n) fail(s"trailing content at offset $i")
+    root
+  }
+
+  // -------------------------------------------------------------- chats
+
+  /** Deterministic transcript: optional system turn (every fifth doc),
+    * then the 30-token chunks as alternating user/assistant turns — with
+    * the PLANTED violation on every seventh doc (first turn claims
+    * "assistant", which also breaks alternation with the next turn). */
+  def renderChat(docId: Long, text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length * 2 + 128)
+    sb.append("{\"messages\":[")
+    var first = true
+    def msg(role: String, content: String): Unit = {
+      if (!first) sb.append(',')
+      first = false
+      sb.append("{\"role\":\"").append(role).append("\",\"content\":\"")
+        .append(escapeJson(content)).append("\"}")
+    }
+    if (docId % 5 == 0) msg("system", s"You are assistant $docId.")
+    WebIngest.paraChunks(text).zipWithIndex.foreach { case (c, i) =>
+      val role =
+        if (i == 0 && docId % 7 == 0) "assistant"
+        else if (i % 2 == 0) "user" else "assistant"
+      msg(role, c)
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
+  final case class ChatCheck(nTurns: Int, hasSystem: Boolean,
+      userTokens: Long, assistantTokens: Long,
+      roleViolation: Boolean, emptyTurn: Boolean)
+
+  private val Roles = Set("system", "user", "assistant")
+
+  /** Parse + validate one transcript: the strict [[parseJson]] walk, the
+    * root/messages shape (exactly role+content string fields per turn),
+    * then the lint rules a loss-masking pipeline needs true — known
+    * roles, system only first, strict user/assistant alternation starting
+    * at user, no empty contents. Shape violations REJECT (malformed
+    * container); lint violations are REPORTED (bad-but-parseable data is
+    * the thing the readout counts). */
+  def validateChat(json: String): ChatCheck = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"chat reject: $msg")
+    val root = parseJson(json) match {
+      case JObj(Vector(("messages", JArr(ms)))) => ms
+      case _ => fail("root must be {\"messages\": [...]}")
+    }
+    var nTurns = 0
+    var hasSystem = false
+    var userTokens = 0L
+    var assistantTokens = 0L
+    var violation = false
+    var emptyTurn = false
+    var expectUser = true
+    root.zipWithIndex.foreach { case (m, idx) =>
+      val (role, content) = m match {
+        case JObj(Vector(("role", JStr(r)), ("content", JStr(c)))) => (r, c)
+        case _ => fail(s"turn $idx must be {role, content} with string values")
+      }
+      nTurns += 1
+      if (!Roles(role)) violation = true
+      else if (role == "system") {
+        if (idx != 0) violation = true else hasSystem = true
+      } else {
+        if (role == "user" != expectUser) violation = true
+        expectUser = role != "user" // next expected alternates off THIS role
+        val toks = content.split(" ", -1).length.toLong
+        if (role == "user") userTokens += toks else assistantTokens += toks
+      }
+      if (content.isEmpty) emptyTurn = true
+    }
+    if (nTurns == 0) fail("empty messages array")
+    ChatCheck(nTurns, hasSystem, userTokens, assistantTokens, violation, emptyTurn)
+  }
+
+  final case class ChatIn(doc_id: Long, source: String, text: String)
+
+  // ------------------------------------------------------------- queries
+
+  /** Oracle chunk arithmetic over `toks`: c = chunk count, lastlen =
+    * token count of the final chunk (all others carry exactly 30). */
+  private val chunkCte = """
+    SELECT doc_id, source,
+           len(string_split(coalesce(text, ''), ' ')) AS n,
+           (len(string_split(coalesce(text, ''), ' ')) + 29) // 30 AS c,
+           list_extract(string_split(coalesce(text, ''), ' '),
+             len(string_split(coalesce(text, ''), ' '))) AS lasttok
+    FROM documents"""
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- per-chat turn/token accounting ------------------------------------
+    // The loss-mask numbers: turns, system presence, user vs assistant
+    // token mass, assistant share (the fraction that trains). Planted
+    // role-violation docs are excluded — stats run AFTER lint, over chats
+    // whose roles are trustworthy. The Spark side must earn every number
+    // through render → strict JSON parse → validate; the oracle replays
+    // the chunk arithmetic (even chunks are user, odd assistant, the last
+    // chunk carries n - 30(c-1) tokens) straight from the row.
+    GraftQuery(
+      "chat_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[ChatIn]
+          .map { d =>
+            val ck = validateChat(renderChat(d.doc_id, d.text))
+            (d.doc_id, ck.nTurns, ck.hasSystem, ck.userTokens,
+              ck.assistantTokens)
+          }
+          .toDF("doc_id", "n_turns", "has_system", "user_tokens",
+            "assistant_tokens")
+          // round() as a COLUMN so both engines share HALF_UP semantics
+          // (a driver-side math.rint would round half-even)
+          .withColumn("assistant_share",
+            round(col("assistant_tokens").cast("double")
+              / (col("user_tokens") + col("assistant_tokens")), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS ($chunkCte),
+        e AS (
+          SELECT doc_id, n, c,
+                 (c + 1) // 2 AS nuser,
+                 c // 2 AS nassist,
+                 n - 30 * (c - 1) AS lastlen
+          FROM d WHERE doc_id % 7 != 0)
+        SELECT doc_id,
+               CAST(c + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_turns,
+               doc_id % 5 = 0 AS has_system,
+               CAST(CASE WHEN (c - 1) % 2 = 0
+                         THEN 30 * (nuser - 1) + lastlen
+                         ELSE 30 * nuser END AS BIGINT) AS user_tokens,
+               CAST(CASE WHEN (c - 1) % 2 = 1
+                         THEN 30 * (nassist - 1) + lastlen
+                         ELSE 30 * nassist END AS BIGINT) AS assistant_tokens,
+               round(CAST(CASE WHEN (c - 1) % 2 = 1
+                               THEN 30 * (nassist - 1) + lastlen
+                               ELSE 30 * nassist END AS DOUBLE) / n, 4)
+                 AS assistant_share
+        FROM e ORDER BY doc_id""")),
+
+    // ---- per-source chat lint ----------------------------------------------
+    // The SFT-data quality dial: which sources ship transcripts whose
+    // roles can't be trusted. Every seventh doc is planted broken (first
+    // turn claims assistant) and empty turns arise naturally from
+    // empty/trailing-space texts — the validator must find exactly those,
+    // via the real parse, while the oracle counts them by formula.
+    GraftQuery(
+      "chat_lint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[ChatIn]
+          .map { d =>
+            val ck = validateChat(renderChat(d.doc_id, d.text))
+            (d.source, if (ck.roleViolation) 1L else 0L,
+              if (ck.emptyTurn) 1L else 0L,
+              if (!ck.roleViolation && !ck.emptyTurn) 1L else 0L)
+          }
+          .toDF("source", "viol", "empty", "valid")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chats"),
+            sum("viol").as("n_role_violations"),
+            sum("empty").as("n_empty_turns"),
+            sum("valid").as("n_valid"))
+          .withColumn("valid_rate",
+            round(col("n_valid").cast("double") / col("n_chats"), 4))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS ($chunkCte),
+        f AS (
+          SELECT source,
+                 CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS viol,
+                 CASE WHEN n - 30 * (c - 1) = 1 AND lasttok = ''
+                      THEN 1 ELSE 0 END AS empty
+          FROM d)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_chats,
+               CAST(coalesce(sum(viol), 0) AS BIGINT) AS n_role_violations,
+               CAST(coalesce(sum(empty), 0) AS BIGINT) AS n_empty_turns,
+               CAST(coalesce(sum(CASE WHEN viol = 0 AND empty = 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_valid,
+               round(CAST(coalesce(sum(CASE WHEN viol = 0 AND empty = 0 THEN 1 ELSE 0 END), 0)
+                          AS DOUBLE) / count(*), 4) AS valid_rate
+        FROM f GROUP BY source ORDER BY source NULLS FIRST"""))
+  )
+}

@@ -620,6 +620,13 @@ class PlanSpec extends SparkSuite {
     assert(scans("html_meta") == 1, "html_meta must scan the corpus exactly once")
     assert(!planOf("html_meta").matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
       "html_meta shuffles raw document text")
+    // the chat family: render → strict JSON parse → validate never leaves
+    // the task — one scan, no text exchange, lint rolls up on source
+    for (q <- Seq("chat_stats", "chat_lint")) {
+      assert(scans(q) == 1, s"$q must scan the corpus exactly once")
+      assert(!planOf(q).matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
+        s"$q shuffles raw document text")
+    }
     // the frontier pair: budget rolls up on the host label (one scan);
     // priority joins the doc spine to the BOUNDED in-degree aggregate —
     // the aggregate side must ride a broadcast (never a sort-merge: the
