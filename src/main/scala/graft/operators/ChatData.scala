@@ -357,6 +357,60 @@ object ChatData {
                     AS BIGINT) AS n_valid,
                round(CAST(coalesce(sum(CASE WHEN viol = 0 AND empty = 0 THEN 1 ELSE 0 END), 0)
                           AS DOUBLE) / count(*), 4) AS valid_rate
-        FROM f GROUP BY source ORDER BY source NULLS FIRST"""))
+        FROM f GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // ---- prompt-level dedup -------------------------------------------------
+    // The SFT counterpart of url_dedup: near-identical PROMPTS (first user
+    // turn) across a corpus leak across train/eval splits and overweight
+    // common requests — the standard fix is exact dedup on the first user
+    // turn. Spark must EARN the prompt through render → strict parse →
+    // validate (first user-role content), then the dedup_exact digest-join
+    // shape: groupBy the bounded digest, min-doc_id survivor. Planted
+    // role-violation docs are excluded (their first user turn is not
+    // where the formula says — stats after lint, as in chat_stats).
+    GraftQuery(
+      "prompt_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[ChatIn]
+          .map { d =>
+            val root = parseJson(renderChat(d.doc_id, d.text)) match {
+              case JObj(Vector(("messages", JArr(ms)))) => ms
+              case _ => throw new IllegalArgumentException("chat reject: bad root")
+            }
+            val prompt = root.collectFirst {
+              case JObj(Vector(("role", JStr("user")), ("content", JStr(c)))) => c
+            }.getOrElse("")
+            (d.doc_id, md5Hex(prompt.getBytes("UTF-8")))
+          }
+          .toDF("doc_id", "digest")
+          .groupBy("digest")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "n_copies", "digest")
+          .orderBy("keep_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(
+                   string_split(coalesce(text, ''), ' '), 1,
+                   least(30, len(string_split(coalesce(text, ''), ' ')))), ' '))
+                   AS digest
+          FROM documents WHERE doc_id % 7 != 0)
+        SELECT min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               digest
+        FROM d GROUP BY digest ORDER BY keep_id"""))
   )
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
 }

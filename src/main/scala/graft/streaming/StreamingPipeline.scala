@@ -740,6 +740,36 @@ object StreamingPipeline {
       .filter(col("content_blocks") > 0)
   }
 
+  /** Streaming face of the chat-data stage ([[graft.operators.ChatData]]):
+    * validate SFT transcripts in-flight with the SAME strict JSON codec
+    * and lint rules the batch chat_stats/chat_lint queries pin — no drift
+    * between what batch curation and live ingest consider a trustworthy
+    * transcript. Output per chat: turn counts, system presence, the
+    * user/assistant token masses a loss mask needs, and the lint verdict
+    * (`valid` = no role violation, no empty turn) — the natural
+    * [[quarantineSink]] predicate (`col("valid")`) for routing broken
+    * transcripts to a dead-letter path. Malformed JSON (vs merely
+    * bad-but-parseable roles) THROWS, the strict-codec contract. */
+  def chatIngest(
+      chats: DataFrame,
+      idCol: String = "chat_id",
+      jsonCol: String = "json",
+      tsCol: String = "timestamp"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val session = chats.sparkSession
+    import session.implicits._
+    chats
+      .select(col(idCol).cast("long"), col(jsonCol), col(tsCol))
+      .as[(Long, String, java.sql.Timestamp)]
+      .map { case (id, json, ts) =>
+        val ck = graft.operators.ChatData.validateChat(json)
+        (id, ck.nTurns, ck.hasSystem, ck.userTokens, ck.assistantTokens,
+          !ck.roleViolation && !ck.emptyTurn, ts)
+      }
+      .toDF(idCol, "n_turns", "has_system", "user_tokens",
+        "assistant_tokens", "valid", tsCol)
+  }
+
   /** Dead-letter split sink: one stream, two destinations. Rows failing
     * `isGood` go to the quarantine sink with full payload for replay
     * after a parser fix; the rest take the main path. Pairs with

@@ -622,7 +622,7 @@ class PlanSpec extends SparkSuite {
       "html_meta shuffles raw document text")
     // the chat family: render → strict JSON parse → validate never leaves
     // the task — one scan, no text exchange, lint rolls up on source
-    for (q <- Seq("chat_stats", "chat_lint")) {
+    for (q <- Seq("chat_stats", "chat_lint", "prompt_dedup")) {
       assert(scans(q) == 1, s"$q must scan the corpus exactly once")
       assert(!planOf(q).matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
         s"$q shuffles raw document text")

@@ -1211,6 +1211,34 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("chatIngest: lint verdicts ride the stream and split through the quarantine sink") {
+    implicit val sc = spark.sqlContext
+    import operators.ChatData
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingPipeline.chatIngest(
+      mem.toDF().toDF("chat_id", "json", "timestamp"))
+    val good = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingPipeline.quarantineSink(out, col("valid"),
+      s"/tmp/graft_chat_q_${System.nanoTime()}",
+      (df, _) => good ++= df.collect().map(_.getAs[Long]("chat_id")),
+      (df, _) => bad ++= df.collect().map(_.getAs[Long]("chat_id"))).start()
+    try {
+      val ok = ChatData.renderChat(1L, (1 to 35).map(i => s"t$i").mkString(" "))
+      val viol = ChatData.renderChat(7L, "one two three") // planted role flip
+      val empty = ChatData.renderChat(2L, "")               // one empty turn
+      mem.addData((1L, ok, ts("2024-01-01T10:00:00Z")),
+        (7L, viol, ts("2024-01-01T10:00:01Z")),
+        (2L, empty, ts("2024-01-01T10:00:02Z")))
+      q.processAllAvailable()
+      assert(good.toSet == Set(1L) && bad.toSet == Set(7L, 2L),
+        s"good=$good bad=$bad")
+      // the stream's numbers ARE the batch validator's
+      val ck = ChatData.validateChat(ok)
+      assert(ck.userTokens == 30 && ck.assistantTokens == 5 && !ck.roleViolation)
+    } finally q.stop()
+  }
+
   test("crawlIngest: in-flight normalization repairs mojibake and NFC-composes") {
     implicit val sc = spark.sqlContext
     import operators.WebIngest
