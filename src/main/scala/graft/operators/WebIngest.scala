@@ -851,6 +851,10 @@ object WebIngest {
   def lastmodOf(docId: Long): String =
     java.time.LocalDate.of(2024, 1, 1).plusDays(docId % 365).toString
 
+  /** The recrawl_delta "last walk" date: ISO strings compare as dates, so
+    * both engines apply the cutoff with plain string comparison. */
+  val RecrawlCutoff = "2024-07-01"
+
   /** Deterministic per-host sitemap.xml: one <url> entry per doc with the
     * canonical URL (escaped — '&' separates its query params) and the
     * lastmod date. Real hosts cap sitemaps at 50k URLs and chain them from
@@ -2034,6 +2038,52 @@ object WebIngest {
                CAST(CASE WHEN allowed THEN 1000 ELSE 0 END
                     + 10 * n_links + freshness AS BIGINT) AS priority
         FROM f ORDER BY priority DESC, doc_id LIMIT 100""")),
+
+    // ---- lastmod-driven recrawl delta --------------------------------------
+    // The refresh half of discovery: a crawler that walked the sitemap
+    // tree last on CutoffDate only refetches URLs whose lastmod moved past
+    // it. Per host, through the REAL robots→index→chunk walk (every
+    // lastmod earned from the parsed XML): fresh vs stale URL counts, the
+    // refetch ratio, and the newest lastmod (what the next incremental
+    // walk will key on). The oracle replays the date fixture formula.
+    GraftQuery(
+      "recrawl_delta",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy(translate(labelCol, UC, LC).as("label"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .as[SitemapGroup]
+          .map { g =>
+            val (entries, _) = readSitemapTree(
+              parseRobotsSitemaps(robotsTxtOf(g.label)).head,
+              sitemapFixtureResolver(g.label, g.ids))
+            val fresh = entries.count(_._2 > RecrawlCutoff)
+            (s"www.${g.label}.example.com", fresh.toLong,
+              (entries.length - fresh).toLong, entries.map(_._2).max)
+          }
+          .toDF("host", "n_refetch", "n_skip", "newest_mod")
+          .withColumn("refetch_rate", round(
+            col("n_refetch").cast("double") / (col("n_refetch") + col("n_skip")), 4))
+          .orderBy("host")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 ${lowerSql(labelSql)} AS llabel,
+                 CAST(DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS VARCHAR)
+                   AS lastmod
+          FROM documents)
+        SELECT 'www.' || llabel || '.example.com' AS host,
+               CAST(coalesce(sum(CASE WHEN lastmod > '$RecrawlCutoff'
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_refetch,
+               CAST(coalesce(sum(CASE WHEN lastmod > '$RecrawlCutoff'
+                                      THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_skip,
+               max(lastmod) AS newest_mod,
+               round(CAST(coalesce(sum(CASE WHEN lastmod > '$RecrawlCutoff'
+                                            THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                     / count(*), 4) AS refetch_rate
+        FROM d GROUP BY llabel ORDER BY host""")),
 
     // ---- the whole ingestion, one plan: WARC → training-corpus stats -------
     // The flagship composition: container walk → HTTP split → strict HTML

@@ -632,7 +632,9 @@ class PlanSpec extends SparkSuite {
     // the aggregate side must ride a broadcast (never a sort-merge: the
     // target space is ~900 values at any corpus size) and the spine scan
     // must stay pruned to doc_id alone
-    assert(scans("crawl_budget") == 1, "crawl_budget must scan the corpus exactly once")
+    for (q <- Seq("crawl_budget", "recrawl_delta")) {
+      assert(scans(q) == 1, s"$q must scan the corpus exactly once")
+    }
     // the flagship composition: WARC walk + the n_pages count scan (pruned
     // to doc_id). Its dedup exchange is keyed on the canonical URI and
     // carries only the ~50-byte per-record feature struct — neither text

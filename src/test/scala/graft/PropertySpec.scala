@@ -511,4 +511,65 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  // --------------------------------------------- round-10 kernel invariants
+
+  /** Valid-unicode string generator: BMP letters/punct/controls plus
+    * astral codepoints, surrogate-pair correct by construction. */
+  private val uniGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.choose(0x20, 0x7E),
+    2 -> Gen.choose(0xA0, 0x2FF),
+    1 -> Gen.choose(0x4E00, 0x4FFF),
+    1 -> Gen.oneOf(0x09, 0x0A, 0x0D, 0x1F600, 0x10000, 0xFFFD)))
+    .map(_.flatMap(Character.toChars(_)).mkString)
+
+  test("textnorm invariants: nfc idempotent, garble/repair inverse, length laws") {
+    import graft.functions.TextNormKernels._
+    for (s <- 0L until 200L) {
+      val t = sample(uniGen, s)
+      assert(nfc(nfc(t)) == nfc(t), s"seed $s: nfc not idempotent")
+      val g = garble(t)
+      assert(repair(g) == t, s"seed $s: repair(garble) != id")
+      // garble length = UTF-8 byte count; pure-ASCII garbles to itself
+      assert(g.length == t.getBytes("UTF-8").length, s"seed $s: garble length")
+      if (t.forall(_ < 0x80)) assert(g == t, s"seed $s: ascii garble not id")
+      // repair never fabricates: output is the input or a strict decode of it
+      val r = repair(t)
+      assert((r eq t) || new String(
+        r.getBytes("UTF-8"), "UTF-8") == r, s"seed $s: repair fabricated")
+    }
+  }
+
+  test("json codec invariants: escape/parse round-trip, nested value round-trip") {
+    import graft.operators.ChatData._
+    for (s <- 0L until 200L) {
+      val t = sample(uniGen, s)
+      assert(parseJson("\"" + escapeJson(t) + "\"") == JStr(t),
+        s"seed $s: string round-trip")
+      // a transcript built from the string round-trips through the
+      // renderer's exact message shape
+      val chat = s"""{"messages":[{"role":"user","content":"${escapeJson(t)}"}]}"""
+      parseJson(chat) match {
+        case JObj(Vector(("messages", JArr(Vector(JObj(kv)))))) =>
+          assert(kv == Vector("role" -> JStr("user"), "content" -> JStr(t)),
+            s"seed $s: message shape")
+        case other => fail(s"seed $s: unexpected $other")
+      }
+    }
+  }
+
+  test("head metadata invariants: render→parse round-trips arbitrary description text") {
+    import graft.operators.WebIngest
+    for (s <- 0L until 100L) {
+      val t = sample(uniGen, s)
+      // strip the one char class the renderer never emits raw into a page
+      // body anyway (paraChunks separates on single spaces, so any string
+      // is legal content) — no stripping needed: the escape must carry ALL
+      val m = WebIngest.parseHead(WebIngest.renderHtmlMeta(3L, "srcp", "en", t))
+      assert(m.metas("description")
+        == t.split(" ", -1).take(WebIngest.DescTokens).mkString(" "),
+        s"seed $s: description round-trip")
+      assert(m.htmlLang == "en" && m.title == "Doc 3 (srcp)")
+    }
+  }
 }

@@ -239,7 +239,12 @@ class ScaleLadderSpec extends SparkSuite {
       "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
     ensureLadderCorpus()
     ensureLadderCorpus(Ladder30Dir, replicas = 30)
-    assertStep(Seq("dup_spans", "bpe_merges"), LadderDir, Ladder30Dir)
+    // warc_extract climbs the second rung too (round 10): it carries the
+    // engine's ONE text-moving shuffle, and the 10x rung alone (2.5x)
+    // cannot distinguish linear-with-overhead from gently super-linear —
+    // a 3x data step must cost ~3x if the bounded-bucket claim holds
+    assertStep(Seq("dup_spans", "bpe_merges", "warc_extract"),
+      LadderDir, Ladder30Dir)
   }
 
   test("second rung (30x facts): q21 steps linearly past the 10x point") {
