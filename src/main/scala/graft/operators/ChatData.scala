@@ -404,8 +404,83 @@ object ChatData {
         SELECT min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies,
                digest
-        FROM d GROUP BY digest ORDER BY keep_id"""))
+        FROM d GROUP BY digest ORDER BY keep_id""")),
+
+    // ---- loss-mask-aware sequence packing ----------------------------------
+    // The last SFT stage: pack lint-clean chats into fixed-token-budget
+    // training shards (the pack_sequences machinery — Curation's bucketed
+    // per-language cumsum, shared so the scale-safe shape exists once)
+    // and report each shard's LOSS-MASK mass: total vs assistant tokens
+    // and the mask share (the fraction of the shard that actually
+    // trains). The per-chat token/eligibility numbers ride the scan as
+    // COLUMN formulas rather than re-running the JSON parse: chat_stats /
+    // chat_lint pin the strict parser to exactly these formulas per row
+    // on every corpus, and the cumsum machinery reads its base once per
+    // plan branch — re-parsing the corpus four times would quadruple the
+    // scan cost for numbers the parser queries already guarantee.
+    GraftQuery(
+      "chat_pack",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("lang"), lit("")).as("lkey"),
+            split(coalesce(col("text"), lit("")), " ").as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("c", expr("(n + 29) DIV 30"))
+          .withColumn("lastlen", expr("n - 30 * (c - 1)"))
+          .filter(col("doc_id") % 7 =!= 0 &&
+            !(col("lastlen") === 1 &&
+              expr("element_at(toks, CAST(n AS INT))") === lit("")))
+          .withColumn("a_tokens", expr(
+            "CASE WHEN (c - 1) % 2 = 1 THEN 30 * (c DIV 2 - 1) + lastlen" +
+              " ELSE 30 * (c DIV 2) END"))
+          .select(col("doc_id"), col("lang"), col("lkey"),
+            col("n").as("n_tokens"), col("a_tokens"))
+        Curation.cumsumByLang(base)
+          .withColumn("shard_id", expr(s"(cum - n_tokens) DIV $ChatShardBudget"))
+          .groupBy("lang", "shard_id")
+          .agg(count(lit(1)).as("n_chats"),
+            sum("n_tokens").as("total_tokens"),
+            sum("a_tokens").as("assistant_tokens"))
+          .withColumn("mask_share",
+            round(col("assistant_tokens").cast("double") / col("total_tokens"), 4))
+          .orderBy("lang", "shard_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 len(string_split(coalesce(text, ''), ' ')) AS n,
+                 (len(string_split(coalesce(text, ''), ' ')) + 29) // 30 AS c,
+                 list_extract(string_split(coalesce(text, ''), ' '),
+                   len(string_split(coalesce(text, ''), ' '))) AS lasttok
+          FROM documents),
+        e AS (
+          SELECT doc_id, lang, n, c,
+                 CASE WHEN (c - 1) % 2 = 1
+                      THEN 30 * (c // 2 - 1) + n - 30 * (c - 1)
+                      ELSE 30 * (c // 2) END AS a_tokens
+          FROM d
+          WHERE doc_id % 7 != 0
+            AND NOT (n - 30 * (c - 1) = 1 AND lasttok = '')),
+        w AS (
+          SELECT doc_id, lang, n, a_tokens,
+                 CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+          FROM e)
+        SELECT lang,
+               (cum - n) // $ChatShardBudget AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_chats,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(sum(a_tokens) AS BIGINT) AS assistant_tokens,
+               round(CAST(sum(a_tokens) AS DOUBLE) / sum(n), 4) AS mask_share
+        FROM w GROUP BY lang, (cum - n) // $ChatShardBudget
+        ORDER BY lang NULLS FIRST, shard_id"""))
   )
+
+  /** Tokens per packed training shard (the pack_sequences budget scaled
+    * to typical SFT sequence lengths). */
+  val ChatShardBudget = 2048
 
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)

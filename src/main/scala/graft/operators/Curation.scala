@@ -103,6 +103,17 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         coalesce(col("lang"), lit("")).as("lkey"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    cumsumByLang(base)
+      .select("doc_id", "lang", "n_tokens", "cum")
+  }
+
+  /** The bucketed per-language running-token-sum, generalized over any
+    * (doc_id, lang, lkey, n_tokens, …) frame — extra columns ride through
+    * untouched. Shared by [[tokenCumsum]] (pack_sequences/shard_packing)
+    * and ChatData's chat_pack, so the scale-safe cumsum shape exists
+    * exactly once. */
+  private[operators] def cumsumByLang(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bounds = base.agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
     val bucketed = base.crossJoin(broadcast(bounds))
       .withColumn("bkt",
@@ -119,8 +130,8 @@ object Curation {
     bucketed
       .withColumn("lcum", sum("n_tokens").over(wLocal))
       .join(broadcast(offsets), Seq("lkey", "bkt"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("off") + col("lcum")).as("cum"))
+      .withColumn("cum", col("off") + col("lcum"))
+      .drop("off", "lcum", "bkt")
   }
 
   /** Engine-neutral content hash (same polynomial fold as

@@ -267,5 +267,19 @@ class ComponentSpec extends SparkSuite {
     assert(fused.nonEmpty, "composed SQL over two capability views returned nothing")
     fused.foreach(r => assert(r.getLong(2) > r.getLong(1),
       "warc record length must exceed its extracted content"))
+    // round-10 families compose the same way: head metadata × canonical
+    // URLs (the rel=canonical cross-check, this time as a SQL user would
+    // write it) and the chat lint × normalization readouts on one key
+    val canon = spark.sql("""
+      SELECT m.doc_id
+      FROM html_meta m JOIN url_normalize u USING (doc_id)
+      WHERE m.canonical_url != u.canonical_url""").collect()
+    assert(canon.isEmpty,
+      "rel=canonical must agree with url_normalize on every doc")
+    val lint = spark.sql("""
+      SELECT l.source, l.valid_rate, r.mojibake_rate
+      FROM chat_lint l JOIN mojibake_rate r USING (source)
+      ORDER BY l.source LIMIT 5""").collect()
+    assert(lint.nonEmpty, "chat lint × mojibake rate composition returned nothing")
   }
 }

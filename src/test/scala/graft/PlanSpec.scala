@@ -627,6 +627,14 @@ class PlanSpec extends SparkSuite {
       assert(!planOf(q).matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
         s"$q shuffles raw document text")
     }
+    // chat_pack rides Curation.cumsumByLang — the SAME branch profile as
+    // pack_sequences (the machinery reads its base once per cumsum
+    // branch); pinning the two equal keeps a future branch explosion in
+    // either from hiding behind the other
+    assert(scans("chat_pack") == scans("pack_sequences"),
+      "chat_pack must match pack_sequences' scan profile (shared cumsum)")
+    assert(!planOf("chat_pack").matches("(?s).*Exchange hashpartitioning[^\\n]*(text|toks)#.*"),
+      "chat_pack shuffles raw token arrays")
     // the frontier pair: budget rolls up on the host label (one scan);
     // priority joins the doc spine to the BOUNDED in-degree aggregate —
     // the aggregate side must ride a broadcast (never a sort-merge: the
