@@ -642,8 +642,18 @@ object WebIngest {
     * container shape. */
   val WarcBucket = 16
 
+  /** The WARC container grouping key. DIV (not MOD!) is the load-bearing
+    * choice: `doc_id DIV 16` yields a group per run of 16 consecutive ids,
+    * so each group holds ≤ WarcBucket docs and the group COUNT — hence task
+    * parallelism — grows linearly with the corpus. `doc_id % 16` would
+    * instead produce exactly 16 groups each holding 1/16th of all corpus
+    * text, capping parallelism at 16 tasks with per-task state linear in n
+    * (~6 TB/task at 100 TB). WarcBucketSpec asserts the bounded-group-size
+    * property on data; ScaleLadderSpec asserts group count grows 10×. */
+  private[graft] def warcBucketKey: Column =
+    expr(s"doc_id DIV $WarcBucket").as("bucket")
+
   final case class WarcDoc(doc_id: Long, label: String, text: String)
-  final case class SitemapGroup(label: String, ids: Seq[Long])
   final case class WarcRecordOut(doc_id: Long, rec_type: String,
       target_uri: String, content_length: Long, payload_digest: String)
   final case class WarcExtractOut(doc_id: Long, content_blocks: Int,
@@ -809,7 +819,7 @@ object WebIngest {
     Tables.documents(s, dir)
       .select(col("doc_id"), labelCol.as("label"),
         coalesce(col("text"), lit("")).as("text"))
-      .groupBy((col("doc_id") % WarcBucket).as("bucket"))
+      .groupBy(warcBucketKey)
       .agg(sort_array(collect_list(struct(col("doc_id"), col("label"), col("text")))).as("docs"))
       .select(col("docs").as[Seq[WarcDoc]])
       .flatMap { docs =>
@@ -1003,40 +1013,135 @@ object WebIngest {
   def sitemapChunks(docIds: Seq[Long]): Vector[Seq[Long]] =
     docIds.grouped(SitemapChunk).toVector
 
-  /** The host's `<sitemapindex>`: one `<sitemap><loc>` entry per chunk
-    * file, each entry carrying the chunk's max lastmod (what real indexes
-    * publish so crawlers can skip unchanged files). */
-  def sitemapIndexXmlOf(label: String, docIds: Seq[Long]): String = {
+  /** The host's `<sitemapindex>` from per-chunk max lastmods: one
+    * `<sitemap><loc>` entry per chunk file, each entry carrying the chunk's
+    * max lastmod (what real indexes publish so crawlers can skip unchanged
+    * files). Taking the CHUNK-LEVEL mods (not the raw id list) is what lets
+    * the distributed walk rebuild the index from bounded per-chunk rollups. */
+  def sitemapIndexXml(label: String, chunkMods: Seq[String]): String = {
     val sb = new java.lang.StringBuilder(256)
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
     sb.append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">")
-    sitemapChunks(docIds).zipWithIndex.foreach { case (chunk, i) =>
+    chunkMods.zipWithIndex.foreach { case (mod, i) =>
       sb.append("<sitemap><loc>")
         .append(escapeHtml(sitemapChunkUrlOf(label, i)))
-        .append("</loc><lastmod>").append(chunk.map(lastmodOf).max)
+        .append("</loc><lastmod>").append(mod)
         .append("</lastmod></sitemap>")
     }
     sb.append("</sitemapindex>")
     sb.toString
   }
 
-  /** Deterministic per-host fetch stand-in: resolves the index URL and the
-    * chunk URLs this fixture publishes; anything else rejects loudly (a
+  def sitemapIndexXmlOf(label: String, docIds: Seq[Long]): String =
+    sitemapIndexXml(label, sitemapChunks(docIds).map(_.map(lastmodOf).max))
+
+  /** Fetch stand-in over per-chunk leaf content: resolves the index URL to
+    * `indexXml` and chunk i to `leaf(i)`; anything else rejects loudly (a
     * crawler must never follow a loc outside the host's own namespace). */
+  private def chunkResolver(label: String, nChunks: Int, indexXml: String,
+      leaf: Int => String): String => String = { url =>
+    if (url == sitemapIndexUrlOf(label)) indexXml
+    else {
+      val m = "sitemap-(\\d+)\\.xml$".r.findFirstMatchIn(url)
+        .filter(_ => url.startsWith(s"http://www.$label.example.com/"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"sitemap reject: loc outside host namespace: '$url'"))
+      val i = m.group(1).toInt
+      if (i >= nChunks) throw new IllegalArgumentException(
+        s"sitemap reject: chunk $i past $nChunks")
+      leaf(i)
+    }
+  }
+
+  /** Deterministic per-host fetch stand-in: resolves the index URL and the
+    * chunk URLs this fixture publishes; anything else rejects loudly. */
   def sitemapFixtureResolver(label: String, docIds: Seq[Long]): String => String = {
     val chunks = sitemapChunks(docIds)
-    url =>
-      if (url == sitemapIndexUrlOf(label)) sitemapIndexXmlOf(label, docIds)
-      else {
-        val m = "sitemap-(\\d+)\\.xml$".r.findFirstMatchIn(url)
-          .filter(_ => url.startsWith(s"http://www.$label.example.com/"))
-          .getOrElse(throw new IllegalArgumentException(
-            s"sitemap reject: loc outside host namespace: '$url'"))
-        val i = m.group(1).toInt
-        if (i >= chunks.length) throw new IllegalArgumentException(
-          s"sitemap reject: chunk $i past ${chunks.length}")
-        sitemapXmlOf(label, chunks(i))
+    chunkResolver(label, chunks.length, sitemapIndexXmlOf(label, docIds),
+      i => sitemapXmlOf(label, chunks(i)))
+  }
+
+  /** Chunk-summary leaf for the host-level tree walk: ONE `<url>` entry
+    * whose loc is the chunk's content digest and lastmod its max — the
+    * bounded stand-in for a chunk file whose full parse was already paid
+    * upstream in [[chunkStats]]. The walk over these leaves validates the
+    * TREE (child order, depth bound, cycles, namespace) without ever
+    * holding more than one 32-hex digest per SitemapChunk docs. */
+  private def chunkSummaryXml(digest: String, maxMod: String): String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      s"<url><loc>$digest</loc><lastmod>$maxMod</lastmod></url></urlset>"
+
+  final case class ChunkGroup(label: String, chunk: Long, ids: Seq[Long])
+  final case class ChunkStats(label: String, chunk: Long, n_urls: Long,
+      first_mod: String, last_mod: String, n_fresh: Long, digest: String)
+
+  /** Bounded per-host sitemap spine (round 11). The round-10 shape
+    * `collect_list`'ed EVERY doc_id of a host into one row before the
+    * fixture walk — the engine's last unbounded per-key buffer (multi-GB
+    * single-row state at 10^11 docs; the 50%-hot-HOST corpus concentrates
+    * half the corpus's ids in one task's list). The replacement keys the
+    * collect on the host's chunk POSITION: row_number ranks each doc in the
+    * host's sorted id order (a sort-based streaming window — external sort
+    * spills, never an in-memory buffer), chunk = (rank-1) DIV SitemapChunk
+    * mirrors [[sitemapChunks]]' grouped() slicing exactly, so every group
+    * carries ≤ SitemapChunk ids and only 32-hex digests / counts roll up to
+    * the host afterwards. */
+  private def hostChunkGroups(s: SparkSession, dir: String): Dataset[ChunkGroup] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(translate(labelCol, UC, LC).as("label"), col("doc_id"))
+      .withColumn("chunk", expr("CAST((row_number() OVER (PARTITION BY " +
+        s"label ORDER BY doc_id) - 1) DIV $SitemapChunk AS BIGINT)"))
+      .groupBy("label", "chunk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .as[ChunkGroup]
+  }
+
+  /** Per-chunk render → STRICT parse → stats: each task holds one
+    * ≤ SitemapChunk-doc urlset. n_fresh carries the recrawl cutoff count so
+    * recrawl_delta rides the same spine. */
+  private def chunkStats(s: SparkSession, dir: String): Dataset[ChunkStats] = {
+    import s.implicits._
+    hostChunkGroups(s, dir).map { g =>
+      val entries = readSitemap(sitemapXmlOf(g.label, g.ids))
+      ChunkStats(g.label, g.chunk, entries.length.toLong,
+        entries.map(_._2).min, entries.map(_._2).max,
+        entries.count(_._2 > RecrawlCutoff).toLong,
+        md5Hex(entries.map(_._1).mkString("\n").getBytes("UTF-8")))
+    }
+  }
+
+  /** The discovery walk over BOUNDED per-host state: robots `Sitemap:`
+    * directive → rebuilt `<sitemapindex>` (from per-chunk max lastmods) →
+    * [[readSitemapTree]] recursion with depth bound + cycle detection, each
+    * child resolving to its chunk-summary leaf. The leaf parse cost was
+    * already paid per-chunk in [[chunkStats]]; this leg validates the tree
+    * shape (child order, count, namespace) over one digest per chunk, so a
+    * skipped or reordered child file still hash-mismatches. */
+  private def discoveryFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chunkStats(s, dir)
+      .groupByKey(_.label)
+      .mapGroups { (label, it) =>
+        val chunks = it.toVector.sortBy(_.chunk)
+        val sitemaps = parseRobotsSitemaps(robotsTxtOf(label))
+        require(sitemaps.length == 1,
+          s"robots reject: expected one Sitemap directive, got $sitemaps")
+        val indexXml = sitemapIndexXml(label, chunks.map(_.last_mod))
+        val (entries, fetched) = readSitemapTree(sitemaps.head,
+          chunkResolver(label, chunks.length, indexXml,
+            i => chunkSummaryXml(chunks(i).digest, chunks(i).last_mod)))
+        require(entries.length == chunks.length,
+          s"sitemap reject: walk returned ${entries.length} leaves for " +
+            s"${chunks.length} chunks")
+        (s"www.$label.example.com", (fetched - 1).toLong,
+          chunks.map(_.n_urls).sum,
+          chunks.map(_.first_mod).min, chunks.map(_.last_mod).max,
+          md5Hex(entries.map(_._1).mkString("\n").getBytes("UTF-8")))
       }
+      .toDF("host", "n_sitemaps", "n_urls", "first_mod", "last_mod",
+        "locs_digest")
   }
 
   /** Recursive sitemap walk: fetch → strict XML parse → either a urlset
@@ -1689,27 +1794,27 @@ object WebIngest {
         LIMIT 25""")),
 
     // ---- sitemap.xml: the other crawl-control container --------------------
-    // Per host: render the sitemap (url entries carry the canonical URL —
-    // whose query '&' must survive the XML escape round-trip — and a
-    // deterministic lastmod), then walk it back through the STRICT XML
-    // subset parser and the urlset/url/loc structural check. The oracle
-    // rebuilds per-host URL counts, the lastmod range, and an
-    // order-preserving digest of the locs from the fixture formulas, so a
+    // Per (host, chunk): render the ≤SitemapChunk-entry sitemap file (url
+    // entries carry the canonical URL — whose query '&' must survive the
+    // XML escape round-trip — and a deterministic lastmod), walk it back
+    // through the STRICT XML subset parser and the urlset/url/loc
+    // structural check, then roll ONLY counts + 32-hex digests up to the
+    // host (round 11: the per-host collect_list of every doc_id was the
+    // engine's last unbounded per-key buffer). The host digest is the md5
+    // of the chunk digests in chunk order — still order-preserving, so a
     // parser that drops an entry, mangles an entity, or reorders children
-    // hash-mismatches.
+    // hash-mismatches; the oracle rebuilds the same two-level digest.
     GraftQuery(
       "sitemap_parse",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
-          .groupBy(translate(labelCol, UC, LC).as("label"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .as[SitemapGroup]
-          .map { g =>
-            val entries = readSitemap(sitemapXmlOf(g.label, g.ids))
-            (s"www.${g.label}.example.com", entries.length.toLong,
-              entries.map(_._2).min, entries.map(_._2).max,
-              md5Hex(entries.map(_._1).mkString("\n").getBytes("UTF-8")))
+        chunkStats(s, dir)
+          .groupByKey(_.label)
+          .mapGroups { (label, it) =>
+            val chunks = it.toVector.sortBy(_.chunk)
+            (s"www.$label.example.com", chunks.map(_.n_urls).sum,
+              chunks.map(_.first_mod).min, chunks.map(_.last_mod).max,
+              md5Hex(chunks.map(_.digest).mkString("\n").getBytes("UTF-8")))
           }
           .toDF("host", "n_urls", "first_mod", "last_mod", "locs_digest")
           .orderBy("host")
@@ -1722,48 +1827,39 @@ object WebIngest {
                    || CAST(doc_id % 50 AS VARCHAR) || '/page-'
                    || CAST(doc_id % 200 AS VARCHAR) || '?a=1&b=2' AS canonical,
                  CAST(DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS VARCHAR)
-                   AS lastmod
-          FROM documents)
+                   AS lastmod,
+                 row_number() OVER (PARTITION BY ${lowerSql(labelSql)}
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+        c AS (
+          SELECT llabel, (rn - 1) // $SitemapChunk AS chunk,
+                 count(*) AS n, min(lastmod) AS mn, max(lastmod) AS mx,
+                 md5(string_agg(canonical, chr(10) ORDER BY doc_id)) AS cd
+          FROM d GROUP BY llabel, (rn - 1) // $SitemapChunk)
         SELECT 'www.' || llabel || '.example.com' AS host,
-               CAST(count(*) AS BIGINT) AS n_urls,
-               min(lastmod) AS first_mod,
-               max(lastmod) AS last_mod,
-               md5(string_agg(canonical, chr(10) ORDER BY doc_id)) AS locs_digest
-        FROM d GROUP BY llabel ORDER BY host""")),
+               CAST(sum(n) AS BIGINT) AS n_urls,
+               min(mn) AS first_mod,
+               max(mx) AS last_mod,
+               md5(string_agg(cd, chr(10) ORDER BY chunk)) AS locs_digest
+        FROM c GROUP BY llabel ORDER BY host""")),
 
     // ---- sitemap discovery: robots `Sitemap:` → index recursion -------------
     // The discovery leg a real crawl runs BEFORE fetching pages: the host's
     // robots.txt publishes its sitemap index (RFC 9309 §2.3 group-
     // independent `Sitemap:` directive), the index nests SitemapChunk-sized
     // child files (the 50k-URL-cap shape), and the walker recurses through
-    // the strict XML parser with depth bound + cycle detection. The oracle
-    // rebuilds file count (ceil(n/chunk)), URL count, lastmod range and the
-    // order-preserving loc digest from the fixture formulas — so a walker
-    // that skips a child file, reorders chunks, or follows a loc it
-    // shouldn't hash-mismatches.
+    // the strict XML parser with depth bound + cycle detection. Round 11
+    // bounded the state: child files are rendered + parsed per-chunk
+    // ([[chunkStats]], ≤SitemapChunk docs/task), and the per-host recursion
+    // runs over chunk-summary leaves (one digest per chunk) in
+    // [[discoveryFrame]] — same robots gate, same index walk, same
+    // rejections, never an unbounded per-key buffer. The oracle rebuilds
+    // file count, URL count, lastmod range and the two-level chunk-order
+    // digest from the fixture formulas — so a walker that skips a child
+    // file, reorders chunks, or follows a loc it shouldn't hash-mismatches.
     GraftQuery(
       "sitemap_discovery",
-      (s, dir) => {
-        import s.implicits._
-        Tables.documents(s, dir)
-          .groupBy(translate(labelCol, UC, LC).as("label"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .as[SitemapGroup]
-          .map { g =>
-            val sitemaps = parseRobotsSitemaps(robotsTxtOf(g.label))
-            require(sitemaps.length == 1,
-              s"robots reject: expected one Sitemap directive, got $sitemaps")
-            val (entries, fetched) = readSitemapTree(sitemaps.head,
-              sitemapFixtureResolver(g.label, g.ids))
-            (s"www.${g.label}.example.com", (fetched - 1).toLong,
-              entries.length.toLong,
-              entries.map(_._2).min, entries.map(_._2).max,
-              md5Hex(entries.map(_._1).mkString("\n").getBytes("UTF-8")))
-          }
-          .toDF("host", "n_sitemaps", "n_urls", "first_mod", "last_mod",
-            "locs_digest")
-          .orderBy("host")
-      },
+      (s, dir) => discoveryFrame(s, dir).orderBy("host"),
       Some(s"""
         WITH d AS (
           SELECT doc_id,
@@ -1772,16 +1868,22 @@ object WebIngest {
                    || CAST(doc_id % 50 AS VARCHAR) || '/page-'
                    || CAST(doc_id % 200 AS VARCHAR) || '?a=1&b=2' AS canonical,
                  CAST(DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS VARCHAR)
-                   AS lastmod
-          FROM documents)
+                   AS lastmod,
+                 row_number() OVER (PARTITION BY ${lowerSql(labelSql)}
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+        c AS (
+          SELECT llabel, (rn - 1) // $SitemapChunk AS chunk,
+                 count(*) AS n, min(lastmod) AS mn, max(lastmod) AS mx,
+                 md5(string_agg(canonical, chr(10) ORDER BY doc_id)) AS cd
+          FROM d GROUP BY llabel, (rn - 1) // $SitemapChunk)
         SELECT 'www.' || llabel || '.example.com' AS host,
-               CAST((count(*) + ${SitemapChunk - 1}) // $SitemapChunk AS BIGINT)
-                 AS n_sitemaps,
-               CAST(count(*) AS BIGINT) AS n_urls,
-               min(lastmod) AS first_mod,
-               max(lastmod) AS last_mod,
-               md5(string_agg(canonical, chr(10) ORDER BY doc_id)) AS locs_digest
-        FROM d GROUP BY llabel ORDER BY host""")),
+               CAST(count(*) AS BIGINT) AS n_sitemaps,
+               CAST(sum(n) AS BIGINT) AS n_urls,
+               min(mn) AS first_mod,
+               max(mx) AS last_mod,
+               md5(string_agg(cd, chr(10) ORDER BY chunk)) AS locs_digest
+        FROM c GROUP BY llabel ORDER BY host""")),
 
     // ---- the composed crawl funnel -----------------------------------------
     // Every ingest stage in ONE pipeline, the way a crawl actually chains
@@ -1797,16 +1899,8 @@ object WebIngest {
       "crawl_funnel",
       (s, dir) => {
         import s.implicits._
-        val discovered = Tables.documents(s, dir)
-          .groupBy(translate(labelCol, UC, LC).as("label"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .as[SitemapGroup]
-          .map { g =>
-            readSitemapTree(parseRobotsSitemaps(robotsTxtOf(g.label)).head,
-              sitemapFixtureResolver(g.label, g.ids))._1.length.toLong
-          }
-          .toDF("n")
-          .agg(coalesce(sum("n"), lit(0L)).as("n_discovered"))
+        val discovered = discoveryFrame(s, dir)
+          .agg(coalesce(sum("n_urls"), lit(0L)).as("n_discovered"))
         val stages = warcRoundTrip(s, dir)
           .map { case (id, uri, _, payload) =>
             val blocks = parseHtmlBlocks(new String(httpBody(payload), "UTF-8"))
@@ -2042,31 +2136,24 @@ object WebIngest {
     // ---- lastmod-driven recrawl delta --------------------------------------
     // The refresh half of discovery: a crawler that walked the sitemap
     // tree last on CutoffDate only refetches URLs whose lastmod moved past
-    // it. Per host, through the REAL robots→index→chunk walk (every
-    // lastmod earned from the parsed XML): fresh vs stale URL counts, the
-    // refetch ratio, and the newest lastmod (what the next incremental
-    // walk will key on). The oracle replays the date fixture formula.
+    // it. Every lastmod is earned from the per-chunk parsed XML
+    // ([[chunkStats]] — the same bounded spine the discovery walk rides);
+    // fresh vs stale counts, the refetch ratio, and the newest lastmod
+    // (what the next incremental walk keys on) are pure sums/maxes, so the
+    // host rollup never buffers more than one chunk's entries per task.
+    // The oracle replays the date fixture formula.
     GraftQuery(
       "recrawl_delta",
-      (s, dir) => {
-        import s.implicits._
-        Tables.documents(s, dir)
-          .groupBy(translate(labelCol, UC, LC).as("label"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .as[SitemapGroup]
-          .map { g =>
-            val (entries, _) = readSitemapTree(
-              parseRobotsSitemaps(robotsTxtOf(g.label)).head,
-              sitemapFixtureResolver(g.label, g.ids))
-            val fresh = entries.count(_._2 > RecrawlCutoff)
-            (s"www.${g.label}.example.com", fresh.toLong,
-              (entries.length - fresh).toLong, entries.map(_._2).max)
-          }
-          .toDF("host", "n_refetch", "n_skip", "newest_mod")
-          .withColumn("refetch_rate", round(
-            col("n_refetch").cast("double") / (col("n_refetch") + col("n_skip")), 4))
-          .orderBy("host")
-      },
+      (s, dir) => chunkStats(s, dir)
+        .groupBy("label")
+        .agg(sum("n_fresh").as("n_refetch"),
+          (sum("n_urls") - sum("n_fresh")).as("n_skip"),
+          max("last_mod").as("newest_mod"))
+        .select(concat(lit("www."), col("label"), lit(".example.com")).as("host"),
+          col("n_refetch"), col("n_skip"), col("newest_mod"),
+          round(col("n_refetch").cast("double")
+            / (col("n_refetch") + col("n_skip")), 4).as("refetch_rate"))
+        .orderBy("host"),
       Some(s"""
         WITH d AS (
           SELECT doc_id,

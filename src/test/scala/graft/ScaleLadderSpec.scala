@@ -360,7 +360,36 @@ class ScaleLadderSpec extends SparkSuite {
     assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
       "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
     ensureLadderCorpus()
-    assertEnvelope(Seq("html_text", "warc_extract", "link_graph"), LadderDir)
+    // round 11 adds the two flagship COMPOSITIONS (the r10 verdict gap:
+    // their 100-TB claims rested on plan gates alone): web_pipeline (WARC
+    // walk → parse → normalize → uri-keyed dedup → token accounting) and
+    // chat_pack (render → strict JSON parse → cumsum shard packing)
+    assertEnvelope(Seq("html_text", "warc_extract", "link_graph",
+      "web_pipeline", "chat_pack"), LadderDir)
+  }
+
+  test("10x corpus: the fixed WARC bucket grows group COUNT, never group size") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    ensureLadderCorpus()
+    // the property the round-10 gates missed: a MOD bucket key passes the
+    // wall-clock rung (16 fat tasks still finish linearly) while per-task
+    // state grows 10x. Assert the DIV shape directly on the 10x corpus:
+    // every group stays ≤ WarcBucket docs, and the number of groups steps
+    // with the data (WebIngestSpec pins the same property at sf0.001/0.01)
+    import graft.operators.WebIngest
+    def stats(dir: String): (Long, Long) = {
+      val row = Tables.documents(spark, dir)
+        .groupBy(WebIngest.warcBucketKey).agg(count("*").as("n"))
+        .agg(max("n"), count("*")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val (maxBig, groupsBig) = stats(LadderDir)
+    val (_, groupsSmall) = stats("/root/testdata/sf0.1")
+    assert(maxBig <= WebIngest.WarcBucket,
+      s"10x-corpus WARC group of $maxBig docs exceeds the WarcBucket bound")
+    assert(groupsBig >= 5 * groupsSmall,
+      s"WARC group count must grow with the corpus ($groupsSmall -> $groupsBig)")
   }
 
   /** 50%-hot-host documents: every even doc_id re-keys to ONE source label
@@ -386,13 +415,15 @@ class ScaleLadderSpec extends SparkSuite {
     // boilerplate_rate: per-source sums — partial agg must absorb the hot
     // source. host_rollup: groupBy domain + countDistinct(canonical URL) —
     // the two-phase distinct must keep the hot domain off one reducer's
-    // critical path. sitemap_parse: the per-host collect_list container
-    // build — one task walks the hot host's sitemap; linear in host mass
-    // (and the sitemapindex chunking is what caps real-world files), so
-    // near-uniform wall-clock at equal volume is the proof it hasn't gone
-    // super-linear in group size. warc_extract rides doc_id buckets and
+    // critical path. The sitemap family (parse / discovery / recrawl,
+    // round 11): the hot host's ids spread over ≤SitemapChunk-doc chunk
+    // groups — only the rank window and the per-chunk digest rollup see
+    // the hot key, both sort/sum-based — so near-uniform wall-clock at
+    // equal volume is the proof no per-host buffer came back.
+    // warc_extract and web_pipeline ride doc_id buckets / uri keys and
     // must be IMMUNE to host skew by construction.
     assertEnvelope(Seq("boilerplate_rate", "host_rollup", "sitemap_parse",
-      "warc_extract"), SkewHostDir, SkewEnvelope, "hot-host")
+      "sitemap_discovery", "recrawl_delta", "warc_extract", "web_pipeline"),
+      SkewHostDir, SkewEnvelope, "hot-host")
   }
 }

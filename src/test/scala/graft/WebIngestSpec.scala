@@ -191,6 +191,35 @@ class WebIngestSpec extends SparkSuite {
     }
   }
 
+  test("warc: bucket key bounds GROUP SIZE and grows GROUP COUNT with the corpus") {
+    // The round-10 audit found the gate that matters: the old PlanSpec gate
+    // asserted the exchange was keyed on `bucket` — true for both doc_id%16
+    // (16 giant groups, parallelism capped forever) and doc_id DIV 16
+    // (bounded ~16-doc groups, count linear in n). This pins the property
+    // on DATA: max rows per group ≤ WarcBucket, and the group count at
+    // sf0.01 is ~10× the count at sf0.001 (group COUNT, not size, absorbs
+    // corpus growth).
+    import org.apache.spark.sql.functions.{count, max}
+    def stats(dir: String): (Long, Long) = {
+      val g = Tables.documents(spark, dir)
+        .groupBy(WebIngest.warcBucketKey)
+        .agg(count("*").as("n"))
+      val row = g.agg(max("n"), count("*")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val (maxSmall, groupsSmall) = stats(sf)
+    // sf0.01 carries the same 500 documents as sf0.001 — sf0.1 (5000) is
+    // the 10x documents step
+    val (maxBig, groupsBig) = stats("/root/testdata/sf0.1")
+    assert(maxSmall <= WebIngest.WarcBucket,
+      s"sf0.001 group of $maxSmall docs exceeds the WarcBucket bound")
+    assert(maxBig <= WebIngest.WarcBucket,
+      s"sf0.1 group of $maxBig docs exceeds the WarcBucket bound")
+    assert(groupsBig >= 5 * groupsSmall,
+      s"group count must grow with the corpus (got $groupsSmall → $groupsBig); " +
+        "a MOD key would hold it constant at 16")
+  }
+
   test("warc: http split rejects non-200 and headerless payloads") {
     intercept[IllegalArgumentException](
       WebIngest.httpBody("HTTP/1.1 404 Not Found\r\n\r\nx".getBytes("US-ASCII")))
