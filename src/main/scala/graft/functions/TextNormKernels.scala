@@ -24,7 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    .utf8Codepoints]] rules: no overlongs, no surrogates, nothing past
   *    U+10FFFF), and (c) the decode actually changes the string (pure
   *    ASCII round-trips identically — never "repaired"). Anything else is
-  *    returned untouched: repair must be idempotent and must never guess.
+  *    returned untouched. One application inverts exactly ONE encoding
+  *    level (TextNormalizeSpec pins "one decode level per pass":
+  *    repair(garble(garble(s))) == garble(s), so a doubly-garbled string
+  *    needs a second pass) and repair must never guess.
   */
 object TextNormKernels {
 

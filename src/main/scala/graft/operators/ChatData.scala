@@ -60,9 +60,11 @@ object ChatData {
     * floats (integers only — transcripts carry no numbers today, the
     * production is kept for generality). Rejected loudly (battery in
     * OperatorSpec): trailing content, unterminated strings/containers,
-    * raw control chars inside strings, bad or truncated escapes,
-    * surrogate-escape halves, duplicate object keys, missing colons and
-    * commas, leading zeros. */
+    * raw control chars inside strings, bad or truncated escapes
+    * (4-hex-digit \u only — signed forms rejected), unpaired
+    * surrogate-escape halves (a high half must be immediately followed by
+    * an escaped low half), duplicate object keys, missing colons and
+    * commas, leading zeros, integer literals outside long range. */
   def parseJson(s: String): Json = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"json reject: $msg")
@@ -92,12 +94,39 @@ object ChatData {
             case 'b' => sb.append('\b'); i += 2
             case 'f' => sb.append('\f'); i += 2
             case 'u' =>
-              if (i + 6 > n) fail("truncated \\u escape")
-              val hex = s.substring(i + 2, i + 6)
-              val cp = try Integer.parseInt(hex, 16)
-              catch { case _: NumberFormatException => fail(s"bad \\u escape '$hex'") }
-              sb.append(cp.toChar)
-              i += 6
+              // exactly 4 hex digits, validated char-by-char —
+              // Integer.parseInt(hex, 16) would also accept signed forms
+              // like "+12F" (and "-001" wrapping to U+FFFF)
+              def hex4(at: Int): Int = {
+                if (at + 4 > n) fail("truncated \\u escape")
+                var v = 0
+                var j = at
+                while (j < at + 4) {
+                  val h = s.charAt(j)
+                  val d =
+                    if (h >= '0' && h <= '9') h - '0'
+                    else if (h >= 'a' && h <= 'f') h - 'a' + 10
+                    else if (h >= 'A' && h <= 'F') h - 'A' + 10
+                    else fail(s"bad \\u escape '${s.substring(at, at + 4)}'")
+                  v = (v << 4) | d
+                  j += 1
+                }
+                v
+              }
+              val cp = hex4(i + 2)
+              if (cp >= 0xDC00 && cp <= 0xDFFF)
+                fail(s"unpaired low surrogate \\u escape at offset $i")
+              if (cp >= 0xD800 && cp <= 0xDBFF) {
+                // a high half is only valid immediately followed by an
+                // escaped low half — anything else is a lone surrogate
+                if (i + 12 > n || s.charAt(i + 6) != '\\' || s.charAt(i + 7) != 'u')
+                  fail(s"unpaired high surrogate \\u escape at offset $i")
+                val lo = hex4(i + 8)
+                if (lo < 0xDC00 || lo > 0xDFFF)
+                  fail(s"invalid surrogate pair \\u escape at offset $i")
+                sb.append(cp.toChar).append(lo.toChar)
+                i += 12
+              } else { sb.append(cp.toChar); i += 6 }
             case e => fail(s"bad escape '\\$e'")
           }
         } else { sb.append(c); i += 1 }
@@ -156,7 +185,9 @@ object ChatData {
           while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
           if (i == ds) fail(s"bare '-' at offset $ns")
           if (s.charAt(ds) == '0' && i - ds > 1) fail(s"leading zero at offset $ns")
-          JNum(s.substring(ns, i).toLong)
+          val lit = s.substring(ns, i)
+          JNum(try lit.toLong catch { case _: NumberFormatException =>
+            fail(s"integer literal '$lit' out of long range") })
         case c => fail(s"unexpected '$c' at offset $i")
       }
     }
@@ -422,8 +453,7 @@ object ChatData {
       "chat_pack",
       (s, dir) => {
         val base = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            coalesce(col("lang"), lit("")).as("lkey"),
+          .select(col("doc_id"), col("lang"), Curation.langKey.as("lkey"),
             split(coalesce(col("text"), lit("")), " ").as("toks"))
           .withColumn("n", size(col("toks")).cast("long"))
           .withColumn("c", expr("(n + 29) DIV 30"))

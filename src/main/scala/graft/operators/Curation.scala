@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -95,13 +96,12 @@ object Curation {
     * with a single window. */
   private def tokenCumsum(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    // lang rides twice: verbatim for the output, null-coalesced as the
+    // lang rides twice: verbatim for the output, [[langKey]]-mapped as the
     // partition/join key — the offsets join is an equi-join, and a NULL
     // lang would drop its rows where the oracle's window PARTITION BY
     // keeps them as one group (hostile-corpus sweep finding)
     val base = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("lang"), lit("")).as("lkey"),
+      .select(col("doc_id"), col("lang"), langKey.as("lkey"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
     cumsumByLang(base)
       .select("doc_id", "lang", "n_tokens", "cum")
@@ -112,7 +112,19 @@ object Curation {
     * untouched. Shared by [[tokenCumsum]] (pack_sequences/shard_packing)
     * and ChatData's chat_pack, so the scale-safe cumsum shape exists
     * exactly once. */
-  private[operators] def cumsumByLang(
+  /** Collision-free cumsum partition key for a nullable lang. The oracles'
+    * window `PARTITION BY lang` keeps NULL as its OWN partition, distinct
+    * from the empty string — but the offsets join below is an equi-join
+    * and needs a non-null key. coalesce(lang, '') (the pre-round-11 key)
+    * merged NULL-lang and ''-lang rows into one cumsum partition, shifting
+    * shard boundaries on any corpus carrying both. NULL maps to "\u0000"
+    * and every non-null value is "L"-prefixed ('' → "L"), so no two lang
+    * values can ever share a key. */
+  private[graft] def langKey: Column =
+    when(col("lang").isNull, lit("\u0000"))
+      .otherwise(concat(lit("L"), col("lang")))
+
+  private[graft] def cumsumByLang(
       base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bounds = base.agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
     val bucketed = base.crossJoin(broadcast(bounds))

@@ -207,6 +207,34 @@ object WebIngest {
 
   /** Entity decode over a whole string — the same five named entities +
     * numeric refs the block parser accepts, same loud rejections. */
+  /** Numeric character reference body (`#x41` / `#65`) → codepoint, shared
+    * by all three strict decoders (entity, HTML block, XML). Digits are
+    * validated explicitly — Integer.parseInt would also accept signed forms
+    * (&#x+41;) — and the surrogate block U+D800–U+DFFF rejects alongside
+    * the > U+10FFFF bound (appendCodePoint would otherwise happily emit a
+    * lone surrogate into "decoded" text). */
+  private def numericRef(name: String, fail: String => Nothing): Int = {
+    val hex = name.startsWith("#x") || name.startsWith("#X")
+    val digits = name.substring(if (hex) 2 else 1)
+    if (digits.isEmpty) fail(s"bad entity &$name;")
+    var cp = 0
+    var k = 0
+    while (k < digits.length) {
+      val c = digits.charAt(k)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+        else fail(s"bad entity &$name;")
+      cp = cp * (if (hex) 16 else 10) + d
+      if (cp > 0x10FFFF) fail(s"entity &$name; out of range")
+      k += 1
+    }
+    if (cp >= 0xD800 && cp <= 0xDFFF)
+      fail(s"entity &$name; is a surrogate codepoint")
+    cp
+  }
+
   def decodeEntities(s: String): String = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"html reject: $msg")
@@ -226,15 +254,9 @@ object WebIngest {
           case "gt" => '>'.toInt
           case "quot" => '"'.toInt
           case "apos" => '\''.toInt
-          case _ if name.startsWith("#x") || name.startsWith("#X") =>
-            try Integer.parseInt(name.substring(2), 16)
-            catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
-          case _ if name.startsWith("#") =>
-            try Integer.parseInt(name.substring(1), 10)
-            catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+          case _ if name.startsWith("#") => numericRef(name, fail)
           case _ => fail(s"unknown entity &$name;")
         }
-        if (cp < 0 || cp > 0x10FFFF) fail(s"entity &$name; out of range")
         sb.appendCodePoint(cp)
         i = e + 1
       } else { sb.append(c); i += 1 }
@@ -533,15 +555,9 @@ object WebIngest {
           case "gt" => '>'.toInt
           case "quot" => '"'.toInt
           case "apos" => '\''.toInt
-          case _ if name.startsWith("#x") || name.startsWith("#X") =>
-            try Integer.parseInt(name.substring(2), 16)
-            catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
-          case _ if name.startsWith("#") =>
-            try Integer.parseInt(name.substring(1), 10)
-            catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+          case _ if name.startsWith("#") => numericRef(name, fail)
           case _ => fail(s"unknown entity &$name;")
         }
-        if (cp < 0 || cp > 0x10FFFF) fail(s"entity &$name; out of range")
         if (blockTag == null) fail("entity outside a block")
         appendCp(cp)
         i = e + 1
@@ -922,12 +938,7 @@ object WebIngest {
             case "gt" => '>'.toInt
             case "quot" => '"'.toInt
             case "apos" => '\''.toInt
-            case _ if name.startsWith("#x") || name.startsWith("#X") =>
-              try Integer.parseInt(name.substring(2), 16)
-              catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
-            case _ if name.startsWith("#") =>
-              try Integer.parseInt(name.substring(1), 10)
-              catch { case _: NumberFormatException => fail(s"bad entity &$name;") }
+            case _ if name.startsWith("#") => numericRef(name, fail)
             case _ => fail(s"unknown entity &$name;")
           }
           sb.appendCodePoint(cp)

@@ -732,8 +732,13 @@ object StreamingPipeline {
         val text = graft.functions.TextNormKernels.nfc(
           graft.functions.TextNormKernels.repair(
             content.map(_.text).mkString("\n")))
+        // content_chars excludes the (blocks-1) join separators so the
+        // metric stays comparable with batch html_text's per-block sum
+        // (normalization itself may still move the count — repair/NFC run
+        // on the joined text here, the in-flight content the sink ships)
+        val seps = math.max(content.length - 1, 0)
         (id, curl, content.length,
-          text.codePointCount(0, text.length).toLong, text, ts)
+          text.codePointCount(0, text.length).toLong - seps, text, ts)
       }
       .toDF(idCol, "canonical_url", "content_blocks", "content_chars",
         "content_text", tsCol)

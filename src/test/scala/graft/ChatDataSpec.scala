@@ -39,11 +39,25 @@ class ChatDataSpec extends AnyFunSuite {
       "leading zero" -> "[01]",
       "bad literal" -> "[tru]",
       "empty input" -> "",
-      "unquoted key" -> "{a:1}")
+      "unquoted key" -> "{a:1}",
+      // round 11: Integer.parseInt(hex, 16) accepted signed forms and the
+      // old branch appended any 4-hex value — lone surrogates included
+      "signed \\u escape" -> "\"\\u+12A0\"",
+      "negative \\u escape" -> "\"\\u-001x\"",
+      "bare high surrogate escape" -> "\"\\uD800\"",
+      "bare low surrogate escape" -> "\"\\uDC00 tail\"",
+      "high surrogate before non-escape" -> "\"\\uD83Dx\"",
+      "high surrogate paired with non-low" -> "\"\\uD83D\\u0041\"",
+      "integer literal out of long range" -> "[99999999999999999999]")
     bad.foreach { case (what, s) =>
       val e = intercept[IllegalArgumentException](parseJson(s))
       assert(e.getMessage.startsWith("json reject:"), s"$what: ${e.getMessage}")
     }
+  }
+
+  test("json: a valid escaped surrogate PAIR decodes to the astral codepoint") {
+    assert(parseJson("\"\\uD83D\\uDE00\"") ==
+      JStr(new String(Character.toChars(0x1F600))))
   }
 
   // ----------------------------------------------------------------- chats

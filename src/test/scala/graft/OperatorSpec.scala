@@ -1758,6 +1758,26 @@ class OperatorSpec extends SparkSuite {
     assert(got(3L) == None)      // other key never matches
   }
 
+  test("cumsumByLang keeps NULL-lang and empty-string-lang as DISTINCT partitions") {
+    // The round-10 advice finding: lkey = coalesce(lang, '') merged NULL
+    // and '' into one cumsum partition while the DuckDB oracles' window
+    // PARTITION BY lang keeps NULL distinct — divergent shard boundaries
+    // on any corpus carrying both (no driver corpus does, so this pins it
+    // on a constructed frame). langKey must be collision-free.
+    import spark.implicits._
+    val base = Seq(
+      (1L, Option("en"), 10L), (2L, Option(""), 20L), (3L, None: Option[String], 30L),
+      (4L, Option("en"), 40L), (5L, Option(""), 50L), (6L, None: Option[String], 60L))
+      .toDF("doc_id", "lang", "n_tokens")
+      .withColumn("lkey", operators.Curation.langKey)
+    val got = operators.Curation.cumsumByLang(base)
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-lang running sums with NULL ≠ '' ≠ "en"
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L,
+      4L -> 50L, 5L -> 70L, 6L -> 90L), got.toString)
+  }
+
   test("pack_sequences agrees with shard_packing and its offsets tile each shard") {
     val shards = run("shard_packing").collect()
       .map(r => r.getAs[Long]("doc_id") ->

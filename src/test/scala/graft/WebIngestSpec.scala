@@ -115,6 +115,12 @@ class WebIngestSpec extends SparkSuite {
       "unknown entity" -> page("<p>&nope;</p>"),
       "unterminated entity" -> page("<p>&amp no semi</p>"),
       "bad numeric entity" -> page("<p>&#xzz;</p>"),
+      // round 11: Integer.parseInt accepted signed digit strings, and
+      // appendCodePoint happily emits lone surrogates — both now reject
+      "signed numeric entity" -> page("<p>&#x+41;</p>"),
+      "signed decimal entity" -> page("<p>&#-65;</p>"),
+      "surrogate numeric entity" -> page("<p>&#xD800;</p>"),
+      "out-of-range numeric entity" -> page("<p>&#x110000;</p>"),
       "nested block" -> page("<div><p>x</p></div>"),
       "mismatched closer" -> page("<div>x</p>"),
       "stray closer" -> page("</div>"),
@@ -344,6 +350,8 @@ class WebIngestSpec extends SparkSuite {
       "unclosed root" -> sm("<urlset><url></url>"),
       "bare '<'" -> sm("<urlset>< url/></urlset>"),
       "unknown entity" -> sm("<urlset><url><loc>&nope;</loc></url></urlset>"),
+      "surrogate numeric entity" -> sm("<urlset><url><loc>&#xDFFF;</loc></url></urlset>"),
+      "signed numeric entity" -> sm("<urlset><url><loc>&#x+41;</loc></url></urlset>"),
       "bad attr" -> sm("<urlset xmlns=nounquoted><url/></urlset>"),
       "trailing junk" -> (sm("<urlset></urlset>") + "extra"),
       "unterminated prolog" -> "<?xml version=\"1.0\"",
