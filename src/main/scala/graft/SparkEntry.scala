@@ -38,7 +38,10 @@ object SparkEntry {
       "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles", "dup_reach",
       "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode",
       "tokenizer_parity", "kcenter_sample", "bitext_margin", "split_repair",
-      "unigram_train", "unigram_encode", "tokenizer_compare", "rrf_fusion")
+      "unigram_train", "unigram_encode", "tokenizer_compare", "rrf_fusion",
+      // video_neardup decodes clips ONCE into an eager localCheckpoint
+      // (three plan references would re-decode the corpus three times)
+      "video_neardup")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: event-time tumbling windowed agg

@@ -1714,16 +1714,31 @@ object Dedup {
     * every (band, value) bucket is capped at [[MaxChunkBucket]] so
     * candidate volume is provably ≤ 10·(cap−1)/2·n (CandidateBoundSpec).
     * Output: (doc_a, doc_b, fpa, fpb), doc_a < doc_b, distinct. */
-  private[operators] def hammingCandidates(withFp: DataFrame): DataFrame = {
+  private[operators] def hammingCandidates(withFp: DataFrame): DataFrame =
+    hammingCandidatesImpl(withFp, None)
+
+  /** Segment-aligned variant: `segCol` (e.g. a video frame index) is folded
+    * into every band value, so only SAME-SEGMENT fingerprints can collide —
+    * the positional alignment video_neardup's frame vote needs. Band values
+    * stay < 2^32, so seg·2^33 keeps segments disjoint for any clip under
+    * ~2^30 frames. Same per-bucket cap, same provably linear bound. */
+  private[operators] def hammingCandidatesSeg(
+      withFp: DataFrame, segCol: String): DataFrame =
+    hammingCandidatesImpl(withFp, Some(segCol))
+
+  private def hammingCandidatesImpl(
+      withFp: DataFrame, seg: Option[String]): DataFrame = {
     def chunk(c: Int) =
       expr(s"CAST(shiftright(fp, ${c * 16}) & 65535 AS BIGINT)")
     val singles = (0 until 4).map(c => struct(lit(c).as("band"), chunk(c).as("v")))
     val pairs = simhashPairBands.zipWithIndex.map { case ((ci, cj), k) =>
       struct(lit(4 + k).as("band"), (chunk(ci) + chunk(cj) * lit(65536L)).as("v"))
     }
-    val bands = withFp.select(col("doc_id"), col("fp"),
-        explode(array(singles ++ pairs: _*)).as("p"))
-      .select(col("doc_id"), col("fp"), col("p.band").as("band"), col("p.v").as("v"))
+    val keep = Seq(col("doc_id"), col("fp")) ++ seg.map(col).toSeq
+    val vExpr = seg.map(sc => col("p.v") + col(sc).cast("long") * lit(1L << 33))
+      .getOrElse(col("p.v"))
+    val bands = withFp.select(keep :+ explode(array(singles ++ pairs: _*)).as("p"): _*)
+      .select(col("doc_id"), col("fp"), col("p.band").as("band"), vExpr.as("v"))
     val capped = bands
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "v")))

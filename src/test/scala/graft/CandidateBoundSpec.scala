@@ -105,6 +105,35 @@ class CandidateBoundSpec extends SparkSuite {
     }
   }
 
+  test("video frame candidates stay under the linear cap bound at all three scales") {
+    // the frame-aligned face of the same banding machinery: each FRAME
+    // emits 10 band rows with the frame index folded into the key, buckets
+    // capped at MaxChunkBucket ⇒ clip-pair candidates ≤ 10·(cap−1)/2·F
+    // where F is the total frame count (distinct-ing to clip pairs only
+    // shrinks it)
+    val capBoundPerFrame = 10.0 * (operators.Dedup.MaxChunkBucket - 1) / 2
+    for (dir <- dirs) {
+      import org.apache.spark.sql.SparkSession
+      val s: SparkSession = spark
+      import s.implicits._
+      val clips = operators.Multimodal.asMedia(spark, dir)
+        .mapPartitions(operators.Multimodal.videoClipRows).toDF("doc_id", "fps")
+        .localCheckpoint(true)
+      val frames = clips.agg(sum(size(col("fps")))).head().getLong(0)
+      val cands = operators.Multimodal.videoCandidates(clips).count()
+      assert(cands <= capBoundPerFrame * frames,
+        s"$dir: $cands candidates exceed the provable bound " +
+          s"${capBoundPerFrame * frames}")
+      // empirical ceiling ~3× today's measurements (≈3.5 clip-pairs per
+      // frame at 500 docs, ≈30 at 5000 — the corpus's planted-dup density
+      // rises ~n², the same shape the header documents for simhash)
+      val perFrame = cands.toDouble / frames
+      val ceiling = if (frames <= 10000) 12.0 else 90.0
+      assert(perFrame <= ceiling,
+        s"$dir: $perFrame candidates/frame — video candidate generation got hotter")
+    }
+  }
+
   test("embedding LSH candidates stay under the linear cap bound at all three scales") {
     import graft.functions.LshPlanes
     val capBoundPerVec =

@@ -1778,6 +1778,44 @@ class OperatorSpec extends SparkSuite {
       4L -> 50L, 5L -> 70L, 6L -> 90L), got.toString)
   }
 
+  test("video_neardup: frame hash is gain-shift invariant; vote matches a naive replay") {
+    import operators.Multimodal
+    // order comparisons only ⇒ a uniform brightness shift never moves a bit
+    val luma = Array.tabulate(32)(k => (k * 37 + 11) % 200)
+    assert(Multimodal.frameHash64(luma) ==
+      Multimodal.frameHash64(luma.map(_ + 17)))
+    // naive replay: re-derive every reported pair's frame codes straight
+    // from the raw text bytes (the encodeY4m 48-byte slicing rule) and
+    // re-run the majority vote — candidates, join-backs, and zip_with all
+    // bypassed
+    def hashes(text: String): Vector[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      val nf = math.max(1, (bytes.length + 47) / 48)
+      (0 until nf).toVector.map { f =>
+        Multimodal.frameHash64(Array.tabulate(32) { k =>
+          val i = f * 48 + k
+          if (i < bytes.length) bytes(i) & 0xff else 0
+        })
+      }
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val got = run("video_neardup").collect()
+    assert(got.nonEmpty, "sf0.001 must surface at least one near-dup clip pair")
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (ha, hb) = (hashes(texts(a)), hashes(texts(b)))
+      val matched = ha.zip(hb).count { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) <= Multimodal.VideoFrameMaxHamming
+      }
+      assert(r.getAs[Long]("n_frames") == math.max(ha.length, hb.length).toLong,
+        s"pair ($a,$b) frame count")
+      assert(r.getAs[Long]("n_matched") == matched.toLong, s"pair ($a,$b) vote")
+      assert(2 * matched > math.max(ha.length, hb.length),
+        s"pair ($a,$b) fails the majority it was reported under")
+    }
+  }
+
   test("pack_sequences agrees with shard_packing and its offsets tile each shard") {
     val shards = run("shard_packing").collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -668,4 +668,17 @@ class PlanSpec extends SparkSuite {
         "crawl_priority's frontier head must be a top-k, not a full sort")
     }
   }
+
+  test("round-11 plans: video_neardup hangs off the decoded checkpoint") {
+    // the clip-code frame is referenced three times (band explosion + both
+    // join-backs) — it must read the eager localCheckpoint, never re-decode
+    // the corpus (the bitext_margin discipline)
+    val p = planOf("video_neardup")
+    assert("FileScan parquet".r.findAllIn(p).isEmpty,
+      "video_neardup re-decodes the corpus from parquet")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "video_neardup does not read the checkpointed clip-code frame")
+    assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
+      "video_neardup keys an exchange on document text")
+  }
 }
