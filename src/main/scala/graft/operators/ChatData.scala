@@ -437,6 +437,142 @@ object ChatData {
                digest
         FROM d GROUP BY digest ORDER BY keep_id""")),
 
+    // ---- fuzzy prompt dedup: MinHash-LSH over the first user turn ----------
+    // The leakage prompt_dedup's exact digest MISSES: a paraphrased or
+    // token-perturbed prompt hashes differently but still overweights the
+    // same request across train/eval. Prompts are EARNED through render →
+    // strict parse → first-user-turn extraction, then ride the shared
+    // MinHash-LSH machinery (Dedup.minhashPairsOf: scan-side signatures,
+    // banded candidates, exact-Jaccard ≥ 0.5 verification) — the scale
+    // shape minhash_pairs proved, applied to the prompt column. Planted
+    // role-violation docs are excluded as in prompt_dedup.
+    GraftQuery(
+      "prompt_minhash",
+      (s, dir) => {
+        import s.implicits._
+        val prompts = Tables.documents(s, dir)
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[ChatIn]
+          .map { d =>
+            val root = parseJson(renderChat(d.doc_id, d.text)) match {
+              case JObj(Vector(("messages", JArr(ms)))) => ms
+              case _ => throw new IllegalArgumentException("chat reject: bad root")
+            }
+            val prompt = root.collectFirst {
+              case JObj(Vector(("role", JStr("user")), ("content", JStr(c)))) => c
+            }.getOrElse("")
+            (d.doc_id, prompt)
+          }
+          .toDF("doc_id", "text")
+        Dedup.minhashPairsOf(prompts)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH ${Dedup.minhashCtes(
+          """(SELECT doc_id,
+                array_to_string(list_slice(
+                  string_split(coalesce(text, ''), ' '), 1,
+                  least(30, len(string_split(coalesce(text, ''), ' ')))), ' ')
+                  AS text
+              FROM documents WHERE doc_id % 7 != 0)""")}
+        SELECT doc_a, doc_b, jaccard
+        FROM mh_pairs
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- chat decontamination: eval n-grams inside ASSISTANT turns ---------
+    // Benchmark contamination in SFT data hides inside the assistant
+    // responses (a model trained on them memorizes eval answers), so the
+    // decontaminate pass must look there — composed through the chat
+    // codec: render → strict parse → assistant-turn extraction →
+    // per-turn trigram sets (no cross-turn grams — turn boundaries are
+    // real) → the decontaminate broadcast-overlap shape against the RAW
+    // eval slice's trigrams. Same threshold, same flag semantics, so the
+    // raw-corpus and chat-stage decontamination passes cannot drift.
+    GraftQuery(
+      "chat_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val evalGrams = Dedup.shingled(Tables.documents(s, dir)
+            .filter(col("doc_id") < Curation.EvalMaxDocId))
+          .select(explode(col("grams")).as("gram")).distinct()
+        val grams = Tables.documents(s, dir)
+          .filter(col("doc_id") % 7 =!= 0 &&
+            col("doc_id") >= Curation.EvalMaxDocId)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[ChatIn]
+          .map { d =>
+            val root = parseJson(renderChat(d.doc_id, d.text)) match {
+              case JObj(Vector(("messages", JArr(ms)))) => ms
+              case _ => throw new IllegalArgumentException("chat reject: bad root")
+            }
+            val asst = root.collect {
+              case JObj(Vector(("role", JStr("assistant")), ("content", JStr(c)))) => c
+            }
+            val gs = asst.iterator.flatMap { t =>
+              val toks = t.split(" ", -1)
+              if (toks.length >= 3)
+                (0 to toks.length - 3).iterator
+                  .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+              else Iterator.empty
+            }.toVector.distinct
+            (d.doc_id, gs)
+          }
+          .toDF("doc_id", "grams")
+        grams
+          .select(col("doc_id"), size(col("grams")).cast("long").as("n"),
+            explode_outer(col("grams")).as("gram"))
+          .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("n_grams"),
+            count(col("_hit")).as("contaminated_grams"))
+          .withColumn("contamination", when(col("n_grams") > 0,
+            round(col("contaminated_grams").cast("double") / col("n_grams"), 4))
+            .otherwise(0.0))
+          .withColumn("flagged",
+            col("contamination") >= Curation.ContaminationThreshold)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END grams
+               FROM t),
+        ev AS (SELECT DISTINCT unnest(grams) gram FROM sh
+               WHERE doc_id < ${Curation.EvalMaxDocId}),
+        ch AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+                      (len(string_split(coalesce(text, ''), ' ')) + 29) // 30 AS c
+               FROM documents
+               WHERE doc_id % 7 != 0 AND doc_id >= ${Curation.EvalMaxDocId}),
+        ag AS (SELECT doc_id,
+                 list_distinct(flatten(list_transform(range(2, c + 1, 2), k ->
+                   CASE WHEN least(k * 30, len(toks)) - ((k-1) * 30 + 1) >= 2
+                        THEN list_transform(
+                               range((k-1) * 30 + 1, least(k * 30, len(toks)) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                        ELSE [] END))) AS grams
+               FROM ch),
+        tg AS (SELECT doc_id, unnest(grams) gram FROM ag),
+        hits AS (SELECT tg.doc_id, count(*) hc FROM tg JOIN ev USING (gram) GROUP BY 1)
+        SELECT a.doc_id,
+               CAST(len(a.grams) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.hc, 0) AS BIGINT) AS contaminated_grams,
+               CASE WHEN len(a.grams) > 0
+                    THEN round(CAST(coalesce(h.hc, 0) AS DOUBLE) / len(a.grams), 4)
+                    ELSE 0.0 END AS contamination,
+               CASE WHEN len(a.grams) > 0
+                    THEN round(CAST(coalesce(h.hc, 0) AS DOUBLE) / len(a.grams), 4)
+                         >= ${Curation.ContaminationThreshold}
+                    ELSE false END AS flagged
+        FROM ag a LEFT JOIN hits h USING (doc_id)
+        ORDER BY a.doc_id""")),
+
     // ---- loss-mask-aware sequence packing ----------------------------------
     // The last SFT stage: pack lint-clean chats into fixed-token-budget
     // training shards (the pack_sequences machinery — Curation's bucketed

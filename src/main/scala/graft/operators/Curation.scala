@@ -67,7 +67,7 @@ object Curation {
 
   /** A train doc is flagged when ≥10% of its trigrams appear in the eval
     * set — the standard n-gram-overlap decontamination rule. */
-  private val ContaminationThreshold = 0.1
+  private[operators] val ContaminationThreshold = 0.1
 
   /** Token budget per training shard. */
   private val ShardTokenBudget = 2000

@@ -65,7 +65,7 @@ object Dedup {
     * both engines can compute (ASCII corpus: byte == codepoint). Prefix for
     * both minhash_pairs and minhash_clusters so the two stay
     * definitionally identical. */
-  private def minhashCtes: String = {
+  private[operators] def minhashCtes(source: String = "documents"): String = {
     import graft.functions.VectorKernels.{MinHashP => P, minHashA, minHashB}
     val sigCols = (0 until numHashes).map(k =>
       s"list_min(list_transform(gh, h -> (${minHashA(k)} * h + ${minHashB(k)}) % $P)) AS s$k")
@@ -75,7 +75,7 @@ object Dedup {
         .mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\n          UNION ALL ")
-    s"""t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') toks FROM $source),
         sh AS (SELECT doc_id,
                  CASE WHEN len(toks) >= 3 THEN
                    list_distinct(list_transform(range(1, len(toks) - 1),
@@ -110,7 +110,7 @@ object Dedup {
   }
 
   private def minhashOracleSql: String = s"""
-        WITH $minhashCtes
+        WITH ${minhashCtes()}
         SELECT doc_a, doc_b, jaccard
         FROM mh_pairs
         ORDER BY doc_a, doc_b"""
@@ -120,7 +120,7 @@ object Dedup {
     * at-scale dedup clustering (LSH edges, never the full pair space)
     * verified end-to-end. */
   private def minhashClustersOracleSql: String = s"""
-        WITH RECURSIVE $minhashCtes,
+        WITH RECURSIVE ${minhashCtes()},
         edges AS (
           SELECT doc_a, doc_b FROM mh_pairs
           UNION SELECT doc_b, doc_a FROM mh_pairs),
@@ -494,8 +494,14 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
   }
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingledNonEmpty(Tables.documents(s, dir))
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, dir))
+
+  /** The MinHash-LSH pair pipeline over ANY (doc_id, text) frame — shared
+    * with ChatData's prompt_minhash (fuzzy first-user-turn dedup), so the
+    * scale-safe shingle→signature→band→verify shape exists once. */
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingledNonEmpty(docs)
     val buckets = bandBuckets(sh)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
@@ -815,7 +821,7 @@ object Dedup {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
-        WITH $minhashCtes,
+        WITH ${minhashCtes()},
         sm AS (
           SELECT c.doc_a, c.doc_b,
                  ${(0 until numHashes).map(k =>
@@ -878,7 +884,7 @@ object Dedup {
           .orderBy("source_1", "source_2")
       },
       Some(s"""
-        WITH $minhashCtes,
+        WITH ${minhashCtes()},
         sp AS (SELECT least(a.source, b.source) AS source_1,
                       greatest(a.source, b.source) AS source_2
                FROM mh_pairs p
@@ -913,7 +919,7 @@ object Dedup {
           .orderBy("source")
       },
       Some(s"""
-        WITH $minhashCtes,
+        WITH ${minhashCtes()},
         dup AS (SELECT DISTINCT doc_id FROM (
                   SELECT doc_a AS doc_id FROM mh_pairs
                   UNION SELECT doc_b FROM mh_pairs)),
@@ -1181,7 +1187,7 @@ object Dedup {
                         FROM edges e JOIN r${k - 1} r ON e.doc_a = r.doc_id
                         GROUP BY e.doc_b) s USING (doc_id))"""
         s"""
-        WITH $minhashCtes,
+        WITH ${minhashCtes()},
         edges AS (SELECT doc_a, doc_b FROM mh_pairs
                   UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM mh_pairs),
         deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
@@ -1209,7 +1215,7 @@ object Dedup {
       (s, dir) => bandBuckets(shingledNonEmpty(Tables.documents(s, dir)))
         .orderBy("doc_id", "band"),
       Some(s"""
-        WITH $minhashCtes
+        WITH ${minhashCtes()}
         SELECT doc_id, band, bkey AS bucket
         FROM bands
         ORDER BY doc_id, band""")),
@@ -1248,7 +1254,7 @@ object Dedup {
           .orderBy("batch_doc", "corpus_doc")
       },
       Some(s"""
-        WITH $minhashCtes,
+        WITH ${minhashCtes()},
         bound AS (SELECT max(doc_id) * 4 // 5 AS t FROM documents),
         cb AS (SELECT doc_id AS corpus_doc, band, bkey
                FROM bands, bound WHERE doc_id < t),
@@ -1289,7 +1295,7 @@ object Dedup {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
-        WITH $minhashCtes,
+        WITH ${minhashCtes()},
         $sqlDocSplits
         SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
         FROM mh_pairs p
@@ -1327,7 +1333,7 @@ object Dedup {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH RECURSIVE $minhashCtes,
+        WITH RECURSIVE ${minhashCtes()},
         edges AS (
           SELECT doc_a, doc_b FROM mh_pairs
           UNION SELECT doc_b, doc_a FROM mh_pairs),
@@ -1388,7 +1394,7 @@ object Dedup {
           ORDER BY src, doc_id""")
       },
       Some(s"""
-        WITH RECURSIVE $minhashCtes,
+        WITH RECURSIVE ${minhashCtes()},
         edges AS (SELECT doc_a, doc_b FROM mh_pairs
                   UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM mh_pairs),
         reach(src, doc_id, depth) AS (
@@ -1650,7 +1656,7 @@ object Dedup {
   }
 
   private def dupTrianglesOracleSql: String = s"""
-        WITH $minhashCtes,
+        WITH ${minhashCtes()},
         pairs AS (SELECT doc_a, doc_b FROM mh_pairs),
         deg AS (SELECT doc_id, count(*) AS degree FROM (
                   SELECT doc_a AS doc_id FROM pairs

@@ -1816,6 +1816,32 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("prompt_minhash subsumes exact prompt dedup and catches fuzzy pairs it misses") {
+    // fuzzy ⊇ exact: two IDENTICAL prompts have identical signatures, so
+    // they must band together, verify at jaccard 1.0, and appear as a
+    // pair (given the prompt is shingle-eligible: ≥ 3 tokens). And the
+    // reason the query exists: at least one reported pair must be
+    // NON-identical (jaccard < 1) — the paraphrase class the exact digest
+    // provably cannot see.
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    def prompt(id: Long) = texts(id).split(" ", -1).take(30).mkString(" ")
+    val eligible = texts.keys.filter(id => id % 7 != 0).toSeq.sorted
+    val exactPairs = eligible.groupBy(prompt).values
+      .filter(g => g.size >= 2 && prompt(g.head).split(" ", -1).length >= 3)
+      .flatMap(g => g.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val got = run("prompt_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    exactPairs.foreach { p =>
+      assert(got.get(p).contains(1.0), s"exact prompt dup $p missing or <1.0")
+    }
+    assert(got.values.exists(_ < 1.0),
+      "no fuzzy (non-identical) prompt pair surfaced — the MinHash leg adds " +
+        "nothing over prompt_dedup on this corpus")
+  }
+
   test("pack_sequences agrees with shard_packing and its offsets tile each shard") {
     val shards = run("shard_packing").collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -669,7 +669,7 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("round-11 plans: video_neardup hangs off the decoded checkpoint") {
+  test("round-11 plans: video checkpoint, chat minhash parity, eval broadcast") {
     // the clip-code frame is referenced three times (band explosion + both
     // join-backs) — it must read the eager localCheckpoint, never re-decode
     // the corpus (the bitext_margin discipline)
@@ -680,5 +680,23 @@ class PlanSpec extends SparkSuite {
       "video_neardup does not read the checkpointed clip-code frame")
     assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
       "video_neardup keys an exchange on document text")
+    // the chat-stage fuzzy dedup + decontamination: prompt_minhash rides
+    // the SAME minhash machinery as minhash_pairs, so its scan count must
+    // match exactly (the self-join / verify-join branches share their
+    // exchanges at runtime — the adjudicated minhash_pairs posture);
+    // chat_decontaminate scans twice (eval slice + chat leg) and its eval
+    // gram set must BROADCAST — a sort-merge join against the tiny eval
+    // side would shuffle the full chat gram explosion
+    def scans11(name: String) =
+      "FileScan parquet".r.findAllIn(planOf(name)).length
+    assert(scans11("prompt_minhash") == scans11("minhash_pairs"),
+      "prompt_minhash diverged from the shared minhash_pairs plan shape")
+    locally {
+      val p = planOf("chat_decontaminate")
+      assert(scans11("chat_decontaminate") == 2,
+        "chat_decontaminate must scan exactly twice (eval + chat legs)")
+      assert(p.contains("BroadcastHashJoin"),
+        "chat_decontaminate's eval gram set lost its broadcast")
+    }
   }
 }
