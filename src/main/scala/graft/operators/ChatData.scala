@@ -274,7 +274,83 @@ object ChatData {
 
   final case class ChatIn(doc_id: Long, source: String, text: String)
 
+  // ------------------------------------------------------------ DPO pairs
+  // The preference-pair (DPO/RLHF) data stage: chosen/rejected records on
+  // the same strict-codec machinery as the SFT transcripts. Fixture: one
+  // pair per doc — prompt = chunk 1, chosen = chunk 2, rejected = chunk 3
+  // (falling back to the token-REVERSED chosen when the doc is short),
+  // with a PLANTED degenerate pair (rejected == chosen) on every seventh
+  // doc and a deterministic annotation position (doc parity). Every value
+  // is earned back through render → [[parseJson]] → [[validatePair]].
+
+  final case class PairCheck(position: String, promptTokens: Long,
+      chosenTokens: Long, rejectedTokens: Long, degenerate: Boolean,
+      emptyResponse: Boolean)
+
+  /** Deterministic preference-pair record for a document. */
+  def renderPair(docId: Long, text: String): String = {
+    val chunks = WebIngest.paraChunks(text)
+    val prompt = chunks(0)
+    val chosen = if (chunks.length >= 2) chunks(1) else ""
+    val rejected =
+      if (docId % 7 == 0) chosen // PLANTED degenerate pair
+      else if (chunks.length >= 3) chunks(2)
+      else chosen.split(" ", -1).reverse.mkString(" ")
+    val pos = if (docId % 2 == 0) "a" else "b"
+    s"""{"prompt":"${escapeJson(prompt)}","chosen":"${escapeJson(chosen)}"""" +
+      s""","rejected":"${escapeJson(rejected)}","chosen_position":"$pos"}"""
+  }
+
+  /** Strict pair validation: exactly the four canonical fields in order,
+    * string values, position ∈ {a, b} — anything else rejects loudly
+    * (battery in ChatDataSpec). The lint verdicts a DPO trainer needs
+    * true: degenerate (chosen == rejected — zero preference signal) and
+    * emptyResponse (either side empty). */
+  def validatePair(json: String): PairCheck = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"dpo reject: $msg")
+    parseJson(json) match {
+      case JObj(Vector(("prompt", JStr(p)), ("chosen", JStr(c)),
+          ("rejected", JStr(r)), ("chosen_position", JStr(pos)))) =>
+        if (pos != "a" && pos != "b") fail(s"chosen_position '$pos'")
+        PairCheck(pos,
+          p.split(" ", -1).length.toLong,
+          c.split(" ", -1).length.toLong,
+          r.split(" ", -1).length.toLong,
+          degenerate = c == r,
+          emptyResponse = c.isEmpty || r.isEmpty)
+      case _ => fail(
+        "root must be {prompt, chosen, rejected, chosen_position} strings")
+    }
+  }
+
   // ------------------------------------------------------------- queries
+
+  /** Oracle twin of [[renderPair]]: CTE chain ending in
+    * `pr(doc_id, source, position, prompt, chosen, rejected)`. */
+  private val pairCte = """
+        t AS (
+          SELECT doc_id, source,
+                 string_split(coalesce(text, ''), ' ') AS toks,
+                 len(string_split(coalesce(text, ''), ' ')) AS n,
+                 (len(string_split(coalesce(text, ''), ' ')) + 29) // 30 AS c
+          FROM documents),
+        p1 AS (
+          SELECT doc_id, source, toks, n, c,
+                 array_to_string(list_slice(toks, 1, least(30, n)), ' ') AS prompt,
+                 CASE WHEN c >= 2
+                      THEN array_to_string(list_slice(toks, 31, least(60, n)), ' ')
+                      ELSE '' END AS chosen
+          FROM t),
+        pr AS (
+          SELECT doc_id, source, prompt, chosen,
+                 CASE WHEN doc_id % 7 = 0 THEN chosen
+                      WHEN c >= 3
+                      THEN array_to_string(list_slice(toks, 61, least(90, n)), ' ')
+                      ELSE array_to_string(list_reverse(string_split(chosen, ' ')), ' ')
+                 END AS rejected,
+                 CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS position
+          FROM p1)"""
 
   /** Oracle chunk arithmetic over `toks`: c = chunk count, lastlen =
     * token count of the final chunk (all others carry exactly 30). */
@@ -572,6 +648,100 @@ object ChatData {
                     ELSE false END AS flagged
         FROM ag a LEFT JOIN hits h USING (doc_id)
         ORDER BY a.doc_id""")),
+
+    // ---- preference-pair accounting ----------------------------------------
+    // The per-pair numbers a DPO run filters and weights by, each earned
+    // through render → strict parse → validatePair: token masses of all
+    // three fields, the length margin (chosen − rejected — the length-bias
+    // confound a trainer monitors), the annotation position, and the two
+    // lint verdicts. The oracle rebuilds the chunk slices, the reversed
+    // fallback, and the planted degenerates from the row formulas.
+    GraftQuery(
+      "dpo_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[ChatIn]
+          .map { d =>
+            val ck = validatePair(renderPair(d.doc_id, d.text))
+            (d.doc_id, ck.position, ck.promptTokens, ck.chosenTokens,
+              ck.rejectedTokens, ck.chosenTokens - ck.rejectedTokens,
+              ck.degenerate, ck.emptyResponse)
+          }
+          .toDF("doc_id", "position", "prompt_tokens", "chosen_tokens",
+            "rejected_tokens", "margin", "degenerate", "empty_response")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $pairCte
+        SELECT doc_id, position,
+               CAST(len(string_split(prompt, ' ')) AS BIGINT) AS prompt_tokens,
+               CAST(len(string_split(chosen, ' ')) AS BIGINT) AS chosen_tokens,
+               CAST(len(string_split(rejected, ' ')) AS BIGINT) AS rejected_tokens,
+               CAST(len(string_split(chosen, ' '))
+                    - len(string_split(rejected, ' ')) AS BIGINT) AS margin,
+               chosen = rejected AS degenerate,
+               chosen = '' OR rejected = '' AS empty_response
+        FROM pr ORDER BY doc_id""")),
+
+    // ---- preference-pair lint + position-bias rollup ------------------------
+    // The dataset-level health readout: per source, pair counts, the
+    // degenerate/empty shares a curation run gates on, the chosen-longer
+    // count and mean margin (length bias), and the position-a share (the
+    // annotation position-bias statistic — a healthy pairwise-labeling
+    // pipeline sits near 0.5; drift means annotators anchor on position).
+    GraftQuery(
+      "dpo_lint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[ChatIn]
+          .map { d =>
+            val ck = validatePair(renderPair(d.doc_id, d.text))
+            (d.source, if (ck.degenerate) 1L else 0L,
+              if (ck.emptyResponse) 1L else 0L,
+              if (ck.chosenTokens > ck.rejectedTokens) 1L else 0L,
+              ck.chosenTokens - ck.rejectedTokens,
+              if (ck.position == "a") 1L else 0L)
+          }
+          .toDF("source", "degen", "empty", "longer", "margin", "posa")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("degen").as("n_degenerate"),
+            sum("empty").as("n_empty"),
+            sum("longer").as("n_chosen_longer"),
+            round(sum("margin").cast("double") / count(lit(1)), 4)
+              .as("mean_margin"),
+            round(sum("posa").cast("double") / count(lit(1)), 4)
+              .as("position_a_share"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $pairCte,
+        f AS (
+          SELECT source,
+                 CASE WHEN chosen = rejected THEN 1 ELSE 0 END AS degen,
+                 CASE WHEN chosen = '' OR rejected = '' THEN 1 ELSE 0 END AS empty,
+                 CASE WHEN len(string_split(chosen, ' '))
+                           > len(string_split(rejected, ' ')) THEN 1 ELSE 0 END AS longer,
+                 len(string_split(chosen, ' '))
+                   - len(string_split(rejected, ' ')) AS margin,
+                 CASE WHEN position = 'a' THEN 1 ELSE 0 END AS posa
+          FROM pr)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(coalesce(sum(degen), 0) AS BIGINT) AS n_degenerate,
+               CAST(coalesce(sum(empty), 0) AS BIGINT) AS n_empty,
+               CAST(coalesce(sum(longer), 0) AS BIGINT) AS n_chosen_longer,
+               round(CAST(coalesce(sum(margin), 0) AS DOUBLE) / count(*), 4)
+                 AS mean_margin,
+               round(CAST(coalesce(sum(posa), 0) AS DOUBLE) / count(*), 4)
+                 AS position_a_share
+        FROM f GROUP BY source ORDER BY source NULLS FIRST""")),
 
     // ---- loss-mask-aware sequence packing ----------------------------------
     // The last SFT stage: pack lint-clean chats into fixed-token-budget

@@ -60,6 +60,50 @@ class ChatDataSpec extends AnyFunSuite {
       JStr(new String(Character.toChars(0x1F600))))
   }
 
+  // ------------------------------------------------------------ DPO pairs
+
+  test("dpo: render round-trips; chunk slices, fallback, plants all line up") {
+    val text = (1 to 65).map(i => s"w$i").mkString(" ") // 3 chunks: 30/30/5
+    val ck = validatePair(renderPair(1L, text))
+    assert(ck == PairCheck("b", 30, 30, 5,
+      degenerate = false, emptyResponse = false))
+    // every seventh doc: planted degenerate (rejected == chosen)
+    val ck7 = validatePair(renderPair(7L, text))
+    assert(ck7.degenerate && ck7.rejectedTokens == 30)
+    // a 2-chunk doc falls back to the token-REVERSED chosen
+    val short = (1 to 40).map(i => s"w$i").mkString(" ")
+    val json = renderPair(2L, short)
+    assert(json.contains("\"rejected\":\"w40 w39"), json)
+    val ck2 = validatePair(json)
+    assert(ck2.position == "a" && !ck2.degenerate && ck2.rejectedTokens == 10)
+    // a single-chunk doc has empty responses (and reversal degenerates)
+    val ck1 = validatePair(renderPair(1L, "just five tokens in here"))
+    assert(ck1.emptyResponse && ck1.degenerate)
+  }
+
+  test("dpo: rejection battery — every malformed pair class fails loudly") {
+    val good = """{"prompt":"p","chosen":"c","rejected":"r","chosen_position":"a"}"""
+    assert(validatePair(good) == PairCheck("a", 1, 1, 1,
+      degenerate = false, emptyResponse = false))
+    val bad = Seq(
+      "non-object root" -> """["p"]""",
+      "missing field" -> """{"prompt":"p","chosen":"c","rejected":"r"}""",
+      "extra field" -> (good.dropRight(1) + ""","note":"x"}"""),
+      "wrong field order" ->
+        """{"chosen":"c","prompt":"p","rejected":"r","chosen_position":"a"}""",
+      "non-string value" ->
+        """{"prompt":1,"chosen":"c","rejected":"r","chosen_position":"a"}""",
+      "bad position" ->
+        """{"prompt":"p","chosen":"c","rejected":"r","chosen_position":"c"}""")
+    bad.foreach { case (what, s) =>
+      val e = intercept[IllegalArgumentException](validatePair(s))
+      assert(e.getMessage.startsWith("dpo reject:"), s"$what: ${e.getMessage}")
+    }
+    // malformed JSON stays the CODEC's rejection, not the validator's
+    val e = intercept[IllegalArgumentException](validatePair("{"))
+    assert(e.getMessage.startsWith("json reject:"))
+  }
+
   // ----------------------------------------------------------------- chats
 
   test("chat: render round-trips; turn/token accounting matches the chunk math") {

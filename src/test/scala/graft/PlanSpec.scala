@@ -698,5 +698,13 @@ class PlanSpec extends SparkSuite {
       assert(p.contains("BroadcastHashJoin"),
         "chat_decontaminate's eval gram set lost its broadcast")
     }
+    // the DPO stage: render → strict parse → validate never leaves the
+    // task — one scan, lint rolls up on source, no text exchange (the
+    // chat_stats contract)
+    for (q <- Seq("dpo_stats", "dpo_lint")) {
+      assert(scans11(q) == 1, s"$q must scan the corpus exactly once")
+      assert(!planOf(q).matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
+        s"$q shuffles raw document text")
+    }
   }
 }
