@@ -203,4 +203,39 @@ class AqePlanSpec extends SparkSuite {
     assert(finalPlan("q10_returns").contains("TakeOrderedAndProject"),
       "q10's heap top-20 degraded in the final adaptive plan")
   }
+
+  test("round-10/11 gates hold on final adaptive plans") {
+    // crawl_priority: the in-degree join must stay broadcast (the target
+    // space is ~900 values at any corpus size) and the frontier head a
+    // heap top-k through adaptive re-planning
+    val cp = finalPlan("crawl_priority")
+    assert(cp.contains("BroadcastHashJoin"),
+      "crawl_priority's in-degree join lost its broadcast in the final plan")
+    assert(cp.contains("TakeOrderedAndProject"),
+      "crawl_priority's frontier head degraded to a full sort under AQE")
+    // web_pipeline: the dedup exchange stays keyed on the canonical uri /
+    // warc bucket — never on text or the extracted content
+    val wp = finalPlan("web_pipeline")
+    assert(wp.matches(
+      "(?s).*Exchange hashpartitioning\\((uri|bucket|_groupingexpression)#.*"),
+      "web_pipeline lost its uri/bucket-keyed exchange in the final plan")
+    assert(!wp.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|ct)#.*"),
+      "web_pipeline keys an exchange on document text under AQE")
+    // chat_pack: the bucketed cumsum's offsets stay broadcast and raw
+    // token arrays never key an exchange through re-planning
+    val cpk = finalPlan("chat_pack")
+    assert(cpk.contains("BroadcastHashJoin"),
+      "chat_pack's cumsum offsets join lost its broadcast in the final plan")
+    assert(!cpk.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|toks)#.*"),
+      "chat_pack shuffles raw token arrays under AQE")
+    // round-11 chat stage: eval-gram broadcast survives; the banded
+    // minhash and DPO plans stay cartesian-free; video_neardup's vote
+    // joins must not degrade
+    assert(finalPlan("chat_decontaminate").contains("BroadcastHashJoin"),
+      "chat_decontaminate's eval gram set lost its broadcast in the final plan")
+    for (name <- Seq("prompt_minhash", "dpo_stats", "dpo_lint",
+        "video_neardup", "sitemap_parse", "sitemap_discovery", "recrawl_delta"))
+      assert(!finalPlan(name).contains("CartesianProduct"),
+        s"$name gained a CartesianProduct after adaptive re-planning")
+  }
 }
