@@ -455,6 +455,44 @@ class WebIngestSpec extends SparkSuite {
     assert(entries.length == 100)
   }
 
+  test("sitemap discovery: the chunked two-leg walk equals a monolithic per-host walk") {
+    // Round 11 replaced the per-host collect_list walk (unbounded buffer)
+    // with the chunked spine: per-chunk strict parses + a host-level
+    // recursion over chunk summaries. This pins the refactor's semantics:
+    // for every host in the corpus, the registered query's row must equal
+    // what the ORIGINAL monolithic readSitemapTree walk (full resolver,
+    // all ids on one host) reports — counts, mod range, and the two-level
+    // chunk-order digest recomputed from the monolithic walk's entries.
+    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace, translate}
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val hosts = Tables.documents(spark, sf)
+      .select(col("doc_id"), translate(
+        regexp_replace(coalesce(col("source"), lit("")), "[^A-Za-z0-9-]", ""),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz").as("label"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (l, rows) => l -> rows.map(_._2).sorted.toVector }
+    val got = SparkEntry.queries("sitemap_discovery")(spark, sf).collect()
+      .map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_sitemaps"), r.getAs[Long]("n_urls"),
+          r.getAs[String]("first_mod"), r.getAs[String]("last_mod"),
+          r.getAs[String]("locs_digest"))).toMap
+    assert(got.size == hosts.size)
+    hosts.foreach { case (label, ids) =>
+      val (entries, fetched) = WebIngest.readSitemapTree(
+        WebIngest.parseRobotsSitemaps(WebIngest.robotsTxtOf(label)).head,
+        WebIngest.sitemapFixtureResolver(label, ids))
+      val twoLevel = md5hex(entries.grouped(WebIngest.SitemapChunk)
+        .map(ch => md5hex(ch.map(_._1).mkString("\n"))).mkString("\n"))
+      val exp = ((fetched - 1).toLong, entries.length.toLong,
+        entries.map(_._2).min, entries.map(_._2).max, twoLevel)
+      assert(got(s"www.$label.example.com") == exp, s"host $label diverged")
+    }
+  }
+
   test("robots: crawl-delay rides the same group selection, rejects bad values") {
     assert(WebIngest.parseCrawlDelay(WebIngest.robotsTxtOf("src1"), "graftbot")
       == Some(2)) // the * group's delay (graftbot matches no named group)
