@@ -775,6 +775,36 @@ object StreamingPipeline {
         "assistant_tokens", "valid", tsCol)
   }
 
+  /** Streaming face of the DPO stage ([[graft.operators.ChatData]]'s pair
+    * codec): validate chosen/rejected preference records in-flight with
+    * the SAME strict parser + [[graft.operators.ChatData.validatePair]]
+    * the batch dpo_stats/dpo_lint queries pin. Output per pair: token
+    * masses, the length margin, position, and the `valid` verdict
+    * (non-degenerate AND non-empty — a pair with zero preference signal
+    * must not reach a reward model), the natural [[quarantineSink]]
+    * predicate for routing broken pairs to a dead-letter path. Malformed
+    * JSON or a malformed pair shape THROWS, the strict-codec contract. */
+  def dpoIngest(
+      pairs: DataFrame,
+      idCol: String = "pair_id",
+      jsonCol: String = "json",
+      tsCol: String = "timestamp"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val session = pairs.sparkSession
+    import session.implicits._
+    pairs
+      .select(col(idCol).cast("long"), col(jsonCol), col(tsCol))
+      .as[(Long, String, java.sql.Timestamp)]
+      .map { case (id, json, ts) =>
+        val ck = graft.operators.ChatData.validatePair(json)
+        (id, ck.position, ck.promptTokens, ck.chosenTokens,
+          ck.rejectedTokens, ck.chosenTokens - ck.rejectedTokens,
+          !ck.degenerate && !ck.emptyResponse, ts)
+      }
+      .toDF(idCol, "position", "prompt_tokens", "chosen_tokens",
+        "rejected_tokens", "margin", "valid", tsCol)
+  }
+
   /** Dead-letter split sink: one stream, two destinations. Rows failing
     * `isGood` go to the quarantine sink with full payload for replay
     * after a parser fix; the rest take the main path. Pairs with

@@ -1239,6 +1239,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dpoIngest: pair verdicts ride the stream and split through the quarantine sink") {
+    implicit val sc = spark.sqlContext
+    import operators.ChatData
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingPipeline.dpoIngest(
+      mem.toDF().toDF("pair_id", "json", "timestamp"))
+    val good = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingPipeline.quarantineSink(out, col("valid"),
+      s"/tmp/graft_dpo_q_${System.nanoTime()}",
+      (df, _) => good ++= df.collect().map(_.getAs[Long]("pair_id")),
+      (df, _) => bad ++= df.collect().map(_.getAs[Long]("pair_id"))).start()
+    try {
+      val ok = ChatData.renderPair(1L, (1 to 65).map(i => s"t$i").mkString(" "))
+      val degen = ChatData.renderPair(7L, (1 to 65).map(i => s"t$i").mkString(" "))
+      val empty = ChatData.renderPair(2L, "short text") // single chunk: empty sides
+      mem.addData((1L, ok, ts("2024-01-01T10:00:00Z")),
+        (7L, degen, ts("2024-01-01T10:00:01Z")),
+        (2L, empty, ts("2024-01-01T10:00:02Z")))
+      q.processAllAvailable()
+      assert(good.toSet == Set(1L) && bad.toSet == Set(7L, 2L),
+        s"good=$good bad=$bad")
+      // the stream's numbers ARE the batch validator's
+      val ck = ChatData.validatePair(ok)
+      assert(ck.chosenTokens == 30 && ck.rejectedTokens == 5 && !ck.degenerate)
+    } finally q.stop()
+  }
+
   test("crawlIngest: in-flight normalization repairs mojibake and NFC-composes") {
     implicit val sc = spark.sqlContext
     import operators.WebIngest
