@@ -1013,6 +1013,86 @@ object Curation {
         ORDER BY doc_id"""
       }),
 
+    // ---- fill-in-the-middle transform (PSM) -------------------------------
+    // The FIM data prep code models train on (Bavarian et al. 2022,
+    // "Efficient Training of Language Models to Fill in the Middle"):
+    // half the corpus (doc parity — the ~50% FIM rate the paper lands on)
+    // is split prefix/middle/suffix at two deterministic id-keyed cuts
+    // and reordered into the PSM layout `<PRE> prefix <SUF> suffix <MID>
+    // middle`; the rest passes through autoregressive. Cuts guarantee a
+    // nonempty prefix and suffix; the middle MAY be empty (real FIM keeps
+    // empty middles — the model must learn to emit nothing). Deterministic
+    // id-keyed cuts rather than RNG so the same document always splits the
+    // same way and the reordered stream hash-checks cross-engine.
+    //
+    // Scale: one scan, pure per-row column arithmetic (pmod cuts, array
+    // slices, one md5) — zero shuffle before the presentation sort; only
+    // the 32-hex digest and the token accounting ever leave the row.
+    GraftQuery(
+      "fim_transform",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast(LongType))
+        .withColumn("fim", col("doc_id") % 2 === 0 && col("n") >= 3)
+        .withColumn("a", when(col("fim"),
+          lit(1L) + pmod(col("doc_id") * 13, col("n") - 2)).otherwise(lit(0L)))
+        .withColumn("b", when(col("fim"),
+          col("a") + pmod(col("doc_id") * 29, col("n") - col("a")))
+          .otherwise(lit(0L)))
+        .select(col("doc_id"),
+          when(col("fim"), lit("psm")).otherwise(lit("ar")).as("mode"),
+          when(col("fim"), col("a")).otherwise(col("n")).as("n_prefix"),
+          when(col("fim"), col("b") - col("a")).otherwise(lit(0L)).as("n_middle"),
+          when(col("fim"), col("n") - col("b")).otherwise(lit(0L)).as("n_suffix"),
+          when(col("fim"), md5(concat(
+              lit("<PRE> "),
+              array_join(slice(col("toks"), lit(1), col("a").cast("int")), " "),
+              lit(" <SUF> "),
+              array_join(slice(col("toks"), (col("b") + 1).cast("int"),
+                (col("n") - col("b")).cast("int")), " "),
+              lit(" <MID>"),
+              when(col("b") > col("a"), concat(lit(" "),
+                array_join(slice(col("toks"), (col("a") + 1).cast("int"),
+                  (col("b") - col("a")).cast("int")), " ")))
+                .otherwise(lit(""))).cast("binary")))
+            .otherwise(md5(array_join(col("toks"), " ").cast("binary")))
+            .as("digest"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+                 len(string_split(coalesce(text, ''), ' ')) AS n
+          FROM documents),
+        s AS (
+          SELECT doc_id, toks, n,
+                 CASE WHEN doc_id % 2 = 0 AND n >= 3 THEN 1 ELSE 0 END AS fim
+          FROM t),
+        u AS (
+          SELECT doc_id, toks, n, fim,
+                 CASE WHEN fim = 1
+                      THEN 1 + ((doc_id * 13) % (n - 2) + (n - 2)) % (n - 2)
+                      ELSE 0 END AS a
+          FROM s),
+        v AS (
+          SELECT doc_id, toks, n, fim, a,
+                 CASE WHEN fim = 1
+                      THEN a + ((doc_id * 29) % (n - a) + (n - a)) % (n - a)
+                      ELSE 0 END AS b
+          FROM u)
+        SELECT doc_id,
+               CASE WHEN fim = 1 THEN 'psm' ELSE 'ar' END AS mode,
+               CAST(CASE WHEN fim = 1 THEN a ELSE n END AS BIGINT) AS n_prefix,
+               CAST(CASE WHEN fim = 1 THEN b - a ELSE 0 END AS BIGINT) AS n_middle,
+               CAST(CASE WHEN fim = 1 THEN n - b ELSE 0 END AS BIGINT) AS n_suffix,
+               CASE WHEN fim = 1
+                    THEN md5('<PRE> ' || array_to_string(list_slice(toks, 1, a), ' ')
+                      || ' <SUF> ' || array_to_string(list_slice(toks, b + 1, n), ' ')
+                      || ' <MID>' || CASE WHEN b > a
+                           THEN ' ' || array_to_string(list_slice(toks, a + 1, b), ' ')
+                           ELSE '' END)
+                    ELSE md5(array_to_string(toks, ' ')) END AS digest
+        FROM v ORDER BY doc_id""")),
+
     // ---- T5-style span-corruption accounting -----------------------------
     // Denoising-objective data prep: how much of each document a
     // deterministic span-corruption pass masks (a span starts at ~14% of

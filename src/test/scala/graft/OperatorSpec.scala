@@ -1816,6 +1816,39 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("fim_transform: PSM digest replays from raw text; parts tile the document") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def pmod(x: Long, m: Long) = ((x % m) + m) % m
+    val rows = run("fim_transform").collect()
+    assert(rows.exists(_.getAs[String]("mode") == "psm") &&
+      rows.exists(_.getAs[String]("mode") == "ar"))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = texts(id).split(" ", -1)
+      val n = toks.length.toLong
+      val (np, nm, ns) = (r.getAs[Long]("n_prefix"),
+        r.getAs[Long]("n_middle"), r.getAs[Long]("n_suffix"))
+      // the three parts always tile the document exactly
+      assert(np + nm + ns == n, s"doc $id parts don't tile")
+      if (r.getAs[String]("mode") == "psm") {
+        assert(id % 2 == 0 && n >= 3, s"doc $id wrongly FIM'd")
+        assert(np >= 1 && ns >= 1, s"doc $id empty prefix/suffix")
+        val a = (1L + pmod(id * 13, n - 2)).toInt
+        val b = (a + pmod(id * 29, n - a)).toInt
+        val mid = if (b > a) " " + toks.slice(a, b).mkString(" ") else ""
+        val psm = s"<PRE> ${toks.take(a).mkString(" ")} " +
+          s"<SUF> ${toks.drop(b).mkString(" ")} <MID>" + mid
+        assert(r.getAs[String]("digest") == md5hex(psm), s"doc $id digest")
+      } else {
+        assert(id % 2 != 0 || n < 3)
+        assert(r.getAs[String]("digest") == md5hex(texts(id)), s"doc $id ar digest")
+      }
+    }
+  }
+
   test("prompt_minhash subsumes exact prompt dedup and catches fuzzy pairs it misses") {
     // fuzzy ⊇ exact: two IDENTICAL prompts have identical signatures, so
     // they must band together, verify at jaccard 1.0, and appear as a

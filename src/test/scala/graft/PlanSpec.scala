@@ -700,10 +700,11 @@ class PlanSpec extends SparkSuite {
     }
     // the DPO stage: render → strict parse → validate never leaves the
     // task — one scan, lint rolls up on source, no text exchange (the
-    // chat_stats contract)
-    for (q <- Seq("dpo_stats", "dpo_lint")) {
+    // chat_stats contract). fim_transform is pure scan-side column
+    // arithmetic under the same contract.
+    for (q <- Seq("dpo_stats", "dpo_lint", "fim_transform")) {
       assert(scans11(q) == 1, s"$q must scan the corpus exactly once")
-      assert(!planOf(q).matches("(?s).*Exchange hashpartitioning[^\\n]*text#.*"),
+      assert(!planOf(q).matches("(?s).*Exchange hashpartitioning[^\\n]*(text|toks)#.*"),
         s"$q shuffles raw document text")
     }
   }
