@@ -649,6 +649,70 @@ object ChatData {
         FROM ag a LEFT JOIN hits h USING (doc_id)
         ORDER BY a.doc_id""")),
 
+    // ---- prompt leakage ACROSS train/val/test splits -----------------------
+    // The eval-hygiene readout split_leakage gives for near-dup text,
+    // lifted to the chat stage: a prompt whose digest appears in BOTH an
+    // earlier and a later split (train < val < test) inflates eval scores
+    // for free. Prompts are earned through the codec (render → strict
+    // parse → first user turn), split assignment rides the SAME
+    // md5-nibble 80/10/10 rule hash_split/split_leakage pin
+    // (Dedup.docSplits — one definition, so the chat readout can never
+    // disagree with the raw-corpus one). Per ordered split pair: distinct
+    // shared prompt digests and the later-split docs carrying them. Only
+    // (digest, split, doc_id) rows ever shuffle.
+    GraftQuery(
+      "prompt_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        val prompts = Tables.documents(s, dir)
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[ChatIn]
+          .map { d =>
+            val root = parseJson(renderChat(d.doc_id, d.text)) match {
+              case JObj(Vector(("messages", JArr(ms)))) => ms
+              case _ => throw new IllegalArgumentException("chat reject: bad root")
+            }
+            val prompt = root.collectFirst {
+              case JObj(Vector(("role", JStr("user")), ("content", JStr(c)))) => c
+            }.getOrElse("")
+            (d.doc_id, md5Hex(prompt.getBytes("UTF-8")))
+          }
+          .toDF("doc_id", "digest")
+        val j = prompts.join(Dedup.docSplits(s, dir), "doc_id")
+        def rank(c: org.apache.spark.sql.Column) =
+          when(c === "train", 0).when(c === "val", 1).otherwise(2)
+        val earlier = j.select(col("split").as("split_a"), col("digest")).distinct()
+        earlier.join(j.select(col("split").as("split_b"), col("digest"),
+            col("doc_id")), Seq("digest"))
+          .filter(rank(col("split_a")) < rank(col("split_b")))
+          .groupBy("split_a", "split_b")
+          .agg(countDistinct("digest").as("n_shared_prompts"),
+            countDistinct("doc_id").as("n_leaked_docs"))
+          .orderBy("split_a", "split_b")
+      },
+      Some(s"""
+        WITH ${Dedup.sqlDocSplits.trim},
+        d AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(
+                   string_split(coalesce(text, ''), ' '), 1,
+                   least(30, len(string_split(coalesce(text, ''), ' ')))), ' '))
+                   AS digest
+          FROM documents WHERE doc_id % 7 != 0),
+        j AS (SELECT d.doc_id, d.digest, sp.split
+              FROM d JOIN sp ON d.doc_id = sp.doc_id),
+        x AS (SELECT DISTINCT split AS split_a, digest FROM j),
+        p AS (SELECT x.split_a, j.split AS split_b, j.digest, j.doc_id
+              FROM x JOIN j ON x.digest = j.digest
+              WHERE CASE x.split_a WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END
+                  < CASE j.split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END)
+        SELECT split_a, split_b,
+               CAST(count(DISTINCT digest) AS BIGINT) AS n_shared_prompts,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_leaked_docs
+        FROM p GROUP BY split_a, split_b ORDER BY split_a, split_b""")),
+
     // ---- preference-pair accounting ----------------------------------------
     // The per-pair numbers a DPO run filters and weights by, each earned
     // through render → strict parse → validatePair: token masses of all

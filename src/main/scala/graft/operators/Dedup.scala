@@ -1768,7 +1768,7 @@ object Dedup {
     * report) and split_repair (the fix). A drifted copy here would make
     * the repaired corpus disagree with the reported splits while the
     * cluster-consistency test still passed. */
-  private def docSplits(s: SparkSession, dir: String): DataFrame =
+  private[operators] def docSplits(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("_h", md5(to_binary(col("doc_id").cast(StringType), lit("utf-8"))))
       .withColumn("bucket", expr(s"CAST((${PipelineOps.nib("1")} * 256 + " +
@@ -1779,7 +1779,7 @@ object Dedup {
       .select(col("doc_id"), col("split"))
 
   /** CTE `sp(doc_id, split)` mirroring [[docSplits]]. */
-  private val sqlDocSplits = """
+  private[operators] val sqlDocSplits = """
         sp AS (
           SELECT doc_id,
                  CASE WHEN bucket < 80 THEN 'train'

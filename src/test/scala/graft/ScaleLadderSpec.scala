@@ -242,9 +242,12 @@ class ScaleLadderSpec extends SparkSuite {
     // warc_extract climbs the second rung too (round 10): it carries the
     // engine's ONE text-moving shuffle, and the 10x rung alone (2.5x)
     // cannot distinguish linear-with-overhead from gently super-linear —
-    // a 3x data step must cost ~3x if the bounded-bucket claim holds
-    assertStep(Seq("dup_spans", "bpe_merges", "warc_extract"),
-      LadderDir, Ladder30Dir)
+    // a 3x data step must cost ~3x if the bounded-bucket claim holds.
+    // web_pipeline joins it in round 11: the flagship composition now
+    // rides the FIXED DIV bucket spine plus the uri-keyed dedup exchange,
+    // and its 100-TB claim deserves the same curvature check
+    assertStep(Seq("dup_spans", "bpe_merges", "warc_extract",
+      "web_pipeline"), LadderDir, Ladder30Dir)
   }
 
   test("second rung (30x facts): q21 steps linearly past the 10x point") {
