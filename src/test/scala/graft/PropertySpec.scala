@@ -455,6 +455,47 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("chat JSON escape → strict parse round-trips arbitrary unicode strings") {
+    // the codec pair must be a true inverse on ANY string — astral
+    // codepoints (escaped as surrogate PAIRS since round 11's unpaired-
+    // half rejection), raw control chars, quotes/backslashes, and the
+    // empty string
+    import operators.ChatData
+    val cpGen = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e),          // printable ASCII
+      2 -> Gen.choose(0x00, 0x1f),          // control chars (escaped)
+      2 -> Gen.oneOf('"'.toInt, '\\'.toInt, '/'.toInt),
+      2 -> Gen.choose(0xa0, 0x2fff),        // BMP unicode
+      2 -> Gen.choose(0x10000, 0x10fff))    // astral (surrogate pairs)
+    for (s <- 1 to 40) {
+      val n = sample(Gen.choose(0, 60), s)
+      val cps = sample(Gen.listOfN(n, cpGen), s + 9000)
+      val str = cps.foldLeft(new java.lang.StringBuilder) {
+        (b, cp) => b.appendCodePoint(cp)
+      }.toString
+      ChatData.parseJson("\"" + ChatData.escapeJson(str) + "\"") match {
+        case ChatData.JStr(got) => assert(got == str, s"seed $s")
+        case other => fail(s"seed $s: parsed $other")
+      }
+    }
+  }
+
+  test("frameHash64 invariants: gain-shift invariance, constant frames hash 0") {
+    import operators.Multimodal
+    val lumaGen = Gen.listOfN(32, Gen.choose(0, 200))
+    for (s <- 1 to 30) {
+      val luma = sample(lumaGen, s).toArray
+      val fp = Multimodal.frameHash64(luma)
+      // a uniform brightness shift moves no order comparison
+      assert(fp == Multimodal.frameHash64(luma.map(_ + sample(Gen.choose(1, 55), s))))
+      // bit 63 is structurally unused
+      assert((fp >>> 63) == 0L, s"seed $s")
+    }
+    // a constant frame has no neighbor or mean inequality anywhere
+    assert(Multimodal.frameHash64(Array.fill(32)(7)) == 0L)
+    assert(Multimodal.frameHash64(Array.empty[Int]) == 0L)
+  }
+
   test("polyHash/polyHash2 inline UTF-8 decode matches the JDK codepoint fold") {
     // the kernels decode codepoints straight off UTF-8 bytes (hot path);
     // pin them against the unambiguous String.codePointAt reference over
