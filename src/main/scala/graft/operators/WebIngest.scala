@@ -986,6 +986,80 @@ object WebIngest {
     root
   }
 
+  // ----------------------------------------------------------- HTML tables
+
+  /** Cells per table row in the fixture. */
+  val TableCols = 4
+
+  /** Deterministic table markup for a document: a `<th>` header row
+    * (c0..c3), then the doc's tokens as `<td>` cells in row-major rows of
+    * [[TableCols]], the last row padded with SELF-CLOSING `<td
+    * class="pad"/>` cells — marked pads, because a trailing EMPTY TOKEN is
+    * a legal cell and the parser must never have to guess which empties
+    * are padding. Cell text is entity-escaped ('&'/'<'/'>' round-trip). */
+  def renderHtmlTable(docId: Long, text: String): String = {
+    val toks = text.split(" ", -1)
+    val sb = new java.lang.StringBuilder(text.length * 2 + 160)
+    sb.append("<table><tr>")
+    (0 until TableCols).foreach(i => sb.append("<th>c").append(i).append("</th>"))
+    sb.append("</tr>")
+    val nRows = (toks.length + TableCols - 1) / TableCols
+    var r = 0
+    while (r < nRows) {
+      sb.append("<tr>")
+      var c = 0
+      while (c < TableCols) {
+        val k = r * TableCols + c
+        if (k < toks.length)
+          sb.append("<td>").append(escapeHtml(toks(k))).append("</td>")
+        else sb.append("<td class=\"pad\"/>")
+        c += 1
+      }
+      sb.append("</tr>")
+      r += 1
+    }
+    sb.append("</table>")
+    sb.toString
+  }
+
+  /** Strict table walk over the XML-subset parser: `<table>` root, one
+    * `<th>` header row, homogeneous `<td>` data rows, RECTANGULAR (every
+    * row exactly header-width), pad cells only at the tail. Returns
+    * (header, data rows, pad count); violations reject loudly (battery in
+    * WebIngestSpec). */
+  def parseHtmlTable(markup: String): (Vector[String], Vector[Vector[String]], Int) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"table reject: $msg")
+    val root = parseXml(markup)
+    if (root.name != "table") fail(s"root <${root.name}>, expected <table>")
+    if (root.children.isEmpty) fail("table without rows")
+    root.children.foreach(r =>
+      if (r.name != "tr") fail(s"<${r.name}> under <table>"))
+    val header = root.children.head.children.map { c =>
+      if (c.name != "th") fail(s"<${c.name}> in header row")
+      c.text
+    }
+    if (header.isEmpty) fail("empty header row")
+    var pads = 0
+    val rows = root.children.tail.map { tr =>
+      val cells = tr.children.map { c =>
+        if (c.name != "td") fail(s"<${c.name}> in data row")
+        if (c.attrs.get("class").contains("pad")) {
+          pads += 1
+          if (c.text.nonEmpty) fail("pad cell with content")
+          None
+        } else {
+          if (pads > 0) fail("data cell after a pad cell")
+          Some(c.text)
+        }
+      }
+      if (cells.length != header.length)
+        fail(s"ragged row: ${cells.length} cells vs ${header.length} columns")
+      cells.flatten
+    }
+    (header, rows, pads)
+  }
+
   /** Walk one host's sitemap back out of the strict parser: the urlset
     * root, per-url loc + lastmod, structural violations rejected. */
   def readSitemap(xml: String): Vector[(String, String)] = {
@@ -1629,6 +1703,53 @@ object WebIngest {
                true AS canonical_match,
                CAST(least(ntoks, $DescTokens) AS BIGINT) AS desc_tokens
         FROM e ORDER BY doc_id""")),
+
+    // ---- HTML table extraction: structured data off the page --------------
+    // The structured-data face of web ingestion: a training pipeline mines
+    // tables (row-major cells, header schema) out of pages. Fixture
+    // discipline as everywhere: render the doc's tokens into a real
+    // `<table>` (th header, td rows, marked self-closing pad cells —
+    // trailing EMPTY TOKENS are legal cells, so padding must be explicit,
+    // never guessed), then earn everything back through the STRICT
+    // XML-subset parse + the table grammar (rectangularity, header/data
+    // homogeneity, pads only at the tail). The digest reconstructs the
+    // row-major cells — tokens are space-free by construction, so the
+    // space-join is unambiguous and must equal md5(text): a dropped cell,
+    // a mangled entity ('&'/'<'/'>' round-trip through escapeHtml), or a
+    // pad/data mix-up hash-mismatches. One scan, per-row mapPartitions,
+    // no text exchange (plan-gated with the DPO family).
+    GraftQuery(
+      "table_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val (header, rows, pads) = parseHtmlTable(renderHtmlTable(id, text))
+            require(header == (0 until TableCols).map(i => s"c$i").toVector,
+              s"table reject: header drifted: $header")
+            val cells = rows.flatten
+            (id, rows.length.toLong, header.length.toLong,
+              cells.length.toLong, pads.toLong,
+              md5Hex(cells.mkString(" ").getBytes("UTF-8")))
+          }
+          .toDF("doc_id", "n_rows", "n_cols", "n_cells", "n_pad", "cells_digest")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 len(string_split(coalesce(text, ''), ' ')) AS n
+          FROM documents)
+        SELECT doc_id,
+               CAST((n + ${TableCols - 1}) // $TableCols AS BIGINT) AS n_rows,
+               CAST($TableCols AS BIGINT) AS n_cols,
+               CAST(n AS BIGINT) AS n_cells,
+               CAST(((n + ${TableCols - 1}) // $TableCols) * $TableCols - n
+                    AS BIGINT) AS n_pad,
+               md5(t) AS cells_digest
+        FROM d ORDER BY doc_id""")),
 
     // ---- WARC container walk ---------------------------------------------
     // Writer renders each bucket of pages into a real multi-member WARC.gz

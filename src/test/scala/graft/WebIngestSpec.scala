@@ -441,6 +441,42 @@ class WebIngestSpec extends SparkSuite {
     }
   }
 
+  // ----------------------------------------------------------- HTML tables
+
+  test("table: render → strict parse round-trips hostile cells and marked pads") {
+    val text = "a&b c<d e>f \"q\" plain  last" // doubled space → empty token cell
+    val (header, rows, pads) = WebIngest.parseHtmlTable(
+      WebIngest.renderHtmlTable(9L, text))
+    assert(header == Vector("c0", "c1", "c2", "c3"))
+    assert(rows.flatten == text.split(" ", -1).toVector)
+    // 7 tokens → 2 rows of 4 with ONE pad; the empty token survives as a
+    // real cell, never eaten as padding
+    assert(rows.map(_.length) == Vector(4, 3) && pads == 1)
+    assert(rows(1).take(3) == Vector("plain", "", "last"))
+  }
+
+  test("table: rejection battery — malformed tables fail loudly") {
+    val bad = Seq(
+      "wrong root" -> "<urlset></urlset>",
+      "non-tr child" -> "<table><td>x</td></table>",
+      "empty table" -> "<table></table>",
+      "empty header" -> "<table><tr></tr></table>",
+      "td in header" -> "<table><tr><td>c0</td></tr></table>",
+      "th in data row" -> "<table><tr><th>c0</th></tr><tr><th>x</th></tr></table>",
+      "ragged row" ->
+        "<table><tr><th>c0</th><th>c1</th></tr><tr><td>x</td></tr></table>",
+      "pad with content" ->
+        "<table><tr><th>c0</th></tr><tr><td class=\"pad\">x</td></tr></table>",
+      "data cell after a pad" ->
+        ("<table><tr><th>c0</th><th>c1</th></tr>" +
+          "<tr><td class=\"pad\"/><td>x</td></tr></table>"))
+    bad.foreach { case (what, markup) =>
+      val e = intercept[IllegalArgumentException](
+        WebIngest.parseHtmlTable(markup))
+      assert(e.getMessage.contains("reject"), s"$what: ${e.getMessage}")
+    }
+  }
+
   // ------------------------------------------------------ sitemap indexes
 
   test("sitemap index: robots Sitemap directive → index → chunks walks every URL in order") {
