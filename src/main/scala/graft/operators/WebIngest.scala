@@ -291,7 +291,7 @@ object WebIngest {
     * `link rel=canonical` pointing at the canonical URL (its query '&'
     * must survive the escape round-trip). */
   def renderHtmlMeta(docId: Long, label: String, declaredLang: String,
-      text: String): String = {
+      text: String, ldJson: Option[String] = None): String = {
     val sb = new java.lang.StringBuilder(text.length * 2 + 768)
     sb.append("<!DOCTYPE html><html lang=\"").append(declaredLang)
       .append("\"><head><meta charset=\"utf-8\"><title>Doc ").append(docId)
@@ -301,17 +301,35 @@ object WebIngest {
       .append("<link rel=\"canonical\" href=\"")
       .append(escapeAttr(UrlKernels.canonicalize(messyUrlString(docId, label))))
       .append("\">")
-      .append("<script>if (x < 1) { x = \"&\"; }</script>")
+    ldJson.foreach(j => sb.append("<script type=\"application/ld+json\">")
+      .append(j).append("</script>"))
+    sb.append("<script>if (x < 1) { x = \"&\"; }</script>")
       .append("<style>p { color: red; }</style></head>")
     renderBody(sb, docId, label, text)
     sb.append("</html>")
     sb.toString
   }
 
+  /** Deterministic schema.org Article JSON-LD for a document, in the house
+    * strict-JSON grammar. '/' is escaped as '\\/' — the standard JSON-LD
+    * emitter defense that keeps a literal "</script>" inside a string from
+    * terminating the raw container early (the codec decodes "\\/" back). */
+  def ldJsonOf(docId: Long, label: String, text: String): String = {
+    def esc(s: String) = graft.operators.ChatData.escapeJson(s).replace("/", "\\/")
+    val n = text.split(" ", -1).length
+    s"""{"@type":"Article","headline":"${esc(s"Doc $docId ($label)")}"""" +
+      s""","url":"${esc(UrlKernels.canonicalize(messyUrlString(docId, label)))}"""" +
+      s""","wordCount":$n}"""
+  }
+
   /** Extracted head metadata: title text, html-lang attribute, meta
-    * name→content pairs, link rel→href pairs (values entity-decoded). */
+    * name→content pairs, link rel→href pairs (values entity-decoded), and
+    * the RAW bodies of `<script type="application/ld+json">` containers in
+    * document order (JSON-LD is consumed by the strict JSON codec
+    * downstream — the head walk must never interpret it). */
   final case class HeadMeta(title: String, htmlLang: String,
-      metas: Map[String, String], links: Map[String, String])
+      metas: Map[String, String], links: Map[String, String],
+      ldJson: Vector[String] = Vector.empty)
 
   /** Strict head walk: optional <!DOCTYPE>, `<html ...>` (attrs through the
     * [[parseAttrs]] grammar), `<head>`, then only title / meta / link /
@@ -349,6 +367,7 @@ object WebIngest {
     var title: String = null
     val metas = Map.newBuilder[String, String]
     val links = Map.newBuilder[String, String]
+    val ldJson = Vector.newBuilder[String]
     var closed = false
     while (!closed) {
       if (i >= n) fail("unclosed <head> at EOF")
@@ -371,6 +390,14 @@ object WebIngest {
         val close = s"</$tag>"
         val e = html.indexOf(close, gt + 1)
         if (e < 0) fail(s"unterminated <$tag> raw container")
+        // a JSON-LD container's raw body is carried out verbatim for the
+        // strict JSON codec; all other script/style bodies stay opaque
+        if (tag == "script") {
+          val attrsRaw = html.substring(i + 1 + tag.length, gt)
+          if (attrsRaw.indexOf('<') < 0 &&
+              parseAttrs(attrsRaw).get("type").contains("application/ld+json"))
+            ldJson += html.substring(gt + 1, e)
+        }
         i = e + close.length
       } else if (html.startsWith("<meta", i)) {
         val attrs = parseAttrs(expectTag("meta"))
@@ -388,7 +415,8 @@ object WebIngest {
       } else fail(s"unsupported tag inside <head> at offset $i")
     }
     if (title == null) fail("<head> without <title>")
-    HeadMeta(title, htmlAttrs.getOrElse("lang", ""), metas.result(), links.result())
+    HeadMeta(title, htmlAttrs.getOrElse("lang", ""), metas.result(),
+      links.result(), ldJson.result())
   }
 
   /** One parsed block: decoded text, codepoint count, codepoint count inside
@@ -1703,6 +1731,57 @@ object WebIngest {
                true AS canonical_match,
                CAST(least(ntoks, $DescTokens) AS BIGINT) AS desc_tokens
         FROM e ORDER BY doc_id""")),
+
+    // ---- JSON-LD extraction: two strict codecs composed --------------------
+    // The schema.org-metadata face of web ingestion (what WAT extractors
+    // and product/article miners read): a `<script type="application/
+    // ld+json">` container in the head, carried out RAW by the strict
+    // head walk (parseHead never interprets it) and decoded by the strict
+    // JSON codec (ChatData.parseJson — one JSON grammar in the engine).
+    // The fixture escapes '/' as '\\/' (the standard JSON-LD emitter
+    // defense: a literal "</script>" inside a string must not terminate
+    // the raw container). Cross-checks: the JSON-LD headline must equal
+    // the parsed <title>, its url must equal what UrlKernels.canonicalize
+    // derives from the messy spelling, and wordCount replays from the
+    // row. One scan, per-row map, no text exchange.
+    GraftQuery(
+      "jsonld_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), labelCol.as("label"),
+            coalesce(col("lang"), lit("")).as("lang"),
+            coalesce(col("text"), lit("")).as("text"))
+          .as[HtmlMetaIn]
+          .map { d =>
+            val declared = declaredLangOf(d.doc_id, sanitizeLang(d.lang))
+            val meta = parseHead(renderHtmlMeta(d.doc_id, d.label, declared,
+              d.text, Some(ldJsonOf(d.doc_id, d.label, d.text))))
+            require(meta.ldJson.length == 1,
+              s"jsonld reject: ${meta.ldJson.length} ld+json containers")
+            import graft.operators.ChatData.{parseJson, JObj, JStr, JNum}
+            val (tpe, headline, url, wc) = parseJson(meta.ldJson.head) match {
+              case JObj(Vector(("@type", JStr(t)), ("headline", JStr(h)),
+                  ("url", JStr(u)), ("wordCount", JNum(w)))) => (t, h, u, w)
+              case other => throw new IllegalArgumentException(
+                s"jsonld reject: unexpected shape $other")
+            }
+            (d.doc_id, tpe, headline == meta.title,
+              url == UrlKernels.canonicalize(messyUrlString(d.doc_id, d.label)),
+              wc)
+          }
+          .toDF("doc_id", "item_type", "headline_match", "url_match",
+            "word_count")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'Article' AS item_type,
+               true AS headline_match,
+               true AS url_match,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                 AS word_count
+        FROM documents ORDER BY doc_id""")),
 
     // ---- HTML table extraction: structured data off the page --------------
     // The structured-data face of web ingestion: a training pipeline mines

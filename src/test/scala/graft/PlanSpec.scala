@@ -702,7 +702,8 @@ class PlanSpec extends SparkSuite {
     // task — one scan, lint rolls up on source, no text exchange (the
     // chat_stats contract). fim_transform is pure scan-side column
     // arithmetic under the same contract.
-    for (q <- Seq("dpo_stats", "dpo_lint", "fim_transform", "table_extract")) {
+    for (q <- Seq("dpo_stats", "dpo_lint", "fim_transform", "table_extract",
+        "jsonld_extract")) {
       assert(scans11(q) == 1, s"$q must scan the corpus exactly once")
       assert(!planOf(q).matches("(?s).*Exchange hashpartitioning[^\\n]*(text|toks)#.*"),
         s"$q shuffles raw document text")

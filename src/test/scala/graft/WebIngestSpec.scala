@@ -441,6 +441,37 @@ class WebIngestSpec extends SparkSuite {
     }
   }
 
+  // -------------------------------------------------------------- JSON-LD
+
+  test("jsonld: head walk carries the raw container; '\\/' defense survives </script> in strings") {
+    import graft.operators.ChatData.{parseJson, JObj, JStr, JNum}
+    // a token that would terminate the raw container if '/' were emitted
+    // literally — the \/ escape is exactly what keeps it inside
+    val text = "before </script> after"
+    val ld = WebIngest.ldJsonOf(5L, "src5", text)
+    assert(!ld.contains("</script>"), "ld body leaks an unescaped terminator")
+    val meta = WebIngest.parseHead(
+      WebIngest.renderHtmlMeta(5L, "src5", "en", text, Some(ld)))
+    assert(meta.ldJson == Vector(ld))
+    parseJson(ld) match {
+      case JObj(Vector(("@type", JStr("Article")), ("headline", JStr(h)),
+          ("url", JStr(u)), ("wordCount", JNum(3)))) =>
+        assert(h == meta.title)
+        assert(u == graft.functions.UrlKernels.canonicalize(
+          WebIngest.messyUrlString(5L, "src5")))
+      case other => fail(s"unexpected ld shape: $other")
+    }
+    // a page without the container reports none; the plain script stays opaque
+    assert(WebIngest.parseHead(
+      WebIngest.renderHtmlMeta(5L, "src5", "en", text)).ldJson.isEmpty)
+    // malformed JSON inside the container is the CODEC's loud rejection
+    val badPage = WebIngest.renderHtmlMeta(5L, "src5", "en", text,
+      Some("""{"@type": """))
+    val raw = WebIngest.parseHead(badPage).ldJson.head
+    val e = intercept[IllegalArgumentException](parseJson(raw))
+    assert(e.getMessage.startsWith("json reject:"))
+  }
+
   // ----------------------------------------------------------- HTML tables
 
   test("table: render → strict parse round-trips hostile cells and marked pads") {
