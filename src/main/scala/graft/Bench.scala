@@ -85,6 +85,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", BenchBaseline.DefaultPath))
     val spiked = scala.collection.mutable.Map.empty[String, Double]
     val regressed = scala.collection.mutable.Map.empty[String, Double]
+    // in-band suspicious readings that were re-measured (round-12 advice):
+    // the 5-rep median replaces the reading UNCONDITIONALLY — keeping
+    // min(first, again) would bias recorded timings downward — and the
+    // original reading is reported here, NOT under "spiked", so "spiked"
+    // keeps its band-breach meaning
+    val remeasured = scala.collection.mutable.Map.empty[String, Double]
     def adjudicateAt(b: Double): Double =
       math.min(BenchBaseline.band(b), math.max(2 * b, b + 0.5))
     val results = firstPass.map { case (name, v) =>
@@ -99,8 +105,7 @@ object Bench {
             // is a regression and stays loud
             if (again <= BenchBaseline.band(b)) { spiked(name) = v; name -> again }
             else { regressed(name) = b; name -> v }
-          } else if (again < v) { spiked(name) = v; name -> again }
-          else name -> v
+          } else { remeasured(name) = v; name -> again }
         case _ => name -> v
       }
     }
@@ -144,7 +149,9 @@ object Bench {
           .mkString("{", ",", "}")
       val adjud =
         (if (spiked.isEmpty) "" else "\"spiked\":" + obj(spiked) + ",") +
-        (if (regressed.isEmpty) "" else "\"regressed\":" + obj(regressed) + ",")
+        (if (regressed.isEmpty) "" else "\"regressed\":" + obj(regressed) + ",") +
+        (if (remeasured.isEmpty) ""
+         else "\"remeasured\":" + obj(remeasured) + ",")
       s"""{"metric":"total","value":${num(r(total, 1000))},$u$adjud$omitted"queries":$qs,"sf":$sfJson}"""
     }
     // the line must survive the harness tail buffer (2000 chars) alongside

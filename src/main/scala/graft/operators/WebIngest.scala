@@ -686,16 +686,24 @@ object WebIngest {
     * container shape. */
   val WarcBucket = 16
 
-  /** The WARC container grouping key. DIV (not MOD!) is the load-bearing
-    * choice: `doc_id DIV 16` yields a group per run of 16 consecutive ids,
-    * so each group holds ≤ WarcBucket docs and the group COUNT — hence task
+  /** The WARC container grouping key. FLOOR division (not MOD!) is the
+    * load-bearing choice: one group per run of 16 consecutive ids, so each
+    * group holds ≤ WarcBucket docs and the group COUNT — hence task
     * parallelism — grows linearly with the corpus. `doc_id % 16` would
     * instead produce exactly 16 groups each holding 1/16th of all corpus
     * text, capping parallelism at 16 tasks with per-task state linear in n
-    * (~6 TB/task at 100 TB). WarcBucketSpec asserts the bounded-group-size
-    * property on data; ScaleLadderSpec asserts group count grows 10×. */
-  private[graft] def warcBucketKey: Column =
-    expr(s"doc_id DIV $WarcBucket").as("bucket")
+    * (~6 TB/task at 100 TB). shiftright IS floor division for the
+    * power-of-two bucket — exact on the full Long range — where SQL DIV
+    * truncates toward zero and would fold ids -15..15 into one 31-doc
+    * bucket on a hostile negative-id corpus. WarcBucketSpec asserts the
+    * bounded-group-size property on data (negative ids included);
+    * ScaleLadderSpec asserts group count grows 10×. */
+  private[graft] def warcBucketKey: Column = {
+    require(java.lang.Integer.bitCount(WarcBucket) == 1,
+      "warcBucketKey's shiftright trick needs a power-of-two bucket")
+    shiftright(col("doc_id"),
+      java.lang.Integer.numberOfTrailingZeros(WarcBucket)).as("bucket")
+  }
 
   final case class WarcDoc(doc_id: Long, label: String, text: String)
   final case class WarcRecordOut(doc_id: Long, rec_type: String,
@@ -1225,13 +1233,25 @@ object WebIngest {
     }
   }
 
-  /** The discovery walk over BOUNDED per-host state: robots `Sitemap:`
+  /** The discovery walk over REDUCED per-host state: robots `Sitemap:`
     * directive → rebuilt `<sitemapindex>` (from per-chunk max lastmods) →
     * [[readSitemapTree]] recursion with depth bound + cycle detection, each
     * child resolving to its chunk-summary leaf. The leaf parse cost was
     * already paid per-chunk in [[chunkStats]]; this leg validates the tree
     * shape (child order, count, namespace) over one digest per chunk, so a
-    * skipped or reordered child file still hash-mismatches. */
+    * skipped or reordered child file still hash-mismatches.
+    *
+    * Honest bound: the per-host task here still buffers one ChunkStats
+    * (~100 B) PER CHUNK — O(host_docs / SitemapChunk), a 1/SitemapChunk
+    * REDUCTION of the round-10 per-doc buffer, not a strict constant. At
+    * 10^11 docs on one pathological host that is ~2.5 G chunk rows; the
+    * escape hatch is hierarchical: re-key the rollup by a second
+    * `chunk DIV SitemapChunk` level (same spine, one more rung) before
+    * this walk, which the tree shape already supports since a
+    * sitemapindex may point at child indexes. Not built until a corpus
+    * needs it — the index walk itself is inherently sequential per host
+    * (RFC 9309 discovery order), so the buffer, not the walk, is what
+    * the extra rung would fix. */
   private def discoveryFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     chunkStats(s, dir)
@@ -2064,7 +2084,9 @@ object WebIngest {
     // ([[chunkStats]], ≤SitemapChunk docs/task), and the per-host recursion
     // runs over chunk-summary leaves (one digest per chunk) in
     // [[discoveryFrame]] — same robots gate, same index walk, same
-    // rejections, never an unbounded per-key buffer. The oracle rebuilds
+    // rejections; the per-host buffer is 1/SitemapChunk of the doc count
+    // (O(host_docs/chunk) ~100 B rows — see [[discoveryFrame]]'s honest
+    // bound and its hierarchical escape hatch). The oracle rebuilds
     // file count, URL count, lastmod range and the two-level chunk-order
     // digest from the fixture formulas — so a walker that skips a child
     // file, reorders chunks, or follows a loc it shouldn't hash-mismatches.

@@ -226,6 +226,24 @@ class WebIngestSpec extends SparkSuite {
         "a MOD key would hold it constant at 16")
   }
 
+  test("warc: bucket key bounds GROUP SIZE on a NEGATIVE-id corpus too") {
+    // Round-12 advice: `doc_id DIV 16` truncates toward zero, so ids
+    // -15..15 all land in bucket 0 — a 31-doc group that breaks the
+    // ≤ WarcBucket bound exactly on the hostile corpora that use negative
+    // ids. shiftright IS floor division for the power-of-two bucket; this
+    // pins the bound ON DATA across zero, including Long.MinValue.
+    import org.apache.spark.sql.functions.{count, max}
+    import spark.implicits._
+    val hostile = ((-40L to 40L) ++ Seq(Long.MinValue, Long.MinValue + 1,
+      Long.MaxValue, Long.MaxValue - 1)).toDF("doc_id")
+    val row = hostile.groupBy(WebIngest.warcBucketKey)
+      .agg(count("*").as("n"))
+      .agg(max("n")).head()
+    assert(row.getLong(0) <= WebIngest.WarcBucket,
+      s"negative-id group of ${row.getLong(0)} docs exceeds the WarcBucket " +
+        "bound — truncating division is back")
+  }
+
   test("warc: http split rejects non-200 and headerless payloads") {
     intercept[IllegalArgumentException](
       WebIngest.httpBody("HTTP/1.1 404 Not Found\r\n\r\nx".getBytes("US-ASCII")))
