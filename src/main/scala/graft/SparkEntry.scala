@@ -36,7 +36,8 @@ object SparkEntry {
   val actionfulQueries: Set[String] =
     Set("dedup_clusters", "dedup_keep_list", "dedup_keep_best",
       "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles", "dup_reach",
-      "ann_trained_topk", "quality_classifier", "bpe_merges", "bpe_encode",
+      "ann_trained_topk", "semdedup_trained", "quality_classifier",
+      "bpe_merges", "bpe_encode",
       "tokenizer_parity", "kcenter_sample", "bitext_margin", "split_repair",
       "unigram_train", "unigram_encode", "tokenizer_compare", "rrf_fusion",
       // video_neardup decodes clips ONCE into an eager localCheckpoint

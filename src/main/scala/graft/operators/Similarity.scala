@@ -1564,35 +1564,7 @@ object Similarity {
         val e = vecs(s, dir)
           .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
           .cache()
-        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-        val dbl = org.apache.spark.sql.types.DoubleType
-        def argminCell(frame: DataFrame, cents: DataFrame): DataFrame = frame
-          .crossJoin(broadcast(cents))
-          .withColumn("d2", V.subSqDist(col("vd"), col("cv"), lit(0), KmDims))
-          .withColumn("pk", expr(
-            s"CAST(round(round(d2, 6) * 1e6) AS BIGINT) * $KmSeeds + c_id"))
-        // train: Lloyd iterations, centroids live on the driver
-        var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KmSeeds)
-          .select(col("vec_id").cast("int"), col("vd")).collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-        var it = 0
-        var converged = false
-        try while (it < KmIters && !converged) {
-          val next = argminCell(e.select(col("vec_id"), col("vd")),
-              broadcast(cents.toDF("c_id", "cv")))
-            .groupBy("vec_id", "vd").agg(min("pk").as("mn"))
-            .select(expr(s"CAST(mn % $KmSeeds AS INT)").as("c_id"), col("vd"))
-            .select(col("c_id"), posexplode(col("vd")).as(Seq("dim", "x")))
-            .groupBy("c_id", "dim")
-            .agg(round(sum(col("x").cast(dec)).cast(dbl) / count(lit(1)), 6).as("m"))
-            .groupBy("c_id")
-            .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-            .select(col("c_id"), expr("transform(dm, p -> p.m)").as("cv"))
-            .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-          converged = next == cents
-          cents = next
-          it += 1
-        } finally e.unpersist(blocking = false)
+        val cents = try trainLloydBank(e) finally e.unpersist(blocking = false)
         val bank = cents.toDF("c_id", "cv")
         // index: assign every corpus vector to its trained cell
         val asg = argminCell(
@@ -1618,28 +1590,6 @@ object Similarity {
         rankTopK(scored, 10)
       },
       Some {
-        val d2 = (v: String, cv: String) =>
-          s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                 list_transform(range(1, ${KmDims + 1}),
-                   i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i]))),
-                 (acc, x) -> acc + x), 6)"""
-        val lloyd = (prev: String, a: String, c: String) => s"""
-        $a AS (
-          SELECT vec_id, v, c_id FROM (
-            SELECT e.vec_id, e.v, c.c_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${d2("e.v", "c.cv")}, c.c_id) rn
-            FROM e CROSS JOIN $prev c)
-          WHERE rn = 1),
-        $c AS (
-          SELECT c_id, list(m ORDER BY dim) cv FROM (
-            SELECT c_id, dim,
-                   round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
-                         / count(*), 6) m
-            FROM (SELECT c_id, generate_subscripts(v, 1) dim, unnest(v) x
-                  FROM $a)
-            GROUP BY 1, 2)
-          GROUP BY c_id)"""
         s"""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
@@ -1648,15 +1598,13 @@ object Similarity {
                    (acc, x) -> acc + x)) norm
           FROM embeddings
           WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
-        c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmSeeds),
-        ${lloyd("c0", "a1", "c1")},
-        ${lloyd("c1", "a2", "c2")},
+        $sqlLloydBankCtes,
         asg AS (
           SELECT vec_id, c_id FROM (
             SELECT e.vec_id, c.c_id,
                    row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${d2("e.v", "c.cv")}, c.c_id) rn
-            FROM e CROSS JOIN c2 c)
+                     ORDER BY ${sqlD2("e.v", "c.cv")}, c.c_id) rn
+            FROM e CROSS JOIN c$KmIters c)
           WHERE rn = 1),
         q AS (SELECT vec_id qid, v qv, norm qnorm FROM e WHERE vec_id < 5),
         qcells AS (
@@ -1672,7 +1620,7 @@ object Similarity {
                              list_transform(c.cv, x -> x * x)),
                              (acc, x) -> acc + x)), 1e-12)),
                        6) DESC, c.c_id) AS crank
-            FROM q CROSS JOIN c2 c)
+            FROM q CROSS JOIN c$KmIters c)
           WHERE crank <= $AnnTrainedProbe),
         scored AS (
           SELECT qc.qid, e.vec_id,
@@ -1694,6 +1642,98 @@ object Similarity {
         WHERE rank <= 10
         ORDER BY qid, rank"""
       }),
+
+    // ---- TRAINED semantic dedup: the full SemDeDup composition -----------
+    // semantic_dedup (above) proves the within-cell prune on the testdata's
+    // label clustering — a stand-in cell key. This is the composition a
+    // real corpus runs (Abbas et al. 2023, SemDeDup — public): cluster the
+    // embedding space with the TRAINED k-means bank ([[trainLloydBank]],
+    // the exact machinery ann_trained_topk indexes with — no labels
+    // needed), then prune redundancy WITHIN each trained cell — a member
+    // is dropped when its cosine to an already-ranked cell-mate clears
+    // [[SemTau]], keeping the min-rank survivor of every redundancy clique
+    // (the dedup_keep_list min-survivor discipline, transplanted from
+    // doc_id order to centroid-distance order: SemDeDup's own keep rule).
+    // The survivor LIST is the output — vec_id, cell, rank, keep, and
+    // dup_of (the earliest-ranked member that shadows it) — the frame a
+    // curation pipeline semi-joins the corpus against.
+    //
+    // Scale: cross-cell pairs are structurally impossible (every join keys
+    // on c_id — plan-gated in PlanSpec), and within a cell each member
+    // compares against at most [[SemBand]] EARLIER-ranked mates via an
+    // exploded (c_id, rank) EQUI-join — candidate volume ≤ SemBand·n
+    // (CandidateBoundSpec), where SemDeDup's full within-cluster matrix is
+    // O(cell²) and melts on the first hot cell. The rank window is a
+    // sort-based streaming window (external sort, no in-memory buffer);
+    // the band join carries only (c_id, rank, vec_id) — vectors join back
+    // by id afterwards (embedding_neardup's discipline), so no vector data
+    // rides the candidate exchange. Deterministic end to end: the trained
+    // bank, the packed-scalar round-6 argmin, micro-unit distances, and
+    // round-6 cosines are all replayed by the oracle as unrolled CTEs —
+    // the whole curation decision is hash-checked, not spot-checked.
+    GraftQuery(
+      "semdedup_trained",
+      (s, dir) => {
+        val rk = semdedupRanked(s, dir)
+        val ev = vecs(s, dir)
+        val hits = semdedupCandidates(rk)
+          .join(ev.select(col("vec_id"), col("embedding").as("xe"),
+            col("norm").as("xn")), "vec_id")
+          .join(ev.select(col("vec_id").as("pid"), col("embedding").as("pe"),
+            col("norm").as("pn")), "pid")
+          .withColumn("c6",
+            round(V.dot(col("xe"), col("pe")) / (col("xn") * col("pn")), 6))
+          .filter(col("c6") >= SemTau)
+          .groupBy("vec_id")
+          .agg(min_by(col("pid"), col("prank")).as("dup_of"))
+        rk.join(hits, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("c_id").as("cell"), col("rank"),
+            col("dup_of").isNull.as("keep"), col("dup_of"))
+          .orderBy("cell", "rank")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
+        $sqlLloydBankCtes,
+        asg AS (
+          SELECT vec_id, c_id, d2m FROM (
+            SELECT e.vec_id, c.c_id,
+                   CAST(round(${sqlD2("e.v", "c.cv")} * 1e6) AS BIGINT) AS d2m,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqlD2("e.v", "c.cv")}, c.c_id) rn
+            FROM e CROSS JOIN c$KmIters c)
+          WHERE rn = 1),
+        rk AS (
+          SELECT vec_id, c_id,
+                 CAST(row_number() OVER (PARTITION BY c_id
+                   ORDER BY d2m, vec_id) AS INT) AS rank
+          FROM asg),
+        pt AS (
+          SELECT x.vec_id, y.vec_id AS pid, y.rank AS prank
+          FROM rk x JOIN rk y
+            ON x.c_id = y.c_id
+           AND y.rank BETWEEN x.rank - $SemBand AND x.rank - 1),
+        sc AS (
+          SELECT pt.vec_id, pt.pid, pt.prank,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(a.v) + 1),
+                     i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+                   / (a.norm * b.norm), 6) AS c6
+          FROM pt
+          JOIN e a ON pt.vec_id = a.vec_id
+          JOIN e b ON pt.pid = b.vec_id),
+        h AS (
+          SELECT vec_id, min_by(pid, prank) AS dup_of
+          FROM sc WHERE c6 >= $SemTau GROUP BY vec_id)
+        SELECT rk.vec_id, rk.c_id AS cell, rk.rank,
+               h.dup_of IS NULL AS keep, h.dup_of
+        FROM rk LEFT JOIN h USING (vec_id)
+        ORDER BY cell, rank""")),
 
     // ---- MMR diversity rerank: relevance minus redundancy ---------------
     // Maximal Marginal Relevance (Carbonell & Goldstein 1998, public —
@@ -2232,4 +2272,149 @@ object Similarity {
     * trained cells per query. */
   private val KmIters = 2
   private val AnnTrainedProbe = 3
+
+  /** semantic_dedup: how many EARLIER-ranked cell-mates each member is
+    * compared against. The cap is what makes the within-cell prune linear
+    * — SemDeDup's full within-cluster pairwise matrix is O(cell²), which a
+    * hot cell turns into the all-pairs blowup the near-dup stack exists to
+    * avoid. Candidate volume is provably ≤ SemBand·n (CandidateBoundSpec). */
+  private[graft] val SemBand = 8
+
+  /** semantic_dedup redundancy threshold on round-6 cosine. The SemDeDup
+    * operating point is ε ≈ 0.05-0.1 below 1.0 on real (clustered)
+    * corpora; this synthetic corpus is near-uniform (max pairwise cos
+    * ≈ 0.6 — see embedding_neardup), so the same threshold the LSH
+    * near-dup query uses keeps the output non-degenerate at every sf. */
+  private[graft] val SemTau = 0.42
+
+  /** Packed-scalar argmin assignment of `frame` (must carry `vd`, the
+    * double-cast vector) against a broadcast centroid bank `(c_id, cv)`:
+    * round-6 squared distance in micro-units and the cell id packed into
+    * ONE BIGINT so the argmin is a hash-mutable `min` (see kmeans_refine's
+    * header for why min(struct)/row_number would force sorts). Downstream:
+    * `pk % KmSeeds` = cell, `pk DIV KmSeeds` = round-6 d² micro-units. */
+  private def argminCell(frame: DataFrame, cents: DataFrame): DataFrame = frame
+    .crossJoin(broadcast(cents))
+    .withColumn("d2", V.subSqDist(col("vd"), col("cv"), lit(0), KmDims))
+    .withColumn("pk", expr(
+      s"CAST(round(round(d2, 6) * 1e6) AS BIGINT) * $KmSeeds + c_id"))
+
+  /** Lloyd training loop over a CACHED universe frame `e` (columns
+    * `vec_id`, `vd`): [[KmIters]] rounds from the deterministic
+    * vec_id < KmSeeds seeds, centroids DRIVER-HELD (k·d doubles collected
+    * and re-broadcast per round — the dedup_clusters convergence-loop
+    * pattern, and exactly how real IVF trainers hold their k·d state; the
+    * corpus-sized frames never leave the cluster). Deterministic end to
+    * end (packed-scalar round-6 argmin, exact-decimal round-6 means), so
+    * oracles replay the SAME iterations as unrolled CTEs
+    * ([[sqlLloydBankCtes]]). Early exit on an exact centroid fixpoint is
+    * oracle-safe: further Lloyd steps at a fixpoint are identities.
+    * Shared by ann_trained_topk (index + probe) and semantic_dedup
+    * (within-cell prune). Caller owns e's cache lifecycle. */
+  private def trainLloydBank(e: DataFrame): Seq[(Int, Seq[Double])] = {
+    val s = e.sparkSession
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KmSeeds)
+      .select(col("vec_id").cast("int"), col("vd")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    var it = 0
+    var converged = false
+    while (it < KmIters && !converged) {
+      val next = argminCell(e.select(col("vec_id"), col("vd")),
+          broadcast(cents.toDF("c_id", "cv")))
+        .groupBy("vec_id", "vd").agg(min("pk").as("mn"))
+        .select(expr(s"CAST(mn % $KmSeeds AS INT)").as("c_id"), col("vd"))
+        .select(col("c_id"), posexplode(col("vd")).as(Seq("dim", "x")))
+        .groupBy("c_id", "dim")
+        .agg(round(sum(col("x").cast(dec)).cast(dbl) / count(lit(1)), 6).as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("c_id"), expr("transform(dm, p -> p.m)").as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      converged = next == cents
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** semdedup_trained's ranked cell membership: every universe vector's
+    * TRAINED cell and its centroid-distance rank within it —
+    * `(vec_id, c_id, rank)`. ACTIONFUL (the Lloyd training collects run
+    * here); the cache covers the training actions only and is released
+    * before the returned plan, which owns no cache entries. The rank
+    * window is a sort-based streaming window over the cell (external
+    * sort — no in-memory per-cell buffer). */
+  private[graft] def semdedupRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .cache()
+    val cents = try trainLloydBank(e) finally e.unpersist(blocking = false)
+    val bank = cents.toDF("c_id", "cv")
+    argminCell(e.select(col("vec_id"), col("vd")), bank)
+      .groupBy("vec_id").agg(min("pk").as("mn"))
+      .select(col("vec_id"),
+        expr(s"CAST(mn % $KmSeeds AS INT)").as("c_id"),
+        expr(s"mn DIV $KmSeeds").as("d2m"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("c_id").orderBy(col("d2m"), col("vec_id"))))
+      .select("vec_id", "c_id", "rank")
+  }
+
+  /** semdedup_trained's capped candidate pairs over a ranked frame:
+    * each member against its ≤ [[SemBand]] EARLIER-ranked cell-mates,
+    * via an exploded (c_id, rank) EQUI-join — candidate volume ≤
+    * SemBand·n by construction (CandidateBoundSpec counts it at every
+    * scale), and cross-cell pairs are structurally impossible (c_id is
+    * in the join key). Returns `(vec_id, pid, prank)` — ids only; the
+    * vectors join back by id so none ride the candidate exchange. */
+  private[graft] def semdedupCandidates(rk: DataFrame): DataFrame = {
+    // sequence() REVERSES when start > stop — the rank-1 member must
+    // emit an EMPTY band, not [1, 0]
+    val partners = rk.withColumn("prank", explode(expr(
+        s"""CASE WHEN rank > 1
+             THEN sequence(greatest(1, rank - $SemBand), rank - 1)
+             ELSE CAST(array() AS ARRAY<INT>) END""")))
+      .select(col("c_id"), col("vec_id"), col("prank"))
+    partners.join(rk.select(col("c_id"), col("rank").as("prank"),
+        col("vec_id").as("pid")), Seq("c_id", "prank"))
+      .select("vec_id", "pid", "prank")
+  }
+
+  /** Round-6 squared distance between two DOUBLE[] SQL expressions —
+    * the oracle mirror of [[argminCell]]'s d2. */
+  private def sqlD2(v: String, cv: String): String =
+    s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, ${KmDims + 1}),
+             i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i]))),
+           (acc, x) -> acc + x), 6)"""
+
+  /** Unrolled-Lloyd oracle CTE chain mirroring [[trainLloydBank]]:
+    * `c0` (seeds) through `c{KmIters}` — the trained bank relation is
+    * `c$KmIters(c_id, cv)`. Expects an `e(vec_id, v, norm)` CTE upstream. */
+  private def sqlLloydBankCtes: String = {
+    val lloyd = (prev: String, a: String, c: String) => s"""
+        $a AS (
+          SELECT vec_id, v, c_id FROM (
+            SELECT e.vec_id, e.v, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqlD2("e.v", "c.cv")}, c.c_id) rn
+            FROM e CROSS JOIN $prev c)
+          WHERE rn = 1),
+        $c AS (
+          SELECT c_id, list(m ORDER BY dim) cv FROM (
+            SELECT c_id, dim,
+                   round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+                         / count(*), 6) m
+            FROM (SELECT c_id, generate_subscripts(v, 1) dim, unnest(v) x
+                  FROM $a)
+            GROUP BY 1, 2)
+          GROUP BY c_id)"""
+    (s"c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmSeeds)," +:
+      (1 to KmIters).map(i => lloyd(s"c${i - 1}", s"a$i", s"c$i") + ","))
+      .mkString("\n").dropRight(1)
+  }
 }

@@ -175,6 +175,28 @@ class CandidateBoundSpec extends SparkSuite {
     }
   }
 
+  test("semdedup_trained band candidates stay under SemBand·n at all three scales") {
+    // the trained-cell prune compares each member against at most SemBand
+    // EARLIER-ranked cell-mates — the structural cap that keeps the
+    // SemDeDup composition linear where the paper's full within-cluster
+    // matrix is O(cell²). Both the aggregate bound AND the per-member
+    // bound are asserted on data: a band-window regression (say, the
+    // explode losing its upper clamp) trips here before it melts a run.
+    for (dir <- dirs) {
+      val rk = operators.Similarity.semdedupRanked(spark, dir)
+      val n = rk.count()
+      val cands = operators.Similarity.semdedupCandidates(rk)
+      val total = cands.count()
+      assert(total <= operators.Similarity.SemBand.toLong * n,
+        s"$dir: $total band candidates exceed the SemBand bound " +
+          s"${operators.Similarity.SemBand.toLong * n}")
+      val maxPer = cands.groupBy("vec_id").count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxPer <= operators.Similarity.SemBand,
+        s"$dir: a member carries $maxPer band partners > SemBand")
+    }
+  }
+
   test("heavy_hitters regime holds: exact top-10 clears the Misra-Gries retention bound") {
     // heavy_hitters is exact against its plain top-10 oracle ONLY when
     // every true top-10 token clears the n/(k+1) retention bound (k=64):

@@ -1443,6 +1443,48 @@ class OperatorSpec extends SparkSuite {
       s"degenerate verdict: $dropped/${got.size} dropped")
   }
 
+  test("semdedup_trained: keep/drop replays brute-force band cosines; ranks dense") {
+    // the trained cells + ranks are oracle-checked (unrolled Lloyd CTEs);
+    // this verifies the PRUNE DECISION against them brute-force: a member
+    // is dropped iff some ≤SemBand-earlier-ranked cell-mate clears the
+    // round-6 cosine threshold, dup_of is the EARLIEST such mate, and
+    // ranks are dense 1..cell_size
+    val vecsById = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = run("semdedup_trained").collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), r.getAs[Int]("rank"),
+        r.getAs[Boolean]("keep"),
+        if (r.isNullAt(r.fieldIndex("dup_of"))) None
+        else Some(r.getAs[Long]("dup_of")))
+    }
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val byRank = members.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to members.length),
+        s"cell $cell ranks not dense")
+      byRank.foreach { case (id, _, rank, keep, dupOf) =>
+        val band = byRank.filter(m =>
+          m._3 < rank && m._3 >= rank - operators.Similarity.SemBand)
+        val hits = band.filter(m =>
+          cos6(vecsById(m._1), vecsById(id)) >= operators.Similarity.SemTau)
+        if (keep) assert(hits.isEmpty && dupOf.isEmpty,
+          s"vec $id kept but band mates ${hits.map(_._1).toSeq} clear the threshold")
+        else assert(dupOf.contains(hits.minBy(_._3)._1),
+          s"vec $id dup_of $dupOf != earliest hit ${hits.headOption.map(_._1)}")
+      }
+    }
+    val dropped = rows.count(!_._4)
+    assert(dropped > 0 && dropped < rows.length,
+      s"degenerate verdict: $dropped/${rows.length} dropped")
+  }
+
   test("chunk_documents: full token coverage, width/stride respected, text reconstructs") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap

@@ -709,4 +709,21 @@ class PlanSpec extends SparkSuite {
         s"$q shuffles raw document text")
     }
   }
+
+  test("round-12 plans: semdedup_trained keys every pair join on the trained cell") {
+    val p = planOf("semdedup_trained")
+    // cross-cell pairs are the SemDeDup blowup: the band join must be an
+    // EQUI join carrying c_id (plus the rank), never a theta/cartesian
+    // that would post-filter a per-cell cross product
+    assert(!p.contains("CartesianProduct"),
+      "semdedup_trained plans a cartesian — the band join lost its equi key")
+    assert(p.matches(
+      "(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*c_id#.*"),
+      "semdedup_trained's band join is not keyed on the trained cell id")
+    // only id-keyed exchanges: the candidate frame carries (c_id, rank,
+    // vec_id) and vectors join back BY ID — no exchange may key on the
+    // embedding array itself
+    assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*embedding#.*"),
+      "semdedup_trained keys an exchange on the embedding array")
+  }
 }
