@@ -259,6 +259,36 @@ object Curation {
       .withColumn("flagged", col("contamination") >= ContaminationThreshold)
   }
 
+  /** Leaked eval spans per TRAIN doc — every [[Dedup.DupSpanK]]-token
+    * gram of a train doc that appears verbatim in the eval slice marks
+    * its start; marked starts merge into maximal spans
+    * ([[Dedup.mergeSpans]]). Eval grams broadcast as md5 digests. Shared
+    * by decontaminate_spans (report), strip_eval_spans (apply) and
+    * leak_mass_by_source (rollup). */
+  private def evalLeakSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalG = Dedup.gramStarts(
+        docs.filter(col("doc_id") < EvalMaxDocId), Dedup.DupSpanK)
+      .select("g").distinct()
+    val marked = Dedup.gramStarts(
+        docs.filter(col("doc_id") >= EvalMaxDocId), Dedup.DupSpanK)
+      .join(broadcast(evalG), "g")
+      .select("doc_id", "start")
+    Dedup.mergeSpans(marked, Dedup.DupSpanK)
+  }
+
+  /** Oracle chain mirroring [[evalLeakSpans]]: the shared gram scan, the
+    * eval-membership mark, the shared run-merge tail — ends in `d` and
+    * `spans`, exactly like Dedup's sqlDupSpans but with eval membership
+    * in place of corpus multiplicity. */
+  private def sqlEvalSpanCtes: String = s"""
+        ${Dedup.sqlGramScan},
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < $EvalMaxDocId),
+        m AS (SELECT doc_id, start FROM g JOIN ev USING (gram)
+              WHERE doc_id >= $EvalMaxDocId),
+        ${Dedup.sqlSpanTail}"""
+
   /** DuckDB CTE chain mirroring [[contaminationFlags]] (appended after
     * [[sqlShingles]]): ev/tg/hits plus a final `fl` relation with the
     * per-train-doc flag. */
@@ -297,6 +327,133 @@ object Curation {
         SELECT doc_id, n_grams, contaminated_grams, contamination, flagged
         FROM fl
         ORDER BY doc_id""")),
+
+    // ---- exact eval-overlap SPANS: where the benchmark leaked ------------
+    // decontaminate SCORES trigram overlap per doc; dup_spans finds
+    // duplicated runs WITHIN the corpus. This is their composition — the
+    // train-test-overlap removal shape of Lee et al. 2022 ("Deduplicating
+    // Training Data Makes Language Models Better", public): every
+    // DupSpanK-token gram of a TRAIN doc that appears VERBATIM anywhere in
+    // the eval slice marks its start, and marked starts merge into the
+    // maximal leaked spans — the exact text to excise, not just a doc
+    // score. Scale: the eval gram set is tiny next to the corpus and
+    // BROADCASTS as md5 digests (chat_decontaminate's posture); the train
+    // side is one gram scan whose hits alone reach the per-doc run-merge
+    // window (Dedup.mergeSpans — per-doc frames). No shuffle ever carries
+    // text: grams ride as digests, spans as integers.
+    GraftQuery(
+      "decontaminate_spans",
+      (s, dir) => evalLeakSpans(s, dir)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""
+        WITH $sqlEvalSpanCtes
+        SELECT doc_id, span_start, span_end, span_tokens, n_grams
+        FROM spans
+        ORDER BY doc_id, span_start""")),
+
+    // ---- apply the excision: the decontaminated corpus -------------------
+    // The materialization step (strip_dup_spans' twin on the eval-overlap
+    // marks): every train-doc token covered by a leaked span is dropped
+    // and the survivors are rejoined — the corpus that actually ships to
+    // training after benchmark decontamination. Span lists per doc are
+    // small (merged spans, not grams): one doc-keyed join plus a per-row
+    // index filter, no token-level shuffle.
+    GraftQuery(
+      "strip_eval_spans",
+      (s, dir) => {
+        val spanLists = evalLeakSpans(s, dir)
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("span_start"), col("span_end")))
+            .as("spans"))
+        Tables.documents(s, dir)
+          .filter(col("doc_id") >= EvalMaxDocId)
+          .select(col("doc_id"),
+            split(coalesce(col("text"), lit("")), " ").as("toks"))
+          .join(spanLists, Seq("doc_id"), "left")
+          .withColumn("spans", coalesce(col("spans"),
+            array().cast("array<struct<span_start:int,span_end:int>>")))
+          .withColumn("kept", expr(
+            """filter(toks, (t, i) ->
+                 NOT exists(spans, sp ->
+                   i >= sp.span_start AND i <= sp.span_end))"""))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            (size(col("toks")) - size(col("kept"))).as("n_removed"),
+            concat_ws(" ", col("kept")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $sqlEvalSpanCtes,
+        cov AS (SELECT DISTINCT doc_id,
+                       unnest(range(span_start, span_end + 1)) AS pos
+                FROM spans),
+        tk AS (SELECT doc_id,
+                      unnest(range(0, len(toks))) AS pos,
+                      unnest(toks) AS tok
+               FROM d WHERE doc_id >= $EvalMaxDocId),
+        kept AS (SELECT t.doc_id, t.pos, t.tok
+                 FROM tk t LEFT JOIN cov c
+                   ON t.doc_id = c.doc_id AND t.pos = c.pos
+                 WHERE c.pos IS NULL),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       array_to_string(list(tok ORDER BY pos), ' ') AS clean
+                FROM kept GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(len(d.toks) AS INT) AS n_tokens,
+               CAST(len(d.toks) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+               coalesce(a.clean, '') AS clean_text
+        FROM d LEFT JOIN agg a USING (doc_id)
+        WHERE d.doc_id >= $EvalMaxDocId
+        ORDER BY d.doc_id""")),
+
+    // ---- leak-mass rollup: which sources ship benchmark text -------------
+    // The monitoring face (dup_span_rate_by_source's twin): per source,
+    // how many train docs leak eval text and the leaked token mass as an
+    // exact floor-ppm of the source's token mass — the alert a
+    // decontamination pipeline pages on when a crawl source starts
+    // mirroring a benchmark site. Sits on [[evalLeakSpans]]; the extra
+    // cost is one per-doc agg and a |sources|-row rollup.
+    GraftQuery(
+      "leak_mass_by_source",
+      (s, dir) => {
+        val perDoc = evalLeakSpans(s, dir).groupBy("doc_id")
+          .agg(sum("span_tokens").as("leak_toks"))
+        Tables.documents(s, dir)
+          .filter(col("doc_id") >= EvalMaxDocId)
+          .select(col("doc_id"), col("source"),
+            size(split(coalesce(col("text"), lit("")), " "))
+              .cast(LongType).as("n_toks"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("leak_toks", coalesce(col("leak_toks"), lit(0L)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("leak_toks") > 0, 1L).otherwise(0L)).as("docs_affected"),
+            sum("n_toks").as("n_tokens"),
+            sum("leak_toks").as("leaked_tokens"))
+          .withColumn("leak_ppm", expr(
+            "CAST(CAST(leaked_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $sqlEvalSpanCtes,
+        pd AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS leak_toks
+               FROM spans GROUP BY 1),
+        dd AS (SELECT doc_id, source,
+                      CAST(len(string_split(coalesce(text, ''), ' '))
+                        AS BIGINT) AS n_toks
+               FROM documents WHERE doc_id >= $EvalMaxDocId),
+        j AS (SELECT dd.source, dd.n_toks,
+                     coalesce(pd.leak_toks, 0) AS leak_toks
+              FROM dd LEFT JOIN pd USING (doc_id))
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN leak_toks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_affected,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(leak_toks) AS BIGINT) AS leaked_tokens,
+               CAST(CAST(sum(leak_toks) AS HUGEINT) * 1000000 // sum(n_toks)
+                 AS BIGINT) AS leak_ppm
+        FROM j GROUP BY 1
+        ORDER BY source""")),
 
     // ---- end-to-end cleaning pass: the pipeline the operators exist for --
     // Quality gate (corpus_filter's thresholds) → exact-dedup survivors

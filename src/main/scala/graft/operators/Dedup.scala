@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1794,15 +1794,17 @@ object Dedup {
             FROM documents))"""
 
   /** dup_spans: token-gram width — a duplicated run must be at least this
-    * many tokens long to register (the substring-dedup match length). */
-  private val DupSpanK = 8
+    * many tokens long to register (the substring-dedup match length).
+    * Shared with the eval-decontamination span family (Curation). */
+  private[operators] val DupSpanK = 8
 
-  /** `(doc_id, span_start, span_end, span_tokens, n_grams)` — maximal
-    * per-doc runs of [[DupSpanK]]-token grams that occur in ≥2 distinct
-    * documents. Shared by dup_spans (report) and strip_dup_spans (apply). */
-  private[graft] def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    val k = DupSpanK
-    val g = Tables.documents(s, dir)
+  /** Per-doc [[DupSpanK]]-token gram start positions over a `(doc_id,
+    * text)` frame, the gram carried as its md5 digest — the 32-hex digest
+    * rides every downstream join/shuffle, never the gram text. Shared by
+    * [[dupSpans]] (within-corpus duplication) and Curation's
+    * decontaminate_spans family (eval-overlap excision). */
+  private[operators] def gramStarts(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         split(coalesce(col("text"), lit("")), " ").as("toks"))
       .select(col("doc_id"), posexplode(expr(
@@ -1811,12 +1813,56 @@ object Dedup {
                     i -> md5(to_binary(
                       concat_ws(' ', slice(toks, i + 1, $k)), 'utf-8')))
              ELSE array() END""")).as(Seq("start", "g")))
-    val dup = g.select("g", "doc_id").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("g")
+
+  /** RAW [[DupSpanK]]-token gram texts of a text column — the collected
+    * form web_pipeline ships in its task closure (an eval set is a tiny
+    * external artifact; raw text beats digests when the probe side
+    * hashes nothing). */
+  private[operators] def gramTexts(textCol: String): Column = expr(
+    s"""CASE WHEN size(split(coalesce($textCol, ''), ' ')) >= $DupSpanK
+         THEN transform(
+                sequence(0, size(split(coalesce($textCol, ''), ' ')) - $DupSpanK),
+                i -> concat_ws(' ',
+                       slice(split(coalesce($textCol, ''), ' '), i + 1, $DupSpanK)))
+         ELSE CAST(array() AS ARRAY<STRING>) END""")
+
+  /** In-row merged leaked-span token mass of `text` against an eval gram
+    * set: the Scala twin of [[mergeSpans]] for the scan-side case where
+    * the span can never cross the row (web_pipeline's per-page leak
+    * feature). A marked start within [[DupSpanK]] of the previous mark
+    * extends the span (contributing the gap), otherwise opens a new one
+    * (contributing K) — the same run-merge rule, linear in token count. */
+  private[operators] def leakTokens(text: String, evalGrams: Set[String]): Long = {
+    if (evalGrams.isEmpty) return 0L
+    val toks = text.split(" ", -1)
+    val k = DupSpanK
+    if (toks.length < k) return 0L
+    var leak = 0L
+    var prev = -1
+    var i = 0
+    while (i + k <= toks.length) {
+      val gram = toks.slice(i, i + k).mkString(" ")
+      if (evalGrams.contains(gram)) {
+        leak += (if (prev >= 0 && i <= prev + k) (i - prev).toLong else k.toLong)
+        prev = i
+      }
+      i += 1
+    }
+    leak
+  }
+
+  /** Merge marked gram starts `(doc_id, start)` into maximal spans
+    * `(doc_id, span_start, span_end, span_tokens, n_grams)`: a gram
+    * extends the current span iff it starts within k of the previous
+    * start (adjacent-or-overlapping). The run-merge window partitions
+    * per doc — per-doc frames, the bounded-window shape chunk_documents
+    * uses. WHAT marks a start is the caller's policy: ≥2-doc corpus
+    * multiplicity ([[dupSpans]]) or eval-set membership
+    * (decontaminate_spans). */
+  private[operators] def mergeSpans(marked: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("start")
-    g.join(dup, "g")
+    marked
       .withColumn("brk", when(col("start") >
         lag("start", 1).over(w) + k, 1)
         .when(lag("start", 1).over(w).isNull, 1).otherwise(0))
@@ -1830,11 +1876,23 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
   }
 
-  /** CTE chain ending in `d(doc_id, toks)` and `spans(doc_id, span_start,
-    * span_end, span_tokens, n_grams)` mirroring [[dupSpans]] — the oracle
-    * groups by the raw gram text where Spark groups by its md5 (identical
-    * partitioning short of a 2^-128 digest collision). */
-  private val sqlDupSpans = s"""
+  /** `(doc_id, span_start, span_end, span_tokens, n_grams)` — maximal
+    * per-doc runs of [[DupSpanK]]-token grams that occur in ≥2 distinct
+    * documents. Shared by dup_spans (report) and strip_dup_spans (apply). */
+  private[graft] def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val g = gramStarts(Tables.documents(s, dir), DupSpanK)
+    val dup = g.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    mergeSpans(g.join(dup, "g").select("doc_id", "start"), DupSpanK)
+  }
+
+  /** Oracle CTE chain `d(doc_id, toks)` / `gx` / `g(doc_id, start, gram)`
+    * mirroring [[gramStarts]] over the documents table — the oracle keeps
+    * the raw gram text where Spark carries its md5 (identical grouping
+    * short of a 2^-128 digest collision). Shared with Curation's
+    * decontaminate_spans family. */
+  private[operators] val sqlGramScan = s"""
         d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
               FROM documents),
         gx AS (SELECT doc_id, toks,
@@ -1845,12 +1903,12 @@ object Dedup {
                      array_to_string(
                        list_slice(toks, start + 1, start + $DupSpanK), ' ')
                        AS gram
-              FROM gx),
-        dup AS (SELECT gram
-                FROM (SELECT gram, count(DISTINCT doc_id) AS nd
-                      FROM g GROUP BY 1)
-                WHERE nd >= 2),
-        m AS (SELECT doc_id, start FROM g JOIN dup USING (gram)),
+              FROM gx)"""
+
+  /** Oracle run-merge tail mirroring [[mergeSpans]]: expects a CTE
+    * `m(doc_id, start)` of marked gram starts and ends in `spans(doc_id,
+    * span_start, span_end, span_tokens, n_grams)`. */
+  private[operators] val sqlSpanTail = s"""
         r AS (SELECT doc_id, start,
                      CASE WHEN lag(start) OVER w IS NULL
                             OR start > lag(start) OVER w + $DupSpanK
@@ -1869,4 +1927,16 @@ object Dedup {
                            AS span_tokens,
                          count(*) AS n_grams
                   FROM sp GROUP BY doc_id, span_id)"""
+
+  /** CTE chain ending in `d(doc_id, toks)` and `spans(...)` mirroring
+    * [[dupSpans]]: the gram scan, the ≥2-distinct-doc multiplicity mark,
+    * and the shared run-merge tail. */
+  private val sqlDupSpans = s"""
+        $sqlGramScan,
+        dup AS (SELECT gram
+                FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                      FROM g GROUP BY 1)
+                WHERE nd >= 2),
+        m AS (SELECT doc_id, start FROM g JOIN dup USING (gram)),
+        $sqlSpanTail"""
 }

@@ -2422,23 +2422,42 @@ object WebIngest {
       "web_pipeline",
       (s, dir) => {
         import s.implicits._
+        // Round 12, the seventh funnel count: benchmark-leak mass. The
+        // eval gram set is a bounded EXTERNAL artifact (≤ EvalMaxDocId
+        // docs) collected once into the task closure — the broadcast-
+        // eval-grams posture made explicit, so the leak feature is
+        // computed scan-side in the SAME pass as content extraction
+        // (zero extra corpus scans or shuffles; a plan-level second
+        // reference to the WARC walk would re-decode the lake). The one
+        // collect makes this funnel actionful (SparkEntry list).
+        val evalGrams: Set[String] = Tables.documents(s, dir)
+          .filter(col("doc_id") < Curation.EvalMaxDocId)
+          .select(explode(Dedup.gramTexts("text")).as("gram"))
+          .distinct().as[String].collect().toSet
         val pages = warcRoundTrip(s, dir)
           .map { case (id, uri, _, payload) =>
             val blocks = parseHtmlBlocks(new String(httpBody(payload), "UTF-8"))
             val content = blocks.filter(isContent).map(_.text).mkString("\n")
-            (id, uri, graft.functions.TextNormKernels.nfc(content))
+            val ct = graft.functions.TextNormKernels.nfc(content)
+            // leak mass is a TRAIN-doc number: the eval site's own pages
+            // trivially match their grams and would drown the signal
+            val leak = if (id >= Curation.EvalMaxDocId)
+              Dedup.leakTokens(ct, evalGrams) else 0L
+            (id, uri, ct, leak)
           }
-          .toDF("doc_id", "uri", "ct")
+          .toDF("doc_id", "uri", "ct", "leak")
         val per = pages.select(col("uri"), struct(
           col("doc_id"),
           (length(col("ct")) > 0).as("has_content"),
           TextAnalysis.qualityGate(col("ct")).as("q"),
           size(split(col("ct"), " ")).cast("long").as("ntok"),
-          md5(col("ct").cast("binary")).as("digest")).as("rec"))
+          md5(col("ct").cast("binary")).as("digest"),
+          col("leak")).as("rec"))
         val survivors = per.groupBy("uri")
           .agg(min(col("rec")).as("s"))
           .select(col("s.has_content").as("has_content"), col("s.q").as("q"),
-            col("s.ntok").as("ntok"), col("s.digest").as("digest"))
+            col("s.ntok").as("ntok"), col("s.digest").as("digest"),
+            col("s.leak").as("leak"))
         survivors.agg(
           count(lit(1)).as("n_urls"),
           coalesce(sum(when(col("has_content"), 1L).otherwise(0L)), lit(0L))
@@ -2447,11 +2466,13 @@ object WebIngest {
             .as("n_quality_docs"),
           countDistinct(when(col("q"), col("digest"))).as("n_unique_texts"),
           coalesce(sum(when(col("q"), col("ntok")).otherwise(0L)), lit(0L))
-            .as("total_tokens"))
+            .as("total_tokens"),
+          coalesce(sum(when(col("q"), col("leak")).otherwise(0L)), lit(0L))
+            .as("leaked_tokens"))
           .crossJoin(Tables.documents(s, dir)
             .agg(count(lit(1)).as("n_pages")))
           .select("n_pages", "n_urls", "n_content_docs", "n_quality_docs",
-            "n_unique_texts", "total_tokens")
+            "n_unique_texts", "total_tokens", "leaked_tokens")
       },
       Some(s"""
         $htmlCte,
@@ -2465,12 +2486,39 @@ object WebIngest {
                         THEN list_append(cps, 'Terms Privacy Copyright 2024 ' || label)
                         ELSE cps END, chr(10)), '')) AS ct
           FROM c),
+        evg AS (
+          SELECT DISTINCT array_to_string(
+                   list_slice(toks, i + 1, i + ${Dedup.DupSpanK}), ' ') AS gram
+          FROM (SELECT toks,
+                       unnest(range(0, greatest(len(toks) - ${Dedup.DupSpanK} + 1, 0)))
+                         AS i
+                FROM d WHERE doc_id < ${Curation.EvalMaxDocId})),
+        mk AS (
+          SELECT t.doc_id, CAST(t.i AS INT) AS start
+          FROM (SELECT doc_id, cts,
+                       unnest(range(0, greatest(len(cts) - ${Dedup.DupSpanK} + 1, 0)))
+                         AS i
+                FROM (SELECT doc_id, string_split(ct, ' ') AS cts FROM x
+                      WHERE doc_id >= ${Curation.EvalMaxDocId})) t
+          JOIN evg ON array_to_string(
+                 list_slice(t.cts, t.i + 1, t.i + ${Dedup.DupSpanK}), ' ') = evg.gram),
+        lk AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN prev IS NULL OR start > prev + ${Dedup.DupSpanK}
+                               THEN ${Dedup.DupSpanK} ELSE start - prev END) AS BIGINT)
+                   AS leak
+          FROM (SELECT doc_id, start,
+                       lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+                FROM mk)
+          GROUP BY doc_id),
         sv AS (SELECT uri, min(doc_id) AS kid FROM x GROUP BY uri),
-        k AS (SELECT x.ct FROM x JOIN sv ON x.uri = sv.uri AND x.doc_id = sv.kid),
+        k AS (SELECT x.doc_id, x.ct
+              FROM x JOIN sv ON x.uri = sv.uri AND x.doc_id = sv.kid),
         g AS (
-          SELECT ct, ${TextAnalysis.qualityGateSql("ct")} AS q,
-                 len(string_split(ct, ' ')) AS ntok
-          FROM k)
+          SELECT k.ct, ${TextAnalysis.qualityGateSql("k.ct")} AS q,
+                 len(string_split(k.ct, ' ')) AS ntok,
+                 coalesce(lk.leak, 0) AS leak
+          FROM k LEFT JOIN lk USING (doc_id))
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_pages,
                CAST(count(*) AS BIGINT) AS n_urls,
                CAST(coalesce(sum(CASE WHEN length(ct) > 0 THEN 1 ELSE 0 END), 0)
@@ -2480,7 +2528,9 @@ object WebIngest {
                CAST(count(DISTINCT CASE WHEN q THEN md5(ct) END)
                     AS BIGINT) AS n_unique_texts,
                CAST(coalesce(sum(CASE WHEN q THEN ntok ELSE 0 END), 0)
-                    AS BIGINT) AS total_tokens
+                    AS BIGINT) AS total_tokens,
+               CAST(coalesce(sum(CASE WHEN q THEN leak ELSE 0 END), 0)
+                    AS BIGINT) AS leaked_tokens
         FROM g"""))
   )
 

@@ -636,4 +636,59 @@ class WebIngestSpec extends SparkSuite {
       WebIngest.parseRobotsSitemaps("Sitemap:\nUser-agent: *\n"))
     assert(e5.getMessage.contains("reject"))
   }
+
+  // ------------------------------------------- planted eval-leak fixture
+
+  test("decontaminate_spans family + web_pipeline leak count on a planted corpus") {
+    // a corpus where exactly ONE train doc leaks exactly ONE eval span:
+    // doc 27's tokens 0..15 reproduce eval doc 5's tokens 10..25 verbatim
+    // (9 marked gram starts -> one merged 16-token span). Every other
+    // token in the corpus is globally unique, so any extra span anywhere
+    // is a regression. Pins the whole family end to end with
+    // hand-computable numbers: the span report, the excised corpus, the
+    // per-source rollup, and web_pipeline's seventh count.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = "/tmp/graft_leak_fixture"
+    val docs = (0L until 30L).map { id =>
+      val base = (0 until 40).map(j => f"d${id}%02dt$j%02d")
+      val toks =
+        if (id == 27L) (0 until 16).map(j => f"d05t${10 + j}%02d") ++
+          base.drop(16)
+        else base
+      (id, toks.mkString(" "), "en", f"src${id % 3}%d", toks.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+    val spans = run("decontaminate_spans").collect()
+    assert(spans.length == 1, s"expected exactly one leaked span, got ${spans.length}")
+    val sp = spans.head
+    assert(sp.getAs[Long]("doc_id") == 27L && sp.getAs[Int]("span_start") == 0 &&
+      sp.getAs[Int]("span_end") == 15 && sp.getAs[Int]("span_tokens") == 16 &&
+      sp.getAs[Long]("n_grams") == 9,
+      s"span mismatch: $sp")
+
+    val stripped = run("strip_eval_spans").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(stripped(27L)._1 == 16, "doc 27 must lose exactly the leaked span")
+    assert(stripped(27L)._2 == (16 until 40).map(j => f"d27t$j%02d").mkString(" "),
+      "doc 27's clean text must be its own tail tokens")
+    assert(stripped.filter(_._1 != 27L).values.forall(_._1 == 0),
+      "no other train doc may lose tokens")
+
+    val mass = run("leak_mass_by_source").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("docs_affected"), r.getAs[Long]("leaked_tokens"))).toMap
+    assert(mass("src0") == ((1L, 16L)), s"src0 (doc 27) rollup wrong: $mass")
+    assert(mass.filter(_._1 != "src0").values.forall(_ == ((0L, 0L))))
+
+    // the funnel's seventh count: doc 27's page survives URL dedup (all 30
+    // uris distinct), its ct's paragraph 0 carries the leaked run intact,
+    // and the eval site's own pages contribute ZERO (train-only count)
+    val wp = run("web_pipeline").head()
+    assert(wp.getAs[Long]("leaked_tokens") == 16L,
+      s"web_pipeline leaked_tokens = ${wp.getAs[Long]("leaked_tokens")} != 16")
+  }
 }
