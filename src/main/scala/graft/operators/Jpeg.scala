@@ -750,6 +750,98 @@ object Jpeg {
     if (s >= 0) (s + 4) / 8 else -((-s + 4) / 8)
   }
 
+  /** Flat-block grid for `n` source bytes: a square-ish block raster
+    * (bw = ⌈√n⌉ columns, bh = ⌈n/bw⌉ rows, min 1×1) so both pixel
+    * dimensions stay far under the SOF u16 ceiling at any payload size
+    * (a single 8-wide column overflows 65535 px past 8191 bytes — the
+    * hostile-corpus 50 kB docs). Trailing pad blocks are flat zero.
+    * Mirrored literally by the jpeg_phash oracle. */
+  def flatGrid(n: Int): (Int, Int) = {
+    val nv = math.max(1, n)
+    val bw = math.ceil(math.sqrt(nv.toDouble)).toInt
+    val bh = (nv + bw - 1) / bw
+    (bw, bh)
+  }
+
+  /** Encode `bytes` as a baseline grayscale JPEG of FLAT 8×8 blocks:
+    * byte k becomes the flat block at raster position (k / bw, k % bw)
+    * of the [[flatGrid]], pad blocks are flat zero. The geometry that
+    * makes the lossy codec EXACTLY lossless: a flat block's FDCT has
+    * only its DC term (every AC is (v−128)·Σcos = 0 by cosine
+    * orthogonality), DC = 8v−1024 survives all-ones quantization
+    * exactly, and the DC-only IDCT reproduces the flat block
+    * bit-for-bit (pinned across all 256 values in OperatorSpec) — so
+    * the decoded raster, hence its per-block mean luma, is an integer
+    * function of the source bytes that a SQL oracle can replay while
+    * the FULL entropy+decode engine still runs on every block. This is
+    * jpeg_phash's container: the classic pHash recipe hashes the
+    * 8×-downsampled luma, which for this image IS the byte stream
+    * (zero-padded to the grid). The writer emits each block as DC diff
+    * + EOB directly — the coefficients are exact by construction, so
+    * running the double FDCT on 64× expanded pixels would only add
+    * rounding risk and O(64²) work per byte. */
+  def encodeJpegFlat(bytes: Array[Byte]): Array[Byte] = {
+    val (bw, bh) = flatGrid(bytes.length)
+    val w = bw * 8
+    val h = bh * 8
+    val dcH = new Huff(DcBits, DcVals)
+    val acH = new Huff(AcBits, AcSymbols)
+
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 2 + 512)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    // identical header layout to encodeJpegGray, square-ish geometry
+    marker(0xd8)
+    marker(0xdb); w16(2 + 1 + 64); w8(0x00)
+    for (_ <- 0 until 64) w8(1)
+    marker(0xc0); w16(2 + 6 + 3); w8(8); w16(h); w16(w); w8(1)
+    w8(1); w8(0x11); w8(0)
+    marker(0xc4); w16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcSymbols.length))
+    w8(0x00); DcBits.foreach(w8); DcVals.foreach(b => w8(b & 0xff))
+    w8(0x10); AcBits.foreach(w8); AcSymbols.foreach(b => w8(b & 0xff))
+    marker(0xda); w16(2 + 1 + 2 + 3); w8(1); w8(1); w8(0x00)
+    w8(0); w8(63); w8(0)
+
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val b = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+        w8(b)
+        if (b == 0xff) w8(0x00)
+        bitCnt -= 8
+      }
+    }
+    def putSym(huff: Huff, sym: Int): Unit = {
+      val packed = huff.enc(sym)
+      require(packed != 0, s"symbol $sym has no code")
+      putBits(packed & 0xffffff, packed >> 24)
+    }
+    var dcPred = 0
+    var k = 0
+    val nBlocks = bw * bh
+    while (k < nBlocks) {
+      val v = if (k < bytes.length) bytes(k) & 0xff else 0
+      val dc = 8 * v - 1024 // exact flat-block F(0,0) under all-ones quant
+      val diff = dc - dcPred
+      dcPred = dc
+      val t = category(diff)
+      putSym(dcH, t)
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      putSym(acH, 0x00) // EOB: every AC of a flat block is exactly 0
+      k += 1
+    }
+    if (bitCnt > 0) {
+      val rem = 8 - bitCnt
+      putBits((1 << rem) - 1, rem)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Encode `bytes` as a baseline grayscale JPEG: pixels = the bytes
     * row-major at width 8, zero-padded to whole 8×8 blocks (min 1),
     * all-ones quantization (lossless on quantized coefficients), flat

@@ -819,6 +819,74 @@ object Multimodal {
     Dedup.hammingCandidates(fp)
   }
 
+  /** Block-mean luma of a decoded grayscale JPEG: one integer per 8×8
+    * block (row-major over blocks), computed from the REAL decoded raster
+    * — the 8×-downsampled image, which is exactly the input the classic
+    * pHash recipe hashes. Integer division is exact on [[Jpeg
+    * .encodeJpegFlat]] containers (all 64 pixels of a block decode to the
+    * same value — losslessness pinned in OperatorSpec). */
+  def jpegBlockLuma(img: Jpeg.JpegImage): Array[Int] = {
+    require(img.planes.length == 1,
+      s"jpegBlockLuma expects grayscale, got ${img.planes.length} planes")
+    val w = img.width
+    val h = img.height
+    val plane = img.planes(0)
+    val bw = w / 8
+    val bh = h / 8
+    val out = new Array[Int](bw * bh)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          val rowOff = (by * 8 + y) * w + bx * 8
+          while (x < 8) { s += plane(rowOff + x); x += 1 }
+          y += 1
+        }
+        out(by * bw + bx) = (s / 64L).toInt
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** Magic-byte-routed luma extraction — the dispatch a mixed-media lake
+    * runs ahead of the shared perceptual-hash join: BMP payloads walk the
+    * strict per-pixel BT.601 decode ([[bmpLuma]]), JPEG payloads the full
+    * baseline engine down to block-mean luma ([[jpegBlockLuma]]). Routed
+    * by what the payload IS ([[sniffMediaType]]), never by metadata; a
+    * payload whose magic matches neither image codec fails loudly (the
+    * quarantine decision belongs to the caller, as in anyMediaFeatures). */
+  def mediaLuma(payload: Array[Byte]): Array[Int] = sniffMediaType(payload) match {
+    case "bmp"  => bmpLuma(payload)
+    case "jpeg" => jpegBlockLuma(Jpeg.decodeJpeg(payload))
+    case other  => throw new IllegalArgumentException(
+      s"mediaLuma: no luma path for container '$other'")
+  }
+
+  /** Per-partition encode→sniff→decode→hash through the JPEG engine: the
+    * flat-block container keeps the raster (hence the block means) an
+    * exact integer function of the source bytes, and the decode is routed
+    * through [[mediaLuma]]'s magic-byte dispatch — the path a real mixed
+    * lake's JPEG payloads take. */
+  def jpegPhashRows(rows: Iterator[MediaRecord]): Iterator[(Long, Long)] =
+    rows.map { r =>
+      (r.doc_id, dhash64(mediaLuma(Jpeg.encodeJpegFlat(r.payload))))
+    }
+
+  /** The JPEG face of [[Dedup.hammingCandidates]] (CandidateBoundSpec). */
+  private[graft] def jpegPhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = asMedia(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions(jpegPhashRows).toDF("doc_id", "fp")
+    Dedup.hammingCandidates(fp)
+  }
+
   /** 64-bit audio energy-difference fingerprint (the Haitsma–Kalker
     * idea at cell granularity): the decoded s16 signal's per-sample
     * energies s² are split into 65 near-equal cells and bit k compares
@@ -1043,6 +1111,32 @@ object Multimodal {
                   + 587 * coalesce(bytes[3*k + 2], 0)
                   + 114 * coalesce(bytes[3*k + 1], 0)) // 1000) AS vals
           FROM b)""")
+
+  /** DuckDB oracle for jpeg_phash: by flat-block losslessness the decoded
+    * block-mean luma IS the source byte sequence zero-padded to the
+    * square-ish [[Jpeg.flatGrid]] (bw = ⌈√n⌉ block columns, bh = ⌈n/bw⌉
+    * rows, min 1×1), so the oracle hashes the hex-recovered padded bytes
+    * through the shared cell-hash tail. */
+  private def jpegPhashOracleSql: String = cellHashPairsSql("""hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        bg AS (
+          SELECT doc_id, n, bytes,
+                 CAST(ceil(sqrt(greatest(1, n))) AS BIGINT) AS bw
+          FROM b),
+        l AS (
+          SELECT doc_id,
+            bw * ((greatest(1, n) + bw - 1) // bw) AS nv,
+            list_transform(range(0, bw * ((greatest(1, n) + bw - 1) // bw)),
+              k -> CAST(coalesce(bytes[k + 1], 0) AS BIGINT)) AS vals
+          FROM bg)""")
 
   /** DuckDB oracle for audio_neardup: rebuilds each s16 little-endian
     * sample from the hex-recovered byte pairs (odd tail zero-padded, the
@@ -1543,6 +1637,30 @@ object Multimodal {
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b"),
       Some(phashOracleSql)),
+
+    // ---- JPEG perceptual-hash near-dup (oracle-checked) -------------------
+    // Round-12 verdict item 3: real image corpora are JPEG, and the repo's
+    // full baseline engine was only consumed by jpeg_decode. Every
+    // document's bytes become a real flat-block JPEG (Jpeg.encodeJpegFlat
+    // — the geometry under which the lossy codec is EXACTLY lossless, see
+    // its header), the payload routes through the magic-byte dispatch
+    // (mediaLuma), the full engine decodes it (marker walk → Huffman →
+    // differential DC → dequant → IDCT), and the 8×-downsampled raster —
+    // the block-mean luma, pHash's classic input — feeds the SAME dhash64
+    // → capped banded-Hamming join phash_neardup uses. The oracle replays
+    // the luma (= the source bytes, by flat-block losslessness), the
+    // 65-cell hash, the banding, the cap and the confirmation from hex
+    // bytes — a drifted Huffman table, DC predictor, or IDCT rounding
+    // hash-mismatches THROUGH the fingerprint.
+    GraftQuery(
+      "jpeg_phash",
+      (s, dir) => jpegPhashCandidates(s, dir)
+        .withColumn("hamming",
+          bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast(IntegerType))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b"),
+      Some(jpegPhashOracleSql)),
 
     // ---- audio energy-fingerprint near-dup dedup (oracle-checked) --------
     // Completes the near-dup triad (text: simhash_pairs, image:

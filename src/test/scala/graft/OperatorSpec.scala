@@ -1443,6 +1443,63 @@ class OperatorSpec extends SparkSuite {
       s"degenerate verdict: $dropped/${got.size} dropped")
   }
 
+  test("jpeg_phash: flat-block JPEG round-trip is exactly lossless for all 256 values") {
+    // the oracle's whole claim: a flat block survives encode→decode
+    // bit-for-bit, so the decoded block-mean luma IS the source byte
+    import graft.operators.{Jpeg, Multimodal}
+    val bad = (0 until 256).flatMap { v =>
+      val img = Jpeg.decodeJpeg(Jpeg.encodeJpegFlat(Array(v.toByte)))
+      val luma = Multimodal.jpegBlockLuma(img)
+      val distinct = img.planes(0).distinct.toList
+      if (luma.sameElements(Array(v)) && distinct == List(v)) None
+      else Some((v, luma.toList, distinct.take(4)))
+    }
+    assert(bad.isEmpty, s"non-lossless flat blocks: ${bad.take(8)}")
+    // multi-byte payloads: the chain is the byte stream zero-padded to
+    // the square-ish grid (5 bytes -> 3x2 blocks -> one pad zero)
+    val payload = Array[Byte](0, 127, -1, -128, 64)
+    val luma = Multimodal.jpegBlockLuma(
+      Jpeg.decodeJpeg(Jpeg.encodeJpegFlat(payload)))
+    assert(luma.toList == payload.map(_ & 0xff).toList :+ 0)
+    // empty payload: one zero block (the oracle's greatest(1, n) rule)
+    assert(Multimodal.jpegBlockLuma(
+      Jpeg.decodeJpeg(Jpeg.encodeJpegFlat(Array.empty))).toList == List(0))
+    // the SOF u16 ceiling: a 50k-byte payload (the hostile corpus) must
+    // round-trip — the single-column geometry this replaced overflowed
+    // height past 8191 bytes and silently truncated the chain
+    val big = Array.tabulate(50013)(i => (i * 31 % 256).toByte)
+    val bigLuma = Multimodal.jpegBlockLuma(
+      Jpeg.decodeJpeg(Jpeg.encodeJpegFlat(big)))
+    val (bw, bh) = Jpeg.flatGrid(big.length)
+    assert(bigLuma.length == bw * bh)
+    assert(bigLuma.take(big.length).toList == big.map(_ & 0xff).toList)
+    assert(bigLuma.drop(big.length).forall(_ == 0))
+  }
+
+  test("jpeg_phash: magic-byte routing dispatches BMP and JPEG, rejects corrupt bodies") {
+    import graft.operators.{Jpeg, Multimodal}
+    val payload = "mixed media routing fixture".getBytes("UTF-8")
+    // BMP magic routes to the per-pixel BT.601 walk
+    val bmp = Multimodal.encodeBmp(payload, topDown = false)
+    assert(Multimodal.mediaLuma(bmp).sameElements(Multimodal.bmpLuma(bmp)))
+    // JPEG magic routes through the full baseline engine to block means
+    val jp = Jpeg.encodeJpegFlat(payload)
+    assert(Multimodal.sniffMediaType(jp) == "jpeg")
+    assert(Multimodal.mediaLuma(jp).take(payload.length)
+      .sameElements(payload.map(_ & 0xff)))
+    // a payload whose magic MATCHES jpeg but whose body is corrupt must
+    // fail loudly, not produce a fingerprint (truncated mid-entropy, and
+    // a clobbered Huffman table length)
+    intercept[Exception](Multimodal.mediaLuma(jp.take(jp.length / 2)))
+    val mangled = jp.clone
+    mangled(6) = 0x7f.toByte // inside the DQT segment: breaks the walk
+    intercept[Exception](Multimodal.mediaLuma(mangled))
+    // neither image magic: no silent downgrade
+    val e = intercept[IllegalArgumentException](
+      Multimodal.mediaLuma("plain text".getBytes("UTF-8")))
+    assert(e.getMessage.contains("no luma path"))
+  }
+
   test("semdedup_trained: keep/drop replays brute-force band cosines; ranks dense") {
     // the trained cells + ranks are oracle-checked (unrolled Lloyd CTEs);
     // this verifies the PRUNE DECISION against them brute-force: a member

@@ -725,5 +725,11 @@ class PlanSpec extends SparkSuite {
     // embedding array itself
     assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*embedding#.*"),
       "semdedup_trained keys an exchange on the embedding array")
+    // jpeg_phash: the fingerprint is computed INSIDE the scan-side decode
+    // task (phash_neardup's contract) — no pixel payload or text may key
+    // an exchange; only the 8-byte code rides the banded join
+    val jp = planOf("jpeg_phash")
+    assert(!jp.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|payload)#.*"),
+      "jpeg_phash shuffles payload bytes")
   }
 }
