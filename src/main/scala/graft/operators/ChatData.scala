@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SFT / chat training-data validation: the stage a post-training pipeline
@@ -821,31 +822,14 @@ object ChatData {
     // scan cost for numbers the parser queries already guarantee.
     GraftQuery(
       "chat_pack",
-      (s, dir) => {
-        val base = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), Curation.langKey.as("lkey"),
-            split(coalesce(col("text"), lit("")), " ").as("toks"))
-          .withColumn("n", size(col("toks")).cast("long"))
-          .withColumn("c", expr("(n + 29) DIV 30"))
-          .withColumn("lastlen", expr("n - 30 * (c - 1)"))
-          .filter(col("doc_id") % 7 =!= 0 &&
-            !(col("lastlen") === 1 &&
-              expr("element_at(toks, CAST(n AS INT))") === lit("")))
-          .withColumn("a_tokens", expr(
-            "CASE WHEN (c - 1) % 2 = 1 THEN 30 * (c DIV 2 - 1) + lastlen" +
-              " ELSE 30 * (c DIV 2) END"))
-          .select(col("doc_id"), col("lang"), col("lkey"),
-            col("n").as("n_tokens"), col("a_tokens"))
-        Curation.cumsumByLang(base)
-          .withColumn("shard_id", expr(s"(cum - n_tokens) DIV $ChatShardBudget"))
+      (s, dir) => packedChats(s, dir)
           .groupBy("lang", "shard_id")
           .agg(count(lit(1)).as("n_chats"),
             sum("n_tokens").as("total_tokens"),
             sum("a_tokens").as("assistant_tokens"))
           .withColumn("mask_share",
             round(col("assistant_tokens").cast("double") / col("total_tokens"), 4))
-          .orderBy("lang", "shard_id")
-      },
+          .orderBy("lang", "shard_id"),
       Some(s"""
         WITH d AS (
           SELECT doc_id, lang,
@@ -876,11 +860,132 @@ object ChatData {
                round(CAST(sum(a_tokens) AS DOUBLE) / sum(n), 4) AS mask_share
         FROM w GROUP BY lang, (cum - n) // $ChatShardBudget
         ORDER BY lang NULLS FIRST, shard_id"""))
+,
+
+    // ---- export manifest: the pipeline's last mile ------------------------
+    // chat_pack computes shard assignments; Sinks.packedShards writes them
+    // one file per shard. This is the manifest a CONSUMER trusts instead
+    // of re-scanning the lake: one row per shard carrying the counts
+    // (chats, tokens, assistant tokens, mask share), the source mix
+    // (`src:count` pairs in source order — the provenance audit), and an
+    // order-sensitive md5 over the shard's chat ids (the content receipt:
+    // a dropped, duplicated, or re-sharded chat changes it). Every number
+    // is an exact integer/string function of the packed frame, so the
+    // whole manifest is hash-checked by the oracle, and LayoutSpec pins
+    // that the WRITTEN layout matches it file for file, token for token.
+    //
+    // Scale: two shard-keyed partial aggs + one shard-keyed join; the only
+    // per-group state is the shard's own id list, bounded by construction
+    // (a shard holds ≤ ChatShardBudget tokens ⇒ ≤ budget chats). NULL and
+    // ''-lang shards stay distinct via the lkey group key (never joined on
+    // a nullable column — Spark and DuckDB both drop NULL join keys).
+    GraftQuery(
+      "export_manifest",
+      (s, dir) => {
+        val pc = packedChats(s, dir)
+        val scalars = pc.groupBy("lkey", "shard_id")
+          .agg(max("lang").as("lang"),
+            count(lit(1)).as("n_chats"),
+            sum("n_tokens").as("total_tokens"),
+            sum("a_tokens").as("assistant_tokens"),
+            md5(to_binary(concat_ws(",", expr(
+              "transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))")),
+              lit("utf-8"))).as("digest"))
+        val mix = pc
+          .groupBy(col("lkey"), col("shard_id"),
+            coalesce(col("source"), lit("")).as("src"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("lkey", "shard_id")
+          .agg(concat_ws(",", expr(
+            """transform(array_sort(collect_list(struct(src, cnt))),
+                 p -> concat(p.src, ':', CAST(p.cnt AS STRING)))"""))
+            .as("source_mix"))
+        scalars.join(mix, Seq("lkey", "shard_id"))
+          .withColumn("mask_share", round(
+            col("assistant_tokens").cast("double") / col("total_tokens"), 4))
+          .orderBy(col("lkey"), col("shard_id"))
+          .select("lang", "shard_id", "n_chats", "total_tokens",
+            "assistant_tokens", "mask_share", "source_mix", "digest")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, coalesce(source, '') AS src,
+                 len(string_split(coalesce(text, ''), ' ')) AS n,
+                 (len(string_split(coalesce(text, ''), ' ')) + 29) // 30 AS c,
+                 list_extract(string_split(coalesce(text, ''), ' '),
+                   len(string_split(coalesce(text, ''), ' '))) AS lasttok
+          FROM documents),
+        e AS (
+          SELECT doc_id, lang, src, n, c,
+                 CASE WHEN (c - 1) % 2 = 1
+                      THEN 30 * (c // 2 - 1) + n - 30 * (c - 1)
+                      ELSE 30 * (c // 2) END AS a_tokens
+          FROM d
+          WHERE doc_id % 7 != 0
+            AND NOT (n - 30 * (c - 1) = 1 AND lasttok = '')),
+        w AS (
+          SELECT doc_id, lang, src, n, a_tokens,
+                 CASE WHEN lang IS NULL THEN chr(1) ELSE 'L' || lang END AS lk,
+                 CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+          FROM e),
+        p AS (SELECT *, (cum - n) // $ChatShardBudget AS shard_id FROM w),
+        sc AS (
+          SELECT lk, shard_id, max(lang) AS lang,
+                 CAST(count(*) AS BIGINT) AS n_chats,
+                 CAST(sum(n) AS BIGINT) AS total_tokens,
+                 CAST(sum(a_tokens) AS BIGINT) AS assistant_tokens,
+                 round(CAST(sum(a_tokens) AS DOUBLE) / sum(n), 4) AS mask_share,
+                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                   AS digest
+          FROM p GROUP BY 1, 2),
+        mx AS (
+          SELECT lk, shard_id,
+                 string_agg(src || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY src)
+                   AS source_mix
+          FROM (SELECT lk, shard_id, src, count(*) AS cnt
+                FROM p GROUP BY 1, 2, 3)
+          GROUP BY 1, 2)
+        SELECT sc.lang, sc.shard_id, sc.n_chats, sc.total_tokens,
+               sc.assistant_tokens, sc.mask_share, mx.source_mix, sc.digest
+        FROM sc JOIN mx USING (lk, shard_id)
+        ORDER BY lk, shard_id"""))
   )
 
   /** Tokens per packed training shard (the pack_sequences budget scaled
     * to typical SFT sequence lengths). */
   val ChatShardBudget = 2048
+
+  /** The packed per-chat frame chat_pack aggregates and export_manifest /
+    * the shard writer consume: every lint-clean chat with its token
+    * numbers and its [[ChatShardBudget]]-packed shard assignment —
+    * `(doc_id, lang, lkey, source, n_tokens, a_tokens, cum, shard_id)`.
+    * The per-chat token/eligibility numbers ride the scan as COLUMN
+    * formulas (chat_stats/chat_lint pin the strict parser to exactly
+    * these formulas per row on every corpus); the cumsum rides
+    * Curation.cumsumByLang's bucketed two-phase build. One definition so
+    * the report, the manifest, and the written shards can never disagree
+    * about what landed where. */
+  private[graft] def packedChats(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), Curation.langKey.as("lkey"),
+        col("source"),
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("c", expr("(n + 29) DIV 30"))
+      .withColumn("lastlen", expr("n - 30 * (c - 1)"))
+      .filter(col("doc_id") % 7 =!= 0 &&
+        !(col("lastlen") === 1 &&
+          expr("element_at(toks, CAST(n AS INT))") === lit("")))
+      .withColumn("a_tokens", expr(
+        "CASE WHEN (c - 1) % 2 = 1 THEN 30 * (c DIV 2 - 1) + lastlen" +
+          " ELSE 30 * (c DIV 2) END"))
+      .select(col("doc_id"), col("lang"), col("lkey"), col("source"),
+        col("n").as("n_tokens"), col("a_tokens"))
+    Curation.cumsumByLang(base)
+      .withColumn("shard_id", expr(s"(cum - n_tokens) DIV $ChatShardBudget"))
+  }
 
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)

@@ -114,6 +114,27 @@ object Sinks {
     compacted.write.mode("overwrite").parquet(path)
   }
 
+  /** One parquet file per packed shard — the layout export_manifest
+    * describes and a training loader consumes (one shard = one sequential
+    * read). `repartition(shardCols)` puts every shard's rows in exactly
+    * one task, and the partitioned write then emits exactly one file per
+    * shard directory (a task writes one file per partition value it
+    * holds); rows sort within the shard file by `sortCol` so the loader's
+    * order is the manifest digest's order. Scale: the exchange is keyed
+    * on the shard id, per-task state is bounded by the shard budget, and
+    * file count = shard count by construction — the small-files storm and
+    * the monster-file ceiling are both structurally impossible.
+    * LayoutSpec pins file-per-shard and manifest↔layout accounting. */
+  def packedShards(df: DataFrame, path: String, shardCols: Seq[String],
+      sortCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(shardCols.map(col): _*)
+      .sortWithinPartitions((shardCols :+ sortCol).map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(shardCols: _*)
+      .parquet(path)
+  }
+
   /** Size-bounded parquet write: the small-files guard. At 100 TB an
     * uncontrolled write emits one file per shuffle partition — either
     * thousands of KB-scale files (metadata storms for every downstream

@@ -83,4 +83,53 @@ class LayoutSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("nation_key"),
       "literal partition predicate no longer reaches PartitionFilters")
   }
+
+  test("packedShards: one file per shard, and the manifest accounts for every token") {
+    // the export gate (round-12 verdict item 4): write chat_pack's packed
+    // chats one file per shard, then prove a reader holding ONLY the
+    // manifest can fully account for the layout — file count, per-shard
+    // chat/token/assistant sums, and the order-sensitive id digest
+    val dir = "/tmp/graft_packed_shards"
+    val pc = operators.ChatData.packedChats(spark, sf)
+      .select("doc_id", "lang", "source", "n_tokens", "a_tokens", "shard_id")
+    operators.Sinks.packedShards(pc, dir, Seq("lang", "shard_id"), "doc_id")
+    val shardDirs = for {
+      l <- new java.io.File(dir).listFiles.toSeq if l.isDirectory
+      sd <- l.listFiles.toSeq if sd.isDirectory
+    } yield sd
+    assert(shardDirs.nonEmpty, "no shard directories written")
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$sd holds ${files.length} data files, want 1")
+    }
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val manifest = SparkEntry.queries("export_manifest")(spark, sf).collect()
+    val back = spark.read.parquet(dir)
+      .select(col("lang"), col("shard_id").cast("long").as("shard_id"),
+        col("doc_id"), col("n_tokens"), col("a_tokens")).collect()
+      .groupBy(r => (Option(r.getAs[String]("lang")), r.getAs[Long]("shard_id")))
+    assert(manifest.length == back.size,
+      s"manifest rows ${manifest.length} != written shards ${back.size}")
+    var tokensAccounted = 0L
+    manifest.foreach { m =>
+      val key = (Option(m.getAs[String]("lang")), m.getAs[Long]("shard_id"))
+      val rows = back(key)
+      assert(rows.length.toLong == m.getAs[Long]("n_chats"), s"$key chat count")
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum ==
+        m.getAs[Long]("total_tokens"), s"$key token mass")
+      assert(rows.map(_.getAs[Long]("a_tokens")).sum ==
+        m.getAs[Long]("assistant_tokens"), s"$key assistant mass")
+      assert(md5hex(rows.map(_.getAs[Long]("doc_id")).sorted.mkString(",")) ==
+        m.getAs[String]("digest"), s"$key id digest")
+      tokensAccounted += m.getAs[Long]("total_tokens")
+    }
+    // nothing escaped the manifest: the packed frame's full token mass
+    val packedTotal = pc.agg(sum("n_tokens")).head.getLong(0)
+    assert(tokensAccounted == packedTotal,
+      s"manifest accounts $tokensAccounted of $packedTotal packed tokens")
+  }
 }
