@@ -2011,7 +2011,7 @@ object TextAnalysis {
     files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
   }
 
-  private[operators] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
     bpeCache.computeIfAbsent((s, dir, docsFingerprint(dir)),
       _ => bpeTrainUncached(s, dir))
@@ -2351,7 +2351,7 @@ object TextAnalysis {
     * All three are mirrored literally into the DuckDB oracle, so the
     * candidate cutoff, the adoption cap, and the round count can never
     * drift between engines. */
-  private[operators] val BpeRounds = 6
+  private[graft] val BpeRounds = 6
 
   /** chunk_lang_mix: tokens per language-vote segment. */
   private val LangSegTokens = 32
@@ -2591,7 +2591,7 @@ object TextAnalysis {
     s"""CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
         ELSE CAST(CAST($num AS HUGEINT) * 1000000 // n_chars AS BIGINT) END"""
   private val BpeCandidates = 64
-  private val BpeBatch = 16
+  private[graft] val BpeBatch = 16
 
   /** dsir_weights hashed-bigram feature-space width: the log-ratio table
     * is exactly this many rows however large the corpus, which is what

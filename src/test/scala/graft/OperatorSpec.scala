@@ -1443,6 +1443,40 @@ class OperatorSpec extends SparkSuite {
       s"degenerate verdict: $dropped/${got.size} dropped")
   }
 
+  test("driver-held model state honors its declared caps on the hostile corpus") {
+    // round-12 verdict item 7: the bounded-driver-state claims were
+    // structural (limit()/bucket arithmetic in the code); this asserts
+    // them ON DATA, WARC-bucket style, preferring the hostile corpus
+    // (unicode storms, 50 kB docs, NULL text) when the sweep has built it
+    import graft.operators.{TextAnalysis, UnigramLm}
+    val dir =
+      if (new java.io.File("/tmp/adv_corpus/documents.parquet").exists)
+        "/tmp/adv_corpus" else sf
+    // quality_classifier: features are bucketed, so the weight map — the
+    // engine's largest driver-resident object — can never exceed QcBuckets
+    val w = TextAnalysis.trainQualityPerceptron(spark, dir)
+    assert(w.size <= TextAnalysis.QcBuckets,
+      s"perceptron holds ${w.size} weights > QcBuckets=${TextAnalysis.QcBuckets}")
+    assert(w.keys.forall(f => f >= 0 && f < TextAnalysis.QcBuckets),
+      "a feature escaped the bucket range")
+    // BPE: the adopted merge list is bounded by rounds × batch (each
+    // round collects at most BpeCandidates rows and adopts ≤ BpeBatch)
+    val (merges, _) = TextAnalysis.bpeTrain(spark, dir)
+    assert(merges.size <= TextAnalysis.BpeRounds * TextAnalysis.BpeBatch,
+      s"BPE adopted ${merges.size} merges > rounds×batch")
+    // Unigram: final vocab = corpus alphabet + at most SeedMulti
+    // multi-codepoint pieces (the seed cap dominates VocabMulti)
+    val (_, scores) = UnigramLm.train(spark, dir)
+    val multi = scores.keys.count(p => UnigramLm.cps(p).length > 1)
+    assert(multi <= UnigramLm.SeedMulti,
+      s"unigram holds $multi multi-codepoint pieces > SeedMulti")
+    val alphabet = Tables.documents(spark, dir)
+      .select(explode(split(coalesce(col("text"), lit("")), "")).as("ch"))
+      .filter(length(col("ch")) > 0).distinct().count()
+    assert(scores.size <= alphabet + UnigramLm.SeedMulti,
+      s"unigram vocab ${scores.size} exceeds alphabet($alphabet)+SeedMulti")
+  }
+
   test("jpeg_phash: flat-block JPEG round-trip is exactly lossless for all 256 values") {
     // the oracle's whole claim: a flat block survives encode→decode
     // bit-for-bit, so the decoded block-mean luma IS the source byte

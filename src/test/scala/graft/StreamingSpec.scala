@@ -1342,6 +1342,68 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("throughput pin: chatIngest sustains >= 5k chats/s") {
+    // round-12 verdict item 6: the chat streaming face had correctness
+    // tests but no pinned rate. Same discipline as the crawlIngest pin:
+    // one warm-up batch absorbs codegen init, then one backlogged
+    // micro-batch of 20k chats through the full strict-JSON parse +
+    // validate chain. The floor leaves >2x headroom under the measured
+    // quiet rate so host contention doesn't flake CI.
+    implicit val sc = spark.sqlContext
+    import operators.ChatData
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingPipeline.chatIngest(
+      mem.toDF().toDF("chat_id", "json", "timestamp"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chat_tput").start()
+    try {
+      val text = (1 to 95).map(i => s"tok$i").mkString(" ")
+      mem.addData((0L, ChatData.renderChat(0L, text), ts("2024-01-01T09:59:00Z")))
+      q.processAllAvailable()
+      val n = 20000
+      mem.addData((1 to n).map(i => (i.toLong,
+        ChatData.renderChat(i.toLong, s"$text lane${i % 89}"),
+        ts("2024-01-01T10:00:00Z"))): _*)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = n / secs
+      info(f"chatIngest throughput: $rate%.0f chats/s (${secs}%.2f s for $n)")
+      assert(rate >= 5000,
+        f"chat ingest sustained only $rate%.0f chats/s — below the 5k floor")
+      assert(spark.table("chat_tput").count() >= n,
+        "every chat must come out of the stateless validate chain")
+    } finally q.stop()
+  }
+
+  test("throughput pin: dpoIngest sustains >= 5k pairs/s") {
+    implicit val sc = spark.sqlContext
+    import operators.ChatData
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingPipeline.dpoIngest(
+      mem.toDF().toDF("pair_id", "json", "timestamp"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dpo_tput").start()
+    try {
+      val text = (1 to 95).map(i => s"tok$i").mkString(" ")
+      mem.addData((0L, ChatData.renderPair(0L, text), ts("2024-01-01T09:59:00Z")))
+      q.processAllAvailable()
+      val n = 20000
+      mem.addData((1 to n).map(i => (i.toLong,
+        ChatData.renderPair(i.toLong, s"$text lane${i % 89}"),
+        ts("2024-01-01T10:00:00Z"))): _*)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = n / secs
+      info(f"dpoIngest throughput: $rate%.0f pairs/s (${secs}%.2f s for $n)")
+      assert(rate >= 5000,
+        f"dpo ingest sustained only $rate%.0f pairs/s — below the 5k floor")
+      assert(spark.table("dpo_tput").count() >= n,
+        "every pair must come out of the stateless validate chain")
+    } finally q.stop()
+  }
+
   test("RocksDB backend: minhash ingest dedup drops re-posts identically") {
     withRocksDB {
       implicit val sc = spark.sqlContext
