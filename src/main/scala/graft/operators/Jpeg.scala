@@ -595,16 +595,38 @@ object Jpeg {
           var bx = 0
           while (bx < bw) {
             val base = (by * bw + bx) * 64
+            var acNonZero = false
             var k = 0
             while (k < 64) {
-              block(Zigzag(k)) = coefs(c)(base + k) * q(Zigzag(k))
+              val v = coefs(c)(base + k) * q(Zigzag(k))
+              block(Zigzag(k)) = v
+              if (k > 0 && v != 0) acNonZero = true
               k += 1
             }
             if (c == 0) {
               dcSum0Acc += coefs(0)(base).toLong * q(0)
               nBlocks0Acc += 1
             }
-            idctInto(block, planes(c), by * 8 * stride + bx * 8, stride)
+            if (acNonZero)
+              idctInto(block, planes(c), by * 8 * stride + bx * 8, stride)
+            else {
+              // DC-only fast path (the sparse-block shortcut every real
+              // decoder takes): all 64 outputs of the full separable IDCT
+              // collapse to the SAME double expression dc·Cos(0)(x)·
+              // Cos(0)(y)+128, so computing it once and filling is
+              // bit-identical to idctInto — pinned against the full path
+              // in OperatorSpec for every DC value
+              val s = block(0) * Cos(0)(0) * Cos(0)(0)
+              val p = StrictMath.round(s + 128.0).toInt
+              val v = math.max(0, math.min(255, p))
+              val off = by * 8 * stride + bx * 8
+              var y = 0
+              while (y < 8) {
+                java.util.Arrays.fill(planes(c), off + y * stride,
+                  off + y * stride + 8, v)
+                y += 1
+              }
+            }
             bx += 1
           }
           by += 1
