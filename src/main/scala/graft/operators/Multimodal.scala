@@ -1278,7 +1278,9 @@ object Multimodal {
   /** Container type read from the payload's own magic bytes — never from
     * trusted metadata (a mislabeled file must route by what it IS). */
   def sniffMediaType(payload: Array[Byte]): String =
-    if (payload.length >= PngSig.length && payload.startsWith(PngSig)) "png"
+    if (payload.length >= 5 &&
+      new String(payload, 0, 5, "US-ASCII") == "%PDF-") "pdf"
+    else if (payload.length >= PngSig.length && payload.startsWith(PngSig)) "png"
     else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
       (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
@@ -1336,6 +1338,11 @@ object Multimodal {
           val recs = WebIngest.readWarc(p)
           AnyMediaFeatures(id, "warc", None, None, recs.length.toLong,
             recs.map(_.payload.length.toLong).sum)
+        case "pdf" =>
+          val doc = Pdf.parsePdf(p)
+          val t = doc.text
+          AnyMediaFeatures(id, "pdf", None, None, doc.lines.length.toLong,
+            t.codePointCount(0, t.length).toLong)
         case "html" =>
           val blocks = WebIngest.parseHtmlBlocks(new String(p, "UTF-8"))
           AnyMediaFeatures(id, "html", None, None, blocks.length.toLong,
@@ -1661,6 +1668,60 @@ object Multimodal {
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b"),
       Some(jpegPhashOracleSql)),
+
+    // ---- REAL PDF render → strict parse → text extraction ----------------
+    // The third major text-corpus container after HTML and WARC: every
+    // document renders into a complete uncompressed PDF 1.4 (catalog →
+    // page tree → per-page /Length-exact content streams, BT/Tf/Td/Tj
+    // text operators, literal strings with the full ()/\\/octal escape
+    // grammar carrying UTF-8), then the STRICT reader walks trailer →
+    // xref (every offset must land on its object header) → page tree
+    // (/Count must match the kids) → content tokenizer (declared operator
+    // set only, escapes validated, bytes must decode as strict UTF-8).
+    // The layout is deterministic arithmetic (LineTokens-token lines,
+    // PageLines-line pages) and rejoining the extracted lines inverts it
+    // exactly, so the oracle replays page/line counts from token counts
+    // and pins the extracted TEXT by md5 against the source — a reader
+    // that drops a line, mis-walks the xref, or mangles one escape
+    // hash-mismatches. Scan-side per-row work, no shuffle carries bytes.
+    GraftQuery(
+      "pdf_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val p = Pdf.renderPdf(text)
+            require(sniffMediaType(p) == "pdf", "renderPdf lost its magic")
+            val doc = Pdf.parsePdf(p)
+            val t = doc.text
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(t.getBytes("UTF-8"))
+            (id, doc.nPages, doc.lines.length.toLong,
+              t.codePointCount(0, t.length).toLong,
+              d.map(b => f"${b & 0xff}%02x").mkString)
+          })
+          .toDF("doc_id", "n_pages", "n_lines", "n_chars", "text_md5")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 len(string_split(coalesce(text, ''), ' ')) AS nt
+          FROM documents),
+        x AS (
+          SELECT doc_id, t,
+                 (nt + ${Pdf.LineTokens - 1}) // ${Pdf.LineTokens} AS nl
+          FROM d)
+        SELECT doc_id,
+               CAST((nl + ${Pdf.PageLines - 1}) // ${Pdf.PageLines} AS INT)
+                 AS n_pages,
+               CAST(nl AS BIGINT) AS n_lines,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               md5(t) AS text_md5
+        FROM x
+        ORDER BY doc_id""")),
 
     // ---- audio energy-fingerprint near-dup dedup (oracle-checked) --------
     // Completes the near-dup triad (text: simhash_pairs, image:

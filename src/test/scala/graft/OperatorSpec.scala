@@ -1443,6 +1443,75 @@ class OperatorSpec extends SparkSuite {
       s"degenerate verdict: $dropped/${got.size} dropped")
   }
 
+  test("pdf: render -> strict parse round-trips text exactly; layout arithmetic holds") {
+    import graft.operators.Pdf
+    val texts = Seq(
+      "plain ascii words here",
+      "",                                  // one empty token, one line, one page
+      "parens (x) and \\ backslash \\( tricky )",
+      "unicode café straße 中文 😀 mixed",
+      "a  b   c",                          // doubled spaces = empty tokens
+      (1 to 400 * Pdf.LineTokens).map(i => s"t$i").mkString(" "), // 400 lines = 10 pages
+      (1 to 400 * Pdf.LineTokens + 1).map(i => s"t$i").mkString(" ")) // +1 token -> 11th page
+    texts.foreach { t =>
+      val doc = Pdf.parsePdf(Pdf.renderPdf(t))
+      assert(doc.text == t, s"round-trip mangled: '${t.take(40)}...'")
+      val nTok = t.split(" ", -1).length
+      val nl = (nTok + Pdf.LineTokens - 1) / Pdf.LineTokens
+      assert(doc.lines.length == nl, s"line count for '${t.take(20)}'")
+      assert(doc.nPages == (nl + Pdf.PageLines - 1) / Pdf.PageLines)
+      assert(doc.pageLines.forall(_.length <= Pdf.PageLines))
+    }
+  }
+
+  test("pdf: rejection battery — every structural violation fails loudly") {
+    import graft.operators.Pdf
+    val good = Pdf.renderPdf("ten little tokens walking in a well formed file")
+    val raw = new String(good, "ISO-8859-1")
+    def mutate(f: String => String): Array[Byte] =
+      f(raw).getBytes("ISO-8859-1")
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "bad header" -> mutate(_.replaceFirst("%PDF-1\\.4", "%FDP-1.4")),
+      "missing startxref" -> mutate(_.replace("startxref", "startxrfe")),
+      "xref offset off by one" -> mutate { s =>
+        // shift object 1's recorded offset: it no longer lands on '1 0 obj'
+        val i = s.indexOf("0000000000 65535 f")
+        val e = s.indexOf('\n', i) + 1
+        s.substring(0, e) + "0000000042" + s.substring(e + 10)
+      },
+      "length mismatch" -> mutate(_.replaceFirst("/Length (\\d+)", "/Length 7")),
+      "count mismatch" -> mutate(_.replaceFirst("/Count 1", "/Count 2")),
+      "root not a catalog" -> mutate(_.replaceFirst("/Type /Catalog", "/Type /Catalogg")),
+      "unknown content operator" -> mutate(_.replaceFirst("72 720 Td", "72 720 Tz")),
+      "truncated" -> good.take(good.length / 2))
+    cases.foreach { case (what, bytes) =>
+      val e = intercept[IllegalArgumentException](Pdf.parsePdf(bytes))
+      assert(e.getMessage.startsWith("pdf reject:"), s"$what: ${e.getMessage}")
+    }
+    // string-level violations: build content-stream corruption through the
+    // writer's own escapes so the file stays structurally aligned
+    val parens = Pdf.renderPdf("token")
+    val s2 = new String(parens, "ISO-8859-1")
+    val bodyIdx = s2.indexOf("(token)")
+    // unescaped '(' inside the literal — same byte count, same /Length
+    val nested = s2.substring(0, bodyIdx) + "(to(en)" + s2.substring(bodyIdx + 7)
+    val e2 = intercept[IllegalArgumentException](
+      Pdf.parsePdf(nested.getBytes("ISO-8859-1")))
+    assert(e2.getMessage.startsWith("pdf reject:"))
+    // a lone UTF-8 continuation byte via octal escape: invalid UTF-8.
+    // "(xxxxxx)" and "(x\377x)" are both 8 bytes, so every offset and the
+    // declared /Length stay aligned — only the decoded bytes go bad
+    val mal = Pdf.renderPdf("xxxxxx")
+    val s3 = new String(mal, "ISO-8859-1")
+    val i3 = s3.indexOf("(xxxxxx)")
+    val badUtf = s3.substring(0, i3) + "(x\\377x)" + s3.substring(i3 + 8)
+    val e3 = intercept[IllegalArgumentException](
+      Pdf.parsePdf(badUtf.getBytes("ISO-8859-1")))
+    assert(e3.getMessage.contains("UTF-8"), e3.getMessage)
+    // magic routing: the dispatch sees the rendered file as pdf
+    assert(graft.operators.Multimodal.sniffMediaType(good) == "pdf")
+  }
+
   test("driver-held model state honors its declared caps on the hostile corpus") {
     // round-12 verdict item 7: the bounded-driver-state claims were
     // structural (limit()/bucket arithmetic in the code); this asserts
