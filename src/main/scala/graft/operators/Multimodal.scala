@@ -1692,7 +1692,12 @@ object Multimodal {
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
-            val p = Pdf.renderPdf(text)
+            // parity picks the container variant: odd docs ship their
+            // content streams zlib-deflated behind /Filter /FlateDecode
+            // (how real PDFs arrive), even docs uncompressed — BOTH walk
+            // the same strict reader to the same extracted text, so one
+            // oracle pins both paths on every corpus
+            val p = Pdf.renderPdf(text, flate = id % 2 != 0)
             require(sniffMediaType(p) == "pdf", "renderPdf lost its magic")
             val doc = Pdf.parsePdf(p)
             val t = doc.text

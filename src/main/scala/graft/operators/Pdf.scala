@@ -68,13 +68,16 @@ object Pdf {
   def layoutLines(text: String): Seq[String] =
     text.split(" ", -1).grouped(LineTokens).map(_.mkString(" ")).toSeq
 
-  /** Render `text` as a complete uncompressed PDF 1.4 document: one
-    * content stream per [[PageLines]]-line page, Helvetica 12pt, 72/720
-    * origin with 14pt leading — the minimal layout a real generator
-    * emits. Object order: catalog, pages, then per page (page obj,
-    * content obj), then the font; xref offsets are the REAL byte offsets
-    * of each object in the emitted stream. */
-  def renderPdf(text: String): Array[Byte] = {
+  /** Render `text` as a complete PDF 1.4 document: one content stream
+    * per [[PageLines]]-line page, Helvetica 12pt, 72/720 origin with
+    * 14pt leading — the minimal layout a real generator emits. With
+    * `flate = true` every content stream is zlib-deflated behind
+    * `/Filter /FlateDecode` (how real PDFs ship; the reader inflates
+    * through the same java.util.zip machinery the PNG codec trusts).
+    * Object order: catalog, pages, then per page (page obj, content
+    * obj), then the font; xref offsets are the REAL byte offsets of
+    * each object in the emitted stream. */
+  def renderPdf(text: String, flate: Boolean = false): Array[Byte] = {
     val pages = layoutLines(text).grouped(PageLines).toSeq
     val nPages = pages.length
     // object numbering: 1 catalog, 2 pages, then (3 + 2i) page / (4 + 2i)
@@ -106,9 +109,11 @@ object Pdf {
         body.append(literal(line)).append(" Tj\n")
       }
       body.append("ET\n")
-      val bytes = body.toString.getBytes("ISO-8859-1")
+      val plain = body.toString.getBytes("ISO-8859-1")
+      val bytes = if (flate) deflate(plain) else plain
+      val filter = if (flate) " /Filter /FlateDecode" else ""
       obj(contObj) {
-        w(s"<< /Length ${bytes.length} >>\nstream\n")
+        w(s"<< /Length ${bytes.length}$filter >>\nstream\n")
         out.write(bytes)
         // spec 7.3.8.1: an EOL before `endstream` that is NOT part of
         // the declared data — the reader checks for exactly this shape
@@ -200,9 +205,45 @@ object Pdf {
       val body = payload.slice(body0, body0 + len)
       if (!raw.startsWith("\nendstream", body0 + len))
         fail(s"declared /Length $len does not reach endstream")
-      contentLines(body)
+      val data =
+        if (cDict.contains("/Filter")) {
+          if (!cDict.contains("/Filter /FlateDecode"))
+            fail("unsupported stream filter (only /FlateDecode)")
+          inflate(body)
+        } else body
+      contentLines(data)
     }
     PdfDoc(kids.length, pageLines)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Strict zlib inflate: a malformed or truncated stream fails loudly
+    * (a salvaged prefix would silently drop text). */
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+    val buf = new Array[Byte](4096)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) fail("truncated FlateDecode stream")
+        out.write(buf, 0, n)
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException =>
+        fail("malformed FlateDecode stream")
+    } finally inf.end()
+    out.toByteArray
   }
 
   /** Balanced `<< … >>` dictionary text starting at `start`. */

@@ -1453,15 +1453,24 @@ class OperatorSpec extends SparkSuite {
       "a  b   c",                          // doubled spaces = empty tokens
       (1 to 400 * Pdf.LineTokens).map(i => s"t$i").mkString(" "), // 400 lines = 10 pages
       (1 to 400 * Pdf.LineTokens + 1).map(i => s"t$i").mkString(" ")) // +1 token -> 11th page
-    texts.foreach { t =>
-      val doc = Pdf.parsePdf(Pdf.renderPdf(t))
-      assert(doc.text == t, s"round-trip mangled: '${t.take(40)}...'")
+    for (t <- texts; flate <- Seq(false, true)) {
+      val doc = Pdf.parsePdf(Pdf.renderPdf(t, flate))
+      assert(doc.text == t, s"round-trip mangled (flate=$flate): '${t.take(40)}...'")
       val nTok = t.split(" ", -1).length
       val nl = (nTok + Pdf.LineTokens - 1) / Pdf.LineTokens
       assert(doc.lines.length == nl, s"line count for '${t.take(20)}'")
       assert(doc.nPages == (nl + Pdf.PageLines - 1) / Pdf.PageLines)
       assert(doc.pageLines.forall(_.length <= Pdf.PageLines))
     }
+    // corrupt zlib body: same length, garbage bytes — must reject loudly
+    val fl = Pdf.renderPdf("compressed tokens for the corrupt case", flate = true)
+    val s = new String(fl, "ISO-8859-1")
+    val st = s.indexOf("stream\n") + 7
+    val garbled = fl.clone
+    (st until st + 8).foreach(i => garbled(i) = 0x55.toByte)
+    val e = intercept[IllegalArgumentException](Pdf.parsePdf(garbled))
+    assert(e.getMessage.contains("FlateDecode") ||
+      e.getMessage.startsWith("pdf reject:"), e.getMessage)
   }
 
   test("pdf: rejection battery — every structural violation fails loudly") {
