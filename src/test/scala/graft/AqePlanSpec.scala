@@ -238,4 +238,37 @@ class AqePlanSpec extends SparkSuite {
       assert(!finalPlan(name).contains("CartesianProduct"),
         s"$name gained a CartesianProduct after adaptive re-planning")
   }
+
+  test("round-12 gates hold on final adaptive plans") {
+    // semdedup_trained: the band join stays keyed on the trained cell id
+    // through re-planning (cross-cell pairs structurally impossible), no
+    // exchange keys on the embedding array, no cartesian
+    val sd = finalPlan("semdedup_trained")
+    assert(sd.matches("(?s).*Exchange hashpartitioning\\(c_id#.*") ||
+      sd.matches("(?s).*Exchange hashpartitioning\\([^\\n]*c_id#.*"),
+      "semdedup_trained's band join lost its cell-keyed exchange")
+    assert(!sd.matches("(?s).*Exchange hashpartitioning[^\\n]*embedding#.*"),
+      "semdedup_trained keys an exchange on the embedding array under AQE")
+    assert(!sd.contains("CartesianProduct"),
+      "semdedup_trained gained a cartesian after adaptive re-planning")
+    // decontaminate_spans: the eval gram digests must stay BROADCAST — a
+    // sort-merge fallback would shuffle the full train gram explosion
+    assert(finalPlan("decontaminate_spans").contains("BroadcastHashJoin"),
+      "decontaminate_spans' eval gram set lost its broadcast in the final plan")
+    // export_manifest: every exchange keys on the shard (lkey/shard_id) or
+    // pack-frame columns — raw token arrays never ride a shuffle
+    val em = finalPlan("export_manifest")
+    assert(!em.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|toks)#.*"),
+      "export_manifest shuffles raw token arrays under AQE")
+    // the new scan-side fingerprint queries stay cartesian-free and never
+    // key an exchange on payload bytes or text
+    for (name <- Seq("jpeg_phash", "pdf_extract", "strip_eval_spans",
+        "leak_mass_by_source")) {
+      val p = finalPlan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name gained a CartesianProduct after adaptive re-planning")
+      assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|payload)#.*"),
+        s"$name keys an exchange on document payloads under AQE")
+    }
+  }
 }

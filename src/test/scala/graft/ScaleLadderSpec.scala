@@ -371,6 +371,20 @@ class ScaleLadderSpec extends SparkSuite {
       "web_pipeline", "chat_pack"), LadderDir)
   }
 
+  test("10x corpus: the round-12 families stay within the wall-clock envelope") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    ensureLadderCorpus()
+    // decontaminate_spans: the eval-gram broadcast + per-doc run-merge
+    // must stay linear when the train side grows 10x (the eval slice is
+    // fixed — replica 0's docs < EvalMaxDocId); jpeg_phash: scan-side
+    // encode+decode+hash plus the capped banded join; pdf_extract: pure
+    // scan-side codec round-trip; export_manifest: shard-keyed aggs over
+    // the packed frame
+    assertEnvelope(Seq("decontaminate_spans", "jpeg_phash", "pdf_extract",
+      "export_manifest"), LadderDir)
+  }
+
   test("10x corpus: the fixed WARC bucket grows group COUNT, never group size") {
     assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
       "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
