@@ -745,6 +745,54 @@ object StreamingPipeline {
       .filter(col("content_blocks") > 0)
   }
 
+  /** Mixed-container streaming document ingest: every payload routes by
+    * its OWN magic bytes ([[graft.operators.Multimodal.sniffMediaType]] —
+    * never by trusted metadata), and each supported container extracts
+    * through ITS batch-pinned strict codec: HTML via the strict block
+    * parse + content classification (crawlIngest's kernel), PDF via the
+    * full xref/page-tree/content-stream walk ([[graft.operators.Pdf]]),
+    * WARC members via the gzip record walk with each response body's
+    * HTML re-entering the same block parse. Unknown containers flow
+    * through FLAGGED (`valid = false`, the natural [[quarantineSink]]
+    * predicate) — counting and quarantining beats dropping; a payload
+    * whose magic MATCHES a container but whose body is corrupt THROWS,
+    * the strict-codec contract every batch family pins. */
+  def docIngest(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload",
+      tsCol: String = "timestamp"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val session = docs.sparkSession
+    import session.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(payloadCol), col(tsCol))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .map { case (id, p, ts) =>
+        def htmlText(html: String): String =
+          graft.operators.WebIngest.parseHtmlBlocks(html)
+            .filter(graft.operators.WebIngest.isContent)
+            .map(_.text).mkString("\n")
+        graft.operators.Multimodal.sniffMediaType(p) match {
+          case "html" =>
+            val t = htmlText(new String(p, "UTF-8"))
+            (id, "html", t, t.codePointCount(0, t.length).toLong, true, ts)
+          case "pdf" =>
+            val t = graft.operators.Pdf.parsePdf(p).text
+            (id, "pdf", t, t.codePointCount(0, t.length).toLong, true, ts)
+          case "warc" =>
+            val t = graft.operators.WebIngest.readWarc(p)
+              .filter(_.warcType == "response")
+              .map(r => htmlText(new String(
+                graft.operators.WebIngest.httpBody(r.payload), "UTF-8")))
+              .mkString("\n")
+            (id, "warc", t, t.codePointCount(0, t.length).toLong, true, ts)
+          case other => (id, other, "", 0L, false, ts)
+        }
+      }
+      .toDF(idCol, "container", "content_text", "content_chars", "valid", tsCol)
+  }
+
   /** Streaming face of the chat-data stage ([[graft.operators.ChatData]]):
     * validate SFT transcripts in-flight with the SAME strict JSON codec
     * and lint rules the batch chat_stats/chat_lint queries pin — no drift

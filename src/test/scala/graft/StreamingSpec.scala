@@ -1342,6 +1342,54 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("docIngest: magic-byte routing extracts HTML and PDF in flight, quarantines unknowns") {
+    implicit val sc = spark.sqlContext
+    import operators.{Pdf, WebIngest}
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val out = StreamingPipeline.docIngest(
+      mem.toDF().toDF("doc_id", "payload", "timestamp"))
+    val good = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = StreamingPipeline.quarantineSink(out, col("valid"),
+      s"/tmp/graft_doc_q_${System.nanoTime()}",
+      (df, _) => good ++= df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("container"), r.getAs[String]("content_text"))),
+      (df, _) => bad ++= df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("container")))).start()
+    try {
+      val text = "ten deterministic tokens walking through the mixed lake today"
+      val html = WebIngest.renderHtml(1L, "src1", text).getBytes("UTF-8")
+      val pdf = Pdf.renderPdf(text, flate = true)
+      val junk = "neither a page nor a document".getBytes("UTF-8")
+      mem.addData((1L, html, ts("2024-01-01T10:00:00Z")),
+        (2L, pdf, ts("2024-01-01T10:00:01Z")),
+        (3L, junk, ts("2024-01-01T10:00:02Z")))
+      q.processAllAvailable()
+      assert(bad.toList == List((3L, "unknown")), s"bad=$bad")
+      val byId = good.map(g => g._1 -> g).toMap
+      assert(byId(1L)._2 == "html" && byId(1L)._3 == text,
+        "html content extraction drifted from the batch kernel")
+      assert(byId(2L)._2 == "pdf" && byId(2L)._3 == text,
+        "pdf text extraction drifted from the batch codec")
+    } finally q.stop()
+    // strict contract: a payload with pdf magic but a corrupt body must
+    // FAIL the batch, not produce a row
+    val mem2 = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val out2 = StreamingPipeline.docIngest(
+      mem2.toDF().toDF("doc_id", "payload", "timestamp"))
+    val q2 = out2.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("doc_ingest_corrupt").start()
+    try {
+      mem2.addData((9L, "%PDF-1.4 but nothing else".getBytes("UTF-8"),
+        ts("2024-01-01T10:00:00Z")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q2.processAllAvailable())
+      assert(e.getMessage.contains("pdf reject") ||
+        Option(e.getCause).exists(_.getMessage.contains("pdf reject")),
+        s"corrupt pdf must reject loudly: ${e.getMessage.take(200)}")
+    } finally q2.stop()
+  }
+
   test("throughput pin: chatIngest sustains >= 5k chats/s") {
     // round-12 verdict item 6: the chat streaming face had correctness
     // tests but no pinned rate. Same discipline as the crawlIngest pin:
