@@ -1390,6 +1390,43 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("throughput pin: docIngest sustains >= 2k mixed docs/s") {
+    // the mixed-container face pays the strict codec per row (HTML block
+    // parse or full PDF walk); the floor leaves >2x headroom under the
+    // measured quiet rate, same discipline as the other ingest pins
+    implicit val sc = spark.sqlContext
+    import operators.{Pdf, WebIngest}
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val out = StreamingPipeline.docIngest(
+      mem.toDF().toDF("doc_id", "payload", "timestamp"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("doc_tput").start()
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu engines plans shuffles state stores pages hosts links"
+      mem.addData((0L, Pdf.renderPdf(text), ts("2024-01-01T09:59:00Z")))
+      q.processAllAvailable()
+      val n = 20000
+      mem.addData((1 to n).map { i =>
+        val t = s"$text batch ${i % 97} lane ${i % 89}"
+        val p =
+          if (i % 2 == 0) WebIngest.renderHtml(i.toLong, s"src${i % 20}", t)
+            .getBytes("UTF-8")
+          else Pdf.renderPdf(t, flate = i % 4 == 1)
+        (i.toLong, p, ts("2024-01-01T10:00:00Z"))
+      }: _*)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = n / secs
+      info(f"docIngest throughput: $rate%.0f docs/s (${secs}%.2f s for $n)")
+      assert(rate >= 2000,
+        f"doc ingest sustained only $rate%.0f docs/s — below the 2k floor")
+      assert(spark.table("doc_tput").count() >= n,
+        "every routed doc must come out of the dispatch")
+    } finally q.stop()
+  }
+
   test("throughput pin: chatIngest sustains >= 5k chats/s") {
     // round-12 verdict item 6: the chat streaming face had correctness
     // tests but no pinned rate. Same discipline as the crawlIngest pin:
