@@ -2369,8 +2369,11 @@ object Similarity {
     * `(vec_id, c_id, rank)`. ACTIONFUL (the Lloyd training collects run
     * here); the cache covers the training actions only and is released
     * before the returned plan, which owns no cache entries. The rank
-    * window is a sort-based streaming window over the cell (external
-    * sort — no in-memory per-cell buffer). */
+    * rides [[PipelineOps.twoPhaseRank]] — k is a CLUSTERING granularity
+    * (small by design), so a plain per-cell window would serialize each
+    * n/k-row cell through ONE task; the bucketed two-phase build keeps
+    * rank parallelism at k·buckets whatever n is (identical ranks: same
+    * (d2m, vec_id) order, broadcast per-bucket offsets). */
   private[graft] def semdedupRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
@@ -2378,14 +2381,13 @@ object Similarity {
       .cache()
     val cents = try trainLloydBank(dir, e) finally e.unpersist(blocking = false)
     val bank = cents.toDF("c_id", "cv")
-    argminCell(e.select(col("vec_id"), col("vd")), bank)
+    val asg = argminCell(e.select(col("vec_id"), col("vd")), bank)
       .groupBy("vec_id").agg(min("pk").as("mn"))
       .select(col("vec_id"),
         expr(s"CAST(mn % $KmSeeds AS INT)").as("c_id"),
         expr(s"mn DIV $KmSeeds").as("d2m"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("c_id").orderBy(col("d2m"), col("vec_id"))))
-      .select("vec_id", "c_id", "rank")
+    PipelineOps.twoPhaseRank(asg, Seq("c_id"), "d2m", Seq("vec_id"), "rank")
+      .select(col("vec_id"), col("c_id"), col("rank").cast("int").as("rank"))
   }
 
   /** semdedup_trained's capped candidate pairs over a ranked frame:
