@@ -64,6 +64,23 @@ object Bench {
     }
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warmup queries failed on $warmDir")
+    // First-touch warm of the BENCH-scale tables: the per-query warmup
+    // above runs on the smoke dir, so the first timed query to read each
+    // sfDir table also paid its cold scan (page cache + parquet reader
+    // JIT) — the mechanism behind the chronic first-read spikes
+    // (crawl_funnel/autocorr/chat_decontaminate/revenue_by_nation were
+    // each the first heavy reader of their table in bench order, r11+r12
+    // artifacts). xxhash64(struct(*)) forces EVERY column through the
+    // scan — a bare count() resolves from footer row counts and warms
+    // nothing.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try Tables.load(spark, sfDir, t)
+        .selectExpr("sum(xxhash64(struct(*)))").collect()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] table warmup $t failed: ${e.getMessage}")
+      }
+    }
     val firstPass = picked.map { case (name, fn) =>
       name -> timeMedian(name, reps) { fn(spark, sfDir).count(): Unit }
     }
@@ -105,6 +122,12 @@ object Bench {
             // is a regression and stays loud
             if (again <= BenchBaseline.band(b)) { spiked(name) = v; name -> again }
             else { regressed(name) = b; name -> v }
+          } else if (again > BenchBaseline.band(b)) {
+            // in-band first read whose 5-rep re-measure itself breaches
+            // the band: the recorded value is out-of-band, so it must
+            // carry the loud regression flag, not hide under
+            // "remeasured" (advice r12)
+            regressed(name) = b; name -> again
           } else { remeasured(name) = v; name -> again }
         case _ => name -> v
       }

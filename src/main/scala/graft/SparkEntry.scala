@@ -43,9 +43,9 @@ object SparkEntry {
       // video_neardup decodes clips ONCE into an eager localCheckpoint
       // (three plan references would re-decode the corpus three times)
       "video_neardup",
-      // web_pipeline collects the bounded eval gram set into its task
-      // closure (round 12's leak count) — scan-side leak beats a second
-      // WARC walk; the eval artifact is ≤ EvalMaxDocId docs
+      // web_pipeline collects the bounded eval gram set (≤ EvalMaxDocId
+      // docs) and ships it as a sparkContext.broadcast (round 12's leak
+      // count) — scan-side leak beats a second WARC walk
       "web_pipeline")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -268,4 +268,36 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+
+  /** Source-identity fingerprint of one testdata table — the shared memo
+    * key for every driver-held trained-state cache (BPE merges, unigram
+    * LM, quality-classifier weights, dedup components, the Lloyd bank):
+    * the harness regenerates testdata in place between rounds, so a cache
+    * keyed on the directory alone would serve stale state. Key =
+    * name:length:mtime per data file PLUS a 64-byte mid-file content
+    * sample of the first file — an in-place regeneration that lands at
+    * identical sizes inside the filesystem's mtime granularity still
+    * changes the key (different data ⇒ different encoded pages with
+    * overwhelming probability; IDENTICAL data reusing the cache is
+    * correct by definition). `listFiles` can return null on an IO error —
+    * treated as "no fingerprint", which misses the cache and retrains:
+    * the safe direction. */
+  def sourceFingerprint(dir: String, table: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val listed = if (root.isDirectory) root.listFiles() else Array(root)
+    val files = Option(listed).getOrElse(Array.empty[java.io.File])
+      .filter(_.isFile).sortBy(_.getName)
+    val names = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(";")
+    val sample = files.headOption.filter(_.length > 0).map { f =>
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val off = math.max(0L, f.length / 2 - 32)
+        val buf = new Array[Byte](math.min(64L, f.length - off).toInt)
+        raf.seek(off); raf.readFully(buf)
+        buf.map(b => f"${b & 0xff}%02x").mkString
+      } finally raf.close()
+    }.getOrElse("")
+    s"$names|$sample"
+  }
 }

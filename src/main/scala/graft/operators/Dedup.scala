@@ -386,12 +386,8 @@ object Dedup {
   private val ccCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, DataFrame)]
 
-  private def dedupDocsFingerprint(dir: String): String = {
-    val root = new java.io.File(s"$dir/documents.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
-  }
+  private def dedupDocsFingerprint(dir: String): String =
+    Tables.sourceFingerprint(dir, "documents")
 
   /** Union-find over a one-task edge list: union-by-min keeps each tree's
     * root at the component's minimum doc_id, so `find` IS the label. Path
@@ -1382,7 +1378,11 @@ object Dedup {
           .createOrReplaceTempView("graft_dup_edges")
         s.sql(s"""
           WITH RECURSIVE reach(src, doc_id, depth) AS (
-            SELECT doc_a, doc_a, 0 FROM (SELECT DISTINCT doc_a FROM graft_dup_edges) t
+            -- anchor columns aliased APART: a bare (doc_a, doc_a, 0)
+            -- seed reaches UnionLoop's per-iteration LogicalRDD with
+            -- duplicate attribute names and WARNs on every run (r12 nit)
+            SELECT doc_a AS src, doc_a AS doc_id, 0 AS depth
+            FROM (SELECT DISTINCT doc_a FROM graft_dup_edges) t
             UNION ALL
             SELECT r.src, e.doc_b, r.depth + 1
             FROM reach r JOIN graft_dup_edges e ON r.doc_id = e.doc_a

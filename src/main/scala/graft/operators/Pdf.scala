@@ -143,7 +143,32 @@ object Pdf {
     * uncompressed single-font PDF of the same object topology). Walks the
     * trailer → xref → catalog → page tree → per-page content streams, and
     * validates every structural promise on the way. */
-  def parsePdf(payload: Array[Byte]): PdfDoc = {
+  def parsePdf(payload: Array[Byte]): PdfDoc =
+    try parsePdfUnguarded(payload)
+    catch {
+      // the contract is that EVERY structural violation surfaces as a
+      // 'pdf reject:' — a malformed shape the checks below didn't
+      // anticipate must not escape as a raw NumberFormat/IndexOutOfBounds
+      // (advice r12: three such shapes did)
+      case e: IllegalArgumentException
+        if e.getMessage != null && e.getMessage.startsWith("pdf reject:") =>
+        throw e
+      case scala.util.control.NonFatal(e) =>
+        fail(s"malformed structure (${e.getClass.getSimpleName})")
+    }
+
+  /** Digit-string → Int with the overflow rejected as a structural
+    * violation: a >9-digit offset/count cannot address anything inside a
+    * JVM string (length is an Int), so it is malformed, not big. */
+  private def pdfInt(digits: String, what: String): Int = {
+    if (digits.isEmpty || digits.length > 18 || !digits.forall(_.isDigit))
+      fail(s"$what '$digits' is not a number")
+    val v = digits.toLong // ≤ 18 digits: cannot overflow Long
+    if (v > Int.MaxValue) fail(s"$what '$digits' overflows any valid offset")
+    v.toInt
+  }
+
+  private def parsePdfUnguarded(payload: Array[Byte]): PdfDoc = {
     val raw = new String(payload, "ISO-8859-1")
     if (!raw.startsWith("%PDF-1.")) fail("missing %PDF header")
     // trailer: startxref offset, /Root, /Size
@@ -151,7 +176,7 @@ object Pdf {
     if (sx < 0) fail("missing startxref")
     val xrefOff = raw.substring(sx + 9).trim.takeWhile(_.isDigit) match {
       case "" => fail("startxref carries no offset")
-      case d => d.toInt
+      case d => pdfInt(d, "startxref offset")
     }
     if (xrefOff >= raw.length || !raw.startsWith("xref", xrefOff))
       fail(s"startxref $xrefOff does not point at an xref table")
@@ -162,15 +187,21 @@ object Pdf {
     val root = refEntry(trailerDict, "/Root")
     // xref: one subsection starting at 0, `size` entries of 20 bytes
     val hdr = raw.indexOf('\n', xrefOff) + 1
-    val sub = raw.substring(hdr, raw.indexOf('\n', hdr)).trim.split(" ")
-    if (sub.length != 2 || sub(0) != "0" || sub(1).toInt != size)
+    val subEnd = raw.indexOf('\n', hdr)
+    if (hdr <= 0 || subEnd < 0) fail("xref table truncated before its subsection")
+    val sub = raw.substring(hdr, subEnd).trim.split(" ")
+    if (sub.length != 2 || sub(0) != "0" ||
+        pdfInt(sub(1), "xref subsection count") != size)
       fail(s"xref subsection '${sub.mkString(" ")}' != '0 $size'")
-    val entries0 = raw.indexOf('\n', hdr) + 1
+    val entries0 = subEnd + 1
+    if (entries0 + 20L * size > raw.length)
+      fail(s"xref table truncated: $size entries need ${20L * size} bytes, " +
+        s"${raw.length - entries0} remain")
     val offsets = (0 until size).map { i =>
       val e = raw.substring(entries0 + 20 * i, entries0 + 20 * i + 20)
-      if (e.length != 20 || (e(17) != 'n' && e(17) != 'f'))
+      if (e(17) != 'n' && e(17) != 'f')
         fail(s"malformed xref entry $i: '$e'")
-      (e.substring(0, 10).toInt, e(17))
+      (pdfInt(e.substring(0, 10), s"xref entry $i offset"), e(17))
     }
     if (offsets.head._2 != 'f') fail("xref object 0 must be free")
     // every in-use offset must land exactly on its object header

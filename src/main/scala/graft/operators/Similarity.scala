@@ -2316,12 +2316,8 @@ object Similarity {
   private val lloydCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, Seq[(Int, Seq[Double])])]
 
-  private def embFingerprint(dir: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
-  }
+  private def embFingerprint(dir: String): String =
+    Tables.sourceFingerprint(dir, "embeddings")
 
   /** Lloyd training loop over a CACHED universe frame `e` (columns
     * `vec_id`, `vd`): [[KmIters]] rounds from the deterministic

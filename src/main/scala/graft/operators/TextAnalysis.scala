@@ -2004,12 +2004,8 @@ object TextAnalysis {
     (org.apache.spark.sql.SparkSession, String, String),
     (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame)]
 
-  private def docsFingerprint(dir: String): String = {
-    val root = new java.io.File(s"$dir/documents.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
-  }
+  private def docsFingerprint(dir: String): String =
+    Tables.sourceFingerprint(dir, "documents")
 
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =

@@ -202,12 +202,8 @@ object UnigramLm {
     (SparkSession, String),
     (String, (Seq[(Int, String, Long, Long)], Map[String, Long]))]
 
-  private def docsFingerprint(dir: String): String = {
-    val root = new java.io.File(s"$dir/documents.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
-  }
+  private def docsFingerprint(dir: String): String =
+    Tables.sourceFingerprint(dir, "documents")
 
   private[graft] def train(s: SparkSession, dir: String)
       : (Seq[(Int, String, Long, Long)], Map[String, Long]) =

@@ -769,13 +769,25 @@ object StreamingPipeline {
       .select(col(idCol).cast("long"), col(payloadCol), col(tsCol))
       .as[(Long, Array[Byte], java.sql.Timestamp)]
       .map { case (id, p, ts) =>
+        // strict decode (CharsetDecoder defaults to REPORT): a payload
+        // whose magic says html/warc but whose body is malformed UTF-8
+        // THROWS like the pdf route, instead of flowing through as
+        // valid=true U+FFFD mojibake (advice r12 — the codec contract is
+        // uniform across containers)
+        def strictUtf8(bytes: Array[Byte], container: String): String =
+          try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          catch { case _: java.nio.charset.CharacterCodingException =>
+            throw new IllegalArgumentException(
+              s"$container payload of doc $id is not valid UTF-8")
+          }
         def htmlText(html: String): String =
           graft.operators.WebIngest.parseHtmlBlocks(html)
             .filter(graft.operators.WebIngest.isContent)
             .map(_.text).mkString("\n")
         graft.operators.Multimodal.sniffMediaType(p) match {
           case "html" =>
-            val t = htmlText(new String(p, "UTF-8"))
+            val t = htmlText(strictUtf8(p, "html"))
             (id, "html", t, t.codePointCount(0, t.length).toLong, true, ts)
           case "pdf" =>
             val t = graft.operators.Pdf.parsePdf(p).text
@@ -783,8 +795,8 @@ object StreamingPipeline {
           case "warc" =>
             val t = graft.operators.WebIngest.readWarc(p)
               .filter(_.warcType == "response")
-              .map(r => htmlText(new String(
-                graft.operators.WebIngest.httpBody(r.payload), "UTF-8")))
+              .map(r => htmlText(strictUtf8(
+                graft.operators.WebIngest.httpBody(r.payload), "warc")))
               .mkString("\n")
             (id, "warc", t, t.codePointCount(0, t.length).toLong, true, ts)
           case other => (id, other, "", 0L, false, ts)

@@ -1492,7 +1492,20 @@ class OperatorSpec extends SparkSuite {
       "count mismatch" -> mutate(_.replaceFirst("/Count 1", "/Count 2")),
       "root not a catalog" -> mutate(_.replaceFirst("/Type /Catalog", "/Type /Catalogg")),
       "unknown content operator" -> mutate(_.replaceFirst("72 720 Td", "72 720 Tz")),
-      "truncated" -> good.take(good.length / 2))
+      "truncated" -> good.take(good.length / 2),
+      // the three shapes that escaped as raw exceptions before round 13
+      // (r12 advice): each must surface as a 'pdf reject:', not a
+      // NumberFormat/StringIndexOutOfBounds
+      "non-numeric xref subsection count" -> mutate { s =>
+        val i = s.lastIndexOf("xref\n0 ")
+        s.substring(0, i + 7) + "x" + s.substring(i + 8)
+      },
+      "file truncated inside the xref entry block" -> mutate { s =>
+        val i = s.lastIndexOf("0000000000 65535 f")
+        s.substring(0, i + 25)
+      },
+      "startxref offset overflows Int" -> mutate(
+        _.replaceFirst("startxref\n\\d+", "startxref\n99999999999")))
     cases.foreach { case (what, bytes) =>
       val e = intercept[IllegalArgumentException](Pdf.parsePdf(bytes))
       assert(e.getMessage.startsWith("pdf reject:"), s"$what: ${e.getMessage}")

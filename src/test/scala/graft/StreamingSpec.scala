@@ -1388,6 +1388,26 @@ class StreamingSpec extends SparkSuite {
         Option(e.getCause).exists(_.getMessage.contains("pdf reject")),
         s"corrupt pdf must reject loudly: ${e.getMessage.take(200)}")
     } finally q2.stop()
+    // same contract for html (r12 advice): a payload whose magic says
+    // html but whose body is malformed UTF-8 must THROW, not flow through
+    // as valid=true U+FFFD mojibake
+    val mem3 = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val out3 = StreamingPipeline.docIngest(
+      mem3.toDF().toDF("doc_id", "payload", "timestamp"))
+    val q3 = out3.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("doc_ingest_badutf8").start()
+    try {
+      val badHtml = "<html><body><p>ok".getBytes("UTF-8") ++
+        Array(0xC3.toByte) ++ // truncated 2-byte sequence
+        "</p></body></html>".getBytes("UTF-8")
+      mem3.addData((11L, badHtml, ts("2024-01-01T10:00:00Z")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q3.processAllAvailable())
+      def leaks(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("not valid UTF-8")) ||
+          leaks(t.getCause))
+      assert(leaks(e), s"corrupt html must reject loudly: ${e.getMessage.take(200)}")
+    } finally q3.stop()
   }
 
   test("throughput pin: docIngest sustains >= 2k mixed docs/s") {
