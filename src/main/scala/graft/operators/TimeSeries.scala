@@ -425,10 +425,16 @@ object TimeSeries {
         val byBkt = Window.partitionBy("event_type", "bkt")
           .orderBy(col("ts"), col("event_id"))
         val ranked = bucketed.withColumn("rn", row_number().over(byBkt))
-        // bucket sizes come off the ranked frame itself (max rn), so the
-        // offsets agg reuses the window's exchange instead of re-scanning
-        val offsets = ranked.groupBy("event_type", "bkt")
-          .agg(max("rn").as("n"))
+        // bucket sizes are plain row COUNTS (max rn over a gap-free
+        // row_number ≡ count), so the offsets branch is a map-side
+        // partial agg off the bucketed scan — NO second sort+window.
+        // Deriving them from `ranked` looked like exchange reuse but
+        // column pruning rewrites the two subtrees apart, so the
+        // executed plan rebuilt the entire ranked window (scan + sort +
+        // window over the corpus) a second time — the r12 bench drift
+        // (cold 6.9 s → 4.2 s at sf0.1 from this edit alone).
+        val offsets = bucketed.groupBy("event_type", "bkt")
+          .agg(count(lit(1)).cast("int").as("n"))
           .withColumn("off", coalesce(
             sum("n").over(Window.partitionBy("event_type").orderBy("bkt")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -442,16 +448,23 @@ object TimeSeries {
         // rows) the neighboring chunk — one pass, where a 3-way union of
         // home/context branches would recompute the whole phase-1
         // subtree per branch (measured 9.3 s vs 1.6 s at sf0.1)
+        // explode the raw 3-slot array and drop the NULL copies with a
+        // plain Filter AFTER the Generate: a filter(..., lambda) inside
+        // the explode is a higher-order function that evaluates
+        // interpreted per row (the r12 codegen suspect); array-of-IFs +
+        // explode + IS NOT NULL keeps the whole hot path inside
+        // whole-stage codegen at identical row volume
         val exploded = indexed
           .withColumn("chk", expr(s"g div $ChangepointChunk"))
           .withColumn("grp", explode(expr(s"""
-            filter(array(
+            array(
               chk,
               IF(chk > 0 AND g % $ChangepointChunk < $ChangepointWin,
                  chk - 1, NULL),
               IF(g % $ChangepointChunk >= ${ChangepointChunk - ChangepointWin},
                  chk + 1, NULL)
-            ), x -> x IS NOT NULL)""")))
+            )""")))
+          .filter(col("grp").isNotNull)
           .withColumn("is_home", col("grp") === col("chk"))
         val ord = Window.partitionBy("event_type", "grp").orderBy("g")
         val pre = ord.rowsBetween(-ChangepointWin, -1)
