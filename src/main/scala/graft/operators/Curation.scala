@@ -107,6 +107,24 @@ object Curation {
       .select("doc_id", "lang", "n_tokens", "cum")
   }
 
+  /** The packed per-doc frame corpus_export_manifest and the shard writer
+    * consume — ChatData.packedChats' pretraining twin: every document
+    * with its token count, provenance, and [[ShardTokenBudget]]-packed
+    * shard assignment `(doc_id, lang, lkey, source, n_tokens, cum,
+    * shard_id)`. Same cumsum build as [[tokenCumsum]] (pack_sequences),
+    * so the sequences, the manifest, and the written shards can never
+    * disagree about what landed where. A NULL-text doc carries NULL
+    * n_tokens/cum/shard_id — consumers must group (never equi-join) on
+    * shard_id. */
+  private[graft] def packedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), langKey.as("lkey"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    cumsumByLang(base)
+      .withColumn("shard_id", expr(s"(cum - n_tokens) DIV $ShardTokenBudget"))
+  }
+
   /** The bucketed per-language running-token-sum, generalized over any
     * (doc_id, lang, lkey, n_tokens, …) frame — extra columns ride through
     * untouched. Shared by [[tokenCumsum]] (pack_sequences/shard_packing)
@@ -1124,6 +1142,77 @@ object Curation {
         FROM m
         GROUP BY 1, 2
         ORDER BY lang, shard_id""")),
+
+    // ---- corpus export manifest: the pretraining lane's last mile --------
+    // Round-13 verdict item 3 — the twin of ChatData's export_manifest on
+    // the RAW-corpus lane: pack_sequences assigns shard ids and
+    // Sinks.packedShards writes them one file per shard; this is the
+    // receipt a training loader trusts instead of re-scanning the lake.
+    // One row per (lang, shard): doc/token counts, the source mix
+    // (`src:count` in source order — provenance), and an order-sensitive
+    // md5 over the shard's doc ids (a dropped, duplicated, or re-sharded
+    // doc changes it). LayoutSpec pins that the WRITTEN layout matches it
+    // file for file, token for token.
+    //
+    // Scale: ONE doc-level exchange (the (lkey, shard_id, source)
+    // partial agg — per-group state bounded by the shard's own id list,
+    // itself bounded by the token budget) + one tiny rollup. No join at
+    // all: a NULL-text doc has NULL n_tokens ⇒ NULL shard_id, and BOTH
+    // engines keep NULL group keys where an equi-join would DROP them
+    // (the lkey lesson, applied by never joining) — so the two-level
+    // groupBy is the null-safe shape, not just the cheap one.
+    GraftQuery(
+      "corpus_export_manifest",
+      (s, dir) => {
+        val perSrc = packedDocs(s, dir)
+          .groupBy(col("lkey"), col("shard_id"),
+            coalesce(col("source"), lit("")).as("src"))
+          .agg(max("lang").as("lang"),
+            count(lit(1)).as("cnt"),
+            sum("n_tokens").as("toks"),
+            collect_list("doc_id").as("ids"))
+        perSrc.groupBy("lkey", "shard_id")
+          .agg(max("lang").as("lang"),
+            sum("cnt").as("n_docs"),
+            sum("toks").as("total_tokens"),
+            concat_ws(",", expr(
+              """transform(array_sort(collect_list(struct(src, cnt))),
+                   p -> concat(p.src, ':', CAST(p.cnt AS STRING)))"""))
+              .as("source_mix"),
+            md5(to_binary(concat_ws(",", expr(
+              """transform(array_sort(flatten(collect_list(ids))),
+                   x -> CAST(x AS STRING))""")), lit("utf-8"))).as("digest"))
+          .orderBy("lkey", "shard_id")
+          .select("lang", "shard_id", "n_docs", "total_tokens",
+            "source_mix", "digest")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CASE WHEN lang IS NULL THEN chr(1) ELSE 'L' || lang END AS lk,
+                 coalesce(source, '') AS src,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens,
+                 CAST(sum(len(string_split(text, ' '))) OVER w AS BIGINT) cum
+          FROM documents
+          WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        p AS (SELECT *, (cum - n_tokens) // $ShardTokenBudget AS shard_id
+              FROM d),
+        m AS (SELECT lk, shard_id, src, max(lang) AS lang,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(n_tokens) AS BIGINT) AS toks,
+                     list(doc_id) AS ids
+              FROM p GROUP BY 1, 2, 3)
+        SELECT max(lang) AS lang, shard_id,
+               CAST(sum(cnt) AS BIGINT) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS total_tokens,
+               string_agg(src || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY src)
+                 AS source_mix,
+               md5(array_to_string(list_sort(flatten(list(ids))), ','))
+                 AS digest
+        FROM m
+        GROUP BY lk, shard_id
+        ORDER BY lk, shard_id NULLS FIRST""")),
 
     // ---- quality-weighted sampling (the soft filter) ---------------------
     // Hard quality gates (corpus_filter) throw borderline documents away;

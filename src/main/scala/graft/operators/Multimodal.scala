@@ -460,6 +460,34 @@ object Multimodal {
     * participates in unfiltering (it is part of the byte lattice) but not
     * in the channel sums. */
   def decodePng(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val (w, h, bpp, raw) = pngUnfiltered(payload)
+    val stride = w * bpp
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride)
+      var i = 0
+      while (i < stride) {
+        val v = raw(rowOff + 1 + i) & 0xff
+        (i % bpp) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case 2 => sb += v
+          case _ => // alpha: unfiltered (part of the lattice) but not summed
+        }
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  /** Shared strict chunk-walk → inflate → unfilter core of [[decodePng]]
+    * and [[pngLuma]]: returns (width, height, bytes-per-pixel, raster),
+    * where the raster holds `height` rows of `1 + width·bpp` bytes — the
+    * leading filter byte of every row left in place, the pixel bytes
+    * fully reconstructed. */
+  private def pngUnfiltered(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     require(payload.length >= PngSig.length + 12 &&
       payload.startsWith(PngSig), "not a PNG payload")
     var o = PngSig.length
@@ -519,8 +547,7 @@ object Multimodal {
       && infl.finished()),
       s"PNG raster size mismatch: inflated $got of ${raw.length}")
     infl.end()
-    // unfilter in place, then sum channels
-    var (sr, sg, sb) = (0L, 0L, 0L)
+    // unfilter in place
     var y = 0
     while (y < h) {
       val rowOff = y * (1 + stride)
@@ -545,19 +572,41 @@ object Multimodal {
             val pc = math.abs(p - upLeft)
             x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
         }
-        val v = recon & 0xff
-        raw(rowOff + 1 + i) = v.toByte
-        (i % bpp) match {
-          case 0 => sr += v
-          case 1 => sg += v
-          case 2 => sb += v
-          case _ => // alpha: unfiltered (part of the lattice) but not summed
-        }
+        raw(rowOff + 1 + i) = (recon & 0xff).toByte
         i += 1
       }
       y += 1
     }
-    (w, h, sr, sg, sb)
+    (w, h, bpp, raw)
+  }
+
+  /** Strict PNG decode to per-pixel integer luma in row-major order — the
+    * PNG face of [[bmpLuma]] (same ITU-R BT.601 integer approximation
+    * `(299·R + 587·G + 114·B) / 1000`, exact in any engine; alpha, when
+    * present, participates in unfiltering but not in luma). PNG rasters
+    * are always top-down, so the raster walk IS logical order. Shares
+    * [[pngUnfiltered]]'s full strictness contract: signature, per-chunk
+    * CRC, IHDR validation, exact-size zlib inflate, the five spec
+    * filters. */
+  def pngLuma(payload: Array[Byte]): Array[Int] = {
+    val (w, h, bpp, raw) = pngUnfiltered(payload)
+    val stride = w * bpp
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride)
+      var x = 0
+      while (x < w) {
+        val o = rowOff + 1 + x * bpp
+        val r = raw(o) & 0xff
+        val g = raw(o + 1) & 0xff
+        val b = raw(o + 2) & 0xff
+        out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Per-partition PNG encode→decode over media records — the compressed
@@ -856,13 +905,16 @@ object Multimodal {
 
   /** Magic-byte-routed luma extraction — the dispatch a mixed-media lake
     * runs ahead of the shared perceptual-hash join: BMP payloads walk the
-    * strict per-pixel BT.601 decode ([[bmpLuma]]), JPEG payloads the full
-    * baseline engine down to block-mean luma ([[jpegBlockLuma]]). Routed
-    * by what the payload IS ([[sniffMediaType]]), never by metadata; a
-    * payload whose magic matches neither image codec fails loudly (the
-    * quarantine decision belongs to the caller, as in anyMediaFeatures). */
+    * strict per-pixel BT.601 decode ([[bmpLuma]]), PNG payloads the
+    * compressed-codec twin ([[pngLuma]]: chunk walk → CRC → inflate →
+    * unfilter → the same BT.601), JPEG payloads the full baseline engine
+    * down to block-mean luma ([[jpegBlockLuma]]). Routed by what the
+    * payload IS ([[sniffMediaType]]), never by metadata; a payload whose
+    * magic matches no image codec fails loudly (the quarantine decision
+    * belongs to the caller, as in anyMediaFeatures). */
   def mediaLuma(payload: Array[Byte]): Array[Int] = sniffMediaType(payload) match {
     case "bmp"  => bmpLuma(payload)
+    case "png"  => pngLuma(payload)
     case "jpeg" => jpegBlockLuma(Jpeg.decodeJpeg(payload))
     case other  => throw new IllegalArgumentException(
       s"mediaLuma: no luma path for container '$other'")
@@ -884,6 +936,27 @@ object Multimodal {
     val fp = asMedia(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions(jpegPhashRows).toDF("doc_id", "fp")
+    Dedup.hammingCandidates(fp)
+  }
+
+  /** Per-partition encode→sniff→decode→hash through the PNG engine: the
+    * compressed-container face of [[phashRows]]. encodePng is lossless
+    * (bytes ride as RGB triples, filter-0 rows, exact-size inflate), so
+    * the decoded per-pixel luma is an exact integer function of the
+    * source bytes — replayed by the oracle from hex. The decode routes
+    * through [[mediaLuma]]'s magic-byte dispatch, the path a real mixed
+    * lake's PNG payloads take. */
+  def pngPhashRows(rows: Iterator[MediaRecord]): Iterator[(Long, Long)] =
+    rows.map { r =>
+      (r.doc_id, dhash64(mediaLuma(encodePng(r.payload))))
+    }
+
+  /** The PNG face of [[Dedup.hammingCandidates]] (CandidateBoundSpec). */
+  private[graft] def pngPhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = asMedia(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions(pngPhashRows).toDF("doc_id", "fp")
     Dedup.hammingCandidates(fp)
   }
 
@@ -1110,6 +1183,30 @@ object Multimodal {
               k -> (299 * coalesce(bytes[3*k + 3], 0)
                   + 587 * coalesce(bytes[3*k + 2], 0)
                   + 114 * coalesce(bytes[3*k + 1], 0)) // 1000) AS vals
+          FROM b)""")
+
+  /** DuckDB oracle for png_phash: recomputes the per-pixel BT.601 luma
+    * from the hex-recovered document bytes — RGB triples (PNG color
+    * type 2 stores RGB where BMP stores BGR), zero-padded to full
+    * [[PngWidth]]-pixel rows exactly as encodePng pads (min 1 row) —
+    * then the shared cell-hash tail. */
+  private def pngPhashOracleSql: String = cellHashPairsSql(s"""hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+            $PngWidth * greatest(1, (n + ${PngRowBytes - 1}) // $PngRowBytes) AS nv,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        l AS (
+          SELECT doc_id, nv,
+            list_transform(range(0, nv),
+              k -> (299 * coalesce(bytes[3*k + 1], 0)
+                  + 587 * coalesce(bytes[3*k + 2], 0)
+                  + 114 * coalesce(bytes[3*k + 3], 0)) // 1000) AS vals
           FROM b)""")
 
   /** DuckDB oracle for jpeg_phash: by flat-block losslessness the decoded
@@ -1668,6 +1765,31 @@ object Multimodal {
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b"),
       Some(jpegPhashOracleSql)),
+
+    // ---- PNG perceptual-hash near-dup (oracle-checked) --------------------
+    // Round-13 verdict item 2: real web-image corpora are JPEG + PNG, and
+    // the full PNG codec (encodePng/decodePng) was only consumed by
+    // png_decode — the near-dup image surface covered half its
+    // containers. Every document's bytes become a real PNG (RGB triples,
+    // filter-0 rows, one deflated IDAT — lossless, so the decoded
+    // per-pixel luma is an exact integer function of the source bytes),
+    // the payload routes through the magic-byte dispatch (mediaLuma), the
+    // strict decoder walks it back (chunk CRCs → exact-size inflate →
+    // unfilter → BT.601 luma), and the luma feeds the SAME dhash64 →
+    // capped banded-Hamming join phash_neardup and jpeg_phash use. The
+    // oracle replays the luma (RGB order — BMP's is BGR), the 65-cell
+    // hash, the banding, the cap and the confirmation from hex bytes — a
+    // drifted filter reconstruction, CRC skip, or luma constant
+    // hash-mismatches THROUGH the fingerprint.
+    GraftQuery(
+      "png_phash",
+      (s, dir) => pngPhashCandidates(s, dir)
+        .withColumn("hamming",
+          bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast(IntegerType))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b"),
+      Some(pngPhashOracleSql)),
 
     // ---- REAL PDF render → strict parse → text extraction ----------------
     // The third major text-corpus container after HTML and WARC: every

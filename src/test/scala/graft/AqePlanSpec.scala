@@ -260,10 +260,20 @@ class AqePlanSpec extends SparkSuite {
     val em = finalPlan("export_manifest")
     assert(!em.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|toks)#.*"),
       "export_manifest shuffles raw token arrays under AQE")
+    // corpus_export_manifest (the pretraining lane): same contract — the
+    // doc-level exchange carries ids and counts, never text/token arrays.
+    // The cumsum build's broadcast joins (bounds scalar + tiny offsets)
+    // are expected; a SHUFFLED join would mean the null-safe two-level
+    // groupBy regressed to an equi-join on the nullable shard key
+    val cem = finalPlan("corpus_export_manifest")
+    assert(!cem.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|toks)#.*"),
+      "corpus_export_manifest shuffles raw token arrays under AQE")
+    assert(!cem.contains("SortMergeJoin") && !cem.contains("ShuffledHashJoin"),
+      "corpus_export_manifest regressed from the null-safe groupBy to a shuffled join")
     // the new scan-side fingerprint queries stay cartesian-free and never
     // key an exchange on payload bytes or text
-    for (name <- Seq("jpeg_phash", "pdf_extract", "strip_eval_spans",
-        "leak_mass_by_source")) {
+    for (name <- Seq("jpeg_phash", "png_phash", "pdf_extract",
+        "strip_eval_spans", "leak_mass_by_source")) {
       val p = finalPlan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name gained a CartesianProduct after adaptive re-planning")

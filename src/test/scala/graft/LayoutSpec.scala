@@ -132,4 +132,62 @@ class LayoutSpec extends SparkSuite {
     assert(tokensAccounted == packedTotal,
       s"manifest accounts $tokensAccounted of $packedTotal packed tokens")
   }
+
+  test("packedShards (corpus lane): one file per shard, manifest accounts for every token") {
+    // the pretraining twin of the chat gate (round-13 verdict item 3):
+    // write pack_sequences' packed docs one file per shard, then prove a
+    // reader holding ONLY corpus_export_manifest can fully account for
+    // the layout — file count, per-shard doc/token sums, source mix, and
+    // the order-sensitive id digest
+    val dir = "/tmp/graft_packed_corpus_shards"
+    val pd = operators.Curation.packedDocs(spark, sf)
+      .select("doc_id", "lang", "source", "n_tokens", "shard_id")
+    operators.Sinks.packedShards(pd, dir, Seq("lang", "shard_id"), "doc_id")
+    val shardDirs = for {
+      l <- new java.io.File(dir).listFiles.toSeq if l.isDirectory
+      sd <- l.listFiles.toSeq if sd.isDirectory
+    } yield sd
+    assert(shardDirs.nonEmpty, "no shard directories written")
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$sd holds ${files.length} data files, want 1")
+    }
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val manifest =
+      SparkEntry.queries("corpus_export_manifest")(spark, sf).collect()
+    val back = spark.read.parquet(dir)
+      .select(col("lang"), col("shard_id").cast("long").as("shard_id"),
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("source"), lit("")).as("src")).collect()
+      .groupBy(r => (Option(r.getAs[String]("lang")),
+        Option(r.getAs[Any]("shard_id")).map(_.asInstanceOf[Long])))
+    assert(manifest.length == back.size,
+      s"manifest rows ${manifest.length} != written shards ${back.size}")
+    var tokensAccounted = 0L
+    manifest.foreach { m =>
+      val key = (Option(m.getAs[String]("lang")),
+        Option(m.getAs[Any]("shard_id")).map(_.asInstanceOf[Long]))
+      val rows = back(key)
+      assert(rows.length.toLong == m.getAs[Long]("n_docs"), s"$key doc count")
+      val toks = rows.flatMap(r => Option(r.getAs[Any]("n_tokens")))
+        .map(_.asInstanceOf[Long])
+      assert((toks.isEmpty && m.isNullAt(m.fieldIndex("total_tokens"))) ||
+        toks.sum == m.getAs[Long]("total_tokens"), s"$key token mass")
+      val mix = rows.groupBy(_.getAs[String]("src")).toSeq
+        .sortBy(_._1).map { case (s, rs) => s"$s:${rs.length}" }.mkString(",")
+      assert(mix == m.getAs[String]("source_mix"), s"$key source mix")
+      assert(md5hex(rows.map(_.getAs[Long]("doc_id")).sorted.mkString(",")) ==
+        m.getAs[String]("digest"), s"$key id digest")
+      tokensAccounted += Option(m.getAs[Any]("total_tokens"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+    // nothing escaped the manifest: the packed frame's full token mass
+    val packedTotal = pd.agg(sum("n_tokens")).head.getLong(0)
+    assert(tokensAccounted == packedTotal,
+      s"manifest accounts $tokensAccounted of $packedTotal packed tokens")
+  }
 }

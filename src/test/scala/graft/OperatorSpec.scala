@@ -1625,6 +1625,76 @@ class OperatorSpec extends SparkSuite {
     assert(e.getMessage.contains("no luma path"))
   }
 
+  test("png_phash: encode->decode luma is exactly the padded RGB-triple walk") {
+    // the oracle's whole claim: encodePng is lossless (filter-0 rows,
+    // exact-size inflate), so pngLuma(encodePng(bytes)) IS the BT.601
+    // integer luma of the source bytes read as RGB triples, zero-padded
+    // to full PngWidth-pixel rows (min 1 row)
+    import graft.operators.Multimodal
+    def expected(bytes: Array[Byte]): Array[Int] = {
+      val rowBytes = Multimodal.PngWidth * 3
+      val h = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+      val padded = bytes ++ Array.fill[Byte](h * rowBytes - bytes.length)(0)
+      Array.tabulate(Multimodal.PngWidth * h) { k =>
+        (299 * (padded(3 * k) & 0xff) + 587 * (padded(3 * k + 1) & 0xff)
+          + 114 * (padded(3 * k + 2) & 0xff)) / 1000
+      }
+    }
+    val fixtures = Seq(
+      Array.empty[Byte],                       // min-1-row rule
+      Array[Byte](7),                          // sub-pixel payload
+      Array[Byte](0, 127, -1, -128, 64),       // mixed signs, partial row
+      Array.tabulate(256)(_.toByte),           // every byte value
+      Array.tabulate(50013)(i => (i * 31 % 256).toByte)) // hostile size
+    fixtures.foreach { bytes =>
+      val got = Multimodal.pngLuma(Multimodal.encodePng(bytes))
+      assert(got.sameElements(expected(bytes)),
+        s"luma drifted for a ${bytes.length}-byte payload")
+    }
+  }
+
+  test("png_phash: magic-byte routing dispatches PNG, rejects corrupt bodies") {
+    import graft.operators.Multimodal
+    val payload = "mixed media routing fixture".getBytes("UTF-8")
+    val png = Multimodal.encodePng(payload)
+    assert(Multimodal.sniffMediaType(png) == "png")
+    // the dispatch and the direct decode agree
+    assert(Multimodal.mediaLuma(png).sameElements(Multimodal.pngLuma(png)))
+    // a payload whose magic MATCHES png but whose body is corrupt must
+    // fail loudly, not produce a fingerprint: a flipped IDAT byte (CRC
+    // catches it) and a truncated file
+    val mangled = png.clone
+    val idat = {
+      var i = 8
+      while (!(mangled(i + 4) == 'I' && mangled(i + 5) == 'D' &&
+        mangled(i + 6) == 'A' && mangled(i + 7) == 'T')) {
+        val len = ((mangled(i) & 0xff) << 24) | ((mangled(i + 1) & 0xff) << 16) |
+          ((mangled(i + 2) & 0xff) << 8) | (mangled(i + 3) & 0xff)
+        i += 12 + len
+      }
+      i
+    }
+    mangled(idat + 10) = (mangled(idat + 10) ^ 0x55).toByte
+    val e1 = intercept[IllegalArgumentException](Multimodal.mediaLuma(mangled))
+    assert(e1.getMessage.contains("CRC"), e1.getMessage)
+    intercept[Exception](Multimodal.mediaLuma(png.take(png.length / 2)))
+    // a real encoder's output (ImageIO picks its own per-row filters)
+    // decodes to the same luma ImageIO reports pixel-for-pixel
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 5).foreach(y => (0 until 7).foreach(x =>
+      img.setRGB(x, y, ((x * 37 + y * 91) % 256) * 0x010101 + x * 7)))
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val got = Multimodal.pngLuma(bos.toByteArray)
+    val want = for (y <- 0 until 5; x <- 0 until 7) yield {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+        + 114 * (rgb & 0xff)) / 1000
+    }
+    assert(got.sameElements(want), "pngLuma drifted from ImageIO's raster")
+  }
+
   test("semdedup_trained: keep/drop replays brute-force band cosines; ranks dense") {
     // the trained cells + ranks are oracle-checked (unrolled Lloyd CTEs);
     // this verifies the PRUNE DECISION against them brute-force: a member

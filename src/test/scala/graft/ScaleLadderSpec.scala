@@ -377,12 +377,74 @@ class ScaleLadderSpec extends SparkSuite {
     ensureLadderCorpus()
     // decontaminate_spans: the eval-gram broadcast + per-doc run-merge
     // must stay linear when the train side grows 10x (the eval slice is
-    // fixed — replica 0's docs < EvalMaxDocId); jpeg_phash: scan-side
-    // encode+decode+hash plus the capped banded join; pdf_extract: pure
-    // scan-side codec round-trip; export_manifest: shard-keyed aggs over
-    // the packed frame
-    assertEnvelope(Seq("decontaminate_spans", "jpeg_phash", "pdf_extract",
-      "export_manifest"), LadderDir)
+    // fixed — replica 0's docs < EvalMaxDocId); jpeg_phash/png_phash:
+    // scan-side encode+decode+hash plus the capped banded join;
+    // pdf_extract: pure scan-side codec round-trip; export_manifest:
+    // shard-keyed aggs over the packed frame
+    assertEnvelope(Seq("decontaminate_spans", "jpeg_phash", "png_phash",
+      "pdf_extract", "export_manifest"), LadderDir)
+  }
+
+  test("second rung (30x): the round-12 document families step linearly past the 10x point") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    // round-13 verdict item 7: the families above proved the 10x rung
+    // only — one rung cannot distinguish linear-with-overhead from
+    // gently super-linear. A 3x data step (10x -> 30x corpus) must cost
+    // ~3x if the scan-side/capped-join/shard-keyed claims hold.
+    ensureLadderCorpus()
+    ensureLadderCorpus(Ladder30Dir, replicas = 30)
+    assertStep(Seq("decontaminate_spans", "jpeg_phash", "png_phash",
+      "pdf_extract", "export_manifest"), LadderDir, Ladder30Dir)
+  }
+
+  /** Deterministic replicated embeddings corpus (the semdedup_trained
+    * ladder): replica i shifts vec_id by i·10^7 and ROTATES the vector by
+    * i mod 64 dims (norms and pairwise structure preserved within a
+    * replica, cells re-mixed across replicas — no degenerate
+    * all-identical cliques, no new float values). Written into the SAME
+    * ladder dirs as the documents replicas, keyed on the sf0.1
+    * embeddings identity. */
+  private def embSourceKey(): String = {
+    val f = new java.io.File("/root/testdata/sf0.1/embeddings.parquet")
+    s"${f.length}|${f.lastModified}"
+  }
+
+  private def ensureEmbLadder(dir: String, replicas: Int): Unit = {
+    val marker = new java.io.File(s"$dir/emb.key")
+    if (new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile &&
+        marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == embSourceKey()) return
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val reps = (0 until replicas).map { i =>
+      if (i == 0) base
+      else {
+        val r = i % 64
+        base.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          concat(expr(s"slice(embedding, ${r + 1}, ${64 - r})"),
+            expr(s"slice(embedding, 1, $r)")).as("embedding"),
+          col("label"))
+      }
+    }
+    reps.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.createDirectories(marker.toPath.getParent)
+    java.nio.file.Files.write(marker.toPath, embSourceKey().getBytes("UTF-8"))
+  }
+
+  test("second rung (30x embeddings): semdedup_trained steps linearly past the 10x point") {
+    assume(sys.env.get("SPARK_GRAFT_SKIP_LADDER").isEmpty,
+      "ladder skipped via SPARK_GRAFT_SKIP_LADDER")
+    // the Lloyd training is k·iters full-corpus assignment jobs (linear),
+    // the rank is the bucketed two-phase build, and the band join is
+    // ≤ SemBand·n by construction — so the whole composition must step
+    // ~3x across a 3x embeddings step. A hot cell turning the within-cell
+    // prune quadratic, or the rank serializing per cell, shows here.
+    ensureEmbLadder(LadderDir, Replicas)
+    ensureEmbLadder(Ladder30Dir, replicas = 30)
+    assertStep(Seq("semdedup_trained"), LadderDir, Ladder30Dir)
   }
 
   test("10x corpus: the fixed WARC bucket grows group COUNT, never group size") {
