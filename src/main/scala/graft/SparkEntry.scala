@@ -36,7 +36,10 @@ object SparkEntry {
   val actionfulQueries: Set[String] =
     Set("dedup_clusters", "dedup_keep_list", "dedup_keep_best",
       "minhash_clusters", "entity_clusters", "dup_pagerank", "dup_triangles", "dup_reach",
-      "ann_trained_topk", "semdedup_trained", "quality_classifier",
+      "ann_trained_topk", "semdedup_trained",
+      // the semantic eval-hygiene pair trains the same Lloyd bank
+      "semantic_keep_list", "semantic_leak_by_source",
+      "quality_classifier",
       "bpe_merges", "bpe_encode",
       "tokenizer_parity", "kcenter_sample", "bitext_margin", "split_repair",
       "unigram_train", "unigram_encode", "tokenizer_compare", "rrf_fusion",

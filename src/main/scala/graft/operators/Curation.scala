@@ -31,7 +31,7 @@ object Curation {
     * a real benchmark suite); present at every scale factor. Shared with
     * TextAnalysis.winnow_decontaminate so BOTH decontamination operators
     * always agree on which documents are eval vs train. */
-  private[operators] val EvalMaxDocId = 25
+  private[graft] val EvalMaxDocId = 25
 
   /** Per-source (n_docs, n_tokens, weight ∝ sqrt(tokens), normalized via
     * exact integer half-up) — shared by domain_mix_weights and the

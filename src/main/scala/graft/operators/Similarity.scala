@@ -1735,6 +1735,143 @@ object Similarity {
         FROM rk LEFT JOIN h USING (vec_id)
         ORDER BY cell, rank""")),
 
+    // ---- SEMANTIC eval decontamination: paraphrase leakage ---------------
+    // Round-13 verdict item 4 — the third rung of eval hygiene. Exact
+    // spans (decontaminate_spans), trigram overlap (decontaminate), and
+    // chat MinHash (chat_decontaminate) all miss an eval item PARAPHRASED
+    // in train; embeddings are exactly the representation that catches
+    // it. The semdedup_trained machinery composed against the eval slice:
+    // the trained Lloyd bank cells the embedding space, and a TRAIN
+    // vector (vec_id ≥ EvalMaxDocId — Curation's held-out stand-in) is
+    // flagged when its round-6 cosine to an eval member of ITS OWN
+    // trained cell clears [[SemTau]]. Output per train vector: cell,
+    // keep/strip verdict, the strongest leaking eval item (max cosine,
+    // ties → min eval id — decoded from one packed hash-mutable min, the
+    // argminCell discipline) and the match strength in exact micro-units
+    // (integers cross engines; a round-4 double would ride each engine's
+    // tie-rounding).
+    //
+    // Scale: the eval slice is BOUNDED (≤ EvalMaxDocId) and broadcasts
+    // with its vectors; the train side joins it on c_id — cross-cell
+    // pairs structurally impossible (plan-gated), candidates ≤ |eval|·n
+    // with no candidate shuffle at all (the broadcast replaces
+    // semdedup_trained's band explosion because one side is tiny).
+    // Fuzzy ⊇ exact by construction: an exact copy of an eval vector
+    // lands in the same cell with cosine 1 (OperatorSpec pins this on a
+    // planted paraphrase fixture).
+    GraftQuery(
+      "semantic_keep_list",
+      (s, dir) => semanticLeakVerdicts(s, dir)
+        .select(col("vec_id"), col("cell"), col("keep"),
+          col("leak_of"), col("sim_micros"))
+        .orderBy("cell", "vec_id"),
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
+        $sqlLloydBankCtes,
+        asg AS (
+          SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqlD2("e.v", "c.cv")}, c.c_id) rn
+            FROM e CROSS JOIN c$KmIters c)
+          WHERE rn = 1),
+        tr AS (SELECT vec_id, c_id FROM asg
+               WHERE vec_id >= ${Curation.EvalMaxDocId}),
+        ev AS (SELECT vec_id AS eval_id, c_id FROM asg
+               WHERE vec_id < ${Curation.EvalMaxDocId}),
+        sc AS (
+          SELECT tr.vec_id, ev.eval_id,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(a.v) + 1),
+                     i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+                   / (a.norm * b.norm), 6) AS c6
+          FROM tr
+          JOIN ev USING (c_id)
+          JOIN e a ON tr.vec_id = a.vec_id
+          JOIN e b ON ev.eval_id = b.vec_id),
+        h AS (
+          SELECT vec_id,
+                 min((1000000 - CAST(round(c6 * 1e6) AS BIGINT))
+                     * $SemPackN + eval_id) AS pk
+          FROM sc WHERE c6 >= $SemTau GROUP BY vec_id)
+        SELECT tr.vec_id, tr.c_id AS cell, h.pk IS NULL AS keep,
+               h.pk % $SemPackN AS leak_of,
+               1000000 - h.pk // $SemPackN AS sim_micros
+        FROM tr LEFT JOIN h USING (vec_id)
+        ORDER BY cell, vec_id""")),
+
+    // ---- semantic leak-mass rollup: which sources paraphrase the eval ----
+    // leak_mass_by_source's semantic twin — per source, how many train
+    // docs carry an embedding that semantically clears τ to an eval
+    // member, as an exact floor-ppm of the source's embedded docs: the
+    // alert that pages when a crawl source starts REWORDING a benchmark
+    // rather than mirroring it verbatim. The verdict frame is skinny
+    // (ids + flags), so the doc join carries ~16 bytes a row; the rollup
+    // is |sources| rows.
+    GraftQuery(
+      "semantic_leak_by_source",
+      (s, dir) => {
+        val verdicts = semanticLeakVerdicts(s, dir)
+          .select(col("vec_id"), (!col("keep")).as("leaked"))
+        Tables.documents(s, dir)
+          .filter(col("doc_id") >= Curation.EvalMaxDocId)
+          .select(col("doc_id"), col("source"))
+          .join(verdicts, col("doc_id") === col("vec_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("leaked"), 1L).otherwise(0L)).as("docs_leaked"))
+          .withColumn("leak_ppm", expr(
+            "CAST(CAST(docs_leaked AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                   (acc, x) -> acc + x)) norm
+          FROM embeddings
+          WHERE len(embedding) = 64 AND norm > 0 AND norm < 10000.0),
+        $sqlLloydBankCtes,
+        asg AS (
+          SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqlD2("e.v", "c.cv")}, c.c_id) rn
+            FROM e CROSS JOIN c$KmIters c)
+          WHERE rn = 1),
+        tr AS (SELECT vec_id, c_id FROM asg
+               WHERE vec_id >= ${Curation.EvalMaxDocId}),
+        ev AS (SELECT vec_id AS eval_id, c_id FROM asg
+               WHERE vec_id < ${Curation.EvalMaxDocId}),
+        lk AS (
+          SELECT DISTINCT tr.vec_id
+          FROM tr
+          JOIN ev USING (c_id)
+          JOIN e a ON tr.vec_id = a.vec_id
+          JOIN e b ON ev.eval_id = b.vec_id
+          WHERE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, len(a.v) + 1),
+                    i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+                  / (a.norm * b.norm), 6) >= $SemTau)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lk.vec_id IS NULL THEN 0 ELSE 1 END)
+                 AS BIGINT) AS docs_leaked,
+               CAST(CAST(sum(CASE WHEN lk.vec_id IS NULL THEN 0 ELSE 1 END)
+                 AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS leak_ppm
+        FROM documents d
+        JOIN tr ON d.doc_id = tr.vec_id
+        LEFT JOIN lk ON d.doc_id = lk.vec_id
+        WHERE d.doc_id >= ${Curation.EvalMaxDocId}
+        GROUP BY d.source
+        ORDER BY d.source""")),
+
     // ---- MMR diversity rerank: relevance minus redundancy ---------------
     // Maximal Marginal Relevance (Carbonell & Goldstein 1998, public —
     // the standard RAG/retrieval diversity rerank): greedily re-rank the
@@ -2287,6 +2424,12 @@ object Similarity {
     * near-dup query uses keeps the output non-degenerate at every sf. */
   private[graft] val SemTau = 0.42
 
+  /** semantic_decontaminate's packed-scalar multiplier: the (max-cosine,
+    * min-eval-id) argmax rides one hash-mutable `min` as
+    * `(1e6 − c6µ)·SemPackN + eval_id`, so SemPackN must exceed every
+    * eval id (< [[Curation.EvalMaxDocId]] = 25). */
+  private[graft] val SemPackN = 32
+
   /** Packed-scalar argmin assignment of `frame` (must carry `vd`, the
     * double-cast vector) against a broadcast centroid bank `(c_id, cv)`:
     * round-6 squared distance in micro-units and the cell id packed into
@@ -2404,6 +2547,40 @@ object Similarity {
     partners.join(rk.select(col("c_id"), col("rank").as("prank"),
         col("vec_id").as("pid")), Seq("c_id", "prank"))
       .select("vec_id", "pid", "prank")
+  }
+
+  /** semantic_decontaminate's per-train-vector verdict frame:
+    * `(vec_id, cell, keep, leak_of, sim_micros)` for every train
+    * (vec_id ≥ EvalMaxDocId) universe vector. The bounded eval slice
+    * broadcasts WITH its vectors; the train side joins it on c_id only,
+    * so cross-cell pairs are structurally impossible and there is no
+    * candidate shuffle at all. The (max-cosine, min-eval-id) winner rides
+    * one packed hash-mutable `min` ([[SemPackN]]); sim stays in exact
+    * micro-units so no engine's double-tie rounding ever enters the
+    * artifact. ACTIONFUL (the Lloyd training collects run in
+    * [[semdedupRanked]]). Shared by semantic_decontaminate and the
+    * per-source rollup so the two can never disagree on a verdict. */
+  private[graft] def semanticLeakVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val rk = semdedupRanked(s, dir)
+    val ev = vecs(s, dir).select(col("vec_id"), col("embedding"), col("norm"))
+    val evalSide = rk.filter(col("vec_id") < Curation.EvalMaxDocId)
+      .join(ev, "vec_id")
+      .select(col("c_id"), col("vec_id").as("eval_id"),
+        col("embedding").as("ee"), col("norm").as("en"))
+    val train = rk.filter(col("vec_id") >= Curation.EvalMaxDocId)
+    val hits = train.join(ev, "vec_id")
+      .join(broadcast(evalSide), Seq("c_id"))
+      .withColumn("c6",
+        round(V.dot(col("embedding"), col("ee")) / (col("norm") * col("en")), 6))
+      .filter(col("c6") >= SemTau)
+      .groupBy("vec_id")
+      .agg(min(expr(s"(1000000 - CAST(round(c6 * 1e6) AS BIGINT)) " +
+        s"* $SemPackN + eval_id")).as("pk"))
+    train.join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id").as("cell"),
+        col("pk").isNull.as("keep"),
+        expr(s"pk % $SemPackN").as("leak_of"),
+        expr(s"1000000 - pk DIV $SemPackN").as("sim_micros"))
   }
 
   /** Round-6 squared distance between two DOUBLE[] SQL expressions —

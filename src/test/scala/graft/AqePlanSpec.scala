@@ -270,6 +270,14 @@ class AqePlanSpec extends SparkSuite {
       "corpus_export_manifest shuffles raw token arrays under AQE")
     assert(!cem.contains("SortMergeJoin") && !cem.contains("ShuffledHashJoin"),
       "corpus_export_manifest regressed from the null-safe groupBy to a shuffled join")
+    // semantic_keep_list: the bounded eval slice must stay BROADCAST
+    // on the cell key under adaptive re-planning, and no exchange may
+    // pick up the embedding array
+    val sdc = finalPlan("semantic_keep_list")
+    assert(sdc.contains("BroadcastHashJoin") && !sdc.contains("CartesianProduct"),
+      "semantic_keep_list eval cell join lost its broadcast under AQE")
+    assert(!sdc.matches("(?s).*Exchange hashpartitioning[^\\n]*embedding#.*"),
+      "semantic_keep_list keys an exchange on the embedding array under AQE")
     // the new scan-side fingerprint queries stay cartesian-free and never
     // key an exchange on payload bytes or text
     for (name <- Seq("jpeg_phash", "png_phash", "pdf_extract",

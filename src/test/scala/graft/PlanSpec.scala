@@ -732,4 +732,24 @@ class PlanSpec extends SparkSuite {
     assert(!jp.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|payload)#.*"),
       "jpeg_phash shuffles payload bytes")
   }
+
+  test("round-13 plans: semantic_keep_list broadcasts the eval slice on the cell key") {
+    val p = planOf("semantic_keep_list")
+    // cross-cell pairs structurally impossible: the eval x train pairing
+    // is a BROADCAST equi-join carrying c_id — never a cartesian or a
+    // shuffled join (the eval slice is bounded by EvalMaxDocId, so a
+    // shuffle on its account is pure waste)
+    assert(!p.contains("CartesianProduct"),
+      "semantic_keep_list plans a cartesian — the cell join lost its equi key")
+    assert(p.matches("(?s).*BroadcastHashJoin[^\\n]*c_id#.*"),
+      "semantic_keep_list eval join is not a broadcast on the trained cell id")
+    // the verdict agg's exchange keys on vec_id — never the embedding
+    assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*embedding#.*"),
+      "semantic_keep_list keys an exchange on the embedding array")
+    // png_phash: the fingerprint is computed INSIDE the scan-side decode
+    // task — no pixel payload or text may key an exchange
+    val pp = planOf("png_phash")
+    assert(!pp.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|payload)#.*"),
+      "png_phash shuffles payload bytes")
+  }
 }
