@@ -915,9 +915,61 @@ object Multimodal {
   def mediaLuma(payload: Array[Byte]): Array[Int] = sniffMediaType(payload) match {
     case "bmp"  => bmpLuma(payload)
     case "png"  => pngLuma(payload)
+    case "gif"  => gifLuma(payload)
     case "jpeg" => jpegBlockLuma(Jpeg.decodeJpeg(payload))
     case other  => throw new IllegalArgumentException(
       s"mediaLuma: no luma path for container '$other'")
+  }
+
+  /** Strict GIF decode to per-pixel integer luma in row-major order — the
+    * palette-indexed face of [[bmpLuma]]/[[pngLuma]]: the LZW-decoded
+    * indices resolve through the active color table to RGB and then the
+    * same ITU-R BT.601 integer approximation. On [[Gif.encodeGif]]'s
+    * grayscale ramp (entry i = (i,i,i)) the luma IS the index, because
+    * (299 + 587 + 114) / 1000 = 1 exactly — the identity the oracle
+    * replays. */
+  def gifLuma(payload: Array[Byte]): Array[Int] = {
+    val img = Gif.decodeGif(payload)
+    img.rgb.map { p =>
+      (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+        + 114 * (p & 0xff)) / 1000
+    }
+  }
+
+  final case class GifFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_luma: Long)
+
+  /** Per-partition GIF encode→decode over media records — the LZW twin of
+    * [[pngFeatures]]. */
+  def gifFeatures(rows: Iterator[MediaRecord]): Iterator[GifFeatures] =
+    rows.map { r =>
+      val img = Gif.decodeGif(Gif.encodeGif(r.payload))
+      var s = 0L
+      img.rgb.foreach { p =>
+        s += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+          + 114 * (p & 0xff)) / 1000
+      }
+      GifFeatures(r.doc_id, img.width, img.height,
+        img.width.toLong * img.height, s)
+    }
+
+  /** Per-partition encode→sniff→decode→hash through the GIF engine: the
+    * LZW-container face of [[phashRows]]. The gray ramp makes the codec
+    * exactly lossless (decoded luma = source bytes zero-padded to the
+    * [[Gif.GifWidth]] grid), so the fingerprint is an exact integer
+    * function of the source bytes, replayed by the oracle from hex. */
+  def gifPhashRows(rows: Iterator[MediaRecord]): Iterator[(Long, Long)] =
+    rows.map { r =>
+      (r.doc_id, dhash64(mediaLuma(Gif.encodeGif(r.payload))))
+    }
+
+  /** The GIF face of [[Dedup.hammingCandidates]] (CandidateBoundSpec). */
+  private[graft] def gifPhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = asMedia(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions(gifPhashRows).toDF("doc_id", "fp")
+    Dedup.hammingCandidates(fp)
   }
 
   /** Per-partition encode→sniff→decode→hash through the JPEG engine: the
@@ -1209,6 +1261,28 @@ object Multimodal {
                   + 114 * coalesce(bytes[3*k + 3], 0)) // 1000) AS vals
           FROM b)""")
 
+  /** DuckDB oracle for gif_phash: by the gray-ramp identity the decoded
+    * per-pixel luma IS the source byte sequence zero-padded to full
+    * [[Gif.GifWidth]]-index rows (min 1), so the oracle hashes the padded
+    * bytes through the shared cell-hash tail. */
+  private def gifPhashOracleSql: String = cellHashPairsSql(s"""hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+            ${Gif.GifWidth} * greatest(1, (n + ${Gif.GifWidth - 1})
+              // ${Gif.GifWidth}) AS nv,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx),
+        l AS (
+          SELECT doc_id, nv,
+            list_transform(range(0, nv),
+              k -> CAST(coalesce(bytes[k + 1], 0) AS BIGINT)) AS vals
+          FROM b)""")
+
   /** DuckDB oracle for jpeg_phash: by flat-block losslessness the decoded
     * block-mean luma IS the source byte sequence zero-padded to the
     * square-ish [[Jpeg.flatGrid]] (bw = ⌈√n⌉ block columns, bh = ⌈n/bw⌉
@@ -1380,6 +1454,10 @@ object Multimodal {
     else if (payload.length >= PngSig.length && payload.startsWith(PngSig)) "png"
     else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
       (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
+    else if (payload.length >= 6 && {
+      val m = new String(payload, 0, 6, "US-ASCII")
+      m == "GIF89a" || m == "GIF87a"
+    }) "gif"
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
     else if (payload.length >= 12 &&
       new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
@@ -1626,6 +1704,61 @@ object Multimodal {
                     k -> bytes[k])), 0) AS BIGINT) AS sum_b
         FROM b
         ORDER BY doc_id""")),
+
+    // ---- REAL GIF round-trip: LZW encode -> strict decode ----------------
+    // The fourth raster container (after BMP/PNG/JPEG) and the one whose
+    // entropy layer is LZW: every document's bytes become palette indices
+    // of a grayscale GIF89a (real variable-width LZW with code growth,
+    // clear resets at 4096, the KwKwK case), and the strict decoder walks
+    // it all back. The gray ramp makes BT.601 luma EQUAL the index
+    // ((299+587+114)/1000 = 1), so the oracle replays width/height/sums
+    // directly from the hex-recovered bytes — an off-by-one in code
+    // growth, a mis-ordered KwKwK expansion, or a dropped sub-block
+    // hash-mismatches through the sums.
+    GraftQuery(
+      "gif_decode",
+      (s, dir) => {
+        import s.implicits._
+        asMedia(s, dir).mapPartitions(gifFeatures).toDF()
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(coalesce(text, ''))) h,
+                 octet_length(encode(coalesce(text, ''))) n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            list_transform(range(1, n + 1),
+              k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
+          FROM hx)
+        SELECT doc_id,
+               CAST(${Gif.GifWidth} AS INT) AS width,
+               CAST(greatest(1, (n + ${Gif.GifWidth - 1}) // ${Gif.GifWidth})
+                    AS INT) AS height,
+               CAST(${Gif.GifWidth} * greatest(1,
+                    (n + ${Gif.GifWidth - 1}) // ${Gif.GifWidth})
+                    AS BIGINT) AS n_pixels,
+               CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS sum_luma
+        FROM b
+        ORDER BY doc_id""")),
+
+    // ---- GIF perceptual-hash near-dup (oracle-checked) --------------------
+    // The LZW face of the shared image near-dup machinery: encode →
+    // magic-byte dispatch → strict decode → palette luma → the SAME
+    // dhash64 → capped banded-Hamming join as phash_neardup / png_phash /
+    // jpeg_phash. Luma = the padded source bytes (gray-ramp identity), so
+    // the oracle replays hash, banding, cap and confirmation from hex.
+    GraftQuery(
+      "gif_phash",
+      (s, dir) => gifPhashCandidates(s, dir)
+        .withColumn("hamming",
+          bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast(IntegerType))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b"),
+      Some(gifPhashOracleSql)),
 
     // ---- REAL Y4M (YUV4MPEG2) frame walk (oracle-checked) ----------------
     // The video container: header-line parameter parse, frame markers

@@ -33,7 +33,7 @@ object Similarity {
     * distance tops out at (2·1e4)² = 4e8, far inside every cast. Any
     * real embedding has O(1) norm; a vector beyond this bound is a
     * corrupt feature dump, excluded like the zero vector. */
-  private[operators] val MaxVecNorm = 1e4
+  private[graft] val MaxVecNorm = 1e4
 
   /** Declared embedding dimensionality — part of the universe contract.
     * A wrong-width vector silently truncates in the Spark kernels
@@ -43,7 +43,7 @@ object Similarity {
     * The gate (`size(embedding) = EmbDims`, `len(embedding) = 64` in the
     * oracles) keeps mixed-width corpora deterministic: off-width vectors
     * are out of the universe in both engines. */
-  private[operators] val EmbDims = 64
+  private[graft] val EmbDims = 64
 
   /** The oracle mirror of the universe gate (NaN > 0 is true but
     * NaN < bound is false in BOTH engines, so NaN/Inf/overflowing/

@@ -865,6 +865,38 @@ object StreamingPipeline {
         "rejected_tokens", "margin", "valid", tsCol)
   }
 
+  /** Streaming face of the embedding stage ([[graft.operators
+    * .Similarity]]): validate vectors in-flight with the SAME universe
+    * gate every batch similarity/ANN/semdedup query pins — declared
+    * dimensionality, finite positive L2 norm under the overflow ceiling
+    * (a NaN/Inf coordinate fails the `norm > 0` comparison, the batch
+    * family's exclusion-at-the-source rule). Output per vector: the
+    * observed dims and norm plus the `valid` verdict — the natural
+    * [[quarantineSink]] predicate for routing malformed vectors to a
+    * dead-letter path BEFORE they poison an index build or a trained
+    * bank. The norm rides the codegen'd
+    * [[graft.functions.VectorExpressions.l2norm]] expression, not a
+    * per-row closure, so the gate is a pure column formula exactly as in
+    * batch. */
+  def embIngest(
+      vecs: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      tsCol: String = "timestamp"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, size, round}
+    import graft.functions.{VectorExpressions => V}
+    import graft.operators.Similarity.{EmbDims, MaxVecNorm}
+    vecs
+      .select(col(idCol).cast("long"), col(embCol), col(tsCol))
+      .withColumn("dims", size(col(embCol)))
+      .withColumn("norm", V.l2norm(col(embCol)))
+      .select(col(idCol), col("dims"),
+        round(col("norm"), 6).as("norm"),
+        (col("dims") === EmbDims && col("norm") > 0 &&
+          col("norm") < MaxVecNorm).as("valid"),
+        col(tsCol))
+  }
+
   /** Dead-letter split sink: one stream, two destinations. Rows failing
     * `isGood` go to the quarantine sink with full payload for replay
     * after a parser fix; the rest take the main path. Pairs with

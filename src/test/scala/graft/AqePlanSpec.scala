@@ -280,8 +280,8 @@ class AqePlanSpec extends SparkSuite {
       "semantic_keep_list keys an exchange on the embedding array under AQE")
     // the new scan-side fingerprint queries stay cartesian-free and never
     // key an exchange on payload bytes or text
-    for (name <- Seq("jpeg_phash", "png_phash", "pdf_extract",
-        "strip_eval_spans", "leak_mass_by_source")) {
+    for (name <- Seq("jpeg_phash", "png_phash", "gif_phash", "gif_decode",
+        "pdf_extract", "strip_eval_spans", "leak_mass_by_source")) {
       val p = finalPlan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name gained a CartesianProduct after adaptive re-planning")

@@ -113,6 +113,17 @@ class CandidateBoundSpec extends SparkSuite {
     }
   }
 
+  test("gif_phash candidates stay under the linear cap bound at all three scales") {
+    // the GIF (LZW) fingerprints ride the same capped banded join
+    val capBoundPerDoc = 10.0 * (operators.Dedup.MaxChunkBucket - 1) / 2
+    for (dir <- dirs) {
+      val n = Tables.documents(spark, dir).count()
+      val cands = operators.Multimodal.gifPhashCandidates(spark, dir).count()
+      assert(cands <= capBoundPerDoc * n,
+        s"$dir: $cands candidates exceed the provable bound ${capBoundPerDoc * n}")
+    }
+  }
+
   test("ehash (audio) candidates stay under the linear cap bound at all three scales") {
     val capBoundPerDoc = 10.0 * (operators.Dedup.MaxChunkBucket - 1) / 2
     for (dir <- dirs) {

@@ -1695,6 +1695,92 @@ class OperatorSpec extends SparkSuite {
     assert(got.sameElements(want), "pngLuma drifted from ImageIO's raster")
   }
 
+  test("gif: LZW round-trip is exactly lossless across width-growth and clear boundaries") {
+    import graft.operators.{Gif, Multimodal}
+    // every byte value survives encode->decode as itself (gray-ramp
+    // identity: luma == index == source byte)
+    (0 until 256).foreach { v =>
+      val luma = Multimodal.gifLuma(Gif.encodeGif(Array(v.toByte)))
+      assert(luma.take(1).toList == List(v), s"value $v drifted")
+    }
+    def expected(bytes: Array[Byte]): Array[Int] = {
+      val h = math.max(1, (bytes.length + Gif.GifWidth - 1) / Gif.GifWidth)
+      val padded = bytes ++ Array.fill[Byte](Gif.GifWidth * h - bytes.length)(0)
+      padded.map(_ & 0xff)
+    }
+    // sizes that force the 9->10->11->12-bit code growths and (at 50k of
+    // high-entropy bytes) dictionary-full clear resets; plus the KwKwK
+    // shape (a run of one repeated byte triggers it immediately)
+    val rng = new scala.util.Random(11)
+    val fixtures = Seq(
+      Array.empty[Byte],
+      Array.fill[Byte](40)(7),                       // KwKwK chains
+      Array.tabulate(600)(i => (i % 251).toByte),
+      Array.tabulate(2000)(_ => rng.nextInt(256).toByte),
+      Array.tabulate(50013)(_ => rng.nextInt(256).toByte))
+    fixtures.foreach { bytes =>
+      val got = Multimodal.gifLuma(Gif.encodeGif(bytes))
+      assert(got.sameElements(expected(bytes)),
+        s"LZW round-trip drifted for a ${bytes.length}-byte payload")
+    }
+  }
+
+  test("gif: foreign-codec parity both directions (ImageIO) and strict rejection") {
+    import graft.operators.{Gif, Multimodal}
+    // OUR encoder -> ImageIO's decoder: proves the emitted LZW stream
+    // (code widths, sub-blocks, terminators) is spec-valid to a foreign
+    // reader, not just to our own
+    val payload = Array.tabulate(3000)(i => (i * 131 % 256).toByte)
+    val ours = Gif.encodeGif(payload)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img != null, "ImageIO refused our GIF")
+    val h = math.max(1, (payload.length + Gif.GifWidth - 1) / Gif.GifWidth)
+    assert(img.getWidth == Gif.GifWidth && img.getHeight == h)
+    val padded = payload ++ Array.fill[Byte](Gif.GifWidth * h - payload.length)(0)
+    for (y <- 0 until h; x <- 0 until Gif.GifWidth) {
+      val v = padded(y * Gif.GifWidth + x) & 0xff
+      assert((img.getRGB(x, y) & 0xffffff) == (v << 16 | v << 8 | v),
+        s"ImageIO decoded pixel ($x,$y) differently")
+    }
+    // ImageIO's encoder -> OUR decoder: a foreign writer with its own
+    // sub-block sizes, extensions (GCE), and code-growth choices
+    val src = new java.awt.image.BufferedImage(9, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 6).foreach(y => (0 until 9).foreach(x =>
+      src.getRaster.setSample(x, y, 0, (x * 29 + y * 53) % 256)))
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(src, "gif", bos))
+    val theirs = bos.toByteArray
+    assert(Multimodal.sniffMediaType(theirs) == "gif")
+    val dec = Gif.decodeGif(theirs)
+    assert(dec.width == 9 && dec.height == 6)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(theirs))
+    for (y <- 0 until 6; x <- 0 until 9)
+      assert((dec.rgb(y * 9 + x) & 0xffffff) == (back.getRGB(x, y) & 0xffffff),
+        s"our decode of ImageIO's GIF differs at ($x,$y)")
+    // rejection battery: every structural violation fails as 'gif reject:'
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "bad magic" -> { val m = ours.clone; m(3) = '9'; m(4) = '9'; m },
+      "truncated mid-stream" -> ours.take(ours.length / 2),
+      "missing trailer" -> ours.take(ours.length - 1),
+      "clobbered sub-block length" -> {
+        val m = ours.clone
+        // the first data sub-block length byte sits right after the LZW
+        // min-code byte, which follows the 10-byte image descriptor and
+        // the 6+7+768-byte header+LSD+palette
+        val off = 6 + 7 + 768 + 10 + 1
+        m(off) = 3 // desyncs the sub-block walk into the LZW byte stream
+        m
+      })
+    cases.foreach { case (what, bytes) =>
+      val e = intercept[IllegalArgumentException](Gif.decodeGif(bytes))
+      assert(e.getMessage.startsWith("gif reject:"), s"$what: ${e.getMessage}")
+    }
+    // routing: the dispatch agrees with the direct decode
+    assert(Multimodal.mediaLuma(ours).sameElements(Multimodal.gifLuma(ours)))
+  }
+
   test("semdedup_trained: keep/drop replays brute-force band cosines; ranks dense") {
     // the trained cells + ranks are oracle-checked (unrolled Lloyd CTEs);
     // this verifies the PRUNE DECISION against them brute-force: a member

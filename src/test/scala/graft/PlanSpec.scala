@@ -746,10 +746,12 @@ class PlanSpec extends SparkSuite {
     // the verdict agg's exchange keys on vec_id — never the embedding
     assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*embedding#.*"),
       "semantic_keep_list keys an exchange on the embedding array")
-    // png_phash: the fingerprint is computed INSIDE the scan-side decode
-    // task — no pixel payload or text may key an exchange
-    val pp = planOf("png_phash")
-    assert(!pp.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|payload)#.*"),
-      "png_phash shuffles payload bytes")
+    // png_phash / gif_phash: the fingerprint is computed INSIDE the
+    // scan-side decode task — no pixel payload or text may key an exchange
+    for (name <- Seq("png_phash", "gif_phash")) {
+      val pp = planOf(name)
+      assert(!pp.matches("(?s).*Exchange hashpartitioning[^\\n]*(text|payload)#.*"),
+        s"$name shuffles payload bytes")
+    }
   }
 }

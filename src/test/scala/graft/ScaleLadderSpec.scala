@@ -382,7 +382,8 @@ class ScaleLadderSpec extends SparkSuite {
     // pdf_extract: pure scan-side codec round-trip; export_manifest:
     // shard-keyed aggs over the packed frame
     assertEnvelope(Seq("decontaminate_spans", "jpeg_phash", "png_phash",
-      "pdf_extract", "export_manifest"), LadderDir)
+      "gif_phash", "pdf_extract", "export_manifest",
+      "corpus_export_manifest"), LadderDir)
   }
 
   test("second rung (30x): the round-12 document families step linearly past the 10x point") {
@@ -395,7 +396,8 @@ class ScaleLadderSpec extends SparkSuite {
     ensureLadderCorpus()
     ensureLadderCorpus(Ladder30Dir, replicas = 30)
     assertStep(Seq("decontaminate_spans", "jpeg_phash", "png_phash",
-      "pdf_extract", "export_manifest"), LadderDir, Ladder30Dir)
+      "gif_phash", "pdf_extract", "export_manifest",
+      "corpus_export_manifest"), LadderDir, Ladder30Dir)
   }
 
   /** Deterministic replicated embeddings corpus (the semdedup_trained

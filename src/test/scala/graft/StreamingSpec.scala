@@ -1481,6 +1481,63 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("embIngest: the batch universe gate holds in flight, invalid vectors flagged") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val out = StreamingPipeline.embIngest(
+      mem.toDF().toDF("vec_id", "embedding", "timestamp"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("emb_ingest").start()
+    try {
+      val good = Seq.tabulate(64)(i => (i % 7 + 1).toFloat / 8)
+      mem.addData(
+        (1L, good, ts("2024-01-01T10:00:00Z")),                    // valid
+        (2L, good.take(16), ts("2024-01-01T10:00:01Z")),           // wrong dims
+        (3L, Seq.fill(64)(0f), ts("2024-01-01T10:00:02Z")),        // zero norm
+        (4L, good.updated(0, Float.NaN), ts("2024-01-01T10:00:03Z")), // NaN
+        (5L, good.map(_ * 1e30f), ts("2024-01-01T10:00:04Z")))     // overflow
+      q.processAllAvailable()
+      val rows = spark.table("emb_ingest").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("valid")).toMap
+      assert(rows == Map(1L -> true, 2L -> false, 3L -> false,
+        4L -> false, 5L -> false), s"gate verdicts drifted: $rows")
+      // the verdict must MATCH the batch universe: a valid vector joins
+      // the similarity family's universe, an invalid one is excluded
+      val d = spark.table("emb_ingest").filter(col("valid"))
+        .select("dims").head.getInt(0)
+      assert(d == 64)
+    } finally q.stop()
+  }
+
+  test("throughput pin: embIngest sustains >= 20k vecs/s") {
+    // the gate is a pure column formula (size + codegen'd l2norm), so
+    // its rate floor sits well above the parse-heavy faces; 20k leaves
+    // >2x headroom under the measured quiet rate
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val out = StreamingPipeline.embIngest(
+      mem.toDF().toDF("vec_id", "embedding", "timestamp"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("emb_tput").start()
+    try {
+      val v = Seq.tabulate(64)(i => (i % 13 + 1).toFloat / 16)
+      mem.addData((0L, v, ts("2024-01-01T09:59:00Z")))
+      q.processAllAvailable()
+      val n = 40000
+      mem.addData((1 to n).map(i =>
+        (i.toLong, v.updated(i % 64, (i % 31).toFloat / 32),
+          ts("2024-01-01T10:00:00Z"))): _*)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = n / secs
+      info(f"embIngest throughput: $rate%.0f vecs/s (${secs}%.2f s for $n)")
+      assert(rate >= 20000,
+        f"embedding ingest sustained only $rate%.0f vecs/s — below the 20k floor")
+      assert(spark.table("emb_tput").count() >= n)
+    } finally q.stop()
+  }
+
   test("throughput pin: dpoIngest sustains >= 5k pairs/s") {
     implicit val sc = spark.sqlContext
     import operators.ChatData
