@@ -10,8 +10,8 @@ package graft.operators
   *
   * Encoder: one full-frame image over a 256-entry grayscale global
   * palette (entry i = (i, i, i)), pixel stream = the source bytes as
-  * palette indices zero-padded to `height = ceil(n / GifWidth)` full
-  * rows (min 1) — GIF is LOSSLESS, so the decoded indices ARE the source
+  * palette indices zero-padded to the square-ish [[gifGrid]] (width
+  * ⌈√n⌉, min 1×1) — GIF is LOSSLESS, so the decoded indices ARE the source
   * bytes, which is what makes gif_decode/gif_phash oracle-replayable
   * from hex. The BT.601 luma of a gray palette entry i is exactly i
   * ((299 + 587 + 114) / 1000 = 1), so the luma stream equals the padded
@@ -29,10 +29,17 @@ package graft.operators
   */
 object Gif {
 
-  /** Fixed frame width: 7 pixel indices per row (bytes are 1:1 with
-    * pixels — no triple packing as in BMP/PNG). ceil(50k/7) rows stays
-    * far under the u16 dimension ceiling. */
-  val GifWidth = 7
+  /** Square-ish frame geometry, the [[Jpeg.flatGrid]] discipline: width
+    * ⌈√n⌉, height ⌈n/width⌉ (min 1×1) — BOTH dimensions stay under the
+    * u16 ceiling at any payload size a document lake holds (a fixed
+    * narrow width overflows height past ~458 kB, and the LE dimension
+    * fields would truncate SILENTLY). Bytes are 1:1 with pixels (palette
+    * indices — no triple packing as in BMP/PNG). */
+  def gifGrid(n: Int): (Int, Int) = {
+    val nv = math.max(1, n)
+    val w = math.ceil(math.sqrt(nv.toDouble)).toInt
+    (w, (nv + w - 1) / w)
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"gif reject: $msg")
@@ -46,12 +53,12 @@ object Gif {
     * full-frame non-interlaced image, real variable-width LZW. */
   def encodeGif(bytes: Array[Byte]): Array[Byte] = {
     val n = bytes.length
-    val height = math.max(1, (n + GifWidth - 1) / GifWidth)
-    val indices = new Array[Byte](GifWidth * height)
+    val (width, height) = gifGrid(n)
+    val indices = new Array[Byte](width * height)
     System.arraycopy(bytes, 0, indices, 0, n)
     val out = new java.io.ByteArrayOutputStream(n + 1024)
     out.write("GIF89a".getBytes("US-ASCII"))
-    out.write(u16le(GifWidth)); out.write(u16le(height))
+    out.write(u16le(width)); out.write(u16le(height))
     out.write(0xf7) // global table, 8-bit color resolution, 256 entries
     out.write(0)    // background color index
     out.write(0)    // aspect ratio
@@ -59,7 +66,7 @@ object Gif {
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
     out.write(0x2c) // image descriptor
     out.write(u16le(0)); out.write(u16le(0))
-    out.write(u16le(GifWidth)); out.write(u16le(height))
+    out.write(u16le(width)); out.write(u16le(height))
     out.write(0)    // no local table, no interlace
     out.write(8)    // LZW minimum code size
     val lzw = lzwEncode(indices, 8)

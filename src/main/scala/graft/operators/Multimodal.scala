@@ -956,7 +956,7 @@ object Multimodal {
   /** Per-partition encode→sniff→decode→hash through the GIF engine: the
     * LZW-container face of [[phashRows]]. The gray ramp makes the codec
     * exactly lossless (decoded luma = source bytes zero-padded to the
-    * [[Gif.GifWidth]] grid), so the fingerprint is an exact integer
+    * [[Gif.gifGrid]] grid), so the fingerprint is an exact integer
     * function of the source bytes, replayed by the oracle from hex. */
   def gifPhashRows(rows: Iterator[MediaRecord]): Iterator[(Long, Long)] =
     rows.map { r =>
@@ -1263,25 +1263,28 @@ object Multimodal {
 
   /** DuckDB oracle for gif_phash: by the gray-ramp identity the decoded
     * per-pixel luma IS the source byte sequence zero-padded to full
-    * [[Gif.GifWidth]]-index rows (min 1), so the oracle hashes the padded
+    * [[Gif.gifGrid]] (width ⌈√n⌉, min 1×1), so the oracle hashes the padded
     * bytes through the shared cell-hash tail. */
   private def gifPhashOracleSql: String = cellHashPairsSql(s"""hx AS (
           SELECT doc_id, hex(encode(coalesce(text, ''))) h,
                  octet_length(encode(coalesce(text, ''))) n
           FROM documents),
         b AS (
-          SELECT doc_id,
-            ${Gif.GifWidth} * greatest(1, (n + ${Gif.GifWidth - 1})
-              // ${Gif.GifWidth}) AS nv,
+          SELECT doc_id, n,
             list_transform(range(1, n + 1),
               k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
                    + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
           FROM hx),
+        bg AS (
+          SELECT doc_id, n, bytes,
+                 CAST(ceil(sqrt(greatest(1, n))) AS BIGINT) AS w
+          FROM b),
         l AS (
-          SELECT doc_id, nv,
-            list_transform(range(0, nv),
+          SELECT doc_id,
+            w * ((greatest(1, n) + w - 1) // w) AS nv,
+            list_transform(range(0, w * ((greatest(1, n) + w - 1) // w)),
               k -> CAST(coalesce(bytes[k + 1], 0) AS BIGINT)) AS vals
-          FROM b)""")
+          FROM bg)""")
 
   /** DuckDB oracle for jpeg_phash: by flat-block losslessness the decoded
     * block-mean luma IS the source byte sequence zero-padded to the
@@ -1732,16 +1735,17 @@ object Multimodal {
             list_transform(range(1, n + 1),
               k -> (strpos('0123456789ABCDEF', substring(h, 2*k - 1, 1)) - 1) * 16
                    + strpos('0123456789ABCDEF', substring(h, 2*k, 1)) - 1) AS bytes
-          FROM hx)
+          FROM hx),
+        g AS (
+          SELECT doc_id, n, bytes,
+                 CAST(ceil(sqrt(greatest(1, n))) AS BIGINT) AS w
+          FROM b)
         SELECT doc_id,
-               CAST(${Gif.GifWidth} AS INT) AS width,
-               CAST(greatest(1, (n + ${Gif.GifWidth - 1}) // ${Gif.GifWidth})
-                    AS INT) AS height,
-               CAST(${Gif.GifWidth} * greatest(1,
-                    (n + ${Gif.GifWidth - 1}) // ${Gif.GifWidth})
-                    AS BIGINT) AS n_pixels,
+               CAST(w AS INT) AS width,
+               CAST((greatest(1, n) + w - 1) // w AS INT) AS height,
+               CAST(w * ((greatest(1, n) + w - 1) // w) AS BIGINT) AS n_pixels,
                CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS sum_luma
-        FROM b
+        FROM g
         ORDER BY doc_id""")),
 
     // ---- GIF perceptual-hash near-dup (oracle-checked) --------------------

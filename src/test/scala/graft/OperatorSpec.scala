@@ -1704,8 +1704,8 @@ class OperatorSpec extends SparkSuite {
       assert(luma.take(1).toList == List(v), s"value $v drifted")
     }
     def expected(bytes: Array[Byte]): Array[Int] = {
-      val h = math.max(1, (bytes.length + Gif.GifWidth - 1) / Gif.GifWidth)
-      val padded = bytes ++ Array.fill[Byte](Gif.GifWidth * h - bytes.length)(0)
+      val (w, h) = Gif.gifGrid(bytes.length)
+      val padded = bytes ++ Array.fill[Byte](w * h - bytes.length)(0)
       padded.map(_ & 0xff)
     }
     // sizes that force the 9->10->11->12-bit code growths and (at 50k of
@@ -1717,7 +1717,10 @@ class OperatorSpec extends SparkSuite {
       Array.fill[Byte](40)(7),                       // KwKwK chains
       Array.tabulate(600)(i => (i % 251).toByte),
       Array.tabulate(2000)(_ => rng.nextInt(256).toByte),
-      Array.tabulate(50013)(_ => rng.nextInt(256).toByte))
+      Array.tabulate(50013)(_ => rng.nextInt(256).toByte),
+      // past the old fixed-width ceiling (height would exceed u16 at
+      // width 7): the square-ish grid must keep both dims small
+      Array.tabulate(500000)(i => (i * 7 % 256).toByte))
     fixtures.foreach { bytes =>
       val got = Multimodal.gifLuma(Gif.encodeGif(bytes))
       assert(got.sameElements(expected(bytes)),
@@ -1734,11 +1737,11 @@ class OperatorSpec extends SparkSuite {
     val ours = Gif.encodeGif(payload)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
     assert(img != null, "ImageIO refused our GIF")
-    val h = math.max(1, (payload.length + Gif.GifWidth - 1) / Gif.GifWidth)
-    assert(img.getWidth == Gif.GifWidth && img.getHeight == h)
-    val padded = payload ++ Array.fill[Byte](Gif.GifWidth * h - payload.length)(0)
-    for (y <- 0 until h; x <- 0 until Gif.GifWidth) {
-      val v = padded(y * Gif.GifWidth + x) & 0xff
+    val (w, h) = Gif.gifGrid(payload.length)
+    assert(img.getWidth == w && img.getHeight == h)
+    val padded = payload ++ Array.fill[Byte](w * h - payload.length)(0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = padded(y * w + x) & 0xff
       assert((img.getRGB(x, y) & 0xffffff) == (v << 16 | v << 8 | v),
         s"ImageIO decoded pixel ($x,$y) differently")
     }
