@@ -169,8 +169,29 @@ object Dedup {
     // canonicalize to one reusable exchange. Cost: 8 bytes per posting
     // entry on the one inverted-index shuffle; payoff: zero joins and a
     // single pass over the corpus.
+    // the gram TEXT dies scan-side: explode, then hash to an 8-byte key
+    // in the same codegen'd projection (explode-then-hash keeps xxhash64
+    // a codegen'd column op; hashing inside the array via transform()
+    // would drop the lambda to interpreted eval). The inverted-index
+    // exchange then carries (long, struct) instead of a ~20-byte gram
+    // string per posting (guide §2.3: shuffle keys, not payloads;
+    // narrower types). Collision math: distinct grams per corpus slice
+    // n ⇒ merged-posting probability ≈ n²/2^65 — negligible below ~10^8
+    // grams; widen to a 2×64-bit struct key past that.
     val ex = sh.select(col("doc_id"), size(col("grams")).as("n"),
-      explode(col("grams")).as("gram"))
+      explode(col("grams")).as("gs"))
+      .select(col("doc_id"), col("n"), xxhash64(col("gs")).as("gram"))
+      // key-aligned rebalance (REPARTITION_BY_NUM): the stage after this
+      // exchange runs the posting-list pair EXPLOSION, whose cost is
+      // Σ|postings|² per partition — rows², not bytes. AQE's byte-based
+      // coalescing (1 MB min-size floor) squeezed the now-8-byte-keyed
+      // shuffle into a handful of partitions and serialized that stage
+      // (measured 1.4 s → 2.0 s at sf0.1 from the key narrowing alone);
+      // pinning the exchange at defaultParallelism restores the
+      // parallelism AQE's byte model can't see. groupBy reuses this
+      // exchange (same key, same count), and collect_list's partial agg
+      // reduces nothing anyway, so the pre-shuffle pass loses no combine.
+      .repartition(spark.sparkContext.defaultParallelism, col("gram"))
     // struct ordering sorts by doc_id first, so pair emission stays a < b
     val postings = ex.groupBy("gram")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
@@ -1799,9 +1820,17 @@ object Dedup {
   private[operators] val DupSpanK = 8
 
   /** Per-doc [[DupSpanK]]-token gram start positions over a `(doc_id,
-    * text)` frame, the gram carried as its md5 digest — the 32-hex digest
-    * rides every downstream join/shuffle, never the gram text. Shared by
-    * [[dupSpans]] (within-corpus duplication) and Curation's
+    * text)` frame, the gram carried as its xxhash64 digest — an 8-byte
+    * long rides every downstream join/shuffle/broadcast, never the gram
+    * text. Formerly md5: the hex digest was a 32-CHAR string per gram
+    * (4× the shuffle bytes — guide §2.3 narrower types) and MessageDigest
+    * + hex-encode per gram dominated the scan (guide §1.2 per-task work);
+    * xxhash64 is the engine's own codegen'd hash. Downstream only ever
+    * equi-joins on the digest (positions are the output), so the digest
+    * width is a collision-probability knob, not a semantic one: 64 bits
+    * is collision-safe to ~10^8 grams per corpus slice (p < 1e-3); a
+    * >10^9-gram production slice should widen to a 2×64-bit struct key.
+    * Shared by [[dupSpans]] (within-corpus duplication) and Curation's
     * decontaminate_spans family (eval-overlap excision). */
   private[operators] def gramStarts(docs: DataFrame, k: Int): DataFrame =
     docs
@@ -1810,8 +1839,7 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"""CASE WHEN size(toks) >= $k
              THEN transform(sequence(0, size(toks) - $k),
-                    i -> md5(to_binary(
-                      concat_ws(' ', slice(toks, i + 1, $k)), 'utf-8')))
+                    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))
              ELSE array() END""")).as(Seq("start", "g")))
 
   /** RAW [[DupSpanK]]-token gram texts of a text column — the collected
@@ -1881,10 +1909,20 @@ object Dedup {
     * documents. Shared by dup_spans (report) and strip_dup_spans (apply). */
   private[graft] def dupSpans(s: SparkSession, dir: String): DataFrame = {
     val g = gramStarts(Tables.documents(s, dir), DupSpanK)
-    val dup = g.select("g", "doc_id").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("g")
-    mergeSpans(g.join(dup, "g").select("doc_id", "start"), DupSpanK)
+    // "occurs in ≥2 DISTINCT docs" ⟺ min(doc_id) ≠ max(doc_id) within the
+    // gram's partition — ONE window exchange on the digest marks every
+    // start row directly. The former distinct→groupBy→filter→join chain
+    // spent three exchanges (distinct by (g,doc), count by g, join back
+    // by g) re-deriving the same membership; guide §2.4 (remove shuffles
+    // outright / share one exchange). Rows emitted are identical: every
+    // start of a multi-doc gram, including repeats within one doc.
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val marked = g
+      .withColumn("mn", min("doc_id").over(byG))
+      .withColumn("mx", max("doc_id").over(byG))
+      .filter(col("mn") =!= col("mx"))
+      .select("doc_id", "start")
+    mergeSpans(marked, DupSpanK)
   }
 
   /** Oracle CTE chain `d(doc_id, toks)` / `gx` / `g(doc_id, start, gram)`

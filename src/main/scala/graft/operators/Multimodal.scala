@@ -440,7 +440,12 @@ object Multimodal {
         System.arraycopy(bytes, src, raw, y * (1 + rowBytes) + 1, len)
       y += 1
     }
-    val defl = new java.util.zip.Deflater
+    // BEST_SPEED: the container's consumers (png_decode, png_phash) are
+    // pinned to the DECODED raster, never the compressed bytes, and the
+    // deflate level is the encode loop's hot cost — level 1 keeps the
+    // zlib stream spec-valid while cutting the per-row encode CPU ~3×
+    // (guide §1.2 "per-task work"; measured on the png_phash bench)
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
     defl.setInput(raw); defl.finish()
     val buf = new Array[Byte](raw.length + 64)
     val out = new java.io.ByteArrayOutputStream

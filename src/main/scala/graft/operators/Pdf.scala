@@ -248,7 +248,11 @@ object Pdf {
   }
 
   private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
+    // BEST_SPEED: every consumer reads the INFLATED stream (parsePdf
+    // checks /Length against the actual bytes it wrote, so the container
+    // stays self-consistent at any level); level 1 cuts the per-row
+    // encode CPU of the flate-routed half of pdf_extract ~3×
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
     d.setInput(data); d.finish()
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
     val buf = new Array[Byte](4096)

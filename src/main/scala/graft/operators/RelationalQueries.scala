@@ -1543,10 +1543,22 @@ object RelationalQueries {
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("n_name")
           .agg(sum(col("aq") * col("u4")).as("sv"))
-        val tot = stock.agg(sum(col("sv")).as("tot"))
         val nn = Tables.nation(s, dir)
           .agg(count(lit(1)).cast(DecimalType(4, 0)).as("nn"))
-        stock.crossJoin(broadcast(tot)).crossJoin(broadcast(nn))
+        // the total is a WINDOW over the aggregated frame, not a second
+        // crossJoin(broadcast(agg)) derivation: `stock` is one row per
+        // nation (≤ |nation| rows at ANY corpus scale), so a single-
+        // partition window is bounded and free, while the broadcast-agg
+        // formulation re-derived the whole lineitem→groupBy→join→groupBy
+        // chain a second time (pure plans have no cache; two renamed
+        // subtrees don't share exchanges — guide §7.2 duplicated
+        // subtrees). Plan: 2 full fact passes → 1. The lit(1) partition
+        // key keeps WindowExec's "no partition defined" WARN out of every
+        // bench log without changing the (single-partition) execution.
+        stock
+          .withColumn("tot", sum(col("sv")).over(
+            Window.partitionBy(lit(1))))
+          .crossJoin(broadcast(nn))
           .filter(col("sv").cast(DecimalType(28, 2)) * col("nn") > col("tot"))
           .select(col("n_name"),
             round(col("sv").cast(DoubleType), 2).as("stock_value"))

@@ -1021,7 +1021,14 @@ object Similarity {
           .agg(sum(expr(
             "CAST(x6 - m6 AS DECIMAL(38,0)) * (x6 - m6)")).as("dd"))
           .withColumn("dist_q", expr("CAST(dd AS BIGINT)")).drop("dd")
-        val sizes = dist.groupBy("label").agg(count(lit(1)).as("n_cell"))
+        // cell sizes from the SCAN, not from `dist`: dist has exactly one
+        // row per surviving vector (the cent join is inner on (label,dim)
+        // keys that every dim row has a centroid for, and the groupBy
+        // collapses dims back to the vector), so count-per-label over
+        // vecs is the same number — and the former dist.groupBy re-derived
+        // the whole explode→join→agg chain a second time (pure plans have
+        // no cache; guide §7.2 duplicated subtrees).
+        val sizes = vecs(s, dir).groupBy("label").agg(count(lit(1)).as("n_cell"))
         PipelineOps.twoPhaseRank(dist,
             Seq("label"), "dist_q", Seq("vec_id"), "cell_rank")
           .join(broadcast(sizes), "label")

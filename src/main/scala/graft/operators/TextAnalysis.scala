@@ -142,13 +142,20 @@ object TextAnalysis {
             explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
           .filter(col("term") =!= "")
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = toks.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
+        // df computed as a WINDOW over tf instead of the former second
+        // explode+distinct branch joined back on term: tf already holds
+        // exactly one row per (doc, term), so count(*) over (partition by
+        // term) IS the document frequency. One corpus scan instead of
+        // two, and the tf-by-term join exchange disappears — the window's
+        // term exchange replaces both (guide §2.4: two operations keyed
+        // the same way share one exchange).
+        val df = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("term")))
         val nd = Tables.documents(s, dir)
           .agg(count(lit(1)).cast(DoubleType).as("n"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term"))
-        tf.join(df, "term")
+        df
           .crossJoin(broadcast(nd))
           .withColumn("idf6",
             expr("CAST(round(ln((n + 1) / (df + 1)) * 1000000) AS BIGINT)"))
@@ -889,12 +896,15 @@ object TextAnalysis {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        // df derived FROM tf (one row per (doc, term) already) instead of a
-        // second explode+distinct over the corpus: the two consumers now
-        // share the tf subtree up to its exchange, which ReuseExchange
-        // dedupes — one corpus scan instead of two
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val scored = tf.join(df, "term")
+        // df as a WINDOW over tf (one row per (doc, term) already):
+        // count(*) over (partition by term) IS the document frequency.
+        // The former groupBy(term) branch + join-back-on-term needed two
+        // term-keyed exchanges of the tf frame; the window needs one
+        // (guide §2.4 — two operations keyed the same way share one
+        // exchange), and ReuseExchange no longer has to dedupe anything.
+        val scored = tf
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("term")))
           .crossJoin(broadcast(nDocs))
           .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
         // top-1 per doc via the two-phase heap operator: the shuffle after
