@@ -681,13 +681,25 @@ object ChatData {
             (d.doc_id, md5Hex(prompt.getBytes("UTF-8")))
           }
           .toDF("doc_id", "digest")
-        val j = prompts.join(Dedup.docSplits(s, dir), "doc_id")
-        def rank(c: org.apache.spark.sql.Column) =
-          when(c === "train", 0).when(c === "val", 1).otherwise(2)
-        val earlier = j.select(col("split").as("split_a"), col("digest")).distinct()
-        earlier.join(j.select(col("split").as("split_b"), col("digest"),
-            col("doc_id")), Seq("digest"))
-          .filter(rank(col("split_a")) < rank(col("split_b")))
+        // split as a projection of the row's own key (Dedup.splitOf is a
+        // pure function of doc_id) — the former docSplits join shuffled
+        // the parsed-prompt frame to look up a value computable in place
+        val j = prompts.withColumn("split", Dedup.splitOf(col("doc_id")))
+        // the earlier-splits side as a collect_set WINDOW over the digest
+        // (≤ 3 splits per digest, bounded at any scale) instead of a
+        // distinct+self-join: the join's two branches each re-ran the
+        // whole chat render→parse map over the corpus (pure plans have no
+        // cache — guide §7.2), and the digest self-join shuffled the
+        // frame twice where the window shuffles it once (guide §2.4).
+        // Each row then explodes one (split_a) per DISTINCT
+        // earlier-ranked split of its digest — exactly the pairs the
+        // distinct-join emitted.
+        val rk = "CASE %s WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+        j.withColumn("splits", collect_set("split").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+          .withColumn("split_a", explode(expr(
+            s"filter(splits, x -> (${rk.format("x")}) < (${rk.format("split")}))")))
+          .withColumn("split_b", col("split"))
           .groupBy("split_a", "split_b")
           .agg(countDistinct("digest").as("n_shared_prompts"),
             countDistinct("doc_id").as("n_leaked_docs"))

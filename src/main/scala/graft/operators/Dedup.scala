@@ -1303,10 +1303,14 @@ object Dedup {
     GraftQuery(
       "split_leakage",
       (s, dir) => {
-        val splits = docSplits(s, dir)
+        // splits attach as projections of the pair's own keys ([[splitOf]]
+        // is a pure function of doc_id) — the former two doc-keyed joins
+        // shuffled the pair frame twice to look up a value computable in
+        // place (guide §2.4), and every join side re-derived the docSplits
+        // scan.
         minhashPairs(s, dir).select("doc_a", "doc_b", "jaccard")
-          .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
-          .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+          .withColumn("split_a", splitOf(col("doc_a")))
+          .withColumn("split_b", splitOf(col("doc_b")))
           .filter(col("split_a") =!= col("split_b"))
           .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -1336,13 +1340,16 @@ object Dedup {
     GraftQuery(
       "split_repair",
       (s, dir) => {
-        val splits = docSplits(s, dir)
         val labels = connectedComponents(
           minhashPairs(s, dir).select("doc_a", "doc_b"))
-        val repaired = labels.join(
-          splits.select(col("doc_id").as("label"), col("split").as("rep_split")),
-          "label")
-        splits.join(repaired.select("doc_id", "rep_split"), Seq("doc_id"), "left")
+        // the representative's split is [[splitOf]](label) — a projection
+        // on the (tiny, materialized) labels frame, not a join back into
+        // a corpus-wide splits frame; and the base split is a projection
+        // on the documents scan (guide §2.4: both former joins shuffled
+        // frames to look up a pure function of their own key)
+        val repaired = labels.withColumn("rep_split", splitOf(col("label")))
+        docSplits(s, dir)
+          .join(repaired.select("doc_id", "rep_split"), Seq("doc_id"), "left")
           .withColumn("new_split", coalesce(col("rep_split"), col("split")))
           .withColumn("changed", col("new_split") =!= col("split"))
           .select(col("doc_id"), col("split").as("old_split"),
@@ -1405,7 +1412,16 @@ object Dedup {
             SELECT doc_a AS src, doc_a AS doc_id, 0 AS depth
             FROM (SELECT DISTINCT doc_a FROM graft_dup_edges) t
             UNION ALL
-            SELECT r.src, e.doc_b, r.depth + 1
+            -- DISTINCT inside the recursive member: each UnionLoop step
+            -- otherwise carries WALK multiplicity, not node membership —
+            -- near-dup clusters are near-cliques, so step k holds
+            -- Σ deg^k rows (measured: the recursion alone was 3.4 s of
+            -- dup_reach's 4.5 s at sf0.1, the one `regressed` flag of
+            -- the round-start bench). Level sets are unchanged
+            -- (term_{k+1} depends only on term_k's SET; min(depth)
+            -- collapses the rest), so the output is bit-identical while
+            -- each step is bounded by Σ|cluster| instead of Σ deg^k.
+            SELECT DISTINCT r.src, e.doc_b, r.depth + 1
             FROM reach r JOIN graft_dup_edges e ON r.doc_id = e.doc_a
             WHERE r.depth < $ReachDepth
           )
@@ -1791,13 +1807,21 @@ object Dedup {
     * cluster-consistency test still passed. */
   private[operators] def docSplits(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("_h", md5(to_binary(col("doc_id").cast(StringType), lit("utf-8"))))
-      .withColumn("bucket", expr(s"CAST((${PipelineOps.nib("1")} * 256 + " +
-        s"${PipelineOps.nib("2")} * 16 + ${PipelineOps.nib("3")}) % 100 AS INT)"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val").otherwise("test"))
-      .select(col("doc_id"), col("split"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+
+  /** hash_split's exact md5-nibble 80/10/10 rule as a pure COLUMN
+    * expression of the id — the split is a deterministic function of
+    * doc_id, so consumers that need "the split of this key" attach it as
+    * a projection instead of joining a splits frame (each such join cost
+    * a corpus-wide shuffle or broadcast for a value computable in place —
+    * guide §2.4 remove shuffles outright). `conv(hex, 16, 10)` of the
+    * first three digest nibbles is bit-identical to the nib()*256 + … *16
+    * + … arithmetic the SQL oracles spell out. */
+  private[operators] def splitOf(id: Column): Column = {
+    val h = md5(to_binary(id.cast(StringType), lit("utf-8")))
+    val bucket = (conv(substring(h, 1, 3), 16, 10).cast(IntegerType) % 100)
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
 
   /** CTE `sp(doc_id, split)` mirroring [[docSplits]]. */
   private[operators] val sqlDocSplits = """

@@ -56,17 +56,27 @@ object PipelineOps {
     * input columns. */
   private[operators] def twoPhaseRank(df: org.apache.spark.sql.DataFrame,
       part: Seq[String], value: String, tiebreak: Seq[String],
-      rankCol: String, buckets: Int = 32): org.apache.spark.sql.DataFrame = {
+      rankCol: String, buckets: Int = 32,
+      countCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // countCol: the per-part row count rides the bounds broadcast for
+    // free (one extra long per part). Rank consumers that bucket by
+    // rank/total (perplexity_buckets deciles, prototypicality tertiles)
+    // previously re-derived their ENTIRE input subtree a fourth time
+    // just to count group sizes and join them back — pure plans have no
+    // cache (guide §7.2 duplicated subtrees), so the count must travel
+    // with the rank.
     val bounds =
       df.groupBy(part.map(col): _*)
-        .agg(min(value).as("_tpr_lo"), max(value).as("_tpr_hi"))
+        .agg(min(value).as("_tpr_lo"), max(value).as("_tpr_hi"),
+          count(lit(1)).as("_tpr_n"))
     val keyed =
       if (part.isEmpty) df.crossJoin(broadcast(bounds))
       else df.join(broadcast(bounds), part)
     val bk = keyed
       .withColumn("_tpr_bkt", rangeBucket(value, "_tpr_lo", "_tpr_hi", buckets))
       .drop("_tpr_lo", "_tpr_hi")
+      .withColumnRenamed("_tpr_n", countCol.getOrElse("_tpr_n"))
     val off = bk.groupBy((part :+ "_tpr_bkt").map(col): _*)
       .agg(count(lit(1)).as("_tpr_bn"))
       .withColumn("_tpr_off", coalesce(sum("_tpr_bn").over(
@@ -84,7 +94,7 @@ object PipelineOps {
           .orderBy(col(value).asc_nulls_last +: tiebreak.map(col): _*)))
       .join(broadcast(off), part :+ "_tpr_bkt")
       .withColumn(rankCol, col("_tpr_off") + col("_tpr_lr"))
-      .drop("_tpr_bkt", "_tpr_off", "_tpr_lr")
+      .drop("_tpr_bkt", "_tpr_off", "_tpr_lr", "_tpr_n")
   }
 
   def queries: Seq[GraftQuery] = Seq(

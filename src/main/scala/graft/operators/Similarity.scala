@@ -216,13 +216,26 @@ object Similarity {
         val top = graft.plans.TopK.perKey(scored,
           Seq("dim", "qid"), Seq(("cosr", "desc"), ("vec_id", "asc")), 10)
           .select("dim", "qid", "vec_id")
-        val truth = top.filter(col("dim") === EmbDims).select("qid", "vec_id")
-        val nq = truth.agg(countDistinct("qid").as("n"))
-        // LEFT join + hit flag: a dim whose top-10s share NOTHING with the
-        // ground truth must report recall 0, not vanish from the curve
-        top.join(truth.withColumn("_hit", lit(1L)), Seq("qid", "vec_id"), "left")
-          .groupBy(col("dim")).agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
-          .crossJoin(broadcast(nq))
+        // ground-truth membership as WINDOWS over the tiny top-k output
+        // (≤ 10·|dims|·|queries| rows) instead of the former
+        // truth-filter + left-join + scalar-agg trio, each of which
+        // re-derived the whole scored→TopK subtree (3 passes over the
+        // candidate scoring — pure plans have no cache, guide §7.2):
+        // a (qid, vec_id) pair is a hit at every dim iff its group has a
+        // full-dim row, and nq is the distinct-qid count of the full-dim
+        // slice — one partitioned window + one single-partition window
+        // over rows that number in the hundreds at any corpus scale
+        // (bounded by k·dims·queries, never by n). A dim whose top-10
+        // shares nothing with the truth still reports recall 0 (hit=0
+        // rows survive the groupBy).
+        top
+          .withColumn("hit", max(when(col("dim") === EmbDims, 1L)
+            .otherwise(0L)).over(Window.partitionBy("qid", "vec_id")))
+          .withColumn("nq", size(collect_set(
+            when(col("dim") === EmbDims, col("qid")))
+            .over(Window.partitionBy(lit(1)))).cast("long"))
+          .groupBy(col("dim")).agg(sum(col("hit")).as("hits"),
+            max(col("nq")).as("n"))
           .select(col("dim"),
             expr("CAST(hits * 1000000 DIV (10 * n) AS BIGINT)").as("recall_ppm"))
           .orderBy("dim")
@@ -1021,17 +1034,14 @@ object Similarity {
           .agg(sum(expr(
             "CAST(x6 - m6 AS DECIMAL(38,0)) * (x6 - m6)")).as("dd"))
           .withColumn("dist_q", expr("CAST(dd AS BIGINT)")).drop("dd")
-        // cell sizes from the SCAN, not from `dist`: dist has exactly one
-        // row per surviving vector (the cent join is inner on (label,dim)
-        // keys that every dim row has a centroid for, and the groupBy
-        // collapses dims back to the vector), so count-per-label over
-        // vecs is the same number — and the former dist.groupBy re-derived
-        // the whole explode→join→agg chain a second time (pure plans have
-        // no cache; guide §7.2 duplicated subtrees).
-        val sizes = vecs(s, dir).groupBy("label").agg(count(lit(1)).as("n_cell"))
+        // n_cell rides the rank's own bounds broadcast (twoPhaseRank
+        // countCol): the former sizes branch re-derived the whole
+        // explode→join→agg chain a second time just to count rows per
+        // label (pure plans have no cache; guide §7.2 duplicated
+        // subtrees).
         PipelineOps.twoPhaseRank(dist,
-            Seq("label"), "dist_q", Seq("vec_id"), "cell_rank")
-          .join(broadcast(sizes), "label")
+            Seq("label"), "dist_q", Seq("vec_id"), "cell_rank",
+            countCol = Some("n_cell"))
           .withColumn("decile",
             expr("CAST((10 * (cell_rank - 1)) DIV n_cell AS INT)"))
           .withColumn("drop_prototypical", col("decile") === 0)
@@ -2223,10 +2233,17 @@ object Similarity {
             round(col("cos"), 6).as("cosr"), col("cos"),
             expr("CAST(round(cos * 1000000) AS BIGINT)").as("cosu"))
           .localCheckpoint(true)
+        // nbhd feeds BOTH endpoint joins below; as a pure plan each join
+        // re-ran the whole TopK heap pass + aggregation over the
+        // checkpointed pairs (two identical TopKPerKey chains in the r13
+        // before-plan). One more eager checkpoint of the tiny per-qid
+        // aggregate (2 longs/row) halves the post-checkpoint work — the
+        // same materialize-what-fans-out discipline as `scored` itself.
         val nbhd = graft.plans.TopK.perKey(
             scored, Seq("qid"), Seq(("cosr", "desc"), ("vid", "asc")), BtK)
           .groupBy("qid")
           .agg(count(lit(1)).as("cnt"), sum("cosu").as("sumu"))
+          .localCheckpoint(true)
         val margined = scored
           .join(nbhd.select(col("qid"), col("cnt").as("cnt_a"),
             col("sumu").as("sum_a")), "qid")
@@ -2534,6 +2551,15 @@ object Similarity {
         expr(s"mn DIV $KmSeeds").as("d2m"))
     PipelineOps.twoPhaseRank(asg, Seq("c_id"), "d2m", Seq("vec_id"), "rank")
       .select(col("vec_id"), col("c_id"), col("rank").cast("int").as("rank"))
+      // every consumer fans this frame out (semdedup_trained: member +
+      // partner sides; semanticLeakVerdicts: eval slice + train slice +
+      // the final verdict join), and each pure-plan reference re-ran the
+      // full argmin assignment + two-phase rank over the corpus (guide
+      // §7.2 duplicated subtrees). The frame is 3 ints per vector and
+      // every consumer is already actionful (Lloyd training collects),
+      // so one more eager materialization is the established discipline
+      // (scored/nbhd in bitext_margin, clips in video_neardup).
+      .localCheckpoint(true)
   }
 
   /** semdedup_trained's capped candidate pairs over a ranked frame:

@@ -552,13 +552,22 @@ object TextAnalysis {
         val perPred = segs.withColumn("pred", pred)
           .groupBy("doc_id", "labeled_lang", "pred")
           .agg(count(lit(1)).as("n"))
-        val majority = graft.plans.TopK.perKey(perPred, Seq("doc_id"),
-            Seq(("n", "desc"), ("pred", "asc")), 1)
-          .select(col("doc_id"), col("pred").as("majority_lang"))
-        perPred.groupBy("doc_id", "labeled_lang")
+        // majority as first_value over the aggregated frame (≤ 6 rows per
+        // doc — one per candidate lang — so the per-doc window is bounded
+        // at ANY corpus scale): the former TopK branch re-derived the
+        // whole segment-scoring agg a second time (pure plans have no
+        // cache, guide §7.2), doubling the interpreted lang-marker
+        // filter() work per document. Same tiebreak (n desc, pred asc);
+        // the follow-up groupBy keys on a superset of doc_id, so the
+        // window's exchange satisfies it — no new shuffle.
+        perPred
+          .withColumn("majority_lang", first("pred").over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("n").desc, col("pred").asc)))
+          .groupBy("doc_id", "labeled_lang")
           .agg(sum("n").as("n_chunks"),
-            sum(when(col("pred") =!= "unknown", 1L).otherwise(0L)).as("n_langs"))
-          .join(majority, "doc_id")
+            sum(when(col("pred") =!= "unknown", 1L).otherwise(0L)).as("n_langs"),
+            max("majority_lang").as("majority_lang"))
           .withColumn("code_switched", col("n_langs") >= 2)
           .withColumn("mislabeled", col("majority_lang") =!= "unknown" &&
             col("majority_lang") =!= col("labeled_lang"))
@@ -1042,10 +1051,12 @@ object TextAnalysis {
           .withColumn("lp4", expr("CAST(round(avg_logprob * 10000) AS BIGINT)"))
           .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
           .withColumn("neg", -col("lp4"))
-        val sizes = d2.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        // n_lang rides the rank's own bounds broadcast (twoPhaseRank
+        // countCol) — the former sizes branch re-derived the whole
+        // blp⋈documents subtree a fourth time just to count rows per lang
         PipelineOps.twoPhaseRank(d2,
-            Seq("lang"), "neg", Seq("doc_id"), "lang_rank", PplBuckets)
-          .join(broadcast(sizes), "lang")
+            Seq("lang"), "neg", Seq("doc_id"), "lang_rank", PplBuckets,
+            countCol = Some("n_lang"))
           .withColumn("bucket", expr(
             """CASE (3 * (lang_rank - 1)) DIV n_lang
                  WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"""))
