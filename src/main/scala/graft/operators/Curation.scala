@@ -973,9 +973,11 @@ object Curation {
           .groupBy("source")
           .agg(sum(size(split(coalesce(col("text"), lit("")), " "))
             .cast(LongType)).as("n_tokens"))
+        // lit(1) partitions: same single-partition execution over the
+        // per-source aggregate (≤ |sources| rows), minus WindowExec's WARN
         val w = org.apache.spark.sql.expressions.Window
-          .orderBy("n_tokens", "source")
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+          .partitionBy(lit(1)).orderBy("n_tokens", "source")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
         stats
           .withColumn("i", row_number().over(w))
           .withColumn("n", count(lit(1)).over(wAll))

@@ -1817,7 +1817,7 @@ object Dedup {
     * guide §2.4 remove shuffles outright). `conv(hex, 16, 10)` of the
     * first three digest nibbles is bit-identical to the nib()*256 + … *16
     * + … arithmetic the SQL oracles spell out. */
-  private[operators] def splitOf(id: Column): Column = {
+  private[graft] def splitOf(id: Column): Column = {
     val h = md5(to_binary(id.cast(StringType), lit("utf-8")))
     val bucket = (conv(substring(h, 1, 3), 16, 10).cast(IntegerType) % 100)
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")

@@ -54,7 +54,7 @@ object PipelineOps {
     * bucket-local window orders asc_nulls_last), so oracles must spell
     * ORDER BY … NULLS LAST. Appends `rankCol` (long) and preserves the
     * input columns. */
-  private[operators] def twoPhaseRank(df: org.apache.spark.sql.DataFrame,
+  private[graft] def twoPhaseRank(df: org.apache.spark.sql.DataFrame,
       part: Seq[String], value: String, tiebreak: Seq[String],
       rankCol: String, buckets: Int = 32,
       countCol: Option[String] = None): org.apache.spark.sql.DataFrame = {

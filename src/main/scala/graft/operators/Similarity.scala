@@ -1525,7 +1525,9 @@ object Similarity {
           .agg(sum(round(col("x") * col("sv"), 8).cast(dec)).cast(dbl).as("u"))
         u.withColumn("nrm", sqrt(
             sum(round(col("u") * col("u"), 8).cast(dec))
-              .over(Window.partitionBy()).cast(dbl)))
+              // lit(1) partition: same single-partition execution over the
+              // 64-row dim frame, minus WindowExec's per-run WARN noise
+              .over(Window.partitionBy(lit(1))).cast(dbl)))
           .select(col("dim"), round(col("u") / col("nrm"), 6).as("pc1"))
           .orderBy("dim")
       },

@@ -622,9 +622,12 @@ object Stats {
           .groupBy("bin")
           .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+        // lit(1) partitions: same single-partition execution over the
+        // KsBins-row binned aggregate, minus WindowExec's WARN noise
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy("bin")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
         binned
           .withColumn("ca", sum("a").over(w))
           .withColumn("cb", sum("b").over(w))
@@ -711,7 +714,8 @@ object Stats {
           .agg(sum(when(col("inA"), 1L).otherwise(0L)).as("a"),
             sum(when(!col("inA"), 1L).otherwise(0L)).as("b"))
         val universe = s.range(PsiBins).toDF("bin")
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        // lit(1): single-partition over PsiBins rows, minus the WARN
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
         universe.join(counts, Seq("bin"), "left")
           .withColumn("sa", coalesce(col("a"), lit(0L)) + 1L)
           .withColumn("sb", coalesce(col("b"), lit(0L)) + 1L)

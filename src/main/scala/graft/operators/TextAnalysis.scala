@@ -1700,8 +1700,10 @@ object TextAnalysis {
           .agg(sum(when(col("doc_id") < ev, 1L).otherwise(0L)).as("nt"),
             sum(when(col("doc_id") >= ev, 1L).otherwise(0L)).as("nr"))
         val ratios = stats
-          .withColumn("tN", sum("nt").over(Window.partitionBy()))
-          .withColumn("rN", sum("nr").over(Window.partitionBy()))
+          // lit(1) partition: same single-partition execution over the
+          // bounded feature-bucket frame, minus WindowExec's WARN noise
+          .withColumn("tN", sum("nt").over(Window.partitionBy(lit(1))))
+          .withColumn("rN", sum("nr").over(Window.partitionBy(lit(1))))
           // the corpus-total factors convert to DOUBLE before the multiply:
           // a BIGINT*BIGINT product wraps in Spark at 100 TB totals
           // (count ~2.5e13 × per-bucket nt) while DuckDB's HUGEINT doesn't

@@ -3854,4 +3854,55 @@ class OperatorSpec extends SparkSuite {
     assert(!ids.exists(_ >= 900001L),
       "a planted degenerate vector entered the truncated universe")
   }
+
+  test("splitOf matches the spelled-out md5-nibble 80/10/10 rule (r13 opt)") {
+    // the r13 optimization round turned the docSplits JOIN into a pure
+    // column expression (conv of the first three digest nibbles); this
+    // pins the expression against an independent JVM-side computation of
+    // the documented rule over ids including 0 and negatives (hostile
+    // corpora carry negative doc_ids)
+    import spark.implicits._
+    val ids = (-50L to 1000L).toSeq
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), operators.Dedup.splitOf(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val bucket = Integer.parseInt(h.substring(0, 3), 16) % 100
+      val expect =
+        if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(got(id) == expect, s"id $id: got ${got(id)}, rule says $expect")
+    }
+  }
+
+  test("twoPhaseRank countCol reports exact per-part sizes (r13 opt)") {
+    // countCol rides the bounds broadcast so rank consumers stop
+    // re-deriving their inputs for group sizes; it must equal the true
+    // group row count for skewed groups, a 1-row group, and ties — and
+    // the global (part-less) shape must carry the total
+    import spark.implicits._
+    val rows = (1 to 97).map(i => ("a", i.toLong)) ++
+      Seq(("b", 5L)) ++ (1 to 7).map(i => ("c", (i % 3).toLong))
+    val df = rows.toDF("g", "v")
+    val ranked = operators.PipelineOps.twoPhaseRank(
+      df, Seq("g"), "v", Seq("v"), "rk", countCol = Some("n"))
+    val sizes = ranked.groupBy("g")
+      .agg(max("n").as("mx"), min("n").as("mn"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    sizes.foreach { case (g, mx, mn, c) =>
+      assert(mx == c && mn == c, s"group $g: countCol $mn..$mx != true size $c")
+    }
+    // ranks must be a dense 1..n permutation per group (unchanged by the
+    // countCol addition)
+    val ranks = ranked.filter(col("g") === "a")
+      .select("rk").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to 97L), "rank not a dense permutation")
+    val global = operators.PipelineOps.twoPhaseRank(
+      df, Seq.empty, "v", Seq("v"), "rk", countCol = Some("n"))
+      .select("n").distinct().collect().map(_.getLong(0)).toSeq
+    assert(global == Seq(rows.size.toLong),
+      s"global countCol $global != ${rows.size}")
+  }
 }
