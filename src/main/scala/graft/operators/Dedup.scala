@@ -1106,7 +1106,11 @@ object Dedup {
           .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
           .select(col("doc_id"),
             (col("doc_id") * 1000000L + col("idx")).as("pos"),
-            md5(to_binary(col("block"), lit("utf-8"))).as("bh"))
+            // xxhash64 digest (the gramStarts discipline): the block hash
+            // is only ever a window partition key — 8-byte long on the
+            // exchange instead of a 32-char md5 hex string, and the
+            // engine's codegen'd hash instead of MessageDigest per block
+            xxhash64(col("block")).as("bh"))
           .withColumn("first_pos", min(col("pos")).over(w))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_blocks"),
@@ -1782,6 +1786,13 @@ object Dedup {
       .getOrElse(col("p.v"))
     val bands = withFp.select(keep :+ explode(array(singles ++ pairs: _*)).as("p"): _*)
       .select(col("doc_id"), col("fp"), col("p.band").as("band"), vExpr.as("v"))
+    // NOTE (r13 optimization round): a REPARTITION_BY_NUM pin on (band,v)
+    // — the exactJaccardPairs fix for AQE's byte-based under-coalescing —
+    // was MEASURED HERE and reverted: the banded family came back 40%
+    // slower with the pin (6.3 s → 8.8 s for the seven phash/simhash
+    // consumers at sf0.1), because AQE's runtime re-planning of the
+    // capped self-join is worth more than the parallelism floor on this
+    // shape. Don't re-add it without a fresh A/B.
     val capped = bands
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "v")))
