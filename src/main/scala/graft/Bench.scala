@@ -1,6 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Timed action: the noop sink materializes EVERY column of every row
+    * and discards it (guide §1.4). The previous `.count()` let Catalyst
+    * prune unconsumed columns — and sometimes whole joins — out of the
+    * timed plan (strip_dup_spans timed at 0.11 s because count() pruned
+    * its untouched-columns join), so every number systematically
+    * under-measured materialization cost. Switched in round 14 TOGETHER
+    * with a full bench_baseline.json re-measure under the new sink (the
+    * two must land together: the sink change breaks comparability with
+    * the count()-based baselines by design). The round-start count()
+    * numbers are preserved in OPTIMIZATION_r14.md and
+    * plans/r14/bench_roundstart_count.json. */
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
 
   /** A failure must be VISIBLE in the JSON itself: a crashing query returns
     * in milliseconds, and a near-zero timing would report the breakage as a
@@ -59,7 +73,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var warmFailures = 0
     picked.values.foreach { fn =>
-      try fn(spark, warmDir).count()
+      try run(fn(spark, warmDir))
       catch { case _: Throwable => warmFailures += 1 }
     }
     if (warmFailures > 0)
@@ -91,11 +105,11 @@ object Bench {
     // every timed rep measure the steady-state plan, which is what the
     // committed quiet medians are.
     picked.values.foreach { fn =>
-      try fn(spark, sfDir).count(): Unit
+      try run(fn(spark, sfDir))
       catch { case _: Throwable => () } // counted in the timed pass
     }
     val firstPass = picked.map { case (name, fn) =>
-      name -> timeMedian(name, reps) { fn(spark, sfDir).count(): Unit }
+      name -> timeMedian(name, reps) { run(fn(spark, sfDir)) }
     }
     // Spike adjudication against the committed quiet-host baseline
     // (BenchBaseline): a timing outside the noise band is re-measured
@@ -129,7 +143,7 @@ object Bench {
           System.err.println(f"[bench] $name%s $v%.2f s vs baseline $b%.2f s " +
             "- suspicious, re-measuring with 5 reps")
           val again = timeMedian(name, 5) {
-            picked(name)(spark, sfDir).count(): Unit }
+            run(picked(name)(spark, sfDir)) }
           if (v > BenchBaseline.band(b)) {
             // band breach: noise resolves to the fresh median, a survivor
             // is a regression and stays loud

@@ -23,11 +23,12 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (mode != "off") df.explain(mode)
-    // two timed runs: first pays codegen+scan warmup, second is steady-state
+    // two timed runs: first pays codegen+scan warmup, second is steady-state.
+    // noop sink, matching Bench's round-14 timed action (guide §1.4).
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[explain] run$i $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[explain] run$i $name time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

@@ -23,11 +23,17 @@ object ExplainBatch {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
-    // A/B experiment aid: 'k=v;k2=v2' extra confs for this session only
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
-    })
+    // A/B experiment aid: 'k=v;k2=v2' extra confs for this session only.
+    // Empty segments (trailing ';') are skipped; a segment without '='
+    // fails with a message naming it instead of an opaque MatchError.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF segment '$kv' is not k=v")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -39,9 +45,11 @@ object ExplainBatch {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
           plan.getBytes("UTF-8"))
+        // noop sink, matching Bench's round-14 timed action (guide §1.4):
+        // count() let Catalyst prune columns/joins out of the timed plan
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          df.count()
+          df.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         println(f"[explainbatch] $name%s run1=${times(0)}%.2f run2=${times(1)}%.2f")

@@ -280,7 +280,8 @@ object Curation {
   /** Leaked eval spans per TRAIN doc — every [[Dedup.DupSpanK]]-token
     * gram of a train doc that appears verbatim in the eval slice marks
     * its start; marked starts merge into maximal spans
-    * ([[Dedup.mergeSpans]]). Eval grams broadcast as md5 digests. Shared
+    * ([[Dedup.mergeSpans]]). Eval grams broadcast as xxhash64 longs
+    * (8 bytes each — the gramStarts digest). Shared
     * by decontaminate_spans (report), strip_eval_spans (apply) and
     * leak_mass_by_source (rollup). */
   private def evalLeakSpans(s: org.apache.spark.sql.SparkSession,
@@ -355,7 +356,7 @@ object Curation {
     // the eval slice marks its start, and marked starts merge into the
     // maximal leaked spans — the exact text to excise, not just a doc
     // score. Scale: the eval gram set is tiny next to the corpus and
-    // BROADCASTS as md5 digests (chat_decontaminate's posture); the train
+    // BROADCASTS as xxhash64 longs (chat_decontaminate's posture); the train
     // side is one gram scan whose hits alone reach the per-doc run-merge
     // window (Dedup.mergeSpans — per-doc frames). No shuffle ever carries
     // text: grams ride as digests, spans as integers.

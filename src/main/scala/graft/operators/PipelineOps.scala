@@ -66,6 +66,13 @@ object PipelineOps {
     // just to count group sizes and join them back — pure plans have no
     // cache (guide §7.2 duplicated subtrees), so the count must travel
     // with the rank.
+    // Guard (r13 advice): withColumnRenamed silently DUPLICATES a column
+    // when the target name already exists in the frame, failing only at
+    // the downstream use site with an ambiguous-reference error.
+    countCol.foreach { name =>
+      require(!df.columns.contains(name),
+        s"twoPhaseRank countCol '$name' already exists in the input frame")
+    }
     val bounds =
       df.groupBy(part.map(col): _*)
         .agg(min(value).as("_tpr_lo"), max(value).as("_tpr_hi"),
