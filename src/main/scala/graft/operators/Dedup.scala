@@ -1866,16 +1866,26 @@ object Dedup {
     * is collision-safe to ~10^8 grams per corpus slice (p < 1e-3); a
     * >10^9-gram production slice should widen to a 2×64-bit struct key.
     * Shared by [[dupSpans]] (within-corpus duplication) and Curation's
-    * decontaminate_spans family (eval-overlap excision). */
+    * decontaminate_spans family (eval-overlap excision).
+    *
+    * Shape (round 14): explode the START RANGE first, hash in the
+    * downstream projection — the exactJaccardPairs discipline. The former
+    * `transform(sequence(...), i -> xxhash64(...))` evaluated the hash
+    * inside a lambda, which drops the whole expression to interpreted
+    * eval per gram (the exact trap exactJaccardPairs' comment documents);
+    * explode-then-hash keeps xxhash64 a codegen'd column op in the same
+    * WholeStageCodegen span as the Generate. Rows are identical: one
+    * (doc_id, start, g) per gram start. */
   private[operators] def gramStarts(docs: DataFrame, k: Int): DataFrame =
     docs
       .select(col("doc_id"),
         split(coalesce(col("text"), lit("")), " ").as("toks"))
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), col("toks"), explode(expr(
         s"""CASE WHEN size(toks) >= $k
-             THEN transform(sequence(0, size(toks) - $k),
-                    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))
-             ELSE array() END""")).as(Seq("start", "g")))
+             THEN sequence(0, size(toks) - $k)
+             ELSE array() END""")).as("start"))
+      .select(col("doc_id"), col("start"),
+        expr(s"xxhash64(concat_ws(' ', slice(toks, start + 1, $k)))").as("g"))
 
   /** RAW [[DupSpanK]]-token gram texts of a text column — the collected
     * form web_pipeline ships in its task closure (an eval set is a tiny
