@@ -53,6 +53,16 @@ object ExplainBatch {
           (System.nanoTime() - t0) / 1e9
         }
         println(f"[explainbatch] $name%s run1=${times(0)}%.2f run2=${times(1)}%.2f")
+        // SPARK_GRAFT_EXPLAIN_FINAL=1: re-dump the plan AFTER execution —
+        // under AQE the pre-execution dump shows isFinalPlan=false without
+        // runtime stage reuse / coalescing; the post-execution dump is the
+        // plan that actually ran (the only way to verify a ReusedExchange
+        // claim with AQE on).
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN_FINAL").contains("1"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"${name}_${suffix}_final.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
       } catch { case e: Throwable =>
         println(s"[explainbatch] $name FAILED: ${e.getMessage}")
       }

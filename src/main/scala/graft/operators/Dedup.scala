@@ -492,9 +492,37 @@ object Dedup {
     * full signature is computed in one scan-side expression — no explode,
     * no per-permutation aggregation, no signature shuffle; candidates are
     * a narrow (id, cell) self-join, then exact Jaccard verifies. */
-  /** Documents → non-empty shingle sets (the signature-eligible frame). */
+  /** Documents → non-empty shingle sets (the signature-eligible frame).
+    *
+    * The empties filter is the cheap EXACT precondition `≥ 3 tokens`,
+    * not `size(grams) > 0`: wordShingles emits [] iff token count < n
+    * (split(-1) semantics in both), and the grams-based filter let
+    * predicate pushdown INLINE wordShingles into a scan-side Filter —
+    * the round-14 final-plan dump showed every plan reference paying the
+    * full shingle pass twice (Filter + Project), 8 wordShingles
+    * evaluations per minhash query. The token-count form pushes to the
+    * scan as a split+size, and the projection's wordShingles stays the
+    * only real shingle pass per reference (4 → halved total CPU).
+    *
+    * NOTE (r14 optimization round, negative result — don't redo blind):
+    * materializing the gram arrays below a shared doc_id-keyed exchange
+    * (scan → cheap filter → xxhash64(doc_id) rebalance → wordShingles →
+    * repartition(doc_id), every downstream reference on ReusedExchange)
+    * was built and MEASURED: one wordShingles pass per query instead of
+    * four, confirmed in the no-AQE plan — and it still lost at BOTH
+    * rungs (sf0.1 back-to-back 5-rep medians: minhash_pairs 0.45→0.77 s,
+    * source_overlap 0.64→1.02 s; 10× documents ladder steady-state:
+    * minhash_pairs 1.95→2.23 s, minhash_est_error 1.95→2.09 s). The
+    * one-pass wordShingles kernel is cheap enough that re-running it
+    * beats writing + re-reading the ~3×-text gram arrays through an
+    * extra pinned shuffle. Two repartition subtleties for whoever
+    * retries at a bigger corpus: a same-key repartition pair collapses
+    * to ONE exchange (the optimizer drops the outer, putting the shingle
+    * pass back above the shared exchange — key the inner differently,
+    * e.g. xxhash64(doc_id)), and the no-AQE static plan is the only
+    * explain that SHOWS the ReusedExchange nodes. */
   private def shingledNonEmpty(docs: DataFrame): DataFrame =
-    shingled(docs).filter(size(col("grams")) > 0)
+    shingled(docs.filter(size(split(col("text"), " ", -1)) >= 3))
 
   /** Shingled docs → (doc_id, band, bucket) LSH index rows — the relation
     * minhash_index persists and every banded-join consumer probes. */
