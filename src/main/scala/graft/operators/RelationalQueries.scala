@@ -1061,6 +1061,26 @@ object RelationalQueries {
         // exact; tq(28,2) × 2(2,0) → (31,2) exact. Unstaged, the
         // (28,2)×bigint product needs precision 49 and Spark's 38-clamp
         // rounds where DuckDB computes the wider product exactly.
+        //
+        // NOTE (r14, VERDICT ask #3, negative results — don't redo
+        // blind): the scalar-total branch re-derives perOrder (second
+        // lineitem scan + orderkey shuffle), and BOTH removal techniques
+        // were built and disproven. (a) Eager localCheckpoint of
+        // perOrder: MEASURED and lost at both rungs (sf0.1 bench median
+        // 1.31→1.40 s, 10× facts ladder 2.0→3.5 s) — block-manager
+        // materialization of |orders| rows costs more than the
+        // column-pruned re-scan it saves. (b) ReuseExchange alignment
+        // (keep n_lineitems alive in the total branch with a
+        // value-neutral `0 * coalesce(max(n_lineitems), 0)` so the
+        // partial aggregates match): the exchanges STILL don't
+        // canonicalize, because the orders equi-join pushes an inferred
+        // isnotnull(l_orderkey) Filter below the MAIN branch's partial
+        // agg (constraint propagation) and no such filter exists under
+        // the total branch — the subtrees differ below the exchange in a
+        // way the query cannot neutralize from above. The q11 window
+        // trick doesn't apply either (the scalar spans ALL orders — an
+        // unbounded single-partition frame). The second pass IS the
+        // floor for a pure plan; both scans are two columns wide.
         val perOrder = Tables.lineitem(s, dir)
           .groupBy(col("l_orderkey"))
           .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
@@ -1123,6 +1143,21 @@ object RelationalQueries {
     GraftQuery(
       "q21_late_solo",
       (s, dir) => {
+        // NOTE (r14, negative result — don't redo blind): lo feeds both
+        // the span-midpoint scalar and the per-order profile, so the
+        // lineitem+orders join runs twice per query. An eager
+        // localCheckpoint of the 3-column join output was built and
+        // MEASURED and lost at both rungs (sf0.1 bench median
+        // 1.49→1.61 s, 10× facts ladder 2.83→3.38 s): block-manager
+        // materialization of a |lineitem|-sized frame costs more than
+        // the column-pruned re-scan + broadcast join it saves. The q18
+        // ReuseExchange alignment doesn't apply either — the scalar
+        // branch's join has no exchange to reuse while the orders side
+        // broadcasts (nothing shuffles on the lineitem side), and when
+        // it degrades to a sort-merge join at real scale the subtrees
+        // still differ by the pruned l_suppkey column inside the JOIN,
+        // whose width the scalar branch cannot neutralize from above.
+        // The second pass IS the floor for a pure plan here.
         val lo = Tables.lineitem(s, dir)
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
