@@ -269,6 +269,26 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
+  /** Rebalance a narrow projection whose planned scan runs with fewer
+    * splits than the session's parallelism — the testdata ships ONE
+    * unsplittable parquet file per table (single row group), so a
+    * CPU-heavy map phase above it (wide-decimal moment sums, codec
+    * decodes) otherwise serializes on one task (r14: regr_stats spent
+    * 2.1 s of its 2.1 s in single-task DECIMAL(38,8) partial
+    * aggregation; 0.8 s after the rebalance). SCALE-ADAPTIVE, not a
+    * local tuning constant: the condition reads the plan's actual scan
+    * partition count, so on a production layout whose splits already
+    * meet or exceed the cores this is a no-op and no shuffle is added.
+    * The spread key is a deterministic hash of the projected row (guide
+    * §2.5 — retry-safe where round-robin needs its pre-sort). ONLY sound
+    * below order-insensitive consumers (exact decimal/int aggregation,
+    * count, min/max); a DOUBLE sum would change with row order. */
+  def fanOutNarrow(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df
+    else df.repartition(n, xxhash64(struct(df.columns.map(col): _*)))
+  }
+
   /** Source-identity fingerprint of one testdata table — the shared memo
     * key for every driver-held trained-state cache (BPE merges, unigram
     * LM, quality-classifier weights, dedup components, the Lloyd bank):

@@ -1074,7 +1074,11 @@ object Curation {
           .withColumn("rate",
             least(lit(1.0), col("weight") * MixTargetDocs / col("n_docs")))
           .select("source", "rate")
-        Tables.documents(s, dir)
+        // fanOutNarrow (r14): the interpreted contentHash fold ran on the
+        // single-file scan's one task (1.19 s quiet baseline); per-row
+        // hash + filter are order-insensitive. No-op on parallel layouts.
+        Tables.fanOutNarrow(Tables.documents(s, dir)
+            .select("doc_id", "source", "text"))
           .withColumn("bucket", pmod(contentHash, lit(100L)))
           .join(broadcast(rates), "source")
           .filter(col("bucket") < col("rate") * 100)

@@ -1830,7 +1830,14 @@ object Multimodal {
       "jpeg_decode",
       (s, dir) => {
         import s.implicits._
-        asMedia(s, dir).mapPartitions(jpegFeatures).toDF()
+        // fanOutNarrow (r14): the full JPEG encode→decode walk is the
+        // cost here, and the single-file testdata scan serialized it on
+        // one task (1.41 s → 0.69 s at sf0.1). Scoped to THIS query, not
+        // asMedia: the cheap decoders (bmp/wav/y4m, ≤0.15 s) measured
+        // WORSE with the extra exchange than with the serialized decode.
+        // No-op on layouts whose scan splits reach the parallelism.
+        Tables.fanOutNarrow(asMedia(s, dir).toDF()).as[MediaRecord]
+          .mapPartitions(jpegFeatures).toDF()
           .orderBy("doc_id")
       },
       Some(s"""

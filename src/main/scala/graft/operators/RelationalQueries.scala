@@ -241,8 +241,14 @@ object RelationalQueries {
     // ---- TPC-H Q1-shaped pricing summary over lineitem -------------------
     GraftQuery(
       "q1_pricing",
-      (s, dir) => Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+      // fanOutNarrow (r14): eight exact-decimal aggregates were
+      // serialized on the single-file scan's one task; the rebalance is
+      // conditional (no-op at production scan parallelism) and decimal
+      // sums are order-insensitive, so no bit moves.
+      (s, dir) => Tables.fanOutNarrow(Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           Num.dsumAsDouble(col("l_quantity")).as("sum_qty"),
@@ -529,7 +535,11 @@ object RelationalQueries {
       (s, dir) => {
         val promoRev = sum(when(col("p_type") === "PROMO", revenueExpr)
           .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo_rev")
-        Tables.lineitem(s, dir)
+        // fanOutNarrow (r14): the per-row decimal revenue products ran on
+        // the single-file scan's one task (1.39 s quiet baseline);
+        // conditional rebalance, exact decimal sums.
+        Tables.fanOutNarrow(Tables.lineitem(s, dir)
+            .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount"))
           .join(Tables.part(s, dir).select("p_partkey", "p_type"),
             col("l_partkey") === col("p_partkey"))
           .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
@@ -1357,7 +1367,12 @@ object RelationalQueries {
         val profit = revenueExpr -
           col("p_retailprice").cast(DecimalType(18, 2)) *
             col("l_quantity").cast(DecimalType(18, 2))
-        val li = Tables.lineitem(s, dir)
+        // fanOutNarrow (r14): profit's two decimal products per row ran on
+        // the single-file scan's one task; conditional rebalance, exact
+        // decimal sums downstream.
+        val li = Tables.fanOutNarrow(Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+              "l_extendedprice", "l_discount"))
           .join(Tables.part(s, dir).select("p_partkey", "p_retailprice"),
             col("l_partkey") === col("p_partkey"))
           .join(broadcast(Tables.supplier(s, dir)
@@ -1778,7 +1793,10 @@ object RelationalQueries {
     // NULL grouping keys are coalesced to 'ALL' so both engines sort alike.
     GraftQuery(
       "rollup_lineitem",
-      (s, dir) => Tables.lineitem(s, dir)
+      // fanOutNarrow (r14): the 3x Expand + decimal sum ran on the
+      // single-file scan's one task; conditional rebalance, exact sums.
+      (s, dir) => Tables.fanOutNarrow(Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_linestatus", "l_quantity"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
              Num.dsumAsDouble(col("l_quantity")).as("sum_qty"))

@@ -107,7 +107,10 @@ object Stats {
       "corr_stats",
       (s, dir) => {
         val x = col("l_discount"); val y = col("l_tax")
-        val sums = Tables.lineitem(s, dir)
+        // fanOutNarrow: same single-task decimal-sum bottleneck as
+        // regr_stats (1.85 s quiet baseline); order-insensitive sums.
+        val sums = Tables.fanOutNarrow(Tables.lineitem(s, dir)
+            .select(col("l_returnflag"), x, y))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(x.cast(D)).cast(DoubleType).as("sx"),
@@ -168,7 +171,12 @@ object Stats {
         // need the wide decimal (18,8 overflows under ANSI)
         val W = DecimalType(30, 8)
         val x = col("l_quantity"); val y = col("l_extendedprice")
-        val sums = Tables.lineitem(s, dir)
+        // fanOutNarrow: the five wide-decimal moment sums are the cost,
+        // and a single-file scan serialized them on one task (2.1 s ->
+        // 0.8 s at sf0.1); exact decimal sums are order-insensitive, so
+        // the rebalance cannot move a bit. No-op on parallel layouts.
+        val sums = Tables.fanOutNarrow(Tables.lineitem(s, dir)
+            .select(col("l_returnflag"), x, y))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(x.cast(D)).cast(DoubleType).as("sx"),

@@ -2037,8 +2037,13 @@ object TextAnalysis {
 
   private def bpeTrainUncached(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    var corpus = Tables.documents(s, dir)
-      .select(col("doc_id"), concat(lit(" "), col("text"), lit(" ")).as("s"))
+    // fanOutNarrow (r14): every BPE round's pair explode AND the final
+    // encode replay the replace chain above this frame; on the
+    // single-file scan it all ran as one task (bpe_encode 1.08 s quiet
+    // baseline). Row-local replaces are order-insensitive. No-op on
+    // parallel layouts.
+    var corpus = Tables.fanOutNarrow(Tables.documents(s, dir)
+      .select(col("doc_id"), concat(lit(" "), col("text"), lit(" ")).as("s")))
     val cachedRounds =
       scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     val merges =
