@@ -1126,19 +1126,23 @@ object Dedup {
           // lambda is re-evaluated per chunk index (interpreted HOF, no
           // subexpression elimination) — O(blocks·tokens) per document
           .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"), expr(
-            s"""transform(
-                  sequence(0, CAST(ceil(size(toks) / $BlockTokens.0) AS INT) - 1),
-                  i -> array_join(slice(toks, i * $BlockTokens + 1, $BlockTokens), ' '))""")
-            .as("blocks"))
-          .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
+          // explode the block-index RANGE, then slice+join+hash in the
+          // downstream projection (r14, the gramStarts discipline):
+          // building the block texts inside a transform() lambda dropped
+          // the whole expression to interpreted eval per block. Rows are
+          // identical: one (doc_id, idx, block) per chunk.
+          .select(col("doc_id"), col("toks"), explode(expr(
+            s"sequence(0, CAST(ceil(size(toks) / $BlockTokens.0) AS INT) - 1)"))
+            .as("idx"))
           .select(col("doc_id"),
             (col("doc_id") * 1000000L + col("idx")).as("pos"),
             // xxhash64 digest (the gramStarts discipline): the block hash
             // is only ever a window partition key — 8-byte long on the
             // exchange instead of a 32-char md5 hex string, and the
             // engine's codegen'd hash instead of MessageDigest per block
-            xxhash64(col("block")).as("bh"))
+            xxhash64(expr(
+              s"array_join(slice(toks, idx * $BlockTokens + 1, $BlockTokens), ' ')"))
+              .as("bh"))
           .withColumn("first_pos", min(col("pos")).over(w))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_blocks"),

@@ -103,11 +103,15 @@ object TextAnalysis {
     * would otherwise claim 2·count > n tokens. */
   def repetitionMetrics(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val bi = t.select(col("doc_id"), explode(expr(
-      """CASE WHEN size(toks) >= 2 THEN
-           transform(sequence(1, size(toks) - 1),
-             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-         ELSE array() END""")).as("bg"))
+    // explode the INDEX range, build the bigram in the downstream
+    // projection (r14, the gramStarts discipline): concat inside a
+    // transform() lambda evaluated interpreted per bigram. The CASE
+    // guard stays: sequence(1, 0) is DESCENDING [1, 0], not empty.
+    val bi = t.select(col("doc_id"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
+           ELSE array() END""")).as("i"))
+      .select(col("doc_id"), expr(
+        "concat(element_at(toks, i), ' ', element_at(toks, i + 1))").as("bg"))
     val topBigram = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("mc"))
     t.join(topBigram, Seq("doc_id"), "left")
@@ -534,15 +538,23 @@ object TextAnalysis {
     GraftQuery(
       "chunk_lang_mix",
       (s, dir) => {
+        // explode the segment-index RANGE, slice in the downstream
+        // projection (r14, the gramStarts discipline): building every
+        // segment string inside a transform() lambda evaluated
+        // interpreted per segment — and the scorer then re-SPLIT the
+        // joined string it had just built. `st` is now the token slice
+        // itself (identical tokens: join-then-split round-trips
+        // space-free tokens, and every segment is non-empty since
+        // seg_id ≤ (size-1) DIV K). sequence(0, (size-1) DIV K) is
+        // ascending for any size ≥ 1, so no CASE guard is needed.
         val segs = Tables.documents(s, dir)
           .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
-          .select(col("doc_id"), col("lang").as("labeled_lang"),
-            posexplode(expr(
-              s"""transform(sequence(0, (size(toks) - 1) DIV $LangSegTokens),
-                    i -> array_join(
-                      slice(toks, i * $LangSegTokens + 1, $LangSegTokens), ' '))"""))
-              .as(Seq("seg_id", "seg")))
-        val st = split(col("seg"), " ")
+          .select(col("doc_id"), col("lang").as("labeled_lang"), col("toks"),
+            explode(expr(s"sequence(0, (size(toks) - 1) DIV $LangSegTokens)"))
+              .as("seg_id"))
+          .select(col("doc_id"), col("labeled_lang"), col("seg_id"), expr(
+            s"slice(toks, seg_id * $LangSegTokens + 1, $LangSegTokens)").as("st"))
+        val st = col("st")
         def sc(l: String) = size(filter(st, t => t.isin(langMarkers(l): _*)))
         val langs = Seq("de", "en", "es", "fr", "zh")
         val best = greatest(langs.map(sc): _*)
@@ -635,11 +647,15 @@ object TextAnalysis {
       (s, dir) => {
         val toks = Tables.documents(s, dir)
           .select(split(coalesce(col("text"), lit("")), " ").as("t"))
-        def level(n: Int) = toks.select(lit(n).as("n"), explode(expr(
-          s"""CASE WHEN size(t) >= $n
-               THEN transform(sequence(0, size(t) - $n),
-                      i -> array_join(slice(t, i + 1, $n), ' '))
-               ELSE array() END""")).as("g"))
+        // explode the start RANGE, join the gram in the downstream
+        // projection (r14, the gramStarts discipline — the lambda was
+        // interpreted per gram); CASE guard because sequence() descends
+        // when stop < start.
+        def level(n: Int) = toks.select(col("t"), explode(expr(
+            s"""CASE WHEN size(t) >= $n THEN sequence(0, size(t) - $n)
+                 ELSE array() END""")).as("i"))
+          .select(lit(n).as("n"),
+            expr(s"array_join(slice(t, i + 1, $n), ' ')").as("g"))
         (1 to 4).map(level).reduce(_.unionByName(_))
           .groupBy("n")
           .agg(count(lit(1)).as("n_grams"),
@@ -792,13 +808,15 @@ object TextAnalysis {
           .select(split(coalesce(col("text"), lit("")), " ").as("t"))
         val uni = toks.select(explode(col("t")).as("x"))
           .groupBy("x").agg(count(lit(1)).as("c_x"))
-        val bi = toks.select(explode(expr(
-          """CASE WHEN size(t) >= 2
-               THEN transform(sequence(0, size(t) - 2),
-                 i -> named_struct('x', element_at(t, i + 1),
-                                   'y', element_at(t, i + 2)))
-               ELSE array() END""")).as("p"))
-          .select(col("p.x").as("x"), col("p.y").as("y"))
+        // explode the index RANGE, pick the pair in the downstream
+        // projection (r14, the gramStarts discipline — the struct lambda
+        // was interpreted per bigram); CASE guard for the descending-
+        // sequence edge.
+        val bi = toks.select(col("t"), explode(expr(
+            """CASE WHEN size(t) >= 2 THEN sequence(0, size(t) - 2)
+               ELSE array() END""")).as("i"))
+          .select(expr("element_at(t, i + 1)").as("x"),
+            expr("element_at(t, i + 2)").as("y"))
           .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
           .filter(col("c_xy") >= BigramMinCount)
         val tot = toks.agg(sum(size(col("t"))).as("n_tok"),
